@@ -1,0 +1,424 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.core.{ColFns, Tables}
+import graft.ops.Kernels
+
+/** Relational operator catalogue over the driver test tables — one query per
+  * operator family from SURVEY.md §2, each with a DuckDB oracle.
+  *
+  * Numeric-determinism rules (so Spark parquet output hash-matches the
+  * DuckDB oracle bit-for-bit):
+  *  - SUMs of doubles go through DECIMAL (exact, order-independent), then a
+  *    single cast back to DOUBLE; AVGs are decimal-sum-cast-double / count
+  *    (one IEEE division with identical operands on both engines).
+  *  - collect_list/collect_set aggregates are always sorted before join/emit
+  *    (cluster arrival order is not reproducible; SURVEY §7.3 risk 1).
+  *  - timestamps are emitted as epoch seconds or formatted strings, never
+  *    raw (parquet µs vs DuckDB ns precision).
+  */
+object CoreQueries {
+
+  /** Headline pricing-summary aggregation (S-scan + P4 filters + hash agg).
+    * The reference has no sum/count aggregates (SURVEY §2.4 A10) — this is
+    * the engine's TPC-H-style smoke/bench headline. */
+  val q01PricingSummary = Q(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_base_price"),
+        sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1) - col("l_discount")).cast("decimal(8,4)")).cast("double").as("sum_disc_price"),
+        (sum(col("l_quantity").cast("decimal(18,4)")).cast("double") / count(lit(1)))
+          .as("avg_qty"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** S2: secondary-accession group-fold (uniprot.py:102-107) — per-key
+    * delimited fold, sorted for determinism. */
+  val s2GroupFold = Q(
+    "s2_group_fold",
+    """SELECT c_nationkey, string_agg(c_name, ';' ORDER BY c_name) AS members,
+      |  COUNT(*) AS n
+      |FROM customer GROUP BY c_nationkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        Kernels.sortedFoldAgg(col("c_name")).as("members"),
+        count(lit(1)).as("n"))
+  }
+
+  /** P3: membership filter as broadcast left-semi join (ppi.py:126 `isin`
+    * against the SwissProt set). Broadcast keeps the fact side shuffle-free
+    * at 100 TB. */
+  val p3SemiFilter = Q(
+    "p3_semi_filter",
+    """SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
+      |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000)""".stripMargin) { (s, d) =>
+    val good = Tables.supplier(s, d)
+      .filter(col("s_acctbal") > 5000).select(col("s_suppkey"))
+    Tables.lineitem(s, d)
+      .join(broadcast(good), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+  }
+
+  /** P4/P5/P6: predicate pack — set membership, range, timestamp compare
+    * (go.py:435 evidence exclusion, compound.py:157, disease.py:615). All
+    * reach the parquet scan as PushedFilters. */
+  val p4Predicates = Q(
+    "p4_predicates",
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
+      |WHERE l_returnflag IN ('A','R') AND l_quantity BETWEEN 10 AND 40
+      |  AND l_shipdate < TIMESTAMP '1997-06-01 00:00:00'""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag").isin("A", "R")
+        && col("l_quantity").between(10, 40)
+        && col("l_shipdate") < lit("1997-06-01 00:00:00").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+  }
+
+  /** J1+J2: full-outer merge of two source aggregates with left-priority
+    * value coalesce and presence-flag source concat (the ppi.py:405-437
+    * merge pattern). */
+  val j1OuterMerge = Q(
+    "j1_outer_merge",
+    """WITH a AS (SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) qty_a,
+      |             COUNT(*) n_a FROM lineitem WHERE l_returnflag='A' GROUP BY 1),
+      |     b AS (SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) qty_r,
+      |             COUNT(*) n_r FROM lineitem WHERE l_returnflag='R' GROUP BY 1)
+      |SELECT COALESCE(a.l_suppkey, b.l_suppkey) AS l_suppkey,
+      |  COALESCE(qty_a, qty_r) AS qty,
+      |  CONCAT_WS('|', CASE WHEN n_a IS NOT NULL THEN 'A' END,
+      |                 CASE WHEN n_r IS NOT NULL THEN 'R' END) AS sources,
+      |  COALESCE(n_a, 0) + COALESCE(n_r, 0) AS n_total
+      |FROM a FULL OUTER JOIN b ON a.l_suppkey = b.l_suppkey""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    def side(flag: String, q: String, n: String) =
+      li.filter(col("l_returnflag") === flag).groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as(q),
+          count(lit(1)).as(n))
+    side("A", "qty_a", "n_a")
+      .join(side("R", "qty_r", "n_r"), Seq("l_suppkey"), "full_outer")
+      .select(
+        col("l_suppkey"),
+        Kernels.coalesceLeft(col("qty_a"), col("qty_r")).as("qty"),
+        concat_ws("|",
+          when(col("n_a").isNotNull, lit("A")),
+          when(col("n_r").isNotNull, lit("R"))).as("sources"),
+        (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_r"), lit(0L))).as("n_total"))
+  }
+
+  /** J4: broadcast map-side lookup joins (the reference's in-loop xref-dict
+    * `.get()`s, e.g. compound.py:303) — two chained dimension broadcasts,
+    * zero shuffle on the fact side until the final agg. */
+  val j4BroadcastMap = Q(
+    "j4_broadcast_map",
+    """SELECT r_name, COUNT(*) AS n_suppliers,
+      |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin) { (s, d) =>
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("s_acctbal").cast("decimal(18,4)")).cast("double").as("total_acctbal"))
+  }
+
+  /** J5: fallback-chain priority mapping (disease.py:1631-1654 UMLS → vocab
+    * → per-db; encoded as ordered left joins + coalesce). */
+  val j5FallbackChain = Q(
+    "j5_fallback_chain",
+    """SELECT c_custkey,
+      |  COALESCE(m1.label, m2.label, m3.label) AS resolved
+      |FROM customer
+      |LEFT JOIN (SELECT n_nationkey, 'R0:' || n_name AS label FROM nation WHERE n_regionkey = 0) m1
+      |  ON c_nationkey = m1.n_nationkey
+      |LEFT JOIN (SELECT n_nationkey, 'R12:' || n_name AS label FROM nation WHERE n_regionkey IN (1,2)) m2
+      |  ON c_nationkey = m2.n_nationkey
+      |LEFT JOIN (SELECT n_nationkey, 'ANY:' || n_name AS label FROM nation) m3
+      |  ON c_nationkey = m3.n_nationkey""".stripMargin) { (s, d) =>
+    val n = Tables.nation(s, d)
+    def m(filterExpr: org.apache.spark.sql.Column, prefix: String) =
+      n.filter(filterExpr).select(
+        col("n_nationkey").as("from_id"),
+        concat(lit(prefix), col("n_name")).as("to_id"))
+    Kernels.fallbackMap(
+      Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+      col("c_nationkey"),
+      Seq(
+        m(col("n_regionkey") === 0, "R0:"),
+        m(col("n_regionkey").isin(1, 2), "R12:"),
+        m(lit(true), "ANY:")))
+      .select(col("c_custkey"), col("resolved"))
+  }
+
+  /** J6: self-join on a derived key (pathway.py:667-704 suffix pairing,
+    * re-expressed as an equi-join instead of the reference's O(n²) loops —
+    * at scale the groups hash-partition and only same-key pairs are built). */
+  val j6SuffixSelfJoin = Q(
+    "j6_suffix_selfjoin",
+    """WITH p AS (SELECT p_partkey, regexp_extract(p_name, '([^ ]+)$', 1) AS suffix, p_size
+      |           FROM part)
+      |SELECT a.suffix AS suffix, a.p_size AS p_size, COUNT(*) AS n_pairs
+      |FROM p a JOIN p b ON a.suffix = b.suffix AND a.p_size = b.p_size
+      |  AND a.p_partkey < b.p_partkey
+      |GROUP BY a.suffix, a.p_size""".stripMargin) { (s, d) =>
+    val p = Tables.part(s, d).select(
+      col("p_partkey"),
+      regexp_extract(col("p_name"), "([^ ]+)$", 1).as("suffix"),
+      col("p_size"))
+    val a = p.toDF("pk_a", "suffix", "p_size")
+    val b = p.toDF("pk_b", "suffix", "p_size")
+    a.join(b, Seq("suffix", "p_size"))
+      .filter(col("pk_a") < col("pk_b"))
+      .groupBy(col("suffix"), col("p_size"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** J7: anti-join exclusion (compound.py:179 "not mappable to DrugBank"):
+    * customers that never placed an urgent order. */
+  val j7AntiJoin = Q(
+    "j7_anti_join",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin) { (s, d) =>
+    val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(s, d)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** A1/§2.5: keep-best-per-key ranking window (sort→groupby-first idiom,
+    * ppi.py:135-140) with explicit deterministic tie-break. */
+  val a1KeepBest = Q(
+    "a1_keep_best",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |QUALIFY row_number() OVER (PARTITION BY l_orderkey
+      |  ORDER BY l_extendedprice DESC, l_linenumber) = 1""".stripMargin) { (s, d) =>
+    Kernels.keepBestPerKey(
+      Tables.lineitem(s, d),
+      Seq("l_orderkey"),
+      Seq(col("l_extendedprice").desc, col("l_linenumber").asc))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+  }
+
+  /** A2: exact median rounded to 3 dp (compound.py:461-462). */
+  val a2Median3 = Q(
+    "a2_median3",
+    """SELECT l_returnflag, l_linestatus,
+      |  round(median(l_extendedprice), 3) AS med_price
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(Kernels.median3(col("l_extendedprice")).as("med_price"))
+  }
+
+  /** A3: ordered-middle-row (upper middle on even counts,
+    * drug.py:1377-1387), as a pure sort_array expression — no UDAF. */
+  val a3OrderedMiddle = Q(
+    "a3_ordered_middle",
+    """SELECT l_returnflag, l_linestatus,
+      |  list_extract(list_sort(list(l_quantity)),
+      |    CAST(floor(COUNT(*) / 2) AS INT) + 1) AS mid_qty
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(Kernels.orderedMiddle(col("l_quantity")).as("mid_qty"))
+  }
+
+  /** A4/A5: pipe-encoded multi-value merge aggregate
+    * (`merge_source_column`, compound.py:492-501) — two-level: first build
+    * pipe strings per (part, supp), then merge them per part. */
+  val a4MergeSources = Q(
+    "a4_merge_sources",
+    """WITH s1 AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    string_agg(DISTINCT l_returnflag, '|' ORDER BY l_returnflag) AS src
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |s2 AS (SELECT l_partkey, unnest(string_split(src, '|')) AS f FROM s1)
+      |SELECT l_partkey, string_agg(DISTINCT f, '|' ORDER BY f) AS merged
+      |FROM s2 GROUP BY l_partkey""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(concat_ws("|", array_sort(collect_set(col("l_returnflag")))).as("src"))
+      .groupBy(col("l_partkey"))
+      .agg(Kernels.mergePipesAgg(col("src")).as("merged"))
+  }
+
+  /** A6: conflicting-value group drop (drug.py:902-915). */
+  val a6ConflictDrop = Q(
+    "a6_conflict_drop",
+    """SELECT l_orderkey, MIN(l_returnflag) AS flag FROM lineitem
+      |GROUP BY l_orderkey HAVING COUNT(DISTINCT l_returnflag) = 1""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(Kernels.conflictFold(col("l_returnflag")).as("flag"))
+      .filter(col("flag").isNotNull)
+  }
+
+  /** A7: tf-effect conflict fold (tf_gen.py:381-395) on order statuses,
+    * with 'P' (pending) playing the reference's "Unknown": {X,'P'}→X, one
+    * value→itself, ≥3 or a genuine conflict→dropped. 'P' sorts last among
+    * {F,O,P} exactly as "Unknown" sorts last in the reference's domain. */
+  val a7EffectFold = Q(
+    "a7_effect_fold",
+    """WITH s AS (SELECT o_custkey, list_sort(list(DISTINCT o_orderstatus)) st
+      |           FROM orders GROUP BY o_custkey)
+      |SELECT o_custkey,
+      |  CASE WHEN len(st) = 1 THEN st[1]
+      |       WHEN len(st) = 2 AND st[2] = 'P' THEN st[1] END AS effect
+      |FROM s
+      |WHERE len(st) = 1 OR (len(st) = 2 AND st[2] = 'P')""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(effectFoldStatus(col("o_orderstatus")).as("effect"))
+      .filter(col("effect").isNotNull)
+  }
+
+  /** A7 fold specialised to the order-status domain ('P' = Unknown). */
+  private def effectFoldStatus(c: org.apache.spark.sql.Column) = {
+    val st = array_sort(collect_set(c))
+    when(size(st) === 1, element_at(st, 1))
+      .when(size(st) === 2 && element_at(st, 2) === "P", element_at(st, 1))
+  }
+
+  /** D1: keyed dedup after sort — keep the latest lineitem per supplier
+    * (`sort_values` + `drop_duplicates(subset, keep="first")`,
+    * ppi.py:369/disease.py:633), full tie-break chain. */
+  val d1KeyedDedup = Q(
+    "d1_keyed_dedup",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(epoch(l_shipdate) AS BIGINT) AS ship_epoch
+      |FROM lineitem
+      |QUALIFY row_number() OVER (PARTITION BY l_suppkey
+      |  ORDER BY l_shipdate DESC, l_orderkey, l_linenumber) = 1""".stripMargin) { (s, d) =>
+    Kernels.keepBestPerKey(
+      Tables.lineitem(s, d),
+      Seq("l_suppkey"),
+      Seq(col("l_shipdate").desc, col("l_orderkey").asc, col("l_linenumber").asc))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        unix_timestamp(col("l_shipdate")).as("ship_epoch"))
+  }
+
+  /** D2: undirected-pair dedup preserving winner orientation (ppi.py:142
+    * frozenset idiom; SURVEY §7.3 risk 2) over (supplier-nation,
+    * customer-nation) trade pairs. */
+  val d2UndirectedDedup = Q(
+    "d2_undirected_dedup",
+    """SELECT s_nationkey AS a, c_nationkey AS b, l_extendedprice AS price
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY least(s_nationkey, c_nationkey), greatest(s_nationkey, c_nationkey)
+      |  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) = 1""".stripMargin) { (s, d) =>
+    val joined = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("a"), col("c_nationkey").as("b"),
+        col("l_extendedprice").as("price"), col("l_orderkey"), col("l_linenumber"))
+    Kernels.undirectedDedup(joined, "a", "b",
+      Seq(col("price").desc, col("l_orderkey").asc, col("l_linenumber").asc))
+      .select(col("a"), col("b"), col("price"))
+  }
+
+  /** U1 + F5: union of heterogeneous entity sources under CURIE ids
+    * (pathway.py:391 concat; `add_prefix_to_id` everywhere). */
+  val u1UnionEntities = Q(
+    "u1_union_entities",
+    """SELECT 'cust:' || c_custkey AS entity_id, c_name AS name,
+      |  c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer
+      |UNION ALL
+      |SELECT 'supp:' || s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).select(
+      ColFns.curie("cust", col("c_custkey")).as("entity_id"),
+      col("c_name").as("name"), col("c_nationkey").as("nationkey"),
+      col("c_acctbal").as("acctbal"))
+    val sup = Tables.supplier(s, d).select(
+      ColFns.curie("supp", col("s_suppkey")).as("entity_id"),
+      col("s_name").as("name"), col("s_nationkey").as("nationkey"),
+      col("s_acctbal").as("acctbal"))
+    c.unionByName(sup)
+  }
+
+  /** F-pack: scalar function battery — CURIE (F5), Neo4j escaping (F4),
+    * regex extraction (F14), suffix split (F7), case map (F8), conditional
+    * derivation (F12). */
+  val fScalarPack = Q(
+    "f_scalar_pack",
+    """SELECT 'part:' || p_partkey AS part_id,
+      |  translate(p_name, '''|', '^,') AS name_escaped,
+      |  CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS INT) AS brand_num,
+      |  regexp_extract(p_name, '([^ ]+)$', 1) AS name_last,
+      |  lower(p_type) AS type_lower,
+      |  CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 25 THEN 'M' ELSE 'L' END AS size_bucket
+      |FROM part""".stripMargin) { (s, d) =>
+    Tables.part(s, d).select(
+      ColFns.curie("part", col("p_partkey")).as("part_id"),
+      ColFns.escapeProps(col("p_name")).as("name_escaped"),
+      regexp_extract(col("p_brand"), "Brand#([0-9]+)", 1).cast("int").as("brand_num"),
+      regexp_extract(col("p_name"), "([^ ]+)$", 1).as("name_last"),
+      lower(col("p_type")).as("type_lower"),
+      when(col("p_size") < 10, "S").when(col("p_size") < 25, "M").otherwise("L")
+        .as("size_bucket"))
+  }
+
+  /** F15: fixed-depth hierarchy synthesis (ec.py:274-313 4-level EC codes)
+    * over the ship-date calendar: day→month→year→root edges as unions of
+    * per-level distinct projections — no recursion, fixed depth. */
+  val f15DateHierarchy = Q(
+    "f15_date_hierarchy",
+    """WITH days AS (SELECT DISTINCT strftime(l_shipdate, '%Y-%m-%d') AS day,
+      |  strftime(l_shipdate, '%Y-%m') AS month, strftime(l_shipdate, '%Y') AS year
+      |  FROM lineitem)
+      |SELECT day AS child, month AS parent, 'day' AS level FROM days
+      |UNION SELECT DISTINCT month, year, 'month' FROM days
+      |UNION SELECT DISTINCT year, 'root', 'year' FROM days""".stripMargin) { (s, d) =>
+    val days = Tables.lineitem(s, d).select(
+      date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"),
+      date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+      date_format(col("l_shipdate"), "yyyy").as("year")).distinct()
+    days.select(col("day").as("child"), col("month").as("parent"), lit("day").as("level"))
+      .unionByName(days.select(col("month").as("child"), col("year").as("parent"),
+        lit("month").as("level")).distinct())
+      .unionByName(days.select(col("year").as("child"), lit("root").as("parent"),
+        lit("year").as("level")).distinct())
+      .distinct()
+  }
+
+  /** O2/O3: top-k with deterministic tie-break (early-stopping limit,
+    * ec.py:66-68; DisGeNET top-k, disgenet_local.py:117). */
+  val o2TopK = Q(
+    "o2_top_k",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  val all: Seq[Q] = Seq(
+    q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,
+    j1OuterMerge, j4BroadcastMap, j5FallbackChain, j6SuffixSelfJoin,
+    j7AntiJoin, a1KeepBest, a2Median3, a3OrderedMiddle, a4MergeSources,
+    a6ConflictDrop, a7EffectFold, d1KeyedDedup, d2UndirectedDedup,
+    u1UnionEntities, fScalarPack, f15DateHierarchy, o2TopK)
+}
