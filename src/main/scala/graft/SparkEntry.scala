@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,11 +12,12 @@ import graft.queries.CoreQueries
 object SparkEntry {
 
   /** All registered queries, in registry order. */
-  def registry: Seq[Q] = CoreQueries.all
+  def registry: Seq[Q] = CoreQueries.all ++ PipelineQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full PPI-analog integration pipeline (SURVEY §7.1 step 3). */
   def entry(spark: SparkSession): DataFrame =
-    CoreQueries.q01PricingSummary.fn(spark, "/root/testdata/sf0.001")
+    PipelineQueries.ppiFlagship.fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

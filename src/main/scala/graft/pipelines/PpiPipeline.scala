@@ -1,0 +1,182 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{ColFns, Tables}
+import graft.ops.Kernels
+
+/** Flagship end-to-end integration pipeline — the Spark re-expression of the
+  * reference's PPI integration (edge_data/ppi.py: intact_process :97-151,
+  * biogrid_process :153-263, string_process :266-379, merge_all :382-484).
+  *
+  * The reference integrates three interaction databases into one edge table:
+  * per-source (project → rename → SwissProt semi-filter → null-fix → sort →
+  * keep-best groupby with pubmed set-union → undirected dedup), then chained
+  * full-outer merges reconciling source / pubmed / method / score columns.
+  *
+  * Here the "interactome" is derived deterministically from the driver's
+  * star schema: proteins ≈ suppliers, an interaction ≈ two suppliers
+  * co-supplying one order, a publication ≈ the order. Three disjoint
+  * ship-date slices play IntAct / BioGRID / STRING:
+  *
+  *  - intact  (≤1996): mi-score analog = mean line discount, method =
+  *    linestatus, pubmed list per pair;
+  *  - biogrid (1997): no score — partners arrive as NAMES (the reference's
+  *    gene symbols, ppi.py:198-226) and are resolved to keys via a broadcast
+  *    symbol→id mapping join;
+  *  - string  (≥1998): integer combined_score ∈ [0,1000] with the
+  *    reference's ≥700 high-confidence threshold (ppi.py:307), rescaled to
+  *    [0,1] at merge time (ppi.py:449 coalesce semantics).
+  *
+  * Scale notes (100 TB): pair generation self-joins lineitem on l_orderkey —
+  * one hash shuffle on the order key, group size bounded by order width (no
+  * skew); per-source dedup and the merge chain all share the (a,b) hash
+  * partitioning, so Catalyst reuses the exchange; the only broadcast is the
+  * supplier dimension. No driver-side collection anywhere.
+  */
+object PpiPipeline {
+
+  /** Pair orientation is canonicalized at generation (a < b) — pairs are
+    * born undirected here, so the reference's frozenset dedup (D2) reduces
+    * to keyed dedup; orientation-preserving dedup over raw directed rows is
+    * exercised by the d2_undirected_dedup query. */
+  private def pairsInWindow(
+      s: SparkSession, d: String, lo: String, hi: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(lo).cast("timestamp")
+        && col("l_shipdate") < lit(hi).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_discount"), col("l_linestatus"), col("l_returnflag"))
+    val a = li.toDF("l_orderkey", "sk_a", "ln_a", "disc_a", "ls_a", "rf_a")
+    val b = li.toDF("l_orderkey", "sk_b", "ln_b", "disc_b", "ls_b", "rf_b")
+    a.join(b, Seq("l_orderkey")).filter(col("sk_a") < col("sk_b"))
+  }
+
+  /** SwissProt-set analog: suppliers considered "reviewed". */
+  private def reviewed(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d).filter(col("s_acctbal") > 1000).select(col("s_suppkey"))
+
+  private def curiePair(df: DataFrame): DataFrame = df
+    .withColumn("a", ColFns.curie("supp", col("sk_a")))
+    .withColumn("b", ColFns.curie("supp", col("sk_b")))
+
+  /** Keep-best row per pair + pubmed set-union — the reference's
+    * sort→groupby("first") + `"|".join(set(pubmeds))` (ppi.py:135-140),
+    * expressed as one window + one aggregate sharing the (a,b) shuffle. */
+  private def bestPlusPubmeds(
+      pairs: DataFrame, order: Seq[Column], keep: Seq[Column]): DataFrame = {
+    val best = Kernels.keepBestPerKey(pairs, Seq("a", "b"), order)
+      .select(col("a") +: col("b") +: keep: _*)
+    val pm = pairs.groupBy(col("a"), col("b"))
+      .agg(Kernels.setJoinAgg(concat(lit("pmid:"), col("l_orderkey"))).as("pubmeds"))
+    best.join(pm, Seq("a", "b"))
+  }
+
+  /** IntAct analog: score + method + pubmeds. */
+  def intact(s: SparkSession, d: String): DataFrame = {
+    val rev = reviewed(s, d)
+    val pairs = curiePair(
+      pairsInWindow(s, d, "1995-01-01 00:00:00", "1997-01-01 00:00:00"))
+      .join(broadcast(rev), col("sk_a") === col("s_suppkey"), "left_semi")
+      .join(broadcast(rev), col("sk_b") === col("s_suppkey"), "left_semi")
+      .withColumn("score", (col("disc_a") + col("disc_b")) / 2)
+    // tie-break chain covers every emitted column (ls_a = method): rows
+    // fully tied on it are interchangeable, so the winner is well-defined
+    // even though (l_orderkey, l_linenumber) is not unique in the data
+    bestPlusPubmeds(pairs,
+      Seq(col("score").desc, col("l_orderkey").asc, col("ln_a").asc,
+        col("ln_b").asc, col("ls_a").asc),
+      Seq(col("score"), col("ls_a").as("method")))
+      .withColumn("source", lit("intact"))
+  }
+
+  /** BioGRID analog: partners arrive as upper-cased names and resolve to
+    * keys through a broadcast symbol→id mapping (ppi.py:198-226); no score,
+    * first-seen row wins (order-key arrival order made explicit). */
+  def biogrid(s: SparkSession, d: String): DataFrame = {
+    // mapping dict is built from reviewed entries only (ppi.py:209-226 maps
+    // symbols through the SwissProt set) → unmapped partners drop out below
+    val symbolMap = Tables.supplier(s, d).filter(col("s_acctbal") > 1000)
+      .select(upper(col("s_name")).as("symbol"), col("s_suppkey").as("mapped"))
+    val named = pairsInWindow(s, d, "1997-01-01 00:00:00", "1998-01-01 00:00:00")
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey").as("sk_a"), upper(col("s_name")).as("sym_a"))), Seq("sk_a"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey").as("sk_b"), upper(col("s_name")).as("sym_b"))), Seq("sk_b"))
+      .drop("sk_a", "sk_b")
+    // resolve symbols back to keys (the mapping join the reference does)
+    val resolved = named
+      .join(broadcast(symbolMap.toDF("sym_a", "rk_a")), Seq("sym_a"))
+      .join(broadcast(symbolMap.toDF("sym_b", "rk_b")), Seq("sym_b"))
+      .na.drop(Seq("rk_a", "rk_b"))
+      .withColumnRenamed("rk_a", "sk_a").withColumnRenamed("rk_b", "sk_b")
+    val pairs = curiePair(resolved)
+      .withColumn("method", concat(lit("exp:"), col("ls_a")))
+    bestPlusPubmeds(pairs,
+      Seq(col("l_orderkey").asc, col("ln_a").asc, col("ln_b").asc,
+        col("method").asc),
+      Seq(col("method")))
+      .withColumn("source", lit("biogrid"))
+  }
+
+  /** STRING analog: integer combined score, high-confidence ≥700 filter
+    * (ppi.py:307), no pubmeds/method. */
+  def string(s: SparkSession, d: String): DataFrame = {
+    val pairs = curiePair(
+      pairsInWindow(s, d, "1998-01-01 00:00:00", "2099-01-01 00:00:00"))
+      .withColumn("combined_score",
+        floor(lit(1000) * (lit(1) - (col("disc_a") + col("disc_b")) / 2)).cast("long"))
+      .filter(col("combined_score") >= 700)
+    Kernels.keepBestPerKey(pairs,
+      Seq("a", "b"),
+      Seq(col("combined_score").desc, col("l_orderkey").asc, col("ln_a").asc, col("ln_b").asc))
+      .select(col("a"), col("b"),
+        (col("combined_score").cast("double") / 1000).as("string_score"))
+      .withColumn("source", lit("string"))
+  }
+
+  /** merge_all (ppi.py:382-484): chained full-outer joins on the pair key;
+    * source and pubmeds merge as sorted set-unions, method and score
+    * coalesce left-first (intact > biogrid, intact-score > string-score). */
+  def merged(s: SparkSession, d: String): DataFrame = {
+    val st = string(s, d)
+      .withColumnRenamed("string_score", "score") // coalesce target (ppi.py:449)
+    Kernels.outerMergeChain(
+      Seq(intact(s, d), biogrid(s, d), st),
+      Seq("a", "b"),
+      pipeCols = Set("source", "pubmeds"))
+      .select(col("a"), col("b"), col("source"), col("pubmeds"),
+        col("method"), col("score"))
+  }
+
+  /** BioCypher-style edge emit (S23): 5-tuple rows with escaped pipe-joined
+    * props, the reference's `get_edges()` tuple shape (ppi.py:58-71 sink). */
+  def edges(s: SparkSession, d: String): DataFrame =
+    merged(s, d).select(
+      concat_ws("_", lit("ppi"), col("a"), col("b")).as("rel_id"),
+      col("a").as("src"),
+      col("b").as("dst"),
+      lit("protein_interacts_with_protein").as("label"),
+      concat_ws("|",
+        when(col("source").isNotNull, concat(lit("source="), ColFns.escapeProps(col("source")))),
+        when(col("pubmeds").isNotNull, concat(lit("pubmeds="), ColFns.escapeProps(col("pubmeds")))),
+        when(col("method").isNotNull, concat(lit("method="), ColFns.escapeProps(col("method")))),
+        when(col("score").isNotNull, concat(lit("score="), col("score").cast("string"))))
+        .as("props"))
+
+  /** Node emit for the same graph: every supplier that appears in an edge
+    * (semi-join), with its properties. */
+  def nodes(s: SparkSession, d: String): DataFrame = {
+    val m = merged(s, d)
+    val present = m.select(col("a").as("id"))
+      .unionByName(m.select(col("b").as("id"))).distinct()
+    Tables.supplier(s, d)
+      .withColumn("id", ColFns.curie("supp", col("s_suppkey")))
+      .join(present, Seq("id"), "left_semi")
+      .select(col("id"), lit("protein").as("label"),
+        concat_ws("|",
+          concat(lit("name="), ColFns.escapeProps(col("s_name"))),
+          concat(lit("nation="), col("s_nationkey").cast("string")))
+          .as("props"))
+  }
+}

@@ -327,15 +327,19 @@ object CoreQueries {
       |JOIN supplier ON l_suppkey = s_suppkey
       |QUALIFY row_number() OVER (
       |  PARTITION BY least(s_nationkey, c_nationkey), greatest(s_nationkey, c_nationkey)
-      |  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) = 1""".stripMargin) { (s, d) =>
+      |  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber,
+      |    s_nationkey, c_nationkey) = 1""".stripMargin) { (s, d) =>
     val joined = Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_nationkey").as("a"), col("c_nationkey").as("b"),
         col("l_extendedprice").as("price"), col("l_orderkey"), col("l_linenumber"))
+    // (orderkey, linenumber) is not unique → chain ends with the emitted
+    // orientation columns so fully-tied rows are interchangeable
     Kernels.undirectedDedup(joined, "a", "b",
-      Seq(col("price").desc, col("l_orderkey").asc, col("l_linenumber").asc))
+      Seq(col("price").desc, col("l_orderkey").asc, col("l_linenumber").asc,
+        col("a").asc, col("b").asc))
       .select(col("a"), col("b"), col("price"))
   }
 
