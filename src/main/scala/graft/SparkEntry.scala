@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, PipelineQueries}
+import graft.queries.{CoreQueries, GraphQueries, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,8 @@ import graft.queries.{CoreQueries, PipelineQueries}
 object SparkEntry {
 
   /** All registered queries, in registry order. */
-  def registry: Seq[Q] = CoreQueries.all ++ PipelineQueries.all
+  def registry: Seq[Q] =
+    CoreQueries.all ++ PipelineQueries.all ++ GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full PPI-analog integration pipeline (SURVEY §7.1 step 3). */

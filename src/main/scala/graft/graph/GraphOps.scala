@@ -1,0 +1,88 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, EdgeTriplet, Graph, VertexId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bulk graph analytics on GraphX (SURVEY.md §4: hierarchy closures,
+  * connected components, degree statistics — the "GraphX for analytics
+  * portion" of BASELINE.json).
+  *
+  * Scale notes: vertex ids are either caller-encoded Longs or stable 64-bit
+  * hashes of labels (xxhash64 — computed distributed, no driver-side id
+  * assignment); all conversions DataFrame↔RDD are per-partition with no
+  * collect. GraphX partitions edges across the cluster; components/Pregel
+  * are the standard iterative joins with in-memory caching.
+  */
+object GraphOps {
+
+  /** Connected components over an edge list of Long vertex ids.
+    * Returns (node, component) where component = min vertex id in the
+    * component (GraphX's convention). */
+  def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val edgeRdd = edges.select(
+      col(edges.columns(0)).cast("long"), col(edges.columns(1)).cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val graph = Graph.fromEdgeTuples(edgeRdd, defaultValue = 1)
+    import spark.implicits._
+    graph.connectedComponents().vertices
+      .map { case (v, c) => (v, c) }.toDF("node", "component")
+  }
+
+  /** Undirected degree per vertex (in+out over the given directed edge
+    * list; pass a deduped edge set for distinct-neighbor degree). */
+  def degrees(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val edgeRdd = edges.select(
+      col(edges.columns(0)).cast("long"), col(edges.columns(1)).cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val graph = Graph.fromEdgeTuples(edgeRdd, defaultValue = 1)
+    import spark.implicits._
+    graph.degrees.map { case (v, d) => (v, d) }.toDF("node", "degree")
+  }
+
+  /** Transitive ancestor closure of a (child, parent) string-labelled DAG
+    * via Pregel (SURVEY §7.3 risk 6: GO/MONDO ancestor maps,
+    * go.py:465-476). Each vertex accumulates the full set of ancestor ids;
+    * messages flow parent→child along reversed edges until fixpoint (or
+    * `maxIterations` for safety on deep graphs).
+    *
+    * Returns (node, ancestor) label pairs, node ≠ ancestor.
+    */
+  def ancestorClosure(
+      spark: SparkSession, childParent: DataFrame,
+      maxIterations: Int = 20): DataFrame = {
+    import spark.implicits._
+    val c0 = childParent.columns(0)
+    val c1 = childParent.columns(1)
+    // stable distributed label→id mapping (no driver-side id assignment)
+    val labels = childParent.select(col(c0).as("label"))
+      .unionByName(childParent.select(col(c1).as("label")))
+      .distinct()
+      .withColumn("vid", xxhash64(col("label")))
+    val edgeRdd = childParent
+      .select(xxhash64(col(c0)).as("src"), xxhash64(col(c1)).as("dst"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val graph = Graph.fromEdges[Set[VertexId], Unit](edgeRdd, Set.empty[VertexId])
+
+    def vprog(id: VertexId, attr: Set[VertexId], msg: Set[VertexId]) = attr ++ msg
+    // edge src=child → dst=parent: the parent pushes (itself + its known
+    // ancestors) down to the child; send only when it adds information so
+    // Pregel halts at fixpoint
+    def sendMsg(t: EdgeTriplet[Set[VertexId], Unit]) = {
+      val contribution = t.dstAttr + t.dstId
+      if (contribution.subsetOf(t.srcAttr)) Iterator.empty
+      else Iterator((t.srcId, contribution))
+    }
+    val closed = graph.pregel(
+      initialMsg = Set.empty[VertexId], maxIterations = maxIterations)(
+      vprog, sendMsg, (a: Set[VertexId], b: Set[VertexId]) => a ++ b)
+
+    val pairs = closed.vertices
+      .flatMap { case (v, anc) => anc.iterator.filter(_ != v).map(a => (v, a)) }
+      .toDF("vid", "avid")
+    pairs
+      .join(labels.select(col("vid"), col("label").as("node")), "vid")
+      .join(labels.select(col("vid").as("avid"), col("label").as("ancestor")), "avid")
+      .select("node", "ancestor")
+  }
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.core.Tables
+import graft.graph.GraphOps
+
+/** GraphX analytics queries with relational/recursive-SQL oracles — the
+  * engine's graph layer verified against an independent computation.
+  *
+  * The graph: customers and suppliers as vertices (even/odd Long encoding),
+  * an edge where a customer received ≥3 lineitems from a supplier. Derived
+  * distributed from lineitem⋈orders; the edge build shuffles once on the
+  * pair, GraphX handles the iterative parts.
+  */
+object GraphQueries {
+
+  /** Shared edge-set CTE: (cust*2, supp*2+1) pairs with ≥3 lineitems. */
+  private val edgeCte =
+    """WITH e AS (
+      |  SELECT CAST(o_custkey * 2 AS BIGINT) AS src,
+      |         CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |""".stripMargin
+
+  private def edgeDf(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).cast("long").as("src"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 3)
+      .select(col("src"), col("dst"))
+
+  /** Degree statistics via GraphX `degrees`, oracle = relational
+    * distinct-neighbor count. */
+  val gDegree = Q(
+    "g_degree",
+    edgeCte +
+      """, und AS (SELECT src AS node, dst AS other FROM e
+        |          UNION ALL SELECT dst, src FROM e)
+        |SELECT node, COUNT(*) AS degree FROM und GROUP BY node""".stripMargin) { (s, d) =>
+    GraphOps.degrees(s, edgeDf(s, d))
+      .select(col("node"), col("degree").cast("long").as("degree"))
+  }
+
+  /** Connected components via GraphX, oracle = recursive-CTE min-label
+    * reachability in DuckDB (component = min reachable vertex id, GraphX's
+    * convention). */
+  val gComponents = Q(
+    "g_components",
+    edgeCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, und AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+        |reach (n, m) AS (
+        |  SELECT u, u FROM und
+        |  UNION
+        |  SELECT r.n, w.v FROM reach r JOIN und w ON r.m = w.u)
+        |SELECT n AS node, MIN(m) AS component FROM reach GROUP BY n""".stripMargin) { (s, d) =>
+    GraphOps.connectedComponents(s, edgeDf(s, d))
+  }
+
+  /** Transitive ancestor closure of the ship-date hierarchy via Pregel
+    * (GO/MONDO ancestors analog, SURVEY §7.3 risk 6); oracle = fixed-depth
+    * join expansion (the hierarchy has depth 3). */
+  val gAncestors = Q(
+    "g_ancestors",
+    """WITH days AS (SELECT DISTINCT strftime(l_shipdate, '%Y-%m-%d') AS day,
+      |  strftime(l_shipdate, '%Y-%m') AS month, strftime(l_shipdate, '%Y') AS year
+      |  FROM lineitem),
+      |e AS (
+      |  SELECT day AS child, month AS parent FROM days
+      |  UNION SELECT DISTINCT month, year FROM days
+      |  UNION SELECT DISTINCT year, 'root' FROM days)
+      |SELECT child AS node, parent AS ancestor FROM e
+      |UNION
+      |SELECT e1.child, e2.parent FROM e e1 JOIN e e2 ON e1.parent = e2.child
+      |UNION
+      |SELECT e1.child, e3.parent FROM e e1 JOIN e e2 ON e1.parent = e2.child
+      |  JOIN e e3 ON e2.parent = e3.child""".stripMargin) { (s, d) =>
+    val days = Tables.lineitem(s, d).select(
+      date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"),
+      date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+      date_format(col("l_shipdate"), "yyyy").as("year")).distinct()
+    val edges = days.select(col("day").as("child"), col("month").as("parent"))
+      .unionByName(days.select(col("month"), col("year")).toDF("child", "parent").distinct())
+      .unionByName(days.select(col("year")).distinct()
+        .select(col("year").as("child"), lit("root").as("parent")))
+      .distinct()
+    GraphOps.ancestorClosure(s, edges)
+  }
+
+  val all: Seq[Q] = Seq(gDegree, gComponents, gAncestors)
+}

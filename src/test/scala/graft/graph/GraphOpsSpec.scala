@@ -1,0 +1,45 @@
+package graft.graph
+
+import graft.SparkSpec
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents labels each component with its min vertex id") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val got = GraphOps.connectedComponents(spark, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("degrees counts incident edges (in+out)") {
+    val edges = Seq((1L, 2L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = GraphOps.degrees(spark, edges).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("ancestorClosure closes a diamond DAG transitively") {
+    //      top
+    //     /   \
+    //   m1     m2
+    //     \   /
+    //      leaf
+    val edges = Seq(
+      ("leaf", "m1"), ("leaf", "m2"), ("m1", "top"), ("m2", "top"))
+      .toDF("child", "parent")
+    val got = GraphOps.ancestorClosure(spark, edges)
+      .as[(String, String)].collect().toSet
+    assert(got === Set(
+      ("leaf", "m1"), ("leaf", "m2"), ("leaf", "top"),
+      ("m1", "top"), ("m2", "top")))
+  }
+
+  test("ancestorClosure handles chains deeper than one superstep") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("child", "parent")
+    val got = GraphOps.ancestorClosure(spark, edges)
+      .as[(String, String)].collect().toSet
+    assert(got.size === 4 + 3 + 2 + 1)
+    assert(got.contains(("a", "e")))
+  }
+}
