@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, GraphQueries, PipelineQueries}
+import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** All registered queries, in registry order. */
   def registry: Seq[Q] =
-    CoreQueries.all ++ PipelineQueries.all ++ GraphQueries.all
+    CoreQueries.all ++ PipelineQueries.all ++ GraphQueries.all ++
+      TextQueries.all ++ DedupQueries.all ++ SimQueries.all ++ EventQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full PPI-analog integration pipeline (SURVEY §7.1 step 3). */

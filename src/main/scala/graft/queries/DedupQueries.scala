@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.Q
+import graft.core.Tables
+import graft.dedup.Dedup
+
+/** Near-duplicate detection queries. The MinHash/SimHash oracles are full
+  * DuckDB replicas of the signature pipelines — possible because every hash
+  * is the engine-portable md5-prefix integer (TextFns.portableHash ≡
+  * `('0x' || substr(md5(salt || ':' || x), 1, 14))::BIGINT`). */
+object DedupQueries {
+
+  /** Shared shingle CTE (3-word shingles, distinct per doc). */
+  private val shingleCte =
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+      |           FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |jacc AS (
+      |  SELECT a, b, CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+      |  FROM pairs JOIN cnt ca ON a = ca.doc_id JOIN cnt cb ON b = cb.doc_id)
+      |""".stripMargin
+
+  val xDedupNgram = Q(
+    "x_dedup_ngram",
+    shingleCte + "SELECT a, b, jaccard FROM jacc WHERE jaccard >= 0.5") { (s, d) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, threshold = 0.5)
+  }
+
+  private val NumHashes = 32
+  private val Bands = 8
+  private val RowsPerBand = NumHashes / Bands
+
+  /** DuckDB replica of portableHash(x, salt=i). */
+  private def sqlHash(salt: String, x: String) =
+    s"('0x' || substr(md5('$salt:' || $x), 1, 14))::BIGINT"
+
+  val xDedupMinhashLsh = Q(
+    "x_dedup_minhash_lsh", {
+      val sigCols = (0 until NumHashes)
+        .map(i => s"min(${sqlHash(i.toString, "shingle")}) AS s$i").mkString(", ")
+      val bandSelects = (0 until Bands).map { j =>
+        val key = (0 until RowsPerBand).map(r => s"s${j * RowsPerBand + r}")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $j AS band, $key AS key FROM sig"
+      }.mkString(" UNION ALL ")
+      shingleCte +
+        s""", sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+           |SELECT jacc.a, jacc.b, jaccard FROM cand JOIN jacc USING (a, b)
+           |WHERE jaccard >= 0.5""".stripMargin
+    }) { (s, d) =>
+    Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5)
+  }
+
+  private val SimBits = 32
+
+  private val simhashCte = {
+    val sig = (0 until SimBits).map(b =>
+      s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN f ELSE -f END) >= 0 " +
+        s"THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH words AS (SELECT doc_id,
+       |  unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents),
+       |wf AS (SELECT doc_id, word, COUNT(*) AS f,
+       |  ${sqlHash("sim", "word")} AS h FROM words GROUP BY doc_id, word),
+       |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM wf GROUP BY doc_id)
+       |""".stripMargin
+  }
+
+  val xDedupSimhashSig = Q(
+    "x_dedup_simhash_sig",
+    simhashCte + "SELECT doc_id, sig FROM sig") { (s, d) =>
+    Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text", bits = SimBits)
+  }
+
+  private val SimBands = 4
+  private val SimMaxHamming = 8
+
+  val xDedupSimhashPairs = Q(
+    "x_dedup_simhash_pairs", {
+      val width = SimBits / SimBands
+      val bandSelects = (0 until SimBands).map(j =>
+        s"SELECT doc_id, sig, $j AS band, (sig >> ${j * width}) & ${(1L << width) - 1} AS key FROM sig")
+        .mkString(" UNION ALL ")
+      simhashCte +
+        s""", bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+           |    bit_count(xor(x.sig, y.sig)) AS hamming
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+           |SELECT a, b, CAST(hamming AS INT) AS hamming FROM cand
+           |WHERE hamming <= $SimMaxHamming""".stripMargin
+    }) { (s, d) =>
+    Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+      bits = SimBits, bands = SimBands, maxHamming = SimMaxHamming)
+  }
+
+  val all: Seq[Q] = Seq(xDedupNgram, xDedupMinhashLsh, xDedupSimhashSig, xDedupSimhashPairs)
+}

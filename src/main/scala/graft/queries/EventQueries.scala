@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.Q
+import graft.core.Tables
+import graft.streaming.EventStreams
+
+/** Event-stream queries in their batch form (the driver's oracle runs
+  * batch SQL); the streaming twins (watermarks, dropDuplicatesWithin-
+  * Watermark, session_window) are exercised in EventStreamsSpec. */
+object EventQueries {
+
+  val evTumbling = Q(
+    "ev_tumbling",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    EventStreams.tumblingAgg(Tables.events(s, d))
+  }
+
+  val evSliding = Q(
+    "ev_sliding",
+    """WITH w AS (SELECT event_type, value,
+      |    CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS base FROM events),
+      |x AS (SELECT event_type, value,
+      |    unnest([base - 300, base]) AS window_start FROM w)
+      |SELECT window_start, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM x GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    EventStreams.slidingAgg(Tables.events(s, d))
+  }
+
+  val evSessionize = Q(
+    "ev_sessionize",
+    """WITH e AS (SELECT user_id, event_id, epoch(ts) AS t FROM events),
+      |l AS (SELECT user_id, event_id, t,
+      |    lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev FROM e),
+      |m AS (SELECT user_id, event_id, t,
+      |    CASE WHEN prev IS NULL OR t - prev > 300 THEN 1 ELSE 0 END AS ns FROM l),
+      |s AS (SELECT user_id, t,
+      |    SUM(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                  ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+      |SELECT user_id, CAST(floor(MIN(t)) AS BIGINT) AS session_start,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sid""".stripMargin) { (s, d) =>
+    EventStreams.sessionize(Tables.events(s, d))
+  }
+
+  val evFirstPerKey = Q(
+    "ev_first_per_key",
+    """SELECT user_id, event_type, event_id,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS first_epoch
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+      |  ORDER BY ts, event_id) = 1""".stripMargin) { (s, d) =>
+    EventStreams.firstEventPerKey(Tables.events(s, d))
+  }
+
+  val all: Seq[Q] = Seq(evTumbling, evSliding, evSessionize, evFirstPerKey)
+}

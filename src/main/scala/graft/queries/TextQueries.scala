@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.text.TextFns
+
+/** Text-analysis queries over the documents table: token/quality stats,
+  * language-ID, bag-of-words fingerprint dedup. Oracles replicate every
+  * expression (same fold order, same regexes) in DuckDB SQL. */
+object TextQueries {
+
+  private val wsCte =
+    """WITH t AS (SELECT doc_id, text, lang,
+      |  string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents)
+      |""".stripMargin
+
+  val xTextStats = Q(
+    "x_text_stats",
+    wsCte +
+      """SELECT doc_id,
+        |  len(ws) AS n_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpeish,
+        |  CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws) AS avg_token_len,
+        |  CAST(len(regexp_replace(text, '[^.,!?;:''"()\[\]-]', '', 'g')) AS DOUBLE) / len(text) AS punct_ratio,
+        |  CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(ws) AS stopword_ratio,
+        |  least(CAST(len(text) AS DOUBLE) / 500, 1.0) * 0.4
+        |    + CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(ws) * 0.4
+        |    + (1.0 - CAST(len(regexp_replace(text, '[^.,!?;:''"()\[\]-]', '', 'g')) AS DOUBLE) / len(text)) * 0.2 AS quality
+        |FROM t""".stripMargin) { (s, d) =>
+    val text = col("text")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFns.tokenCount(text).as("n_tokens"),
+      TextFns.bpeishCount(text).as("n_bpeish"),
+      TextFns.avgTokenLen(text).as("avg_token_len"),
+      TextFns.punctRatio(text).as("punct_ratio"),
+      TextFns.stopwordRatio(text).as("stopword_ratio"),
+      TextFns.qualityScore(text).as("quality"))
+  }
+
+  val xLangId = Q(
+    "x_lang_id", {
+      // per-language hit expression, then argmax with code-ascending ties
+      def hits(l: String) = {
+        val words = TextFns.stopwords(l).map(w => s"'$w'").mkString(",")
+        s"len(list_filter(ws, w -> w IN ($words)))"
+      }
+      val langs = TextFns.stopwords.keys.toSeq.sorted // de,en,es,fr,zh
+      val cases = langs.init.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1)
+        val conds = rest.map(r => s"${hits(l)} >= ${hits(r)}").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString(" ")
+      wsCte +
+        s"""SELECT doc_id, lang, CASE $cases ELSE '${langs.last}' END AS predicted
+           |FROM t""".stripMargin
+    }) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang"), TextFns.langId(col("text")).as("predicted"))
+  }
+
+  val xDedupExact = Q(
+    "x_dedup_exact",
+    """SELECT
+      |  md5(array_to_string(list_sort(list_distinct(
+      |    string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fingerprint,
+      |  min(doc_id) AS keep_id, COUNT(*) AS n_docs,
+      |  string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
+      |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+    Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+  }
+
+  val all: Seq[Q] = Seq(xTextStats, xLangId, xDedupExact)
+}

@@ -1,0 +1,94 @@
+package graft.sim
+
+import java.security.MessageDigest
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`): brute-force cosine top-k as the correctness baseline,
+  * random-hyperplane LSH bucketing as the scale path.
+  *
+  * Cosine is a sequential left-fold over the zipped arrays (zip_with +
+  * aggregate) in double precision — bit-identical to an independent engine's
+  * sequential fold (the DuckDB oracle uses list_reduce), so the scores
+  * themselves are oracle-comparable, not just the ranks.
+  *
+  * Scale: the brute-force path broadcasts the candidate side (ANN corpora
+  * that fit a broadcast; otherwise block-partitioned cross join) — O(n²·d).
+  * The LSH path buckets each vector once (O(n·planes·d)) and only joins
+  * within buckets; recall is tunable via plane count and multi-probe.
+  */
+object Similarity {
+
+  /** Exact sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Brute-force cosine top-k neighbors per vector.
+    * Output: (vec_id, rank, neighbor, cos), rank 1..k by cos desc with
+    * neighbor-id tie-break. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val withNorm = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val pairs = withNorm.toDF("vec_id", "va", "na")
+      .join(broadcast(withNorm.toDF("neighbor", "vb", "nb")),
+        col("vec_id") =!= col("neighbor"))
+      .select(col("vec_id"), col("neighbor"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"),
+        col("neighbor"), col("cos"))
+  }
+
+  /** Deterministic ±1 hyperplane components: md5(seed:plane:dim) low bit.
+    * Computed once on the driver (planes × dim tiny), shipped as literals —
+    * the planes are part of the plan, not data. */
+  def hyperplanes(planes: Int, dim: Int, seed: String = "graft-lsh"): Seq[Seq[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until planes).map(p => (0 until dim).map { i =>
+      val h = md.digest(s"$seed:$p:$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1.0 else -1.0
+    })
+  }
+
+  /** LSH bucket id: sign bits of the projections onto `planes` fixed
+    * hyperplanes. */
+  def bucketOf(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val proj = aggregate(
+        zip_with(v, typedlit(p), (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: exact cosine ranking restricted to same-bucket
+    * candidates. Vectors in singleton buckets yield no rows (the caller can
+    * fall back or multi-probe; this is the recall/cost dial). */
+  def lshTopK(
+      emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      planes: Int = 6, dim: Int = 64): DataFrame = {
+    val hp = hyperplanes(planes, dim)
+    val withBucket = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("bucket", bucketOf(col("v"), hp))
+    val pairs = withBucket.toDF("vec_id", "va", "na", "bucket")
+      .join(withBucket.toDF("neighbor", "vb", "nb", "bucket"), Seq("bucket"))
+      .filter(col("vec_id") =!= col("neighbor"))
+      .select(col("vec_id"), col("neighbor"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"),
+        col("neighbor"), col("cos"))
+  }
+}

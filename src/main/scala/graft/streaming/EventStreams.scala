@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Event-stream processing (SURVEY §2.10: absent from the reference,
+  * additive here): tumbling/sliding window aggregation, sessionization, and
+  * keyed dedup over the `events` table — each as a batch DataFrame transform
+  * (oracle-checkable) plus a Structured-Streaming entry point with
+  * watermarking, verified equivalent in the test suite.
+  *
+  * Determinism: window keys are emitted as epoch seconds or formatted
+  * strings (parquet µs vs external-engine ns precision never meets the
+  * comparison); sums of doubles go through DECIMAL.
+  */
+object EventStreams {
+
+  /** Raw file-source schema: `ts` arrives as nanosecond LONG (see
+    * Tables.events — Spark reads nano-parquet under nanosAsLong). */
+  val eventsRawSchema: StructType = StructType.fromDDL(
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING")
+
+  /** Tumbling 1-hour windows per event type. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+
+  /** Sliding 10-minute windows every 5 minutes, keyed by epoch-second
+    * window start: each event lands in exactly two windows. */
+  def slidingAgg(events: DataFrame): DataFrame = {
+    val base = (floor(unix_timestamp(col("ts")) / 300) * 300).cast("long")
+    events
+      .select(col("event_type"), col("value"),
+        explode(array(base - 300, base)).as("window_start"))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+  }
+
+  /** Sessionization, 5-minute inactivity gap: classic gaps-and-islands
+    * (lag + running sum of session starts) per user. Output one row per
+    * session: (user_id, session_start epoch, n_events). */
+  def sessionize(events: DataFrame, gapSeconds: Long = 300): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val epoch = col("ts").cast("double") // µs-precision seconds
+    events
+      .withColumn("prev", lag(epoch, 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev").isNull || epoch - col("prev") > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(floor(min(epoch)).cast("long").as("session_start"),
+        count(lit(1)).as("n_events"))
+      .drop("session_seq")
+  }
+
+  /** Keyed dedup: first event per (user, type) with deterministic
+    * tie-break — the batch shape of dropDuplicatesWithinWatermark. */
+  def firstEventPerKey(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("first_epoch"))
+  }
+
+  // ---- Structured Streaming entry points ----------------------------------
+
+  /** File-source stream over an events directory (parquet), 10-minute
+    * watermark. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsRawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "10 minutes")
+
+  /** Streaming tumbling window aggregation (event-time, watermarked) —
+    * the streaming twin of [[tumblingAgg]], keyed identically so results
+    * can be compared after `processAllAvailable`. */
+  def streamingTumblingAgg(stream: DataFrame): DataFrame =
+    stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Streaming keyed dedup within the watermark. */
+  def streamingDedup(stream: DataFrame): DataFrame =
+    stream.dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Streaming sessionization via session_window (5-minute gap). */
+  def streamingSessionize(stream: DataFrame): DataFrame =
+    stream
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        col("n_events"))
+}

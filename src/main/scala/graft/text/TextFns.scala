@@ -1,0 +1,92 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column library for large-scale training-data pipelines:
+  * language-ID (stopword-hit heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), document fingerprinting. All pure column
+  * expressions — codegen-friendly, no UDFs, no shuffles beyond what the
+  * caller's aggregation needs.
+  */
+object TextFns {
+
+  /** Whitespace tokens of lower-cased trimmed text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish segmentation: runs of letters, runs of digits, or single
+    * non-alphanumeric glyphs (the usual pre-tokenizer regex shape). */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  def bpeishCount(text: Column): Column = size(bpeishTokens(text))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deterministic, heuristic by design. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "you"))
+
+  /** Number of tokens that are stopwords of `lang`. */
+  def stopwordHits(text: Column, lang: String): Column =
+    size(filter(tokens(text), t => t.isInCollection(stopwords(lang))))
+
+  def stopwordRatio(text: Column, lang: String = "en"): Column =
+    stopwordHits(text, lang).cast("double") / tokenCount(text)
+
+  /** Punctuation character count / ratio. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,!?;:'\"()\\[\\]-]", ""))
+  def punctRatio(text: Column): Column =
+    punctCount(text).cast("double") / length(text)
+
+  /** Mean token length: exact integer sums, one double division. */
+  def avgTokenLen(text: Column): Column =
+    aggregate(transform(tokens(text), t => length(t)), lit(0), (a, x) => a + x)
+      .cast("double") / tokenCount(text)
+
+  /** Composite quality score in [0,1]-ish: rewards moderate length, real
+    * words, low punctuation noise. Fixed evaluation order so engines agree
+    * bit-for-bit. */
+  def qualityScore(text: Column): Column =
+    least(length(text).cast("double") / 500, lit(1.0)) * 0.4 +
+      stopwordRatio(text) * 0.4 +
+      (lit(1.0) - punctRatio(text)) * 0.2
+
+  /** Language-ID: argmax of per-language stopword hits, ties broken by
+    * language code ascending (deterministic). Languages with zero hits all
+    * tie → lexicographically first code wins; callers wanting "unknown"
+    * can test maxHits == 0. */
+  def langId(text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = array(langs.map(l =>
+      struct(stopwordHits(text, l).as("hits"), lit(l).as("lang"))): _*)
+    // max by (hits, then lang DESC) == first lang asc among max hits:
+    // array_max on struct compares fields in order; to break ties toward the
+    // smaller code, negate via reverse sort: pick via sort then element.
+    element_at(
+      array_sort(scored, (a, b) =>
+        when(a("hits") > b("hits"), -1)
+          .when(a("hits") < b("hits"), 1)
+          .when(a("lang") < b("lang"), -1)
+          .when(a("lang") > b("lang"), 1)
+          .otherwise(0)),
+      1)("lang")
+  }
+
+  /** Content fingerprint: md5 over the sorted distinct token set — robust
+    * to word order and repetition (the "bag-of-words" dedup key). */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** 56-bit engine-portable token hash: md5 hex prefix as a number. Used by
+    * minhash/simhash so independent engines (the DuckDB oracle) can
+    * reproduce signatures exactly. */
+  def portableHash(c: Column, salt: Column): Column =
+    conv(substring(md5(concat(salt, lit(":"), c)), 1, 14), 16, 10).cast("long")
+}

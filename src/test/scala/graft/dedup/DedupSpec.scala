@@ -1,0 +1,63 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words entirely here now friends"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "tiny doc")                                     // shorter than shingle width
+  ).toDF("doc_id", "text")
+
+  test("exactGroups groups identical bags of words, keeps min id") {
+    val got = Dedup.exactGroups(docs, "doc_id", "text")
+      .select("keep_id", "n_docs").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L))) // docs 1 and 4
+    assert(got.count(_._2 == 1L) === 3)
+  }
+
+  test("shingles: distinct 3-gram shingles, short docs yield none") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    assert(sh.filter($"doc_id" === 5L).count() === 0)
+    // doc 1: 9 words → 7 shingles, all distinct
+    assert(sh.filter($"doc_id" === 1L).count() === 7)
+  }
+
+  test("ngramJaccardPairs finds near-dups above the threshold") {
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.4)
+      .as[(Long, Long, Double)].collect()
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((1L, 4L))) // exact → jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near-dups
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(got.find(r => r._1 == 1L && r._2 == 4L).get._3 === 1.0)
+  }
+
+  test("minhashLshPairs agrees with exact jaccard on planted dups") {
+    val got = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    // identical docs always collide in every band
+    assert(got.contains((1L, 4L)))
+  }
+
+  test("simhash: identical docs get identical signatures, near-dups close") {
+    val sig = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sig(1L) === sig(4L))
+    val ham = java.lang.Long.bitCount(sig(1L) ^ sig(2L))
+    val hamFar = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
+    assert(ham < hamFar, s"near-dup hamming $ham !< unrelated $hamFar")
+  }
+
+  test("simhashNearDupPairs returns exact dups at hamming 0") {
+    val got = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+      bits = 32, bands = 4, maxHamming = 0)
+      .as[(Long, Long, Int)].collect()
+    assert(got.exists(r => r._1 == 1L && r._2 == 4L && r._3 == 0))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.sim
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bruteForceTopK: k rows per vector, rank ordered by cosine desc") {
+    val got = Similarity.bruteForceTopK(
+      Tables.embeddings(spark, sf).limit(50), "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long, Double)].collect()
+    val byVec = got.groupBy(_._1)
+    assert(byVec.forall(_._2.length == 3))
+    byVec.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._4).sliding(2).forall(p => p.head >= p.last - 1e-12))
+    }
+    // cosine of unit-ish random vectors stays in [-1, 1]
+    assert(got.forall(r => r._4 <= 1.0 + 1e-9 && r._4 >= -1.0 - 1e-9))
+  }
+
+  test("hyperplanes are deterministic across calls") {
+    assert(Similarity.hyperplanes(4, 16) === Similarity.hyperplanes(4, 16))
+  }
+
+  test("lshTopK returns same-bucket neighbors with exact cosines") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => ((r._1, r._3), r._4)).toMap
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", 5, planes = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    // every LSH cosine equals the brute-force cosine for that pair
+    lsh.foreach { r =>
+      brute.get((r._1, r._3)).foreach(c => assert(math.abs(c - r._4) < 1e-12))
+    }
+    // with 4 planes (16 buckets over 500 vecs) recall@5 is substantial
+    val bruteTop = brute.keySet
+    val recall = lsh.count(r => bruteTop.contains((r._1, r._3))).toDouble /
+      bruteTop.size
+    assert(recall > 0.05, s"recall@5 $recall suspiciously low")
+  }
+}
