@@ -1,0 +1,77 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Kernels
+
+/** Drug–target-interaction 5-way merge chain (node_data/drug.py analog,
+  * the reference's largest outer-join chain: drug.py:1054-1152).
+  *
+  * Five "sources" (DrugBank, ChEMBL, KEGG, STITCH, Pharos) each produce a
+  * per-(drug,target) frame with their own payload columns from disjoint
+  * lineitem slices; the chained full-outer merge reconciles the shared
+  * `source` and `refs` columns by sorted set-union (A4/J2) and leaves each
+  * source's scores as passthrough columns — exactly the reference's
+  * column-twin coalescing discipline, with one shuffle per source on the
+  * (drug,target) key that Catalyst then reuses down the chain.
+  */
+object DtiPipeline {
+
+  private def slice(s: SparkSession, d: String) = Tables.lineitem(s, d)
+    .select(col("l_partkey").as("drug"), col("l_suppkey").as("target"),
+      col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+      col("l_shipdate"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"))
+
+  private def refs(c: org.apache.spark.sql.Column) =
+    Kernels.setJoinAgg(concat(lit("ref:"), c))
+
+  def drugbank(s: SparkSession, d: String): DataFrame =
+    slice(s, d).filter(col("l_returnflag") === "N" && col("l_linestatus") === "O")
+      .groupBy(col("drug"), col("target"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("db_score"),
+        refs(col("l_orderkey")).as("refs"))
+      .withColumn("source", lit("drugbank"))
+
+  def chembl(s: SparkSession, d: String): DataFrame =
+    slice(s, d).filter(col("l_returnflag") === "N" && col("l_linestatus") === "F")
+      .groupBy(col("drug"), col("target"))
+      .agg(Kernels.median3(col("l_extendedprice")).as("pchembl"),
+        refs(col("l_orderkey")).as("refs"))
+      .withColumn("source", lit("chembl"))
+
+  def kegg(s: SparkSession, d: String): DataFrame =
+    slice(s, d).filter(col("l_returnflag") === "A")
+      .groupBy(col("drug"), col("target"))
+      .agg(Kernels.setJoinAgg(col("l_linestatus")).as("kegg_evidence"),
+        refs(col("l_orderkey")).as("refs"))
+      .withColumn("source", lit("kegg"))
+
+  def stitch(s: SparkSession, d: String): DataFrame =
+    slice(s, d).filter(col("l_returnflag") === "R"
+      && col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .groupBy(col("drug"), col("target"))
+      .agg(max(floor(lit(1000) * (lit(1) - col("l_discount"))).cast("long"))
+        .as("stitch_score"),
+        refs(col("l_orderkey")).as("refs"))
+      .withColumn("source", lit("stitch"))
+
+  def pharos(s: SparkSession, d: String): DataFrame =
+    slice(s, d).filter(col("l_returnflag") === "R"
+      && col("l_shipdate") >= lit("1998-01-01 00:00:00").cast("timestamp"))
+      .groupBy(col("drug"), col("target"))
+      .agg(count(lit(1)).as("pharos_n"),
+        refs(col("l_orderkey")).as("refs"))
+      .withColumn("source", lit("pharos"))
+
+  /** The 5-chain merge (drug.py:1054,1079,1113,1137,1152). */
+  def merged(s: SparkSession, d: String): DataFrame =
+    Kernels.outerMergeChain(
+      Seq(drugbank(s, d), chembl(s, d), kegg(s, d), stitch(s, d), pharos(s, d)),
+      Seq("drug", "target"),
+      pipeCols = Set("source", "refs"))
+      .select(col("drug"), col("target"), col("source"), col("refs"),
+        col("db_score"), col("pchembl"), col("kegg_evidence"),
+        col("stitch_score"), col("pharos_n"))
+}

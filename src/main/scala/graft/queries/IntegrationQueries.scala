@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.core.Tables
+import graft.pipelines.{CtiPipeline, DtiPipeline}
+
+/** CTI and DTI integration pipelines (compound.py / drug.py analogs) and
+  * the JSON-payload extraction op, oracle-checked end-to-end. */
+object IntegrationQueries {
+
+  val ctiInteractions = Q(
+    "cti_interactions",
+    """WITH act AS (SELECT l_partkey AS chembl, l_suppkey AS target,
+      |    l_extendedprice AS pchembl, l_orderkey AS doc
+      |  FROM lineitem WHERE l_returnflag = 'A' AND l_linestatus = 'F'),
+      |map AS (SELECT p_partkey AS from_id, 'drugbank:DB' || p_partkey AS to_id
+      |        FROM part WHERE p_size > 25),
+      |allact AS (
+      |  SELECT COALESCE(m.to_id, 'chembl:' || chembl) AS compound_id,
+      |         target, pchembl, doc
+      |  FROM act LEFT JOIN map m ON chembl = m.from_id),
+      |qual AS (SELECT DISTINCT target FROM act WHERE pchembl > 20000)
+      |SELECT compound_id, target,
+      |  round(median(pchembl), 3) AS med_pchembl,
+      |  list_extract(list_sort(list(pchembl)),
+      |    CAST(floor(COUNT(*) / 2) AS INT) + 1) AS mid_pchembl,
+      |  COUNT(*) AS n_activities,
+      |  string_agg(DISTINCT 'doc:' || doc, '|' ORDER BY 'doc:' || doc) AS refs
+      |FROM allact WHERE target IN (SELECT target FROM qual)
+      |GROUP BY compound_id, target""".stripMargin) { (s, d) =>
+    CtiPipeline.interactions(s, d)
+  }
+
+  private def refsSql(src: String) =
+    s"string_agg(DISTINCT 'ref:' || l_orderkey, '|' ORDER BY 'ref:' || l_orderkey)"
+
+  val dtiMerged = Q(
+    "dti_merged",
+    s"""WITH li AS (SELECT l_partkey AS drug, l_suppkey AS target, l_orderkey,
+       |    l_returnflag, l_linestatus, l_shipdate, l_quantity, l_extendedprice,
+       |    l_discount FROM lineitem),
+       |s1 AS (SELECT drug, target,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS db_score,
+       |    ${refsSql("s1")} AS refs
+       |  FROM li WHERE l_returnflag = 'N' AND l_linestatus = 'O' GROUP BY 1, 2),
+       |s2 AS (SELECT drug, target, round(median(l_extendedprice), 3) AS pchembl,
+       |    ${refsSql("s2")} AS refs
+       |  FROM li WHERE l_returnflag = 'N' AND l_linestatus = 'F' GROUP BY 1, 2),
+       |s3 AS (SELECT drug, target,
+       |    string_agg(DISTINCT l_linestatus, '|' ORDER BY l_linestatus) AS kegg_evidence,
+       |    ${refsSql("s3")} AS refs
+       |  FROM li WHERE l_returnflag = 'A' GROUP BY 1, 2),
+       |s4 AS (SELECT drug, target,
+       |    MAX(CAST(floor(1000 * (1 - l_discount)) AS BIGINT)) AS stitch_score,
+       |    ${refsSql("s4")} AS refs
+       |  FROM li WHERE l_returnflag = 'R'
+       |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2),
+       |s5 AS (SELECT drug, target, COUNT(*) AS pharos_n, ${refsSql("s5")} AS refs
+       |  FROM li WHERE l_returnflag = 'R'
+       |    AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2)
+       |SELECT
+       |  COALESCE(s1.drug, s2.drug, s3.drug, s4.drug, s5.drug) AS drug,
+       |  COALESCE(s1.target, s2.target, s3.target, s4.target, s5.target) AS target,
+       |  CONCAT_WS('|',
+       |    CASE WHEN s2.drug IS NOT NULL THEN 'chembl' END,
+       |    CASE WHEN s1.drug IS NOT NULL THEN 'drugbank' END,
+       |    CASE WHEN s3.drug IS NOT NULL THEN 'kegg' END,
+       |    CASE WHEN s5.drug IS NOT NULL THEN 'pharos' END,
+       |    CASE WHEN s4.drug IS NOT NULL THEN 'stitch' END) AS source,
+       |  NULLIF(array_to_string(list_sort(list_distinct(flatten([
+       |    COALESCE(string_split(s1.refs, '|'), []),
+       |    COALESCE(string_split(s2.refs, '|'), []),
+       |    COALESCE(string_split(s3.refs, '|'), []),
+       |    COALESCE(string_split(s4.refs, '|'), []),
+       |    COALESCE(string_split(s5.refs, '|'), [])]))), '|'), '') AS refs,
+       |  s1.db_score, s2.pchembl, s3.kegg_evidence, s4.stitch_score, s5.pharos_n
+       |FROM s1
+       |FULL OUTER JOIN s2 ON s1.drug = s2.drug AND s1.target = s2.target
+       |FULL OUTER JOIN s3 ON COALESCE(s1.drug, s2.drug) = s3.drug
+       |  AND COALESCE(s1.target, s2.target) = s3.target
+       |FULL OUTER JOIN s4 ON COALESCE(s1.drug, s2.drug, s3.drug) = s4.drug
+       |  AND COALESCE(s1.target, s2.target, s3.target) = s4.target
+       |FULL OUTER JOIN s5 ON COALESCE(s1.drug, s2.drug, s3.drug, s4.drug) = s5.drug
+       |  AND COALESCE(s1.target, s2.target, s3.target, s4.target) = s5.target""".stripMargin) {
+    (s, d) => DtiPipeline.merged(s, d)
+  }
+
+  /** F13: JSON payload traversal (Pharos nested-JSON analog,
+    * drug.py:716-738) over the events props column. */
+  val evJsonExtract = Q(
+    "ev_json_extract",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |FROM events""".stripMargin) { (s, d) =>
+    Tables.events(s, d).select(col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+  }
+
+  val all: Seq[Q] = Seq(ctiInteractions, dtiMerged, evJsonExtract)
+}
