@@ -63,15 +63,40 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Modulus for the affine minhash family (fits 31 bits so a·h + b stays
+    * well inside Long — and inside DuckDB's checked BIGINT arithmetic). */
+  val MinhashP: Long = (1L << 31) - 1
+
+  /** Deterministic affine coefficients (a_i, b_i), a_i ∈ [1, P), derived
+    * from md5 so an independent engine can bake the same literals. */
+  def minhashCoeffs(numHashes: Int): Seq[(Long, Long)] = {
+    def c(tag: String, i: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-minhash-$tag:$i".getBytes("UTF-8"))
+      val v = ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+        ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
+      v % (MinhashP - 1)
+    }
+    (0 until numHashes).map(i => (c("a", i) + 1, c("b", i)))
+  }
+
+  /** 28-bit base shingle hash (md5 hex prefix) — one md5 per shingle; the
+    * full hash family is affine transforms of it. */
+  private def baseHash(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
   /** MinHash signatures: one row per doc with columns s0..s{numHashes-1},
-    * where s_i = min over shingles of portableHash(shingle, salt=i).
-    * Single hash-aggregate pass — numHashes min-columns share one shuffle. */
+    * where s_i = min over shingles of (a_i·h(shingle) + b_i) mod P.
+    * One md5 per shingle + numHashes fused multiply-adds (not numHashes
+    * md5s), and a single hash-aggregate pass for all min-columns. */
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n)
-    val mins = (0 until numHashes).map(i =>
-      min(TextFns.portableHash(col("shingle"), lit(i.toString))).as(s"s$i"))
+      .withColumn("h", baseHash(col("shingle")))
+    val mins = minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % MinhashP).as(s"s$i")
+    }
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
@@ -96,13 +121,23 @@ object Dedup {
       .join(banded.toDF("b", "band", "key"), Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    // verification: exact Jaccard on candidates only (join prunes the
-    // all-pairs table down to LSH candidates before the filter)
-    cand.join(
-      ngramJaccardPairs(docs, idCol, textCol, n, threshold = Double.MinValue),
-      Seq("a", "b"))
+    // verification: exact Jaccard computed ONLY for LSH candidates — the
+    // candidate set drives the shingle joins, so cost scales with
+    // |candidates| · shingles-per-doc, never with the all-pairs table
+    val sh = shingles(docs, idCol, textCol, n)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.toDF("a", "shingle"), Seq("a"))
+      .join(sh.toDF("b", "shingle"), Seq("b", "shingle"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.toDF("a", "na"), Seq("a"))
+      .join(counts.toDF("b", "nb"), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** SimHash signatures (`bits`-wide, default 32): per word-frequency vote —

@@ -43,15 +43,21 @@ object DedupQueries {
 
   val xDedupMinhashLsh = Q(
     "x_dedup_minhash_lsh", {
-      val sigCols = (0 until NumHashes)
-        .map(i => s"min(${sqlHash(i.toString, "shingle")}) AS s$i").mkString(", ")
+      // same affine family as Dedup.minhashSignatures, literals baked in
+      val coeffs = graft.dedup.Dedup.minhashCoeffs(NumHashes)
+      val p = graft.dedup.Dedup.MinhashP
+      val sigCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+        s"min(($a * h + $b) % $p) AS s$i"
+      }.mkString(", ")
       val bandSelects = (0 until Bands).map { j =>
         val key = (0 until RowsPerBand).map(r => s"s${j * RowsPerBand + r}")
           .mkString(" || ',' || ")
         s"SELECT doc_id, $j AS band, $key AS key FROM sig"
       }.mkString(" UNION ALL ")
       shingleCte +
-        s""", sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+        s""", shh AS (SELECT doc_id,
+           |    ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM sh),
+           |sig AS (SELECT doc_id, $sigCols FROM shh GROUP BY doc_id),
            |bands AS ($bandSelects),
            |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
            |  FROM bands x JOIN bands y

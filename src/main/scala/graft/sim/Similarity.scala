@@ -29,17 +29,29 @@ object Similarity {
     sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
 
+  /** Raw dot of two double arrays: the native DotProduct expression (same
+    * left-to-right fold, primitive loop — see graft.functions.DotProduct).
+    * Requires DotProduct.register on the session (done by the entry
+    * points below). */
+  private def dotD(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
   /** Brute-force cosine top-k neighbors per vector.
     * Output: (vec_id, rank, neighbor, cos), rank 1..k by cos desc with
-    * neighbor-id tie-break. */
+    * neighbor-id tie-break.
+    * The float→double cast happens once per vector BEFORE the O(n²) pair
+    * join (same values as casting inside the product, so the oracle still
+    * matches bit-exact), leaving only mul/add in the hot loop. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val withNorm = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    graft.functions.DotProduct.register(emb.sparkSession)
+    val withNorm = emb.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val pairs = withNorm.toDF("vec_id", "va", "na")
       .join(broadcast(withNorm.toDF("neighbor", "vb", "nb")),
         col("vec_id") =!= col("neighbor"))
       .select(col("vec_id"), col("neighbor"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+        (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor").asc)
     pairs.withColumn("rank", row_number().over(w))
@@ -75,15 +87,17 @@ object Similarity {
   def lshTopK(
       emb: DataFrame, idCol: String, vecCol: String, k: Int,
       planes: Int = 6, dim: Int = 64): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
     val hp = hyperplanes(planes, dim)
-    val withBucket = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val withBucket = emb.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", norm(col("v")))
       .withColumn("bucket", bucketOf(col("v"), hp))
     val pairs = withBucket.toDF("vec_id", "va", "na", "bucket")
       .join(withBucket.toDF("neighbor", "vb", "nb", "bucket"), Seq("bucket"))
       .filter(col("vec_id") =!= col("neighbor"))
       .select(col("vec_id"), col("neighbor"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+        (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor").asc)
     pairs.withColumn("rank", row_number().over(w))
