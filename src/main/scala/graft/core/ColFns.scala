@@ -71,6 +71,13 @@ object ColFns {
   def stripXrefs(c: Column): Column =
     filter(split(c, ";"), x => trim(x) =!= "")
 
+  /** Versioned-identifier base: strip a trailing ".N" version or " [note]"
+    * suffix — the ENST→ENSG preprocessing step (uniprot.py:50-71,
+    * disease.py:1656-1665 F2); the cross-reference join happens against a
+    * mapping table afterwards. */
+  def idBase(c: Column): Column =
+    regexp_extract(c, "^([^.\\s\\[]+)", 1)
+
   /** Canonical unordered-pair key halves: (least, greatest). Works for any
     * orderable type; backs SURVEY §2.8 D2. */
   def canonicalU(a: Column, b: Column): Column = least(a, b)

@@ -106,6 +106,12 @@ object Kernels {
       .when(size(s) === 2 && element_at(s, 2) === "Unknown", element_at(s, 1))
   }
 
+  /** Conflicting-evidence row exclusion (SURVEY §2.2 P9, drug.py:874-879):
+    * given a collected set-of-values column, admit the group only when it
+    * does not contain BOTH conflicting markers. */
+  def admitUnlessBoth(setCol: Column, a: String, b: String): Column =
+    !(array_contains(setCol, a) && array_contains(setCol, b))
+
   /** Set-union aggregate to a pipe string, sorted for determinism
     * (SURVEY §2.4 A8, pubmed set-join ppi.py:138). */
   def setJoinAgg(c: Column, sep: String = "|"): Column =

@@ -72,14 +72,19 @@ object PpiPipeline {
     best.join(pm, Seq("a", "b"))
   }
 
-  /** IntAct analog: score + method + pubmeds. */
-  def intact(s: SparkSession, d: String): DataFrame = {
+  /** IntAct raw pairs: windowed, SwissProt-filtered, scored. */
+  private[pipelines] def intactRawPairs(s: SparkSession, d: String): DataFrame = {
     val rev = reviewed(s, d)
-    val pairs = curiePair(
+    curiePair(
       pairsInWindow(s, d, "1995-01-01 00:00:00", "1997-01-01 00:00:00"))
       .join(broadcast(rev), col("sk_a") === col("s_suppkey"), "left_semi")
       .join(broadcast(rev), col("sk_b") === col("s_suppkey"), "left_semi")
       .withColumn("score", (col("disc_a") + col("disc_b")) / 2)
+  }
+
+  /** IntAct analog: score + method + pubmeds. */
+  def intact(s: SparkSession, d: String): DataFrame = {
+    val pairs = intactRawPairs(s, d)
     // tie-break chain covers every emitted column (ls_a = method): rows
     // fully tied on it are interchangeable, so the winner is well-defined
     // even though (l_orderkey, l_linenumber) is not unique in the data
@@ -93,7 +98,7 @@ object PpiPipeline {
   /** BioGRID analog: partners arrive as upper-cased names and resolve to
     * keys through a broadcast symbol→id mapping (ppi.py:198-226); no score,
     * first-seen row wins (order-key arrival order made explicit). */
-  def biogrid(s: SparkSession, d: String): DataFrame = {
+  private[pipelines] def biogridRawPairs(s: SparkSession, d: String): DataFrame = {
     // mapping dict is built from reviewed entries only (ppi.py:209-226 maps
     // symbols through the SwissProt set) → unmapped partners drop out below
     val symbolMap = Tables.supplier(s, d).filter(col("s_acctbal") > 1000)
@@ -110,8 +115,12 @@ object PpiPipeline {
       .join(broadcast(symbolMap.toDF("sym_b", "rk_b")), Seq("sym_b"))
       .na.drop(Seq("rk_a", "rk_b"))
       .withColumnRenamed("rk_a", "sk_a").withColumnRenamed("rk_b", "sk_b")
-    val pairs = curiePair(resolved)
+    curiePair(resolved)
       .withColumn("method", concat(lit("exp:"), col("ls_a")))
+  }
+
+  def biogrid(s: SparkSession, d: String): DataFrame = {
+    val pairs = biogridRawPairs(s, d)
     bestPlusPubmeds(pairs,
       Seq(col("l_orderkey").asc, col("ln_a").asc, col("ln_b").asc,
         col("method").asc),
@@ -121,12 +130,15 @@ object PpiPipeline {
 
   /** STRING analog: integer combined score, high-confidence ≥700 filter
     * (ppi.py:307), no pubmeds/method. */
-  def string(s: SparkSession, d: String): DataFrame = {
-    val pairs = curiePair(
+  private[pipelines] def stringRawPairs(s: SparkSession, d: String): DataFrame =
+    curiePair(
       pairsInWindow(s, d, "1998-01-01 00:00:00", "2099-01-01 00:00:00"))
       .withColumn("combined_score",
         floor(lit(1000) * (lit(1) - (col("disc_a") + col("disc_b")) / 2)).cast("long"))
       .filter(col("combined_score") >= 700)
+
+  def string(s: SparkSession, d: String): DataFrame = {
+    val pairs = stringRawPairs(s, d)
     Kernels.keepBestPerKey(pairs,
       Seq("a", "b"),
       Seq(col("combined_score").desc, col("l_orderkey").asc, col("ln_a").asc, col("ln_b").asc))
@@ -151,8 +163,10 @@ object PpiPipeline {
 
   /** BioCypher-style edge emit (S23): 5-tuple rows with escaped pipe-joined
     * props, the reference's `get_edges()` tuple shape (ppi.py:58-71 sink). */
-  def edges(s: SparkSession, d: String): DataFrame =
-    merged(s, d).select(
+  def edges(s: SparkSession, d: String): DataFrame = emitEdges(merged(s, d))
+
+  private def emitEdges(m: DataFrame): DataFrame =
+    m.select(
       concat_ws("_", lit("ppi"), col("a"), col("b")).as("rel_id"),
       col("a").as("src"),
       col("b").as("dst"),
@@ -164,12 +178,35 @@ object PpiPipeline {
         when(col("score").isNotNull, concat(lit("score="), col("score").cast("string"))))
         .as("props"))
 
-  /** Node emit for the same graph: every supplier that appears in an edge
-    * (semi-join), with its properties. */
+  /** Both graph halves from ONE evaluation of the merge: the reference's
+    * memoized-download pattern (E3, `hasattr` guards) maps to persisting
+    * the shared subplan so get_nodes + get_edges don't recompute it. */
+  def graph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val m = merged(s, d).persist()
+    (nodesOf(s, d, m), edgesOf(m))
+  }
+
+  /** Node emit for the same graph: every supplier that appears in an edge.
+    * Participant ids are derived from the RAW pair frames (same key set as
+    * the merged result — keep-best/merge never drop a pair key), skipping
+    * three windows and two outer joins on the node path. */
   def nodes(s: SparkSession, d: String): DataFrame = {
-    val m = merged(s, d)
-    val present = m.select(col("a").as("id"))
-      .unionByName(m.select(col("b").as("id"))).distinct()
+    val rawIds = Seq(
+      intactRawPairs(s, d), biogridRawPairs(s, d), stringRawPairs(s, d))
+      .map(df => df.select(col("a").as("id"))
+        .unionByName(df.select(col("b").as("id"))))
+      .reduce(_ unionByName _)
+      .distinct()
+    nodesFromIds(s, d, rawIds)
+  }
+
+  private def nodesOf(s: SparkSession, d: String, m: DataFrame): DataFrame =
+    nodesFromIds(s, d,
+      m.select(col("a").as("id")).unionByName(m.select(col("b").as("id"))).distinct())
+
+  private def edgesOf(m: DataFrame): DataFrame = emitEdges(m)
+
+  private def nodesFromIds(s: SparkSession, d: String, present: DataFrame): DataFrame = {
     Tables.supplier(s, d)
       .withColumn("id", ColFns.curie("supp", col("s_suppkey")))
       .join(present, Seq("id"), "left_semi")

@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.ColFns
+
+/** Sources and sinks beyond plain parquet scans (SURVEY §2.1).
+  *
+  * - Chunked CSV sink (S3/S22, uniprot.py:113-167 `build_csv` and every
+  *   adapter's `to_csv`): header CSV limited to `maxRecordsPerFile` rows per
+  *   part — Spark-native chunking (no driver-side slicing), with the
+  *   reference's Neo4j escaping and pipe-encoding applied at the boundary
+  *   only.
+  * - Flat-record scan (S12, kegg_local.py:211-274): KEGG-style flat files
+  *   with `///` record separators parsed distributed via the text source's
+  *   custom line separator — records never straddle partitions because the
+  *   format splits on the delimiter itself.
+  */
+object Sinks {
+
+  /** Write a DataFrame as chunked header CSVs. Array columns are
+    * pipe-joined and string payloads Neo4j-escaped (F4) at the boundary;
+    * internal plans keep real types (SURVEY §1.2). */
+  def chunkedCsv(df: DataFrame, path: String, maxRecordsPerFile: Int = 100000): Unit = {
+    val out = df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.ArrayType(_, _) =>
+          d.withColumn(f.name, ColFns.pipeJoin(
+            transform(col(f.name).cast("array<string>"),
+              x => ColFns.escapeProps(x))))
+        case org.apache.spark.sql.types.StringType =>
+          d.withColumn(f.name, ColFns.escapeProps(col(f.name)))
+        case _ => d
+      }
+    }
+    out.write.mode("overwrite")
+      .option("header", "true")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .csv(path)
+  }
+
+  /** Scan a `///`-delimited flat-record file into one row per record. */
+  def flatRecords(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("lineSep", "///").text(path)
+      // trim() strips spaces only — records are newline-padded, so trim all
+      // leading/trailing whitespace explicitly
+      .select(regexp_replace(col("value"), "^\\s+|\\s+$", "").as("record"))
+      .filter(col("record") =!= "")
+
+  /** Parse KEGG-style `KEY  value` continuation-line records into
+    * (record, key, value) rows: a line starting with an upper-case keyword
+    * opens a section; indented lines continue it (kegg_local.py:211-274
+    * semantics, re-expressed as explode + a running section key). */
+  def flatRecordFields(records: DataFrame): DataFrame = {
+    val lines = records
+      .withColumn("rec_id", monotonically_increasing_id())
+      .select(col("rec_id"), col("record"),
+        posexplode(split(col("record"), "\n")).as(Seq("line_no", "line")))
+      .filter(trim(col("line")) =!= "")
+      .withColumn("keyword", regexp_extract(col("line"), "^([A-Z_]+)", 1))
+    // carry the last non-empty keyword forward (continuation lines)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rec_id")).orderBy(col("line_no"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    lines
+      .withColumn("section",
+        last(when(col("keyword") =!= "", col("keyword")), ignoreNulls = true).over(w))
+      .withColumn("value_part",
+        trim(regexp_replace(col("line"), "^[A-Z_]+", "")))
+      .filter(col("value_part") =!= "")
+      .groupBy(col("rec_id"), col("section"))
+      .agg(concat_ws(" ",
+        transform(
+          array_sort(collect_list(struct(col("line_no"), col("value_part")))),
+          s => s.getField("value_part"))).as("value"))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.core
+
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+class SchemaRegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("label schemas compile to StructTypes with key columns") {
+    val st = SchemaRegistry.nodes("protein").struct(SchemaRegistry.nodeKey)
+    assert(st.fieldNames.take(2) === Array("id", "label"))
+    assert(st("length").dataType === LongType)
+    assert(st("xrefs").dataType === ArrayType(StringType))
+  }
+
+  test("conformNodes: config-driven projection, cast, null-fill (P10)") {
+    val df = Seq(("uniprot:P1", "protein", "Alpha", 42))
+      .toDF("id", "label", "name", "length")
+    val out = SchemaRegistry.conformNodes(df, "protein")
+    assert(out.columns.toSeq ===
+      Seq("id", "label", "name", "length", "mass", "organism", "xrefs"))
+    assert(out.schema("length").dataType === LongType) // cast from int
+    val row = out.collect().head
+    assert(row.getAs[String]("name") === "Alpha")
+    assert(row.isNullAt(out.columns.indexOf("mass"))) // declared, absent → null
+  }
+
+  test("conformNodes with selected fields keeps only those props") {
+    val df = Seq(("uniprot:P1", "protein", "Alpha", 42))
+      .toDF("id", "label", "name", "length")
+    val out = SchemaRegistry.conformNodes(df, "protein", selected = Set("name"))
+    assert(out.columns.toSeq === Seq("id", "label", "name"))
+  }
+
+  test("conformEdges validates the ppi edge shape") {
+    val df = Seq(("r1", "supp:1", "supp:2", "protein_interacts_with_protein",
+      "intact", 0.9)).toDF("rel_id", "src", "dst", "label", "source", "score")
+    val out = SchemaRegistry.conformEdges(df, "protein_interacts_with_protein")
+    assert(out.schema("score").dataType === DoubleType)
+    assert(out.schema("pubmeds").dataType === ArrayType(StringType))
+  }
+}

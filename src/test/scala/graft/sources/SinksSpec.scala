@@ -1,0 +1,53 @@
+package graft.sources
+
+import java.nio.file.Files
+import graft.SparkSpec
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkedCsv writes header CSVs capped at maxRecordsPerFile with escaping") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    val df = Seq(
+      (1L, "it's|weird", Seq("x", "y")),
+      (2L, "plain", Seq("z")),
+      (3L, "c", Seq.empty[String]),
+      (4L, "d", Seq("w"))).toDF("id", "name", "tags")
+    Sinks.chunkedCsv(df, dir, maxRecordsPerFile = 2)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.nonEmpty)
+    // each part ≤ 2 data rows (+1 header)
+    files.foreach { f =>
+      val lines = scala.io.Source.fromFile(f).getLines().toList
+      assert(lines.head.startsWith("id"))
+      assert(lines.size <= 3)
+    }
+    val back = spark.read.option("header", "true").csv(dir)
+      .as[(String, String, String)].collect()
+      .map { case (i, n, t) => i -> ((n, t)) }.toMap
+    assert(back("1")._1 === "it^s,weird") // F4: ' → ^, | → ,
+    assert(back("1")._2 === "x|y")        // arrays pipe-joined at the boundary
+  }
+
+  test("flatRecords + flatRecordFields parse ///-delimited keyword records") {
+    val path = Files.createTempFile("graft-flat", ".txt")
+    Files.writeString(path,
+      """ENTRY       H00001
+        |NAME        Some disease
+        |            continued name
+        |DBLINKS     ICD-10: A00
+        |///
+        |ENTRY       H00002
+        |NAME        Other
+        |///
+        |""".stripMargin)
+    val recs = Sinks.flatRecords(spark, path.toString)
+    assert(recs.count() === 2)
+    val fields = Sinks.flatRecordFields(recs)
+      .select("section", "value").as[(String, String)].collect().toSet
+    assert(fields.contains(("ENTRY", "H00001")))
+    assert(fields.contains(("NAME", "Some disease continued name")))
+    assert(fields.contains(("DBLINKS", "ICD-10: A00")))
+    assert(fields.contains(("ENTRY", "H00002")))
+  }
+}
