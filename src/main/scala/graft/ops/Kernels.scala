@@ -93,18 +93,22 @@ object Kernels {
     when(size(s) === 1, element_at(s, 1))
   }
 
-  /** TF-effect conflict fold (SURVEY §2.4 A7, tf_gen.py:381-395):
+  /** Conflict fold with an "unknown defers" value (SURVEY §2.4 A7,
+    * tf_gen.py:381-395):
     *  - one distinct effect → that effect;
-    *  - {"Unknown", X} → X;
-    *  - ≥3 distinct, or {"Activation", "Repression"} → null (conflict).
-    * Domain values: "Activation" < "Repression" < "Unknown" (lexicographic),
-    * so in the sorted distinct-set a present "Unknown" is always last and
-    * the partner is element 1. */
-  def effectFold(c: Column): Column = {
+    *  - {unknown, X} → X;
+    *  - ≥3 distinct, or two real values → null (conflict).
+    * Requires `unknown` to sort last in the value domain (true for
+    * "Unknown" among Activation/Repression, and for 'P' among TPC order
+    * statuses) so it lands at the end of the sorted distinct-set. */
+  def effectFoldWithUnknown(c: Column, unknown: String): Column = {
     val s = array_sort(collect_set(c))
     when(size(s) === 1, element_at(s, 1))
-      .when(size(s) === 2 && element_at(s, 2) === "Unknown", element_at(s, 1))
+      .when(size(s) === 2 && element_at(s, 2) === unknown, element_at(s, 1))
   }
+
+  /** The reference's TF-effect domain instance. */
+  def effectFold(c: Column): Column = effectFoldWithUnknown(c, "Unknown")
 
   /** Conflicting-evidence row exclusion (SURVEY §2.2 P9, drug.py:874-879):
     * given a collected set-of-values column, admit the group only when it

@@ -86,6 +86,89 @@ object IntegrationQueries {
     (s, d) => DtiPipeline.merged(s, d)
   }
 
+  /** The gene–disease 7-way merge (disease.py analog — the reference's
+    * largest chain) with the J5 fallback-mapped OpenTargets keys. */
+  val gdaMerged = Q(
+    "gda_merged",
+    """WITH b AS (SELECT l_suppkey AS gene, o_custkey, o_orderpriority AS prio,
+      |    l_returnflag, l_linestatus, l_orderkey, l_extendedprice,
+      |    o_totalprice, o_orderstatus
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |s1 AS (
+      |  SELECT gene, 'mondo:' || COALESCE(m1.to_id, m2.to_id) AS disease,
+      |    MAX(o_totalprice) AS ot_score,
+      |    string_agg(DISTINCT 'ref:' || l_orderkey, '|' ORDER BY 'ref:' || l_orderkey) AS refs
+      |  FROM b JOIN customer c ON b.o_custkey = c.c_custkey
+      |  LEFT JOIN (SELECT c_name AS nm, c_custkey AS to_id FROM customer
+      |             WHERE c_acctbal > 0) m1 ON c.c_name = m1.nm
+      |  LEFT JOIN (SELECT c_name AS nm, c_custkey AS to_id FROM customer) m2
+      |    ON c.c_name = m2.nm
+      |  WHERE prio = '1-URGENT' GROUP BY 1, 2),
+      |s2 AS (SELECT gene, disease,
+      |    CASE WHEN len(st) = 1 THEN st[1]
+      |         WHEN len(st) = 2 AND st[2] = 'P' THEN st[1] END AS clin_sig, refs
+      |  FROM (SELECT gene, 'mondo:' || o_custkey AS disease,
+      |      list_sort(list(DISTINCT o_orderstatus)) AS st,
+      |      string_agg(DISTINCT 'ref:' || l_orderkey, '|' ORDER BY 'ref:' || l_orderkey) AS refs
+      |    FROM b WHERE prio = '2-HIGH' GROUP BY 1, 2)),
+      |s3 AS (SELECT gene, 'mondo:' || o_custkey AS disease,
+      |    round(median(l_extendedprice), 3) AS gda_score,
+      |    string_agg(DISTINCT 'ref:' || l_orderkey, '|' ORDER BY 'ref:' || l_orderkey) AS refs
+      |  FROM b WHERE prio = '3-MEDIUM' AND l_returnflag = 'N' GROUP BY 1, 2),
+      |s4 AS (SELECT gene, 'mondo:' || o_custkey AS disease,
+      |    string_agg(DISTINCT 'rs' || l_orderkey, '|' ORDER BY 'rs' || l_orderkey) AS variants,
+      |    string_agg(DISTINCT 'ref:' || l_orderkey, '|' ORDER BY 'ref:' || l_orderkey) AS refs
+      |  FROM b WHERE prio = '3-MEDIUM' AND l_returnflag <> 'N' GROUP BY 1, 2),
+      |s5 AS (SELECT gene, disease,
+      |    CASE WHEN len(st) = 1 THEN st[1] END AS variant_category, refs
+      |  FROM (SELECT gene, 'mondo:' || o_custkey AS disease,
+      |      list_sort(list(DISTINCT l_returnflag)) AS st,
+      |      string_agg(DISTINCT 'ref:' || l_orderkey, '|' ORDER BY 'ref:' || l_orderkey) AS refs
+      |    FROM b WHERE prio = '4-NOT SPECIFIED' GROUP BY 1, 2)),
+      |s6 AS (SELECT gene, 'mondo:' || o_custkey AS disease,
+      |    string_agg(DISTINCT l_linestatus, '|' ORDER BY l_linestatus) AS kegg_evidence,
+      |    string_agg(DISTINCT 'ref:' || l_orderkey, '|' ORDER BY 'ref:' || l_orderkey) AS refs
+      |  FROM b WHERE prio = '5-LOW' AND l_linestatus = 'F' GROUP BY 1, 2),
+      |s7 AS (SELECT gene, 'mondo:' || o_custkey AS disease,
+      |    COUNT(*) AS knowledge_conf,
+      |    string_agg(DISTINCT 'ref:' || l_orderkey, '|' ORDER BY 'ref:' || l_orderkey) AS refs
+      |  FROM b WHERE prio = '5-LOW' AND l_linestatus <> 'F' GROUP BY 1, 2)
+      |SELECT
+      |  COALESCE(s1.gene, s2.gene, s3.gene, s4.gene, s5.gene, s6.gene, s7.gene) AS gene,
+      |  COALESCE(s1.disease, s2.disease, s3.disease, s4.disease, s5.disease, s6.disease, s7.disease) AS disease,
+      |  CONCAT_WS('|',
+      |    CASE WHEN s2.gene IS NOT NULL THEN 'clinvar' END,
+      |    CASE WHEN s7.gene IS NOT NULL THEN 'diseases_knowledge' END,
+      |    CASE WHEN s3.gene IS NOT NULL THEN 'disgenet_gda' END,
+      |    CASE WHEN s4.gene IS NOT NULL THEN 'disgenet_vda' END,
+      |    CASE WHEN s5.gene IS NOT NULL THEN 'humsavar' END,
+      |    CASE WHEN s6.gene IS NOT NULL THEN 'kegg' END,
+      |    CASE WHEN s1.gene IS NOT NULL THEN 'opentargets' END) AS source,
+      |  NULLIF(array_to_string(list_sort(list_distinct(flatten([
+      |    COALESCE(string_split(s1.refs, '|'), []),
+      |    COALESCE(string_split(s2.refs, '|'), []),
+      |    COALESCE(string_split(s3.refs, '|'), []),
+      |    COALESCE(string_split(s4.refs, '|'), []),
+      |    COALESCE(string_split(s5.refs, '|'), []),
+      |    COALESCE(string_split(s6.refs, '|'), []),
+      |    COALESCE(string_split(s7.refs, '|'), [])]))), '|'), '') AS refs,
+      |  s1.ot_score, s2.clin_sig, s3.gda_score, s4.variants,
+      |  s5.variant_category, s6.kegg_evidence, s7.knowledge_conf
+      |FROM s1
+      |FULL OUTER JOIN s2 ON s1.gene = s2.gene AND s1.disease = s2.disease
+      |FULL OUTER JOIN s3 ON COALESCE(s1.gene, s2.gene) = s3.gene
+      |  AND COALESCE(s1.disease, s2.disease) = s3.disease
+      |FULL OUTER JOIN s4 ON COALESCE(s1.gene, s2.gene, s3.gene) = s4.gene
+      |  AND COALESCE(s1.disease, s2.disease, s3.disease) = s4.disease
+      |FULL OUTER JOIN s5 ON COALESCE(s1.gene, s2.gene, s3.gene, s4.gene) = s5.gene
+      |  AND COALESCE(s1.disease, s2.disease, s3.disease, s4.disease) = s5.disease
+      |FULL OUTER JOIN s6 ON COALESCE(s1.gene, s2.gene, s3.gene, s4.gene, s5.gene) = s6.gene
+      |  AND COALESCE(s1.disease, s2.disease, s3.disease, s4.disease, s5.disease) = s6.disease
+      |FULL OUTER JOIN s7 ON COALESCE(s1.gene, s2.gene, s3.gene, s4.gene, s5.gene, s6.gene) = s7.gene
+      |  AND COALESCE(s1.disease, s2.disease, s3.disease, s4.disease, s5.disease, s6.disease) = s7.disease""".stripMargin) {
+    (s, d) => graft.pipelines.GeneDiseasePipeline.merged(s, d)
+  }
+
   /** F13: JSON payload traversal (Pharos nested-JSON analog,
     * drug.py:716-738) over the events props column. */
   val evJsonExtract = Q(
@@ -96,5 +179,5 @@ object IntegrationQueries {
       get_json_object(col("props"), "$.k").cast("int").as("k"))
   }
 
-  val all: Seq[Q] = Seq(ctiInteractions, dtiMerged, evJsonExtract)
+  val all: Seq[Q] = Seq(ctiInteractions, dtiMerged, gdaMerged, evJsonExtract)
 }
