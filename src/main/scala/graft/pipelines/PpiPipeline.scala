@@ -186,6 +186,15 @@ object PpiPipeline {
     (nodesOf(s, d, m), edgesOf(m))
   }
 
+  /** Typed emit (`Dataset[Node]`/`Dataset[Edge]`, SURVEY §1.1). */
+  def typedGraph(s: SparkSession, d: String): (
+      org.apache.spark.sql.Dataset[graft.core.model.Node],
+      org.apache.spark.sql.Dataset[graft.core.model.Edge]) = {
+    import s.implicits._
+    val (n, e) = graph(s, d)
+    (n.as[graft.core.model.Node], e.as[graft.core.model.Edge])
+  }
+
   /** Node emit for the same graph: every supplier that appears in an edge.
     * Participant ids are derived from the RAW pair frames (same key set as
     * the merged result — keep-best/merge never drop a pair key), skipping

@@ -407,6 +407,37 @@ object CoreQueries {
       .distinct()
   }
 
+  /** §2.11 generator surface: nested collect → explode round-trip (the
+    * Pharos ligands→activities traversal shape, drug.py:716-738 F13) —
+    * build array-of-struct per nation, explode back, filter inside the
+    * exploded view. */
+  val f13NestedExplode = Q(
+    "f13_nested_explode",
+    """SELECT s_nationkey, s_suppkey, s_acctbal FROM supplier
+      |WHERE s_acctbal > 0""".stripMargin) { (s, d) =>
+    Tables.supplier(s, d)
+      .groupBy(col("s_nationkey"))
+      .agg(sort_array(collect_list(struct(col("s_suppkey"), col("s_acctbal"))))
+        .as("members"))
+      .select(col("s_nationkey"), explode(col("members")).as("m"))
+      .filter(col("m.s_acctbal") > 0)
+      .select(col("s_nationkey"), col("m.s_suppkey").as("s_suppkey"),
+        col("m.s_acctbal").as("s_acctbal"))
+  }
+
+  /** §2.11 UDTF-style expansion (CollecTRI COMPLEX split, tf_gen.py:201-212):
+    * split a composite field and explode to one row per component. */
+  val fComplexExpand = Q(
+    "f_complex_expand",
+    """SELECT word, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+      |GROUP BY word""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** O2/O3: top-k with deterministic tie-break (early-stopping limit,
     * ec.py:66-68; DisGeNET top-k, disgenet_local.py:117). */
   val o2TopK = Q(
@@ -424,5 +455,6 @@ object CoreQueries {
     j1OuterMerge, j4BroadcastMap, j5FallbackChain, j6SuffixSelfJoin,
     j7AntiJoin, a1KeepBest, a2Median3, a3OrderedMiddle, a4MergeSources,
     a6ConflictDrop, a7EffectFold, d1KeyedDedup, d2UndirectedDedup,
-    u1UnionEntities, fScalarPack, f15DateHierarchy, o2TopK)
+    u1UnionEntities, fScalarPack, f13NestedExplode, fComplexExpand,
+    f15DateHierarchy, o2TopK)
 }

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ops.Kernels
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DotProduct matches the composable fold bit-for-bit") {
+    DotProduct.register(spark)
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.1, 0.2), Seq(0.3, 0.7))).toDF("a", "b")
+    val got = df.select(
+      call_function("graft_dot", col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("folded"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (n, f) =>
+      assert(java.lang.Double.doubleToLongBits(n) ===
+        java.lang.Double.doubleToLongBits(f))
+    }
+  }
+
+  test("DotProduct nulls propagate, type mismatch rejected") {
+    DotProduct.register(spark)
+    val df = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
+    val r = df.select(call_function("graft_dot", col("a"), col("b"))).collect()
+    assert(r.head.isNullAt(0))
+    intercept[Exception] {
+      Seq(("x", 1)).toDF("a", "b")
+        .select(call_function("graft_dot", col("a"), col("b"))).collect()
+    }
+  }
+
+  test("OrderedMiddleAgg (typed Aggregator) agrees with the expression form") {
+    val udafCol = udaf(OrderedMiddleAgg)
+    val df = Seq(("k", 1.0), ("k", 2.0), ("k", 3.0), ("k", 4.0),
+      ("o", 9.0), ("o", 1.0), ("o", 5.0)).toDF("k", "v")
+    val got = df.groupBy($"k").agg(
+      udafCol(col("v")).as("agg"),
+      Kernels.orderedMiddle(col("v")).as("expr"))
+      .as[(String, Option[Double], Double)].collect()
+    got.foreach { case (_, a, e) => assert(a === Some(e)) }
+  }
+}
