@@ -110,4 +110,65 @@ object EventStreams {
       .select(col("user_id"),
         unix_timestamp(col("session_window.start")).as("session_start"),
         col("n_events"))
+
+  // ---- custom state: flatMapGroupsWithState ------------------------------
+
+  case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class SessState(startUs: Long, lastUs: Long, n: Long)
+  case class Session(user_id: Long, session_start: Long, n_events: Long)
+
+  /** Custom stateful sessionization with flatMapGroupsWithState: per-user
+    * state carries the open session; an event-time timeout (watermark past
+    * last-event + gap) closes and emits it. The hand-rolled equivalent of
+    * session_window, for when session logic needs arbitrary state (the
+    * `KeyValueGroupedDataset` custom-state surface). */
+  def statefulSessionize(
+      stream: DataFrame, gapSeconds: Long = 300): org.apache.spark.sql.Dataset[Session] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+    def fn(userId: Long, events: Iterator[SessEvent],
+        state: GroupState[SessState]): Iterator[Session] = {
+      val sorted = events.toSeq.map(e => e.copy()).sortBy(e => us(e.ts))
+      var out = List.empty[Session]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = us(e.ts)
+        cur match {
+          case Some(st) if t - st.lastUs <= gapUs =>
+            cur = Some(st.copy(lastUs = math.max(st.lastUs, t), n = st.n + 1))
+          case Some(st) =>
+            out ::= Session(userId, st.startUs / 1000000L, st.n)
+            cur = Some(SessState(t, t, 1))
+          case None =>
+            cur = Some(SessState(t, t, 1))
+        }
+      }
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        Iterator(Session(userId, st.startUs / 1000000L, st.n))
+      } else {
+        cur.foreach { st =>
+          state.update(st)
+          state.setTimeoutTimestamp(st.lastUs / 1000L + gapSeconds * 1000L)
+        }
+        out.reverseIterator
+      }
+    }
+
+    // the watermarked ts column flows through unchanged — required for
+    // event-time timeouts
+    stream
+      .select(col("user_id"), col("ts"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

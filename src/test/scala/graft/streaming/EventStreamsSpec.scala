@@ -52,6 +52,21 @@ class EventStreamsSpec extends SparkSpec {
     assert(keys === batchKeys)
   }
 
+  test("flatMapGroupsWithState sessions are a subset of batch sessions") {
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    runToMemory(EventStreams.statefulSessionize(stream).toDF(), "fsessions", "append")
+    val emitted = spark.table("fsessions")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = EventStreams.sessionize(Tables.events(spark, sf))
+      .as[(Long, Long, Long)].collect().toSet
+    // sessions still open when the finite stream ends are held in state
+    // (never time out), so emitted ⊆ batch — and most sessions do close
+    assert(emitted.nonEmpty)
+    assert(emitted.subsetOf(batch),
+      s"stateful sessions not in batch: ${emitted.diff(batch).take(3)}")
+    assert(emitted.size >= batch.size / 2)
+  }
+
   test("streaming sessionization agrees with batch gaps-and-islands") {
     val stream = EventStreams.readEventStream(spark, eventsDir)
     runToMemory(EventStreams.streamingSessionize(stream), "sessions", "complete")
