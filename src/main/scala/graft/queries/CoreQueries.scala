@@ -450,11 +450,27 @@ object CoreQueries {
       .select(col("o_orderkey"), col("o_totalprice"))
   }
 
+  /** O3: per-key top-k (DisGeNET's limit-10-per-disease,
+    * disgenet_local.py:117) — ranking window, not a global sort. */
+  val o3TopKPerKey = Q(
+    "o3_topk_per_key",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+      |QUALIFY row_number() OVER (PARTITION BY o_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey) <= 3""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,
     j1OuterMerge, j4BroadcastMap, j5FallbackChain, j6SuffixSelfJoin,
     j7AntiJoin, a1KeepBest, a2Median3, a3OrderedMiddle, a4MergeSources,
     a6ConflictDrop, a7EffectFold, d1KeyedDedup, d2UndirectedDedup,
     u1UnionEntities, fScalarPack, f13NestedExplode, fComplexExpand,
-    f15DateHierarchy, o2TopK)
+    f15DateHierarchy, o2TopK, o3TopKPerKey)
 }

@@ -33,6 +33,35 @@ object SimQueries {
     Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding", k = 5)
   }
 
+  /** IVF-flat ANN with deterministic sampled centroids — the second scale
+    * path, fully oracle-replicated (assignment + probe both in SQL). */
+  val xAnnIvf = Q(
+    "x_ann_ivf",
+    normCte +
+      """, cent AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+        |           FROM nrm WHERE vec_id % 40 = 0),
+        |assigned AS (
+        |  SELECT vec_id, embedding, nrm, cid FROM (
+        |    SELECT n.vec_id, n.embedding, n.nrm, c.cid,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        (list_reduce(list_transform(list_zip(n.embedding, c.cv),
+        |           z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
+        |         / (n.nrm * c.cnrm)) DESC, c.cid) AS arn
+        |    FROM nrm n CROSS JOIN cent c) WHERE arn = 1),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+        |  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
+        |    / (a.nrm * b.nrm) AS cos
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+        |SELECT vec_id, rank, neighbor, cos FROM (
+        |  SELECT vec_id, neighbor, cos,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rank
+        |  FROM p) WHERE rank <= 5""".stripMargin) { (s, d) =>
+    Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      k = 5, centroidStep = 40)
+  }
+
   /** LSH-bucketed approximate top-k — the 100 TB path; probabilistic
     * candidate sets are engine-specific, so this carries a rows-only check
     * plus unit-tested recall against the brute-force baseline. */
@@ -61,5 +90,5 @@ object SimQueries {
     Multimodal.documentFeatures(s, Tables.documents(s, d)).toDF()
   }
 
-  val all: Seq[Q] = Seq(xAnnTopK, xAnnLsh, xMediaFeatures, xMediaDecode)
+  val all: Seq[Q] = Seq(xAnnTopK, xAnnIvf, xAnnLsh, xMediaFeatures, xMediaDecode)
 }

@@ -81,6 +81,44 @@ object Similarity {
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF-flat approximate top-k with deterministic sampled centroids:
+    * every vector whose id is divisible by `centroidStep` is a centroid;
+    * each vector is assigned to its nearest centroid (cosine, id
+    * tie-break); queries probe only their own cell. Deterministic end to
+    * end, so the DuckDB oracle replicates it exactly. At 100 TB the
+    * centroid set stays a broadcast dimension and the cell join is a hash
+    * shuffle on the cell id. */
+  def ivfTopK(
+      emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      centroidStep: Long = 40): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
+    val base = emb.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val centroids = base.filter(col("id") % centroidStep === 0)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // nearest centroid per vector (cosine desc, centroid id asc)
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = base.join(broadcast(centroids), lit(true))
+      .select(col("id"), col("v"), col("nrm"), col("cid"),
+        (dotD(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("id"), col("v"), col("nrm"), col("cid"))
+    val pairs = assigned.toDF("vec_id", "va", "na", "cell")
+      .join(assigned.toDF("neighbor", "vb", "nb", "cell"), Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor"))
+      .select(col("vec_id"), col("neighbor"),
+        (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"),
+        col("neighbor"), col("cos"))
+  }
+
   /** Approximate top-k: exact cosine ranking restricted to same-bucket
     * candidates. Vectors in singleton buckets yield no rows (the caller can
     * fall back or multi-probe; this is the recall/cost dial). */
