@@ -30,15 +30,25 @@ object Dedup {
           .as("doc_ids"))
 
   /** Distinct word n-gram shingles per document (docs shorter than n words
-    * produce none). */
+    * produce none).
+    *
+    * Formulated as posexplode + lead-window concat rather than
+    * transform(sequence)/slice: the higher-order-function form is
+    * interpreted per row (and allocates a sub-array per shingle), while
+    * explode/lead/concat_ws stay in whole-stage codegen. The window
+    * shuffles once on doc_id with bounded group size (words per doc). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val words = TextFns.tokens(col(textCol))
-    docs
-      .filter(size(words) >= n)
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(0), size(words) - n),
-          i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))).as("shingle"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "w")))
+    val parts = col("w") +: (1 until n).map(k => lead(col("w"), k).over(w))
+    words
+      .withColumn("__last", lead(col("w"), n - 1).over(w))
+      .withColumn("shingle", concat_ws(" ", parts: _*))
+      .filter(col("__last").isNotNull)
+      .select(col("doc_id"), col("shingle"))
+      .distinct()
   }
 
   /** All document pairs sharing ≥1 shingle, with exact Jaccard similarity
@@ -148,9 +158,14 @@ object Dedup {
       bits: Int = 32): DataFrame = {
     val words = docs.select(col(idCol).as("doc_id"),
       explode(TextFns.tokens(col(textCol))).as("word"))
+    // hash each DISTINCT word once and broadcast the tiny dimension back,
+    // instead of one md5 per (doc, word) row — same h values, oracle
+    // unchanged
+    val wordDim = words.select(col("word")).distinct()
+      .withColumn("h", TextFns.portableHash(col("word"), lit("sim")))
     val wf = words.groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("f"))
-      .withColumn("h", TextFns.portableHash(col("word"), lit("sim")))
+      .join(broadcast(wordDim), Seq("word"))
     val votes: Seq[Column] = (0 until bits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1, col("f"))
         .otherwise(-col("f"))).as(s"v$b"))
