@@ -40,6 +40,40 @@ object GraphOps {
     graph.degrees.map { case (v, d) => (v, d) }.toDF("node", "degree")
   }
 
+  /** Triangle count per vertex (GraphX TriangleCount; the edge set is
+    * canonicalized srcId < dstId as the algorithm requires). Deterministic
+    * integers → exactly oracle-comparable. */
+  def triangleCounts(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val edgeRdd = edges.select(
+      col(edges.columns(0)).cast("long"), col(edges.columns(1)).cast("long"))
+      .rdd.map { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct()
+    val graph = Graph.fromEdgeTuples(edgeRdd, defaultValue = 1)
+    import spark.implicits._
+    graph.triangleCount().vertices
+      .map { case (v, c) => (v, c.toLong) }.toDF("node", "triangles")
+  }
+
+  /** Single-source shortest hop-distances to a set of landmark vertices
+    * (GraphX ShortestPaths over the undirected view). Deterministic integer
+    * distances → oracle-comparable via recursive BFS SQL. Emits one row per
+    * (node, landmark) pair that is reachable. */
+  def shortestPaths(
+      spark: SparkSession, edges: DataFrame, landmarks: Seq[Long]): DataFrame = {
+    val edgeRdd = edges.select(
+      col(edges.columns(0)).cast("long"), col(edges.columns(1)).cast("long"))
+      .rdd.flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .distinct()
+    val graph = Graph.fromEdgeTuples(edgeRdd, defaultValue = 1)
+    import spark.implicits._
+    org.apache.spark.graphx.lib.ShortestPaths.run(graph, landmarks).vertices
+      .flatMap { case (v, spmap) =>
+        spmap.iterator.map { case (lm, dist) => (v, lm, dist.toLong) }
+      }.toDF("node", "landmark", "distance")
+  }
+
   /** Transitive ancestor closure of a (child, parent) string-labelled DAG
     * via Pregel (SURVEY §7.3 risk 6: GO/MONDO ancestor maps,
     * go.py:465-476). Each vertex accumulates the full set of ancestor ids;

@@ -90,5 +90,66 @@ object GraphQueries {
     GraphOps.ancestorClosure(s, edges)
   }
 
-  val all: Seq[Q] = Seq(gDegree, gComponents, gAncestors)
+  /** Undirected nation co-trade graph (canonical pairs, no self loops) —
+    * non-bipartite, so triangles exist. */
+  private val nationEdgeCte =
+    """WITH e AS (
+      |  SELECT DISTINCT least(s_nationkey, c_nationkey) AS u,
+      |         greatest(s_nationkey, c_nationkey) AS v
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE s_nationkey <> c_nationkey)
+      |""".stripMargin
+
+  private def nationEdgeDf(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .select(least(col("s_nationkey"), col("c_nationkey")).cast("long").as("u"),
+        greatest(col("s_nationkey"), col("c_nationkey")).cast("long").as("v"))
+      .distinct()
+
+  /** Triangle counts via GraphX TriangleCount vs SQL triangle enumeration
+    * (a<b<c canonical wedges). */
+  val gTriangles = Q(
+    "g_triangles",
+    nationEdgeCte +
+      """, tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pernode AS (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri),
+        |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e)
+        |SELECT n.node, COALESCE(t.c, 0) AS triangles
+        |FROM nodes n LEFT JOIN (SELECT node, COUNT(*) AS c FROM pernode GROUP BY node) t
+        |  ON n.node = t.node""".stripMargin) { (s, d) =>
+    GraphOps.triangleCounts(s, nationEdgeDf(s, d))
+  }
+
+  /** Landmark shortest hop-distances via GraphX ShortestPaths vs a bounded
+    * recursive-CTE BFS. */
+  val gShortestPaths = Q(
+    "g_shortest_paths",
+    nationEdgeCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+        |nodes AS (SELECT u AS node FROM und),
+        |bfs (node, landmark, dist) AS (
+        |  SELECT node, node, 0 FROM nodes WHERE node IN (0, 1)
+        |  UNION
+        |  SELECT w.v, b.landmark, b.dist + 1
+        |  FROM bfs b JOIN und w ON b.node = w.u WHERE b.dist < 30)
+        |SELECT node, landmark, MIN(dist) AS distance
+        |FROM bfs GROUP BY node, landmark""".stripMargin) { (s, d) =>
+    GraphOps.shortestPaths(s, nationEdgeDf(s, d), Seq(0L, 1L))
+      .select(col("node"), col("landmark"), col("distance"))
+  }
+
+  val all: Seq[Q] = Seq(gDegree, gComponents, gAncestors, gTriangles, gShortestPaths)
 }

@@ -18,6 +18,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 3L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("triangleCounts on a known 4-clique-minus-edge") {
+    // 1-2, 2-3, 1-3 form a triangle; 4 hangs off 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")
+    val got = GraphOps.triangleCounts(spark, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("shortestPaths hop distances on a chain") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphOps.shortestPaths(spark, edges, Seq(1L))
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, _, dist) => n -> dist }.toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
   test("ancestorClosure closes a diamond DAG transitively") {
     //      top
     //     /   \
