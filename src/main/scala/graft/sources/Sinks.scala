@@ -39,6 +39,16 @@ object Sinks {
       .csv(path)
   }
 
+  /** Partitioned parquet layout (the 100 TB table layout): directory
+    * partitioning on low-cardinality derived keys so scans with partition
+    * predicates prune whole directories (visible as PartitionFilters in the
+    * plan — asserted in SinksSpec). */
+  def writePartitioned(
+      df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Scan a `///`-delimited flat-record file into one row per record. */
   def flatRecords(spark: SparkSession, path: String): DataFrame =
     spark.read.option("lineSep", "///").text(path)

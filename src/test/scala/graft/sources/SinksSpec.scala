@@ -29,6 +29,23 @@ class SinksSpec extends SparkSpec {
     assert(back("1")._2 === "x|y")        // arrays pipe-joined at the boundary
   }
 
+  test("writePartitioned: directory layout + partition pruning in the plan") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-part").toString
+    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .withColumn("ship_year", year(col("l_shipdate")))
+    Sinks.writePartitioned(li, dir, Seq("ship_year"))
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("ship_year=1995")))
+    val pruned = spark.read.parquet(dir).filter(col("ship_year") === 1996)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("ship_year"), s"no partition pruning in:\n$plan")
+    assert(pruned.count() > 0)
+    val all = spark.read.parquet(dir).count()
+    assert(pruned.count() < all)
+  }
+
   test("flatRecords + flatRecordFields parse ///-delimited keyword records") {
     val path = Files.createTempFile("graft-flat", ".txt")
     Files.writeString(path,
