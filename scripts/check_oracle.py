@@ -64,6 +64,13 @@ def main():
         sk, dk = frame_key(spark_df), frame_key(duck_df)
         scols = sorted(spark_df.columns)
         dcols = sorted(duck_df.columns)
+        if scols == dcols:
+            sd = spark_df.reindex(scols, axis=1).dtypes
+            dd = duck_df.reindex(dcols, axis=1).dtypes
+            for c in scols:
+                if str(sd[c]) != str(dd[c]):
+                    print(f"WARN {name}: dtype of '{c}': "
+                          f"spark={sd[c]} vs duck={dd[c]}")
         if scols != dcols:
             print(f"FAIL {name}: columns {scols} vs {dcols}")
             n_fail += 1

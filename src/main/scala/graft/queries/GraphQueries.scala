@@ -145,7 +145,7 @@ object GraphQueries {
         |  UNION
         |  SELECT w.v, b.landmark, b.dist + 1
         |  FROM bfs b JOIN und w ON b.node = w.u WHERE b.dist < 30)
-        |SELECT node, landmark, MIN(dist) AS distance
+        |SELECT node, landmark, CAST(MIN(dist) AS BIGINT) AS distance
         |FROM bfs GROUP BY node, landmark""".stripMargin) { (s, d) =>
     GraphOps.shortestPaths(s, nationEdgeDf(s, d), Seq(0L, 1L))
       .select(col("node"), col("landmark"), col("distance"))

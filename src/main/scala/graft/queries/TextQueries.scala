@@ -32,8 +32,9 @@ object TextQueries {
     val text = col("text")
     Tables.documents(s, d).select(
       col("doc_id"),
-      TextFns.tokenCount(text).as("n_tokens"),
-      TextFns.bpeishCount(text).as("n_bpeish"),
+      // BIGINT on both engines (DuckDB len() is BIGINT, Spark size() is INT)
+      TextFns.tokenCount(text).cast("long").as("n_tokens"),
+      TextFns.bpeishCount(text).cast("long").as("n_bpeish"),
       TextFns.avgTokenLen(text).as("avg_token_len"),
       TextFns.punctRatio(text).as("punct_ratio"),
       TextFns.stopwordRatio(text).as("stopword_ratio"),
