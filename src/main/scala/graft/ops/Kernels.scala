@@ -137,8 +137,12 @@ object Kernels {
     */
   def fallbackMap(df: DataFrame, key: Column, mappings: Seq[DataFrame]): DataFrame = {
     val joined = mappings.zipWithIndex.foldLeft(df) { case (acc, (m, i)) =>
+      // the reference's xref dicts are unique-keyed; enforce it so a dirty
+      // mapping table can never fan out the fact side (min to_id wins,
+      // deterministically)
+      val uniq = m.groupBy(col("from_id")).agg(min(col("to_id")).as("to_id"))
       val mi = broadcast(
-        m.select(col("from_id").as(s"__from_$i"), col("to_id").as(s"__to_$i")))
+        uniq.select(col("from_id").as(s"__from_$i"), col("to_id").as(s"__to_$i")))
       acc.join(mi, key === col(s"__from_$i"), "left")
     }
     val resolved = coalesce(mappings.indices.map(i => col(s"__to_$i")): _*)
