@@ -51,20 +51,23 @@ object Dedup {
       .distinct()
   }
 
-  /** All document pairs sharing ≥1 shingle, with exact Jaccard similarity
-    * of their shingle sets. `threshold` ≤ 0 keeps every co-occurring pair.
-    * Pairs are (a < b); the single double division is engine-portable. */
-  def ngramJaccardPairs(
-      docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
+  /** Shared exact-Jaccard verification: intersection counts either over the
+    * full inverted-index pair space (cand = None) or restricted to a
+    * candidate pair set. One formula for both the exact and LSH paths. */
+  private def jaccardOfPairs(
+      sh: DataFrame, cand: Option[DataFrame], threshold: Double): DataFrame = {
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.toDF("a", "shingle")
-      .join(sh.toDF("b", "shingle"), Seq("shingle"))
-      .filter(col("a") < col("b"))
+    val pairShingles = cand match {
+      case Some(c) => c
+        .join(sh.toDF("a", "shingle"), Seq("a"))
+        .join(sh.toDF("b", "shingle"), Seq("b", "shingle"))
+      case None => sh.toDF("a", "shingle")
+        .join(sh.toDF("b", "shingle"), Seq("shingle"))
+        .filter(col("a") < col("b"))
+    }
+    pairShingles
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
-    inter
       .join(counts.toDF("a", "na"), Seq("a"))
       .join(counts.toDF("b", "nb"), Seq("b"))
       .select(col("a"), col("b"),
@@ -72,6 +75,14 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** All document pairs sharing ≥1 shingle, with exact Jaccard similarity
+    * of their shingle sets. `threshold` ≤ 0 keeps every co-occurring pair.
+    * Pairs are (a < b); the single double division is engine-portable. */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame =
+    jaccardOfPairs(shingles(docs, idCol, textCol, n), None, threshold)
 
   /** Modulus for the affine minhash family (fits 31 bits so a·h + b stays
     * well inside Long — and inside DuckDB's checked BIGINT arithmetic). */
@@ -134,20 +145,7 @@ object Dedup {
     // verification: exact Jaccard computed ONLY for LSH candidates — the
     // candidate set drives the shingle joins, so cost scales with
     // |candidates| · shingles-per-doc, never with the all-pairs table
-    val sh = shingles(docs, idCol, textCol, n)
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = cand
-      .join(sh.toDF("a", "shingle"), Seq("a"))
-      .join(sh.toDF("b", "shingle"), Seq("b", "shingle"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.toDF("a", "na"), Seq("a"))
-      .join(counts.toDF("b", "nb"), Seq("b"))
-      .select(col("a"), col("b"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    jaccardOfPairs(shingles(docs, idCol, textCol, n), Some(cand), threshold)
   }
 
   /** SimHash signatures (`bits`-wide, default 32): per word-frequency vote —

@@ -40,7 +40,11 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // mismatched lengths → NULL, matching the zip_with+aggregate form
+    // (zip_with pads the shorter side with null, poisoning the fold) —
+    // never a silently-truncated partial product
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {

@@ -69,7 +69,9 @@ object Kernels {
     * Pure expression: no UDAF, stays in codegen. */
   def orderedMiddle(c: Column): Column = {
     val arr = sort_array(collect_list(c))
-    element_at(arr, (floor(size(arr) / 2) + 1).cast("int"))
+    // all-null group → empty list → null (ANSI element_at would throw)
+    when(size(arr) > 0,
+      element_at(arr, (floor(size(arr) / 2) + 1).cast("int")))
   }
 
   /** Pipe-encoded multi-value merge aggregate (SURVEY §2.4 A4/A5,

@@ -286,15 +286,8 @@ object CoreQueries {
       |WHERE len(st) = 1 OR (len(st) = 2 AND st[2] = 'P')""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
       .groupBy(col("o_custkey"))
-      .agg(effectFoldStatus(col("o_orderstatus")).as("effect"))
+      .agg(Kernels.effectFoldWithUnknown(col("o_orderstatus"), "P").as("effect"))
       .filter(col("effect").isNotNull)
-  }
-
-  /** A7 fold specialised to the order-status domain ('P' = Unknown). */
-  private def effectFoldStatus(c: org.apache.spark.sql.Column) = {
-    val st = array_sort(collect_set(c))
-    when(size(st) === 1, element_at(st, 1))
-      .when(size(st) === 2 && element_at(st, 2) === "P", element_at(st, 1))
   }
 
   /** D1: keyed dedup after sort — keep the latest lineitem per supplier

@@ -36,6 +36,17 @@ object Similarity {
   private def dotD(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
 
+  /** Shared emit: rank candidate pairs (vec_id, neighbor, cos) per query
+    * vector by cosine desc with neighbor-id tie-break, keep the top k. */
+  private def topKFromPairs(pairs: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"),
+        col("neighbor"), col("cos"))
+  }
+
   /** Brute-force cosine top-k neighbors per vector.
     * Output: (vec_id, rank, neighbor, cos), rank 1..k by cos desc with
     * neighbor-id tie-break.
@@ -52,12 +63,7 @@ object Similarity {
         col("vec_id") =!= col("neighbor"))
       .select(col("vec_id"), col("neighbor"),
         (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("rank").cast("long").as("rank"),
-        col("neighbor"), col("cos"))
+    topKFromPairs(pairs, k)
   }
 
   /** Deterministic ±1 hyperplane components: md5(seed:plane:dim) low bit.
@@ -111,12 +117,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("neighbor"))
       .select(col("vec_id"), col("neighbor"),
         (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("rank").cast("long").as("rank"),
-        col("neighbor"), col("cos"))
+    topKFromPairs(pairs, k)
   }
 
   /** Approximate top-k: exact cosine ranking restricted to same-bucket
@@ -136,11 +137,6 @@ object Similarity {
       .filter(col("vec_id") =!= col("neighbor"))
       .select(col("vec_id"), col("neighbor"),
         (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("rank").cast("long").as("rank"),
-        col("neighbor"), col("cos"))
+    topKFromPairs(pairs, k)
   }
 }

@@ -156,7 +156,12 @@ object EventStreams {
       } else {
         cur.foreach { st =>
           state.update(st)
-          state.setTimeoutTimestamp(st.lastUs / 1000L + gapSeconds * 1000L)
+          // clamp past the current watermark: a late event could otherwise
+          // request a timeout at-or-before it, which Spark rejects and
+          // fails the query
+          state.setTimeoutTimestamp(math.max(
+            st.lastUs / 1000L + gapSeconds * 1000L,
+            state.getCurrentWatermarkMs() + 1))
         }
         out.reverseIterator
       }

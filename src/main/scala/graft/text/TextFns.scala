@@ -36,19 +36,25 @@ object TextFns {
   def stopwordHits(text: Column, lang: String): Column =
     size(filter(tokens(text), t => t.isInCollection(stopwords(lang))))
 
+  /** Zero-guarded ratio: empty/whitespace-only text → null instead of an
+    * ANSI DIVIDE_BY_ZERO (Spark 4 default). */
+  private def ratio(num: Column, den: Column): Column =
+    when(den > 0, num.cast("double") / den)
+
   def stopwordRatio(text: Column, lang: String = "en"): Column =
-    stopwordHits(text, lang).cast("double") / tokenCount(text)
+    ratio(stopwordHits(text, lang), tokenCount(text))
 
   /** Punctuation character count / ratio. */
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[^.,!?;:'\"()\\[\\]-]", ""))
   def punctRatio(text: Column): Column =
-    punctCount(text).cast("double") / length(text)
+    ratio(punctCount(text), length(text))
 
   /** Mean token length: exact integer sums, one double division. */
   def avgTokenLen(text: Column): Column =
-    aggregate(transform(tokens(text), t => length(t)), lit(0), (a, x) => a + x)
-      .cast("double") / tokenCount(text)
+    ratio(
+      aggregate(transform(tokens(text), t => length(t)), lit(0), (a, x) => a + x),
+      tokenCount(text))
 
   /** Composite quality score in [0,1]-ish: rewards moderate length, real
     * words, low punctuation noise. Fixed evaluation order so engines agree
