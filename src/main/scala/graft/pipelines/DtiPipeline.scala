@@ -65,6 +65,22 @@ object DtiPipeline {
         refs(col("l_orderkey")).as("refs"))
       .withColumn("source", lit("pharos"))
 
+  /** BioCypher-style edge emit for the merged DTI table, conformed to the
+    * schema registry's drug_targets_protein shape (S23 + P10). */
+  def edges(s: SparkSession, d: String): DataFrame = {
+    val m = merged(s, d)
+      .select(
+        concat_ws("_", lit("dti"), col("drug"), col("target")).as("rel_id"),
+        concat(lit("drugbank:DB"), col("drug")).as("src"),
+        concat(lit("supp:"), col("target")).as("dst"),
+        lit("drug_targets_protein").as("label"),
+        col("source"),
+        split(col("refs"), "\\|").as("refs"),
+        col("pchembl"),
+        col("db_score").isNotNull.as("direct_interaction"))
+    graft.core.SchemaRegistry.conformEdges(m, "drug_targets_protein")
+  }
+
   /** The 5-chain merge (drug.py:1054,1079,1113,1137,1152). */
   def merged(s: SparkSession, d: String): DataFrame =
     Kernels.outerMergeChain(
