@@ -148,6 +148,18 @@ object Dedup {
     jaccardOfPairs(shingles(docs, idCol, textCol, n), Some(cand), threshold)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) vector pairs with
+    * cosine ≥ threshold — the embedding-space twin of the text near-dup
+    * detectors, built on the same brute-force scorer (swap in the IVF/LSH
+    * variants from graft.sim at scale). */
+  def embeddingNearDupPairs(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame =
+    graft.sim.Similarity
+      .bruteForceTopK(emb, idCol, vecCol, k = Int.MaxValue - 1)
+      .filter(col("vec_id") < col("neighbor") && col("cos") >= threshold)
+      .select(col("vec_id").as("a"), col("neighbor").as("b"), col("cos"))
+
   /** SimHash signatures (`bits`-wide, default 32): per word-frequency vote —
     * bit b of the signature is set iff Σ_word (±freq) ≥ 0, where the sign is
     * bit b of the word's portable hash. */

@@ -64,6 +64,43 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: re-stripe a decoded feature vector to `channels` buckets
+    * (the shape a real image resize would have: fixed output dims from
+    * variable input). Deterministic, pure. */
+  def fakeResize(feature: Array[Float], channels: Int): Array[Float] = {
+    val out = new Array[Float](channels)
+    if (feature.nonEmpty) {
+      var i = 0
+      while (i < feature.length) {
+        out(i * channels / feature.length) += feature(i)
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** STUB frame sampling: every `stride`-th fixed-size block of the payload
+    * (the video-frame-sampling batch shape: one row in, many frames out). */
+  def frameSample(
+      content: Array[Byte], frameBytes: Int, stride: Int): Seq[Array[Byte]] =
+    content.grouped(frameBytes).zipWithIndex
+      .collect { case (frame, i) if i % stride == 0 => frame }
+      .toSeq
+
+  case class MediaFrame(media_id: Long, frame_no: Int, frame: Array[Byte])
+
+  /** Frame explosion over the typed media set: one row per sampled frame
+    * (flatMap through the partition-local batch path). */
+  def sampleFrames(
+      media: Dataset[MediaRow], frameBytes: Int = 64, stride: Int = 2): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      frameSample(r.content, frameBytes, stride).zipWithIndex.map {
+        case (f, i) => MediaFrame(r.media_id, i, f)
+      }
+    }
+  }
+
   /** End-to-end media pipeline over the documents table: synthesize binary
     * payloads, extract batched features. */
   def documentFeatures(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {

@@ -169,6 +169,26 @@ object IntegrationQueries {
     (s, d) => graft.pipelines.GeneDiseasePipeline.merged(s, d)
   }
 
+  /** Orthology pairs (orthology.py analog): name-keyed pair resolution,
+    * 3-dp score rounding, undirected dedup preserving winner orientation. */
+  val orthoPairs = Q(
+    "ortho_pairs",
+    """WITH li AS (SELECT l_orderkey, l_suppkey, l_linenumber, l_discount, l_quantity
+      |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'),
+      |raw AS (
+      |  SELECT 'supp:' || a.l_suppkey AS a, 'supp:' || b.l_suppkey AS b,
+      |    a.l_orderkey AS l_orderkey, a.l_linenumber AS ln_a, b.l_linenumber AS ln_b,
+      |    round((a.l_discount + b.l_discount) / 2, 3) AS score,
+      |    CASE WHEN a.l_quantity = b.l_quantity THEN '1:1' ELSE 'n:1' END AS rel_type
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_suppkey <> b.l_suppkey)
+      |SELECT a, b, score, rel_type FROM raw
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY least(a, b), greatest(a, b)
+      |  ORDER BY score DESC, l_orderkey, ln_a, ln_b, a, rel_type) = 1""".stripMargin) {
+    (s, d) => graft.pipelines.OrthologyPipeline.pairs(s, d)
+  }
+
   /** F13: JSON payload traversal (Pharos nested-JSON analog,
     * drug.py:716-738) over the events props column. */
   val evJsonExtract = Q(
@@ -179,5 +199,5 @@ object IntegrationQueries {
       get_json_object(col("props"), "$.k").cast("int").as("k"))
   }
 
-  val all: Seq[Q] = Seq(ctiInteractions, dtiMerged, gdaMerged, evJsonExtract)
+  val all: Seq[Q] = Seq(ctiInteractions, dtiMerged, gdaMerged, orthoPairs, evJsonExtract)
 }

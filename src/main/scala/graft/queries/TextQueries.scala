@@ -73,5 +73,23 @@ object TextQueries {
     Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
   }
 
-  val all: Seq[Q] = Seq(xTextStats, xLangId, xDedupExact)
+  /** Document fingerprints: bag-of-words md5 + polynomial rolling hash
+    * (both engine-portable; the rolling fold is replicated via
+    * list_reduce with a seeded zero element). */
+  val xFingerprint = Q(
+    "x_fingerprint",
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(
+      |    string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS bag_fp,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 2147483647) AS rolling_fp
+      |FROM documents""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFns.fingerprint(col("text")).as("bag_fp"),
+      TextFns.rollingHash(col("text")).as("rolling_fp"))
+  }
+
+  val all: Seq[Q] = Seq(xTextStats, xLangId, xDedupExact, xFingerprint)
 }

@@ -90,6 +90,17 @@ object TextFns {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** Polynomial rolling hash over the text's characters:
+    * h = fold(h*31 + ascii(c)) mod (2^31-1). Engine-portable (same fold in
+    * DuckDB list_reduce); the classic cheap content fingerprint. */
+  def rollingHash(text: Column): Column = {
+    val m = (1L << 31) - 1
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, c) => (acc * 31 + ascii(c)) % m)
+  }
+
   /** 56-bit engine-portable token hash: md5 hex prefix as a number. Used by
     * minhash/simhash so independent engines (the DuckDB oracle) can
     * reproduce signatures exactly. */

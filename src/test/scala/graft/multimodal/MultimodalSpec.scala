@@ -21,6 +21,40 @@ class MultimodalSpec extends SparkSpec {
       again.sortBy(_.media_id).map(_.feature.toSeq).toSeq)
   }
 
+  test("fakeResize re-stripes to fixed channels; frame sampling strides") {
+    val f = Multimodal.fakeResize(Array(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f), 4)
+    assert(f.toSeq === Seq(3f, 7f, 11f, 15f))
+    assert(Multimodal.fakeResize(Array.emptyFloatArray, 4).toSeq === Seq(0f, 0f, 0f, 0f))
+    val frames = Multimodal.frameSample((0 until 300).map(_.toByte).toArray,
+      frameBytes = 64, stride = 2)
+    assert(frames.length === 3) // blocks 0,2,4 of the 5 blocks
+    assert(frames.head.length === 64)
+  }
+
+  test("sampleFrames explodes media rows into typed frames") {
+    val frames = Multimodal.sampleFrames(
+      Multimodal.asMedia(
+        graft.core.Tables.documents(spark, "/root/testdata/sf0.001"),
+        "doc_id", "text")
+        .as[Multimodal.MediaRow](org.apache.spark.sql.Encoders.product),
+      frameBytes = 32, stride = 2)
+    val got = frames.collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.frame.length <= 32))
+    assert(got.groupBy(_.media_id).values.forall(fs =>
+      fs.map(_.frame_no).sorted.toSeq == (0 until fs.length)))
+  }
+
+  test("embeddingNearDupPairs finds planted duplicate vectors") {
+    import graft.dedup.Dedup
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0.99f, 0.1f, 0f)), // near-dup pair
+      (3L, Array(0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.95)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet === Set((1L, 2L)))
+  }
+
   test("fakeDecode stripes bytes into 8 channels") {
     val f = Multimodal.fakeDecode("abcdefgh".getBytes("UTF-8"))
     assert(f.length === 8)
