@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Plan-shape regression guard: the structural properties PLANS.md records
+  * must hold — pushed filters reach scans, dimension joins broadcast,
+  * rank-filters push down. A refactor that silently turns a broadcast into
+  * a shuffle or loses a pushed filter fails here, not in a bench. */
+class PlanAuditSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("p4_predicates pushes every predicate to the parquet scan") {
+    val p = plan("p4_predicates")
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(500))
+    assert(p.contains("In(l_returnflag"), "returnflag IN not pushed")
+    // toString truncates long PushedFilters lists — assert the timestamp
+    // predicate via the (codegen) Filter node instead
+    assert(p.contains("< 1997-06-01"), "shipdate range predicate missing")
+  }
+
+  test("j4_broadcast_map joins both dimensions broadcast, zero sort-merge") {
+    val p = plan("j4_broadcast_map")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2)
+    assert(!p.contains("SortMergeJoin"), "dimension join fell back to SMJ")
+  }
+
+  test("p3_semi_filter is a broadcast left-semi (fact side unshuffled)") {
+    val p = plan("p3_semi_filter")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "semi filter shuffled the fact side")
+  }
+
+  test("a1_keep_best gets the WindowGroupLimit rank pushdown") {
+    assert(plan("a1_keep_best").contains("WindowGroupLimit"))
+  }
+
+  test("column pruning: q01 scan reads only the needed lineitem columns") {
+    val p = plan("q01_pricing_summary")
+    val schema = "ReadSchema: struct<" +
+      p.split("ReadSchema: struct<")(1).split(">")(0) + ">"
+    assert(!schema.contains("l_orderkey") && !schema.contains("l_partkey"),
+      s"unpruned scan: $schema")
+    assert(schema.contains("l_quantity") && schema.contains("l_returnflag"))
+  }
+}
