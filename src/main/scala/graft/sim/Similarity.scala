@@ -120,23 +120,35 @@ object Similarity {
     topKFromPairs(pairs, k)
   }
 
-  /** Approximate top-k: exact cosine ranking restricted to same-bucket
-    * candidates. Vectors in singleton buckets yield no rows (the caller can
-    * fall back or multi-probe; this is the recall/cost dial). */
+  /** Approximate top-k: exact cosine ranking restricted to bucket-local
+    * candidates. `probes = 0` joins only the home bucket; `probes = 1`
+    * additionally probes every bucket at Hamming distance 1 (flip each
+    * sign bit once) — the standard multi-probe recall/cost dial. The query
+    * side explodes its probe set; the corpus side stays bucketed once, so
+    * the join fan-out is (planes+1)× the single-probe candidates, never a
+    * cross join. */
   def lshTopK(
       emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      planes: Int = 6, dim: Int = 64): DataFrame = {
+      planes: Int = 6, dim: Int = 64, probes: Int = 0): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
     val hp = hyperplanes(planes, dim)
     val withBucket = emb.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", norm(col("v")))
       .withColumn("bucket", bucketOf(col("v"), hp))
-    val pairs = withBucket.toDF("vec_id", "va", "na", "bucket")
+    val probeBuckets =
+      if (probes <= 0) array(col("bucket"))
+      else array(col("bucket") +:
+        (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)
+    val queries = withBucket
+      .select(col("id").as("vec_id"), col("v").as("va"), col("nrm").as("na"),
+        explode(probeBuckets).as("bucket"))
+    val pairs = queries
       .join(withBucket.toDF("neighbor", "vb", "nb", "bucket"), Seq("bucket"))
       .filter(col("vec_id") =!= col("neighbor"))
       .select(col("vec_id"), col("neighbor"),
         (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .distinct() // a pair can surface via several probes
     topKFromPairs(pairs, k)
   }
 }

@@ -44,4 +44,20 @@ class SimilaritySpec extends SparkSpec {
       bruteTop.size
     assert(recall > 0.05, s"recall@5 $recall suspiciously low")
   }
+
+  test("multi-probe LSH strictly improves recall over single-probe") {
+    val emb = Tables.embeddings(spark, sf)
+    val bruteTop = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 5)
+      .as[(Long, Long, Long, Double)].collect().map(r => (r._1, r._3)).toSet
+    def recall(probes: Int) = {
+      val got = Similarity.lshTopK(emb, "vec_id", "embedding", 5,
+        planes = 4, probes = probes)
+        .as[(Long, Long, Long, Double)].collect().map(r => (r._1, r._3)).toSet
+      got.count(bruteTop.contains).toDouble / bruteTop.size
+    }
+    val r0 = recall(0)
+    val r1 = recall(1)
+    assert(r1 >= r0, s"multi-probe recall $r1 < single-probe $r0")
+    assert(r1 > r0 + 0.05, s"multi-probe gained too little: $r0 -> $r1")
+  }
 }
