@@ -459,7 +459,25 @@ object CoreQueries {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
   }
 
+  /** SQL front door (absent from the reference — SURVEY: "no SQL front
+    * end"; free on Spark): the SAME ANSI text is the Spark implementation
+    * (spark.sql over registered views) and the DuckDB oracle. */
+  val sqlFrontDoor: Q = {
+    val text =
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l_returnflag""".stripMargin
+    Q("sql_front_door", text) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(text)
+    }
+  }
+
   val all: Seq[Q] = Seq(
+    sqlFrontDoor,
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,
     j1OuterMerge, j4BroadcastMap, j5FallbackChain, j6SuffixSelfJoin,
     j7AntiJoin, a1KeepBest, a2Median3, a3OrderedMiddle, a4MergeSources,

@@ -67,7 +67,7 @@ object SimQueries {
     * plus unit-tested recall against the brute-force baseline. */
   val xAnnLsh = Q.noOracle("x_ann_lsh") { (s, d) =>
     Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-      k = 5, planes = 6, dim = 64)
+      k = 5, planes = 6, dim = 64, probes = 1)
   }
 
   /** Multimodal plumbing: synthesized binary payloads through the batched
