@@ -476,8 +476,46 @@ object CoreQueries {
     }
   }
 
+  /** CUBE aggregation (beyond the reference — SURVEY §2.4: "no grouping
+    * sets / cube / rollup"; table stakes for an analytics engine).
+    * Subtotal rows carry NULL group keys on both engines. */
+  val qCube = Q(
+    "q_cube",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Frame-spec running total per supplier (rowsBetween window; absent from
+    * the reference, §2.5 "no frame specs needed" — added as engine
+    * surface). Decimal accumulation keeps the running values exact, and the
+    * window order is a total order, so every prefix matches the oracle. */
+  val qRunningTotal = Q(
+    "q_running_total",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_extendedprice"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.lineitem(s, d).select(
+      col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      sum(col("l_quantity").cast("decimal(18,4)")).over(w).cast("double")
+        .as("running_qty"))
+  }
+
   val all: Seq[Q] = Seq(
-    sqlFrontDoor,
+    sqlFrontDoor, qCube, qRunningTotal,
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,
     j1OuterMerge, j4BroadcastMap, j5FallbackChain, j6SuffixSelfJoin,
     j7AntiJoin, a1KeepBest, a2Median3, a3OrderedMiddle, a4MergeSources,
