@@ -32,18 +32,26 @@ object Multimodal {
       lit("text/plain").as("mime"))
 
   /** STUB decoder — deterministic fake: 8 "channels" derived from byte
-    * sums over 8 stripes of the payload. Replace with a real codec for
-    * production media. */
+    * sums over 8 stripes of the payload, scaled by 1/256. Replace with a
+    * real codec for production media.
+    *
+    * Exactness contract (what makes the DuckDB oracle bit-identical): the
+    * stripe sums are exact integers, and dividing by 256 (a power of two)
+    * only shifts the exponent — so for payloads whose stripe sums stay
+    * below 2^24 (payload < ~0.5 MB) the float32 value, its float64
+    * widening, and an independent engine's integer-sum/256.0 all agree to
+    * the last bit. */
   def fakeDecode(content: Array[Byte]): Array[Float] = {
     val n = content.length
-    val out = new Array[Float](8)
-    if (n > 0) {
-      var i = 0
-      while (i < n) {
-        out(i * 8 / n) += (content(i) & 0xff) / 255.0f
-        i += 1
-      }
+    val sums = new Array[Long](8)
+    var i = 0
+    while (i < n) {
+      sums(((i.toLong * 8) / n).toInt) += (content(i) & 0xff).toLong
+      i += 1
     }
+    val out = new Array[Float](8)
+    var c = 0
+    while (c < 8) { out(c) = sums(c) / 256.0f; c += 1 }
     out
   }
 

@@ -62,10 +62,42 @@ object SimQueries {
       k = 5, centroidStep = 40)
   }
 
-  /** LSH-bucketed approximate top-k — the 100 TB path; probabilistic
-    * candidate sets are engine-specific, so this carries a rows-only check
-    * plus unit-tested recall against the brute-force baseline. */
-  val xAnnLsh = Q.noOracle("x_ann_lsh") { (s, d) =>
+  /** LSH-bucketed approximate top-k — the 100 TB path. The hyperplanes are
+    * deterministic md5-derived ±1 literals, so the DuckDB oracle is a FULL
+    * replica: same projections (sequential fold), same sign-bit bucket ids,
+    * same Hamming-1 multi-probe set, same candidate join + ranking. */
+  val xAnnLsh = Q(
+    "x_ann_lsh", {
+      val planes = 6
+      val hp = Similarity.hyperplanes(planes, 64)
+      val projCols = hp.zipWithIndex.map { case (p, j) =>
+        val lits = p.map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
+        s"""list_reduce(list_transform(list_zip(embedding, [$lits]),
+           |      z -> CAST(z[1] AS DOUBLE) * z[2]), (a, b) -> a + b) AS p$j""".stripMargin
+      }.mkString(",\n    ")
+      val bucketExpr = (0 until planes)
+        .map(j => s"(CASE WHEN p$j >= 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      val probeList = ("bucket" +: (0 until planes)
+        .map(j => s"xor(bucket, ${1L << j})")).mkString(", ")
+      normCte +
+        s""", proj AS (SELECT vec_id, embedding, nrm,
+           |    $projCols
+           |  FROM nrm),
+           |bk AS (SELECT vec_id, embedding, nrm,
+           |  CAST($bucketExpr AS BIGINT) AS bucket FROM proj),
+           |q AS (SELECT vec_id, embedding, nrm,
+           |  unnest([$probeList]) AS bucket FROM bk),
+           |p AS (SELECT DISTINCT q.vec_id AS vec_id, c.vec_id AS neighbor,
+           |  list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+           |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
+           |    / (q.nrm * c.nrm) AS cos
+           |  FROM q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+           |SELECT vec_id, rank, neighbor, cos FROM (
+           |  SELECT vec_id, neighbor, cos,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rank
+           |  FROM p) WHERE rank <= 5""".stripMargin
+    }) { (s, d) =>
     Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       k = 5, planes = 6, dim = 64, probes = 1)
   }
@@ -84,10 +116,37 @@ object SimQueries {
         col("digest"))
   }
 
-  /** Full decode path incl. the stubbed feature vector (deterministic fake
-    * decode — rows-only check; the vector shape/batching is unit-tested). */
-  val xMediaDecode = Q.noOracle("x_media_decode") { (s, d) =>
-    Multimodal.documentFeatures(s, Tables.documents(s, d)).toDF()
+  /** Full decode path incl. the stubbed feature vector. The fake decode is
+    * integer stripe sums / 256 (see Multimodal.fakeDecode's exactness
+    * contract), and the testdata text is pure ASCII (verified: byte length
+    * == char length at every sf), so the 8 channels are replicated exactly
+    * in DuckDB from codepoint sums. Channels are emitted as scalar double
+    * columns — the driver's pandas sort needs sortable scalars, not arrays. */
+  val xMediaDecode = Q(
+    "x_media_decode",
+    """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+      |           FROM documents),
+      |by AS (SELECT doc_id, (i * 8) // n AS c, ascii(text[i+1:i+1]) AS v
+      |       FROM b, UNNEST(range(0, n)) AS t(i)),
+      |st AS (SELECT doc_id, c, sum(v) AS s FROM by GROUP BY 1, 2),
+      |piv AS (SELECT doc_id,
+      |""".stripMargin +
+      (0 until 8).map(c =>
+        s"  CAST(coalesce(sum(CASE WHEN c = $c THEN s END), 0) AS DOUBLE) / 256.0 AS f$c")
+        .mkString(",\n") +
+      """
+        |  FROM st GROUP BY doc_id)
+        |SELECT b.doc_id AS media_id, CAST(b.n AS BIGINT) AS n_bytes,
+        |  md5(b.text) AS digest,
+        |""".stripMargin +
+      (0 until 8).map(c => s"  coalesce(f$c, 0.0) AS f$c").mkString(",\n") +
+      "\nFROM b LEFT JOIN piv USING (doc_id)") { (s, d) =>
+    val feats = Multimodal.documentFeatures(s, Tables.documents(s, d)).toDF()
+    feats.select(
+      col("media_id") +: col("n_bytes").cast("long").as("n_bytes") +:
+        col("digest") +:
+        (0 until 8).map(c =>
+          element_at(col("feature"), c + 1).cast("double").as(s"f$c")): _*)
   }
 
   val all: Seq[Q] = Seq(xAnnTopK, xAnnIvf, xAnnLsh, xMediaFeatures, xMediaDecode)
