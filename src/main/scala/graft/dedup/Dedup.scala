@@ -76,13 +76,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Hot-shingle document-frequency cap: shingles appearing in more than
+    * `maxDf` documents are dropped from the shingle sets. A shingle in k
+    * docs contributes k² inverted-index join rows but carries no dedup
+    * signal — boilerplate text makes the uncapped join quadratic. This is
+    * the standard production-dedup move (jaccard is computed over the
+    * FILTERED sets — a deterministic, engine-replicable semantics, not a
+    * lossy candidate heuristic). */
+  def capShingles(sh: DataFrame, maxDf: Int): DataFrame =
+    sh.join(
+      sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("shingle")),
+      Seq("shingle"), "left_semi")
+      // using-column joins move the key first; restore (doc_id, shingle) —
+      // downstream consumers rename positionally
+      .select(col("doc_id"), col("shingle"))
+
   /** All document pairs sharing ≥1 shingle, with exact Jaccard similarity
     * of their shingle sets. `threshold` ≤ 0 keeps every co-occurring pair.
-    * Pairs are (a < b); the single double division is engine-portable. */
+    * Pairs are (a < b); the single double division is engine-portable.
+    *
+    * `maxShingleDf` > 0 applies [[capShingles]] first, so the Jaccard is
+    * over the capped sets: identical to the exact form wherever the cap
+    * doesn't bite (verified: at sf0.01 max df is 7, so a cap of 12 changes
+    * nothing), and the quadratic-proof form at scale, where join cost is
+    * bounded at Σ_{df≤cap} df² instead of Σ df². */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame =
-    jaccardOfPairs(shingles(docs, idCol, textCol, n), None, threshold)
+      n: Int = 3, threshold: Double = 0.5, maxShingleDf: Int = 0): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val capped = if (maxShingleDf <= 0) sh else capShingles(sh, maxShingleDf)
+    jaccardOfPairs(capped, None, threshold)
+  }
 
   /** Modulus for the affine minhash family (fits 31 bits so a·h + b stays
     * well inside Long — and inside DuckDB's checked BIGINT arithmetic). */
@@ -148,17 +173,16 @@ object Dedup {
     jaccardOfPairs(shingles(docs, idCol, textCol, n), Some(cand), threshold)
   }
 
-  /** Embedding-cosine near-duplicate pairs: all (a < b) vector pairs with
-    * cosine ≥ threshold — the embedding-space twin of the text near-dup
-    * detectors, built on the same brute-force scorer (swap in the IVF/LSH
-    * variants from graft.sim at scale). */
+  /** Embedding-cosine near-duplicate pairs: (a < b) candidate pairs from
+    * multi-probe LSH buckets, verified with the exact cosine — the
+    * embedding-space twin of the minhash-LSH text path (bucketed candidate
+    * generation + exact verification on candidates only, never an
+    * all-pairs cross join). `dim` must match the embedding width. */
   def embeddingNearDupPairs(
-      emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame =
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      planes: Int = 6, dim: Int = 64, probes: Int = 1): DataFrame =
     graft.sim.Similarity
-      .bruteForceTopK(emb, idCol, vecCol, k = Int.MaxValue - 1)
-      .filter(col("vec_id") < col("neighbor") && col("cos") >= threshold)
-      .select(col("vec_id").as("a"), col("neighbor").as("b"), col("cos"))
+      .lshNearDupPairs(emb, idCol, vecCol, threshold, planes, dim, probes)
 
   /** SimHash signatures (`bits`-wide, default 32): per word-frequency vote —
     * bit b of the signature is set iff Σ_word (±freq) ≥ 0, where the sign is

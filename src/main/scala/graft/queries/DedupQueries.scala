@@ -26,11 +26,31 @@ object DedupQueries {
       |  FROM pairs JOIN cnt ca ON a = ca.doc_id JOIN cnt cb ON b = cb.doc_id)
       |""".stripMargin
 
+  /** Same CTE with the df ≤ 12 hot-shingle cap applied — the oracle
+    * replicates the capped semantics exactly, so the query stays green at
+    * ANY sf (at sf0.01 the cap is a no-op: max df is 7). */
+  private val cappedShingleCte =
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+      |           FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+      |keepsh AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 12),
+      |sh AS (SELECT doc_id, shingle FROM sh0 JOIN keepsh USING (shingle)),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |jacc AS (
+      |  SELECT a, b, CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+      |  FROM pairs JOIN cnt ca ON a = ca.doc_id JOIN cnt cb ON b = cb.doc_id)
+      |""".stripMargin
+
   val xDedupNgram = Q(
     "x_dedup_ngram",
-    shingleCte + "SELECT a, b, jaccard FROM jacc WHERE jaccard >= 0.5") { (s, d) =>
+    cappedShingleCte + "SELECT a, b, jaccard FROM jacc WHERE jaccard >= 0.5") { (s, d) =>
     Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-      n = 3, threshold = 0.5)
+      n = 3, threshold = 0.5, maxShingleDf = 12)
   }
 
   private val NumHashes = 32

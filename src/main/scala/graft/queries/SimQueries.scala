@@ -62,44 +62,71 @@ object SimQueries {
       k = 5, centroidStep = 40)
   }
 
+  /** Shared DuckDB replica of the multi-probe LSH machinery (Similarity
+    * .lshCandidates): hyperplane ±1 literals baked in, projections as
+    * sequential folds, sign-bit bucket ids, Hamming-1 probe explode. Ends
+    * with CTEs `bk` (corpus, bucketed once) and `q` (probe-exploded). */
+  private def lshCteSql(planes: Int, dim: Int): String = {
+    val hp = Similarity.hyperplanes(planes, dim)
+    val projCols = hp.zipWithIndex.map { case (p, j) =>
+      val lits = p.map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
+      s"""list_reduce(list_transform(list_zip(embedding, [$lits]),
+         |      z -> CAST(z[1] AS DOUBLE) * z[2]), (a, b) -> a + b) AS p$j""".stripMargin
+    }.mkString(",\n    ")
+    val bucketExpr = (0 until planes)
+      .map(j => s"(CASE WHEN p$j >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    val probeList = ("bucket" +: (0 until planes)
+      .map(j => s"xor(bucket, ${1L << j})")).mkString(", ")
+    normCte +
+      s""", proj AS (SELECT vec_id, embedding, nrm,
+         |    $projCols
+         |  FROM nrm),
+         |bk AS (SELECT vec_id, embedding, nrm,
+         |  CAST($bucketExpr AS BIGINT) AS bucket FROM proj),
+         |q AS (SELECT vec_id, embedding, nrm,
+         |  unnest([$probeList]) AS bucket FROM bk)
+         |""".stripMargin
+  }
+
+  private val dotPairSql =
+    """list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+      |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
+      |    / (q.nrm * c.nrm)""".stripMargin
+
   /** LSH-bucketed approximate top-k — the 100 TB path. The hyperplanes are
     * deterministic md5-derived ±1 literals, so the DuckDB oracle is a FULL
     * replica: same projections (sequential fold), same sign-bit bucket ids,
     * same Hamming-1 multi-probe set, same candidate join + ranking. */
   val xAnnLsh = Q(
-    "x_ann_lsh", {
-      val planes = 6
-      val hp = Similarity.hyperplanes(planes, 64)
-      val projCols = hp.zipWithIndex.map { case (p, j) =>
-        val lits = p.map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
-        s"""list_reduce(list_transform(list_zip(embedding, [$lits]),
-           |      z -> CAST(z[1] AS DOUBLE) * z[2]), (a, b) -> a + b) AS p$j""".stripMargin
-      }.mkString(",\n    ")
-      val bucketExpr = (0 until planes)
-        .map(j => s"(CASE WHEN p$j >= 0 THEN ${1L << j} ELSE 0 END)")
-        .mkString(" + ")
-      val probeList = ("bucket" +: (0 until planes)
-        .map(j => s"xor(bucket, ${1L << j})")).mkString(", ")
-      normCte +
-        s""", proj AS (SELECT vec_id, embedding, nrm,
-           |    $projCols
-           |  FROM nrm),
-           |bk AS (SELECT vec_id, embedding, nrm,
-           |  CAST($bucketExpr AS BIGINT) AS bucket FROM proj),
-           |q AS (SELECT vec_id, embedding, nrm,
-           |  unnest([$probeList]) AS bucket FROM bk),
-           |p AS (SELECT DISTINCT q.vec_id AS vec_id, c.vec_id AS neighbor,
-           |  list_reduce(list_transform(list_zip(q.embedding, c.embedding),
-           |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
-           |    / (q.nrm * c.nrm) AS cos
-           |  FROM q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
-           |SELECT vec_id, rank, neighbor, cos FROM (
-           |  SELECT vec_id, neighbor, cos,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rank
-           |  FROM p) WHERE rank <= 5""".stripMargin
-    }) { (s, d) =>
+    "x_ann_lsh",
+    lshCteSql(6, 64) +
+      s""", p AS (SELECT q.vec_id AS vec_id, c.vec_id AS neighbor,
+         |  $dotPairSql AS cos
+         |  FROM q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+         |SELECT vec_id, rank, neighbor, cos FROM (
+         |  SELECT vec_id, neighbor, cos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rank
+         |  FROM p) WHERE rank <= 5""".stripMargin) { (s, d) =>
     Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       k = 5, planes = 6, dim = 64, probes = 1)
+  }
+
+  /** Embedding-cosine near-duplicate pairs on LSH candidates — the
+    * embedding twin of x_dedup_minhash_lsh: bucketed candidate generation,
+    * exact cosine verification, full DuckDB replica (candidates AND
+    * scores). Threshold 0.4 is tuned to the synthetic corpus (max pair
+    * cosine ≈ 0.51 — no planted near-dups), keeping the output non-empty
+    * while exercising the exact same plan a 0.95-threshold dedup would. */
+  val xNearDupEmb = Q(
+    "x_near_dup_emb",
+    lshCteSql(6, 64) +
+      s""", p AS (SELECT q.vec_id AS a, c.vec_id AS b,
+         |  $dotPairSql AS cos
+         |  FROM q JOIN bk c ON q.bucket = c.bucket AND q.vec_id < c.vec_id)
+         |SELECT a, b, cos FROM p WHERE cos >= 0.4""".stripMargin) { (s, d) =>
+    graft.dedup.Dedup.embeddingNearDupPairs(Tables.embeddings(s, d),
+      "vec_id", "embedding", threshold = 0.4, planes = 6, dim = 64, probes = 1)
   }
 
   /** Multimodal plumbing: synthesized binary payloads through the batched
@@ -149,5 +176,6 @@ object SimQueries {
           element_at(col("feature"), c + 1).cast("double").as(s"f$c")): _*)
   }
 
-  val all: Seq[Q] = Seq(xAnnTopK, xAnnIvf, xAnnLsh, xMediaFeatures, xMediaDecode)
+  val all: Seq[Q] = Seq(xAnnTopK, xAnnIvf, xAnnLsh, xNearDupEmb,
+    xMediaFeatures, xMediaDecode)
 }

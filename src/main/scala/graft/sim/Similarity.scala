@@ -127,9 +127,15 @@ object Similarity {
     * side explodes its probe set; the corpus side stays bucketed once, so
     * the join fan-out is (planes+1)× the single-probe candidates, never a
     * cross join. */
-  def lshTopK(
-      emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      planes: Int = 6, dim: Int = 64, probes: Int = 0): DataFrame = {
+  /** Shared LSH candidate machinery: bucket the corpus once, explode the
+    * query side's probe set (home bucket + every Hamming-1 neighbor when
+    * `probes` ≥ 1), join on bucket equality. The probe values are pairwise
+    * DISTINCT (xor with distinct masks) and each corpus vector sits in ONE
+    * bucket, so a (query, corpus) pair can surface through at most one
+    * probe — no dedup pass is needed after the join. */
+  private def lshCandidates(
+      emb: DataFrame, idCol: String, vecCol: String,
+      planes: Int, dim: Int, probes: Int): (DataFrame, DataFrame) = {
     graft.functions.DotProduct.register(emb.sparkSession)
     val hp = hyperplanes(planes, dim)
     val withBucket = emb.select(col(idCol).as("id"),
@@ -141,14 +147,37 @@ object Similarity {
       else array(col("bucket") +:
         (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)
     val queries = withBucket
-      .select(col("id").as("vec_id"), col("v").as("va"), col("nrm").as("na"),
-        explode(probeBuckets).as("bucket"))
-    val pairs = queries
-      .join(withBucket.toDF("neighbor", "vb", "nb", "bucket"), Seq("bucket"))
+      .select(col("id"), col("v"), col("nrm"), explode(probeBuckets).as("bucket"))
+    (queries, withBucket)
+  }
+
+  def lshTopK(
+      emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      planes: Int = 6, dim: Int = 64, probes: Int = 0): DataFrame = {
+    val (queries, corpus) = lshCandidates(emb, idCol, vecCol, planes, dim, probes)
+    val pairs = queries.toDF("vec_id", "va", "na", "bucket")
+      .join(corpus.toDF("neighbor", "vb", "nb", "bucket"), Seq("bucket"))
       .filter(col("vec_id") =!= col("neighbor"))
       .select(col("vec_id"), col("neighbor"),
         (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
-      .distinct() // a pair can surface via several probes
     topKFromPairs(pairs, k)
+  }
+
+  /** Near-duplicate pairs via multi-probe LSH candidates: (a < b, cos ≥
+    * threshold). Candidate generation is the same bucketed join as
+    * [[lshTopK]] — cost O(n·planes·d) + bucket-local joins, never an
+    * all-pairs cross join — and verification is the exact cosine on
+    * candidates only. Deterministic end to end (md5-derived hyperplanes),
+    * so an independent engine replicates candidates AND scores exactly. */
+  def lshNearDupPairs(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      planes: Int = 6, dim: Int = 64, probes: Int = 1): DataFrame = {
+    val (queries, corpus) = lshCandidates(emb, idCol, vecCol, planes, dim, probes)
+    queries.toDF("a", "va", "na", "bucket")
+      .join(corpus.toDF("b", "vb", "nb", "bucket"), Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 }

@@ -60,4 +60,22 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect()
     assert(got.exists(r => r._1 == 1L && r._2 == 4L && r._3 == 0))
   }
+
+  test("hot-shingle cap leaves thresholded output unchanged on real data") {
+    val real = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.get(0).toString, r.get(1).toString,
+        r.getDouble(2))).toSet
+    val uncapped = norm(Dedup.ngramJaccardPairs(real, "doc_id", "text", 3, 0.5))
+    val capped = norm(Dedup.ngramJaccardPairs(real, "doc_id", "text", 3, 0.5,
+      maxShingleDf = 12))
+    assert(capped === uncapped)
+    // and the cap actually bites on synthetic boilerplate: one shared hot
+    // shingle among otherwise-different docs generates no candidate
+    val boiler = (1 to 30).map(i =>
+      (i.toLong, s"shared boiler plate unique$i word$i token$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(boiler, "doc_id", "text", 3, 0.01,
+      maxShingleDf = 5).count() === 0)
+  }
 }

@@ -50,7 +50,8 @@ class MultimodalSpec extends SparkSpec {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f)), (2L, Array(0.99f, 0.1f, 0f)), // near-dup pair
       (3L, Array(0f, 1f, 0f))).toDF("vec_id", "embedding")
-    val got = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.95)
+    val got = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.95,
+      planes = 6, dim = 3, probes = 1)
       .as[(Long, Long, Double)].collect()
     assert(got.map(r => (r._1, r._2)).toSet === Set((1L, 2L)))
   }

@@ -39,6 +39,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("a1_keep_best").contains("WindowGroupLimit"))
   }
 
+  test("x_near_dup_emb is bucketed: no nested-loop join anywhere") {
+    val p = plan("x_near_dup_emb")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "embedding near-dup fell back to an all-pairs join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("column pruning: q01 scan reads only the needed lineitem columns") {
     val p = plan("q01_pricing_summary")
     val schema = "ReadSchema: struct<" +
