@@ -14,8 +14,8 @@ object SparkEntry {
   /** All registered queries, in registry order. */
   def registry: Seq[Q] =
     CoreQueries.all ++ PipelineQueries.all ++ IntegrationQueries.all ++
-      GraphQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      SimQueries.all ++ EventQueries.all
+      RegulationQueries.all ++ GraphQueries.all ++ TextQueries.all ++
+      DedupQueries.all ++ SimQueries.all ++ EventQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full PPI-analog integration pipeline (SURVEY §7.1 step 3). */

@@ -112,6 +112,17 @@ object Kernels {
   /** The reference's TF-effect domain instance. */
   def effectFold(c: Column): Column = effectFoldWithUnknown(c, "Unknown")
 
+  /** Pairwise (column-level) variant of [[effectFoldWithUnknown]]: the
+    * reference applies the same conflict rule to post-outer-join column
+    * twins, not just groups (tf_gen.py:297,308 via :381-395). Same
+    * contract: one distinct non-null value → it; {unknown, X} → X; two
+    * real values or none → null (caller drops the row). */
+  def effectMergePair(x: Column, y: Column, unknown: String = "Unknown"): Column = {
+    val s = array_sort(array_distinct(filter(array(x, y), v => v.isNotNull)))
+    when(size(s) === 1, element_at(s, 1))
+      .when(size(s) === 2 && element_at(s, 2) === unknown, element_at(s, 1))
+  }
+
   /** Conflicting-evidence row exclusion (SURVEY §2.2 P9, drug.py:874-879):
     * given a collected set-of-values column, admit the group only when it
     * does not contain BOTH conflicting markers. */

@@ -38,4 +38,45 @@ class PipelinesSpec extends SparkSpec {
     assert(m.filter($"source".isNull || $"source" === "").count() === 0)
     assert(m.count() > 0)
   }
+
+  test("TfGenPipeline.merged: no conflicting effects survive, sources merge") {
+    val m = TfGenPipeline.merged(spark, sf).cache()
+    assert(m.count() > 0)
+    // dropna contract: every surviving row has a resolved effect
+    assert(m.filter($"tf_effect".isNull).count() === 0)
+    assert(m.filter(!$"tf_effect".isin("Activation", "Repression", "Unknown"))
+      .count() === 0)
+    // at least one row integrates two sources (pipe-merged)
+    assert(m.filter($"source".contains("|")).count() > 0)
+    m.unpersist()
+  }
+
+  test("effectMergePair resolves the reference's conflict table") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      (Option("Activation"), Option("Activation"), Option("Activation")),
+      (Option("Activation"), None, Option("Activation")),
+      (Option("Unknown"), Option("Repression"), Option("Repression")),
+      (Option("Activation"), Option("Repression"), Option.empty[String]),
+      (Option.empty[String], Option.empty[String], Option.empty[String]))
+      .toDF("x", "y", "expect")
+    val got = cases.select(
+      graft.ops.Kernels.effectMergePair(col("x"), col("y")).as("got"),
+      col("expect")).collect()
+    got.foreach(r => assert(r.get(0) === r.get(1), r.toString))
+  }
+
+  test("PathwayPipeline: ortho pairs are directed both ways, cross-organism") {
+    val p = PathwayPipeline.orthologyPairs(spark, sf).cache()
+    val rows = p.as[(String, String, String)].collect()
+    assert(rows.nonEmpty)
+    val set = rows.map(r => (r._1, r._2)).toSet
+    // the reference's nested loop emits both orientations
+    assert(set.forall { case (a, b) => set.contains((b, a)) })
+    assert(rows.forall(_._3 === "pathway_is_ortholog_to_pathway"))
+    val edges = PathwayPipeline.proteinPathwayEdges(spark, sf)
+    assert(edges.filter($"pathway".startsWith("kegg.pathway:")).count() > 0)
+    assert(edges.filter($"pathway".startsWith("reactome:")).count() > 0)
+    p.unpersist()
+  }
 }
