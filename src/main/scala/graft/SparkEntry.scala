@@ -15,7 +15,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     CoreQueries.all ++ PipelineQueries.all ++ IntegrationQueries.all ++
       RegulationQueries.all ++ GraphQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ SimQueries.all ++ EventQueries.all
+      DedupQueries.all ++ SimQueries.all ++ SourceQueries.all ++
+      EventQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full PPI-analog integration pipeline (SURVEY §7.1 step 3). */

@@ -84,7 +84,7 @@ object GraphOps {
     */
   def ancestorClosure(
       spark: SparkSession, childParent: DataFrame,
-      maxIterations: Int = 20): DataFrame = {
+      maxIterations: Int = 50): DataFrame = {
     import spark.implicits._
     val c0 = childParent.columns(0)
     val c1 = childParent.columns(1)
@@ -93,6 +93,13 @@ object GraphOps {
       .unionByName(childParent.select(col(c1).as("label")))
       .distinct()
       .withColumn("vid", xxhash64(col("label")))
+    // a 64-bit hash collision would silently merge two ontology nodes —
+    // fail loudly instead (one cheap distributed aggregate)
+    val Array(nLabels, nVids) = labels
+      .agg(count(lit(1)), countDistinct(col("vid"))).head()
+      .toSeq.map(String.valueOf(_).toLong).toArray
+    require(nLabels == nVids,
+      s"xxhash64 label collision: $nLabels labels -> $nVids vertex ids")
     val edgeRdd = childParent
       .select(xxhash64(col(c0)).as("src"), xxhash64(col(c1)).as("dst"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
@@ -110,6 +117,15 @@ object GraphOps {
     val closed = graph.pregel(
       initialMsg = Set.empty[VertexId], maxIterations = maxIterations)(
       vprog, sendMsg, (a: Set[VertexId], b: Set[VertexId]) => a ++ b)
+
+    // hierarchies deeper than maxIterations would silently truncate the
+    // closure — detect non-convergence (any edge that still wants to send)
+    // and fail loudly instead
+    val unconverged = closed.triplets
+      .filter(t => !(t.dstAttr + t.dstId).subsetOf(t.srcAttr)).count()
+    require(unconverged == 0,
+      s"ancestor closure not converged after $maxIterations iterations " +
+        s"($unconverged edges still propagating) — raise maxIterations")
 
     val pairs = closed.vertices
       .flatMap { case (v, anc) => anc.iterator.filter(_ != v).map(a => (v, a)) }

@@ -86,17 +86,45 @@ object GeneDiseasePipeline {
         refs.as("refs"))
       .withColumn("source", lit("kegg"))
 
-  def diseasesKnowledge(s: SparkSession, d: String): DataFrame =
-    base(s, d).filter(col("prio") === "5-LOW" && col("l_linestatus") =!= "F")
+  /** `salts` > 0 switches the aggregation to the two-phase salted form
+    * (Scale.saltedAgg): a hot (gene, disease) key — one disease studied by
+    * thousands of papers is the realistic 100 TB skew — spreads over
+    * `salts` reducers in the partial phase; the final merge is algebraic
+    * (count → sum, set-join → distinct-flatten), so the result is
+    * IDENTICAL to the direct group-by (equality + hot-key-spread proven in
+    * ScaleSpec). Off by default: at benign skew the extra shuffle isn't
+    * free, and AQE's skew handling cannot help here anyway (skew sits in
+    * the aggregation feeding a full-outer chain, which OptimizeSkewedJoin
+    * refuses to split). */
+  def diseasesKnowledge(s: SparkSession, d: String, salts: Int = 0): DataFrame = {
+    val b = base(s, d).filter(col("prio") === "5-LOW" && col("l_linestatus") =!= "F")
+    val direct = b
       .groupBy(col("gene"), disease(col("o_custkey")).as("disease"))
       .agg(count(lit(1)).as("knowledge_conf"), refs.as("refs"))
-      .withColumn("source", lit("diseases_knowledge"))
+    val agg =
+      if (salts <= 0) direct
+      else graft.ops.Scale.saltedAgg(
+        b.select(col("gene"), disease(col("o_custkey")).as("disease"),
+          concat(lit("ref:"), col("l_orderkey")).as("__ref")),
+        Seq("gene", "disease"), salts,
+        Seq((count(lit(1)), "knowledge_conf"),
+          (collect_set(col("__ref")), "__refs_part")),
+        {
+          case "knowledge_conf" => sum(col("knowledge_conf"))
+          case n => array_sort(array_distinct(flatten(collect_list(col(n)))))
+        })
+        .withColumn("refs", concat_ws("|", col("__refs_part")))
+        .drop("__refs_part")
+    agg.withColumn("source", lit("diseases_knowledge"))
+  }
 
-  /** The 7-chain merge (disease.py:1225-1291). */
-  def merged(s: SparkSession, d: String): DataFrame =
+  /** The 7-chain merge (disease.py:1225-1291). `salts` forwards to the
+    * skew-prone aggregation (see [[diseasesKnowledge]]). */
+  def merged(s: SparkSession, d: String, salts: Int = 0): DataFrame =
     Kernels.outerMergeChain(
       Seq(opentargets(s, d), clinvar(s, d), disgenetGda(s, d),
-        disgenetVda(s, d), humsavar(s, d), kegg(s, d), diseasesKnowledge(s, d)),
+        disgenetVda(s, d), humsavar(s, d), kegg(s, d),
+        diseasesKnowledge(s, d, salts)),
       Seq("gene", "disease"),
       pipeCols = Set("source", "refs"))
       .select(col("gene"), col("disease"), col("source"), col("refs"),

@@ -61,9 +61,15 @@ object Sinks {
     * (record, key, value) rows: a line starting with an upper-case keyword
     * opens a section; indented lines continue it (kegg_local.py:211-274
     * semantics, re-expressed as explode + a running section key). */
-  def flatRecordFields(records: DataFrame): DataFrame = {
+  def flatRecordFields(records: DataFrame): DataFrame =
+    flatRecordFieldsKeyed(
+      records.withColumn("rec_id", monotonically_increasing_id()))
+
+  /** Same parse with a caller-supplied stable `rec_id` column — the
+    * oracle-checkable form (monotonically_increasing_id depends on
+    * physical partitioning, so the keyless overload is unit-test-only). */
+  def flatRecordFieldsKeyed(records: DataFrame): DataFrame = {
     val lines = records
-      .withColumn("rec_id", monotonically_increasing_id())
       .select(col("rec_id"), col("record"),
         posexplode(split(col("record"), "\n")).as(Seq("line_no", "line")))
       .filter(trim(col("line")) =!= "")

@@ -30,6 +30,48 @@ class ScaleSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("salted gda source spreads a planted hot key and equals direct") {
+    // planted skew: one (gene, disease) pair carries 50k refs
+    val hot = spark.range(50000)
+      .select(lit(1L).as("gene"), lit("mondo:hot").as("disease"),
+        concat(lit("ref:"), $"id").as("__ref"))
+    val cold = spark.range(1000)
+      .select(($"id" % 50).as("gene"),
+        concat(lit("mondo:"), ($"id" % 20)).as("disease"),
+        concat(lit("ref:"), $"id").as("__ref"))
+    val df = hot.unionByName(cold)
+    // the partial phase really spreads the hot key over many reducers
+    val saltSpread = df
+      .withColumn("__salt",
+        pmod(spark_partition_id() + monotonically_increasing_id(), lit(16)))
+      .filter($"disease" === "mondo:hot")
+      .select(countDistinct($"__salt")).head().getLong(0)
+    assert(saltSpread > 8, s"hot key only hit $saltSpread salt buckets")
+    // and the merged result is identical to the direct aggregation
+    val direct = df.groupBy($"gene", $"disease")
+      .agg(count(lit(1)).as("knowledge_conf"),
+        graft.ops.Kernels.setJoinAgg($"__ref").as("refs"))
+      .as[(Long, String, Long, String)].collect().toSet
+    val salted = Scale.saltedAgg(df, Seq("gene", "disease"), 16,
+      Seq((count(lit(1)), "knowledge_conf"),
+        (collect_set($"__ref"), "__refs_part")),
+      {
+        case "knowledge_conf" => sum($"knowledge_conf")
+        case n => array_sort(array_distinct(flatten(collect_list(col(n)))))
+      })
+      .withColumn("refs", concat_ws("|", $"__refs_part")).drop("__refs_part")
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(salted === direct)
+  }
+
+  test("gda chain with the salted source equals the direct chain") {
+    import graft.pipelines.GeneDiseasePipeline
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("")).sorted.toSeq
+    assert(key(GeneDiseasePipeline.merged(spark, sf, salts = 8)) ===
+      key(GeneDiseasePipeline.merged(spark, sf)))
+  }
+
   test("bucketed tables join with no shuffle exchange") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey", "l_quantity")
     val sup = Tables.supplier(spark, sf).select("s_suppkey", "s_acctbal")
