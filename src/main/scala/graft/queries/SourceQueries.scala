@@ -59,5 +59,43 @@ object SourceQueries {
       .select(col("n_nationkey").cast("long").as("n_nationkey"), col("props"))
   }
 
-  val all: Seq[Q] = Seq(s12FlatRecords, s3CsvRoundtrip)
+  /** F1/F2/F3 scalar cleanup functions, driver-checked: comma-number parse
+    * round trip (format_number → commaLong inverts it), xref-list cleanup
+    * (empty segments dropped), versioned-id base strip. */
+  val fCleanupPack = Q(
+    "f_cleanup_pack",
+    """SELECT s_suppkey,
+      |  CAST(s_suppkey AS BIGINT) AS parsed_key,
+      |  s_name || '|' || s_nationkey AS xrefs,
+      |  'X' || s_suppkey AS base_id
+      |FROM supplier""".stripMargin) { (s, d) =>
+    import graft.core.ColFns
+    Tables.supplier(s, d).select(
+      col("s_suppkey"),
+      ColFns.commaLong(format_number(col("s_suppkey"), 0)).as("parsed_key"),
+      concat_ws("|", ColFns.stripXrefs(
+        concat(col("s_name"), lit(";;"), col("s_nationkey"), lit(";"))))
+        .as("xrefs"),
+      ColFns.idBase(concat(lit("X"), col("s_suppkey"), lit("."),
+        col("s_nationkey"))).as("base_id"))
+  }
+
+  /** P10 config-driven projection, driver-checked: conform against a
+    * registry label with a selected-but-absent prop — the cast and the
+    * typed null-fill are visible in the output schema. */
+  val p10Conform = Q(
+    "p10_conform",
+    """SELECT 'mm:' || s_suppkey AS id, 'molecular_mixture' AS label,
+      |  s_name AS type, CAST(s_acctbal AS DOUBLE) AS full_mwt,
+      |  CAST(NULL AS DOUBLE) AS qed_score
+      |FROM supplier""".stripMargin) { (s, d) =>
+    val df = Tables.supplier(s, d).select(
+      concat(lit("mm:"), col("s_suppkey")).as("id"),
+      lit("molecular_mixture").as("label"),
+      col("s_name").as("type"), col("s_acctbal").as("full_mwt"))
+    graft.core.SchemaRegistry.conformNodes(df, "molecular_mixture",
+      selected = Set("type", "full_mwt", "qed_score"))
+  }
+
+  val all: Seq[Q] = Seq(s12FlatRecords, s3CsvRoundtrip, fCleanupPack, p10Conform)
 }

@@ -6,6 +6,24 @@ import graft.SparkSpec
 class SchemaRegistrySpec extends SparkSpec {
   import spark.implicits._
 
+  test("registry breadth mirrors the reference catalogue") {
+    // schema_config.yaml declares 12 node types and 33 label_as_edge names
+    // (some shared across association types); the registry carries all of
+    // them plus the engine's own emit shapes
+    assert(SchemaRegistry.nodes.size >= 14,
+      s"node catalogue thin: ${SchemaRegistry.nodes.size}")
+    assert(SchemaRegistry.edges.size >= 36,
+      s"edge catalogue thin: ${SchemaRegistry.edges.size}")
+    // spot-check reference shapes survived the translation
+    assert(SchemaRegistry.edges("gene_is_related_to_disease")
+      .props.toMap.apply("review_status") === SchemaRegistry.PInt)
+    assert(SchemaRegistry.nodes("small_molecule").props.size === 19)
+    // every schema compiles to a valid struct
+    (SchemaRegistry.nodes.values.map(_.struct(SchemaRegistry.nodeKey)) ++
+      SchemaRegistry.edges.values.map(_.struct(SchemaRegistry.edgeKey)))
+      .foreach(st => assert(st.fieldNames.nonEmpty))
+  }
+
   test("label schemas compile to StructTypes with key columns") {
     val st = SchemaRegistry.nodes("protein").struct(SchemaRegistry.nodeKey)
     assert(st.fieldNames.take(2) === Array("id", "label"))
