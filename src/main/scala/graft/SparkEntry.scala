@@ -14,7 +14,8 @@ object SparkEntry {
   /** All registered queries, in registry order. */
   def registry: Seq[Q] =
     CoreQueries.all ++ PipelineQueries.all ++ IntegrationQueries.all ++
-      RegulationQueries.all ++ GraphQueries.all ++ TextQueries.all ++
+      RegulationQueries.all ++ NodeBuilderQueries.all ++
+      GraphQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimQueries.all ++ SourceQueries.all ++
       EventQueries.all
 

@@ -1,0 +1,110 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Kernels
+
+/** Drug→side-effect integration — the Spark re-expression of the
+  * reference's side_effect module (node_data/side_effect.py:
+  * merge_drug_side_effect_data :258-280): three sources keyed
+  * (drugbank_id, meddra_id), each deduped first-seen per key
+  * (drop_duplicates :201,224), then two chained outer merges with the
+  * pipe-merged source column.
+  *
+  *  - ADReCS (:~130): ids resolve through a broadcast dict chain before
+  *    the key dedup;
+  *  - SIDER (:181-200): drug ids resolve through a TWO-step dict chain
+  *    (cid → name → drugbank id), frequency kept as a string;
+  *  - OffSides (:210-232): rxcui → drugbank broadcast dict, meddra ids
+  *    admitted only when numeric (`isnumeric`), proportional reporting
+  *    ratio rounded to 3 dp (:221).
+  *
+  * Analog mapping: drug ≈ part, side effect ≈ customer (via orders), the
+  * three sources are order-status slices; the dicts are part-derived
+  * broadcast dimensions. Scale: three aggregates + two outer joins on the
+  * same key — exchange-reused like every other merge chain; all mapping
+  * joins broadcast.
+  */
+object SideEffectPipeline {
+
+  private def base(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"), col("o_custkey"), col("o_orderstatus"),
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+
+  /** badd/rxcui → drugbank broadcast dimension (a part-derived dict). */
+  private def drugbankMap(s: SparkSession, d: String, minPrice: Double): DataFrame =
+    Tables.part(s, d).filter(col("p_retailprice") > minPrice)
+      .select(col("p_partkey").as("from_id"),
+        concat(lit("drugbank:DB"), col("p_partkey")).as("drugbank_id"))
+
+  private def keepFirst(df: DataFrame, extraOrder: Seq[org.apache.spark.sql.Column]) =
+    Kernels.keepBestPerKey(df, Seq("drugbank_id", "meddra_id"),
+      Seq(col("l_orderkey").asc, col("l_linenumber").asc) ++ extraOrder)
+
+  /** ADReCS analog: dict-resolved ids, key dedup, no props. */
+  private[pipelines] def adrecs(s: SparkSession, d: String): DataFrame =
+    keepFirst(
+      base(s, d).filter(col("o_orderstatus") === "F")
+        .join(broadcast(drugbankMap(s, d, 0)), col("l_partkey") === col("from_id"))
+        .withColumn("meddra_id", col("o_custkey").cast("string")),
+      Nil)
+      .select(col("drugbank_id"), col("meddra_id"), lit("ADReCS").as("source"))
+
+  /** SIDER analog: two-step dict chain (key → name → drugbank id),
+    * frequency bucket string. */
+  private[pipelines] def sider(s: SparkSession, d: String): DataFrame = {
+    // p_name alone is NOT unique in the testdata (64 distinct names) — a
+    // name-keyed dict would fan out; disambiguate the way the reference's
+    // drug-name dicts are implicitly unique-keyed
+    val uname = concat(col("p_name"), lit("#"), col("p_partkey"))
+    val keyToName = Tables.part(s, d)
+      .select(col("p_partkey").as("k"), uname.as("nm"))
+    val nameToDb = Tables.part(s, d)
+      .select(uname.as("nm"),
+        concat(lit("drugbank:DB"), col("p_partkey")).as("drugbank_id"))
+    val freq = floor(col("l_quantity")).cast("long") % 4
+    keepFirst(
+      base(s, d).filter(col("o_orderstatus") === "O")
+        .join(broadcast(keyToName), col("l_partkey") === col("k"))
+        .join(broadcast(nameToDb), Seq("nm"))
+        .withColumn("meddra_id", col("o_custkey").cast("string"))
+        .withColumn("frequency",
+          when(freq === 0, "rare").when(freq === 1, "infrequent")
+            .when(freq === 2, "frequent").otherwise("postmarketing")),
+      Seq(col("frequency").asc))
+      .select(col("drugbank_id"), col("meddra_id"), col("frequency"),
+        lit("Sider").as("source"))
+  }
+
+  /** OffSides analog: rxcui dict, numeric-meddra admission (the
+    * reference's `isnumeric`), PRR rounded 3 dp. */
+  private[pipelines] def offsides(s: SparkSession, d: String): DataFrame = {
+    // every 7th id arrives in a prefixed non-numeric shape and must drop
+    val meddraRaw = when(col("o_custkey") % 7 === 0,
+      concat(lit("M"), col("o_custkey"))).otherwise(col("o_custkey").cast("string"))
+    keepFirst(
+      base(s, d).filter(col("o_orderstatus") === "P")
+        .join(broadcast(drugbankMap(s, d, 1200)), col("l_partkey") === col("from_id"))
+        .withColumn("meddra_id", meddraRaw)
+        .filter(col("meddra_id").rlike("^[0-9]+$"))
+        .withColumn("proportional_reporting_ratio",
+          round(col("l_extendedprice") / 1000.0, 3)),
+      Seq(col("proportional_reporting_ratio").asc))
+      .select(col("drugbank_id"), col("meddra_id"),
+        col("proportional_reporting_ratio"), lit("OffSides").as("source"))
+  }
+
+  /** merge_drug_side_effect_data: (adrecs ⟗ sider) ⟗ offsides, source
+    * pipe-merged, value columns coalesced. */
+  def merged(s: SparkSession, d: String): DataFrame =
+    Kernels.outerMergeChain(
+      Seq(adrecs(s, d), sider(s, d), offsides(s, d)),
+      Seq("drugbank_id", "meddra_id"),
+      pipeCols = Set("source"))
+      .select(col("drugbank_id"), col("meddra_id"), col("source"),
+        col("frequency"), col("proportional_reporting_ratio"))
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.Q
+import graft.pipelines.{EcPipeline, PhenotypePipeline, SideEffectPipeline}
+
+/** side_effect / phenotype / ec module analogs, oracle-checked. */
+object NodeBuilderQueries {
+
+  private def mergePipesSql(x: String, y: String): String =
+    s"""NULLIF(array_to_string(list_sort(list_distinct(flatten([
+       |    COALESCE(string_split($x, '|'), []),
+       |    COALESCE(string_split($y, '|'), [])]))), '|'), '')""".stripMargin
+
+  val sideEffects = Q(
+    "side_effects",
+    s"""WITH b AS (SELECT l_partkey, o_custkey, o_orderstatus, l_orderkey,
+       |    l_linenumber, l_quantity, l_extendedprice
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |ad AS (SELECT drugbank_id, meddra_id, 'ADReCS' AS source FROM (
+       |  SELECT 'drugbank:DB' || l_partkey AS drugbank_id,
+       |    CAST(o_custkey AS VARCHAR) AS meddra_id,
+       |    row_number() OVER (PARTITION BY l_partkey, o_custkey
+       |      ORDER BY l_orderkey, l_linenumber) AS rn
+       |  FROM b JOIN part ON l_partkey = p_partkey AND p_retailprice > 0
+       |  WHERE o_orderstatus = 'F') WHERE rn = 1),
+       |sd AS (SELECT drugbank_id, meddra_id, frequency, 'Sider' AS source FROM (
+       |  SELECT 'drugbank:DB' || l_partkey AS drugbank_id,
+       |    CAST(o_custkey AS VARCHAR) AS meddra_id,
+       |    CASE CAST(floor(l_quantity) AS BIGINT) % 4
+       |      WHEN 0 THEN 'rare' WHEN 1 THEN 'infrequent'
+       |      WHEN 2 THEN 'frequent' ELSE 'postmarketing' END AS frequency,
+       |    row_number() OVER (PARTITION BY l_partkey, o_custkey
+       |      ORDER BY l_orderkey, l_linenumber,
+       |        CASE CAST(floor(l_quantity) AS BIGINT) % 4
+       |          WHEN 0 THEN 'rare' WHEN 1 THEN 'infrequent'
+       |          WHEN 2 THEN 'frequent' ELSE 'postmarketing' END) AS rn
+       |  FROM b JOIN part ON l_partkey = p_partkey
+       |  WHERE o_orderstatus = 'O') WHERE rn = 1),
+       |os AS (SELECT drugbank_id, meddra_id, proportional_reporting_ratio,
+       |    'OffSides' AS source FROM (
+       |  SELECT 'drugbank:DB' || l_partkey AS drugbank_id,
+       |    CASE WHEN o_custkey % 7 = 0 THEN 'M' || o_custkey
+       |         ELSE CAST(o_custkey AS VARCHAR) END AS meddra_id,
+       |    round(l_extendedprice / 1000.0, 3) AS proportional_reporting_ratio,
+       |    row_number() OVER (PARTITION BY l_partkey,
+       |      CASE WHEN o_custkey % 7 = 0 THEN 'M' || o_custkey
+       |           ELSE CAST(o_custkey AS VARCHAR) END
+       |      ORDER BY l_orderkey, l_linenumber,
+       |        round(l_extendedprice / 1000.0, 3)) AS rn
+       |  FROM b JOIN part ON l_partkey = p_partkey AND p_retailprice > 1200
+       |  WHERE o_orderstatus = 'P'
+       |    AND regexp_matches(CASE WHEN o_custkey % 7 = 0 THEN 'M' || o_custkey
+       |      ELSE CAST(o_custkey AS VARCHAR) END, '^[0-9]+$$')) WHERE rn = 1),
+       |m1 AS (SELECT COALESCE(a.drugbank_id, s.drugbank_id) AS drugbank_id,
+       |    COALESCE(a.meddra_id, s.meddra_id) AS meddra_id,
+       |    ${mergePipesSql("a.source", "s.source")} AS source, s.frequency
+       |  FROM ad a FULL OUTER JOIN sd s
+       |    ON a.drugbank_id = s.drugbank_id AND a.meddra_id = s.meddra_id)
+       |SELECT COALESCE(m.drugbank_id, o.drugbank_id) AS drugbank_id,
+       |  COALESCE(m.meddra_id, o.meddra_id) AS meddra_id,
+       |  ${mergePipesSql("m.source", "o.source")} AS source,
+       |  m.frequency, o.proportional_reporting_ratio
+       |FROM m1 m FULL OUTER JOIN os o
+       |  ON m.drugbank_id = o.drugbank_id AND m.meddra_id = o.meddra_id"""
+      .stripMargin) { (s, d) =>
+    SideEffectPipeline.merged(s, d)
+  }
+
+  val ecNodes = Q(
+    "ec_nodes",
+    """WITH p AS (SELECT p_partkey, p_type, p_name,
+      |    CAST(p_partkey % 6 + 1 AS VARCHAR) AS l1 FROM part),
+      |p2 AS (SELECT *, l1 || '.' || (p_partkey % 8 + 1) AS l2 FROM p),
+      |p3 AS (SELECT *, l2 || '.' || (p_partkey % 5 + 1) AS l3 FROM p2),
+      |p4 AS (SELECT *, l3 || '.' || (p_partkey % 97 + 1) AS l4 FROM p3)
+      |SELECT 'eccode:' || l1 AS id, 'ec_number' AS label,
+      |  translate(min(p_type), '|''', ',^') AS name FROM p4 GROUP BY l1
+      |UNION ALL
+      |SELECT 'eccode:' || l2, 'ec_number',
+      |  translate(min(p_type), '|''', ',^') FROM p4 GROUP BY l2
+      |UNION ALL
+      |SELECT 'eccode:' || l3, 'ec_number',
+      |  translate(min(p_type), '|''', ',^') FROM p4 GROUP BY l3
+      |UNION ALL
+      |SELECT 'eccode:' || l4, 'ec_number',
+      |  replace(translate(min(p_name), '|''', ',^'), '.', '') FROM p4
+      |GROUP BY l4""".stripMargin) { (s, d) =>
+    EcPipeline.nodes(s, d)
+  }
+
+  val ecEdges = Q(
+    "ec_edges",
+    """WITH p AS (SELECT p_partkey,
+      |    CAST(p_partkey % 6 + 1 AS VARCHAR) AS l1 FROM part),
+      |p2 AS (SELECT *, l1 || '.' || (p_partkey % 8 + 1) AS l2 FROM p),
+      |p3 AS (SELECT *, l2 || '.' || (p_partkey % 5 + 1) AS l3 FROM p2),
+      |p4 AS (SELECT *, l3 || '.' || (p_partkey % 97 + 1) AS l4 FROM p3)
+      |SELECT src, dst, 'ec_number_is_a_ec_number' AS label FROM (
+      |  SELECT DISTINCT 'eccode:' || l4 AS src, 'eccode:' || l3 AS dst FROM p4
+      |  UNION ALL
+      |  SELECT DISTINCT 'eccode:' || l3, 'eccode:' || l2 FROM p4
+      |  UNION ALL
+      |  SELECT DISTINCT 'eccode:' || l2, 'eccode:' || l1 FROM p4)"""
+      .stripMargin) { (s, d) =>
+    EcPipeline.edges(s, d)
+  }
+
+  val phenotypeEdges = Q(
+    "phenotype_edges",
+    """WITH b AS (SELECT l_suppkey, o_custkey, o_orderstatus, l_returnflag,
+      |    o_orderkey, o_orderpriority
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT DISTINCT 'uniprot:' || l_suppkey AS src, 'hp:' || o_custkey AS dst,
+      |  'protein_is_associated_with_phenotype' AS label,
+      |  CAST(NULL AS VARCHAR) AS evidence, CAST(NULL AS VARCHAR) AS pubmed_ids
+      |FROM b WHERE o_orderstatus = 'F' AND l_returnflag = 'N'
+      |UNION ALL
+      |SELECT DISTINCT 'hp:' || c_custkey, 'hp:' || (c_custkey // 10),
+      |  'phenotype_is_a_phenotype', NULL, NULL
+      |FROM customer WHERE c_custkey >= 10
+      |UNION ALL
+      |SELECT 'hp:' || o_custkey, 'mondo:' || c_nationkey,
+      |  'phenotype_is_associated_with_disease', min(o_orderpriority),
+      |  string_agg(DISTINCT 'pmid:' || o_orderkey, '|'
+      |    ORDER BY 'pmid:' || o_orderkey)
+      |FROM b JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderstatus = 'P'
+      |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    PhenotypePipeline.edges(s, d)
+  }
+
+  val all: Seq[Q] = Seq(sideEffects, ecNodes, ecEdges, phenotypeEdges)
+}

@@ -66,6 +66,41 @@ class PipelinesSpec extends SparkSpec {
     got.foreach(r => assert(r.get(0) === r.get(1), r.toString))
   }
 
+  test("SideEffectPipeline: non-numeric meddra ids drop, sources pipe-merge") {
+    val m = SideEffectPipeline.merged(spark, sf).cache()
+    assert(m.count() > 0)
+    // every key is unique after the per-source dedup + merge
+    assert(m.groupBy($"drugbank_id", $"meddra_id").count()
+      .filter($"count" > 1).count() === 0)
+    // the isnumeric admission did its job: no 'M'-prefixed ids anywhere
+    assert(m.filter($"meddra_id".startsWith("M")).count() === 0)
+    assert(m.filter($"source".contains("|")).count() > 0)
+    m.unpersist()
+  }
+
+  test("EcPipeline: four node levels, child-parent edges per level") {
+    val n = EcPipeline.nodes(spark, sf).cache()
+    val dots = n.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.split($"id", "\\.")).as("parts"))
+      .distinct().as[Int].collect().toSet
+    assert(dots === Set(1, 2, 3, 4))
+    val e = EcPipeline.edges(spark, sf)
+    // every child edge strips exactly one dotted component
+    assert(e.filter(!org.apache.spark.sql.functions
+      .expr("src LIKE dst || '.%'")).count() === 0)
+    n.unpersist()
+  }
+
+  test("PhenotypePipeline: three edge types, hierarchy is a 10-ary tree") {
+    val e = PhenotypePipeline.edges(spark, sf).cache()
+    val labels = e.select($"label").distinct().as[String].collect().toSet
+    assert(labels === Set("protein_is_associated_with_phenotype",
+      "phenotype_is_a_phenotype", "phenotype_is_associated_with_disease"))
+    assert(e.filter($"label" === "phenotype_is_associated_with_disease")
+      .filter($"pubmed_ids".isNull).count() === 0)
+    e.unpersist()
+  }
+
   test("PathwayPipeline: ortho pairs are directed both ways, cross-organism") {
     val p = PathwayPipeline.orthologyPairs(spark, sf).cache()
     val rows = p.as[(String, String, String)].collect()
