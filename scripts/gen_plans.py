@@ -1,0 +1,41 @@
+#!/usr/bin/env python3
+"""Regenerate PLANS.md from `graft.Explain` output.
+
+Usage:
+  sbt -batch "runMain graft.Explain /root/testdata/sf0.01" 2>/dev/null > /tmp/plans.txt
+  python3 scripts/gen_plans.py /tmp/plans.txt > PLANS.md
+"""
+import re
+import sys
+
+txt = open(sys.argv[1]).read()
+blocks = re.split(r"=+ (\S+) =+", txt)[1:]
+pairs = list(zip(blocks[::2], blocks[1::2]))
+
+print("""# PLANS — physical-plan audit (auto-generated via `graft.Explain`, sf0.01)
+
+Per query: parquet scans, scans with non-empty PushedFilters, join
+strategies (broadcast-hash / sort-merge / broadcast-nested-loop), shuffle
+exchanges, windows, and WindowGroupLimit rank-pushdowns. Regenerate:
+`sbt -batch "runMain graft.Explain /root/testdata/sf0.01" 2>/dev/null \\
+  > /tmp/plans.txt && python3 scripts/gen_plans.py /tmp/plans.txt > PLANS.md`.
+GraphX/mapPartitions stages (graph analytics, media decode) show as scans
++ exchanges only.
+
+| query | scans | pushed | BHJ | SMJ | BNLJ | exchange | window | rank-pushdown |
+|---|---|---|---|---|---|---|---|---|""")
+for name, plan in sorted(pairs):
+    # formatted explain prints each node twice (tree line + "(N) Node"
+    # detail header) — count only the numbered detail headers
+    def n(node):
+        return len(re.findall(r"\(\d+\) " + node, plan))
+    scans = n("Scan parquet")
+    pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+    bhj = n("BroadcastHashJoin")
+    smj = n("SortMergeJoin")
+    bnlj = n("BroadcastNestedLoopJoin")
+    exch = n("Exchange")
+    win = n("Window\\b")
+    wgl = n("WindowGroupLimit")
+    print(f"| {name} | {scans} | {pushed} | {bhj} | {smj} | {bnlj} "
+          f"| {exch} | {win} | {wgl} |")
