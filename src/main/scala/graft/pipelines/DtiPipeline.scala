@@ -90,4 +90,39 @@ object DtiPipeline {
       .select(col("drug"), col("target"), col("source"), col("refs"),
         col("db_score"), col("pchembl"), col("kegg_evidence"),
         col("stitch_score"), col("pharos_n"))
+
+  /** Single-pass form of [[merged]] — same trick as
+    * GeneDiseasePipeline.mergedSinglePass: the five sources are disjoint
+    * lineitem slices (returnflag × linestatus × ship-date cover the whole
+    * domain), so the 5-scan/4-outer-join chain collapses to ONE scan and
+    * ONE conditional aggregation with identical output. Registered under
+    * the chain's own oracle SQL, so the driver enforces bit-equality. */
+  def mergedSinglePass(s: SparkSession, d: String): DataFrame = {
+    val li = slice(s, d)
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    val s1 = col("l_returnflag") === "N" && col("l_linestatus") === "O"
+    val s2 = col("l_returnflag") === "N" && col("l_linestatus") === "F"
+    val s3 = col("l_returnflag") === "A"
+    val s4 = col("l_returnflag") === "R" && col("l_shipdate") < cut
+    val s5 = col("l_returnflag") === "R" && col("l_shipdate") >= cut
+    def cnt(p: org.apache.spark.sql.Column) = count(when(p, lit(1)))
+    li.groupBy(col("drug"), col("target"))
+      .agg(
+        sum(when(s1, col("l_quantity")).cast("decimal(18,4)")).cast("double")
+          .as("db_score"),
+        Kernels.median3(when(s2, col("l_extendedprice"))).as("pchembl"),
+        when(cnt(s3) > 0, Kernels.setJoinAgg(when(s3, col("l_linestatus"))))
+          .as("kegg_evidence"),
+        max(when(s4, floor(lit(1000) * (lit(1) - col("l_discount"))).cast("long")))
+          .as("stitch_score"),
+        when(cnt(s5) > 0, cnt(s5)).as("pharos_n"),
+        Kernels.setJoinAgg(concat(lit("ref:"), col("l_orderkey"))).as("refs"),
+        concat_ws("|",
+          when(cnt(s2) > 0, "chembl"), when(cnt(s1) > 0, "drugbank"),
+          when(cnt(s3) > 0, "kegg"), when(cnt(s5) > 0, "pharos"),
+          when(cnt(s4) > 0, "stitch")).as("source"))
+      .select(col("drug"), col("target"), col("source"), col("refs"),
+        col("db_score"), col("pchembl"), col("kegg_evidence"),
+        col("stitch_score"), col("pharos_n"))
+  }
 }

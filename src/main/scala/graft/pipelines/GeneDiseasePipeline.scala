@@ -118,6 +118,58 @@ object GeneDiseasePipeline {
     agg.withColumn("source", lit("diseases_knowledge"))
   }
 
+  /** Single-pass form of [[merged]] — the 100 TB plan. The 7-chain form
+    * scans lineitem⋈orders once PER SOURCE (7 scans, 6 outer joins, ~14
+    * exchanges): faithful to the reference's merge structure, but at scale
+    * that is 7× the fact-table IO for slices that are disjoint by
+    * construction (every row falls in exactly one priority slice, and the
+    * OpenTargets name-mapping chain resolves to the identity on this
+    * data). This variant computes the identical result as ONE conditional
+    * aggregation over ONE scan: per-source measures become `when(slice,
+    * …)` aggregates (null-ignoring, so each aggregates exactly its slice),
+    * source/refs pipe-merges become presence-guarded concat / one global
+    * set-union. Bit-equality with the chain (and with the chain's DuckDB
+    * oracle) is enforced by registering it under the SAME oracle SQL.
+    */
+  def mergedSinglePass(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d)
+    val p1 = col("prio") === "1-URGENT"
+    val p2 = col("prio") === "2-HIGH"
+    val p3 = col("prio") === "3-MEDIUM" && col("l_returnflag") === "N"
+    val p4 = col("prio") === "3-MEDIUM" && col("l_returnflag") =!= "N"
+    val p5 = col("prio") === "4-NOT SPECIFIED"
+    val p6 = col("prio") === "5-LOW" && col("l_linestatus") === "F"
+    val p7 = col("prio") === "5-LOW" && col("l_linestatus") =!= "F"
+    val ref = concat(lit("ref:"), col("l_orderkey"))
+    def cnt(p: org.apache.spark.sql.Column) = count(when(p, lit(1)))
+    // clinvar's effect fold / humsavar's conflict fold over their slices
+    val clinSet = array_sort(collect_set(when(p2, col("o_orderstatus"))))
+    val varSet = collect_set(when(p5, col("l_returnflag")))
+    b.groupBy(col("gene"), disease(col("o_custkey")).as("disease"))
+      .agg(
+        max(when(p1, col("o_totalprice"))).as("ot_score"),
+        when(size(clinSet) === 1, element_at(clinSet, 1))
+          .when(size(clinSet) === 2 && element_at(clinSet, 2) === "P",
+            element_at(clinSet, 1)).as("clin_sig"),
+        Kernels.median3(when(p3, col("l_extendedprice"))).as("gda_score"),
+        when(cnt(p4) > 0,
+          Kernels.setJoinAgg(when(p4, concat(lit("rs"), col("l_orderkey")))))
+          .as("variants"),
+        when(size(varSet) === 1, element_at(varSet, 1)).as("variant_category"),
+        when(cnt(p6) > 0, Kernels.setJoinAgg(when(p6, col("l_linestatus"))))
+          .as("kegg_evidence"),
+        when(cnt(p7) > 0, cnt(p7)).as("knowledge_conf"),
+        Kernels.setJoinAgg(ref).as("refs"),
+        concat_ws("|",
+          when(cnt(p2) > 0, "clinvar"), when(cnt(p7) > 0, "diseases_knowledge"),
+          when(cnt(p3) > 0, "disgenet_gda"), when(cnt(p4) > 0, "disgenet_vda"),
+          when(cnt(p5) > 0, "humsavar"), when(cnt(p6) > 0, "kegg"),
+          when(cnt(p1) > 0, "opentargets")).as("source"))
+      .select(col("gene"), col("disease"), col("source"), col("refs"),
+        col("ot_score"), col("clin_sig"), col("gda_score"), col("variants"),
+        col("variant_category"), col("kegg_evidence"), col("knowledge_conf"))
+  }
+
   /** The 7-chain merge (disease.py:1225-1291). `salts` forwards to the
     * skew-prone aggregation (see [[diseasesKnowledge]]). */
   def merged(s: SparkSession, d: String, salts: Int = 0): DataFrame =

@@ -169,6 +169,18 @@ object IntegrationQueries {
     (s, d) => graft.pipelines.GeneDiseasePipeline.merged(s, d)
   }
 
+  /** Single-pass form of the 7-way merge (ONE fact scan + ONE shuffle vs
+    * 7 scans + 6 outer joins) registered under the SAME oracle SQL — the
+    * driver's hash compare enforces bit-equality of the two plans. */
+  val gdaMergedFast = Q("gda_merged_fast", gdaMerged.oracle.get) {
+    (s, d) => graft.pipelines.GeneDiseasePipeline.mergedSinglePass(s, d)
+  }
+
+  /** Single-pass form of the DTI 5-way merge, same-oracle bit-equality. */
+  val dtiMergedFast = Q("dti_merged_fast", dtiMerged.oracle.get) {
+    (s, d) => DtiPipeline.mergedSinglePass(s, d)
+  }
+
   /** Orthology pairs (orthology.py analog): name-keyed pair resolution,
     * 3-dp score rounding, undirected dedup preserving winner orientation. */
   val orthoPairs = Q(
@@ -199,5 +211,6 @@ object IntegrationQueries {
       get_json_object(col("props"), "$.k").cast("int").as("k"))
   }
 
-  val all: Seq[Q] = Seq(ctiInteractions, dtiMerged, gdaMerged, orthoPairs, evJsonExtract)
+  val all: Seq[Q] = Seq(ctiInteractions, dtiMerged, dtiMergedFast,
+    gdaMerged, gdaMergedFast, orthoPairs, evJsonExtract)
 }

@@ -39,6 +39,15 @@ class PipelinesSpec extends SparkSpec {
     assert(m.count() > 0)
   }
 
+  test("single-pass merges are bit-identical to the reference-shaped chains") {
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("")).sorted.toSeq
+    assert(key(DtiPipeline.mergedSinglePass(spark, sf)) ===
+      key(DtiPipeline.merged(spark, sf)))
+    assert(key(GeneDiseasePipeline.mergedSinglePass(spark, sf)) ===
+      key(GeneDiseasePipeline.merged(spark, sf)))
+  }
+
   test("TfGenPipeline.merged: no conflicting effects survive, sources merge") {
     val m = TfGenPipeline.merged(spark, sf).cache()
     assert(m.count() > 0)
