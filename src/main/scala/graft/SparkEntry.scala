@@ -17,7 +17,7 @@ object SparkEntry {
       RegulationQueries.all ++ NodeBuilderQueries.all ++
       GraphQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimQueries.all ++ SourceQueries.all ++
-      EventQueries.all
+      TrainPrepQueries.all ++ EventQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full PPI-analog integration pipeline (SURVEY §7.1 step 3). */

@@ -1,0 +1,62 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-corpus preparation operators beyond dedup/quality: the steps a
+  * large-scale LLM data pipeline runs between "cleaned documents" and
+  * "training shards".
+  *
+  *  - [[hashSplit]] — deterministic train/val/test assignment by content-
+  *    independent hash of the document id: stable under re-runs, re-
+  *    partitioning and corpus growth (a doc never migrates between
+  *    splits), the property random sampling lacks;
+  *  - [[sequentialPack]] — token-budget bin assignment: documents are
+  *    packed into consecutive context-window bins in a deterministic key
+  *    order via a running token total. One window per ordering key — at
+  *    scale, partition the corpus (e.g. by shard) and pack per shard so
+  *    the window never sees unbounded groups;
+  *  - [[scrubPii]] — email/phone scrubbing with per-document hit counts
+  *    (regexp-based, engine-portable patterns).
+  */
+object TrainPrep {
+
+  /** Deterministic split by md5-derived hash bucket (per-mille).
+    * Thresholds: test < `testPerMille` ≤ val < `valPerMille`+`testPerMille`
+    * ≤ train. */
+  def hashSplit(
+      docs: DataFrame, idCol: String,
+      testPerMille: Int = 50, valPerMille: Int = 50): Column = {
+    val bucket = TextFns.portableHash(col(idCol).cast("string"), lit("split")) % 1000
+    when(bucket < testPerMille, "test")
+      .when(bucket < testPerMille + valPerMille, "val")
+      .otherwise("train")
+  }
+
+  /** Pack documents into consecutive token-budget bins: bin i holds the
+    * documents whose RUNNING token total (in `orderCol` order) falls in
+    * (i·budget, (i+1)·budget]. Deterministic given the order column. */
+  def sequentialPack(
+      docs: DataFrame, orderCol: String, tokenCountCol: Column,
+      budget: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .withColumn("n_tokens", tokenCountCol)
+      .withColumn("running", sum(col("n_tokens")).over(w))
+      .withColumn("bin", floor((col("running") - 1) / budget).cast("long"))
+  }
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b[0-9]{2,3}-[0-9]{3,4}-[0-9]{3,4}\\b"
+
+  /** Scrub emails and phone-shaped numbers, counting hits per document. */
+  def scrubPii(text: Column): (Column, Column, Column) = {
+    val emails = size(regexp_extract_all(text, lit(EmailRe), lit(0)))
+    val phones = size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
+    val scrubbed = regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+    (scrubbed, emails.cast("long"), phones.cast("long"))
+  }
+}
