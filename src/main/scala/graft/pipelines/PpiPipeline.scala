@@ -147,6 +147,74 @@ object PpiPipeline {
       .withColumn("source", lit("string"))
   }
 
+  /** Single-pass form of [[merged]] — the 100 TB plan. The chain runs the
+    * expensive lineitem self-join once PER SOURCE; the three windows are
+    * disjoint ship-date slices, so ONE windowed self-join (same-window
+    * pairs only) plus ONE conditional aggregation produces the identical
+    * result: per-source keep-bests become `min_by` over per-source
+    * ordering structs (the tie chains cover every emitted column, so
+    * `min_by` and the rank-1 window pick identical values), pubmed/source
+    * merges become presence-guarded set-unions. The biogrid symbol round
+    * trip resolves to the reviewed-membership filter (supplier names are
+    * unique — same equivalence the oracle uses). Registered under the
+    * chain's own oracle SQL → driver-enforced bit-equality. */
+  def mergedSinglePass(s: SparkSession, d: String): DataFrame = {
+    val cut95 = lit("1995-01-01 00:00:00").cast("timestamp")
+    val cut97 = lit("1997-01-01 00:00:00").cast("timestamp")
+    val cut98 = lit("1998-01-01 00:00:00").cast("timestamp")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= cut95)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_discount"), col("l_linestatus"),
+        when(col("l_shipdate") < cut97, 1)
+          .when(col("l_shipdate") < cut98, 2).otherwise(3).as("win"))
+    val a = li.toDF("l_orderkey", "sk_a", "ln_a", "disc_a", "ls_a", "win_a")
+    val b = li.toDF("l_orderkey", "sk_b", "ln_b", "disc_b", "ls_b", "win_b")
+    val rev = Tables.supplier(s, d).filter(col("s_acctbal") > 1000)
+      .select(col("s_suppkey"))
+    val pairs = a.join(b, Seq("l_orderkey"))
+      .filter(col("sk_a") < col("sk_b") && col("win_a") === col("win_b"))
+      .withColumnRenamed("win_a", "win")
+      .join(broadcast(rev.select(col("s_suppkey").as("sk_a"),
+        lit(true).as("rev_a"))), Seq("sk_a"), "left")
+      .join(broadcast(rev.select(col("s_suppkey").as("sk_b"),
+        lit(true).as("rev_b"))), Seq("sk_b"), "left")
+      .withColumn("score", (col("disc_a") + col("disc_b")) / 2)
+      .withColumn("cs",
+        floor(lit(1000) * (lit(1) - (col("disc_a") + col("disc_b")) / 2)).cast("long"))
+      // admission: intact/biogrid need both sides reviewed; string needs
+      // the high-confidence threshold (ppi.py:307)
+      .filter((col("win") < 3 && col("rev_a").isNotNull && col("rev_b").isNotNull)
+        || (col("win") === 3 && col("cs") >= 700))
+    val w1 = col("win") === 1
+    val w2 = col("win") === 2
+    val w3 = col("win") === 3
+    val pmid = concat(lit("pmid:"), col("l_orderkey"))
+    val bgMethod = concat(lit("exp:"), col("ls_a"))
+    def cnt(p: org.apache.spark.sql.Column) = count(when(p, lit(1)))
+    pairs
+      .groupBy(ColFns.curie("supp", col("sk_a")).as("a"),
+        ColFns.curie("supp", col("sk_b")).as("b"))
+      .agg(
+        min_by(when(w1, struct(col("score"), col("ls_a"))),
+          when(w1, struct(negate(col("score")), col("l_orderkey"),
+            col("ln_a"), col("ln_b"), col("ls_a")))).as("iwin"),
+        min_by(when(w2, bgMethod),
+          when(w2, struct(col("l_orderkey"), col("ln_a"), col("ln_b"),
+            bgMethod))).as("bmethod"),
+        min_by(when(w3, col("cs")),
+          when(w3, struct(negate(col("cs")), col("l_orderkey"),
+            col("ln_a"), col("ln_b")))).as("scs"),
+        when(cnt(w1 || w2) > 0,
+          Kernels.setJoinAgg(when(w1 || w2, pmid))).as("pubmeds"),
+        concat_ws("|",
+          when(cnt(w2) > 0, "biogrid"), when(cnt(w1) > 0, "intact"),
+          when(cnt(w3) > 0, "string")).as("source"))
+      .select(col("a"), col("b"), col("source"), col("pubmeds"),
+        coalesce(col("iwin.ls_a"), col("bmethod")).as("method"),
+        coalesce(col("iwin.score"), col("scs").cast("double") / 1000).as("score"))
+  }
+
   /** merge_all (ppi.py:382-484): chained full-outer joins on the pair key;
     * source and pubmeds merge as sorted set-unions, method and score
     * coalesce left-first (intact > biogrid, intact-score > string-score). */

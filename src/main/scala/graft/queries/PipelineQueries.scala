@@ -77,6 +77,14 @@ object PipelineQueries {
     (s, d) => PpiPipeline.merged(s, d)
   }
 
+  /** Single-pass form of the flagship (ONE windowed pair self-join + ONE
+    * conditional aggregation vs three self-joins + keep-best windows +
+    * two outer joins), registered under the SAME oracle SQL — the driver
+    * enforces bit-equality of the two plans. */
+  val ppiFlagshipFast = Q("ppi_flagship_fast", ppiFlagship.oracle.get) {
+    (s, d) => PpiPipeline.mergedSinglePass(s, d)
+  }
+
   val ppiEdges = Q(
     "ppi_edges",
     mergeCtes +
@@ -102,5 +110,5 @@ object PipelineQueries {
     (s, d) => PpiPipeline.nodes(s, d)
   }
 
-  val all: Seq[Q] = Seq(ppiFlagship, ppiEdges, ppiNodes)
+  val all: Seq[Q] = Seq(ppiFlagship, ppiFlagshipFast, ppiEdges, ppiNodes)
 }

@@ -46,6 +46,8 @@ class PipelinesSpec extends SparkSpec {
       key(DtiPipeline.merged(spark, sf)))
     assert(key(GeneDiseasePipeline.mergedSinglePass(spark, sf)) ===
       key(GeneDiseasePipeline.merged(spark, sf)))
+    assert(key(PpiPipeline.mergedSinglePass(spark, sf)) ===
+      key(PpiPipeline.merged(spark, sf)))
   }
 
   test("TfGenPipeline.merged: no conflicting effects survive, sources merge") {
