@@ -25,8 +25,13 @@ object SparkEntry {
     PipelineQueries.ppiFlagship.fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val names = registry.map(_.name)
+    require(names.distinct.size == names.size,
+      "duplicate query names: " +
+        names.diff(names.distinct).distinct.mkString(", "))
     registry.map(q => q.name -> q.fn).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
