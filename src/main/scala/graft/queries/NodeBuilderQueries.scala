@@ -129,5 +129,89 @@ object NodeBuilderQueries {
     PhenotypePipeline.edges(s, d)
   }
 
-  val all: Seq[Q] = Seq(sideEffects, ecNodes, ecEdges, phenotypeEdges)
+  private val goAspect =
+    "(CASE t % 3 WHEN 0 THEN 'P' WHEN 1 THEN 'F' ELSE 'C' END)"
+  private def goNodeLabel(a: String) =
+    s"(CASE WHEN $a = 'P' THEN 'biological process' " +
+      s"WHEN $a = 'F' THEN 'molecular function' ELSE 'cellular component' END)"
+  private def goEdgeAspect(a: String) =
+    s"replace(${goNodeLabel(a)}, ' ', '_')"
+
+  val goNodes = Q(
+    "go_nodes",
+    s"""WITH g AS (SELECT p_partkey % 300 AS t,
+       |    replace(translate(min(p_type), '''', '^'), '|', '') AS name
+       |  FROM part GROUP BY 1)
+       |SELECT 'go:' || t AS id, ${goNodeLabel(goAspect)} AS label, name
+       |FROM g""".stripMargin) { (s, d) =>
+    graft.pipelines.GoPipeline.nodes(s, d)
+  }
+
+  val goEdges = Q(
+    "go_edges",
+    s"""WITH pg0 AS (SELECT l_suppkey, l_partkey % 300 AS t, l_orderkey,
+       |    l_linestatus,
+       |    CASE l_returnflag WHEN 'N' THEN 'EXP' WHEN 'A' THEN 'IDA'
+       |      ELSE 'IEA' END AS evidence_code
+       |  FROM lineitem
+       |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 1000)),
+       |pg AS (SELECT DISTINCT 'uniprot:' || l_suppkey AS src, 'go:' || t AS dst,
+       |    'protein_' || (CASE WHEN l_linestatus = 'O' THEN 'enables'
+       |      ELSE 'involved_in' END) || '_' || ${goEdgeAspect(goAspect)} AS label,
+       |    'pmid:' || l_orderkey AS reference, evidence_code
+       |  FROM pg0 WHERE evidence_code <> 'IEA'),
+       |gg0 AS (SELECT DISTINCT p_partkey % 300 AS t,
+       |    (p_partkey % 300) // 10 AS parent,
+       |    CASE WHEN p_partkey % 2 = 0 THEN 'is_a' ELSE 'part_of' END AS rel
+       |  FROM part WHERE p_partkey % 300 <> (p_partkey % 300) // 10),
+       |gg AS (SELECT 'go:' || t AS src, 'go:' || parent AS dst,
+       |    ${goEdgeAspect(goAspect)} || '_' || rel || '_' ||
+       |    ${goEdgeAspect("(CASE parent % 3 WHEN 0 THEN 'P' WHEN 1 THEN 'F' ELSE 'C' END)")} AS label,
+       |    CAST(NULL AS VARCHAR) AS reference, CAST(NULL AS VARCHAR) AS evidence_code
+       |  FROM gg0),
+       |dg AS (SELECT DISTINCT 'interpro:IPR' || (p_partkey % 80) AS src,
+       |    'go:' || t AS dst,
+       |    'protein_domain_' || (CASE WHEN $goAspect = 'P' THEN 'involved_in'
+       |      WHEN $goAspect = 'F' THEN 'enables' ELSE 'located_in' END)
+       |      || '_' || ${goEdgeAspect(goAspect)} AS label,
+       |    CAST(NULL AS VARCHAR) AS reference, CAST(NULL AS VARCHAR) AS evidence_code
+       |  FROM (SELECT p_partkey, p_partkey % 300 AS t FROM part))
+       |SELECT * FROM pg UNION ALL SELECT * FROM gg UNION ALL SELECT * FROM dg"""
+      .stripMargin) { (s, d) =>
+    graft.pipelines.GoPipeline.edges(s, d)
+  }
+
+  val domainNodes = Q(
+    "domain_nodes",
+    """WITH base AS (SELECT p_partkey % 80 AS did, min(p_type) AS name,
+      |    min(p_brand) AS type FROM part GROUP BY 1),
+      |ch AS (SELECT (child // 4) AS did,
+      |    string_agg(DISTINCT 'interpro:IPR' || child, '|'
+      |      ORDER BY 'interpro:IPR' || child) AS child_list
+      |  FROM (SELECT DISTINCT did AS child FROM base) WHERE child <> child // 4
+      |  GROUP BY 1),
+      |cnt AS (SELECT l_partkey % 80 AS did,
+      |    COUNT(DISTINCT l_suppkey) AS protein_count FROM lineitem GROUP BY 1)
+      |SELECT 'interpro:IPR' || b.did AS id, 'domain' AS label,
+      |  cnt.protein_count, b.name, b.type,
+      |  CASE WHEN b.did // 4 <> b.did
+      |    THEN 'interpro:IPR' || (b.did // 4) END AS parent_list,
+      |  ch.child_list
+      |FROM base b LEFT JOIN ch ON b.did = ch.did
+      |LEFT JOIN cnt ON b.did = cnt.did""".stripMargin) { (s, d) =>
+    graft.pipelines.DomainPipeline.nodes(s, d)
+  }
+
+  val domainEdges = Q(
+    "domain_edges",
+    """SELECT 'uniprot:' || l_suppkey AS src,
+      |  'interpro:IPR' || (l_partkey % 80) AS dst, 'Has' AS label,
+      |  string_agg(DISTINCT CAST(l_linenumber AS VARCHAR), '|'
+      |    ORDER BY CAST(l_linenumber AS VARCHAR)) AS locations
+      |FROM lineitem GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    graft.pipelines.DomainPipeline.edges(s, d)
+  }
+
+  val all: Seq[Q] = Seq(sideEffects, ecNodes, ecEdges, phenotypeEdges,
+    goNodes, goEdges, domainNodes, domainEdges)
 }

@@ -112,6 +112,35 @@ class PipelinesSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("GoPipeline: IEA drops, labels compose qualifier+aspect, 3 aspects") {
+    val e = GoPipeline.edges(spark, sf).cache()
+    assert(e.filter($"evidence_code" === "IEA").count() === 0)
+    val labels = e.select($"label").distinct().as[String].collect()
+    assert(labels.exists(_.startsWith("protein_enables_")))
+    assert(labels.exists(_.startsWith("protein_involved_in_")))
+    assert(labels.exists(_.startsWith("protein_domain_")))
+    assert(labels.exists(_.contains("_is_a_")) || labels.exists(_.contains("_part_of_")))
+    val n = GoPipeline.nodes(spark, sf)
+    assert(n.select($"label").distinct().as[String].collect().toSet ===
+      Set("biological process", "molecular function", "cellular component"))
+    e.unpersist()
+  }
+
+  test("DomainPipeline: 4-ary hierarchy lists are mutually consistent") {
+    val n = DomainPipeline.nodes(spark, sf).cache()
+    val byId = n.collect().map(r => r.getAs[String]("id") -> r).toMap
+    // every child_list member points back via its parent_list
+    byId.values.foreach { r =>
+      Option(r.getAs[String]("child_list")).foreach(_.split("\\|").foreach {
+        c => assert(byId(c).getAs[String]("parent_list") === r.getAs[String]("id"))
+      })
+    }
+    val e = DomainPipeline.edges(spark, sf)
+    assert(e.filter($"label" =!= "Has").count() === 0)
+    assert(e.filter($"locations".isNull).count() === 0)
+    n.unpersist()
+  }
+
   test("PathwayPipeline: ortho pairs are directed both ways, cross-organism") {
     val p = PathwayPipeline.orthologyPairs(spark, sf).cache()
     val rows = p.as[(String, String, String)].collect()
