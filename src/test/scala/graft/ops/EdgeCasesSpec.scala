@@ -57,4 +57,35 @@ class EdgeCasesSpec extends SparkSpec {
       .as[(String, Double, Double, String)].collect().head
     assert(got === (("k", 5.0, 5.0, "5.0")))
   }
+
+  test("capped dedup and LSH near-dup on empty / degenerate inputs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(empty, "doc_id", "text",
+      maxShingleDf = 5).count() === 0)
+    val one = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    assert(Dedup.embeddingNearDupPairs(one, "vec_id", "embedding", 0.5,
+      planes = 4, dim = 2).count() === 0)
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.embeddingNearDupPairs(emptyVecs, "vec_id", "embedding", 0.5,
+      planes = 4, dim = 2).count() === 0)
+  }
+
+  test("TrainPrep on empty and whitespace-only text") {
+    import graft.text.TrainPrep
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "a b c")).toDF("doc_id", "text")
+    val packed = TrainPrep.sequentialPack(docs, "doc_id",
+      graft.text.TextFns.tokenCount($"text").cast("long"), budget = 2)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(packed.keySet === Set(1L, 2L, 3L))
+    val (scrubbed, emails, phones) = TrainPrep.scrubPii($"text")
+    val got = docs.select(scrubbed.as("s"), emails.as("e"), phones.as("p"))
+      .as[(String, Long, Long)].collect()
+    assert(got.forall(r => r._2 == 0 && r._3 == 0))
+  }
+
+  test("effectMergePair: unknown-only pair resolves to unknown") {
+    val df = Seq((Option("Unknown"), Option("Unknown"))).toDF("x", "y")
+    val got = df.select(Kernels.effectMergePair($"x", $"y")).as[String].collect()
+    assert(got.toSeq === Seq("Unknown"))
+  }
 }
