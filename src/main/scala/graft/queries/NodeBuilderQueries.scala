@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
 import graft.Q
 import graft.pipelines.{EcPipeline, PhenotypePipeline, SideEffectPipeline}
 
@@ -212,6 +213,49 @@ object NodeBuilderQueries {
     graft.pipelines.DomainPipeline.edges(s, d)
   }
 
+  /** uniprot node builder (node_data/uniprot.py build_csv :113-167): one
+    * protein node per accession with the ';'-joined secondary-accession
+    * fold (:102-107), comma-number mass parse (:128-132, exercised as a
+    * format→parse round trip), organism resolved through the taxonomy
+    * dimension. */
+  val uniprotNodes = Q(
+    "uniprot_nodes",
+    """WITH sec AS (SELECT l_suppkey,
+      |    string_agg(DISTINCT 'SEC' || (l_partkey % 100), ';'
+      |      ORDER BY 'SEC' || (l_partkey % 100)) AS secondary_accessions
+      |  FROM lineitem GROUP BY 1)
+      |SELECT 'uniprot:' || s_suppkey AS id, 'protein' AS label,
+      |  sec.secondary_accessions,
+      |  CAST(floor(s_acctbal) AS BIGINT) AS length,
+      |  CAST(floor(s_acctbal * 1000) AS BIGINT) AS mass,
+      |  CAST(s_nationkey AS BIGINT) AS tax_id,
+      |  n_name AS organism, s_name AS protein_names
+      |FROM supplier
+      |LEFT JOIN nation ON s_nationkey = n_nationkey
+      |LEFT JOIN sec ON s_suppkey = sec.l_suppkey""".stripMargin) { (s, d) =>
+    import graft.core.{ColFns, Tables}
+    import graft.ops.Kernels
+    val sec = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(Kernels.setJoinAgg(
+        concat(lit("SEC"), col("l_partkey") % 100), ";")
+        .as("secondary_accessions"))
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"), "left")
+      .join(sec, Seq("s_suppkey"), "left")
+      .select(concat(lit("uniprot:"), col("s_suppkey")).as("id"),
+        lit("protein").as("label"),
+        col("secondary_accessions"),
+        floor(col("s_acctbal")).cast("long").as("length"),
+        // F3 round trip: format with grouping commas, parse them back off
+        ColFns.commaLong(format_number(floor(col("s_acctbal") * 1000), 0))
+          .as("mass"),
+        col("s_nationkey").cast("long").as("tax_id"),
+        col("n_name").as("organism"), col("s_name").as("protein_names"))
+  }
+
   val all: Seq[Q] = Seq(sideEffects, ecNodes, ecEdges, phenotypeEdges,
-    goNodes, goEdges, domainNodes, domainEdges)
+    goNodes, goEdges, domainNodes, domainEdges, uniprotNodes)
 }
