@@ -24,16 +24,19 @@ object TrainPrepQueries {
 
   val xPack = Q(
     "x_pack",
-    """SELECT doc_id, n_tokens, running,
+    """SELECT doc_id, shard, n_tokens, running,
       |  CAST(floor((running - 1) / 2048) AS BIGINT) AS bin
-      |FROM (SELECT doc_id, n_tokens,
-      |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
-      |  FROM (SELECT doc_id,
+      |FROM (SELECT doc_id, shard, n_tokens,
+      |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+      |  FROM (SELECT doc_id, doc_id % 8 AS shard,
       |      CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
       |    FROM documents))""".stripMargin) { (s, d) =>
-    TrainPrep.sequentialPack(Tables.documents(s, d), "doc_id",
+    TrainPrep.sequentialPack(Tables.documents(s, d),
+      shardCol = col("doc_id") % 8, orderCol = "doc_id",
       graft.text.TextFns.tokenCount(col("text")).cast("long"), budget = 2048)
-      .select(col("doc_id"), col("n_tokens"), col("running"), col("bin"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("running"),
+        col("bin"))
   }
 
   /** PII scrub over text with synthesized deterministic contacts (the raw

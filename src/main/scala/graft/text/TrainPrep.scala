@@ -33,16 +33,21 @@ object TrainPrep {
       .otherwise("train")
   }
 
-  /** Pack documents into consecutive token-budget bins: bin i holds the
-    * documents whose RUNNING token total (in `orderCol` order) falls in
-    * (i·budget, (i+1)·budget]. Deterministic given the order column. */
+  /** Pack documents into consecutive token-budget bins per SHARD: within a
+    * shard, bin i holds the documents whose running token total (in
+    * `orderCol` order) falls in (i·budget, (i+1)·budget]. The shard column
+    * partitions the window — at 100 TB an unpartitioned running total
+    * funnels the whole corpus through one task, so packing is always
+    * shard-local (shards are what a training loader consumes anyway).
+    * Deterministic given (shard, order). */
   def sequentialPack(
-      docs: DataFrame, orderCol: String, tokenCountCol: Column,
-      budget: Int): DataFrame = {
+      docs: DataFrame, shardCol: Column, orderCol: String,
+      tokenCountCol: Column, budget: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(orderCol))
+      .partitionBy(col("shard")).orderBy(col(orderCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     docs
+      .withColumn("shard", shardCol)
       .withColumn("n_tokens", tokenCountCol)
       .withColumn("running", sum(col("n_tokens")).over(w))
       .withColumn("bin", floor((col("running") - 1) / budget).cast("long"))

@@ -73,7 +73,7 @@ class EdgeCasesSpec extends SparkSpec {
   test("TrainPrep on empty and whitespace-only text") {
     import graft.text.TrainPrep
     val docs = Seq((1L, ""), (2L, "   "), (3L, "a b c")).toDF("doc_id", "text")
-    val packed = TrainPrep.sequentialPack(docs, "doc_id",
+    val packed = TrainPrep.sequentialPack(docs, lit(0), "doc_id",
       graft.text.TextFns.tokenCount($"text").cast("long"), budget = 2)
       .select("doc_id", "bin").as[(Long, Long)].collect().toMap
     assert(packed.keySet === Set(1L, 2L, 3L))
