@@ -11,17 +11,9 @@ object BenchFocus {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, repsS, names) = args
     val reps = repsS.toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // same builder + same SPARK_GRAFT_CPUS default as Bench — medians from
+    // this tool are directly comparable to the driver bench
+    val spark = Sessions.local()
     spark.range(1000000).selectExpr("sum(id)").collect()
     val picked = names.split(",").toSeq
     val times = picked.map { n =>

@@ -116,11 +116,14 @@ object Kernels {
     * reference applies the same conflict rule to post-outer-join column
     * twins, not just groups (tf_gen.py:297,308 via :381-395). Same
     * contract: one distinct non-null value → it; {unknown, X} → X; two
-    * real values or none → null (caller drops the row). */
+    * real values or none → null (caller drops the row). Unlike the
+    * aggregate form, this one does NOT require `unknown` to sort last —
+    * it filters the marker out explicitly. */
   def effectMergePair(x: Column, y: Column, unknown: String = "Unknown"): Column = {
-    val s = array_sort(array_distinct(filter(array(x, y), v => v.isNotNull)))
+    val s = array_distinct(filter(array(x, y), v => v.isNotNull))
+    val real = filter(s, v => v =!= unknown)
     when(size(s) === 1, element_at(s, 1))
-      .when(size(s) === 2 && element_at(s, 2) === unknown, element_at(s, 1))
+      .when(size(s) === 2 && size(real) === 1, element_at(real, 1))
   }
 
   /** Conflicting-evidence row exclusion (SURVEY §2.2 P9, drug.py:874-879):

@@ -15,12 +15,17 @@ object Scale {
     * (partialExpr, mergeOfPartial) pairs, e.g. (count → sum, sum → sum).
     * Results are identical to a direct groupBy (associative merges),
     * verified in ScaleSpec. */
+  /** The salting expression saltedAgg spreads hot keys with — exposed so
+    * the spread test in ScaleSpec observes THIS definition rather than a
+    * copy that could drift. */
+  private[ops] def saltColumn(salts: Int): Column =
+    pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts))
+
   def saltedAgg(
       df: DataFrame, keys: Seq[String], salts: Int,
       partials: Seq[(Column, String)],
       merges: String => Column): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val salted = df.withColumn("__salt", saltColumn(salts))
     val partial = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partials.head._1.as(partials.head._2),

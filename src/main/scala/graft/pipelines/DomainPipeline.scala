@@ -58,6 +58,8 @@ object DomainPipeline {
     Tables.lineitem(s, d)
       .groupBy(concat(lit("uniprot:"), col("l_suppkey")).as("src"),
         curieD(did(col("l_partkey"))).as("dst"))
-      .agg(Kernels.setJoinAgg(col("l_linenumber")).as("locations"))
+      // cast before the fold: the oracle's string_agg sorts STRINGS, and
+      // int-sorted "2|10" vs string-sorted "10|2" would diverge past 9
+      .agg(Kernels.setJoinAgg(col("l_linenumber").cast("string")).as("locations"))
       .select(col("src"), col("dst"), lit("Has").as("label"), col("locations"))
 }

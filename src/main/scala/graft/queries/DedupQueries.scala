@@ -10,41 +10,36 @@ import graft.dedup.Dedup
   * `('0x' || substr(md5(salt || ':' || x), 1, 14))::BIGINT`). */
 object DedupQueries {
 
-  /** Shared shingle CTE (3-word shingles, distinct per doc). */
-  private val shingleCte =
-    """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
-      |           FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
-      |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
-      |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-      |pairs AS (
-      |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
-      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-      |  GROUP BY 1, 2),
-      |jacc AS (
-      |  SELECT a, b, CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
-      |  FROM pairs JOIN cnt ca ON a = ca.doc_id JOIN cnt cb ON b = cb.doc_id)
-      |""".stripMargin
+  /** Shared shingle + Jaccard CTE skeleton (3-word shingles, distinct per
+    * doc). `shDef` defines the `sh` CTE consumed by cnt/pairs/jacc — the
+    * uncapped and df-capped variants differ ONLY there, so the shingle
+    * definition itself can never drift between them. */
+  private def shingleCtes(shDef: String): String =
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |           FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+       |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+       |$shDef,
+       |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+       |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |jacc AS (
+       |  SELECT a, b, CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+       |  FROM pairs JOIN cnt ca ON a = ca.doc_id JOIN cnt cb ON b = cb.doc_id)
+       |""".stripMargin
 
-  /** Same CTE with the df ≤ 12 hot-shingle cap applied — the oracle
+  private val shingleCte =
+    shingleCtes("sh AS (SELECT doc_id, shingle FROM sh0)")
+
+  /** Same skeleton with the df ≤ 12 hot-shingle cap applied — the oracle
     * replicates the capped semantics exactly, so the query stays green at
     * ANY sf (at sf0.01 the cap is a no-op: max df is 7). */
-  private val cappedShingleCte =
-    """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
-      |           FROM documents),
-      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
-      |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
-      |keepsh AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 12),
-      |sh AS (SELECT doc_id, shingle FROM sh0 JOIN keepsh USING (shingle)),
-      |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-      |pairs AS (
-      |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
-      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-      |  GROUP BY 1, 2),
-      |jacc AS (
-      |  SELECT a, b, CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
-      |  FROM pairs JOIN cnt ca ON a = ca.doc_id JOIN cnt cb ON b = cb.doc_id)
-      |""".stripMargin
+  private val cappedShingleCte = shingleCtes(
+    """keepsh AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 12),
+      |sh AS (SELECT doc_id, shingle FROM sh0 JOIN keepsh USING (shingle))"""
+      .stripMargin)
 
   val xDedupNgram = Q(
     "x_dedup_ngram",

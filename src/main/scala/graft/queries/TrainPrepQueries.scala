@@ -25,7 +25,7 @@ object TrainPrepQueries {
   val xPack = Q(
     "x_pack",
     """SELECT doc_id, shard, n_tokens, running,
-      |  CAST(floor((running - 1) / 2048) AS BIGINT) AS bin
+      |  CAST(floor(greatest(running - 1, 0) / 2048) AS BIGINT) AS bin
       |FROM (SELECT doc_id, shard, n_tokens,
       |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running

@@ -50,7 +50,10 @@ object TrainPrep {
       .withColumn("shard", shardCol)
       .withColumn("n_tokens", tokenCountCol)
       .withColumn("running", sum(col("n_tokens")).over(w))
-      .withColumn("bin", floor((col("running") - 1) / budget).cast("long"))
+      // greatest(..., 0): a shard-leading zero-token doc has running = 0
+      // and must land in bin 0, not bin -1
+      .withColumn("bin",
+        floor(greatest(col("running") - 1, lit(0)) / budget).cast("long"))
   }
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

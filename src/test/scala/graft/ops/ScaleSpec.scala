@@ -40,10 +40,10 @@ class ScaleSpec extends SparkSpec {
         concat(lit("mondo:"), ($"id" % 20)).as("disease"),
         concat(lit("ref:"), $"id").as("__ref"))
     val df = hot.unionByName(cold)
-    // the partial phase really spreads the hot key over many reducers
+    // the partial phase really spreads the hot key over many reducers —
+    // observed through saltedAgg's OWN salt expression, not a copy
     val saltSpread = df
-      .withColumn("__salt",
-        pmod(spark_partition_id() + monotonically_increasing_id(), lit(16)))
+      .withColumn("__salt", Scale.saltColumn(16))
       .filter($"disease" === "mondo:hot")
       .select(countDistinct($"__salt")).head().getLong(0)
     assert(saltSpread > 8, s"hot key only hit $saltSpread salt buckets")
