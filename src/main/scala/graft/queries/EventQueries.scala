@@ -56,5 +56,24 @@ object EventQueries {
     EventStreams.firstEventPerKey(Tables.events(s, d))
   }
 
-  val all: Seq[Q] = Seq(evTumbling, evSliding, evSessionize, evFirstPerKey)
+  /** Click→purchase interval join — the batch form of the watermarked
+    * stream-stream join (streaming twin proven equivalent in
+    * EventStreamsSpec). */
+  val evIntervalJoin = Q(
+    "ev_interval_join",
+    """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, click_id, purchase_id,
+      |  CAST(floor(epoch(purchase_ts)) - floor(epoch(click_ts)) AS BIGINT)
+      |    AS lag_sec
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND purchase_ts >= click_ts
+      |  AND purchase_ts < click_ts + INTERVAL 600 SECONDS""".stripMargin) {
+    (s, d) => EventStreams.intervalJoin(Tables.events(s, d))
+  }
+
+  val all: Seq[Q] = Seq(evTumbling, evSliding, evSessionize, evFirstPerKey,
+    evIntervalJoin)
 }

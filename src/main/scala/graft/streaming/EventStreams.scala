@@ -79,12 +79,18 @@ object EventStreams {
 
   // ---- Structured Streaming entry points ----------------------------------
 
+  /** File-source stream over an events directory (parquet), no watermark
+    * yet — for operators that watermark per-branch (stream-stream joins
+    * re-watermark renamed event-time columns, and Spark forbids
+    * redefining an inherited one). */
+  def readEventStreamRaw(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsRawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
   /** File-source stream over an events directory (parquet), 10-minute
     * watermark. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsRawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", "10 minutes")
+    readEventStreamRaw(spark, dir).withWatermark("ts", "10 minutes")
 
   /** Streaming tumbling window aggregation (event-time, watermarked) —
     * the streaming twin of [[tumblingAgg]], keyed identically so results
@@ -101,6 +107,50 @@ object EventStreams {
   /** Streaming keyed dedup within the watermark. */
   def streamingDedup(stream: DataFrame): DataFrame =
     stream.dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Click→purchase attribution interval join (batch form): purchases by
+    * the same user within `windowSeconds` after a click. lag_sec is the
+    * whole-second event-time gap. */
+  def intervalJoin(events: DataFrame, windowSeconds: Long = 600): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    clicks.join(purchases, Seq("user_id"))
+      .filter(col("purchase_ts") >= col("click_ts")
+        && col("purchase_ts") < col("click_ts")
+          + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+          .as("lag_sec"))
+  }
+
+  /** Stream-stream twin of [[intervalJoin]]: both sides are watermarked
+    * branches of the same RAW stream (use [[readEventStreamRaw]] — the
+    * branches set their own watermarks on the renamed time columns); the event-time bound in the join
+    * condition lets Spark expire join state (the canonical watermarked
+    * stream-stream interval join). Inner join → results are identical to
+    * the batch form once all input is processed (proven in the spec). */
+  def streamingIntervalJoin(
+      stream: DataFrame, windowSeconds: Long = 600): DataFrame = {
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(purchases,
+      expr(s"""c_user = p_user AND purchase_ts >= click_ts
+              |AND purchase_ts < click_ts + INTERVAL $windowSeconds SECONDS"""
+        .stripMargin))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+          .as("lag_sec"))
+  }
 
   /** Streaming sessionization via session_window (5-minute gap). */
   def streamingSessionize(stream: DataFrame): DataFrame =

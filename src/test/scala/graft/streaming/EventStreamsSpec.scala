@@ -40,6 +40,17 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val stream = EventStreams.readEventStreamRaw(spark, eventsDir)
+    runToMemory(EventStreams.streamingIntervalJoin(stream), "ivjoin", "append")
+    val streamed = spark.table("ivjoin")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = EventStreams.intervalJoin(Tables.events(spark, sf))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming dedup emits one row per (user, type)") {
     val stream = EventStreams.readEventStream(spark, eventsDir)
     runToMemory(EventStreams.streamingDedup(stream), "dedup", "append")
