@@ -90,4 +90,24 @@ class KernelPropertiesSpec extends SparkSpec {
       .toDF("x").select(ColFns.idBase(col("x"))).as[String].collect().toSeq
     assert(got === Seq("ENST0001", "ENST0002", "ENST0003"))
   }
+
+  test("effectMergePair: symmetric, idempotent, and agrees with the aggregate fold") {
+    val domain = Gen.option(Gen.oneOf("Activation", "Repression", "Unknown"))
+    val pairs = samples(Gen.zip(domain, domain), 24)
+    def pairwise(x: Option[String], y: Option[String]): Option[String] =
+      Seq((x, y)).toDF("x", "y")
+        .select(Kernels.effectMergePair(col("x"), col("y")))
+        .as[Option[String]].head()
+    def aggregate(x: Option[String], y: Option[String]): Option[String] =
+      Seq(("k", x), ("k", y)).toDF("k", "v").groupBy($"k")
+        .agg(Kernels.effectFold($"v").as("e"))
+        .select($"e").as[Option[String]].head()
+    pairs.foreach { case (x, y) =>
+      val m = pairwise(x, y)
+      assert(m === pairwise(y, x), s"not symmetric on ($x, $y)")
+      assert(pairwise(x, x) === x, s"not idempotent on $x")
+      assert(m === aggregate(x, y),
+        s"pairwise($x, $y)=$m disagrees with the aggregate fold")
+    }
+  }
 }
