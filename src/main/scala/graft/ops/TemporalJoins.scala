@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark has no native operator for — each built so the
+  * plan stays a single equi-shuffle instead of the range-explosion /
+  * nested-loop shape a naive formulation produces.
+  *
+  * 100 TB design notes:
+  *  - [[asOfJoin]] is ONE shuffle on the key plus one window pass — state
+  *    per key is a single carried struct, never a buffered range. A naive
+  *    `left.join(right, key && rTime <= lTime)` + keep-latest materializes
+  *    every (left row × earlier right row) pair first; on dense keys that
+  *    is quadratic in events-per-key. The union-window form is linear.
+  *  - [[binnedRangeJoin]] turns an inequality-only predicate (which Spark
+  *    plans as BroadcastNestedLoopJoin — a cross product at scale) into an
+  *    equi-join on coarse bins, with the exact range check applied only to
+  *    bin-collocated candidates. Intervals replicate into the bins they
+  *    span (bounded by intervalLength/binSize + 1); points land in exactly
+  *    one bin, so each qualifying pair meets exactly once — no dedup.
+  */
+object TemporalJoins {
+
+  /** As-of join: for every left row, attach the payload of the right row
+    * with the greatest `time` ≤ the left row's `time` within the same
+    * `key` (inclusive — a right row at the exact same instant matches).
+    * Left-join semantics: left rows with no prior right row keep null
+    * payload columns.
+    *
+    * Determinism contract: `right` must be unique per (key, time) —
+    * pre-aggregate ties (e.g. `max_by`) before calling, exactly as a
+    * native ASOF engine requires for a well-defined answer.
+    *
+    * Output columns: all left columns, then the right time as
+    * `<time>_right`, then the remaining right columns.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+      key: String, time: String): DataFrame = {
+    val leftPayload = left.columns.filterNot(c => c == key || c == time).toSeq
+    val rightPayload = right.columns.filterNot(c => c == key || c == time).toSeq
+    val rTime = s"${time}_right"
+    // right rows carry their payload as ONE struct so a legitimately-null
+    // payload field can never be back-filled from an older right row
+    val rTagged = right.select(col(key), col(time), lit(0).as("__side"),
+      struct(col(time).as(rTime) +: rightPayload.map(col): _*).as("__asof"))
+    val lTagged = left.select(
+      col(key) +: col(time) +: lit(1).as("__side") +: leftPayload.map(col): _*)
+    // __side orders right rows first at equal time → inclusive semantics
+    val w = Window.partitionBy(key)
+      .orderBy(col(time).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lTagged.unionByName(rTagged, allowMissingColumns = true)
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((key +: time +: leftPayload).map(col) ++
+        (col(s"__asof.$rTime").as(rTime) +:
+          rightPayload.map(c => col(s"__asof.$c").as(c))): _*)
+  }
+
+  /** Interval × point range join on DATE columns: rows of `intervals`
+    * paired with every `points` row whose `pointCol` lies in
+    * [`startCol`, `endCol`] (inclusive). Implemented as an equi-join on
+    * `binSizeDays`-wide day bins + exact between-filter; pick binSizeDays
+    * ≳ the typical interval length so intervals replicate into ≤ 2 bins.
+    *
+    * Intervals with `endCol` < `startCol` match nothing (filtered, not an
+    * error — `sequence()` would otherwise count backwards).
+    */
+  def binnedRangeJoin(intervals: DataFrame, points: DataFrame,
+      startCol: String, endCol: String, pointCol: String,
+      binSizeDays: Int): DataFrame = {
+    def binOf(c: org.apache.spark.sql.Column) =
+      floor(datediff(c, lit("1970-01-01")) / binSizeDays).cast("int")
+    val exploded = intervals
+      .filter(col(endCol) >= col(startCol))
+      .withColumn("__bin",
+        explode(sequence(binOf(col(startCol)), binOf(col(endCol)))))
+    val binned = points.withColumn("__bin", binOf(col(pointCol)))
+    exploded.join(binned, Seq("__bin"))
+      .filter(col(pointCol).between(col(startCol), col(endCol)))
+      .drop("__bin")
+  }
+}

@@ -514,12 +514,46 @@ object CoreQueries {
         .as("running_qty"))
   }
 
+  /** Interval × point range join (no native Spark operator; the brief's
+    * canonical "operator Spark lacks"): shipping windows
+    * [l_shipdate, l_shipdate + (quantity mod 10 + 1) days] × order dates,
+    * counted per lineitem. Runs through `TemporalJoins.binnedRangeJoin`
+    * (bin equi-join + exact filter) so the plan is a shuffled hash join —
+    * the naive inequality-only join plans as BroadcastNestedLoopJoin,
+    * a cross product at scale (PlanAuditSpec asserts no NLJ here). */
+  val jRangeBin = Q(
+    "j_range_bin",
+    """WITH l AS (SELECT l_orderkey, l_linenumber,
+      |    CAST(l_shipdate AS DATE) AS s,
+      |    CAST(l_shipdate AS DATE)
+      |      + to_days(CAST(l_quantity AS INT) % 10 + 1) AS e
+      |  FROM lineitem WHERE l_linenumber = 7),
+      |p AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+      |  WHERE o_orderpriority = '1-URGENT')
+      |SELECT l_orderkey, l_linenumber, COUNT(*) AS n_orders
+      |FROM l JOIN p ON p.d BETWEEN l.s AND l.e
+      |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val intervals = Tables.lineitem(s, d)
+      .filter(col("l_linenumber") === 7)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        to_date(col("l_shipdate")).as("s"),
+        date_add(to_date(col("l_shipdate")),
+          pmod(col("l_quantity").cast("int"), lit(10)) + 1).as("e"))
+    val points = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(to_date(col("o_orderdate")).as("d"))
+    graft.ops.TemporalJoins.binnedRangeJoin(
+        intervals, points, "s", "e", "d", binSizeDays = 8)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
   val all: Seq[Q] = Seq(
     sqlFrontDoor, qCube, qRunningTotal,
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,
     j1OuterMerge, j4BroadcastMap, j5FallbackChain, j6SuffixSelfJoin,
-    j7AntiJoin, a1KeepBest, a2Median3, a3OrderedMiddle, a4MergeSources,
-    a6ConflictDrop, a7EffectFold, d1KeyedDedup, d2UndirectedDedup,
-    u1UnionEntities, fScalarPack, f13NestedExplode, fComplexExpand,
-    f15DateHierarchy, o2TopK, o3TopKPerKey)
+    j7AntiJoin, jRangeBin, a1KeepBest, a2Median3, a3OrderedMiddle,
+    a4MergeSources, a6ConflictDrop, a7EffectFold, d1KeyedDedup,
+    d2UndirectedDedup, u1UnionEntities, fScalarPack, f13NestedExplode,
+    fComplexExpand, f15DateHierarchy, o2TopK, o3TopKPerKey)
 }

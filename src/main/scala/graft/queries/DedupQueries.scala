@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.col
 import graft.Q
 import graft.core.Tables
 import graft.dedup.Dedup
@@ -56,32 +57,64 @@ object DedupQueries {
   private def sqlHash(salt: String, x: String) =
     s"('0x' || substr(md5('$salt:' || $x), 1, 14))::BIGINT"
 
+  /** CTE chain computing minhash LSH candidates (`cand`) over the shared
+    * shingle/jaccard skeleton — same affine family as
+    * Dedup.minhashSignatures, literals baked in. Shared by the pair query
+    * and the transitive-cluster query so the signature definition can
+    * never drift between them. */
+  private val minhashCteChain: String = {
+    val coeffs = graft.dedup.Dedup.minhashCoeffs(NumHashes)
+    val p = graft.dedup.Dedup.MinhashP
+    val sigCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % $p) AS s$i"
+    }.mkString(", ")
+    val bandSelects = (0 until Bands).map { j =>
+      val key = (0 until RowsPerBand).map(r => s"s${j * RowsPerBand + r}")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $j AS band, $key AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    shingleCte +
+      s""", shh AS (SELECT doc_id,
+         |    ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM sh),
+         |sig AS (SELECT doc_id, $sigCols FROM shh GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+         |""".stripMargin
+  }
+
   val xDedupMinhashLsh = Q(
-    "x_dedup_minhash_lsh", {
-      // same affine family as Dedup.minhashSignatures, literals baked in
-      val coeffs = graft.dedup.Dedup.minhashCoeffs(NumHashes)
-      val p = graft.dedup.Dedup.MinhashP
-      val sigCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
-        s"min(($a * h + $b) % $p) AS s$i"
-      }.mkString(", ")
-      val bandSelects = (0 until Bands).map { j =>
-        val key = (0 until RowsPerBand).map(r => s"s${j * RowsPerBand + r}")
-          .mkString(" || ',' || ")
-        s"SELECT doc_id, $j AS band, $key AS key FROM sig"
-      }.mkString(" UNION ALL ")
-      shingleCte +
-        s""", shh AS (SELECT doc_id,
-           |    ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM sh),
-           |sig AS (SELECT doc_id, $sigCols FROM shh GROUP BY doc_id),
-           |bands AS ($bandSelects),
-           |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-           |  FROM bands x JOIN bands y
-           |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
-           |SELECT jacc.a, jacc.b, jaccard FROM cand JOIN jacc USING (a, b)
-           |WHERE jaccard >= 0.5""".stripMargin
-    }) { (s, d) =>
+    "x_dedup_minhash_lsh",
+    minhashCteChain +
+      """SELECT jacc.a, jacc.b, jaccard FROM cand JOIN jacc USING (a, b)
+        |WHERE jaccard >= 0.5""".stripMargin) { (s, d) =>
     Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
       n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5)
+  }
+
+  /** Transitive dedup clusters — what a production dedup actually ships:
+    * near-dup pairs form an undirected graph; connected components give
+    * the cluster; cluster id = min doc_id (keep-representative policy).
+    * Spark side: GraphX connectedComponents over the LSH pair output
+    * (iterative — no driver-side closure). Oracle: recursive-CTE
+    * min-label reachability over the SAME pair SQL. */
+  val xDedupClusters = Q(
+    "x_dedup_clusters",
+    minhashCteChain.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, np AS (SELECT jacc.a AS a, jacc.b AS b
+        |  FROM cand JOIN jacc USING (a, b) WHERE jaccard >= 0.5),
+        |und AS (SELECT a AS u, b AS v FROM np UNION SELECT b, a FROM np),
+        |reach (n, m) AS (
+        |  SELECT u, u FROM und
+        |  UNION
+        |  SELECT r.n, w.v FROM reach r JOIN und w ON r.m = w.u)
+        |SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n"""
+        .stripMargin) { (s, d) =>
+    val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5)
+    graft.graph.GraphOps.connectedComponents(s, pairs.select("a", "b"))
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
   }
 
   private val SimBits = 32
@@ -126,5 +159,6 @@ object DedupQueries {
       bits = SimBits, bands = SimBands, maxHamming = SimMaxHamming)
   }
 
-  val all: Seq[Q] = Seq(xDedupNgram, xDedupMinhashLsh, xDedupSimhashSig, xDedupSimhashPairs)
+  val all: Seq[Q] = Seq(xDedupNgram, xDedupMinhashLsh, xDedupClusters,
+    xDedupSimhashSig, xDedupSimhashPairs)
 }

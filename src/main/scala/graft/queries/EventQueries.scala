@@ -74,6 +74,22 @@ object EventQueries {
     (s, d) => EventStreams.intervalJoin(Tables.events(s, d))
   }
 
+  /** Last-touch attribution as-of join — oracle is DuckDB's native
+    * ASOF LEFT JOIN (inclusive >=), an independent implementation of the
+    * same semantics as the union-window form in TemporalJoins.asOfJoin. */
+  val evAsofJoin = Q(
+    "ev_asof_join",
+    """WITH c AS (SELECT user_id, ts, max(event_id) AS click_id FROM events
+      |  WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.purchase_id, c.click_id,
+      |  CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS lag_sec
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin) { (s, d) =>
+    EventStreams.asOfAttribution(Tables.events(s, d))
+  }
+
   val all: Seq[Q] = Seq(evTumbling, evSliding, evSessionize, evFirstPerKey,
-    evIntervalJoin)
+    evIntervalJoin, evAsofJoin)
 }

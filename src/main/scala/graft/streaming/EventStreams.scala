@@ -127,6 +127,25 @@ object EventStreams {
           .as("lag_sec"))
   }
 
+  /** Click→purchase AS-OF attribution: each purchase is matched to the
+    * LATEST click by the same user at-or-before the purchase instant
+    * (last-touch attribution — vs [[intervalJoin]]'s every-click-in-window
+    * fan-out). Clicks are pre-deduped to one per (user, instant) by max
+    * event_id, the determinism contract of [[graft.ops.TemporalJoins.asOfJoin]].
+    * Left semantics: purchases with no prior click keep null click_id /
+    * lag_sec. */
+  def asOfAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    graft.ops.TemporalJoins.asOfJoin(purchases, clicks, "user_id", "ts")
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("ts_right")))
+          .as("lag_sec"))
+  }
+
   /** Stream-stream twin of [[intervalJoin]]: both sides are watermarked
     * branches of the same RAW stream (use [[readEventStreamRaw]] — the
     * branches set their own watermarks on the renamed time columns); the event-time bound in the join

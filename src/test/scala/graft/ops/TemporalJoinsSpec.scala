@@ -1,0 +1,65 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Semantics of the temporal joins: as-of (latest-at-or-before, inclusive
+  * ties, left-null, no payload back-fill) and the binned range join
+  * (equality with the naive between-join, multi-bin intervals, inverted
+  * intervals). */
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("asOfJoin picks the latest right row at-or-before, inclusive at ties") {
+    val left = Seq((1L, ts(10), "p10"), (1L, ts(5), "p5"), (1L, ts(2), "p2"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, ts(3), "r3"), (1L, ts(5), "r5"), (1L, ts(7), "r7"))
+      .toDF("k", "t", "rv")
+    val got = TemporalJoins.asOfJoin(left, right, "k", "t")
+      .select("lv", "rv").as[(String, String)].collect().toMap
+    // p2: before any right row → null; p5: tie at t=5 matches (inclusive);
+    // p10: latest earlier row is r7, not r3/r5
+    assert(got === Map("p2" -> null, "p5" -> "r5", "p10" -> "r7"))
+  }
+
+  test("asOfJoin keys never cross and left keeps every row") {
+    val left = Seq((1L, ts(10), "a"), (2L, ts(10), "b")).toDF("k", "t", "lv")
+    val right = Seq((1L, ts(1), "r1")).toDF("k", "t", "rv")
+    val got = TemporalJoins.asOfJoin(left, right, "k", "t")
+      .select("lv", "rv").as[(String, String)].collect().toMap
+    assert(got === Map("a" -> "r1", "b" -> null))
+  }
+
+  test("asOfJoin does not back-fill a null payload field from an older row") {
+    // r5 has v=null legitimately; a carried-per-column impl would leak 7
+    val left = Seq((1L, ts(9), "p")).toDF("k", "t", "lv")
+    val right = Seq((1L, ts(3), Some(7L)), (1L, ts(5), None)).toDF("k", "t", "v")
+    val got = TemporalJoins.asOfJoin(left, right, "k", "t")
+      .select("t_right", "v").collect().head
+    assert(got.getTimestamp(0) === ts(5) && got.isNullAt(1))
+  }
+
+  test("binnedRangeJoin equals the naive between-join, including multi-bin spans") {
+    val intervals = Seq(
+      (1L, "2020-01-01", "2020-03-10"), // spans many 16-day bins
+      (2L, "2020-02-01", "2020-02-02"),
+      (3L, "2020-05-01", "2020-04-01")  // inverted → matches nothing
+    ).toDF("id", "s", "e")
+      .select(col("id"), to_date(col("s")).as("s"), to_date(col("e")).as("e"))
+    val points = (0 until 200).map(i => Tuple1(i))
+      .toDF("i").select(date_add(to_date(lit("2020-01-01")), col("i")).as("d"))
+    val binned = TemporalJoins
+      .binnedRangeJoin(intervals, points, "s", "e", "d", binSizeDays = 16)
+      .select("id", "d")
+    val naive = intervals.join(points, col("d").between(col("s"), col("e")))
+      .select("id", "d")
+    assert(binned.count() === naive.count())
+    assert(binned.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(binned).count() === 0)
+    assert(binned.filter(col("id") === 3).count() === 0)
+  }
+}

@@ -46,6 +46,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("j_range_bin is an equi-join on bins: no nested-loop, no cartesian") {
+    val p = plan("j_range_bin")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range join fell back to a nested-loop theta join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ev_asof_join is one window pass, no join operator at all") {
+    val p = plan("ev_asof_join")
+    assert(p.contains("Window"), "union-window as-of lost its window")
+    assert(!p.contains("Join"), "as-of join materialized a join: " +
+      "the union-window form must not pair rows")
+  }
+
   test("column pruning: q01 scan reads only the needed lineitem columns") {
     val p = plan("q01_pricing_summary")
     val schema = "ReadSchema: struct<" +
