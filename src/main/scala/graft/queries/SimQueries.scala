@@ -62,6 +62,63 @@ object SimQueries {
       k = 5, centroidStep = 40)
   }
 
+  /** Sequential-fold squared-L2 between two double lists (≡ Similarity.l2sq). */
+  private def l2Sql(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2])), (s, t) -> s + t)""".stripMargin
+
+  /** IVF-PQ ANN — coarse cells + product-quantized in-cell ranking via a
+    * codeword-pair distance table (the FAISS IVFPQ shape). Every step is
+    * deterministic (sampled centroids/codebook, L2² + id tie-breaks,
+    * DECIMAL sum over subspace distances), so the oracle replicates the
+    * codes AND the approximate distances bit-exact. */
+  val xAnnPq = Q(
+    "x_ann_pq",
+    """WITH v0 AS (SELECT vec_id AS id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |v AS (SELECT id, v,
+      |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2
+      |  FROM v0),
+      |cent AS (SELECT id AS cid, v AS cv, n2 AS cn2 FROM v WHERE id % 40 = 0),
+      |cells AS (SELECT id, v, cid AS cell FROM (
+      |  SELECT a.id, a.v, c.cid, row_number() OVER (PARTITION BY a.id
+      |    ORDER BY a.n2 + c.cn2 - 2.0 *
+      |      list_reduce(list_transform(list_zip(a.v, c.cv),
+      |        z -> z[1] * z[2]), (s, t) -> s + t)
+      |    ASC, c.cid) AS rn
+      |  FROM v a CROSS JOIN cent c) WHERE rn = 1),""".stripMargin +
+      """
+        |cb AS (SELECT id AS pid, j, list_slice(v, j*8+1, j*8+8) AS psub
+        |  FROM v, UNNEST(range(0, 8)) AS t(j) WHERE id % 100 = 0 AND id < 3000),
+        |vsub AS (SELECT id, cell, j, list_slice(v, j*8+1, j*8+8) AS vsub
+        |  FROM cells, UNNEST(range(0, 8)) AS t(j)),
+        |codes AS (SELECT id, cell, j, pid AS code FROM (
+        |  SELECT s.id, s.cell, s.j, c.pid, row_number() OVER
+        |    (PARTITION BY s.id, s.j ORDER BY """.stripMargin +
+      l2Sql("s.vsub", "c.psub") +
+      """ ASC, c.pid) AS rn
+        |  FROM vsub s JOIN cb c ON s.j = c.j) WHERE rn = 1),
+        |cdist AS (SELECT a.j, a.pid AS pa, b.pid AS pb,
+        |  """.stripMargin + l2Sql("a.psub", "b.psub") +
+      """ AS d2
+        |  FROM cb a JOIN cb b ON a.j = b.j),
+        |p AS (SELECT x.id AS vec_id, y.id AS neighbor,
+        |  CAST(SUM(CAST(d.d2 AS DECIMAL(28,12))) AS DOUBLE) AS dist
+        |  FROM codes x JOIN codes y ON x.cell = y.cell AND x.j = y.j
+        |    AND x.id <> y.id
+        |  JOIN cdist d ON d.j = x.j AND d.pa = x.code AND d.pb = y.code
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, rank, neighbor, dist FROM (
+        |  SELECT vec_id, neighbor, dist,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist ASC, neighbor) AS rank
+        |  FROM p) WHERE rank <= 5""".stripMargin) { (s, d) =>
+    Similarity.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      k = 5, coarseStep = 40, codeStep = 100, codeMax = 3000,
+      m = 8, subDim = 8)
+  }
+
   /** Shared DuckDB replica of the multi-probe LSH machinery (Similarity
     * .lshCandidates): hyperplane ±1 literals baked in, projections as
     * sequential folds, sign-bit bucket ids, Hamming-1 probe explode. Ends
@@ -176,6 +233,6 @@ object SimQueries {
           element_at(col("feature"), c + 1).cast("double").as(s"f$c")): _*)
   }
 
-  val all: Seq[Q] = Seq(xAnnTopK, xAnnIvf, xAnnLsh, xNearDupEmb,
+  val all: Seq[Q] = Seq(xAnnTopK, xAnnIvf, xAnnLsh, xAnnPq, xNearDupEmb,
     xMediaFeatures, xMediaDecode)
 }

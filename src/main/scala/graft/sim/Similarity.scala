@@ -163,6 +163,95 @@ object Similarity {
     topKFromPairs(pairs, k)
   }
 
+  /** Sequential-fold squared L2 distance in double precision (zip_with +
+    * aggregate with zero init ≡ DuckDB list_reduce over the same zip). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** IVF-PQ approximate top-k — the FAISS-style 100 TB ANN design: a
+    * coarse quantizer restricts candidates to one cell, and ranking inside
+    * the cell runs on PRODUCT-QUANTIZED codes (m sub-space codewords per
+    * vector) instead of raw vectors, via a precomputed codeword-pair
+    * distance table. At scale the corpus holds m small ints per vector
+    * (64 bytes of floats → 8 codes), the codebook and distance table stay
+    * broadcast dimensions, and the cell join shuffles codes, not vectors.
+    *
+    * Deterministic end to end (sampled coarse centroids at id %
+    * `coarseStep`; sampled codebook at id % `codeStep` capped below
+    * `codeMax` so codebook size is corpus-bounded; L2² assignment with id
+    * tie-breaks; exact decimal sum over the m per-subspace distances), so
+    * the DuckDB oracle replicates codes AND distances bit-exact.
+    *
+    * Output: (vec_id, rank, neighbor, dist) — dist is the symmetric PQ
+    * approximation Σ_j d²(codeword(a,j), codeword(b,j)), rank 1..k
+    * ascending with neighbor-id tie-break.
+    */
+  def pqTopK(
+      emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      coarseStep: Long = 40, codeStep: Long = 100, codeMax: Long = 3000,
+      m: Int = 8, subDim: Int = 8): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
+    // squared norm: sequential fold, matches the oracle's list_reduce
+    def norm2(v: Column): Column =
+      aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x)
+    val base = emb.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("n2", norm2(col("v")))
+    // coarse quantizer: nearest sampled centroid by L2² (id tie-break),
+    // via |a|² + |c|² − 2·a·c so the n·centroids hot loop runs through
+    // the native codegen'd dot expression, not a per-pair lambda fold
+    val cents = base.filter(col("id") % coarseStep === 0)
+      .select(col("id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("cd2").asc, col("cid").asc)
+    val cells = base.join(broadcast(cents), lit(true))
+      .select(col("id"), col("v"), col("cid"),
+        (col("n2") + col("cn2")
+          - lit(2.0) * call_function("graft_dot", col("v"), col("cv")))
+          .as("cd2"))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("id"), col("v"), col("cid").as("cell"))
+    // per-subspace views: j-th slice of the vector / codebook entry
+    def subSlices(v: Column) =
+      transform(sequence(lit(0), lit(m - 1)),
+        j => slice(v, j * subDim + 1, lit(subDim)))
+    val cb = base.filter(col("id") % codeStep === 0 && col("id") < codeMax)
+      .select(col("id").as("pid"), posexplode(subSlices(col("v"))))
+      .toDF("pid", "j", "psub")
+    // encode: per (vector, subspace) the nearest codeword (L2², pid asc)
+    val wEnc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"), col("j")).orderBy(col("d2").asc, col("pid").asc)
+    val codes = cells
+      .select(col("id"), col("cell"), posexplode(subSlices(col("v"))))
+      .toDF("id", "cell", "j", "vsub")
+      .join(broadcast(cb), Seq("j"))
+      .select(col("id"), col("cell"), col("j"), col("pid"),
+        l2sq(col("vsub"), col("psub")).as("d2"))
+      .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
+      .select(col("id"), col("cell"), col("j"), col("pid").as("code"))
+    // codeword-pair distance table: m × |codebook|² rows, stays broadcast
+    val cdist = cb.toDF("pa", "jj", "pva")
+      .join(cb.toDF("pb", "jj2", "pvb"), col("jj") === col("jj2"))
+      .select(col("jj"), col("pa"), col("pb"),
+        l2sq(col("pva"), col("pvb")).as("d2"))
+    // cell-local pairs ranked by the table-sum distance; the per-subspace
+    // distances sum through DECIMAL so the total is order-independent
+    val pairs = codes.toDF("vec_id", "cell", "j", "ca")
+      .join(codes.toDF("neighbor", "cell", "j", "cb_"), Seq("cell", "j"))
+      .filter(col("vec_id") =!= col("neighbor"))
+      .join(broadcast(cdist), col("j") === col("jj")
+        && col("ca") === col("pa") && col("cb_") === col("pb"))
+      .groupBy(col("vec_id"), col("neighbor"))
+      .agg(sum(col("d2").cast("decimal(28,12)")).cast("double").as("dist"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist").asc, col("neighbor").asc)
+    pairs.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"),
+        col("neighbor"), col("dist"))
+  }
+
   /** Near-duplicate pairs via multi-probe LSH candidates: (a < b, cos ≥
     * threshold). Candidate generation is the same bucketed join as
     * [[lshTopK]] — cost O(n·planes·d) + bucket-local joins, never an

@@ -60,4 +60,30 @@ class SimilaritySpec extends SparkSpec {
     assert(r1 >= r0, s"multi-probe recall $r1 < single-probe $r0")
     assert(r1 > r0 + 0.05, s"multi-probe gained too little: $r0 -> $r1")
   }
+
+  test("pqTopK: structural shape + exact-duplicate pair at distance zero") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    // plant an exact duplicate of vector 1 under a fresh id: identical
+    // vectors land in the same coarse cell with identical codes, so the
+    // PQ distance is exactly 0 and each is the other's rank-1 neighbor
+    val dup = emb.filter(col("vec_id") === 1)
+      .select(lit(9001L).as("vec_id"), col("embedding"),
+        col("label"))
+    val got = Similarity.pqTopK(emb.unionByName(dup), "vec_id", "embedding",
+      k = 5, coarseStep = 40, codeStep = 100, codeMax = 3000)
+      .as[(Long, Long, Long, Double)].collect()
+    val byVec = got.groupBy(_._1)
+    byVec.values.foreach { rows =>
+      assert(rows.map(_._2).sorted.sameElements(1L to rows.length))
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._4).sliding(2).forall(p => p.head <= p.last + 1e-12))
+      assert(rows.forall(_._4 >= 0.0))
+    }
+    assert(byVec.forall(_._2.length <= 5))
+    val d1 = got.find(r => r._1 == 1L && r._3 == 9001L).get
+    val d2 = got.find(r => r._1 == 9001L && r._3 == 1L).get
+    assert(d1._2 == 1L && d1._4 == 0.0, s"dup not rank-1/dist-0: $d1")
+    assert(d2._2 == 1L && d2._4 == 0.0, s"dup not rank-1/dist-0: $d2")
+  }
 }
