@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit, min}
 import graft.Q
 import graft.core.Tables
 import graft.dedup.Dedup
@@ -93,6 +93,22 @@ object DedupQueries {
       n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5)
   }
 
+  /** Recursive-CTE transitive closure over the LSH near-dup pairs, ending
+    * in `clusters (doc_id, cluster_id = min reachable doc_id)` — shared by
+    * the cluster query and the end-to-end apply query. */
+  private val clusterCtes: String =
+    minhashCteChain.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, np AS (SELECT jacc.a AS a, jacc.b AS b
+        |  FROM cand JOIN jacc USING (a, b) WHERE jaccard >= 0.5),
+        |und AS (SELECT a AS u, b AS v FROM np UNION SELECT b, a FROM np),
+        |reach (n, m) AS (
+        |  SELECT u, u FROM und
+        |  UNION
+        |  SELECT r.n, w.v FROM reach r JOIN und w ON r.m = w.u),
+        |clusters AS (SELECT n AS doc_id, MIN(m) AS cluster_id
+        |  FROM reach GROUP BY n)
+        |""".stripMargin
+
   /** Transitive dedup clusters — what a production dedup actually ships:
     * near-dup pairs form an undirected graph; connected components give
     * the cluster; cluster id = min doc_id (keep-representative policy).
@@ -101,20 +117,51 @@ object DedupQueries {
     * min-label reachability over the SAME pair SQL. */
   val xDedupClusters = Q(
     "x_dedup_clusters",
-    minhashCteChain.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """, np AS (SELECT jacc.a AS a, jacc.b AS b
-        |  FROM cand JOIN jacc USING (a, b) WHERE jaccard >= 0.5),
-        |und AS (SELECT a AS u, b AS v FROM np UNION SELECT b, a FROM np),
-        |reach (n, m) AS (
-        |  SELECT u, u FROM und
-        |  UNION
-        |  SELECT r.n, w.v FROM reach r JOIN und w ON r.m = w.u)
-        |SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n"""
-        .stripMargin) { (s, d) =>
+    clusterCtes + "SELECT doc_id, cluster_id FROM clusters") { (s, d) =>
     val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
       n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5)
     graft.graph.GraphOps.connectedComponents(s, pairs.select("a", "b"))
       .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+  }
+
+  /** End-to-end corpus dedup materialization: every document flagged
+    * exact-dup (non-min of its bag-of-words fingerprint group) and/or
+    * near-dup (non-representative member of an LSH cluster), with the
+    * final keep verdict — the query a training pipeline actually runs to
+    * produce the deduped corpus. Composes the exact path and the cluster
+    * closure under ONE oracle. */
+  val xDedupApply = Q(
+    "x_dedup_apply",
+    clusterCtes +
+      """, fp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |    string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS f
+        |  FROM documents),
+        |ex AS (SELECT doc_id,
+        |    doc_id <> MIN(doc_id) OVER (PARTITION BY f) AS is_exact_dup
+        |  FROM fp)
+        |SELECT e.doc_id, e.is_exact_dup,
+        |  coalesce(c.doc_id <> c.cluster_id, false) AS is_near_dup,
+        |  NOT e.is_exact_dup
+        |    AND NOT coalesce(c.doc_id <> c.cluster_id, false) AS kept
+        |FROM ex e LEFT JOIN clusters c ON e.doc_id = c.doc_id"""
+        .stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val wFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fingerprint"))
+    val ex = docs.select(col("doc_id"),
+        graft.text.TextFns.fingerprint(col("text")).as("fingerprint"))
+      .withColumn("is_exact_dup",
+        col("doc_id") =!= min(col("doc_id")).over(wFp))
+      .select(col("doc_id"), col("is_exact_dup"))
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5)
+    val near = graft.graph.GraphOps.connectedComponents(s, pairs.select("a", "b"))
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"), lit(true).as("nd"))
+    ex.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_exact_dup"),
+        coalesce(col("nd"), lit(false)).as("is_near_dup"),
+        (!col("is_exact_dup") && !coalesce(col("nd"), lit(false))).as("kept"))
   }
 
   private val SimBits = 32
@@ -160,5 +207,5 @@ object DedupQueries {
   }
 
   val all: Seq[Q] = Seq(xDedupNgram, xDedupMinhashLsh, xDedupClusters,
-    xDedupSimhashSig, xDedupSimhashPairs)
+    xDedupApply, xDedupSimhashSig, xDedupSimhashPairs)
 }

@@ -62,6 +62,65 @@ object TextQueries {
       col("doc_id"), col("lang"), TextFns.langId(col("text")).as("predicted"))
   }
 
+  /** Exact per-language token-count quantiles — corpus-analysis stats with
+    * a DETERMINISTIC quantile definition (value at rank ceil(q·n) ordered
+    * by (value, doc_id)), not approx_percentile: bit-replicable by any
+    * engine, and at scale one ranking window per group vs a global sketch
+    * merge. */
+  val xLenQuantiles = Q(
+    "x_len_quantiles",
+    wsCte +
+      """, r AS (SELECT lang, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY lang ORDER BY len(ws), doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n FROM t)
+        |SELECT lang, max(n) AS n_docs,
+        |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN n_tokens END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_tokens END) AS p90,
+        |  max(n_tokens) AS max_tokens
+        |FROM r GROUP BY lang""".stripMargin) { (s, d) =>
+    val wLang = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val r = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("rn", row_number().over(
+        wLang.orderBy(col("n_tokens"), col("doc_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(wLang))
+    r.groupBy(col("lang")).agg(
+      max(col("n")).as("n_docs"),
+      max(when(col("rn") === ceil(lit(0.5) * col("n")), col("n_tokens"))).as("p50"),
+      max(when(col("rn") === ceil(lit(0.9) * col("n")), col("n_tokens"))).as("p90"),
+      max(col("n_tokens")).as("max_tokens"))
+  }
+
+  /** Intra-document repetition quality filter (Gopher-style rules):
+    * duplicate-bigram fraction + top-token share + a keep verdict. Pure
+    * per-row array expressions — the filter costs ZERO shuffles at any
+    * scale, unlike an explode/groupBy formulation. */
+  val xRepetition = Q(
+    "x_repetition",
+    wsCte +
+      """, m AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 2 THEN
+        |    CAST(len(ws) - 1 - len(list_distinct(list_transform(
+        |        range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))) AS DOUBLE)
+        |      / (len(ws) - 1) END AS dup_bigram_frac,
+        |  CASE WHEN len(ws) > 0 THEN
+        |    CAST(list_max(list_transform(list_distinct(ws),
+        |        w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE)
+        |      / len(ws) END AS top_token_frac
+        |FROM t)
+        |SELECT doc_id, dup_bigram_frac, top_token_frac,
+        |  coalesce(dup_bigram_frac, 0) < 0.2
+        |    AND coalesce(top_token_frac, 1) < 0.2 AS keep
+        |FROM m""".stripMargin) { (s, d) =>
+    val dup = TextFns.dupBigramFrac(col("text"))
+    val top = TextFns.topTokenFrac(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"), dup.as("dup_bigram_frac"), top.as("top_token_frac"),
+      (coalesce(dup, lit(0.0)) < 0.2 && coalesce(top, lit(1.0)) < 0.2)
+        .as("keep"))
+  }
+
   val xDedupExact = Q(
     "x_dedup_exact",
     """SELECT
@@ -91,5 +150,6 @@ object TextQueries {
       TextFns.rollingHash(col("text")).as("rolling_fp"))
   }
 
-  val all: Seq[Q] = Seq(xTextStats, xLangId, xDedupExact, xFingerprint)
+  val all: Seq[Q] = Seq(xTextStats, xLangId, xLenQuantiles, xRepetition,
+    xDedupExact, xFingerprint)
 }

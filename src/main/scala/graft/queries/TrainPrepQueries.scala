@@ -69,5 +69,44 @@ object TrainPrepQueries {
       scrubbed.as("scrubbed"))
   }
 
-  val all: Seq[Q] = Seq(xSplit, xPack, xScrub)
+  /** Stratified deterministic sampling — per-language training-mix rates
+    * (down-sample dominant en, keep all rare zh). */
+  val xSample = Q(
+    "x_sample",
+    """SELECT doc_id, lang FROM (SELECT doc_id, lang,
+      |    ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+      |      % 1000 AS bucket
+      |  FROM documents)
+      |WHERE bucket < CASE lang WHEN 'en' THEN 400 WHEN 'zh' THEN 1000
+      |  ELSE 250 END""".stripMargin) { (s, d) =>
+    TrainPrep.stratifiedSample(Tables.documents(s, d), "doc_id", col("lang"),
+      ratesPerMille = Map("en" -> 400, "zh" -> 1000), defaultPerMille = 250)
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** Benchmark decontamination: train docs sharing any 3-gram shingle with
+    * the test split, with distinct-shingle hit counts. */
+  val xDecontaminate = Q(
+    "x_decontaminate",
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+      |           FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+      |b AS (SELECT doc_id,
+      |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+      |      % 1000 AS bucket
+      |  FROM documents),
+      |ev AS (SELECT DISTINCT shingle FROM sh0 JOIN b USING (doc_id)
+      |       WHERE bucket < 50),
+      |tr AS (SELECT doc_id FROM b WHERE bucket >= 100),
+      |hits AS (SELECT s.doc_id, COUNT(*) AS n_hits
+      |         FROM sh0 s JOIN tr USING (doc_id) JOIN ev USING (shingle)
+      |         GROUP BY s.doc_id)
+      |SELECT tr.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+      |  coalesce(h.n_hits, 0) > 0 AS contaminated
+      |FROM tr LEFT JOIN hits h ON tr.doc_id = h.doc_id""".stripMargin) { (s, d) =>
+    TrainPrep.contaminationReport(Tables.documents(s, d), "doc_id", "text", n = 3)
+  }
+
+  val all: Seq[Q] = Seq(xSplit, xPack, xScrub, xSample, xDecontaminate)
 }

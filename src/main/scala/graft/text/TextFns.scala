@@ -85,6 +85,31 @@ object TextFns {
       1)("lang")
   }
 
+  /** Fraction of word bigrams that are repeats of an earlier bigram in the
+    * same document — the classic intra-document repetition signal
+    * (boilerplate, keyword stuffing, decode loops). Pure per-row array
+    * expression: no shuffle at any scale, cost bounded by document length.
+    * Texts with <2 tokens → null (no bigrams to judge). */
+  def dupBigramFrac(text: Column): Column = {
+    val t = tokens(text)
+    val bigrams = transform(
+      sequence(lit(1), size(t) - 1),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+    // size < 2 → no bigrams; guard BEFORE building the sequence (ANSI mode
+    // rejects both sequence(1,0) and element_at out-of-bounds)
+    when(size(t) >= 2,
+      ratio(size(bigrams) - size(array_distinct(bigrams)), size(bigrams)))
+  }
+
+  /** Share of the document occupied by its single most frequent token —
+    * high values flag degenerate repetition. O(distinct · n) per row, no
+    * shuffle. Empty text → null. */
+  def topTokenFrac(text: Column): Column = {
+    val t = tokens(text)
+    val counts = transform(array_distinct(t), w => size(filter(t, x => x === w)))
+    ratio(array_max(counts), size(t))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set — robust
     * to word order and repetition (the "bag-of-words" dedup key). */
   def fingerprint(text: Column): Column =

@@ -56,6 +56,52 @@ object TrainPrep {
         floor(greatest(col("running") - 1, lit(0)) / budget).cast("long"))
   }
 
+  /** Deterministic stratified sampling: keep a row iff its content-
+    * independent hash bucket (per-mille of the id, salt "sample") falls
+    * below the stratum's rate. The same doc always gets the same verdict
+    * under re-runs, re-partitioning and corpus growth — the reproducibility
+    * property `df.sample()` lacks — and per-stratum rates are how training
+    * mixes are actually specified (upweight rare sources, downsample web).
+    * Rates are a when-cascade over SORTED keys (map order never leaks into
+    * the plan). */
+  def stratifiedSample(
+      docs: DataFrame, idCol: String, stratumCol: Column,
+      ratesPerMille: Map[String, Int], defaultPerMille: Int): DataFrame = {
+    val bucket =
+      TextFns.portableHash(col(idCol).cast("string"), lit("sample")) % 1000
+    val rate = ratesPerMille.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPerMille)) { case (acc, (k, v)) =>
+        when(stratumCol === k, lit(v)).otherwise(acc)
+      }
+    docs.filter(bucket < rate)
+  }
+
+  /** Benchmark decontamination: for every TRAIN-split document, the number
+    * of distinct word `n`-gram shingles it shares with the eval (test)
+    * split, plus the contaminated verdict. The production shape: the eval
+    * shingle set is tiny relative to the corpus, so it is broadcast and the
+    * train-side shingle table never shuffles for the overlap join — the
+    * only wide exchange is the per-doc hit count. Real pipelines use
+    * 8–13-gram shingles; `n` is a parameter. */
+  def contaminationReport(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val splits = docs.select(col(idCol).as("doc_id"),
+      hashSplit(docs, idCol).as("split"))
+    val sh = graft.dedup.Dedup.shingles(docs, idCol, textCol, n)
+    val evalSh = sh
+      .join(splits.filter(col("split") === "test"), Seq("doc_id"), "left_semi")
+      .select(col("shingle")).distinct()
+    val train = splits.filter(col("split") === "train").select(col("doc_id"))
+    val hits = sh
+      .join(train, Seq("doc_id"), "left_semi")
+      .join(broadcast(evalSh), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    train.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\b[0-9]{2,3}-[0-9]{3,4}-[0-9]{3,4}\\b"
 

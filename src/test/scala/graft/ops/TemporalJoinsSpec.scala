@@ -43,6 +43,31 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got.getTimestamp(0) === ts(5) && got.isNullAt(1))
   }
 
+  test("asOfJoin equals the naive quadratic formulation on real events") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val got = TemporalJoins.asOfJoin(purchases, clicks, "user_id", "ts")
+      .select("purchase_id", "click_id")
+    // naive: pair every purchase with every earlier-or-equal click, keep
+    // the latest (the O(events-per-key²) shape asOfJoin avoids)
+    val naive = purchases
+      .join(clicks.toDF("cuid", "cts", "cid"),
+        col("user_id") === col("cuid") && col("cts") <= col("ts"), "left")
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("user_id"), col("purchase_id"))
+        .orderBy(col("cts").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(col("purchase_id"), col("cid").as("click_id"))
+    assert(got.count() === purchases.count())
+    assert(got.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(got).count() === 0)
+  }
+
   test("binnedRangeJoin equals the naive between-join, including multi-bin spans") {
     val intervals = Seq(
       (1L, "2020-01-01", "2020-03-10"), // spans many 16-day bins

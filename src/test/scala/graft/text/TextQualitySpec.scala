@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Repetition quality metrics and benchmark decontamination. */
+class TextQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def metrics(text: String): (Option[Double], Option[Double]) = {
+    val r = Seq(text).toDF("text")
+      .select(TextFns.dupBigramFrac(col("text")).as("d"),
+        TextFns.topTokenFrac(col("text")).as("t"))
+      .head()
+    (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+      if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+  }
+
+  test("dupBigramFrac: all-distinct bigrams → 0, degenerate repetition → high") {
+    assert(metrics("the quick brown fox")._1.contains(0.0))
+    // "spam spam spam spam": 3 bigrams, all "spam spam" → 2/3 duplicated
+    assert(math.abs(metrics("spam spam spam spam")._1.get - 2.0 / 3) < 1e-12)
+  }
+
+  test("dupBigramFrac: under 2 tokens → null (no bigrams to judge)") {
+    assert(metrics("word")._1.isEmpty)
+    assert(metrics("")._1.isEmpty)
+  }
+
+  test("topTokenFrac: uniform text → 1/n, repeated token dominates") {
+    assert(metrics("a b c d")._2.contains(0.25))
+    assert(metrics("go go go stop")._2.contains(0.75))
+  }
+
+  test("contaminationReport flags exactly the train docs sharing a test shingle") {
+    // Pick ids whose md5 split buckets land in test (<50) and train (>=100):
+    // probe a range and select deterministically.
+    val probe = spark.range(0, 400).toDF("doc_id")
+    val buckets = probe.select(col("doc_id"),
+        (TextFns.portableHash(col("doc_id").cast("string"), lit("split")) % 1000)
+          .as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val testId = buckets.collectFirst { case (id, b) if b < 50 => id }.get
+    val trainIds = buckets.collect { case (id, b) if b >= 100 => id }.take(3).toSeq
+    val leaked = "alpha beta gamma delta" // shares 3-gram shingles with testId
+    val clean = "zeta eta theta iota"
+    val docs = Seq(
+      (testId, leaked),
+      (trainIds(0), "prefix alpha beta gamma delta suffix"), // contaminated
+      (trainIds(1), clean), // clean
+      (trainIds(2), "too short")) // no shingles at n=3 → clean
+      .toDF("doc_id", "text")
+    val got = TrainPrep.contaminationReport(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.keySet === trainIds.toSet) // only train docs reported
+    assert(got(trainIds(0))._2 && got(trainIds(0))._1 >= 2) // ≥2 shared shingles
+    assert(got(trainIds(1)) === ((0L, false)))
+    assert(got(trainIds(2)) === ((0L, false)))
+  }
+
+  test("stratifiedSample: rate 1000 keeps everything, rate 0 keeps nothing") {
+    val docs = spark.range(0, 200).toDF("doc_id")
+      .withColumn("lang", when(col("doc_id") % 2 === 0, "en").otherwise("zh"))
+    val kept = TrainPrep.stratifiedSample(docs, "doc_id", col("lang"),
+      ratesPerMille = Map("en" -> 1000, "zh" -> 0), defaultPerMille = 500)
+    assert(kept.filter(col("lang") === "en").count() === 100)
+    assert(kept.filter(col("lang") === "zh").count() === 0)
+  }
+}
