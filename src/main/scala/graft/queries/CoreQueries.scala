@@ -548,8 +548,75 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_orders"))
   }
 
+  /** TPC-H Q3-shaped shipping-priority query: selective dimension filter →
+    * two equi-joins → DECIMAL revenue aggregate → deterministic top-10.
+    * Plan shape to want at 100 TB: the filtered customer dimension
+    * broadcasts, both date filters push to the parquet scans, and the
+    * top-10 is a TakeOrderedAndProject (no global sort materialization). */
+  val q03ShippingPriority = Q(
+    "q03_shipping_priority",
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |           * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("1998-03-15 00:00:00").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > lit("1998-03-15 00:00:00").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1) - col("l_discount")).cast("decimal(8,4)"))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+  }
+
+  /** TPC-H Q18-shaped large-volume-customer query: a semi-join against a
+    * HAVING aggregate over the fact table, then re-join and re-aggregate.
+    * The qualifying-key set is tiny → broadcast semi-join; the fact table
+    * shuffles once on l_orderkey, and AQE reuses it for both aggregates. */
+  val q18LargeOrders = Q(
+    "q18_large_orders",
+    """WITH big AS (SELECT l_orderkey FROM lineitem
+      |             GROUP BY l_orderkey
+      |             HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250)
+      |SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  CAST(o_totalprice AS DOUBLE) AS total_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN big ON big.l_orderkey = o_orderkey
+      |GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("q"))
+      .filter(col("q") > 250).select(col("l_orderkey").as("bk"))
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(big), col("bk") === col("o_orderkey"), "left_semi")
+      .groupBy(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+      .select(col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice").cast("double").as("total_price"), col("sum_qty"))
+  }
+
   val all: Seq[Q] = Seq(
-    sqlFrontDoor, qCube, qRunningTotal,
+    sqlFrontDoor, qCube, qRunningTotal, q03ShippingPriority, q18LargeOrders,
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,
     j1OuterMerge, j4BroadcastMap, j5FallbackChain, j6SuffixSelfJoin,
     j7AntiJoin, jRangeBin, a1KeepBest, a2Median3, a3OrderedMiddle,

@@ -90,6 +90,27 @@ object EventQueries {
     EventStreams.asOfAttribution(Tables.events(s, d))
   }
 
-  val all: Seq[Q] = Seq(evTumbling, evSliding, evSessionize, evFirstPerKey,
+  /** Causally-ordered view→click→purchase funnel (click counts only
+    * at-or-after the first view, purchase only at-or-after that click). */
+  val evFunnel = Q(
+    "ev_funnel",
+    """WITH v AS (SELECT user_id, MIN(ts) AS vts FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS cts FROM events e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.ts >= v.vts GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS pts FROM events e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.ts >= c.cts GROUP BY 1)
+      |SELECT v.user_id,
+      |  CAST(floor(epoch(v.vts)) AS BIGINT) AS first_view,
+      |  CAST(floor(epoch(c.cts)) AS BIGINT) AS first_click,
+      |  CAST(floor(epoch(p.pts)) AS BIGINT) AS first_purchase,
+      |  1 + CAST(c.user_id IS NOT NULL AS INTEGER)
+      |    + CAST(p.user_id IS NOT NULL AS INTEGER) AS stage
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin) { (s, d) =>
+    EventStreams.funnel(Tables.events(s, d))
+  }
+
+  val all: Seq[Q] = Seq(evTumbling, evSliding, evSessionize, evFirstPerKey, evFunnel,
     evIntervalJoin, evAsofJoin)
 }

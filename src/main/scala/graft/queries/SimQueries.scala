@@ -233,6 +233,43 @@ object SimQueries {
           element_at(col("feature"), c + 1).cast("double").as(s"f$c")): _*)
   }
 
-  val all: Seq[Q] = Seq(xAnnTopK, xAnnIvf, xAnnLsh, xAnnPq, xNearDupEmb,
-    xMediaFeatures, xMediaDecode)
+  /** Two deterministic Lloyd iterations over BIGINT-quantized embeddings
+    * (floor(x·1e6)): integer per-dim sums make the centroid means
+    * partition-order-free, so the oracle unrolls both iterations
+    * bit-exact. See graft.sim.KMeans. */
+  val xKmeans = Q(
+    "x_kmeans",
+    """WITH v0 AS (SELECT vec_id AS id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |v AS (SELECT id, q,
+      |    list_transform(q, x -> CAST(x AS DOUBLE) / 1000000.0) AS vq FROM v0),
+      |c0 AS (SELECT id AS cid, vq AS cv FROM v WHERE id % 40 = 0),
+      |p1 AS (SELECT v.id, v.q, c.cid,
+      |    list_reduce(list_transform(list_zip(v.vq, c.cv),
+      |      z -> (z[1] - z[2]) * (z[1] - z[2])), (s, t) -> s + t) AS dist
+      |  FROM v CROSS JOIN c0 c),
+      |a1 AS (SELECT id, q, cid FROM (SELECT id, q, cid,
+      |    row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM p1)
+      |  WHERE rn = 1),
+      |d1 AS (SELECT cid, i, SUM(q[i]) AS s, COUNT(*) AS n
+      |       FROM a1, UNNEST(range(1, 65)) AS t(i) GROUP BY cid, i),
+      |c1 AS (SELECT cid,
+      |    list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY i) AS cv
+      |  FROM d1 GROUP BY cid),
+      |p2 AS (SELECT v.id, c.cid,
+      |    list_reduce(list_transform(list_zip(v.vq, c.cv),
+      |      z -> (z[1] - z[2]) * (z[1] - z[2])), (s, t) -> s + t) AS dist
+      |  FROM v CROSS JOIN c1 c)
+      |SELECT id AS vec_id, cid AS cluster, dist AS dist2
+      |FROM (SELECT id, cid, dist,
+      |    row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM p2)
+      |WHERE rn = 1""".stripMargin) { (s, d) =>
+    graft.sim.KMeans.kmeans(Tables.embeddings(s, d), "vec_id", "embedding",
+      centroidStep = 40, iters = 2)
+  }
+
+  val all: Seq[Q] = Seq(xAnnTopK, xAnnIvf, xAnnLsh, xAnnPq, xKmeans,
+    xNearDupEmb, xMediaFeatures, xMediaDecode)
 }

@@ -77,6 +77,34 @@ object EventStreams {
         unix_timestamp(col("ts")).as("first_epoch"))
   }
 
+  /** View→click→purchase conversion funnel per user with CAUSAL ordering:
+    * first view, then first click at-or-after that view, then first
+    * purchase at-or-after that click (a click before any view never
+    * counts). One row per user who viewed; stage ∈ {1,2,3}.
+    *
+    * Scale: every join and aggregation keys on user_id, so one hash
+    * partitioning serves all three stages (co-partitioned joins, no
+    * re-shuffle of the big side beyond the first exchange). */
+  def funnel(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("vts"))
+    val c = events.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") >= col("vts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("cts"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") >= col("cts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("pts"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        unix_timestamp(col("vts")).as("first_view"),
+        unix_timestamp(col("cts")).as("first_click"),
+        unix_timestamp(col("pts")).as("first_purchase"),
+        (lit(1) + when(col("cts").isNotNull, 1).otherwise(0)
+          + when(col("pts").isNotNull, 1).otherwise(0)).as("stage"))
+  }
+
   // ---- Structured Streaming entry points ----------------------------------
 
   /** File-source stream over an events directory (parquet), no watermark

@@ -86,4 +86,23 @@ class SimilaritySpec extends SparkSpec {
     assert(d1._2 == 1L && d1._4 == 0.0, s"dup not rank-1/dist-0: $d1")
     assert(d2._2 == 1L && d2._4 == 0.0, s"dup not rank-1/dist-0: $d2")
   }
+
+  test("kmeans: total assignment, clusters ⊆ init ids, Lloyd objective non-increasing") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    def run(iters: Int) =
+      graft.sim.KMeans.kmeans(emb, "vec_id", "embedding",
+        centroidStep = 10, iters = iters)
+    val one = run(1)
+    val two = run(2)
+    assert(one.count() === n && two.count() === n) // every vector assigned
+    val initIds = emb.filter(col("vec_id") % 10 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val used = two.select("cluster").distinct().collect().map(_.getLong(0)).toSet
+    assert(used.subsetOf(initIds))
+    val obj1 = one.agg(sum("dist2")).head().getDouble(0)
+    val obj2 = two.agg(sum("dist2")).head().getDouble(0)
+    assert(obj2 <= obj1 + 1e-6, s"objective rose: $obj1 -> $obj2")
+  }
 }
