@@ -121,6 +121,44 @@ object TextQueries {
         .as("keep"))
   }
 
+  /** Corpus vocabulary: document frequency + collection frequency per
+    * token, top-200 by (df desc, word asc) — the "build the tokenizer
+    * vocab" step. One shuffle on word; the top-k is a rank pushdown, not a
+    * global sort materialization. */
+  val xVocab = Q(
+    "x_vocab",
+    wsCte +
+      """, w AS (SELECT doc_id, unnest(ws) AS word FROM t)
+        |SELECT word, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf
+        |FROM w GROUP BY word ORDER BY df DESC, word LIMIT 200""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
+      .orderBy(col("df").desc, col("word")).limit(200)
+  }
+
+  /** Per-(source, lang) corpus report: doc counts, exact token totals, and
+    * the high-quality share — all integer sums and IEEE-single-division
+    * means, so no double-sum order dependence anywhere. */
+  val xCorpusStats = Q(
+    "x_corpus_stats",
+    wsCte.replace("doc_id, text, lang,", "doc_id, text, lang, source,") +
+      """SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(ws)) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(len(ws)) AS DOUBLE) / COUNT(*) AS avg_tokens,
+        |  CAST(SUM(CASE WHEN len(text) >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+        |FROM t GROUP BY source, lang""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFns.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        (sum(TextFns.tokenCount(col("text")).cast("long")).cast("double")
+          / count(lit(1))).as("avg_tokens"),
+        sum(when(length(col("text")) >= 200, 1).otherwise(0).cast("long"))
+          .as("n_long"))
+  }
+
   val xDedupExact = Q(
     "x_dedup_exact",
     """SELECT
@@ -151,5 +189,5 @@ object TextQueries {
   }
 
   val all: Seq[Q] = Seq(xTextStats, xLangId, xLenQuantiles, xRepetition,
-    xDedupExact, xFingerprint)
+    xVocab, xCorpusStats, xDedupExact, xFingerprint)
 }

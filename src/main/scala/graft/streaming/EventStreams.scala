@@ -288,4 +288,62 @@ object EventStreams {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class FunnelState(v: Long, c: Long, p: Long) // first-stage epoch-µs, -1 unset
+  case class FunnelRow(user_id: Long, first_view: Long, first_click: Option[Long],
+      first_purchase: Option[Long], stage: Int)
+
+  /** Streaming twin of [[funnel]]: per-user causal state machine via
+    * flatMapGroupsWithState. State exists only once a view is seen (clicks
+    * before the first view never count, exactly like the batch form — even
+    * across micro-batches, because pre-view clicks are simply not
+    * retained). Same-timestamp ties process view < click < purchase so the
+    * at-or-after comparisons match the batch `>=` semantics. Emits the
+    * user's current funnel row whenever it advances (update semantics —
+    * stage and stamps are monotone, so the max-stage row per user is the
+    * final answer). */
+  def statefulFunnel(stream: DataFrame): org.apache.spark.sql.Dataset[FunnelRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val prio = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+
+    def fn(userId: Long, events: Iterator[FunnelEvent],
+        state: GroupState[FunnelState]): Iterator[FunnelRow] = {
+      if (state.hasTimedOut) return Iterator.empty
+      val sorted = events.toSeq
+        .sortBy(e => (us(e.ts), prio.getOrElse(e.event_type, 3)))
+      val before = state.getOption
+      var st = before.getOrElse(FunnelState(-1, -1, -1))
+      sorted.foreach { e =>
+        val t = us(e.ts)
+        e.event_type match {
+          case "view" if st.v < 0 => st = st.copy(v = t)
+          case "click" if st.v >= 0 && st.c < 0 && t >= st.v =>
+            st = st.copy(c = t)
+          case "purchase" if st.c >= 0 && st.p < 0 && t >= st.c =>
+            st = st.copy(p = t)
+          case _ =>
+        }
+      }
+      if (st.v < 0 || before.contains(st)) Iterator.empty
+      else {
+        state.update(st)
+        val opt = (x: Long) => if (x >= 0) Some(x / 1000000L) else None
+        Iterator(FunnelRow(userId, st.v / 1000000L, opt(st.c), opt(st.p),
+          1 + (if (st.c >= 0) 1 else 0) + (if (st.p >= 0) 1 else 0)))
+      }
+    }
+
+    stream
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+  }
 }

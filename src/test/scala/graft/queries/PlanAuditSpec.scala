@@ -60,6 +60,23 @@ class PlanAuditSpec extends SparkSpec {
       "the union-window form must not pair rows")
   }
 
+  test("q03 is broadcast-joined with a top-k sort (no global sort, no SMJ)") {
+    val p = plan("q03_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 materialized a global sort instead of TakeOrderedAndProject")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("PushedFilters"), "date filters not pushed to scans")
+  }
+
+  test("q18 qualifying-set is a broadcast left-semi join") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"))
+  }
+
+  test("x_vocab top-200 is TakeOrderedAndProject, not a global sort") {
+    assert(plan("x_vocab").contains("TakeOrderedAndProject"))
+  }
+
   test("column pruning: q01 scan reads only the needed lineitem columns") {
     val p = plan("q01_pricing_summary")
     val schema = "ReadSchema: struct<" +

@@ -78,6 +78,19 @@ class EventStreamsSpec extends SparkSpec {
     assert(emitted.size >= batch.size / 2)
   }
 
+  test("stateful funnel's final per-user rows equal the batch funnel") {
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    runToMemory(EventStreams.statefulFunnel(stream).toDF(), "sfunnel", "update")
+    val emitted = spark.table("sfunnel")
+      .as[(Long, Long, Option[Long], Option[Long], Int)].collect()
+    // stage is monotone per user; the max-stage emission is the final state
+    val finalRows = emitted.groupBy(_._1).map(_._2.maxBy(_._5)).toSet
+    val batch = EventStreams.funnel(Tables.events(spark, sf))
+      .as[(Long, Long, Option[Long], Option[Long], Int)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(finalRows === batch)
+  }
+
   test("foreachBatch parquet sink is restart-safe on the same checkpoint") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
