@@ -40,6 +40,36 @@ object GraphOps {
     graph.degrees.map { case (v, d) => (v, d) }.toDF("node", "degree")
   }
 
+  /** Integer-scaled PageRank: pr₀ = scale; each iteration
+    * pr'ᵥ = (15·scale)/100 + (85·Σ_{u→v} ⌊prᵤ/outdegᵤ⌋)/100, ALL in
+    * BIGINT floor arithmetic. Integer addition commutes, so GraphX's
+    * message combining is partition-order-free and the result is
+    * bit-replicable by any engine — the determinism double-precision
+    * PageRank fundamentally lacks on a cluster. Dangling mass is dropped
+    * (the standard simplification); fixed iteration count, no convergence
+    * test. */
+  def integerPageRank(
+      spark: SparkSession, edges: DataFrame, iters: Int = 2,
+      scale: Long = 1000000L): DataFrame = {
+    val edgeRdd = edges.select(
+      col(edges.columns(0)).cast("long"), col(edges.columns(1)).cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val base = Graph.fromEdgeTuples(edgeRdd, defaultValue = 1)
+    // vertex attr = (pr, outdeg); outdeg fixed across iterations
+    var g: Graph[(Long, Int), Int] = base.outerJoinVertices(base.outDegrees) {
+      (_, _, d) => (scale, d.getOrElse(0))
+    }
+    for (_ <- 1 to iters) {
+      val sums = g.aggregateMessages[Long](
+        ctx => ctx.sendToDst(ctx.srcAttr._1 / ctx.srcAttr._2), _ + _)
+      g = g.outerJoinVertices(sums) { (_, attr, s) =>
+        ((15L * scale) / 100L + (85L * s.getOrElse(0L)) / 100L, attr._2)
+      }
+    }
+    import spark.implicits._
+    g.vertices.map { case (v, (pr, _)) => (v, pr) }.toDF("node", "pr")
+  }
+
   /** Triangle count per vertex (GraphX TriangleCount; the edge set is
     * canonicalized srcId < dstId as the algorithm requires). Deterministic
     * integers → exactly oracle-comparable. */

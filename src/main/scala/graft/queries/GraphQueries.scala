@@ -151,5 +151,29 @@ object GraphQueries {
       .select(col("node"), col("landmark"), col("distance"))
   }
 
-  val all: Seq[Q] = Seq(gDegree, gComponents, gAncestors, gTriangles, gShortestPaths)
+  /** Integer-scaled PageRank (2 iterations, scale 1e6, damping 85/100 in
+    * BIGINT floor arithmetic — see GraphOps.integerPageRank for why
+    * integer arithmetic is the only cluster-deterministic formulation).
+    * Oracle = both iterations unrolled relationally. */
+  val gPagerank = Q(
+    "g_pagerank",
+    edgeCte +
+      """, nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+        |od AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |s1 AS (SELECT e.dst AS n, SUM(1000000 // od.deg) AS s
+        |       FROM e JOIN od ON e.src = od.src GROUP BY e.dst),
+        |p1 AS (SELECT nodes.n,
+        |    CAST(150000 + (85 * COALESCE(s1.s, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nodes LEFT JOIN s1 ON nodes.n = s1.n),
+        |s2 AS (SELECT e.dst AS n, SUM(p1.pr // od.deg) AS s
+        |       FROM e JOIN od ON e.src = od.src
+        |       JOIN p1 ON p1.n = e.src GROUP BY e.dst)
+        |SELECT nodes.n AS node,
+        |  CAST(150000 + (85 * COALESCE(s2.s, 0)) // 100 AS BIGINT) AS pr
+        |FROM nodes LEFT JOIN s2 ON nodes.n = s2.n""".stripMargin) { (s, d) =>
+    GraphOps.integerPageRank(s, edgeDf(s, d), iters = 2)
+  }
+
+  val all: Seq[Q] = Seq(gDegree, gComponents, gAncestors, gTriangles,
+    gShortestPaths, gPagerank)
 }

@@ -159,6 +159,28 @@ object TextQueries {
           .as("n_long"))
   }
 
+  /** KMV distinct-token sketch per language — a cross-engine-replicable
+    * cardinality sketch (the k-th min of portable hashes), with the exact
+    * count alongside. See graft.text.Sketches. */
+  val xDistinctKmv = Q(
+    "x_distinct_kmv",
+    wsCte +
+      """, w AS (SELECT DISTINCT lang AS g, unnest(ws) AS word FROM t),
+        |h AS (SELECT DISTINCT g,
+        |    ('0x' || substr(md5('kmv:' || word), 1, 14))::BIGINT AS h FROM w),
+        |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+        |      FROM h),
+        |kth AS (SELECT g, h AS kth_hash FROM r WHERE rn = 64),
+        |ex AS (SELECT g, COUNT(DISTINCT word) AS n_exact FROM w GROUP BY g)
+        |SELECT ex.g AS lang, ex.n_exact, kth.kth_hash,
+        |  CASE WHEN kth.kth_hash IS NULL THEN CAST(ex.n_exact AS DOUBLE)
+        |       ELSE 63.0 * 72057594037927936.0 / CAST(kth.kth_hash AS DOUBLE)
+        |  END AS est
+        |FROM ex LEFT JOIN kth ON ex.g = kth.g""".stripMargin) { (s, d) =>
+    graft.text.Sketches.kmvDistinctTokens(
+      Tables.documents(s, d), "text", "lang", k = 64)
+  }
+
   val xDedupExact = Q(
     "x_dedup_exact",
     """SELECT
@@ -189,5 +211,5 @@ object TextQueries {
   }
 
   val all: Seq[Q] = Seq(xTextStats, xLangId, xLenQuantiles, xRepetition,
-    xVocab, xCorpusStats, xDedupExact, xFingerprint)
+    xVocab, xCorpusStats, xDistinctKmv, xDedupExact, xFingerprint)
 }

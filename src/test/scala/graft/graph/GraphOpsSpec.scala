@@ -18,6 +18,15 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 3L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("integerPageRank hand-computed on a chain a->b->c") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = GraphOps.integerPageRank(spark, edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    // pr0 = 1e6 each; iter1: b,c <- 1e6 => pr=1e6, a 150000
+    // iter2: b <- floor(85*150000/100)+150000 = 277500; c <- 1e6; a 150000
+    assert(got === Map(1L -> 150000L, 2L -> 277500L, 3L -> 1000000L))
+  }
+
   test("triangleCounts on a known 4-clique-minus-edge") {
     // 1-2, 2-3, 1-3 form a triangle; 4 hangs off 1
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")

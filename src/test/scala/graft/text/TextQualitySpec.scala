@@ -58,6 +58,23 @@ class TextQualitySpec extends SparkSpec {
     assert(got(trainIds(2)) === ((0L, false)))
   }
 
+  test("KMV sketch: exact below k, sane estimate above k") {
+    import graft.text.Sketches
+    // 40 distinct words < k=64 → exact path, kth_hash null
+    val small = Seq(("a", (1 to 40).map(i => s"w$i").mkString(" ")))
+      .toDF("lang", "text")
+    val s = Sketches.kmvDistinctTokens(small, "text", "lang", k = 64).head()
+    assert(s.getLong(1) === 40L && s.isNullAt(2) && s.getDouble(3) === 40.0)
+    // 2000 distinct words ≫ k → estimate within 50% (deterministic given
+    // the fixed hash family, so this can never flake)
+    val big = Seq(("b", (1 to 2000).map(i => s"tok$i").mkString(" ")))
+      .toDF("lang", "text")
+    val r = Sketches.kmvDistinctTokens(big, "text", "lang", k = 64).head()
+    val est = r.getDouble(3)
+    assert(r.getLong(1) === 2000L)
+    assert(est > 1000 && est < 4000, s"KMV estimate off: $est")
+  }
+
   test("stratifiedSample: rate 1000 keeps everything, rate 0 keeps nothing") {
     val docs = spark.range(0, 200).toDF("doc_id")
       .withColumn("lang", when(col("doc_id") % 2 === 0, "en").otherwise("zh"))
