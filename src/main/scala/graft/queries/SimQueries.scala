@@ -270,6 +270,32 @@ object SimQueries {
       centroidStep = 40, iters = 2)
   }
 
+  /** Frame sampling over the binary media path: one row per kept frame
+    * (every 2nd 64-byte block), emitted as md5 + byte count. The oracle
+    * slices the text instead of the blob (DuckDB 1.0 has no blob
+    * substring) — byte-faithful because the testdata corpus is pure ASCII
+    * (verified at every sf). */
+  val xMediaFrames = Q(
+    "x_media_frames",
+    """WITH b AS (SELECT doc_id AS media_id, text, len(text) AS n
+      |           FROM documents),
+      |f AS (SELECT media_id, i,
+      |    substring(text, CAST(i * 64 + 1 AS BIGINT), 64) AS frame
+      |  FROM b, UNNEST(range(0, (n + 63) // 64)) AS t(i)
+      |  WHERE i % 2 = 0)
+      |SELECT media_id, CAST(i // 2 AS INTEGER) AS frame_no,
+      |  md5(frame) AS frame_md5, CAST(len(frame) AS INTEGER) AS n_bytes
+      |FROM f""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text")
+      .as[Multimodal.MediaRow]
+    Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
+      .toDF()
+      .select(col("media_id"), col("frame_no"),
+        md5(col("frame")).as("frame_md5"),
+        length(col("frame")).cast("int").as("n_bytes"))
+  }
+
   val all: Seq[Q] = Seq(xAnnTopK, xAnnIvf, xAnnLsh, xAnnPq, xKmeans,
-    xNearDupEmb, xMediaFeatures, xMediaDecode)
+    xNearDupEmb, xMediaFeatures, xMediaDecode, xMediaFrames)
 }

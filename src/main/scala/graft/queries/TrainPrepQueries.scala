@@ -108,5 +108,42 @@ object TrainPrepQueries {
     TrainPrep.contaminationReport(Tables.documents(s, d), "doc_id", "text", n = 3)
   }
 
-  val all: Seq[Q] = Seq(xSplit, xPack, xScrub, xSample, xDecontaminate)
+  /** Incremental corpus refresh (the daily-batch upsert a training corpus
+    * actually runs): a deterministic staged batch — every 5th doc updated
+    * (text + " v2"), the first 50 re-keyed as brand-new ids — full-outer
+    * merged into the current snapshot with per-row status. One shuffle on
+    * doc_id; at 100 TB the staged side is the small one and the snapshot
+    * never rewrites unchanged rows downstream (status drives the sink). */
+  val xIncremental = Q(
+    "x_incremental",
+    """WITH upd AS (
+      |  SELECT doc_id, text || ' v2' AS new_text FROM documents
+      |  WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+      |m AS (SELECT coalesce(d.doc_id, u.doc_id) AS doc_id,
+      |    coalesce(u.new_text, d.text) AS text,
+      |    CASE WHEN d.doc_id IS NULL THEN 'new'
+      |         WHEN u.doc_id IS NULL THEN 'unchanged'
+      |         ELSE 'updated' END AS status
+      |  FROM documents d FULL OUTER JOIN upd u ON d.doc_id = u.doc_id)
+      |SELECT doc_id, status, CAST(len(text) AS BIGINT) AS n_chars
+      |FROM m""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val staged = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" v2")).as("new_text"))
+      .unionByName(docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("text").as("new_text")))
+    docs.join(staged, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("text").isNull, "new")
+          .when(col("new_text").isNull, "unchanged")
+          .otherwise("updated").as("status"),
+        length(coalesce(col("new_text"), col("text"))).cast("long")
+          .as("n_chars"))
+  }
+
+  val all: Seq[Q] = Seq(xSplit, xPack, xScrub, xSample, xDecontaminate,
+    xIncremental)
 }

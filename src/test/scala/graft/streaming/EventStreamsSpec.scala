@@ -78,6 +78,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(emitted.size >= batch.size / 2)
   }
 
+  test("funnel causality: pre-view clicks and pre-click purchases never count") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val ev = Seq(
+      // user 1: click BEFORE first view → click must not count; purchase
+      // after view but with no qualifying click → must not count either
+      (1L, ts(10), "click"), (1L, ts(20), "view"), (1L, ts(30), "purchase"),
+      // user 2: proper view→click→purchase, plus same-ts click (counts, >=)
+      (2L, ts(10), "view"), (2L, ts(10), "click"), (2L, ts(40), "purchase"),
+      // user 3: no view at all → absent from the funnel
+      (3L, ts(5), "click"), (3L, ts(6), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = EventStreams.funnel(ev)
+      .as[(Long, Long, Option[Long], Option[Long], Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) === ((1L, 20L, None, None, 1)))
+    assert(got(2L) === ((2L, 10L, Some(10L), Some(40L), 3)))
+  }
+
   test("stateful funnel's final per-user rows equal the batch funnel") {
     val stream = EventStreams.readEventStream(spark, eventsDir)
     runToMemory(EventStreams.statefulFunnel(stream).toDF(), "sfunnel", "update")
