@@ -144,6 +144,26 @@ object TrainPrepQueries {
           .as("n_chars"))
   }
 
+  /** Data-driven mixture rebalancing: per-source keep-rates computed from
+    * the corpus itself (800-token budget per source). */
+  val xMixRebalance = Q(
+    "x_mix_rebalance",
+    """WITH t AS (SELECT doc_id, source,
+      |    len(string_split_regex(trim(lower(text)), '\s+')) AS n
+      |  FROM documents),
+      |s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS src_tokens
+      |      FROM t GROUP BY source),
+      |r AS (SELECT source, CASE WHEN src_tokens > 0
+      |        THEN least(1000, (800 * 1000) // src_tokens)
+      |        ELSE 1000 END AS rate_pm FROM s)
+      |SELECT t.doc_id, t.source, CAST(r.rate_pm AS BIGINT) AS rate_pm
+      |FROM t JOIN r USING (source)
+      |WHERE ('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 14))::BIGINT
+      |  % 1000 < r.rate_pm""".stripMargin) { (s, d) =>
+    TrainPrep.equalizeSourceBudgets(Tables.documents(s, d), "doc_id",
+      "source", "text", budgetTokens = 800)
+  }
+
   val all: Seq[Q] = Seq(xSplit, xPack, xScrub, xSample, xDecontaminate,
-    xIncremental)
+    xIncremental, xMixRebalance)
 }

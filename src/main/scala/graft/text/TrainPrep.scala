@@ -76,6 +76,28 @@ object TrainPrep {
     docs.filter(bucket < rate)
   }
 
+  /** Source-budget rebalancing: compute each source's keep-rate FROM THE
+    * DATA — rate‰ = min(1000, budget·1000 ⌊/⌋ source_tokens) — then apply
+    * the deterministic hash filter. Equalizes per-source token budgets
+    * (the "don't let one crawl dominate the mix" knob) with zero driver
+    * logic: the 20-row totals dimension broadcasts back onto the corpus,
+    * and integer floor division keeps the rates engine-exact. */
+  def equalizeSourceBudgets(
+      docs: DataFrame, idCol: String, sourceCol: String, textCol: String,
+      budgetTokens: Long): DataFrame = {
+    val totals = docs.groupBy(col(sourceCol))
+      .agg(sum(TextFns.tokenCount(col(textCol)).cast("long")).as("src_tokens"))
+      .withColumn("rate_pm",
+        when(col("src_tokens") > 0,
+          least(lit(1000L), expr(s"(${budgetTokens} * 1000) div src_tokens")))
+          .otherwise(lit(1000L)))
+      .select(col(sourceCol), col("rate_pm"))
+    docs.join(broadcast(totals), Seq(sourceCol))
+      .filter(TextFns.portableHash(col(idCol).cast("string"), lit("mix")) % 1000
+        < col("rate_pm"))
+      .select(col(idCol), col(sourceCol), col("rate_pm"))
+  }
+
   /** Benchmark decontamination: for every TRAIN-split document, the number
     * of distinct word `n`-gram shingles it shares with the eval (test)
     * split, plus the contaminated verdict. The production shape: the eval

@@ -75,6 +75,25 @@ class TextQualitySpec extends SparkSpec {
     assert(est > 1000 && est < 4000, s"KMV estimate off: $est")
   }
 
+  test("equalizeSourceBudgets: data-derived rates, capped at 1000") {
+    val docs = (1 to 20).map(i => (i.toLong, "A", Seq.fill(10)("w").mkString(" "))) ++
+      Seq((100L, "B", "w w w w w"))
+    val df = docs.toDF("doc_id", "source", "text")
+    // A: 200 tokens, budget 100 → rate 500‰; B: 5 tokens → capped 1000‰
+    val got = TrainPrep.equalizeSourceBudgets(df, "doc_id", "source", "text", 100)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.filter(_._2 == "B") === Array((100L, "B", 1000L)))
+    val aKept = got.filter(_._2 == "A").map(_._1).toSet
+    val expected = (1 to 20).map(_.toLong).filter { id =>
+      val bucket = spark.range(1).select(
+        TextFns.portableHash(lit(id.toString), lit("mix")) % 1000)
+        .head().getLong(0)
+      bucket < 500
+    }.toSet
+    assert(got.filter(_._2 == "A").forall(_._3 == 500L))
+    assert(aKept === expected)
+  }
+
   test("stratifiedSample: rate 1000 keeps everything, rate 0 keeps nothing") {
     val docs = spark.range(0, 200).toDF("doc_id")
       .withColumn("lang", when(col("doc_id") % 2 === 0, "en").otherwise("zh"))
