@@ -491,6 +491,42 @@ object CoreQueries {
         count(lit(1)).as("n"))
   }
 
+  /** Hierarchical ROLLUP subtotals (the reporting twin of q_cube's full
+    * lattice — grand total, per-flag, per-flag-status). */
+  val qRollup = Q(
+    "q_rollup",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_price"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Wide pivot of per-user event counts (`pivot` with an explicit value
+    * list — the plan stays a single hash aggregate, never one pass per
+    * pivoted value; nulls for absent combos are zero-filled to match the
+    * FILTER-clause oracle). */
+  val evPivot = Q(
+    "ev_pivot",
+    """SELECT user_id,
+      |  COUNT(*) FILTER (event_type = 'view') AS n_view,
+      |  COUNT(*) FILTER (event_type = 'click') AS n_click,
+      |  COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+      |  COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+      |  COUNT(*) FILTER (event_type = 'error') AS n_error
+      |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    val pivoted = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    pivoted.select(col("user_id") +:
+      types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+  }
+
   /** Frame-spec running total per supplier (rowsBetween window; absent from
     * the reference, §2.5 "no frame specs needed" — added as engine
     * surface). Decimal accumulation keeps the running values exact, and the
@@ -616,7 +652,8 @@ object CoreQueries {
   }
 
   val all: Seq[Q] = Seq(
-    sqlFrontDoor, qCube, qRunningTotal, q03ShippingPriority, q18LargeOrders,
+    sqlFrontDoor, qCube, qRollup, evPivot, qRunningTotal,
+    q03ShippingPriority, q18LargeOrders,
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,
     j1OuterMerge, j4BroadcastMap, j5FallbackChain, j6SuffixSelfJoin,
     j7AntiJoin, jRangeBin, a1KeepBest, a2Median3, a3OrderedMiddle,
