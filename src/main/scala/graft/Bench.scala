@@ -24,14 +24,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // Belt-and-braces for the machine reader: also write the line to a file
-    // in case a log wrapper ever re-prefixes stdout again.
+    val failed = results.count(_._2 < 0)
+    // The stdout contract line must stay short: the driver keeps only a
+    // bounded tail of stdout, so per-query detail (3k+ chars at 100+
+    // queries) would truncate mid-JSON. Totals only here (~100 chars);
+    // the full per-query map goes to bench_out.json below.
+    val totalR = math.round(total * 1000.0) / 1000.0
+    val shortJson =
+      s"""{"metric":"total","value":$totalR,"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir"}"""
+    println(shortJson)
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        (json + "\n").getBytes("UTF-8"))
+        (fullJson + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
   }

@@ -22,12 +22,29 @@ import graft.text.TextFns
 object Dedup {
 
   /** Exact-duplicate groups by bag-of-words fingerprint: one row per
-    * distinct fingerprint with the kept (min) id and group size. */
+    * distinct fingerprint with the kept (min) id and group size. Group
+    * membership is deliberately NOT materialized here — a concatenated
+    * id roster would put an entire boilerplate-heavy group (potentially
+    * millions of ids) into one row. Use [[exactMembership]] for the
+    * per-document membership table. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(TextFns.fingerprint(col(textCol)).as("fingerprint"))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"),
-        concat_ws("|", array_sort(collect_list(col(idCol).cast("string"))))
-          .as("doc_ids"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Membership table for exact-duplicate groups: one (fingerprint,
+    * doc_id) row per document that belongs to a group of size > 1.
+    * Row-per-member keeps every row O(1) regardless of group size; the
+    * ranking window shuffles once on the fingerprint, same as the
+    * summary aggregation. */
+  def exactMembership(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fingerprint"))
+    docs.select(TextFns.fingerprint(col(textCol)).as("fingerprint"),
+        col(idCol).as("doc_id"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") > 1)
+      .select(col("fingerprint"), col("doc_id"))
+  }
 
   /** Distinct word n-gram shingles per document (docs shorter than n words
     * produce none).
@@ -184,37 +201,58 @@ object Dedup {
     graft.sim.Similarity
       .lshNearDupPairs(emb, idCol, vecCol, threshold, planes, dim, probes)
 
-  /** SimHash signatures (`bits`-wide, default 32): per word-frequency vote —
+  /** SimHash signatures (`bits`-wide, default 64): per word-frequency vote —
     * bit b of the signature is set iff Σ_word (±freq) ≥ 0, where the sign is
-    * bit b of the word's portable hash. */
+    * bit b of the word's portable hash.
+    *
+    * Sign bits come from TWO independent portable hashes (salts "sim" /
+    * "sim2", 32 bits each): a single 56-bit md5-prefix hash can't supply the
+    * standard 64 signature bits, and 64 bits is what makes 16-bit band keys
+    * (65,536 buckets per band) possible — the difference between a bucketed
+    * algorithm and a quadratic one at corpus scale. bits ≤ 32 uses only the
+    * first hash, so narrower signatures are unchanged. */
   def simhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
-      bits: Int = 32): DataFrame = {
+      bits: Int = 64): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
     val words = docs.select(col(idCol).as("doc_id"),
       explode(TextFns.tokens(col(textCol))).as("word"))
     // hash each DISTINCT word once and broadcast the tiny dimension back,
     // instead of one md5 per (doc, word) row — same h values, oracle
     // unchanged
     val wordDim = words.select(col("word")).distinct()
-      .withColumn("h", TextFns.portableHash(col("word"), lit("sim")))
+      .withColumn("h0", TextFns.portableHash(col("word"), lit("sim")))
+      .withColumn("h1", TextFns.portableHash(col("word"), lit("sim2")))
     val wf = words.groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("f"))
       .join(broadcast(wordDim), Seq("word"))
+    def signBit(b: Int): Column =
+      if (b < 32) shiftright(col("h0"), b) else shiftright(col("h1"), b - 32)
     val votes: Seq[Column] = (0 until bits).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1, col("f"))
+      sum(when(signBit(b).bitwiseAND(lit(1L)) === 1, col("f"))
         .otherwise(-col("f"))).as(s"v$b"))
     val voted = wf.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    // bit 63 term is Long.MinValue; the reduce adds it last, so partial
+    // sums of bits 0..62 never exceed Long.MaxValue (two's complement
+    // assembles exactly, no wrap mid-sum — mirrors the oracle's SQL)
     val sig = (0 until bits).map(b =>
       when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     voted.select(col("doc_id"), sig.as("sig"))
   }
 
-  /** SimHash near-duplicate pairs: split the signature into `bands` byte
-    * bands, bucket-join, keep pairs with Hamming distance ≤ maxHamming. */
+  /** SimHash near-duplicate pairs: split the signature into `bands` bands
+    * (default 64-bit / 4 bands = 16-bit band keys → 65,536 buckets per
+    * band), bucket-join, keep pairs with Hamming distance ≤ maxHamming.
+    * Any pair within Hamming distance `bands - 1` is guaranteed to share
+    * at least one band (pigeonhole); wider distances are best-effort.
+    * Band keys narrower than ~16 bits make the bucket self-join
+    * quadratic-with-a-constant rather than bucketed — don't lower the
+    * signature width below 64 at corpus scale. */
   def simhashNearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      bits: Int = 32, bands: Int = 4, maxHamming: Int = 6): DataFrame = {
+      bits: Int = 64, bands: Int = 4, maxHamming: Int = 6): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
     val width = bits / bands
     val sig = simhashSignatures(docs, idCol, textCol, bits)
     val bandStructs = (0 until bands).map { j =>

@@ -164,16 +164,27 @@ object DedupQueries {
         (!col("is_exact_dup") && !coalesce(col("nd"), lit(false))).as("kept"))
   }
 
-  private val SimBits = 32
+  private val SimBits = 64
 
+  /** 64-bit oracle replica: sign bits 0-31 from hash salt "sim", 32-63 from
+    * salt "sim2" (mirrors Dedup.simhashSignatures). The bit-63 term is
+    * written as `-9223372036854775807 - 1` so DuckDB keeps the whole sum in
+    * BIGINT (a bare -9223372036854775808 literal promotes to HUGEINT); the
+    * terms are emitted ascending, so partial sums of bits 0..62 stay within
+    * BIGINT range and the negative bit-63 term lands last. */
   private val simhashCte = {
-    val sig = (0 until SimBits).map(b =>
-      s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN f ELSE -f END) >= 0 " +
-        s"THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    val sig = (0 until SimBits).map { b =>
+      val bitVal =
+        if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+      val h = if (b < 32) s"(h0 >> $b)" else s"(h1 >> ${b - 32})"
+      s"(CASE WHEN sum(CASE WHEN $h & 1 = 1 THEN f ELSE -f END) >= 0 " +
+        s"THEN $bitVal ELSE 0 END)"
+    }.mkString(" + ")
     s"""WITH words AS (SELECT doc_id,
        |  unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents),
        |wf AS (SELECT doc_id, word, COUNT(*) AS f,
-       |  ${sqlHash("sim", "word")} AS h FROM words GROUP BY doc_id, word),
+       |  ${sqlHash("sim", "word")} AS h0,
+       |  ${sqlHash("sim2", "word")} AS h1 FROM words GROUP BY doc_id, word),
        |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM wf GROUP BY doc_id)
        |""".stripMargin
   }

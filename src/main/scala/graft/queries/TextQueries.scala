@@ -186,10 +186,23 @@ object TextQueries {
     """SELECT
       |  md5(array_to_string(list_sort(list_distinct(
       |    string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fingerprint,
-      |  min(doc_id) AS keep_id, COUNT(*) AS n_docs,
-      |  string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
+      |  min(doc_id) AS keep_id, COUNT(*) AS n_docs
       |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
     Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+  }
+
+  /** Membership of exact-dup groups as one row per member — the scale-safe
+    * replacement for a concatenated id roster (a boilerplate-heavy corpus
+    * can put millions of docs behind one fingerprint). */
+  val xDedupExactMembers = Q(
+    "x_dedup_exact_members",
+    """WITH fp AS (SELECT
+      |  md5(array_to_string(list_sort(list_distinct(
+      |    string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fingerprint,
+      |  doc_id FROM documents)
+      |SELECT fingerprint, doc_id FROM fp
+      |QUALIFY COUNT(*) OVER (PARTITION BY fingerprint) > 1""".stripMargin) { (s, d) =>
+    Dedup.exactMembership(Tables.documents(s, d), "doc_id", "text")
   }
 
   /** Document fingerprints: bag-of-words md5 + polynomial rolling hash
@@ -211,5 +224,6 @@ object TextQueries {
   }
 
   val all: Seq[Q] = Seq(xTextStats, xLangId, xLenQuantiles, xRepetition,
-    xVocab, xCorpusStats, xDistinctKmv, xDedupExact, xFingerprint)
+    xVocab, xCorpusStats, xDistinctKmv, xDedupExact, xDedupExactMembers,
+    xFingerprint)
 }

@@ -56,9 +56,28 @@ class DedupSpec extends SparkSpec {
 
   test("simhashNearDupPairs returns exact dups at hamming 0") {
     val got = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
-      bits = 32, bands = 4, maxHamming = 0)
+      bits = 64, bands = 4, maxHamming = 0)
       .as[(Long, Long, Int)].collect()
     assert(got.exists(r => r._1 == 1L && r._2 == 4L && r._3 == 0))
+  }
+
+  test("exactMembership lists only multi-doc groups, one row per member") {
+    val got = Dedup.exactMembership(docs, "doc_id", "text")
+      .as[(String, Long)].collect()
+    assert(got.map(_._2).sorted.toSeq === Seq(1L, 4L)) // the only dup group
+    assert(got.map(_._1).distinct.length === 1)
+  }
+
+  test("64-bit banding keeps candidate pairs near-linear on unrelated docs") {
+    // 300 pairwise-unrelated docs: with 16-bit band keys the bucket join
+    // should produce ~0 candidate pairs (vs ~n²/2·bands/2^8 for 8-bit keys).
+    // maxHamming = 64 disables the post-filter so we count raw candidates.
+    val rnd = (1 to 300).map(i =>
+      (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+      .toDF("doc_id", "text")
+    val cand = Dedup.simhashNearDupPairs(rnd, "doc_id", "text",
+      bits = 64, bands = 4, maxHamming = 64).count()
+    assert(cand < 300, s"banded candidates should be ~linear, got $cand")
   }
 
   test("hot-shingle cap leaves thresholded output unchanged on real data") {

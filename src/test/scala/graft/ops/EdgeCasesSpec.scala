@@ -88,4 +88,17 @@ class EdgeCasesSpec extends SparkSpec {
     val got = df.select(Kernels.effectMergePair($"x", $"y")).as[String].collect()
     assert(got.toSeq === Seq("Unknown"))
   }
+
+  test("exactGroups on a planted million-row group stays row-per-member") {
+    // One boilerplate fingerprint shared by 1M docs: the summary must stay
+    // one bounded row (no concatenated id roster), membership one row per
+    // doc — nothing accumulates per-group state in a single cell.
+    val docs = spark.range(1000000)
+      .select($"id".as("doc_id"), lit("shared boiler plate text").as("text"))
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(groups.length === 1)
+    assert(groups.head.getAs[Long]("n_docs") === 1000000L)
+    assert(groups.head.getAs[Long]("keep_id") === 0L)
+    assert(Dedup.exactMembership(docs, "doc_id", "text").count() === 1000000L)
+  }
 }
