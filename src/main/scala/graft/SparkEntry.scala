@@ -14,6 +14,7 @@ object SparkEntry {
   /** All registered queries, in registry order. */
   def registry: Seq[Q] =
     CoreQueries.all ++ PipelineQueries.all ++ IntegrationQueries.all ++
+      EdgeMergeQueries.all ++
       RegulationQueries.all ++ NodeBuilderQueries.all ++
       GraphQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimQueries.all ++ SourceQueries.all ++

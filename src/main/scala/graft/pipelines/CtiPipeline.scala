@@ -56,4 +56,26 @@ object CtiPipeline {
         Kernels.setJoinAgg(concat(lit("doc:"), col("doc"))).as("refs"))
     grouped
   }
+
+  /** Compound node builder (compound.py:379-401): admission = "MOL"
+    * structure type, NOT mapped to drugbank (anti-join against the UniChem
+    * dimension — those emit as drugs instead), AND has at least one
+    * qualifying activity (semi-join); props conformed to the compound
+    * label. */
+  def nodes(s: SparkSession, d: String): DataFrame = {
+    val act = activities(s, d).select(col("chembl").as("p_partkey")).distinct()
+    val mapKeys = drugbankMap(s, d).select(col("from_id").as("p_partkey"))
+    val admitted = Tables.part(s, d)
+      .filter(col("p_type").startsWith("MEDIUM"))
+      .join(broadcast(mapKeys), Seq("p_partkey"), "left_anti")
+      .join(act, Seq("p_partkey"), "left_semi")
+    val raw = admitted.select(
+      ColFns.curie("chembl", concat(lit("CHEMBL"), col("p_partkey"))).as("id"),
+      lit("compound").as("label"),
+      round(col("p_retailprice"), 3).as("full_mwt"),
+      col("p_size").cast("long").as("heavy_atoms"),
+      ColFns.escapeProps(col("p_type")).as("smiles"),
+      upper(substring(md5(col("p_name")), 1, 14)).as("inchikey"))
+    graft.core.SchemaRegistry.conformNodes(raw, "compound")
+  }
 }

@@ -81,6 +81,33 @@ object DtiPipeline {
     graft.core.SchemaRegistry.conformEdges(m, "drug_targets_protein")
   }
 
+  /** Drug node builder (drug.py:1194-1222 `get_drug_nodes`): one
+    * small_molecule node per DrugBank drug; prop values escaped
+    * (`'`→`^`, drug.py:1210), empty/absent props dropped (null), the
+    * configured `node_fields` subset applied via the schema registry's
+    * conform (P10 — the reference's `prop_key in self.node_fields`). */
+  def nodes(s: SparkSession, d: String): DataFrame = {
+    import graft.core.ColFns
+    val groups = array_sort(filter(array(
+      when(col("p_size") > 10, "approved"),
+      when(col("p_retailprice") > 1500, "investigational")),
+      x => x.isNotNull))
+    val raw = Tables.part(s, d).select(
+      concat(lit("drugbank:DB"), col("p_partkey")).as("id"),
+      lit("small_molecule").as("label"),
+      concat(lit("DB"), col("p_partkey")).as("drugbank_id"),
+      concat_ws("-", col("p_partkey"), col("p_partkey") % 100,
+        col("p_partkey") % 10).as("cas_number"),
+      ColFns.escapeProps(col("p_name")).as("name"),
+      when(size(groups) > 0, groups).as("groups"),
+      when(col("p_partkey") % 3 === 0,
+        concat(lit("D"), col("p_partkey") % 10000)).as("kegg_drug"),
+      concat(lit("CHEMBL"), col("p_partkey")).as("chembl"))
+    graft.core.SchemaRegistry.conformNodes(raw, "small_molecule",
+      selected = Set("drugbank_id", "cas_number", "name", "groups",
+        "kegg_drug", "chembl"))
+  }
+
   /** The 5-chain merge (drug.py:1054,1079,1113,1137,1152). */
   def merged(s: SparkSession, d: String): DataFrame =
     Kernels.outerMergeChain(

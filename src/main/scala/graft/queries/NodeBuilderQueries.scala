@@ -256,6 +256,65 @@ object NodeBuilderQueries {
         col("n_name").as("organism"), col("s_name").as("protein_names"))
   }
 
+  /** drug node builder (drug.py:1194-1222): escaped props, absent-prop
+    * nulls, configured-subset conform (P10). Declared-but-unselected and
+    * missing props are dropped/typed-null by the registry on the Spark
+    * side, so the oracle lists exactly the selected subset. */
+  val drugNodes = Q(
+    "drug_nodes",
+    """WITH g AS (SELECT p_partkey,
+      |  list_sort(list_filter([
+      |    CASE WHEN p_size > 10 THEN 'approved' END,
+      |    CASE WHEN p_retailprice > 1500 THEN 'investigational' END],
+      |    x -> x IS NOT NULL)) AS groups FROM part)
+      |SELECT 'drugbank:DB' || p.p_partkey AS id, 'small_molecule' AS label,
+      |  'DB' || p.p_partkey AS drugbank_id,
+      |  p.p_partkey || '-' || (p.p_partkey % 100) || '-' || (p.p_partkey % 10)
+      |    AS cas_number,
+      |  translate(p.p_name, '''|', '^,') AS name,
+      |  CASE WHEN len(g.groups) > 0 THEN g.groups END AS groups,
+      |  CASE WHEN p.p_partkey % 3 = 0 THEN 'D' || (p.p_partkey % 10000) END
+      |    AS kegg_drug,
+      |  'CHEMBL' || p.p_partkey AS chembl
+      |FROM part p JOIN g ON p.p_partkey = g.p_partkey""".stripMargin) { (s, d) =>
+    graft.pipelines.DtiPipeline.nodes(s, d)
+  }
+
+  /** disease node builder (disease.py:1355-1407): obsolete-term filter,
+    * escaped name/synonyms, presence-conditional xref props. */
+  val diseaseNodes = Q(
+    "disease_nodes",
+    """SELECT 'mondo:' || c_custkey AS id, 'mondo_disease' AS label,
+      |  translate(c_name, '''|', '^,') AS name,
+      |  list_sort([translate(lower(c_name), '''|', '^,'),
+      |    'syn ' || c_custkey]) AS synonyms,
+      |  CASE WHEN c_nationkey % 3 = 0 THEN 'C' || c_custkey END AS umls,
+      |  CASE WHEN c_nationkey % 3 = 1 THEN 'DOID:' || c_custkey END AS doid,
+      |  CASE WHEN c_nationkey % 3 = 2 THEN 'D' || c_custkey END AS mesh
+      |FROM customer WHERE c_acctbal >= 0""".stripMargin) { (s, d) =>
+    graft.pipelines.DiseaseEdgesPipeline.diseaseNodes(s, d)
+  }
+
+  /** compound node builder (compound.py:379-401): MOL-structure filter +
+    * drugbank anti-join + qualifying-activity semi-join admission. */
+  val compoundNodes = Q(
+    "compound_nodes",
+    """WITH act AS (SELECT DISTINCT l_partkey FROM lineitem
+      |    WHERE l_returnflag = 'A' AND l_linestatus = 'F'),
+      |map AS (SELECT p_partkey FROM part WHERE p_size > 25)
+      |SELECT 'chembl:CHEMBL' || p_partkey AS id, 'compound' AS label,
+      |  round(p_retailprice, 3) AS full_mwt,
+      |  CAST(p_size AS BIGINT) AS heavy_atoms,
+      |  translate(p_type, '''|', '^,') AS smiles,
+      |  upper(substr(md5(p_name), 1, 14)) AS inchikey
+      |FROM part
+      |WHERE p_type LIKE 'MEDIUM%'
+      |  AND p_partkey NOT IN (SELECT p_partkey FROM map)
+      |  AND p_partkey IN (SELECT l_partkey FROM act)""".stripMargin) { (s, d) =>
+    graft.pipelines.CtiPipeline.nodes(s, d)
+  }
+
   val all: Seq[Q] = Seq(sideEffects, ecNodes, ecEdges, phenotypeEdges,
-    goNodes, goEdges, domainNodes, domainEdges, uniprotNodes)
+    goNodes, goEdges, domainNodes, domainEdges, uniprotNodes,
+    drugNodes, diseaseNodes, compoundNodes)
 }
