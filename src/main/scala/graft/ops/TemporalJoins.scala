@@ -33,6 +33,13 @@ object TemporalJoins {
     * pre-aggregate ties (e.g. `max_by`) before calling, exactly as a
     * native ASOF engine requires for a well-defined answer.
     *
+    * NULL semantics match native ASOF joins (DuckDB ASOF): a right row
+    * with NULL key or NULL time can never be anyone's "latest prior" (it
+    * is dropped here — under Spark's nulls-first ascending sort it would
+    * otherwise sort before everything and leak its payload into left rows
+    * with no real prior), and a left row with NULL key/time gets a null
+    * payload rather than matching other NULL-keyed rows.
+    *
     * Output columns: all left columns, then the right time as
     * `<time>_right`, then the remaining right columns.
     */
@@ -42,9 +49,14 @@ object TemporalJoins {
     val rightPayload = right.columns.filterNot(c => c == key || c == time).toSeq
     val rTime = s"${time}_right"
     // right rows carry their payload as ONE struct so a legitimately-null
-    // payload field can never be back-filled from an older right row
-    val rTagged = right.select(col(key), col(time), lit(0).as("__side"),
-      struct(col(time).as(rTime) +: rightPayload.map(col): _*).as("__asof"))
+    // payload field can never be back-filled from an older right row;
+    // NULL-key/time right rows are excluded (see NULL semantics above) —
+    // left NULL rows need no filter: their window partition/prefix then
+    // holds no right row, so they fall out with a null payload naturally
+    val rTagged = right
+      .filter(col(key).isNotNull && col(time).isNotNull)
+      .select(col(key), col(time), lit(0).as("__side"),
+        struct(col(time).as(rTime) +: rightPayload.map(col): _*).as("__asof"))
     val lTagged = left.select(
       col(key) +: col(time) +: lit(1).as("__side") +: leftPayload.map(col): _*)
     // __side orders right rows first at equal time → inclusive semantics

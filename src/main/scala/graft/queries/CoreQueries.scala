@@ -651,12 +651,39 @@ object CoreQueries {
         col("o_totalprice").cast("double").as("total_price"), col("sum_qty"))
   }
 
+  /** Skew-salted join on a CORRECTNESS path: the fact side folds onto 50
+    * deliberately hot keys, the join runs through Scale.saltedJoin (salted
+    * left + replicated 50-row dim spreading each hot key over 8 tasks),
+    * and the oracle is the PLAIN equi-join — the driver's hash compare
+    * proves salting is result-invariant, the same guarantee ScaleSpec
+    * asserts at unit level. */
+  val jSaltedSkew = Q(
+    "j_salted_skew",
+    """WITH dim AS (SELECT p_partkey % 50 AS dk, min(p_name) AS dim_name
+      |            FROM part GROUP BY 1)
+      |SELECT l_partkey % 50 AS hot_key, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+      |  min(dim_name) AS dim_name
+      |FROM lineitem JOIN dim ON l_partkey % 50 = dk
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    val left = Tables.lineitem(s, d).select(
+      (col("l_partkey") % 50).as("hot_key"), col("l_quantity"))
+    val dim = Tables.part(s, d)
+      .groupBy((col("p_partkey") % 50).as("dk"))
+      .agg(min(col("p_name")).as("dim_name"))
+    graft.ops.Scale.saltedJoin(left, dim, "hot_key", "dk", salts = 8)
+      .groupBy(col("hot_key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("qty"),
+        min(col("dim_name")).as("dim_name"))
+  }
+
   val all: Seq[Q] = Seq(
     sqlFrontDoor, qCube, qRollup, evPivot, qRunningTotal,
     q03ShippingPriority, q18LargeOrders,
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,
     j1OuterMerge, j4BroadcastMap, j5FallbackChain, j6SuffixSelfJoin,
-    j7AntiJoin, jRangeBin, a1KeepBest, a2Median3, a3OrderedMiddle,
+    j7AntiJoin, jRangeBin, jSaltedSkew, a1KeepBest, a2Median3, a3OrderedMiddle,
     a4MergeSources, a6ConflictDrop, a7EffectFold, d1KeyedDedup,
     d2UndirectedDedup, u1UnionEntities, fScalarPack, f13NestedExplode,
     fComplexExpand, f15DateHierarchy, o2TopK, o3TopKPerKey)

@@ -34,32 +34,42 @@ object SimQueries {
   }
 
   /** IVF-flat ANN with deterministic sampled centroids — the second scale
-    * path, fully oracle-replicated (assignment + probe both in SQL). */
+    * path, fully oracle-replicated (assignment + probe both in SQL),
+    * including the hot-cell candidate cap (neighbor side bounded to the
+    * 512 vectors closest to the centroid; a no-op at test scale factors
+    * where no cell approaches 512, exactly like the shingle df cap). */
   val xAnnIvf = Q(
     "x_ann_ivf",
     normCte +
       """, cent AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
         |           FROM nrm WHERE vec_id % 40 = 0),
+        |ac AS (SELECT n.vec_id, n.embedding, n.nrm, c.cid,
+        |    list_reduce(list_transform(list_zip(n.embedding, c.cv),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
+        |      / (n.nrm * c.cnrm) AS ccos
+        |  FROM nrm n CROSS JOIN cent c),
         |assigned AS (
+        |  SELECT vec_id, embedding, nrm, cid, ccos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cid) AS arn
+        |    FROM ac) WHERE arn = 1),
+        |cand AS (
         |  SELECT vec_id, embedding, nrm, cid FROM (
-        |    SELECT n.vec_id, n.embedding, n.nrm, c.cid,
-        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-        |        (list_reduce(list_transform(list_zip(n.embedding, c.cv),
-        |           z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
-        |         / (n.nrm * c.cnrm)) DESC, c.cid) AS arn
-        |    FROM nrm n CROSS JOIN cent c) WHERE arn = 1),
+        |    SELECT *, row_number() OVER (PARTITION BY cid
+        |      ORDER BY ccos DESC, vec_id) AS crn
+        |    FROM assigned) WHERE crn <= 512),
         |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
         |  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
         |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
         |    / (a.nrm * b.nrm) AS cos
-        |  FROM assigned a JOIN assigned b
+        |  FROM assigned a JOIN cand b
         |    ON a.cid = b.cid AND a.vec_id <> b.vec_id)
         |SELECT vec_id, rank, neighbor, cos FROM (
         |  SELECT vec_id, neighbor, cos,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rank
         |  FROM p) WHERE rank <= 5""".stripMargin) { (s, d) =>
     Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-      k = 5, centroidStep = 40)
+      k = 5, centroidStep = 40, cellCap = 512)
   }
 
   /** Sequential-fold squared-L2 between two double lists (≡ Similarity.l2sq). */
@@ -81,13 +91,18 @@ object SimQueries {
       |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2
       |  FROM v0),
       |cent AS (SELECT id AS cid, v AS cv, n2 AS cn2 FROM v WHERE id % 40 = 0),
-      |cells AS (SELECT id, v, cid AS cell FROM (
-      |  SELECT a.id, a.v, c.cid, row_number() OVER (PARTITION BY a.id
-      |    ORDER BY a.n2 + c.cn2 - 2.0 *
+      |cc AS (SELECT a.id, a.v, c.cid,
+      |    a.n2 + c.cn2 - 2.0 *
       |      list_reduce(list_transform(list_zip(a.v, c.cv),
-      |        z -> z[1] * z[2]), (s, t) -> s + t)
-      |    ASC, c.cid) AS rn
-      |  FROM v a CROSS JOIN cent c) WHERE rn = 1),""".stripMargin +
+      |        z -> z[1] * z[2]), (s, t) -> s + t) AS cd2
+      |  FROM v a CROSS JOIN cent c),
+      |cells AS (SELECT id, v, cid AS cell, cd2 FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY id
+      |    ORDER BY cd2 ASC, cid) AS rn
+      |  FROM cc) WHERE rn = 1),
+      |cap AS (SELECT id FROM (
+      |  SELECT id, row_number() OVER (PARTITION BY cell
+      |    ORDER BY cd2, id) AS crn FROM cells) WHERE crn <= 512),""".stripMargin +
       """
         |cb AS (SELECT id AS pid, j, list_slice(v, j*8+1, j*8+8) AS psub
         |  FROM v, UNNEST(range(0, 8)) AS t(j) WHERE id % 100 = 0 AND id < 3000),
@@ -106,7 +121,7 @@ object SimQueries {
         |p AS (SELECT x.id AS vec_id, y.id AS neighbor,
         |  CAST(SUM(CAST(d.d2 AS DECIMAL(28,12))) AS DOUBLE) AS dist
         |  FROM codes x JOIN codes y ON x.cell = y.cell AND x.j = y.j
-        |    AND x.id <> y.id
+        |    AND x.id <> y.id AND y.id IN (SELECT id FROM cap)
         |  JOIN cdist d ON d.j = x.j AND d.pa = x.code AND d.pb = y.code
         |  GROUP BY 1, 2)
         |SELECT vec_id, rank, neighbor, dist FROM (
@@ -116,7 +131,7 @@ object SimQueries {
         |  FROM p) WHERE rank <= 5""".stripMargin) { (s, d) =>
     Similarity.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       k = 5, coarseStep = 40, codeStep = 100, codeMax = 3000,
-      m = 8, subDim = 8)
+      m = 8, subDim = 8, cellCap = 512)
   }
 
   /** Shared DuckDB replica of the multi-probe LSH machinery (Similarity

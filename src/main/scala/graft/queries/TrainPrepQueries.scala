@@ -129,16 +129,23 @@ object TrainPrepQueries {
       |  FROM documents d FULL OUTER JOIN upd u ON d.doc_id = u.doc_id)
       |SELECT doc_id, status, CAST(len(text) AS BIGINT) AS n_chars
       |FROM m""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // presence is tracked with explicit per-side marker columns, NOT
+    // payload nullity: a document with a genuinely NULL text would
+    // otherwise be misclassified ('new'/'unchanged' instead of
+    // 'unchanged'/'updated'), diverging from the oracle's d.doc_id IS NULL
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
+      lit(true).as("__in_cur"))
     val staged = docs.filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), concat(col("text"), lit(" v2")).as("new_text"))
       .unionByName(docs.filter(col("doc_id") < 50)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           col("text").as("new_text")))
-    docs.join(staged, Seq("doc_id"), "full_outer")
+      .withColumn("__in_staged", lit(true))
+    docs.join(staged.select(col("doc_id"), col("new_text"), col("__in_staged")),
+        Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("text").isNull, "new")
-          .when(col("new_text").isNull, "unchanged")
+        when(col("__in_cur").isNull, "new")
+          .when(col("__in_staged").isNull, "unchanged")
           .otherwise("updated").as("status"),
         length(coalesce(col("new_text"), col("text"))).cast("long")
           .as("n_chars"))

@@ -93,10 +93,18 @@ object Similarity {
     * tie-break); queries probe only their own cell. Deterministic end to
     * end, so the DuckDB oracle replicates it exactly. At 100 TB the
     * centroid set stays a broadcast dimension and the cell join is a hash
-    * shuffle on the cell id. */
+    * shuffle on the cell id.
+    *
+    * `cellCap` bounds the NEIGHBOR side of the in-cell join to the
+    * `cellCap` vectors closest to the cell centroid (cosine desc, id
+    * tie-break — deterministic, so the oracle replicates the cap): a hot
+    * cell under a skewed embedding distribution would otherwise make the
+    * in-cell self-join quadratic in that cell's population. Queries are
+    * never dropped — only their candidate pool is bounded, the standard
+    * IVF nprobe/list-length trade. */
   def ivfTopK(
       emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      centroidStep: Long = 40): DataFrame = {
+      centroidStep: Long = 40, cellCap: Int = 512): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
     val base = emb.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
@@ -111,9 +119,15 @@ object Similarity {
         (dotD(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
+      .select(col("id"), col("v"), col("nrm"), col("cid"), col("ccos"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("ccos").desc, col("id").asc)
+    val capped = assigned.withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") <= cellCap)
       .select(col("id"), col("v"), col("nrm"), col("cid"))
-    val pairs = assigned.toDF("vec_id", "va", "na", "cell")
-      .join(assigned.toDF("neighbor", "vb", "nb", "cell"), Seq("cell"))
+    val pairs = assigned.select(col("id"), col("v"), col("nrm"), col("cid"))
+      .toDF("vec_id", "va", "na", "cell")
+      .join(capped.toDF("neighbor", "vb", "nb", "cell"), Seq("cell"))
       .filter(col("vec_id") =!= col("neighbor"))
       .select(col("vec_id"), col("neighbor"),
         (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
@@ -190,13 +204,22 @@ object Similarity {
   def pqTopK(
       emb: DataFrame, idCol: String, vecCol: String, k: Int,
       coarseStep: Long = 40, codeStep: Long = 100, codeMax: Long = 3000,
-      m: Int = 8, subDim: Int = 8): DataFrame = {
+      m: Int = 8, subDim: Int = 8, cellCap: Int = 512): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
     // squared norm: sequential fold, matches the oracle's list_reduce
     def norm2(v: Column): Column =
       aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x)
+    // fail fast on a dim mismatch: a short vector would yield NULL-poisoned
+    // sub-slice distances that rank NULLS FIRST in Spark but NULLS LAST in
+    // DuckDB — better to abort than silently diverge. assert_true is a
+    // per-row guard that stays distributed (no driver collect) and costs
+    // one comparison per vector.
+    val dimOk = (v: Column) => when(
+      assert_true(size(v) === m * subDim,
+        lit(s"pqTopK: embedding dim must equal m*subDim = ${m * subDim}"))
+        .isNull, v)
     val base = emb.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      dimOk(transform(col(vecCol), x => x.cast("double"))).as("v"))
       .withColumn("n2", norm2(col("v")))
     // coarse quantizer: nearest sampled centroid by L2² (id tie-break),
     // via |a|² + |c|² − 2·a·c so the n·centroids hot loop runs through
@@ -211,7 +234,16 @@ object Similarity {
           - lit(2.0) * call_function("graft_dot", col("v"), col("cv")))
           .as("cd2"))
       .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-      .select(col("id"), col("v"), col("cid").as("cell"))
+      .select(col("id"), col("v"), col("cid").as("cell"), col("cd2"))
+    // hot-cell guard (same rationale as ivfTopK's cellCap): the NEIGHBOR
+    // side of the in-cell code join is bounded to the cellCap vectors
+    // closest to their coarse centroid (L2² asc, id asc — deterministic,
+    // oracle-replicated); queries are never dropped
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("cd2").asc, col("id").asc)
+    val cappedIds = cells.withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") <= cellCap)
+      .select(col("id"))
     // per-subspace views: j-th slice of the vector / codebook entry
     def subSlices(v: Column) =
       transform(sequence(lit(0), lit(m - 1)),
@@ -238,7 +270,8 @@ object Similarity {
     // cell-local pairs ranked by the table-sum distance; the per-subspace
     // distances sum through DECIMAL so the total is order-independent
     val pairs = codes.toDF("vec_id", "cell", "j", "ca")
-      .join(codes.toDF("neighbor", "cell", "j", "cb_"), Seq("cell", "j"))
+      .join(codes.join(cappedIds, Seq("id"), "left_semi")
+        .toDF("neighbor", "cell", "j", "cb_"), Seq("cell", "j"))
       .filter(col("vec_id") =!= col("neighbor"))
       .join(broadcast(cdist), col("j") === col("jj")
         && col("ca") === col("pa") && col("cb_") === col("pb"))

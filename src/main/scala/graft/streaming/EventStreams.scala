@@ -296,14 +296,27 @@ object EventStreams {
 
   /** Streaming twin of [[funnel]]: per-user causal state machine via
     * flatMapGroupsWithState. State exists only once a view is seen (clicks
-    * before the first view never count, exactly like the batch form — even
-    * across micro-batches, because pre-view clicks are simply not
-    * retained). Same-timestamp ties process view < click < purchase so the
-    * at-or-after comparisons match the batch `>=` semantics. Emits the
-    * user's current funnel row whenever it advances (update semantics —
-    * stage and stamps are monotone, so the max-stage row per user is the
-    * final answer). */
-  def statefulFunnel(stream: DataFrame): org.apache.spark.sql.Dataset[FunnelRow] = {
+    * before the first view never count, like the batch form). Within a
+    * micro-batch, events sort by time with view < click < purchase ties,
+    * matching the batch `>=` comparisons exactly. CAVEAT — cross-batch
+    * out-of-order arrival diverges from the batch twin: a click whose
+    * event-time is at/after the first view but which is DELIVERED in an
+    * earlier micro-batch than that view is dropped (no state exists yet),
+    * while the batch funnel, seeing all events at once, counts it. In-order
+    * delivery (e.g. the file source, or any source respecting event time
+    * within the watermark) is exact.
+    *
+    * Per-user state expires after `idleGapHours` of event time with no
+    * activity (event-time timeout — requires a watermarked `ts`, as
+    * [[readEventStream]] provides): without it, one state entry per
+    * ever-seen user accumulates forever. Funnel rows already emitted are
+    * unaffected by expiry; a user re-appearing later restarts the funnel.
+    *
+    * Emits the user's current funnel row whenever it advances (update
+    * semantics — stage and stamps are monotone, so the max-stage row per
+    * user is the final answer). */
+  def statefulFunnel(stream: DataFrame,
+      idleGapHours: Long = 24): org.apache.spark.sql.Dataset[FunnelRow] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = stream.sparkSession
     import spark.implicits._
@@ -314,9 +327,16 @@ object EventStreams {
 
     def fn(userId: Long, events: Iterator[FunnelEvent],
         state: GroupState[FunnelState]): Iterator[FunnelRow] = {
-      if (state.hasTimedOut) return Iterator.empty
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       val sorted = events.toSeq
         .sortBy(e => (us(e.ts), prio.getOrElse(e.event_type, 3)))
+      // arm/refresh the idle-expiry clock off the newest event seen this
+      // batch, clamped past the watermark (Spark rejects timeouts ≤ it)
+      val maxUs = sorted.iterator.map(e => us(e.ts)).foldLeft(0L)(math.max)
+      def armTimeout(): Unit =
+        state.setTimeoutTimestamp(math.max(
+          maxUs / 1000L + idleGapHours * 3600L * 1000L,
+          state.getCurrentWatermarkMs() + 1))
       val before = state.getOption
       var st = before.getOrElse(FunnelState(-1, -1, -1))
       sorted.foreach { e =>
@@ -330,9 +350,12 @@ object EventStreams {
           case _ =>
         }
       }
-      if (st.v < 0 || before.contains(st)) Iterator.empty
-      else {
+      if (st.v < 0 || before.contains(st)) {
+        if (state.exists) armTimeout() // keep live state on expiry clock
+        Iterator.empty
+      } else {
         state.update(st)
+        armTimeout()
         val opt = (x: Long) => if (x >= 0) Some(x / 1000000L) else None
         Iterator(FunnelRow(userId, st.v / 1000000L, opt(st.c), opt(st.p),
           1 + (if (st.c >= 0) 1 else 0) + (if (st.p >= 0) 1 else 0)))
@@ -344,6 +367,6 @@ object EventStreams {
       .as[FunnelEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
-        OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 }

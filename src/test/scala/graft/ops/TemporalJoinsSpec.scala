@@ -43,6 +43,28 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got.getTimestamp(0) === ts(5) && got.isNullAt(1))
   }
 
+  test("asOfJoin NULL key/time rows never match (native ASOF semantics)") {
+    // right rows with NULL key or NULL time must not become anyone's
+    // "latest prior" (nulls-first ascending would otherwise leak them into
+    // left rows with no real prior), and NULL-keyed left rows get a null
+    // payload instead of matching other NULL-keyed rows
+    val left = Seq(
+      (Option(1L), Option(ts(2)), "early"),   // before any valid right row
+      (Option(1L), Option(ts(9)), "late"),
+      (None: Option[Long], Option(ts(9)), "nullkey"),
+      (Option(1L), None: Option[Timestamp], "nulltime"))
+      .toDF("k", "t", "lv")
+    val right = Seq(
+      (Option(1L), None: Option[Timestamp], "rNullTime"),
+      (None: Option[Long], Option(ts(1)), "rNullKey"),
+      (Option(1L), Option(ts(5)), "r5"))
+      .toDF("k", "t", "rv")
+    val got = TemporalJoins.asOfJoin(left, right, "k", "t")
+      .select("lv", "rv").as[(String, String)].collect().toMap
+    assert(got === Map(
+      "early" -> null, "late" -> "r5", "nullkey" -> null, "nulltime" -> null))
+  }
+
   test("asOfJoin equals the naive quadratic formulation on real events") {
     import org.apache.spark.sql.expressions.Window
     val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")

@@ -87,6 +87,52 @@ class SimilaritySpec extends SparkSpec {
     assert(d2._2 == 1L && d2._4 == 0.0, s"dup not rank-1/dist-0: $d2")
   }
 
+  test("ivfTopK cellCap bounds a planted hot cell's candidates") {
+    // all 100 vectors land in ONE cell (only id 0 is a sampled centroid):
+    // uncapped, each query ranks 99 candidates; capped at 10, the neighbor
+    // side of the in-cell join is the 10 vectors nearest the centroid, so
+    // no query can see more than 10 candidates regardless of cell size
+    val emb = (0L until 100L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 7 + j) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val capped = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      k = 50, centroidStep = 1000, cellCap = 10)
+      .groupBy("vec_id").count().select("count")
+      .as[Long].collect()
+    assert(capped.nonEmpty && capped.max <= 10,
+      s"hot cell leaked past the cap: max ${capped.max}")
+    val uncapped = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      k = 50, centroidStep = 1000, cellCap = 10000)
+      .groupBy("vec_id").count().select("count")
+      .as[Long].collect()
+    assert(uncapped.max === 50L) // k-limited, not cap-limited
+  }
+
+  test("pqTopK cellCap bounds a planted hot cell; dim mismatch fails fast") {
+    val emb = (0L until 60L).map(i =>
+      (i, Array.tabulate(64)(j => ((i * 11 + j) % 17 - 8).toFloat)))
+      .toDF("vec_id", "embedding")
+    val counts = Similarity.pqTopK(emb, "vec_id", "embedding",
+      k = 50, coarseStep = 1000, codeStep = 7, codeMax = 3000,
+      m = 8, subDim = 8, cellCap = 5)
+      .groupBy("vec_id").count().select("count").as[Long].collect()
+    assert(counts.nonEmpty && counts.max <= 5,
+      s"hot cell leaked past the cap: max ${counts.max}")
+    // dim 8 vectors against m*subDim = 64 must abort, not NULL-poison ranks
+    val short = (0L until 10L).map(i =>
+      (i, Array.tabulate(8)(j => (i + j).toFloat))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.pqTopK(short, "vec_id", "embedding", k = 3,
+        coarseStep = 2, codeStep = 2, codeMax = 3000,
+        m = 8, subDim = 8).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("dim must equal")),
+      s"unexpected failure: $ex")
+  }
+
   test("kmeans: total assignment, clusters ⊆ init ids, Lloyd objective non-increasing") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sf)

@@ -131,6 +131,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(second === first)
   }
 
+  test("crashed commit replays the batch idempotently (exactly-once sink)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-sink2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
+    def runOnce(): Unit = {
+      val stream = EventStreams.readEventStream(spark, eventsDir)
+      val q = EventStreams.streamToParquet(
+        EventStreams.streamingTumblingAgg(stream), out, ckpt)
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val first = spark.read.parquet(s"$out/batch_*")
+      .as[(String, String, Long, Double)].collect().toSet
+    val dirsFirst = new java.io.File(out).list().sorted.toSeq
+    assert(first.nonEmpty)
+    // simulate a crash BETWEEN the sink write and the checkpoint commit:
+    // drop the newest commit marker, so the restarted query re-runs that
+    // epoch. The batch-id-keyed overwrite must absorb the replay — same
+    // directories, same rows, no duplicate epoch output.
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.matches("\\d+"))
+    val latest = commits.maxBy(_.getName.toLong)
+    assert(latest.delete())
+    // also drop the local-FS checksum shadow, or the re-written commit
+    // marker fails its rename and reads as a concurrent-query clash
+    val crc = new java.io.File(s"$ckpt/commits/.${latest.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    runOnce()
+    val second = spark.read.parquet(s"$out/batch_*")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(second === first)
+    assert(new java.io.File(out).list().sorted.toSeq === dirsFirst)
+  }
+
   test("streaming sessionization agrees with batch gaps-and-islands") {
     val stream = EventStreams.readEventStream(spark, eventsDir)
     runToMemory(EventStreams.streamingSessionize(stream), "sessions", "complete")
