@@ -80,7 +80,10 @@ object SchemaRegistry {
       "mesh" -> PStr, "omim" -> PStr, "efo" -> PStr, "orphanet" -> PStr,
       "hp" -> PStr, "icd10cm" -> PStr, "ncit" -> PStr, "icd9" -> PStr,
       "meddra" -> PStr)),
-    LabelSchema("phenotype", Seq("name" -> PStr, "synonyms" -> PStrArr))
+    LabelSchema("phenotype", Seq("name" -> PStr, "synonyms" -> PStrArr)),
+    // schema_config.yaml:171-175 (side effect, preferred_id sider.effect);
+    // props from side_effect.py:322-331 (name + ADReCS synonyms)
+    LabelSchema("side_effect", Seq("name" -> PStr, "synonyms" -> PStrArr))
   ).map(s => s.label -> s).toMap
 
   /** Edge labels — engine emit shapes plus the full reference catalogue

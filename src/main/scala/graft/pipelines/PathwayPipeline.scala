@@ -81,4 +81,34 @@ object PathwayPipeline {
       .unionByName(orthoPairsOf(reactomePathways(s, d),
         id => element_at(split(id, "-"), -1)))
       .withColumn("label", lit("pathway_is_ortholog_to_pathway"))
+
+  /** Pathway node builder (pathway.py:434-476 `get_nodes`): Reactome nodes
+    * (escaped name, organism passthrough) + KEGG nodes (name = first
+    * '-'-separated element trimmed then escaped, :465; organism resolved
+    * from the 3-char id prefix through the abbreviation dict, :468),
+    * conformed to the pathway label. */
+  def nodes(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    def orgName(abbv: Column): Column =
+      when(abbv === "hsa", "Homo sapiens")
+        .when(abbv === "mmu", "Mus musculus")
+    val kegg = p
+      .groupBy(concat(organism(col("p_size")),
+        (col("p_partkey") % 40).cast("string")).as("kid"))
+      .agg(min(col("p_name")).as("nm"))
+      .select(ColFns.curie("kegg.pathway", col("kid")).as("id"),
+        lit("pathway").as("label"),
+        ColFns.escapeProps(trim(element_at(split(col("nm"), "-"), 1))).as("name"),
+        orgName(substring(col("kid"), 1, 3)).as("organism"))
+    val reactome = p
+      .groupBy(concat(lit("R-"), upper(organism(col("p_size"))), lit("-"),
+        (col("p_partkey") % 40).cast("string")).as("rid"))
+      .agg(min(col("p_name")).as("nm"))
+      .select(ColFns.curie("reactome", col("rid")).as("id"),
+        lit("pathway").as("label"),
+        ColFns.escapeProps(col("nm")).as("name"),
+        orgName(lower(element_at(split(col("rid"), "-"), 2))).as("organism"))
+    graft.core.SchemaRegistry.conformNodes(
+      reactome.unionByName(kegg), "pathway")
+  }
 }

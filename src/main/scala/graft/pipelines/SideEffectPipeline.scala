@@ -98,6 +98,47 @@ object SideEffectPipeline {
         col("proportional_reporting_ratio"), lit("OffSides").as("source"))
   }
 
+  /** Side-effect node builder (side_effect.py:296-334 `get_nodes`): the
+    * meddra→name dict is a PRIORITY union — SIDER names win, OffSides fills
+    * gaps (numeric meddra ids only, :309-310), ADReCS fills the rest with
+    * its badd term (:314-316); ADReCS synonyms attach where present,
+    * escaped `|`→`,` `'`→`^` (:319, with the name's extra `"` removal at
+    * :326). Single-synonym terms are normalized to a 1-element array (the
+    * reference emits a bare string there — schema discipline instead).
+    * One row per meddra id; each source contributes its DISTINCT id set,
+    * so the priority window is deterministic. */
+  def nodes(s: SparkSession, d: String): DataFrame = {
+    import graft.core.ColFns
+    val b = base(s, d)
+    def ids(status: String) = b.filter(col("o_orderstatus") === status)
+      .select(col("o_custkey").cast("string").as("mid")).distinct()
+    val sider = ids("O").withColumn("prio", lit(1))
+    val offs = b.filter(col("o_orderstatus") === "P")
+      .select(when(col("o_custkey") % 7 === 0, concat(lit("M"), col("o_custkey")))
+        .otherwise(col("o_custkey").cast("string")).as("mid"))
+      .distinct()
+      .filter(col("mid").rlike("^[0-9]+$"))
+      .withColumn("prio", lit(2))
+    val adr = ids("F").withColumn("prio", lit(3))
+    val win = Kernels.keepBestPerKey(
+      sider.unionByName(offs).unionByName(adr), Seq("mid"), Seq(col("prio").asc))
+    val named = win
+      .join(Tables.customer(s, d),
+        col("mid") === col("c_custkey").cast("string"))
+      .join(adr.select(col("mid"), lit(true).as("has_syn")), Seq("mid"), "left")
+    val nameEsc = (c: org.apache.spark.sql.Column) => translate(c, "'|\"", "^,")
+    val raw = named.select(
+      concat(lit("meddra:"), col("mid")).as("id"),
+      lit("side_effect").as("label"),
+      when(col("prio") === 1, nameEsc(col("c_name")))
+        .when(col("prio") === 2, nameEsc(upper(col("c_name"))))
+        .otherwise(nameEsc(concat(lit("badd "), col("c_name")))).as("name"),
+      when(col("has_syn"), array_sort(array(
+        ColFns.escapeProps(lower(col("c_name"))),
+        concat(lit("syn:"), col("mid"))))).as("synonyms"))
+    graft.core.SchemaRegistry.conformNodes(raw, "side_effect")
+  }
+
   /** merge_drug_side_effect_data: (adrecs ⟗ sider) ⟗ offsides, source
     * pipe-merged, value columns coalesced. */
   def merged(s: SparkSession, d: String): DataFrame =

@@ -314,7 +314,67 @@ object NodeBuilderQueries {
     graft.pipelines.CtiPipeline.nodes(s, d)
   }
 
+  /** side-effect node builder (side_effect.py:296-334): priority name
+    * union (SIDER > numeric-id OffSides > ADReCS badd), ADReCS synonyms. */
+  val sideEffectNodes = Q(
+    "side_effect_nodes",
+    """WITH b AS (SELECT o_custkey, o_orderstatus
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |sider AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS mid
+      |          FROM b WHERE o_orderstatus = 'O'),
+      |offs AS (SELECT mid FROM (
+      |    SELECT DISTINCT CASE WHEN o_custkey % 7 = 0 THEN 'M' || o_custkey
+      |      ELSE CAST(o_custkey AS VARCHAR) END AS mid
+      |    FROM b WHERE o_orderstatus = 'P')
+      |  WHERE regexp_matches(mid, '^[0-9]+$')),
+      |adr AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS mid
+      |        FROM b WHERE o_orderstatus = 'F'),
+      |u AS (SELECT mid, 1 AS prio FROM sider
+      |  UNION ALL SELECT mid, 2 FROM offs
+      |  UNION ALL SELECT mid, 3 FROM adr),
+      |win AS (SELECT mid, prio FROM (
+      |  SELECT mid, prio, row_number() OVER (PARTITION BY mid ORDER BY prio) AS rn
+      |  FROM u) WHERE rn = 1)
+      |SELECT 'meddra:' || w.mid AS id, 'side_effect' AS label,
+      |  CASE w.prio
+      |    WHEN 1 THEN translate(c.c_name, '''|"', '^,')
+      |    WHEN 2 THEN translate(upper(c.c_name), '''|"', '^,')
+      |    ELSE translate('badd ' || c.c_name, '''|"', '^,') END AS name,
+      |  CASE WHEN a.mid IS NOT NULL THEN list_sort([
+      |    translate(lower(c.c_name), '''|', '^,'), 'syn:' || w.mid]) END AS synonyms
+      |FROM win w
+      |JOIN customer c ON w.mid = CAST(c.c_custkey AS VARCHAR)
+      |LEFT JOIN adr a ON w.mid = a.mid""".stripMargin) { (s, d) =>
+    graft.pipelines.SideEffectPipeline.nodes(s, d)
+  }
+
+  /** pathway node builder (pathway.py:434-476): Reactome + KEGG union with
+    * organism resolution and the KEGG first-'-'-element name trim. */
+  val pathwayNodes = Q(
+    "pathway_nodes",
+    """WITH base AS (SELECT p_partkey, p_name,
+      |    CASE WHEN p_size % 2 = 0 THEN 'hsa' ELSE 'mmu' END AS org,
+      |    CAST(p_partkey % 40 AS VARCHAR) AS sfx FROM part),
+      |k AS (SELECT org || sfx AS kid, min(p_name) AS nm FROM base GROUP BY 1),
+      |r AS (SELECT 'R-' || upper(org) || '-' || sfx AS rid, min(p_name) AS nm
+      |      FROM base GROUP BY 1)
+      |SELECT 'reactome:' || rid AS id, 'pathway' AS label,
+      |  translate(nm, '''|', '^,') AS name,
+      |  CASE lower(string_split(rid, '-')[2])
+      |    WHEN 'hsa' THEN 'Homo sapiens'
+      |    WHEN 'mmu' THEN 'Mus musculus' END AS organism
+      |FROM r
+      |UNION ALL
+      |SELECT 'kegg.pathway:' || kid, 'pathway',
+      |  translate(trim(string_split(nm, '-')[1]), '''|', '^,'),
+      |  CASE substr(kid, 1, 3)
+      |    WHEN 'hsa' THEN 'Homo sapiens'
+      |    WHEN 'mmu' THEN 'Mus musculus' END
+      |FROM k""".stripMargin) { (s, d) =>
+    graft.pipelines.PathwayPipeline.nodes(s, d)
+  }
+
   val all: Seq[Q] = Seq(sideEffects, ecNodes, ecEdges, phenotypeEdges,
     goNodes, goEdges, domainNodes, domainEdges, uniprotNodes,
-    drugNodes, diseaseNodes, compoundNodes)
+    drugNodes, diseaseNodes, compoundNodes, sideEffectNodes, pathwayNodes)
 }
