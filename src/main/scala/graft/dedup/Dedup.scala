@@ -201,6 +201,42 @@ object Dedup {
     graft.sim.Similarity
       .lshNearDupPairs(emb, idCol, vecCol, threshold, planes, dim, probes)
 
+  /** Semantic (embedding-space) dedup at cluster scope — the SemDeDup
+    * recipe: k-means-cluster the corpus embeddings, then compare pairs
+    * ONLY within a cluster and flag the larger id of every pair whose
+    * cosine ≥ `threshold` as a semantic duplicate (greedy keep-smallest-id
+    * representative). Cluster scoping is what makes the pairwise step
+    * tractable at corpus scale: cost is Σ per-cluster n², never global n².
+    * Deterministic end to end (the quantized Lloyd iterations of
+    * [[graft.sim.KMeans]], exact cosine, id tie-breaks), so the DuckDB
+    * oracle replicates clusters AND flags bit-exact.
+    * Output: (vec_id, cluster, is_semantic_dup). */
+  def semanticDedupFlags(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      centroidStep: Long = 40, iters: Int = 2): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
+    val clusters = graft.sim.KMeans
+      .kmeans(emb, idCol, vecCol, centroidStep, iters)
+      .select(col("vec_id"), col("cluster"))
+    val withVec = emb.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", graft.sim.Similarity.norm(col("v")))
+      .join(clusters, Seq("vec_id"))
+    val dups = withVec.toDF("a", "va", "na", "cluster")
+      .join(withVec.toDF("b", "vb", "nb", "cluster"), Seq("cluster"))
+      .filter(col("a") < col("b"))
+      .select(col("b"),
+        (call_function("graft_dot", col("va"), col("vb"))
+          / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("b").as("vec_id")).distinct()
+      .withColumn("__d", lit(true))
+    withVec.select(col("vec_id"), col("cluster"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("__d"), lit(false)).as("is_semantic_dup"))
+  }
+
   /** SimHash signatures (`bits`-wide, default 64): per word-frequency vote —
     * bit b of the signature is set iff Σ_word (±freq) ≥ 0, where the sign is
     * bit b of the word's portable hash.

@@ -248,12 +248,12 @@ object SimQueries {
           element_at(col("feature"), c + 1).cast("double").as(s"f$c")): _*)
   }
 
-  /** Two deterministic Lloyd iterations over BIGINT-quantized embeddings
-    * (floor(x·1e6)): integer per-dim sums make the centroid means
-    * partition-order-free, so the oracle unrolls both iterations
-    * bit-exact. See graft.sim.KMeans. */
-  val xKmeans = Q(
-    "x_kmeans",
+  /** Shared DuckDB replica of the two deterministic Lloyd iterations
+    * (graft.sim.KMeans): BIGINT-quantized embeddings, integer per-dim
+    * sums, L2²+cid tie-break assignment. Ends with CTE
+    * `km (id, cid, dist)` — shared by x_kmeans and x_semantic_dedup so
+    * the clustering definition can never drift between them. */
+  private val kmeansCte =
     """WITH v0 AS (SELECT vec_id AS id,
       |    list_transform(embedding,
       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
@@ -276,13 +276,48 @@ object SimQueries {
       |p2 AS (SELECT v.id, c.cid,
       |    list_reduce(list_transform(list_zip(v.vq, c.cv),
       |      z -> (z[1] - z[2]) * (z[1] - z[2])), (s, t) -> s + t) AS dist
-      |  FROM v CROSS JOIN c1 c)
-      |SELECT id AS vec_id, cid AS cluster, dist AS dist2
-      |FROM (SELECT id, cid, dist,
-      |    row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM p2)
-      |WHERE rn = 1""".stripMargin) { (s, d) =>
+      |  FROM v CROSS JOIN c1 c),
+      |km AS (SELECT id, cid, dist
+      |  FROM (SELECT id, cid, dist,
+      |      row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM p2)
+      |  WHERE rn = 1)
+      |""".stripMargin
+
+  /** Two deterministic Lloyd iterations over BIGINT-quantized embeddings
+    * (floor(x·1e6)): integer per-dim sums make the centroid means
+    * partition-order-free, so the oracle unrolls both iterations
+    * bit-exact. See graft.sim.KMeans. */
+  val xKmeans = Q(
+    "x_kmeans",
+    kmeansCte +
+      "SELECT id AS vec_id, cid AS cluster, dist AS dist2 FROM km") { (s, d) =>
     graft.sim.KMeans.kmeans(Tables.embeddings(s, d), "vec_id", "embedding",
       centroidStep = 40, iters = 2)
+  }
+
+  /** SemDeDup-shaped semantic dedup: pairwise cosine ONLY within a k-means
+    * cluster, larger id of a ≥-threshold pair flagged, smallest id kept.
+    * The oracle reuses the SAME kmeans CTE and replicates flags exactly. */
+  val xSemanticDedup = Q(
+    "x_semantic_dedup",
+    kmeansCte +
+      """, nv AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |wv AS (SELECT k.id, k.cid, n.v, n.nrm
+        |       FROM km k JOIN nv n ON k.id = n.vec_id),
+        |pr AS (SELECT x.id AS a, y.id AS b,
+        |    list_reduce(list_transform(list_zip(x.v, y.v),
+        |      z -> z[1] * z[2]), (s, t) -> s + t) / (x.nrm * y.nrm) AS cos
+        |  FROM wv x JOIN wv y ON x.cid = y.cid AND x.id < y.id),
+        |dup AS (SELECT DISTINCT b FROM pr WHERE cos >= 0.4)
+        |SELECT k.id AS vec_id, k.cid AS cluster,
+        |  (dup.b IS NOT NULL) AS is_semantic_dup
+        |FROM km k LEFT JOIN dup ON k.id = dup.b""".stripMargin) { (s, d) =>
+    graft.dedup.Dedup.semanticDedupFlags(Tables.embeddings(s, d),
+      "vec_id", "embedding", threshold = 0.4, centroidStep = 40, iters = 2)
   }
 
   /** Frame sampling over the binary media path: one row per kept frame
@@ -312,5 +347,5 @@ object SimQueries {
   }
 
   val all: Seq[Q] = Seq(xAnnTopK, xAnnIvf, xAnnLsh, xAnnPq, xKmeans,
-    xNearDupEmb, xMediaFeatures, xMediaDecode, xMediaFrames)
+    xSemanticDedup, xNearDupEmb, xMediaFeatures, xMediaDecode, xMediaFrames)
 }

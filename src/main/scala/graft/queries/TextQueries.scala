@@ -205,6 +205,71 @@ object TextQueries {
     Dedup.exactMembership(Tables.documents(s, d), "doc_id", "text")
   }
 
+  /** TF-IDF top terms per document with the log-free fixed-point idf
+    * ((N·10⁶) div df — engine-exact, same ordering as N/df). */
+  val xTfidf = Q(
+    "x_tfidf",
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT doc_id, rank, term, tf, df, score_ppm FROM (
+      |  SELECT doc_id, term, tf, df,
+      |    tf * ((n_docs * 1000000) // df) AS score_ppm,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY tf * ((n_docs * 1000000) // df) DESC, term) AS rank
+      |  FROM tf JOIN dft USING (term) CROSS JOIN n)
+      |WHERE rank <= 3""".stripMargin) { (s, d) =>
+    graft.text.Relevance.tfIdfTopTerms(Tables.documents(s, d),
+      "doc_id", "text", k = 3)
+  }
+
+  /** Corpus-trained bigram LM document scoring (fixed-point transition
+    * probabilities — the KenLM-style quality-filter shape). */
+  val xBigramLm = Q(
+    "x_bigram_lm",
+    """WITH w AS (SELECT doc_id,
+      |    string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+      |bi AS (SELECT doc_id, ws[i] AS prev, ws[i+1] AS word
+      |       FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+      |c2 AS (SELECT prev, word, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+      |c1 AS (SELECT word AS prev, COUNT(*) AS c1
+      |       FROM (SELECT unnest(ws) AS word FROM w) GROUP BY 1)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM((c2 * 1000000) // c1) AS BIGINT) AS sum_p_ppm,
+      |  CAST(SUM((c2 * 1000000) // c1) AS BIGINT) // COUNT(*) AS avg_p_ppm
+      |FROM bi JOIN c2 USING (prev, word) JOIN c1 USING (prev)
+      |GROUP BY doc_id""".stripMargin) { (s, d) =>
+    graft.text.Relevance.bigramLmScore(Tables.documents(s, d), "doc_id", "text")
+  }
+
+  /** Count-min-sketch heavy hitters (depth 4 × width 1024, md5 hash
+    * family): estimate vs exact for every token with exact count ≥ 100. */
+  val xHeavyHitters = Q(
+    "x_heavy_hitters",
+    """WITH toks AS (SELECT
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |cells AS (SELECT i AS r,
+      |    ('0x' || substr(md5('cms' || i || ':' || token), 1, 14))::BIGINT
+      |      % 1024 AS b
+      |  FROM toks, UNNEST(range(0, 4)) AS t(i)),
+      |bk AS (SELECT r, b, COUNT(*) AS c FROM cells GROUP BY r, b),
+      |ex AS (SELECT token, COUNT(*) AS exact_n FROM toks GROUP BY token
+      |       HAVING COUNT(*) >= 100),
+      |pr AS (SELECT token, exact_n, i AS r,
+      |    ('0x' || substr(md5('cms' || i || ':' || token), 1, 14))::BIGINT
+      |      % 1024 AS b
+      |  FROM ex, UNNEST(range(0, 4)) AS t(i))
+      |SELECT token, exact_n, min(c) AS cms_est
+      |FROM pr JOIN bk USING (r, b)
+      |GROUP BY token, exact_n""".stripMargin) { (s, d) =>
+    graft.text.Relevance.cmsHeavyHitters(Tables.documents(s, d), "text",
+      depth = 4, width = 1024, minExact = 100)
+  }
+
   /** Document fingerprints: bag-of-words md5 + polynomial rolling hash
     * (both engine-portable; the rolling fold is replicated via
     * list_reduce with a seeded zero element). */
@@ -225,5 +290,5 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(xTextStats, xLangId, xLenQuantiles, xRepetition,
     xVocab, xCorpusStats, xDistinctKmv, xDedupExact, xDedupExactMembers,
-    xFingerprint)
+    xTfidf, xBigramLm, xHeavyHitters, xFingerprint)
 }

@@ -1,0 +1,109 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-relevance and corpus-statistics operators for training-data
+  * pipelines: TF-IDF term scoring, bigram language-model document scoring
+  * (the KenLM-style quality-filter shape), and count-min-sketch heavy
+  * hitters.
+  *
+  * Determinism discipline: every score is FIXED-POINT INTEGER (parts per
+  * million via integral division) — no logarithms, no floating-point
+  * accumulation — because lib-m `ln` is only 1-ulp-bounded and may differ
+  * between engines, which would break the bit-exact DuckDB oracle compare.
+  * `(a * 1000000) div b` is exact and engine-identical; the magnitude
+  * ordering of tf·idf and LM scores is preserved.
+  *
+  * Scale shapes:
+  *  - TF-IDF: two hash aggregations (doc-term, term) + a 1-row corpus-size
+  *    broadcast + a per-doc ranking window (WindowGroupLimit pushes the
+  *    top-k).
+  *  - Bigram LM: one doc-local window for adjacency (shuffles once on
+  *    doc_id), two count aggregations, equi-joins on the bigram/unigram
+  *    keys — linear in corpus size.
+  *  - CMS: the sketch is depth×width integer cells built in ONE pass
+  *    (explode of the depth bucket ids) and broadcast back for probing —
+  *    the mergeable-sketch pattern: at 100 TB per-partition sketches merge
+  *    by cell-wise sum, and the probe side joins a dimension, never the
+  *    corpus.
+  */
+object Relevance {
+
+  /** Top-k TF-IDF terms per document. idf_ppm = (N · 10⁶) div df — the
+    * log-free fixed-point idf (same ordering as N/df, exact in both
+    * engines); score_ppm = tf · idf_ppm. Output: (doc_id, rank, term, tf,
+    * df, score_ppm), rank 1..k by score desc with term tie-break. */
+  def tfIdfTopTerms(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFns.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_ppm").desc, col("term").asc)
+    tf.join(dft, Seq("term"))
+      .crossJoin(broadcast(n)) // 1-row corpus-size dimension
+      .withColumn("idf_ppm", expr("(n_docs * 1000000) div df"))
+      .withColumn("score_ppm", col("tf") * col("idf_ppm"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("df"), col("score_ppm"))
+  }
+
+  /** Bigram language-model document scoring — the classic LM quality
+    * filter: train bigram/unigram counts on the corpus itself, score each
+    * document by its bigram transition probabilities p(w|prev) =
+    * c₂(prev,w) / c₁(prev), in fixed point (p_ppm = (c₂·10⁶) div c₁).
+    * Output: (doc_id, n_bigrams, sum_p_ppm, avg_p_ppm); documents with
+    * fewer than 2 tokens have no bigrams and are absent. Low avg_p_ppm =
+    * improbable word transitions = the filter signal. */
+  def bigramLmScore(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wAdj = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "word")))
+    val bi = words.withColumn("prev", lag(col("word"), 1).over(wAdj))
+      .filter(col("prev").isNotNull)
+      .select(col("doc_id"), col("prev"), col("word"))
+    val c2 = bi.groupBy(col("prev"), col("word")).agg(count(lit(1)).as("c2"))
+    val c1 = words.groupBy(col("word")).agg(count(lit(1)).as("c1"))
+      .select(col("word").as("prev"), col("c1"))
+    bi.join(c2, Seq("prev", "word"))
+      .join(c1, Seq("prev"))
+      .withColumn("p_ppm", expr("(c2 * 1000000) div c1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppm")).as("sum_p_ppm"))
+      .withColumn("avg_p_ppm", expr("sum_p_ppm div n_bigrams"))
+  }
+
+  /** Count-min-sketch heavy hitters: a depth×width integer sketch over all
+    * corpus tokens (hashes are the engine-portable md5 family, salts
+    * cms0..cms{d-1}), probed for every token whose EXACT count ≥
+    * `minExact`. Output: (token, exact_n, cms_est) with cms_est = min over
+    * rows of the probed cells — always ≥ exact_n (the CMS overestimation
+    * guarantee, asserted in the spec). The exact side exists to oracle-
+    * check the estimate; a production pipeline keeps only the sketch. */
+  def cmsHeavyHitters(
+      docs: DataFrame, textCol: String,
+      depth: Int = 4, width: Int = 1024, minExact: Long = 100): DataFrame = {
+    val toks = docs.select(explode(TextFns.tokens(col(textCol))).as("token"))
+    def bucket(i: Int) =
+      pmod(TextFns.portableHash(col("token"), lit(s"cms$i")), lit(width.toLong))
+    // one pass: each token explodes into its depth (row, bucket) cells
+    val cells = toks.select(
+      posexplode(array((0 until depth).map(bucket): _*)).as(Seq("r", "b")))
+    val sketch = cells.groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+      .filter(col("exact_n") >= minExact)
+    val probes = exact.select(col("token"), col("exact_n"),
+      posexplode(array((0 until depth).map(bucket): _*)).as(Seq("r", "b")))
+    probes.join(broadcast(sketch), Seq("r", "b"))
+      .groupBy(col("token"), col("exact_n"))
+      .agg(min(col("c")).as("cms_est"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.text
+
+import graft.SparkSpec
+
+class RelevanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "apple banana apple cherry"),
+    (2L, "banana cherry cherry date"),
+    (3L, "apple banana cherry date"),
+    (4L, "zebra zebra zebra zebra")
+  ).toDF("doc_id", "text")
+
+  test("tfIdfTopTerms: rare terms outrank common ones, k respected") {
+    val got = Relevance.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .as[(Long, Long, String, Long, Long, Long)].collect()
+    assert(got.groupBy(_._1).forall(_._2.length <= 2))
+    // doc 4: zebra df=1 tf=4 → score 4·(4·10⁶/1) — its only and top term
+    val d4 = got.filter(_._1 == 4L)
+    assert(d4.length === 1 && d4.head._3 === "zebra"
+      && d4.head._6 === 4L * 4000000L)
+    // doc 1: apple (tf 2, df 2) outranks cherry/banana (tf 1, df 3)
+    assert(got.find(r => r._1 == 1L && r._2 == 1L).get._3 === "apple")
+  }
+
+  test("bigramLmScore: repeated corpus transitions score higher") {
+    val got = Relevance.bigramLmScore(docs, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "avg_p_ppm")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    assert(got.values.forall(_._2 === 3L)) // 4 tokens → 3 bigrams each
+    // doc 4's zebra→zebra transition: c2=3, c1(zebra)=4 → 750000 ppm avg;
+    // every other doc mixes rarer transitions and must score lower
+    assert(got(4L)._3 === 750000L)
+    assert(Seq(1L, 2L, 3L).forall(d => got(d)._3 < got(4L)._3))
+    // a single-token doc has no bigrams and is absent
+    val one = Seq((9L, "solo")).toDF("doc_id", "text")
+    assert(Relevance.bigramLmScore(one, "doc_id", "text").count() === 0)
+  }
+
+  test("cmsHeavyHitters: estimate is never below the exact count") {
+    val real = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = Relevance.cmsHeavyHitters(real, "text",
+      depth = 4, width = 1024, minExact = 50)
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r._3 >= r._2),
+      "CMS must overestimate: " + got.filter(r => r._3 < r._2).mkString(","))
+    // narrow sketch on a skewed corpus: estimates inflate but never deflate
+    val narrow = Relevance.cmsHeavyHitters(real, "text",
+      depth = 2, width = 8, minExact = 50)
+      .as[(String, Long, Long)].collect()
+    assert(narrow.forall(r => r._3 >= r._2))
+  }
+
+  test("semanticDedupFlags: exact duplicate in one cluster is flagged") {
+    // two identical vectors + noise: they co-cluster (identical ⇒ same
+    // nearest centroid) and cosine 1.0 ≥ threshold ⇒ larger id flagged
+    val base = (0L until 50L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 13 + j * 7) % 19 - 9).toFloat)))
+    val emb = (base :+ (50L, base(5)._2)).toDF("vec_id", "embedding")
+    val got = graft.dedup.Dedup.semanticDedupFlags(emb, "vec_id", "embedding",
+      threshold = 0.95, centroidStep = 10, iters = 2)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got.size === 51)
+    assert(got(50L)._3 === true)   // the planted twin (larger id) is dropped
+    assert(got(5L)._3 === false)   // the original (smaller id) is kept
+  }
+}
