@@ -126,6 +126,27 @@ object Dedup {
     jaccardOfPairs(capped, None, threshold)
   }
 
+  /** Per-document duplicated-span fraction — the exact-substring-dedup
+    * SIGNAL (Lee et al. "Deduplicating Training Data Makes Language Models
+    * Better"): the share of a document's word n-gram shingles that occur
+    * in at least one OTHER document. High fractions mark boilerplate /
+    * templated / copied spans that exact and near-dup doc-level passes
+    * miss. Fixed-point ppm (integral division — engine-exact).
+    * Documents shorter than n words have no shingles and are absent.
+    * Scale: one shingle shuffle + one df aggregation — the same inverted
+    * index the Jaccard path builds, without the pair join. */
+  def duplicatedSpanFraction(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n) // distinct per doc
+    val dfd = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(dfd, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_shingles"))
+      .withColumn("dup_frac_ppm",
+        expr("(n_dup_shingles * 1000000) div n_shingles"))
+  }
+
   /** Modulus for the affine minhash family (fits 31 bits so a·h + b stays
     * well inside Long — and inside DuckDB's checked BIGINT arithmetic). */
   val MinhashP: Long = (1L << 31) - 1

@@ -217,6 +217,24 @@ object DedupQueries {
       bits = SimBits, bands = SimBands, maxHamming = SimMaxHamming)
   }
 
+  /** Per-doc duplicated-span fraction (5-gram shingles shared with ≥1
+    * other doc) — the exact-substring-dedup signal; fixed-point ppm. */
+  val xSubstringDup = Q(
+    "x_substring_dup",
+    """WITH w AS (SELECT doc_id,
+      |    string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS shingle
+      |       FROM w, UNNEST(range(1, len(ws) - 3)) AS t(i) WHERE len(ws) >= 5),
+      |dfd AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+      |SELECT doc_id, COUNT(*) AS n_shingles,
+      |  CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+      |  (CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+      |    // COUNT(*) AS dup_frac_ppm
+      |FROM sh JOIN dfd USING (shingle)
+      |GROUP BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.duplicatedSpanFraction(Tables.documents(s, d), "doc_id", "text", n = 5)
+  }
+
   val all: Seq[Q] = Seq(xDedupNgram, xDedupMinhashLsh, xDedupClusters,
-    xDedupApply, xDedupSimhashSig, xDedupSimhashPairs)
+    xDedupApply, xDedupSimhashSig, xDedupSimhashPairs, xSubstringDup)
 }

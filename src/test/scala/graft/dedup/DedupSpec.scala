@@ -80,6 +80,22 @@ class DedupSpec extends SparkSpec {
     assert(cand < 300, s"banded candidates should be ~linear, got $cand")
   }
 
+  test("duplicatedSpanFraction: copied spans raise the fraction, unique text scores 0") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),   // 4 5-shingles
+      (2L, "alpha beta gamma delta epsilon different tail words"), // shares 1
+      (3L, "wholly unrelated words with no overlap anywhere here"),
+      (4L, "tiny")                                             // < 5 words
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpanFraction(corpus, "doc_id", "text", n = 5)
+      .select("doc_id", "n_shingles", "n_dup_shingles", "dup_frac_ppm")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(4L)) // too short for any shingle
+    assert(got(1L) === ((1L, 4L, 1L, 250000L))) // "alpha..epsilon" shared
+    assert(got(2L) === ((2L, 4L, 1L, 250000L)))
+    assert(got(3L) === ((3L, 4L, 0L, 0L)))
+  }
+
   test("hot-shingle cap leaves thresholded output unchanged on real data") {
     val real = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     def norm(df: org.apache.spark.sql.DataFrame) =

@@ -77,6 +77,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("x_vocab").contains("TakeOrderedAndProject"))
   }
 
+  test("ddi_merged: no nested-loop; dedup windows get rank pushdown") {
+    val p = plan("ddi_merged")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("WindowGroupLimit"),
+      "undirected-dedup rank filter did not push down")
+  }
+
+  test("x_heavy_hitters probes a broadcast sketch, no nested-loop") {
+    val p = plan("x_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), "sketch probe not broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("x_tfidf top-k is a pushed-down ranking window") {
+    assert(plan("x_tfidf").contains("WindowGroupLimit"))
+  }
+
+  test("x_bigram_lm joins on bigram keys: no nested-loop, no cartesian") {
+    val p = plan("x_bigram_lm")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("j_salted_skew replicates the dim via explode, not a cross join") {
+    val p = plan("j_salted_skew")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Generate explode"), "salt replication lost its explode")
+  }
+
   test("column pruning: q01 scan reads only the needed lineitem columns") {
     val p = plan("q01_pricing_summary")
     val schema = "ReadSchema: struct<" +
