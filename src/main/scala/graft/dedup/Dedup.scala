@@ -327,4 +327,51 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** The k Bloom bit positions of a document's bag-of-words fingerprint:
+    * portable-hash family (salts bloom0..bloom{k-1}) mod `mBits`,
+    * duplicates collapsed. */
+  private def bloomPositions(textCol: Column, k: Int, mBits: Int): Column =
+    array_distinct(array((0 until k).map(i =>
+      pmod(TextFns.portableHash(TextFns.fingerprint(textCol), lit(s"bloom$i")),
+        lit(mBits.toLong))): _*))
+
+  /** Bloom-filter membership probe for INCREMENTAL dedup: has a document's
+    * content fingerprint (probably) been seen in an already-ingested
+    * corpus? The staged corpus is folded into a Bloom bit set (k portable
+    * hashes over `mBits` bits); each incoming document is flagged
+    * `bloom_hit` iff all of its k positions are set, plus the exact
+    * membership verdict (`exact_hit`) for false-positive accounting.
+    *
+    * Scale: the bit set is at most `mBits` DISTINCT position rows
+    * (mBits defaults to 8192 ≈ 64 KiB as longs) regardless of staged-corpus
+    * size — it broadcasts to every executor, so the incoming side is
+    * probed map-side with NO shuffle of the 100 TB batch. The exact-verify
+    * join here exists for the accounting column; a production incremental
+    * pipeline exact-checks only the bloom_hit subset (the Bloom guarantee:
+    * no false negatives). */
+  def bloomProbe(
+      incoming: DataFrame, staged: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, mBits: Int = 8192): DataFrame = {
+    val bits = staged
+      .select(explode(bloomPositions(col(textCol), k, mBits)).as("pos"))
+      .distinct()
+      .withColumn("__set", lit(true))
+    val stagedFps = staged
+      .select(TextFns.fingerprint(col(textCol)).as("fp")).distinct()
+      .withColumn("__staged", lit(true))
+    val probes = incoming.select(col(idCol).as("doc_id"),
+        TextFns.fingerprint(col(textCol)).as("fp"),
+        bloomPositions(col(textCol), k, mBits).as("pos_arr"))
+      .select(col("doc_id"), col("fp"), size(col("pos_arr")).as("n_pos"),
+        explode(col("pos_arr")).as("pos"))
+    probes
+      .join(broadcast(bits), Seq("pos"), "left")
+      .groupBy(col("doc_id"), col("fp"), col("n_pos"))
+      .agg(count(when(col("__set"), lit(1))).as("n_hit"))
+      .join(broadcast(stagedFps), Seq("fp"), "left")
+      .select(col("doc_id"),
+        (col("n_hit") === col("n_pos").cast("long")).as("bloom_hit"),
+        coalesce(col("__staged"), lit(false)).as("exact_hit"))
+  }
 }

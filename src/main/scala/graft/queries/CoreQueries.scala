@@ -678,9 +678,49 @@ object CoreQueries {
         min(col("dim_name")).as("dim_name"))
   }
 
+  /** TPC-H Q5-shaped local-supplier-volume query: six-way star join
+    * (region→nation→{customer,supplier}→orders→lineitem) with the
+    * customer-nation = supplier-nation co-location predicate. region and
+    * nation are broadcast dimensions; the two fact-side joins hash on
+    * orderkey/custkey, and the decimal revenue sum is order-independent so
+    * the double cast happens once at the end. */
+  val q05LocalSupplier = Q(
+    "q05_local_supplier",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |           * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+          .filter(col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, d),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1) - col("l_discount")).cast("decimal(8,4)"))
+        .cast("double").as("revenue"))
+  }
+
   val all: Seq[Q] = Seq(
     sqlFrontDoor, qCube, qRollup, evPivot, qRunningTotal,
-    q03ShippingPriority, q18LargeOrders,
+    q03ShippingPriority, q18LargeOrders, q05LocalSupplier,
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,
     j1OuterMerge, j4BroadcastMap, j5FallbackChain, j6SuffixSelfJoin,
     j7AntiJoin, jRangeBin, jSaltedSkew, a1KeepBest, a2Median3, a3OrderedMiddle,

@@ -235,6 +235,34 @@ object DedupQueries {
     Dedup.duplicatedSpanFraction(Tables.documents(s, d), "doc_id", "text", n = 5)
   }
 
+  /** Bloom-filter incremental-dedup probe: staged corpus = even doc_ids,
+    * incoming = all documents. k=3 portable hashes over 8192 bits; the
+    * oracle rebuilds the identical bit set and probes it relationally, so
+    * bloom false positives (if any) match bit-for-bit. */
+  val xBloomFilter = Q(
+    "x_bloom_filter",
+    """WITH fps AS (SELECT doc_id,
+      |    md5(array_to_string(list_sort(list_distinct(
+      |      string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fp
+      |  FROM documents),
+      |staged AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+      |bits AS (SELECT DISTINCT
+      |    ('0x' || substr(md5('bloom' || i || ':' || fp), 1, 14))::BIGINT % 8192 AS pos
+      |  FROM staged, UNNEST(range(3)) AS t(i)),
+      |probe AS (SELECT DISTINCT doc_id, fp,
+      |    ('0x' || substr(md5('bloom' || i || ':' || fp), 1, 14))::BIGINT % 8192 AS pos
+      |  FROM fps, UNNEST(range(3)) AS t(i)),
+      |agg AS (SELECT p.doc_id, p.fp, COUNT(*) AS n_pos, COUNT(b.pos) AS n_hit
+      |  FROM probe p LEFT JOIN bits b ON p.pos = b.pos GROUP BY 1, 2)
+      |SELECT doc_id, n_hit = n_pos AS bloom_hit,
+      |  fp IN (SELECT fp FROM staged) AS exact_hit
+      |FROM agg""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.bloomProbe(docs, docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text")
+  }
+
   val all: Seq[Q] = Seq(xDedupNgram, xDedupMinhashLsh, xDedupClusters,
-    xDedupApply, xDedupSimhashSig, xDedupSimhashPairs, xSubstringDup)
+    xDedupApply, xDedupSimhashSig, xDedupSimhashPairs, xSubstringDup,
+    xBloomFilter)
 }

@@ -174,6 +174,39 @@ object GraphQueries {
     GraphOps.integerPageRank(s, edgeDf(s, d), iters = 2)
   }
 
+  /** k-hop neighborhood sizes (k=2): distinct neighbors at distance 1 and
+    * at distance ≤ 2 (self excluded) — the relational k-hop expansion with
+    * a DISTINCT barrier per hop so path multiplicities never amplify the
+    * frontier (the graph-feature analog of the closure queries). At scale
+    * each hop is one shuffle on the frontier key; without the per-hop
+    * distinct the join output grows with walk counts, not reachable-set
+    * sizes. */
+  val gKhop = Q(
+    "g_khop",
+    edgeCte +
+      """, und AS (SELECT src AS node, dst AS other FROM e
+        |          UNION SELECT dst, src FROM e),
+        |h2 AS (SELECT DISTINCT a.node, b.other
+        |       FROM und a JOIN und b ON a.other = b.node WHERE b.other <> a.node),
+        |reach AS (SELECT node, other FROM und UNION SELECT node, other FROM h2)
+        |SELECT node, n_1hop, n_2hop
+        |FROM (SELECT node, COUNT(*) AS n_1hop FROM und GROUP BY node) n1
+        |JOIN (SELECT node, COUNT(*) AS n_2hop FROM reach GROUP BY node) n2
+        |  USING (node)""".stripMargin) { (s, d) =>
+    val e = edgeDf(s, d)
+    val und = e.select(col("src").as("node"), col("dst").as("other"))
+      .union(e.select(col("dst").as("node"), col("src").as("other")))
+      .distinct()
+    val h2 = und.toDF("node", "mid")
+      .join(und.toDF("mid", "other"), "mid")
+      .filter(col("other") =!= col("node"))
+      .select(col("node"), col("other")).distinct()
+    val reach = und.union(h2).distinct()
+    und.groupBy(col("node")).agg(count(lit(1)).as("n_1hop"))
+      .join(reach.groupBy(col("node")).agg(count(lit(1)).as("n_2hop")),
+        Seq("node"))
+  }
+
   val all: Seq[Q] = Seq(gDegree, gComponents, gAncestors, gTriangles,
-    gShortestPaths, gPagerank)
+    gShortestPaths, gPagerank, gKhop)
 }

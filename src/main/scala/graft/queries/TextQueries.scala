@@ -288,7 +288,40 @@ object TextQueries {
       TextFns.rollingHash(col("text")).as("rolling_fp"))
   }
 
+  /** CCNet-style quality bucketing: per-language terciles of the bigram-LM
+    * probability score (head = most probable text). ntile over the same
+    * integer avg_p_ppm both engines compute, doc_id tiebreak → fully
+    * deterministic bucket edges. */
+  val xQualityBuckets = Q(
+    "x_quality_buckets",
+    """WITH w AS (SELECT doc_id,
+      |    string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+      |bi AS (SELECT doc_id, ws[i] AS prev, ws[i+1] AS word
+      |       FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+      |c2 AS (SELECT prev, word, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+      |c1 AS (SELECT word AS prev, COUNT(*) AS c1
+      |       FROM (SELECT unnest(ws) AS word FROM w) GROUP BY 1),
+      |lm AS (SELECT doc_id,
+      |    CAST(SUM((c2 * 1000000) // c1) AS BIGINT) // COUNT(*) AS avg_p_ppm
+      |  FROM bi JOIN c2 USING (prev, word) JOIN c1 USING (prev)
+      |  GROUP BY doc_id)
+      |SELECT doc_id, lang, avg_p_ppm,
+      |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY avg_p_ppm DESC, doc_id)
+      |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+      |FROM lm JOIN documents USING (doc_id)""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val lm = graft.text.Relevance.bigramLmScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("avg_p_ppm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("avg_p_ppm").desc, col("doc_id"))
+    lm.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("__t", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("avg_p_ppm"),
+        when(col("__t") === 1, "head").when(col("__t") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   val all: Seq[Q] = Seq(xTextStats, xLangId, xLenQuantiles, xRepetition,
     xVocab, xCorpusStats, xDistinctKmv, xDedupExact, xDedupExactMembers,
-    xTfidf, xBigramLm, xHeavyHitters, xFingerprint)
+    xTfidf, xBigramLm, xHeavyHitters, xFingerprint, xQualityBuckets)
 }

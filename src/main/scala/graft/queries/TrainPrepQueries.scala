@@ -171,6 +171,83 @@ object TrainPrepQueries {
       "source", "text", budgetTokens = 800)
   }
 
+  /** Weighted sampling without replacement (A-ES, fixed-point priorities):
+    * top-20 docs per language, inclusion probability ∝ n_chars. */
+  val xWeightedSample = Q(
+    "x_weighted_sample",
+    """WITH k AS (SELECT doc_id, lang, n_chars,
+      |    (('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+      |      % 1000000) + 1 AS u_ppm
+      |  FROM documents),
+      |p AS (SELECT doc_id, lang, n_chars,
+      |    (CAST(floor(-ln(u_ppm / 1000000.0) * 1000000) AS BIGINT) * 1000000)
+      |      // n_chars AS priority
+      |  FROM k)
+      |SELECT lang, doc_id, n_chars, priority
+      |FROM (SELECT *, row_number() OVER (PARTITION BY lang
+      |        ORDER BY priority, doc_id) AS rn FROM p)
+      |WHERE rn <= 20""".stripMargin) { (s, d) =>
+    TrainPrep.weightedSampleTopK(Tables.documents(s, d),
+      "doc_id", "lang", "n_chars", k = 20)
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("priority"))
+  }
+
+  /** Greedy per-language token-budget selection ordered by type-token
+    * ratio (integer milli-units): keep the best docs until 3000 tokens. */
+  val xBudgetSelect = Q(
+    "x_budget_select",
+    """WITH t AS (SELECT doc_id, lang,
+      |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+      |q AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    (CAST(len(list_distinct(toks)) AS BIGINT) * 1000)
+      |      // CAST(len(toks) AS BIGINT) AS ttr_milli
+      |  FROM t),
+      |r AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY lang
+      |      ORDER BY ttr_milli DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    AS running FROM q)
+      |SELECT doc_id, lang, n_tokens, ttr_milli, running
+      |FROM r WHERE running <= 3000""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        graft.text.TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      .withColumn("ttr_milli", expr("(n_distinct * 1000) div n_tokens"))
+    TrainPrep.budgetSelect(base, "lang", "ttr_milli", "doc_id", "n_tokens",
+        budget = 3000L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("ttr_milli"),
+        col("running"))
+  }
+
+  /** Overlapping token-window chunking (size 32, stride 24) — the RAG /
+    * context-window prep step. Chunk boundaries are pure integer
+    * arithmetic; the final partial chunk is kept. One generated row per
+    * chunk, no shuffle at all (narrow explode). */
+  val xChunk = Q(
+    "x_chunk",
+    """WITH t AS (SELECT doc_id,
+      |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+      |n AS (SELECT doc_id, toks,
+      |    (greatest(CAST(len(toks) AS BIGINT) - 32, 0) + 23) // 24 + 1 AS n_chunks
+      |  FROM t)
+      |SELECT doc_id, i AS chunk_idx,
+      |  array_to_string(toks[(i*24+1):(i*24+32)], ' ') AS chunk_text,
+      |  CAST(len(toks[(i*24+1):(i*24+32)]) AS BIGINT) AS n_chunk_tokens
+      |FROM n, UNNEST(range(n_chunks)) AS u(i)""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), graft.text.TextFns.tokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        expr("(greatest(n_tok - 32, 0L) + 23) div 24 + 1"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0L, n_chunks - 1)," +
+            " i -> slice(toks, int(i * 24 + 1), 32))")).as(Seq("pos", "chunk")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        array_join(col("chunk"), " ").as("chunk_text"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"))
+  }
+
   val all: Seq[Q] = Seq(xSplit, xPack, xScrub, xSample, xDecontaminate,
-    xIncremental, xMixRebalance)
+    xIncremental, xMixRebalance, xWeightedSample, xBudgetSelect, xChunk)
 }

@@ -127,6 +127,53 @@ object TrainPrep {
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\b[0-9]{2,3}-[0-9]{3,4}-[0-9]{3,4}\\b"
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES), in
+    * fixed point: each row gets priority −ln(u)/w with u a deterministic
+    * hash-uniform in (0,1] and w the row's weight; the k SMALLEST
+    * priorities per stratum are the weighted sample. ln is quantized to
+    * integer microunits BEFORE the weight division ((negLnMicro·10⁶) ⌊/⌋ w)
+    * so the ordering key is a BIGINT both engines reproduce — the one
+    * transcendental call takes identically-rounded double inputs on both
+    * sides and a 1-ulp ln discrepancy can only flip the floor at a ~2⁻³⁰
+    * boundary. One ranking window per stratum, no global shuffle beyond
+    * it; selection is re-run-stable under corpus growth the way all the
+    * hash-keyed sampling here is. */
+  def weightedSampleTopK(
+      docs: DataFrame, idCol: String, strataCol: String, weightCol: String,
+      k: Int, salt: String = "wsample"): DataFrame = {
+    val u = pmod(TextFns.portableHash(col(idCol).cast("string"), lit(salt)),
+      lit(1000000L)) + lit(1L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("priority"), col(idCol))
+    docs
+      .withColumn("__u_ppm", u)
+      .withColumn("__neg_ln_micro",
+        floor(-log(col("__u_ppm") / 1000000.0) * 1000000).cast("long"))
+      .withColumn("priority", expr(s"(__neg_ln_micro * 1000000) div $weightCol"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__u_ppm", "__neg_ln_micro", "__rn")
+  }
+
+  /** Greedy token-budget corpus selection: order a stratum's documents by
+    * a quality key (descending) and keep the prefix whose running token
+    * total stays within the budget — the "fill the training mix with the
+    * best docs first" step. The running total is per-stratum (the window
+    * never sees an unbounded global group, same contract as
+    * [[sequentialPack]]); quality and tokens are integers so the cutoff is
+    * engine-exact. */
+  def budgetSelect(
+      docs: DataFrame, strataCol: String, qualityCol: String,
+      orderCol: String, tokenCol: String, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col(qualityCol).desc, col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .withColumn("running", sum(col(tokenCol)).over(w))
+      .filter(col("running") <= budget)
+  }
+
   /** Scrub emails and phone-shaped numbers, counting hits per document. */
   def scrubPii(text: Column): (Column, Column, Column) = {
     val emails = size(regexp_extract_all(text, lit(EmailRe), lit(0)))

@@ -113,4 +113,24 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(boiler, "doc_id", "text", 3, 0.01,
       maxShingleDf = 5).count() === 0)
   }
+
+  test("bloomProbe: no false negatives; novel docs clear a sparse filter") {
+    val staged = docs.filter($"doc_id" <= 3L)
+    val incoming = docs // 4 is an exact dup of staged 1; 5 is staged itself
+    val got = Dedup.bloomProbe(incoming, staged, "doc_id", "text")
+      .as[(Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // Bloom guarantee: every exact member is a bloom hit
+    assert(got.filter(_._2._2).forall(_._2._1),
+      "exact_hit implies bloom_hit (no false negatives)")
+    assert(got(4L) === ((true, true)))  // same fingerprint as staged doc 1
+    assert(got(1L) === ((true, true)))
+    // a genuinely novel doc against a 3-doc filter (9 of 8192 bits set):
+    // P[false positive] ≈ (9/8192)^3 — assert the clean verdict
+    val novel = Seq((99L, "entirely novel vocabulary nobody used before"))
+      .toDF("doc_id", "text")
+    val nv = Dedup.bloomProbe(novel, staged, "doc_id", "text")
+      .as[(Long, Boolean, Boolean)].collect().head
+    assert(nv === ((99L, false, false)))
+  }
 }

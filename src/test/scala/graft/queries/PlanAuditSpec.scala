@@ -105,6 +105,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate explode"), "salt replication lost its explode")
   }
 
+  test("x_bloom_filter: bit set and fingerprint dim are broadcast probes") {
+    val p = plan("x_bloom_filter")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2,
+      "bloom bit set / staged-fp dim not broadcast: the incoming corpus " +
+        "must be probed map-side")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q05 star join: dimensions broadcast, filters pushed to scans") {
+    val p = plan("q05_local_supplier")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("PushedFilters"), "order-date filter not pushed")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("g_khop hops are equi-joins with per-hop distinct, no cartesian") {
+    val p = plan("g_khop")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"), "per-hop distinct disappeared")
+  }
+
+  test("x_chunk is narrow: zero exchanges, one generate") {
+    val p = plan("x_chunk")
+    assert(!p.contains("Exchange"), "chunking must not shuffle")
+    assert(p.contains("Generate"), "chunk explode missing")
+  }
+
+  test("x_weighted_sample ranking gets the WindowGroupLimit pushdown") {
+    assert(plan("x_weighted_sample").contains("WindowGroupLimit"))
+  }
+
   test("column pruning: q01 scan reads only the needed lineitem columns") {
     val p = plan("q01_pricing_summary")
     val schema = "ReadSchema: struct<" +

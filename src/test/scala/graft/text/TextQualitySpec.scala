@@ -102,4 +102,35 @@ class TextQualitySpec extends SparkSpec {
     assert(kept.filter(col("lang") === "en").count() === 100)
     assert(kept.filter(col("lang") === "zh").count() === 0)
   }
+
+  test("weightedSampleTopK: k per stratum, heavy weights overrepresented") {
+    val docs = spark.range(0, 400).toDF("doc_id")
+      .withColumn("lang", when(col("doc_id") % 2 === 0, "en").otherwise("zh"))
+      // first 40 of each stratum get 100× the weight of the rest
+      .withColumn("w", when(col("doc_id") < 80, 1000L).otherwise(10L))
+    val kept = TrainPrep.weightedSampleTopK(docs, "doc_id", "lang", "w", k = 30)
+    assert(kept.groupBy("lang").count().collect()
+      .forall(_.getLong(1) === 30L), "exactly k rows per stratum")
+    // with a 100:1 weight ratio the 40 heavy docs should dominate the 30
+    // selections (each heavy doc individually beats ~all light docs)
+    val heavy = kept.filter(col("doc_id") < 80).count()
+    assert(heavy >= 40, s"heavy docs under-selected: $heavy of 60")
+    // determinism: same inputs → same selection
+    val again = TrainPrep.weightedSampleTopK(docs, "doc_id", "lang", "w", k = 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("budgetSelect: per-stratum prefix by quality within token budget") {
+    val docs = Seq(
+      ("en", 1L, 900L, 40L), ("en", 2L, 800L, 40L), ("en", 3L, 700L, 40L),
+      ("en", 4L, 600L, 40L), ("zh", 5L, 500L, 90L), ("zh", 6L, 400L, 20L)
+    ).toDF("lang", "doc_id", "quality", "n_tokens")
+    val got = TrainPrep
+      .budgetSelect(docs, "lang", "quality", "doc_id", "n_tokens", budget = 100L)
+      .select("doc_id", "running").as[(Long, Long)].collect().toMap
+    // en: 40+40 fits, third doc would hit 120 > 100 → docs 1,2 only
+    assert(got.keySet === Set(1L, 2L, 5L))
+    assert(got(2L) === 80L && got(5L) === 90L)
+  }
 }
