@@ -328,6 +328,29 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Asymmetric shingle-containment pairs: C(a,b) = |A∩B| / min(|A|,|B|) —
+    * the "one document quotes most of the other" signal that symmetric
+    * Jaccard dilutes away when the containing document is long (a 95%-
+    * contained short doc inside a 10× longer one has Jaccard < 0.1 but
+    * containment 0.95). Same inverted-index + hot-shingle-df-cap shape as
+    * [[ngramJaccardPairs]]; the single double division is engine-portable. */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, maxDf: Int = 12): DataFrame = {
+    val sh = capShingles(shingles(docs, idCol, textCol, n), maxDf)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    sh.toDF("a", "shingle")
+      .join(sh.toDF("b", "shingle"), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      .join(counts.toDF("a", "na"), Seq("a"))
+      .join(counts.toDF("b", "nb"), Seq("b"))
+      .select(col("a"), col("b"), col("na"), col("nb"),
+        (col("inter").cast("double") / least(col("na"), col("nb")))
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** The k Bloom bit positions of a document's bag-of-words fingerprint:
     * portable-hash family (salts bloom0..bloom{k-1}) mod `mBits`,
     * duplicates collapsed. */

@@ -718,9 +718,44 @@ object CoreQueries {
         .cast("double").as("revenue"))
   }
 
+  /** TPC-H Q10-shaped returned-item report: customers ranked by revenue
+    * lost to returns in a quarter. Broadcast nation dim, top-20 via
+    * TakeOrderedAndProject (never a global sort), date + returnflag
+    * predicates pushed to the scans. */
+  val q10ReturnedItems = Q(
+    "q10_returned_items",
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |           * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+          .filter(col("o_orderdate") < lit("1996-04-01 00:00:00").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1) - col("l_discount")).cast("decimal(8,4)"))
+        .cast("double").as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+  }
+
   val all: Seq[Q] = Seq(
     sqlFrontDoor, qCube, qRollup, evPivot, qRunningTotal,
-    q03ShippingPriority, q18LargeOrders, q05LocalSupplier,
+    q03ShippingPriority, q18LargeOrders, q05LocalSupplier, q10ReturnedItems,
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,
     j1OuterMerge, j4BroadcastMap, j5FallbackChain, j6SuffixSelfJoin,
     j7AntiJoin, jRangeBin, jSaltedSkew, a1KeepBest, a2Median3, a3OrderedMiddle,

@@ -235,6 +235,21 @@ object DedupQueries {
     Dedup.duplicatedSpanFraction(Tables.documents(s, d), "doc_id", "text", n = 5)
   }
 
+  /** Asymmetric shingle containment (df-capped inverted index): catches a
+    * short document quoted inside a long one, which symmetric Jaccard
+    * dilutes below any usable threshold. */
+  val xContainment = Q(
+    "x_containment",
+    cappedShingleCte +
+      """SELECT a, b, ca.n_sh AS na, cb.n_sh AS nb,
+        |  CAST(inter AS DOUBLE) / least(ca.n_sh, cb.n_sh) AS containment
+        |FROM pairs JOIN cnt ca ON a = ca.doc_id JOIN cnt cb ON b = cb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / least(ca.n_sh, cb.n_sh) >= 0.8"""
+        .stripMargin) { (s, d) =>
+    Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, threshold = 0.8, maxDf = 12)
+  }
+
   /** Bloom-filter incremental-dedup probe: staged corpus = even doc_ids,
     * incoming = all documents. k=3 portable hashes over 8192 bits; the
     * oracle rebuilds the identical bit set and probes it relationally, so
@@ -264,5 +279,5 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(xDedupNgram, xDedupMinhashLsh, xDedupClusters,
     xDedupApply, xDedupSimhashSig, xDedupSimhashPairs, xSubstringDup,
-    xBloomFilter)
+    xBloomFilter, xContainment)
 }

@@ -321,7 +321,34 @@ object TextQueries {
           .otherwise("tail").as("bucket"))
   }
 
+  /** DSIR-style importance weights: target LM = src0 documents, general
+    * LM = the rest; per-doc summed log-likelihood ratio in integer
+    * microunits (the importance-resampling key). */
+  val xImportanceWeight = Q(
+    "x_importance_weight",
+    """WITH toks AS (SELECT doc_id, source = 'src0' AS is_target,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |counts AS (SELECT token,
+      |    SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t,
+      |    SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS c_g
+      |  FROM toks GROUP BY token),
+      |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS t_tot,
+      |    CAST(SUM(c_g) AS BIGINT) AS g_tot, COUNT(*) AS v_sz FROM counts),
+      |vocab AS (SELECT token,
+      |    CAST(floor(ln(((c_t + 1) / (t_tot + v_sz))
+      |      * ((g_tot + v_sz) / (c_g + 1))) * 1000000) AS BIGINT) AS llr_micro
+      |  FROM counts, tot)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(llr_micro) AS BIGINT) AS score_micro
+      |FROM toks JOIN vocab USING (token) GROUP BY doc_id""".stripMargin) {
+    (s, d) =>
+      graft.text.Relevance.importanceWeights(Tables.documents(s, d),
+        "doc_id", "text", col("source") === "src0")
+  }
+
   val all: Seq[Q] = Seq(xTextStats, xLangId, xLenQuantiles, xRepetition,
     xVocab, xCorpusStats, xDistinctKmv, xDedupExact, xDedupExactMembers,
-    xTfidf, xBigramLm, xHeavyHitters, xFingerprint, xQualityBuckets)
+    xTfidf, xBigramLm, xHeavyHitters, xFingerprint, xQualityBuckets,
+    xImportanceWeight)
 }

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -79,6 +79,42 @@ object Relevance {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppm")).as("sum_p_ppm"))
       .withColumn("avg_p_ppm", expr("sum_p_ppm div n_bigrams"))
+  }
+
+  /** DSIR-style importance weights: per-document log-likelihood ratio of a
+    * TARGET unigram LM vs the GENERAL LM, for importance-resampling a raw
+    * corpus toward a quality domain. Per vocabulary token,
+    * llr_micro = ⌊ln( ((c_t+1)/(T+V)) · ((G+V)/(c_g+1)) ) · 10⁶⌋ (add-one
+    * smoothing); a document's score is the sum of llr_micro over its token
+    * occurrences. The ln is quantized to BIGINT microunits at the VOCAB
+    * level — both engines feed identical doubles through one ln and one
+    * floor, and every per-document aggregate after that is integer.
+    *
+    * Scale: the vocab-weight table is a broadcast dimension (|V| rows);
+    * the corpus-side token explode joins it map-side, so the only wide
+    * shuffle is the per-document sum — the same shape at any corpus size. */
+  def importanceWeights(
+      docs: DataFrame, idCol: String, textCol: String,
+      isTargetCol: Column): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      isTargetCol.as("is_target"),
+      explode(TextFns.tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy(col("token")).agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("c_t"),
+      sum(when(col("is_target"), 0L).otherwise(1L)).as("c_g"))
+    val tot = counts.agg(sum(col("c_t")).as("t_tot"),
+      sum(col("c_g")).as("g_tot"), count(lit(1)).as("v_sz"))
+    val vocab = counts.crossJoin(broadcast(tot))
+      .withColumn("llr_micro",
+        floor(log(
+          ((col("c_t") + 1) / (col("t_tot") + col("v_sz"))) *
+            ((col("g_tot") + col("v_sz")) / (col("c_g") + 1))) * 1000000)
+          .cast("long"))
+      .select(col("token"), col("llr_micro"))
+    toks.join(broadcast(vocab), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("llr_micro")).as("score_micro"))
   }
 
   /** Count-min-sketch heavy hitters: a depth×width integer sketch over all

@@ -114,6 +114,24 @@ class DedupSpec extends SparkSpec {
       maxShingleDf = 5).count() === 0)
   }
 
+  test("containmentPairs: short doc quoted in a long one scores ~1.0") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),                   // 3 shingles
+      (2L, "alpha beta gamma delta epsilon zeta eta theta " +
+        "iota kappa lambda mu nu xi omicron pi rho sigma"),     // contains 1
+      (3L, "totally unrelated words appear in this one here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, "doc_id", "text", n = 3,
+      threshold = 0.8).as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet === Set((1L, 2L)))
+    assert(got.head._5 === 1.0) // all 3 of doc 1's shingles appear in doc 2
+    // and symmetric Jaccard on the same pair is far below the threshold
+    val j = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.0)
+      .as[(Long, Long, Double)].collect()
+      .find(r => r._1 == 1L && r._2 == 2L).get._3
+    assert(j < 0.25, s"jaccard $j should dilute the containment signal")
+  }
+
   test("bloomProbe: no false negatives; novel docs clear a sparse filter") {
     val staged = docs.filter($"doc_id" <= 3L)
     val incoming = docs // 4 is an exact dup of staged 1; 5 is staged itself

@@ -136,6 +136,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("x_weighted_sample").contains("WindowGroupLimit"))
   }
 
+  test("x_importance_weight probes a broadcast vocab, no shuffle on tokens") {
+    val p = plan("x_importance_weight")
+    assert(p.contains("BroadcastHashJoin"), "vocab-weight dim not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "token-side join shuffled: the corpus must be probed map-side")
+  }
+
+  test("q10 top-20 is TakeOrderedAndProject with pushed scan filters") {
+    val p = plan("q10_returned_items")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("PushedFilters: [IsNotNull"), "filters not pushed")
+  }
+
   test("column pruning: q01 scan reads only the needed lineitem columns") {
     val p = plan("q01_pricing_summary")
     val schema = "ReadSchema: struct<" +

@@ -67,4 +67,26 @@ class RelevanceSpec extends SparkSpec {
     assert(got(50L)._3 === true)   // the planted twin (larger id) is dropped
     assert(got(5L)._3 === false)   // the original (smaller id) is kept
   }
+
+  test("importanceWeights: target-domain vocabulary scores above general") {
+    import org.apache.spark.sql.functions.col
+    // target docs speak "medical"; general docs speak "web"
+    val docs = Seq(
+      (1L, true, "protein kinase pathway protein enzyme"),
+      (2L, true, "enzyme pathway kinase protein binding"),
+      (3L, false, "click here buy now free offer"),
+      (4L, false, "subscribe newsletter click offer deal"),
+      (5L, false, "protein kinase enzyme pathway binding") // general doc, target words
+    ).toDF("doc_id", "is_t", "text")
+    val got = Relevance.importanceWeights(docs, "doc_id", "text", col("is_t"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    // docs made of target-LM vocabulary must outscore web-word docs,
+    // including doc 5 which sits in the general split but reads like target
+    assert(got(1L) > got(3L) && got(2L) > got(4L))
+    assert(got(5L) > got(3L))
+    // resampling key is deterministic
+    val again = Relevance.importanceWeights(docs, "doc_id", "text", col("is_t"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(again === got)
+  }
 }
