@@ -207,6 +207,48 @@ object GraphQueries {
         Seq("node"))
   }
 
+  /** Neighbor-set Jaccard similarity (link-prediction feature): node pairs
+    * scored by |Γ(u)∩Γ(v)| / |Γ(u)∪Γ(v)|. The shared-neighbor pivot is
+    * capped at degree ≤ 32 — a hub pivot contributes deg² pair rows and no
+    * signal (every customer pair "shares" the mega-supplier), the same
+    * quadratic-boilerplate argument as the shingle df cap, and the cap is
+    * replicated in the oracle. Degrees in the score stay UNcapped. */
+  val gNeighborJaccard = Q(
+    "g_neighbor_jaccard",
+    edgeCte +
+      """, und AS (SELECT src AS node, dst AS other FROM e
+        |          UNION SELECT dst, src FROM e),
+        |deg AS (SELECT node, COUNT(*) AS d FROM und GROUP BY node),
+        |mid AS (SELECT node FROM deg WHERE d <= 32),
+        |pairs AS (SELECT a.node AS u, b.node AS v, COUNT(*) AS inter
+        |  FROM und a JOIN und b ON a.other = b.other AND a.node < b.node
+        |  JOIN mid m ON a.other = m.node
+        |  GROUP BY 1, 2)
+        |SELECT u, v, inter, du.d AS deg_u, dv.d AS deg_v,
+        |  CAST(inter AS DOUBLE) / (du.d + dv.d - inter) AS jaccard
+        |FROM pairs JOIN deg du ON u = du.node JOIN deg dv ON v = dv.node
+        |WHERE CAST(inter AS DOUBLE) / (du.d + dv.d - inter) >= 0.5"""
+        .stripMargin) { (s, d) =>
+    val e = edgeDf(s, d)
+    val und = e.select(col("src").as("node"), col("dst").as("other"))
+      .union(e.select(col("dst").as("node"), col("src").as("other")))
+      .distinct()
+    val deg = und.groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val mid = deg.filter(col("d") <= 32).select(col("node").as("other"))
+    val pairs = und.toDF("u", "other")
+      .join(mid, Seq("other"), "left_semi")
+      .join(und.toDF("v", "other"), Seq("other"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(deg.toDF("u", "deg_u"), Seq("u"))
+      .join(deg.toDF("v", "deg_v"), Seq("v"))
+      .select(col("u"), col("v"), col("inter"), col("deg_u"), col("deg_v"),
+        (col("inter").cast("double") / (col("deg_u") + col("deg_v") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   val all: Seq[Q] = Seq(gDegree, gComponents, gAncestors, gTriangles,
-    gShortestPaths, gPagerank, gKhop)
+    gShortestPaths, gPagerank, gKhop, gNeighborJaccard)
 }

@@ -346,6 +346,72 @@ object SimQueries {
         length(col("frame")).cast("int").as("n_bytes"))
   }
 
+  /** ANN quality measurement: recall@5 of the IVF path against the exact
+    * brute-force top-5, per query point — the metric an operator watches
+    * when tuning nprobe/cells. Both rankings are already oracle-replicated
+    * queries; this composes them (LEFT JOIN on the (query, neighbor) pair,
+    * hit count per query). The oracle inlines both CTE chains under
+    * disjoint names. */
+  val xAnnRecall = Q(
+    "x_ann_recall",
+    normCte +
+      """, exp_ AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+        |  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
+        |    / (a.nrm * b.nrm) AS cos
+        |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id),
+        |exact AS (SELECT vec_id, neighbor FROM (
+        |  SELECT vec_id, neighbor,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rank
+        |  FROM exp_) WHERE rank <= 5),
+        |cent AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+        |         FROM nrm WHERE vec_id % 40 = 0),
+        |ac AS (SELECT n.vec_id, n.embedding, n.nrm, c.cid,
+        |    list_reduce(list_transform(list_zip(n.embedding, c.cv),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
+        |      / (n.nrm * c.cnrm) AS ccos
+        |  FROM nrm n CROSS JOIN cent c),
+        |assigned AS (
+        |  SELECT vec_id, embedding, nrm, cid, ccos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cid) AS arn
+        |    FROM ac) WHERE arn = 1),
+        |cand AS (
+        |  SELECT vec_id, embedding, nrm, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cid
+        |      ORDER BY ccos DESC, vec_id) AS crn
+        |    FROM assigned) WHERE crn <= 512),
+        |ivp AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+        |  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
+        |    / (a.nrm * b.nrm) AS cos
+        |  FROM assigned a JOIN cand b
+        |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+        |approx AS (SELECT vec_id, neighbor FROM (
+        |  SELECT vec_id, neighbor,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rank
+        |  FROM ivp) WHERE rank <= 5)
+        |SELECT e.vec_id, COUNT(a.neighbor) AS hits, CAST(5 AS BIGINT) AS k,
+        |  CAST(COUNT(a.neighbor) AS DOUBLE) / 5 AS recall
+        |FROM exact e LEFT JOIN approx a
+        |  ON e.vec_id = a.vec_id AND e.neighbor = a.neighbor
+        |GROUP BY e.vec_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5)
+      .select(col("vec_id"), col("neighbor"))
+    val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        k = 5, centroidStep = 40, cellCap = 512)
+      .select(col("vec_id").as("a_vec"), col("neighbor").as("a_nb"))
+    exact.join(approx,
+        col("vec_id") === col("a_vec") && col("neighbor") === col("a_nb"),
+        "left")
+      .groupBy(col("vec_id"))
+      .agg(count(col("a_nb")).as("hits"))
+      .select(col("vec_id"), col("hits"), lit(5L).as("k"),
+        (col("hits").cast("double") / 5).as("recall"))
+  }
+
   val all: Seq[Q] = Seq(xAnnTopK, xAnnIvf, xAnnLsh, xAnnPq, xKmeans,
-    xSemanticDedup, xNearDupEmb, xMediaFeatures, xMediaDecode, xMediaFrames)
+    xSemanticDedup, xNearDupEmb, xMediaFeatures, xMediaDecode, xMediaFrames,
+    xAnnRecall)
 }

@@ -149,6 +149,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull"), "filters not pushed")
   }
 
+  test("g_neighbor_jaccard caps the pivot via a semi-join, no cartesian") {
+    val p = plan("g_neighbor_jaccard")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftSemi"), "hub-degree cap lost its semi-join")
+  }
+
+  test("x_ann_recall composes the two rankings without a cartesian") {
+    // the brute-force side's broadcast NLJ is its documented by-design
+    // baseline shape; the composition itself must add only hash joins
+    assert(!plan("x_ann_recall").contains("CartesianProduct"))
+  }
+
   test("column pruning: q01 scan reads only the needed lineitem columns") {
     val p = plan("q01_pricing_summary")
     val schema = "ReadSchema: struct<" +
