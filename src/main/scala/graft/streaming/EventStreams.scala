@@ -199,6 +199,62 @@ object EventStreams {
           .as("lag_sec"))
   }
 
+  /** Stream-static enrichment: the streaming fact joins a STATIC dimension
+    * (re-broadcast per micro-batch — no stream state, no watermark
+    * required, the canonical streaming lookup shape). Works identically on
+    * a batch DataFrame, so the twin equality is structural. Left join +
+    * default: unmatched facts pass through, they are not dropped. */
+  def enrichWithSegments(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        coalesce(col("segment"), lit("unknown")).as("segment"))
+
+  /** LEFT OUTER watermarked stream-stream interval join: clicks that never
+    * convert inside the window emit with NULL purchase columns once the
+    * watermark passes the window end (Spark can only declare "no match
+    * ever" after event time moves on — unmatched rows near the head of the
+    * stream therefore stay in state; the spec asserts inner-part equality
+    * and outer-part ⊆ batch). Batch twin: [[intervalJoinLeftOuter]]. */
+  def streamingIntervalJoinLeftOuter(
+      stream: DataFrame, windowSeconds: Long = 600): DataFrame = {
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(purchases,
+        expr(s"""c_user = p_user AND purchase_ts >= click_ts
+                |AND purchase_ts < click_ts + INTERVAL $windowSeconds SECONDS"""
+          .stripMargin),
+        "leftOuter")
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+          .as("lag_sec"))
+  }
+
+  /** Batch twin of [[streamingIntervalJoinLeftOuter]]. */
+  def intervalJoinLeftOuter(
+      events: DataFrame, windowSeconds: Long = 600): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user")
+          && col("purchase_ts") >= col("click_ts")
+          && col("purchase_ts") < col("click_ts")
+            + expr(s"INTERVAL $windowSeconds SECONDS"),
+        "left")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+          .as("lag_sec"))
+  }
+
   /** Streaming sessionization via session_window (5-minute gap). */
   def streamingSessionize(stream: DataFrame): DataFrame =
     stream

@@ -101,4 +101,26 @@ class EdgeCasesSpec extends SparkSpec {
     assert(groups.head.getAs[Long]("keep_id") === 0L)
     assert(Dedup.exactMembership(docs, "doc_id", "text").count() === 1000000L)
   }
+
+  test("bloomProbe against an EMPTY staged corpus: nothing hits") {
+    val incoming = Seq((1L, "some words here")).toDF("doc_id", "text")
+    val empty = incoming.filter(lit(false))
+    val got = Dedup.bloomProbe(incoming, empty, "doc_id", "text")
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(got.toSeq === Seq((1L, false, false)))
+  }
+
+  test("weightedSampleTopK / budgetSelect survive empty input") {
+    val empty = Seq.empty[(Long, String, Long)].toDF("doc_id", "lang", "w")
+    assert(graft.text.TrainPrep
+      .weightedSampleTopK(empty, "doc_id", "lang", "w", 5).count() === 0)
+    assert(graft.text.TrainPrep
+      .budgetSelect(empty, "lang", "w", "doc_id", "w", 100).count() === 0)
+  }
+
+  test("containmentPairs: no pair when one side has no shingles") {
+    val d = Seq((1L, "only two"), (2L, "a longer document with many words in it"))
+      .toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(d, "doc_id", "text", 3, 0.0).count() === 0)
+  }
 }

@@ -63,6 +63,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(keys === batchKeys)
   }
 
+  test("stream-static enrichment equals the batch join, unmatched kept") {
+    val dim = Tables.customer(spark, sf)
+      .select($"c_custkey".as("user_id"), $"c_mktsegment".as("segment"))
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    runToMemory(EventStreams.enrichWithSegments(stream, dim), "enrich", "append")
+    val streamed = spark.table("enrich")
+      .as[(Long, Long, String, String)].collect().toSet
+    val batch = EventStreams
+      .enrichWithSegments(Tables.events(spark, sf), dim)
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(streamed === batch)
+    // left semantics: every event survives enrichment
+    assert(streamed.size === Tables.events(spark, sf).count())
+  }
+
+  test("left-outer stream-stream join: inner part exact, outer part ⊆ batch") {
+    val stream = EventStreams.readEventStreamRaw(spark, eventsDir)
+    runToMemory(EventStreams.streamingIntervalJoinLeftOuter(stream),
+      "lojoin", "append")
+    val streamed = spark.table("lojoin")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    val batch = EventStreams.intervalJoinLeftOuter(Tables.events(spark, sf))
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    val (sInner, sOuter) = streamed.partition(_._3.isDefined)
+    val (bInner, bOuter) = batch.partition(_._3.isDefined)
+    // matched pairs must agree exactly; null-emits only fire once the
+    // watermark passes, so clicks near the head of event time may be held
+    assert(sInner === bInner)
+    assert(sOuter.subsetOf(bOuter),
+      s"streaming null-rows not in batch: ${sOuter.diff(bOuter).take(3)}")
+    assert(sOuter.nonEmpty, "watermark never released an unmatched click")
+  }
+
   test("flatMapGroupsWithState sessions are a subset of batch sessions") {
     val stream = EventStreams.readEventStream(spark, eventsDir)
     runToMemory(EventStreams.statefulSessionize(stream).toDF(), "fsessions", "append")
