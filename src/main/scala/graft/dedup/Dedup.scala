@@ -184,13 +184,12 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** MinHash + LSH near-duplicate pairs: band the signature, bucket-join on
-    * (band index, band key), then verify candidates with exact Jaccard.
-    * Returns (a, b, jaccard) with jaccard ≥ threshold. */
-  def minhashLshPairs(
+  /** LSH candidate pairs (a < b): band the minhash signature, bucket-join
+    * on (band index, band key). The candidate set is what every downstream
+    * consumer (verification, estimation) scales with. */
+  def minhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
@@ -201,14 +200,50 @@ object Dedup {
     val banded = sig.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = banded.toDF("a", "band", "key")
+    banded.toDF("a", "band", "key")
       .join(banded.toDF("b", "band", "key"), Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
+  }
+
+  /** MinHash + LSH near-duplicate pairs: band the signature, bucket-join on
+    * (band index, band key), then verify candidates with exact Jaccard.
+    * Returns (a, b, jaccard) with jaccard ≥ threshold. */
+  def minhashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val cand = minhashCandidates(docs, idCol, textCol, n, numHashes, bands)
     // verification: exact Jaccard computed ONLY for LSH candidates — the
     // candidate set drives the shingle joins, so cost scales with
     // |candidates| · shingles-per-doc, never with the all-pairs table
     jaccardOfPairs(shingles(docs, idCol, textCol, n), Some(cand), threshold)
+  }
+
+  /** Sketch-accuracy measurement: for every LSH candidate pair, the
+    * MinHash ESTIMATE of Jaccard (matching signature components / total)
+    * beside the exact Jaccard — the query an operator runs when sizing
+    * numHashes/bands for a corpus. Candidates that collide in a band but
+    * share no shingle get exact 0.0 (left join). Integer match count; the
+    * single division is engine-portable. */
+  def minhashEstimates(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val cand = minhashCandidates(docs, idCol, textCol, n, numHashes, bands)
+    val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
+    val sigA = sig.toDF("a" +: (0 until numHashes).map(i => s"a_s$i"): _*)
+    val sigB = sig.toDF("b" +: (0 until numHashes).map(i => s"b_s$i"): _*)
+    val nMatch = (0 until numHashes)
+      .map(i => when(col(s"a_s$i") === col(s"b_s$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val exact = jaccardOfPairs(shingles(docs, idCol, textCol, n),
+      Some(cand), threshold = 0.0)
+    cand.join(sigA, Seq("a")).join(sigB, Seq("b"))
+      .select(col("a"), col("b"), nMatch.cast("long").as("n_match"))
+      .join(exact, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("n_match"),
+        (col("n_match") / lit(numHashes.toDouble)).as("est_jaccard"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
   }
 
   /** Embedding-cosine near-duplicate pairs: (a < b) candidate pairs from

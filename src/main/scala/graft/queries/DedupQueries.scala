@@ -235,6 +235,25 @@ object DedupQueries {
     Dedup.duplicatedSpanFraction(Tables.documents(s, d), "doc_id", "text", n = 5)
   }
 
+  /** Sketch-accuracy measurement: minhash-estimated vs exact Jaccard on
+    * every LSH candidate pair — the numHashes/bands sizing query. */
+  val xMinhashEst = Q(
+    "x_minhash_est", {
+      val matchSum = (0 until NumHashes).map(i =>
+        s"(CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+      minhashCteChain +
+        s""", est AS (SELECT c.a, c.b, CAST($matchSum AS BIGINT) AS n_match
+           |  FROM cand c JOIN sig x ON c.a = x.doc_id
+           |  JOIN sig y ON c.b = y.doc_id)
+           |SELECT est.a, est.b, n_match, n_match / 32.0 AS est_jaccard,
+           |  COALESCE(jaccard, 0.0) AS jaccard
+           |FROM est LEFT JOIN jacc ON est.a = jacc.a AND est.b = jacc.b"""
+          .stripMargin
+    }) { (s, d) =>
+    Dedup.minhashEstimates(Tables.documents(s, d), "doc_id", "text",
+      n = 3, numHashes = NumHashes, bands = Bands)
+  }
+
   /** Asymmetric shingle containment (df-capped inverted index): catches a
     * short document quoted inside a long one, which symmetric Jaccard
     * dilutes below any usable threshold. */
@@ -279,5 +298,5 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(xDedupNgram, xDedupMinhashLsh, xDedupClusters,
     xDedupApply, xDedupSimhashSig, xDedupSimhashPairs, xSubstringDup,
-    xBloomFilter, xContainment)
+    xBloomFilter, xContainment, xMinhashEst)
 }

@@ -114,6 +114,19 @@ class DedupSpec extends SparkSpec {
       maxShingleDf = 5).count() === 0)
   }
 
+  test("minhashEstimates: exact dup estimates 1.0, estimate tracks exact") {
+    val got = Dedup.minhashEstimates(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // identical docs: all 32 components match, exact jaccard 1.0
+    assert(got((1L, 4L)) === ((32L, 1.0, 1.0)))
+    // near-dup candidates estimate within 0.35 of exact (32 hashes →
+    // stderr ≈ sqrt(j(1-j)/32) ≤ 0.09; 0.35 is a 4σ bound)
+    got.values.foreach { case (_, est, exact) =>
+      assert(math.abs(est - exact) < 0.35, s"est $est vs exact $exact")
+    }
+  }
+
   test("containmentPairs: short doc quoted in a long one scores ~1.0") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon"),                   // 3 shingles
