@@ -432,4 +432,45 @@ object Dedup {
         (col("n_hit") === col("n_pos").cast("long")).as("bloom_hit"),
         coalesce(col("__staged"), lit(false)).as("exact_hit"))
   }
+
+  /** Corpus-level duplicated-segment removal — the RefinedWeb/CCNet
+    * "drop lines repeated across the corpus" pass, generalized to
+    * fixed-width token segments (this corpus has no newlines): each
+    * document is cut into consecutive `segTokens`-word segments, a
+    * corpus-wide occurrence count is taken per distinct segment text, and
+    * segments occurring more than `maxDf` times anywhere are dropped from
+    * every document; survivors are re-joined in order. Output per doc:
+    * (doc_id, n_segs, n_kept, kept_text — null when nothing survives).
+    *
+    * Scale: segment df is a partial-aggregating groupBy on segment text
+    * (map-side combine absorbs hot boilerplate segments before the
+    * shuffle), NOT a count-over-partition window — a boilerplate segment
+    * with 10⁹ occurrences would make the window partition a single-task
+    * straggler, while the groupBy pre-sums it per map task. The df join
+    * back is a plain equi-join AQE skew-splits if one segment dominates;
+    * the rebuild shuffles once on doc_id with bounded group size
+    * (segments per doc). */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 10, maxDf: Long = 2): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "word")))
+    val segs = words
+      .groupBy(col("doc_id"),
+        floor(col("pos") / segTokens.toDouble).cast("long").as("seg_idx"))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("pos"), col("word")))),
+          w => w("word")), " ").as("seg"))
+    val df = segs.groupBy(col("seg")).agg(count(lit(1)).as("df"))
+    segs.join(df, "seg")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        count(when(col("df") <= maxDf, lit(1))).as("n_kept"),
+        sort_array(collect_list(when(col("df") <= maxDf,
+          struct(col("seg_idx"), col("seg"))))).as("__kept"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        when(size(col("__kept")) > 0,
+          array_join(transform(col("__kept"), s => s("seg")), " "))
+          .as("kept_text"))
+  }
 }

@@ -44,7 +44,21 @@ object TemporalJoins {
     * `<time>_right`, then the remaining right columns.
     */
   def asOfJoin(left: DataFrame, right: DataFrame,
-      key: String, time: String): DataFrame = {
+      key: String, time: String): DataFrame =
+    asOfImpl(left, right, key, time, forward = false)
+
+  /** Forward as-of join: for every left row, the right row with the
+    * SMALLEST `time` ≥ the left row's time within the key (the "next
+    * event after" direction — DuckDB expresses it as
+    * `ASOF LEFT JOIN ... ON l.key = r.key AND l.time <= r.time`).
+    * Same union-window machinery as [[asOfJoin]] with the traversal
+    * reversed; identical determinism and NULL contracts. */
+  def asOfJoinForward(left: DataFrame, right: DataFrame,
+      key: String, time: String): DataFrame =
+    asOfImpl(left, right, key, time, forward = true)
+
+  private def asOfImpl(left: DataFrame, right: DataFrame,
+      key: String, time: String, forward: Boolean): DataFrame = {
     val leftPayload = left.columns.filterNot(c => c == key || c == time).toSeq
     val rightPayload = right.columns.filterNot(c => c == key || c == time).toSeq
     val rTime = s"${time}_right"
@@ -59,9 +73,12 @@ object TemporalJoins {
         struct(col(time).as(rTime) +: rightPayload.map(col): _*).as("__asof"))
     val lTagged = left.select(
       col(key) +: col(time) +: lit(1).as("__side") +: leftPayload.map(col): _*)
-    // __side orders right rows first at equal time → inclusive semantics
+    // __side orders right rows first at equal time → inclusive semantics;
+    // the forward direction walks time DESCENDING so "last right row seen
+    // so far" is the nearest not-earlier one
+    val timeOrd = if (forward) col(time).desc else col(time).asc
     val w = Window.partitionBy(key)
-      .orderBy(col(time).asc, col("__side").asc)
+      .orderBy(timeOrd, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     lTagged.unionByName(rTagged, allowMissingColumns = true)
       .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))

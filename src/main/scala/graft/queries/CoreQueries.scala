@@ -753,9 +753,110 @@ object CoreQueries {
       .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
   }
 
+  /** TPC-H Q4-shaped order-priority check: orders in a quarter with at
+    * least one slow line (shipped > 60 days after the order date),
+    * counted by priority. The EXISTS is a left-semi join with a
+    * cross-table inequality; the date predicate is pushed to the orders
+    * scan and the semi-join probes the fact table once on orderkey. */
+  val q04PriorityExists = Q(
+    "q04_order_priority",
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** Blocked fuzzy entity resolution over part names: distinct names
+    * with multiplicities, blocked on the last token, Levenshtein ≤ 4
+    * (identical names excluded — those are exact dedup's business).
+    * See [[graft.ops.EntityResolution.blockedNameMatch]] for the
+    * distinct-value scale argument. */
+  val erBlockedMatch = Q(
+    "er_blocked_match",
+    """WITH n AS (SELECT p_name AS name, COUNT(*) AS n FROM part GROUP BY 1),
+      |b AS (SELECT string_split(name, ' ')[-1] AS blk, name, n FROM n)
+      |SELECT a.name AS name_a, c.name AS name_b,
+      |  CAST(levenshtein(a.name, c.name) AS BIGINT) AS dist,
+      |  a.n AS n_a, c.n AS n_b
+      |FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+      |WHERE levenshtein(a.name, c.name) BETWEEN 1 AND 4""".stripMargin) {
+    (s, d) =>
+      graft.ops.EntityResolution.blockedNameMatch(
+        Tables.part(s, d), "p_name",
+        name => element_at(split(name, " "), -1), maxDist = 4)
+  }
+
+  /** Decile bucketing via ntile over a total order (the unique-key
+    * tie-break makes the assignment deterministic), aggregated to one
+    * row per decile. The global window runs over the CUSTOMER DIMENSION
+    * — the exact-rank idiom for dimension-sized inputs; a fact-table
+    * bucketing at 100 TB would switch to histogramQuantiles edges
+    * (mergeable, no global order). */
+  val qNtile = Q(
+    "q_ntile",
+    """WITH d AS (SELECT c_acctbal,
+      |    ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      |  FROM customer)
+      |SELECT decile, COUNT(*) AS n, MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+      |FROM d GROUP BY decile""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.customer(s, d)
+      .select(col("c_acctbal"), ntile(10).over(
+        Window.orderBy(col("c_acctbal"), col("c_custkey"))).cast("long")
+        .as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+  }
+
+  /** Wide→long unpivot (melt) of a per-nation metric table via stack —
+    * the codegen-friendly melt; the oracle is the portable UNION ALL
+    * form. */
+  val qUnpivot = Q(
+    "q_unpivot",
+    """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+      |           FROM customer GROUP BY 1),
+      |s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+      |      FROM supplier GROUP BY 1),
+      |w AS (SELECT n_name, COALESCE(n_cust, 0) AS n_cust,
+      |        COALESCE(n_supp, 0) AS n_supp
+      |      FROM nation LEFT JOIN c ON n_nationkey = c.nk
+      |                  LEFT JOIN s ON n_nationkey = s.nk)
+      |SELECT n_name, 'customers' AS metric, n_cust AS value FROM w
+      |UNION ALL
+      |SELECT n_name, 'suppliers' AS metric, n_supp AS value FROM w""".stripMargin) {
+    (s, d) =>
+      val cust = Tables.customer(s, d)
+        .groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("n_cust"))
+      val supp = Tables.supplier(s, d)
+        .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("n_supp"))
+      Tables.nation(s, d)
+        .join(cust, col("n_nationkey") === col("ck"), "left")
+        .join(supp, col("n_nationkey") === col("sk"), "left")
+        .select(col("n_name"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .selectExpr("n_name",
+          "stack(2, 'customers', n_cust, 'suppliers', n_supp) AS (metric, value)")
+  }
+
   val all: Seq[Q] = Seq(
     sqlFrontDoor, qCube, qRollup, evPivot, qRunningTotal,
     q03ShippingPriority, q18LargeOrders, q05LocalSupplier, q10ReturnedItems,
+    q04PriorityExists, erBlockedMatch, qNtile, qUnpivot,
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,
     j1OuterMerge, j4BroadcastMap, j5FallbackChain, j6SuffixSelfJoin,
     j7AntiJoin, jRangeBin, jSaltedSkew, a1KeepBest, a2Median3, a3OrderedMiddle,

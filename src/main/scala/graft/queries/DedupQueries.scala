@@ -296,7 +296,28 @@ object DedupQueries {
       "doc_id", "text")
   }
 
+  /** RefinedWeb/CCNet-style corpus-wide duplicated-segment removal: drop
+    * every 10-token segment whose text occurs more than twice anywhere in
+    * the corpus, rebuild documents from the survivors. The oracle
+    * reconstructs identical segments by list slicing and replicates the
+    * df cap, so kept_text matches byte-for-byte (null when a document
+    * loses every segment). */
+  val xSegmentDedup = Q(
+    "x_segment_dedup",
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+      |           FROM documents),
+      |s AS (SELECT doc_id, i,
+      |    array_to_string(ws[i*10+1 : i*10+10], ' ') AS seg
+      |  FROM w, UNNEST(range(CAST(ceil(len(ws)/10.0) AS BIGINT))) AS t(i)),
+      |f AS (SELECT doc_id, i, seg, COUNT(*) OVER (PARTITION BY seg) AS df FROM s)
+      |SELECT doc_id, COUNT(*) AS n_segs,
+      |  COUNT(*) FILTER (WHERE df <= 2) AS n_kept,
+      |  string_agg(seg, ' ' ORDER BY i) FILTER (WHERE df <= 2) AS kept_text
+      |FROM f GROUP BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.segmentDedup(Tables.documents(s, d), "doc_id", "text")
+  }
+
   val all: Seq[Q] = Seq(xDedupNgram, xDedupMinhashLsh, xDedupClusters,
     xDedupApply, xDedupSimhashSig, xDedupSimhashPairs, xSubstringDup,
-    xBloomFilter, xContainment, xMinhashEst)
+    xBloomFilter, xContainment, xMinhashEst, xSegmentDedup)
 }

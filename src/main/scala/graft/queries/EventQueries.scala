@@ -111,6 +111,104 @@ object EventQueries {
     EventStreams.funnel(Tables.events(s, d))
   }
 
+  /** Rolling last-5-event stats per user (row-bounded moving window). */
+  val evRolling = Q(
+    "ev_rolling",
+    """SELECT user_id, event_id,
+      |  COUNT(*) OVER w AS roll_n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS roll_sum,
+      |  MIN(value) OVER w AS roll_min,
+      |  MAX(value) OVER w AS roll_max
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin) {
+    (s, d) => EventStreams.rollingStats(Tables.events(s, d))
+  }
+
+  /** Weekly cohort retention matrix (first-seen week × week offset). */
+  val evRetention = Q(
+    "ev_retention",
+    """WITH wk AS (SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(ts)/604800) AS BIGINT) AS week FROM events),
+      |c AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY 1)
+      |SELECT c.cohort_week, wk.week - c.cohort_week AS week_offset,
+      |  COUNT(*) AS n_users
+      |FROM wk JOIN c ON wk.user_id = c.user_id
+      |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    EventStreams.retentionCohorts(Tables.events(s, d))
+  }
+
+  /** Gaps-and-islands consecutive-active-day streaks per user. */
+  val evStreaks = Q(
+    "ev_streaks",
+    """WITH d AS (SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(ts)/86400) AS BIGINT) AS day FROM events),
+      |r AS (SELECT user_id, day,
+      |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM d),
+      |s AS (SELECT user_id, grp, COUNT(*) AS len FROM r GROUP BY 1, 2)
+      |SELECT user_id, COUNT(*) AS n_streaks, MAX(len) AS longest_streak,
+      |  CAST(SUM(len) AS BIGINT) AS n_active_days
+      |FROM s GROUP BY user_id""".stripMargin) { (s, d) =>
+    EventStreams.activityStreaks(Tables.events(s, d))
+  }
+
+  /** Forward as-of join: each click → the next purchase at-or-after it.
+    * Oracle is DuckDB's native ASOF with the inequality reversed — an
+    * independent implementation of the forward direction. */
+  val evAsofForward = Q(
+    "ev_asof_forward",
+    """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events
+      |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |c AS (SELECT user_id, ts, event_id AS click_id FROM events
+      |  WHERE event_type = 'click')
+      |SELECT c.user_id, c.click_id, p.purchase_id,
+      |  CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS wait_sec
+      |FROM c ASOF LEFT JOIN p
+      |  ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin) { (s, d) =>
+    EventStreams.asOfNextPurchase(Tables.events(s, d))
+  }
+
+  /** First-order Markov transition matrix over event types. */
+  val evTransitions = Q(
+    "ev_transitions",
+    """WITH o AS (SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS next_type
+      |  FROM events),
+      |c AS (SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      |  FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+      |    AS p_ppm
+      |FROM c""".stripMargin) { (s, d) =>
+    EventStreams.eventTransitions(Tables.events(s, d))
+  }
+
+  /** SCD2 validity intervals from consecutive same-state runs. */
+  val evScd2 = Q(
+    "ev_scd2",
+    """WITH e AS (SELECT user_id, event_type, ts, event_id,
+      |    CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+      |         THEN 0 ELSE 1 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS run FROM e),
+      |g AS (SELECT user_id, run, MIN(event_type) AS state, MIN(ts) AS f
+      |      FROM r GROUP BY 1, 2),
+      |x AS (SELECT user_id, state, f,
+      |    lead(f) OVER (PARTITION BY user_id ORDER BY run) AS t
+      |  FROM g)
+      |SELECT user_id, state,
+      |  CAST(floor(epoch(f)) AS BIGINT) AS valid_from,
+      |  CAST(floor(epoch(t)) AS BIGINT) AS valid_to,
+      |  t IS NULL AS is_current
+      |FROM x""".stripMargin) { (s, d) =>
+    EventStreams.scd2Intervals(Tables.events(s, d))
+  }
+
   val all: Seq[Q] = Seq(evTumbling, evSliding, evSessionize, evFirstPerKey, evFunnel,
-    evIntervalJoin, evAsofJoin)
+    evIntervalJoin, evAsofJoin, evRolling, evRetention, evStreaks,
+    evAsofForward, evTransitions, evScd2)
 }

@@ -347,8 +347,57 @@ object TextQueries {
         "doc_id", "text", col("source") === "src0")
   }
 
+  /** Histogram-sketch quantiles on n_chars vs the exact rank answer —
+    * the mergeable-sketch quantile estimate with its measured overshoot
+    * (err < binWidth by construction; asserted in TextQualitySpec). */
+  val xHistQuantiles = Q(
+    "x_hist_quantiles",
+    """WITH v AS (SELECT n_chars AS val FROM documents),
+      |bc AS (SELECT CAST(floor(val/50.0) AS BIGINT) AS bin, COUNT(*) AS cnt
+      |       FROM v GROUP BY 1),
+      |b AS (SELECT bin, cnt,
+      |    SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(cnt) OVER () AS n FROM bc),
+      |bq AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q, * FROM b),
+      |sk AS (SELECT q, MIN(bin) AS minbin,
+      |    MIN(CAST(ceil(q*n) AS BIGINT)) AS target_rank
+      |  FROM bq WHERE cum >= ceil(q*n) GROUP BY q),
+      |vc AS (SELECT val, COUNT(*) AS cnt FROM v GROUP BY 1),
+      |vv AS (SELECT val,
+      |    SUM(cnt) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(cnt) OVER () AS n FROM vc),
+      |vq AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q, * FROM vv),
+      |ex AS (SELECT q, MIN(val) AS exact FROM vq
+      |       WHERE cum >= ceil(q*n) GROUP BY q)
+      |SELECT sk.q, sk.target_rank, (minbin+1)*50 - 1 AS est_hi, ex.exact,
+      |  (minbin+1)*50 - 1 - ex.exact AS err
+      |FROM sk JOIN ex ON sk.q = ex.q""".stripMargin) { (s, d) =>
+    graft.text.Sketches.histogramQuantiles(Tables.documents(s, d), "n_chars")
+  }
+
+  /** PMI-style collocations: top-50 adjacent word pairs by fixed-point
+    * lift over unigram independence (c_xy ≥ 5). */
+  val xCollocations = Q(
+    "x_collocations",
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+      |           FROM documents),
+      |b0 AS (SELECT ws, unnest(range(1, len(ws))) AS i FROM t),
+      |bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM b0),
+      |p AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2
+      |      HAVING COUNT(*) >= 5),
+      |u AS (SELECT unnest(ws) AS w FROM t),
+      |cw AS (SELECT w, COUNT(*) AS c FROM u GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_tokens FROM u)
+      |SELECT p.w1, p.w2, c_xy, a.c AS c_x, b.c AS c_y,
+      |  (c_xy * 1000000 * n_tokens) // (a.c * b.c) AS lift_ppm
+      |FROM p JOIN cw a ON p.w1 = a.w JOIN cw b ON p.w2 = b.w, n
+      |ORDER BY lift_ppm DESC, w1, w2 LIMIT 50""".stripMargin) { (s, d) =>
+    graft.text.Relevance.pmiCollocations(Tables.documents(s, d),
+      "doc_id", "text")
+  }
+
   val all: Seq[Q] = Seq(xTextStats, xLangId, xLenQuantiles, xRepetition,
     xVocab, xCorpusStats, xDistinctKmv, xDedupExact, xDedupExactMembers,
     xTfidf, xBigramLm, xHeavyHitters, xFingerprint, xQualityBuckets,
-    xImportanceWeight)
+    xImportanceWeight, xHistQuantiles, xCollocations)
 }

@@ -105,6 +105,62 @@ object EventStreams {
           + when(col("pts").isNotNull, 1).otherwise(0)).as("stage"))
   }
 
+  /** Rolling per-user stats over the last `w` events (inclusive), in
+    * (event-time, event_id) order — the moving-window feature idiom.
+    * The DECIMAL detour on the sum keeps the double bit-exact across
+    * engines (same discipline as the window aggregations above).
+    * Scale: one hash shuffle on user_id; the frame is row-bounded so
+    * state per row is O(w). */
+  def rollingStats(events: DataFrame, w: Int = 5): DataFrame = {
+    val win = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(w - 1), Window.currentRow)
+    events.select(
+      col("user_id"), col("event_id"),
+      count(lit(1)).over(win).as("roll_n"),
+      sum(col("value").cast("decimal(18,4)")).over(win)
+        .cast("double").as("roll_sum"),
+      min(col("value")).over(win).as("roll_min"),
+      max(col("value")).over(win).as("roll_max"))
+  }
+
+  /** Weekly cohort retention: users bucketed by first-seen week; one row
+    * per (cohort_week, week_offset) with the distinct-user count active
+    * that many weeks after their cohort start. The (user, week) pre-
+    * distinct makes the final count a plain COUNT(*) — each user
+    * contributes at most one row per week. Scale: two hash aggregations
+    * + one equi-join on user_id, all key-partitioned. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val wk = events.select(col("user_id"),
+      floor(unix_timestamp(col("ts")) / 604800).cast("long").as("week"))
+      .distinct()
+    val cohort = wk.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    wk.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Gaps-and-islands: per-user runs of consecutive active days (the
+    * row_number-difference grouping idiom). Output per user: number of
+    * distinct active days, number of streaks, and the longest streak.
+    * Scale: day-distinct then one user-partitioned window — group size
+    * is bounded by days, not events. */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"),
+      floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
+      .distinct()
+    val rn = row_number().over(
+      Window.partitionBy(col("user_id")).orderBy(col("day")))
+    days.withColumn("grp", col("day") - rn)
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        sum(col("len")).as("n_active_days"))
+  }
+
   // ---- Structured Streaming entry points ----------------------------------
 
   /** File-source stream over an events directory (parquet), no watermark
@@ -172,6 +228,69 @@ object EventStreams {
       .select(col("user_id"), col("purchase_id"), col("click_id"),
         (unix_timestamp(col("ts")) - unix_timestamp(col("ts_right")))
           .as("lag_sec"))
+  }
+
+  /** Forward as-of: every click attributed to the NEXT purchase at or
+    * after it (time-to-convert measurement) — the mirror of
+    * [[asOfAttribution]], on [[graft.ops.TemporalJoins.asOfJoinForward]].
+    * Clicks are the probe side; purchases are deduplicated per (user, ts)
+    * as the forward-asof determinism contract requires. */
+  def asOfNextPurchase(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    graft.ops.TemporalJoins.asOfJoinForward(clicks, purchases, "user_id", "ts")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_timestamp(col("ts_right")) - unix_timestamp(col("ts")))
+          .as("wait_sec"))
+  }
+
+  /** Event-type transition matrix (first-order Markov counts): adjacent
+    * (event, next-event) pairs in each user's (ts, event_id) order, with
+    * the per-source transition probability in fixed-point ppm (see the
+    * Relevance module scaladoc for why scores avoid floats). Scale: one
+    * shuffle on user_id for adjacency, one hash agg on the (from, to)
+    * pair, one window over the TYPE domain (bounded, tiny). */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_ppm", expr(
+        "(n * 1000000) div sum(n) over (partition by from_type)"))
+  }
+
+  /** SCD2 validity intervals from an event stream: consecutive runs of
+    * the same event_type per user collapse to one row with
+    * [valid_from, valid_to) epoch bounds; the current (last) state has a
+    * null valid_to and is_current = true. The run grouping is the
+    * gaps-and-islands change-flag prefix sum; both windows shuffle once
+    * on user_id. */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val runs = events
+      .withColumn("__chg",
+        when(lag(col("event_type"), 1).over(w) <=> col("event_type"), 0)
+          .otherwise(1))
+      .withColumn("__run", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__run"))
+      .agg(min(col("event_type")).as("state"),
+        min(col("ts")).as("__from"))
+    // order runs by their id (monotone along the event order) — min ts
+    // alone could tie when a single-event run shares its timestamp with
+    // the next run's first event
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("__run"))
+    runs
+      .withColumn("__to", lead(col("__from"), 1).over(wRun))
+      .select(col("user_id"), col("state"),
+        unix_timestamp(col("__from")).as("valid_from"),
+        unix_timestamp(col("__to")).as("valid_to"),
+        col("__to").isNull.as("is_current"))
   }
 
   /** Stream-stream twin of [[intervalJoin]]: both sides are watermarked

@@ -142,4 +142,44 @@ object Relevance {
       .groupBy(col("token"), col("exact_n"))
       .agg(min(col("c")).as("cms_est"))
   }
+
+  /** PMI-style collocation mining: top-k adjacent word pairs by lift over
+    * unigram independence, lift_ppm = (c_xy · 10⁶ · N) div (c_x · c_y) —
+    * log-free fixed point (same ordering as PMI, exact and engine-
+    * identical; see the module scaladoc). Admission c_xy ≥ `minCount`
+    * keeps the rare-pair noise floor out; the ranking tie-breaks on
+    * (w1, w2) so top-k is a total order.
+    *
+    * Integer bound: c_xy · 10⁶ · N < 2⁶³ holds while c_xy·N ≤ 9.2·10¹²
+    * (comfortably true for any per-partition or benched corpus here; a
+    * full 100 TB run would shard the count tables and rescale to ppb
+    * per shard before merging).
+    *
+    * Scale: bigram adjacency is the same doc-local lag window as
+    * [[bigramLmScore]] (one shuffle on doc_id); counts are partial-
+    * aggregating groupBys; the unigram joins key on the word — and the
+    * final top-k is a TakeOrdered, never a global sort. */
+  def pmiCollocations(
+      docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5, topK: Int = 50): DataFrame = {
+    val wAdj = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "word")))
+    val bi = words.withColumn("w1", lag(col("word"), 1).over(wAdj))
+      .filter(col("w1").isNotNull)
+      .select(col("w1"), col("word").as("w2"))
+    val pair = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val uni = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val total = words.agg(count(lit(1)).as("n_tokens"))
+    pair
+      .join(uni.select(col("word").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(uni.select(col("word").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift_ppm", expr("(c_xy * 1000000 * n_tokens) div (c_x * c_y)"))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        col("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

@@ -40,4 +40,51 @@ object Sketches {
           .otherwise(lit((k - 1).toDouble) * lit(HashSpace)
             / col("kth_hash").cast("double")).as("est"))
   }
+
+  /** Mergeable fixed-width-histogram quantile sketch, graded against the
+    * exact rank answer — the accuracy-measurement pattern (cf.
+    * x_ann_recall): the sketch's bin counts are the only state a 100 TB
+    * run would keep (mergeable by cell-wise sum, like the CMS), and the
+    * estimate for quantile q is the upper edge of the first bin whose
+    * cumulative count reaches ⌈q·N⌉. Output per q: (q, target_rank,
+    * est_hi, exact, err) — err is the sketch's overshoot, bounded by
+    * binWidth−1 by construction (asserted in the spec).
+    *
+    * All arithmetic is integer (counts, bin edges) except the one
+    * ⌈q·N⌉, which both engines evaluate as a single IEEE multiply+ceil.
+    * The cumulative windows run over the BIN/VALUE DOMAIN (bounded:
+    * bins, distinct lengths), never over the corpus — the corpus is
+    * reduced by a partial-aggregating groupBy first, so the
+    * single-partition window input is histogram-sized at any sf. */
+  def histogramQuantiles(df: DataFrame, valueCol: String, binWidth: Int = 50,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {
+    val qArr = array(qs.map(lit): _*)
+    val v = df.select(col(valueCol).cast("long").as("val"))
+    def cumAndTotal(grouped: DataFrame, ord: String): DataFrame = {
+      val wCum = Window.orderBy(col(ord))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col(ord))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      grouped
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+    }
+    val bins = cumAndTotal(
+      v.groupBy(floor(col("val") / binWidth.toDouble).cast("long").as("bin"))
+        .agg(count(lit(1)).as("cnt")), "bin")
+    val sk = bins.withColumn("q", explode(qArr))
+      .filter(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy(col("q"))
+      .agg(min(col("bin")).as("minbin"),
+        min(ceil(col("q") * col("n")).cast("long")).as("target_rank"))
+    val vals = cumAndTotal(
+      v.groupBy(col("val")).agg(count(lit(1)).as("cnt")), "val")
+    val ex = vals.withColumn("q", explode(qArr))
+      .filter(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy(col("q")).agg(min(col("val")).as("exact"))
+    sk.join(ex, Seq("q"))
+      .select(col("q"), col("target_rank"),
+        ((col("minbin") + 1) * binWidth - 1).as("est_hi"), col("exact"),
+        ((col("minbin") + 1) * binWidth - 1 - col("exact")).as("err"))
+  }
 }

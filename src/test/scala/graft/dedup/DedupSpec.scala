@@ -145,6 +145,30 @@ class DedupSpec extends SparkSpec {
     assert(j < 0.25, s"jaccard $j should dilute the containment signal")
   }
 
+  test("segmentDedup drops corpus-repeated segments, keeps the rest in order") {
+    val d = Seq(
+      (1L, "common boiler plate alpha beta gamma"),
+      (2L, "common boiler plate delta epsilon zeta"),
+      (3L, "common boiler plate eta theta iota"),
+      (4L, "unique words only kappa lambda mu")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(d, "doc_id", "text", segTokens = 3, maxDf = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[String])].collect()
+    // "common boiler plate" occurs 3 times (> maxDf) → dropped everywhere
+    assert(out(0) === ((1L, 2L, 1L, Some("alpha beta gamma"))))
+    assert(out(1) === ((2L, 2L, 1L, Some("delta epsilon zeta"))))
+    assert(out(3) === ((4L, 2L, 2L, Some("unique words only kappa lambda mu"))))
+  }
+
+  test("segmentDedup: a doc losing every segment keeps its row, null text") {
+    val d = Seq((1L, "aa bb cc"), (2L, "aa bb cc"), (3L, "aa bb cc"))
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(d, "doc_id", "text", segTokens = 3, maxDf = 2)
+    assert(out.count() === 3)
+    assert(out.filter($"kept_text".isNull && $"n_kept" === 0L).count() === 3)
+  }
+
   test("bloomProbe: no false negatives; novel docs clear a sparse filter") {
     val staged = docs.filter($"doc_id" <= 3L)
     val incoming = docs // 4 is an exact dup of staged 1; 5 is staged itself

@@ -90,6 +90,41 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(naive.exceptAll(got).count() === 0)
   }
 
+  test("asOfJoinForward picks the earliest right row at-or-after, " +
+    "inclusive at ties") {
+    val left = Seq((1L, ts(10), "p10"), (1L, ts(5), "p5"), (1L, ts(2), "p2"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, ts(3), "r3"), (1L, ts(5), "r5"), (1L, ts(7), "r7"))
+      .toDF("k", "t", "rv")
+    val got = TemporalJoins.asOfJoinForward(left, right, "k", "t")
+      .select("lv", "rv").as[(String, String)].collect().toMap
+    // p2 → first later row r3; p5 → tie at t=5 (inclusive); p10 → none left
+    assert(got === Map("p2" -> "r3", "p5" -> "r5", "p10" -> null))
+  }
+
+  test("asOfJoinForward equals the naive quadratic formulation on real events") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val got = TemporalJoins.asOfJoinForward(clicks, purchases, "user_id", "ts")
+      .select("click_id", "purchase_id")
+    val naive = clicks
+      .join(purchases.toDF("puid", "pts", "pid"),
+        col("user_id") === col("puid") && col("pts") >= col("ts"), "left")
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("user_id"), col("click_id"))
+        .orderBy(col("pts").asc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(col("click_id"), col("pid").as("purchase_id"))
+    assert(got.count() === clicks.count())
+    assert(got.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(got).count() === 0)
+  }
+
   test("binnedRangeJoin equals the naive between-join, including multi-bin spans") {
     val intervals = Seq(
       (1L, "2020-01-01", "2020-03-10"), // spans many 16-day bins

@@ -161,6 +161,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan("x_ann_recall").contains("CartesianProduct"))
   }
 
+  test("x_segment_dedup: df comes from groupBy+join, never a nested loop") {
+    val p = plan("x_segment_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"), "segment df lost its partial agg")
+  }
+
+  test("er_blocked_match: block join is an equi-join on distinct names") {
+    val p = plan("er_blocked_match")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "blocked match degenerated to all-pairs")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q04 EXISTS is a left-semi join with pushed date filters") {
+    val p = plan("q04_order_priority")
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("PushedFilters: [IsNotNull"), "date filter not pushed")
+  }
+
+  test("ev_rolling is one user-keyed exchange + one window") {
+    val p = plan("ev_rolling")
+    assert(p.split("Exchange hashpartitioning").length - 1 === 1,
+      "rolling stats should shuffle exactly once on user_id")
+    assert(p.contains("Window"))
+  }
+
+  test("x_collocations top-50 is TakeOrderedAndProject, not a global sort") {
+    assert(plan("x_collocations").contains("TakeOrderedAndProject"))
+  }
+
+  test("ev_asof_forward is one window pass, no join operator at all") {
+    val p = plan("ev_asof_forward")
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"), "forward as-of materialized a join")
+  }
+
+  test("ev_scd2 shuffles only on user_id (both windows + the run agg)") {
+    val p = plan("ev_scd2")
+    val exchanges = p.split("Exchange hashpartitioning").length - 1
+    assert(exchanges <= 2, s"scd2 shuffled $exchanges times")
+    assert(!p.contains("Join"))
+  }
+
   test("column pruning: q01 scan reads only the needed lineitem columns") {
     val p = plan("q01_pricing_summary")
     val schema = "ReadSchema: struct<" +

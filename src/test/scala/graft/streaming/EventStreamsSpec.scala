@@ -197,6 +197,93 @@ class EventStreamsSpec extends SparkSpec {
     assert(new java.io.File(out).list().sorted.toSeq === dirsFirst)
   }
 
+  test("rollingStats: row-bounded frame, per-user isolation") {
+    import org.apache.spark.sql.functions.to_timestamp
+    val e = Seq(
+      (1L, "2026-01-01 00:00:00", 10L, 1.5),
+      (2L, "2026-01-01 00:01:00", 10L, 2.5),
+      (3L, "2026-01-01 00:02:00", 10L, 4.0),
+      (4L, "2026-01-01 00:00:30", 20L, 7.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+      .withColumn("ts", to_timestamp($"ts"))
+    val got = EventStreams.rollingStats(e, w = 2)
+      .orderBy("user_id", "event_id")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(got(0) === ((10L, 1L, 1L, 1.5, 1.5, 1.5))) // frame of one
+    assert(got(1) === ((10L, 2L, 2L, 4.0, 1.5, 2.5)))
+    assert(got(2) === ((10L, 3L, 2L, 6.5, 2.5, 4.0))) // event 1 aged out
+    assert(got(3) === ((20L, 4L, 1L, 7.0, 7.0, 7.0))) // other user isolated
+  }
+
+  test("retentionCohorts: users bucket by first-seen week, offsets count") {
+    import org.apache.spark.sql.functions.to_timestamp
+    // epoch week 0 starts 1970-01-01; week 1 starts 1970-01-08
+    val e = Seq(
+      (1L, "1970-01-02 00:00:00", 1L), // u1 cohort week 0
+      (2L, "1970-01-02 01:00:00", 1L), // same week, still one (user,week) row
+      (3L, "1970-01-09 00:00:00", 1L), // u1 back in week 1
+      (4L, "1970-01-09 00:00:00", 2L)  // u2 cohort week 1
+    ).toDF("event_id", "ts", "user_id")
+      .withColumn("ts", to_timestamp($"ts"))
+    val got = EventStreams.retentionCohorts(e)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((0L, 0L, 1L), (0L, 1L, 1L), (1L, 0L, 1L)))
+  }
+
+  test("activityStreaks: consecutive days fuse, gaps split") {
+    import org.apache.spark.sql.functions.to_timestamp
+    val e = Seq(
+      // u1: days 0,1,2 then 5,6 → streaks of 3 and 2
+      (1L, "1970-01-01 05:00:00", 1L), (2L, "1970-01-02 05:00:00", 1L),
+      (3L, "1970-01-03 05:00:00", 1L), (4L, "1970-01-06 05:00:00", 1L),
+      (5L, "1970-01-07 05:00:00", 1L),
+      // two events same day count once
+      (6L, "1970-01-07 09:00:00", 1L),
+      // u2: one day
+      (7L, "1970-01-01 00:00:00", 2L)
+    ).toDF("event_id", "ts", "user_id")
+      .withColumn("ts", to_timestamp($"ts"))
+    val got = EventStreams.activityStreaks(e)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 3L, 5L), (2L, 1L, 1L, 1L)))
+  }
+
+  test("eventTransitions: adjacency counts and ppm rows normalize per source") {
+    import org.apache.spark.sql.functions.to_timestamp
+    val e = Seq(
+      (1L, "2026-01-01 00:00:00", 1L, "view"),
+      (2L, "2026-01-01 00:01:00", 1L, "click"),
+      (3L, "2026-01-01 00:02:00", 1L, "view"),
+      (4L, "2026-01-01 00:03:00", 1L, "view"),
+      (5L, "2026-01-01 00:00:00", 2L, "view"),
+      (6L, "2026-01-01 00:01:00", 2L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("ts", to_timestamp($"ts"))
+    val got = EventStreams.eventTransitions(e)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("view", "click", 2L, 666666L),
+      ("view", "view", 1L, 333333L),
+      ("click", "view", 1L, 1000000L)))
+  }
+
+  test("scd2Intervals: same-state runs fuse, intervals abut, last is current") {
+    import org.apache.spark.sql.functions.to_timestamp
+    val e = Seq(
+      (1L, "1970-01-01 00:00:00", 1L, "a"),
+      (2L, "1970-01-01 00:00:10", 1L, "a"), // same run
+      (3L, "1970-01-01 00:00:20", 1L, "b"),
+      (4L, "1970-01-01 00:00:30", 1L, "a")  // a returns → NEW run
+    ).toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("ts", to_timestamp($"ts"))
+    val got = EventStreams.scd2Intervals(e)
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(got === Set(
+      (1L, "a", 0L, Some(20L), false),
+      (1L, "b", 20L, Some(30L), false),
+      (1L, "a", 30L, None, true)))
+  }
+
   test("streaming sessionization agrees with batch gaps-and-islands") {
     val stream = EventStreams.readEventStream(spark, eventsDir)
     runToMemory(EventStreams.streamingSessionize(stream), "sessions", "complete")

@@ -89,4 +89,20 @@ class RelevanceSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
     assert(again === got)
   }
+
+  test("pmiCollocations: planted collocation tops independence baseline") {
+    val docs = Seq(
+      (1L, "aa bb cc dd aa bb"),
+      (2L, "aa bb dd cc aa bb"),
+      (3L, "cc dd aa bb cc aa bb")
+    ).toDF("doc_id", "text")
+    val got = Relevance.pmiCollocations(docs, "doc_id", "text",
+        minCount = 2, topK = 5)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    // "aa bb" is a perfect collocation: c_xy=6, c_x=c_y=6, N=19
+    // → lift_ppm = (6·10⁶·19) div 36 = 3,166,666 — ranks first, above
+    // the 10⁶ independence line
+    assert(got.head === (("aa", "bb", 6L, 6L, 6L, 3166666L)))
+    assert(got.forall(_._3 >= 2))
+  }
 }

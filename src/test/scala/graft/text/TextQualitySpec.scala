@@ -133,4 +133,17 @@ class TextQualitySpec extends SparkSpec {
     assert(got.keySet === Set(1L, 2L, 5L))
     assert(got(2L) === 80L && got(5L) === 90L)
   }
+
+  test("histogramQuantiles: exact matches rank-select, overshoot < binWidth") {
+    val df = (1L to 100L).toDF("v")
+    val got = Sketches
+      .histogramQuantiles(df, "v", binWidth = 10, qs = Seq(0.5, 0.9))
+      .orderBy("q").as[(Double, Long, Long, Long, Long)].collect()
+    // q=.5: rank ceil(50)=50 → exact 50, bin 5 → upper edge 59, err 9
+    assert(got(0) === ((0.5, 50L, 59L, 50L, 9L)))
+    assert(got(1) === ((0.9, 90L, 99L, 90L, 9L)))
+    val errs = Sketches.histogramQuantiles(df, "v", binWidth = 25)
+      .select("err").as[Long].collect()
+    assert(errs.forall(e => e >= 0 && e < 25))
+  }
 }
