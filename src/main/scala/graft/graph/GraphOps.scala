@@ -70,6 +70,31 @@ object GraphOps {
     g.vertices.map { case (v, (pr, _)) => (v, pr) }.toDF("node", "pr")
   }
 
+  /** Depth-2 HITS hub/authority scores in pure integer arithmetic:
+    * hub₀ ≡ 1, auth₁(v) = |in(v)| (= Σ hub₀ over in-neighbors),
+    * hub₁(u) = Σ_{u→v} auth₁(v), auth₂(v) = Σ_{u→v} hub₁(u). Two unrolled
+    * half-iterations and no normalization — magnitudes stay graph-bounded
+    * and every step is a commutative BIGINT sum, so GraphX's message
+    * combining is partition-order-free and the scores are bit-replicable
+    * (the same determinism argument as [[integerPageRank]]; float HITS
+    * with L2 normalization would not be). Emits (node, hub, auth) with
+    * hub = hub₁ and auth = auth₂. */
+  def hitsScores(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val edgeRdd = edges.select(
+      col(edges.columns(0)).cast("long"), col(edges.columns(1)).cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val g0 = Graph.fromEdgeTuples(edgeRdd, defaultValue = 1)
+    val auth1 = g0.aggregateMessages[Long](ctx => ctx.sendToDst(1L), _ + _)
+    val g1 = g0.outerJoinVertices(auth1)((_, _, a) => a.getOrElse(0L))
+    val hub1 = g1.aggregateMessages[Long](ctx => ctx.sendToSrc(ctx.dstAttr), _ + _)
+    val g2 = g1.outerJoinVertices(hub1)((_, a, h) => (a, h.getOrElse(0L)))
+    val auth2 = g2.aggregateMessages[Long](ctx => ctx.sendToDst(ctx.srcAttr._2), _ + _)
+    val gf = g2.outerJoinVertices(auth2)((_, ah, a2) => (ah._2, a2.getOrElse(0L)))
+    import spark.implicits._
+    gf.vertices.map { case (v, (h, a)) => (v, h, a) }
+      .toDF("node", "hub", "auth")
+  }
+
   /** Triangle count per vertex (GraphX TriangleCount; the edge set is
     * canonicalized srcId < dstId as the algorithm requires). Deterministic
     * integers → exactly oracle-comparable. */

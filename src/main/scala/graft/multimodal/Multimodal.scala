@@ -72,6 +72,44 @@ object Multimodal {
     }
   }
 
+  /** Perceptual difference-hash (dHash) over the payload's byte stripes:
+    * `stripes` integer stripe sums (same striping rule as [[fakeDecode]]),
+    * bit i set iff stripe i's sum exceeds stripe i+1's — the gradient
+    * signature real image dHash computes over resized pixel rows. Pure
+    * integer, so an external engine replicates it exactly. Empty payloads
+    * hash to 0. */
+  def dHash(content: Array[Byte], stripes: Int = 32): Long = {
+    val n = content.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](stripes)
+    var i = 0
+    while (i < n) {
+      sums(((i.toLong * stripes) / n).toInt) += (content(i) & 0xff).toLong
+      i += 1
+    }
+    var h = 0L
+    var c = 0
+    while (c < stripes - 1) {
+      if (sums(c) > sums(c + 1)) h |= (1L << c)
+      c += 1
+    }
+    h
+  }
+
+  case class MediaHash(media_id: Long, phash: Long)
+
+  /** Batched perceptual-hash extraction (the dedup-by-phash front half):
+    * partition-local like [[extractFeatures]]. */
+  def extractHashes(
+      media: Dataset[MediaRow], stripes: Int = 32,
+      batchSize: Int = 64): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map(r =>
+        MediaHash(r.media_id, dHash(r.content, stripes))))
+    }
+  }
+
   /** STUB resize: re-stripe a decoded feature vector to `channels` buckets
     * (the shape a real image resize would have: fixed output dims from
     * variable input). Deterministic, pure. */

@@ -174,6 +174,27 @@ object GraphQueries {
     GraphOps.integerPageRank(s, edgeDf(s, d), iters = 2)
   }
 
+  /** Depth-2 HITS hub/authority (integer, unnormalized — see
+    * GraphOps.hitsScores for the determinism argument). Oracle = the two
+    * half-iterations unrolled relationally. On this bipartite
+    * customer→supplier graph customers carry hub mass and suppliers
+    * authority mass, which the oracle reproduces structurally. */
+  val gHits = Q(
+    "g_hits",
+    edgeCte +
+      """, nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+        |a1 AS (SELECT dst AS n, COUNT(*) AS a FROM e GROUP BY dst),
+        |h1 AS (SELECT e.src AS n, CAST(SUM(a1.a) AS BIGINT) AS h
+        |       FROM e JOIN a1 ON e.dst = a1.n GROUP BY e.src),
+        |a2 AS (SELECT e.dst AS n, CAST(SUM(h1.h) AS BIGINT) AS a
+        |       FROM e JOIN h1 ON e.src = h1.n GROUP BY e.dst)
+        |SELECT nodes.n AS node,
+        |  COALESCE(h1.h, 0) AS hub, COALESCE(a2.a, 0) AS auth
+        |FROM nodes LEFT JOIN h1 ON nodes.n = h1.n
+        |           LEFT JOIN a2 ON nodes.n = a2.n""".stripMargin) { (s, d) =>
+    GraphOps.hitsScores(s, edgeDf(s, d))
+  }
+
   /** k-hop neighborhood sizes (k=2): distinct neighbors at distance 1 and
     * at distance ≤ 2 (self excluded) — the relational k-hop expansion with
     * a DISTINCT barrier per hop so path multiplicities never amplify the
@@ -250,5 +271,5 @@ object GraphQueries {
   }
 
   val all: Seq[Q] = Seq(gDegree, gComponents, gAncestors, gTriangles,
-    gShortestPaths, gPagerank, gKhop, gNeighborJaccard)
+    gShortestPaths, gPagerank, gKhop, gNeighborJaccard, gHits)
 }

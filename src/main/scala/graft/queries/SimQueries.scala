@@ -411,7 +411,43 @@ object SimQueries {
         (col("hits").cast("double") / 5).as("recall"))
   }
 
+  /** Perceptual-hash (dHash) media dedup groups: 32-stripe gradient
+    * signature per payload through the typed batched-decode path, then
+    * hash-groupBy — the image-near-dup front half of a multimodal dedup
+    * pipeline. All-integer signature (see Multimodal.dHash), so the
+    * oracle rebuilds every stripe sum and bit from codepoints (the
+    * pure-ASCII payload contract, as x_media_decode). Emits only groups
+    * of ≥ 2 (linear output; membership would be exactMembership-shaped). */
+  val xMediaPhash = Q(
+    "x_media_phash",
+    """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+      |           FROM documents),
+      |by AS (SELECT doc_id, (i*32)//n AS c, ascii(text[i+1:i+1]) AS v
+      |       FROM b, UNNEST(range(0, n)) AS t(i)),
+      |st AS (SELECT doc_id, c, SUM(v) AS s FROM by GROUP BY 1, 2),
+      |grid AS (SELECT doc_id, j FROM b, UNNEST(range(0, 32)) AS g(j)),
+      |d AS (SELECT grid.doc_id, grid.j, COALESCE(st.s, 0) AS s
+      |      FROM grid LEFT JOIN st
+      |        ON grid.doc_id = st.doc_id AND grid.j = st.c),
+      |bits AS (SELECT x.doc_id, x.j,
+      |    CASE WHEN x.s > y.s THEN 1 ELSE 0 END AS bit
+      |  FROM d x JOIN d y ON x.doc_id = y.doc_id AND y.j = x.j + 1
+      |  WHERE x.j < 31),
+      |h AS (SELECT doc_id,
+      |    CAST(SUM(bit * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS phash
+      |  FROM bits GROUP BY doc_id)
+      |SELECT phash, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+      |FROM h GROUP BY phash HAVING COUNT(*) > 1""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text")
+      .as[Multimodal.MediaRow]
+    Multimodal.extractHashes(media).toDF()
+      .groupBy(col("phash"))
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+  }
+
   val all: Seq[Q] = Seq(xAnnTopK, xAnnIvf, xAnnLsh, xAnnPq, xKmeans,
     xSemanticDedup, xNearDupEmb, xMediaFeatures, xMediaDecode, xMediaFrames,
-    xAnnRecall)
+    xAnnRecall, xMediaPhash)
 }

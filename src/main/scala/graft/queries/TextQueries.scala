@@ -396,8 +396,50 @@ object TextQueries {
       "doc_id", "text")
   }
 
+  /** Distributed BPE merge learning, two unrolled rounds: top-5 symbol
+    * pairs before and after adopting the winning merge (see
+    * graft.text.Bpe for the vocabulary-sized scale argument and the
+    * leftmost-non-overlapping merge-application contract both engines
+    * share). */
+  val xBpeMerges = Q(
+    "x_bpe_merges",
+    """WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ws
+      |           FROM documents),
+      |w0 AS (SELECT unnest(ws) AS word FROM t),
+      |w AS (SELECT word, COUNT(*) AS n FROM w0
+      |      WHERE regexp_matches(word, '^[a-z0-9]+$') GROUP BY 1),
+      |ws1 AS (SELECT n,
+      |    ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seq
+      |  FROM w),
+      |p1 AS (SELECT arr[i] AS l, arr[i+1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
+      |       FROM (SELECT n, string_split(trim(seq), ' ') AS arr FROM ws1) x,
+      |            UNNEST(range(1, len(arr))) AS t(i)
+      |       GROUP BY 1, 2),
+      |win1 AS (SELECT l, r FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+      |m AS (SELECT n, regexp_replace(seq,
+      |        ' ' || win1.l || ' ' || win1.r || ' ',
+      |        ' ' || win1.l || win1.r || ' ', 'g') AS seq
+      |      FROM ws1, win1),
+      |p2 AS (SELECT arr[i] AS l, arr[i+1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
+      |       FROM (SELECT n, string_split(trim(seq), ' ') AS arr FROM m) x,
+      |            UNNEST(range(1, len(arr))) AS t(i)
+      |       GROUP BY 1, 2),
+      |r1 AS (SELECT 1 AS merge_round,
+      |    row_number() OVER (ORDER BY cnt DESC, l, r) AS pair_rank, l, r, cnt
+      |  FROM p1),
+      |r2 AS (SELECT 2 AS merge_round,
+      |    row_number() OVER (ORDER BY cnt DESC, l, r) AS pair_rank, l, r, cnt
+      |  FROM p2)
+      |SELECT CAST(merge_round AS BIGINT) AS merge_round,
+      |  CAST(pair_rank AS BIGINT) AS pair_rank, l, r, cnt
+      |FROM (SELECT * FROM r1 WHERE pair_rank <= 5
+      |      UNION ALL SELECT * FROM r2 WHERE pair_rank <= 5)""".stripMargin) {
+    (s, d) =>
+      graft.text.Bpe.topMerges(Tables.documents(s, d), "doc_id", "text")
+  }
+
   val all: Seq[Q] = Seq(xTextStats, xLangId, xLenQuantiles, xRepetition,
     xVocab, xCorpusStats, xDistinctKmv, xDedupExact, xDedupExactMembers,
     xTfidf, xBigramLm, xHeavyHitters, xFingerprint, xQualityBuckets,
-    xImportanceWeight, xHistQuantiles, xCollocations)
+    xImportanceWeight, xHistQuantiles, xCollocations, xBpeMerges)
 }

@@ -1,0 +1,73 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge learning — the subword-vocabulary induction pass
+  * a training-data pipeline runs before tokenization. Two unrolled merge
+  * rounds: count adjacent symbol pairs over the word-frequency table,
+  * adopt the most frequent pair as a merge, re-segment, count again.
+  *
+  * The scale shape is the important part: pair counting runs over the
+  * DISTINCT-WORD table weighted by word frequency (vocabulary-sized, not
+  * corpus-sized — the same reduction real BPE trainers use), the winning
+  * merge is a one-row broadcast, and applying it is a map-side
+  * regexp_replace. Each additional round is one more count + broadcast +
+  * map — no shuffle ever touches the corpus itself after the initial
+  * word count.
+  *
+  * Determinism: symbol sequences are space-separated strings; merges are
+  * applied leftmost-non-overlapping (Java regex and RE2 agree), which
+  * skips the second of three consecutive repeats (`a b a b` merges once)
+  * — a documented divergence from strict left-to-right BPE that both
+  * engines reproduce identically. Tie-breaks on (count DESC, left,
+  * right) totalize the winner choice.
+  */
+object Bpe {
+
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("n"), split(trim(col("seq")), " ").as("arr"))
+      // single-symbol words have no pairs; the guard matters because
+      // sequence(1, 0) DESCENDS instead of being empty
+      .filter(size(col("arr")) >= 2)
+      .select(col("n"), explode(
+        transform(sequence(lit(1), size(col("arr")) - 1),
+          i => struct(
+            element_at(col("arr"), i).as("l"),
+            element_at(col("arr"), i + 1).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("n")).as("cnt"))
+
+  private def topPairs(pairs: DataFrame, k: Int, round: Int): DataFrame =
+    pairs
+      .withColumn("pair_rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("l"), col("r"))))
+      .filter(col("pair_rank") <= k)
+      .select(lit(round).cast("long").as("merge_round"),
+        col("pair_rank").cast("long").as("pair_rank"),
+        col("l"), col("r"), col("cnt"))
+
+  /** Top-`perRound` symbol pairs per round over two BPE merge rounds.
+    * Words are restricted to `[a-z0-9]+` so symbols stay regex-safe.
+    * Output: (merge_round, pair_rank, l, r, cnt). */
+  def topMerges(docs: DataFrame, idCol: String, textCol: String,
+      perRound: Int = 5): DataFrame = {
+    val words = docs
+      .select(explode(TextFns.tokens(col(textCol))).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("seq",
+        concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" ")))
+    val p1 = pairCounts(words)
+    val win1 = topPairs(p1, 1, 1).select(col("l"), col("r"))
+    val merged = words.crossJoin(broadcast(win1))
+      .withColumn("seq", regexp_replace(col("seq"),
+        concat(lit(" "), col("l"), lit(" "), col("r"), lit(" ")),
+        concat(lit(" "), col("l"), col("r"), lit(" "))))
+      .select(col("n"), col("seq"))
+    val p2 = pairCounts(merged)
+    topPairs(p1, perRound, 1).unionByName(topPairs(p2, perRound, 2))
+  }
+}

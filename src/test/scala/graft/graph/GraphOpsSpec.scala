@@ -27,6 +27,16 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 150000L, 2L -> 277500L, 3L -> 1000000L))
   }
 
+  test("hitsScores hand-computed on a small bipartite-ish graph") {
+    // 1->3, 2->3, 2->4: auth1 = indeg: 3->2, 4->1
+    // hub1: 1 -> auth1(3)=2; 2 -> auth1(3)+auth1(4)=3
+    // auth2: 3 <- hub1(1)+hub1(2)=5; 4 <- hub1(2)=3
+    val edges = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val got = GraphOps.hitsScores(spark, edges)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 0L), (2L, 3L, 0L), (3L, 0L, 5L), (4L, 0L, 3L)))
+  }
+
   test("triangleCounts on a known 4-clique-minus-edge") {
     // 1-2, 2-3, 1-3 form a triangle; 4 hangs off 1
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")

@@ -62,4 +62,27 @@ class MultimodalSpec extends SparkSpec {
     assert(f.forall(_ > 0))
     assert(Multimodal.fakeDecode(Array.emptyByteArray).forall(_ == 0f))
   }
+
+  test("dHash: identical payloads collide, gradient flips a bit, empty → 0") {
+    def h(s: String) = Multimodal.dHash(s.getBytes("UTF-8"), stripes = 4)
+    assert(h("aabb") === h("aabb"))
+    // 4 stripes of 1 byte: bits = (s0>s1, s1>s2, s2>s3)
+    // "dcba" → sums d,c,b,a strictly decreasing → all 3 bits set
+    assert(h("dcba") === 7L)
+    // "abcd" ascending → no bits
+    assert(h("abcd") === 0L)
+    assert(Multimodal.dHash(Array.emptyByteArray) === 0L)
+  }
+
+  test("extractHashes groups exact payload duplicates under one phash") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "the same payload body".getBytes, "text/plain"),
+      Multimodal.MediaRow(2L, "the same payload body".getBytes, "text/plain"),
+      Multimodal.MediaRow(3L, "a rather different one".getBytes, "text/plain")
+    ).toDS()
+    val got = Multimodal.extractHashes(media).collect()
+    assert(got.length === 3)
+    val byId = got.map(m => m.media_id -> m.phash).toMap
+    assert(byId(1L) === byId(2L))
+  }
 }

@@ -205,6 +205,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"))
   }
 
+  test("x_bpe_merges: the adopted merge is a broadcast, never a shuffle " +
+    "of the vocabulary") {
+    val p = plan("x_bpe_merges")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "winning merge pair should reach the vocab as a broadcast")
+    assert(!p.contains("SortMergeJoin"), "merge application shuffled")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("column pruning: q01 scan reads only the needed lineitem columns") {
     val p = plan("q01_pricing_summary")
     val schema = "ReadSchema: struct<" +

@@ -1,0 +1,39 @@
+package graft.text
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topMerges: round-1 winner applied, round-2 counts see merged symbol") {
+    val docs = Seq(
+      (1L, "abab abab ab"),
+      (2L, "abab ab cd")
+    ).toDF("doc_id", "text")
+    // word freqs: abab×3, ab×2, cd×1
+    // round 1 pairs: (a,b) 2·3+1·2=8, (b,a) 1·3=3, (c,d) 1
+    // merge (a,b): " a b a b "→" ab a b " (leftmost-non-overlapping: the
+    // second (a,b) in abab survives), " a b "→" ab "
+    // round 2: (a,b) 3, (ab,a) 3 — tie broken l asc — and (c,d) 1
+    val got = Bpe.topMerges(docs, "doc_id", "text")
+      .orderBy("merge_round", "pair_rank")
+      .as[(Long, Long, String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, "a", "b", 8L),
+      (1L, 2L, "b", "a", 3L),
+      (1L, 3L, "c", "d", 1L),
+      (2L, 1L, "a", "b", 3L),
+      (2L, 2L, "ab", "a", 3L),
+      (2L, 3L, "c", "d", 1L)))
+  }
+
+  test("topMerges: single-char words contribute no pairs; a fully merged " +
+    "vocabulary leaves round 2 empty") {
+    val docs = Seq((1L, "a a a bb")).toDF("doc_id", "text")
+    val got = Bpe.topMerges(docs, "doc_id", "text")
+      .as[(Long, Long, String, String, Long)].collect().toSet
+    // "a" has no pairs; "bb" yields (b,b) once; after merging (b,b) the
+    // whole vocabulary is single-symbol → round 2 has nothing to count
+    assert(got === Set((1L, 1L, "b", "b", 1L)))
+  }
+}
