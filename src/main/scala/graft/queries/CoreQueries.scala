@@ -853,10 +853,55 @@ object CoreQueries {
           "stack(2, 'customers', n_cust, 'suppliers', n_supp) AS (metric, value)")
   }
 
+  /** Data-quality verification suite (the Deequ/dbt-test shape): six
+    * declarative constraints over orders/customer/lineitem — null,
+    * uniqueness, referential integrity, range, domain — each a violation
+    * count with a verdict. The discount-cap check fails BY DESIGN on this
+    * data (discounts run to 0.10), proving the verdict path reports
+    * rather than masks. See [[graft.ops.DataQuality]] for the one-scan /
+    * one-anti-join scale shape. */
+  val xDataQuality = Q(
+    "x_data_quality",
+    """SELECT check_name, CAST(metric AS BIGINT) AS metric,
+      |  metric = 0 AS passed FROM (
+      |  SELECT 'o_custkey_not_null' AS check_name,
+      |    COUNT(*) FILTER (WHERE o_custkey IS NULL) AS metric FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderkey_unique', COUNT(*) FROM
+      |    (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+      |  UNION ALL
+      |  SELECT 'o_custkey_has_customer', COUNT(*) FROM orders o
+      |    WHERE o_custkey IS NOT NULL AND NOT EXISTS
+      |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |  UNION ALL
+      |  SELECT 'o_totalprice_positive',
+      |    COUNT(*) FILTER (WHERE o_totalprice <= 0) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderstatus_domain',
+      |    COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'l_discount_cap',
+      |    COUNT(*) FILTER (WHERE l_discount > 0.05) FROM lineitem
+      |)""".stripMargin) { (s, d) =>
+    import graft.ops.DataQuality._
+    val o = Tables.orders(s, d)
+    suite(Seq(
+      nullCheck(o, "o_custkey_not_null", "o_custkey"),
+      uniqueCheck(o, "o_orderkey_unique", "o_orderkey"),
+      fkCheck(o, "o_custkey_has_customer", "o_custkey",
+        Tables.customer(s, d), "c_custkey"),
+      predicateCheck(o, "o_totalprice_positive", col("o_totalprice") <= 0),
+      predicateCheck(o, "o_orderstatus_domain",
+        !col("o_orderstatus").isin("O", "F", "P")),
+      predicateCheck(Tables.lineitem(s, d), "l_discount_cap",
+        col("l_discount") > 0.05)))
+  }
+
   val all: Seq[Q] = Seq(
     sqlFrontDoor, qCube, qRollup, evPivot, qRunningTotal,
     q03ShippingPriority, q18LargeOrders, q05LocalSupplier, q10ReturnedItems,
-    q04PriorityExists, erBlockedMatch, qNtile, qUnpivot,
+    q04PriorityExists, erBlockedMatch, qNtile, qUnpivot, xDataQuality,
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,
     j1OuterMerge, j4BroadcastMap, j5FallbackChain, j6SuffixSelfJoin,
     j7AntiJoin, jRangeBin, jSaltedSkew, a1KeepBest, a2Median3, a3OrderedMiddle,

@@ -123,4 +123,35 @@ class EdgeCasesSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(Dedup.containmentPairs(d, "doc_id", "text", 3, 0.0).count() === 0)
   }
+
+  test("segmentDedup / ER / BPE / collocations / quantiles on empty input") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.segmentDedup(docs, "doc_id", "text").count() === 0)
+    assert(EntityResolution.blockedNameMatch(docs.toDF("doc_id", "name"),
+      "name", n => n, 4).count() === 0)
+    assert(graft.text.Bpe.topMerges(docs, "doc_id", "text").count() === 0)
+    assert(graft.text.Relevance.pmiCollocations(docs, "doc_id", "text")
+      .count() === 0)
+    assert(graft.text.Sketches.histogramQuantiles(
+      Seq.empty[Long].toDF("v"), "v").count() === 0)
+  }
+
+  test("event analytics on an empty event stream stay empty") {
+    import graft.streaming.EventStreams
+    val e = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(EventStreams.rollingStats(e).count() === 0)
+    assert(EventStreams.retentionCohorts(e).count() === 0)
+    assert(EventStreams.activityStreaks(e).count() === 0)
+    assert(EventStreams.eventTransitions(e).count() === 0)
+    assert(EventStreams.scd2Intervals(e).count() === 0)
+  }
+
+  test("asOfJoinForward: left kept with null payload when right is empty") {
+    val left = Seq((1L, new java.sql.Timestamp(5000L), "p")).toDF("k", "t", "lv")
+    val right = Seq.empty[(Long, java.sql.Timestamp, String)].toDF("k", "t", "rv")
+    val got = TemporalJoins.asOfJoinForward(left, right, "k", "t")
+      .select("lv", "rv").as[(String, Option[String])].collect()
+    assert(got.toSeq === Seq(("p", None)))
+  }
 }
