@@ -148,4 +148,52 @@ object SideEffectPipeline {
       pipeCols = Set("source"))
       .select(col("drugbank_id"), col("meddra_id"), col("source"),
         col("frequency"), col("proportional_reporting_ratio"))
+
+  /** Single-pass form of [[merged]]: ONE lineitem⋈orders scan + one
+    * broadcast part dim + ONE hash aggregation, vs three source builds
+    * (7 joins) + two outer joins + three ranking windows. The transforms
+    * that make it bit-equal:
+    *  - each source's keep-first-by-(l_orderkey, l_linenumber, tiebreak)
+    *    window becomes a min-over-struct aggregate — lexicographic struct
+    *    order IS the window order, so the carried payload field matches;
+    *  - the sider two-step name dict resolves to the identity partkey→
+    *    DB-id mapping (unique-suffixed names), so it needs no join at
+    *    all; adrecs/offsides dict admission becomes the retail-price
+    *    predicate on the broadcast dim;
+    *  - the chain's sorted-distinct pipe merge becomes an alphabetical
+    *    concat_ws over per-source presence counts.
+    * Registered under the SAME oracle — the driver's hash compare
+    * enforces bit-equality with the faithful chain. */
+  def mergedSinglePass(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.part(s, d).select(col("p_partkey"), col("p_retailprice"))
+    val rows = base(s, d)
+      .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+      .withColumn("src",
+        when(col("o_orderstatus") === "F" && col("p_retailprice") > 0, "A")
+          .when(col("o_orderstatus") === "O", "S")
+          .when(col("o_orderstatus") === "P" && col("p_retailprice") > 1200 &&
+            !(col("o_custkey") % 7 === 0), "F2"))
+      .filter(col("src").isNotNull)
+      .withColumn("drugbank_id", concat(lit("drugbank:DB"), col("l_partkey")))
+      .withColumn("meddra_id", col("o_custkey").cast("string"))
+    val freq = floor(col("l_quantity")).cast("long") % 4
+    val freqStr = when(freq === 0, "rare").when(freq === 1, "infrequent")
+      .when(freq === 2, "frequent").otherwise("postmarketing")
+    val prr = round(col("l_extendedprice") / 1000.0, 3)
+    def firstOf(src: String, value: org.apache.spark.sql.Column) =
+      min(when(col("src") === src,
+        struct(col("l_orderkey"), col("l_linenumber"), value.as("v"))))
+        .getField("v")
+    def present(src: String) = count(when(col("src") === src, lit(1))) > 0
+    rows.groupBy(col("drugbank_id"), col("meddra_id"))
+      .agg(
+        firstOf("S", freqStr).as("frequency"),
+        firstOf("F2", prr).as("proportional_reporting_ratio"),
+        concat_ws("|",
+          when(present("A"), "ADReCS"),
+          when(present("F2"), "OffSides"),
+          when(present("S"), "Sider")).as("source"))
+      .select(col("drugbank_id"), col("meddra_id"), col("source"),
+        col("frequency"), col("proportional_reporting_ratio"))
+  }
 }

@@ -779,6 +779,28 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_orders"))
   }
 
+  /** TPC-H Q6-shaped forecasting-revenue-change: pure filter + single
+    * decimal aggregate — every predicate reaches the parquet scan, the
+    * plan is one scan + one partial/final agg pair, zero joins. */
+  val q06ForecastRevenue = Q(
+    "q06_forecast_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |             * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .filter(col("l_discount").between(0.05, 0.07))
+      .filter(col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+        col("l_discount").cast("decimal(8,4)"))
+        .cast("double").as("revenue"))
+  }
+
   /** Blocked fuzzy entity resolution over part names: distinct names
     * with multiplicities, blocked on the last token, Levenshtein ≤ 4
     * (identical names excluded — those are exact dedup's business).
@@ -901,7 +923,8 @@ object CoreQueries {
   val all: Seq[Q] = Seq(
     sqlFrontDoor, qCube, qRollup, evPivot, qRunningTotal,
     q03ShippingPriority, q18LargeOrders, q05LocalSupplier, q10ReturnedItems,
-    q04PriorityExists, erBlockedMatch, qNtile, qUnpivot, xDataQuality,
+    q04PriorityExists, q06ForecastRevenue, erBlockedMatch, qNtile, qUnpivot,
+    xDataQuality,
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,
     j1OuterMerge, j4BroadcastMap, j5FallbackChain, j6SuffixSelfJoin,
     j7AntiJoin, jRangeBin, jSaltedSkew, a1KeepBest, a2Median3, a3OrderedMiddle,

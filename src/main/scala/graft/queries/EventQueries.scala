@@ -208,7 +208,22 @@ object EventQueries {
     EventStreams.scd2Intervals(Tables.events(s, d))
   }
 
+  /** Median-threshold anomaly flags (2× the per-user upper median). */
+  val evAnomaly = Q(
+    "ev_anomaly",
+    """WITH r AS (SELECT user_id, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY value, event_id)
+      |      AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events),
+      |m AS (SELECT user_id, value AS med FROM r WHERE rn = n // 2 + 1)
+      |SELECT e.user_id, e.event_id, e.value, m.med,
+      |  e.value > 2 * m.med AS is_anomaly
+      |FROM events e JOIN m ON e.user_id = m.user_id""".stripMargin) { (s, d) =>
+    EventStreams.anomalyFlags(Tables.events(s, d))
+  }
+
   val all: Seq[Q] = Seq(evTumbling, evSliding, evSessionize, evFirstPerKey, evFunnel,
     evIntervalJoin, evAsofJoin, evRolling, evRetention, evStreaks,
-    evAsofForward, evTransitions, evScd2)
+    evAsofForward, evTransitions, evScd2, evAnomaly)
 }

@@ -374,7 +374,15 @@ object NodeBuilderQueries {
     graft.pipelines.PathwayPipeline.nodes(s, d)
   }
 
+  /** Single-pass form of the side-effect 3-way merge under the SAME
+    * oracle (see SideEffectPipeline.mergedSinglePass for the window→
+    * aggregate transforms that make it bit-equal). */
+  val sideEffectsFast = Q("side_effects_fast", sideEffects.oracle.get) {
+    (s, d) => graft.pipelines.SideEffectPipeline.mergedSinglePass(s, d)
+  }
+
   val all: Seq[Q] = Seq(sideEffects, ecNodes, ecEdges, phenotypeEdges,
     goNodes, goEdges, domainNodes, domainEdges, uniprotNodes,
-    drugNodes, diseaseNodes, compoundNodes, sideEffectNodes, pathwayNodes)
+    drugNodes, diseaseNodes, compoundNodes, sideEffectNodes, pathwayNodes,
+    sideEffectsFast)
 }

@@ -161,6 +161,24 @@ object EventStreams {
         sum(col("len")).as("n_active_days"))
   }
 
+  /** Median-threshold anomaly flags: an event is anomalous when its value
+    * exceeds twice its user's (upper-)median value. The median is the
+    * deterministic rank-select idiom (rn = n div 2 + 1 under a
+    * (value, event_id) total order — an exact element, never an
+    * interpolated float). Scale: one user-partitioned window + one
+    * equi-join back on user_id. */
+  def anomalyFlags(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+    val med = events
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("__rn") === expr("__n div 2") + 1)
+      .select(col("user_id"), col("value").as("med"))
+    events.join(med, Seq("user_id"))
+      .select(col("user_id"), col("event_id"), col("value"), col("med"),
+        (col("value") > lit(2) * col("med")).as("is_anomaly"))
+  }
+
   // ---- Structured Streaming entry points ----------------------------------
 
   /** File-source stream over an events directory (parquet), no watermark

@@ -284,6 +284,23 @@ class EventStreamsSpec extends SparkSpec {
       (1L, "a", 30L, None, true)))
   }
 
+  test("anomalyFlags: upper-median threshold, per-user isolation") {
+    import org.apache.spark.sql.functions.to_timestamp
+    val e = Seq(
+      (1L, "2026-01-01 00:00:00", 1L, 1.0), (2L, "2026-01-01 00:01:00", 1L, 2.0),
+      (3L, "2026-01-01 00:02:00", 1L, 3.0), (4L, "2026-01-01 00:03:00", 1L, 100.0),
+      (5L, "2026-01-01 00:00:00", 2L, 5.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+      .withColumn("ts", to_timestamp($"ts"))
+    val got = EventStreams.anomalyFlags(e)
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+      .map(r => r._2 -> ((r._4, r._5))).toMap
+    // u1: sorted 1,2,3,100, n=4 → upper median rn=3 → med=3
+    assert(got(1L) === ((3.0, false)) && got(4L) === ((3.0, true)))
+    // u2: singleton → med = own value, 5 > 10 is false
+    assert(got(5L) === ((5.0, false)))
+  }
+
   test("streaming sessionization agrees with batch gaps-and-islands") {
     val stream = EventStreams.readEventStream(spark, eventsDir)
     runToMemory(EventStreams.streamingSessionize(stream), "sessions", "complete")
