@@ -48,6 +48,12 @@ class PipelinesSpec extends SparkSpec {
       key(GeneDiseasePipeline.merged(spark, sf)))
     assert(key(PpiPipeline.mergedSinglePass(spark, sf)) ===
       key(PpiPipeline.merged(spark, sf)))
+    assert(key(SideEffectPipeline.mergedSinglePass(spark, sf)) ===
+      key(SideEffectPipeline.merged(spark, sf)))
+    // tfg's single-pass form is bit-equal but measured SLOWER at sf0.1
+    // (BENCH_NOTES) — proven here, deliberately not in the registry
+    assert(key(TfGenPipeline.mergedSinglePass(spark, sf)) ===
+      key(TfGenPipeline.merged(spark, sf)))
   }
 
   test("TfGenPipeline.merged: no conflicting effects survive, sources merge") {
