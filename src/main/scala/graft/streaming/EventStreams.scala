@@ -418,6 +418,61 @@ object EventStreams {
 
   // ---- custom state: flatMapGroupsWithState ------------------------------
 
+  case class RollEvent(
+      user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
+  case class RollEntry(us: Long, event_id: Long, value: Double)
+  case class RollState(recent: List[RollEntry])
+  case class RollOut(user_id: Long, event_id: Long, roll_n: Long,
+      roll_sum: Double, roll_min: Double, roll_max: Double)
+
+  /** Stateful streaming twin of [[rollingStats]]: per-user state is ONLY
+    * the last w−1 events (O(w) per key, bounded), kept in (event-time,
+    * event_id) order; each arriving event emits its trailing-window row.
+    * The sum replicates the batch DECIMAL(18,4) detour (BigDecimal
+    * HALF_UP at scale 4 — the same rounding Spark's double→decimal cast
+    * applies), so streamed rows equal batch rows bit-for-bit when input
+    * arrives in order. Cross-batch out-of-order arrival diverges from
+    * the batch twin for the already-emitted later rows (they are not
+    * retracted) — the same append-mode contract as [[statefulFunnel]];
+    * a late event still gets ITS correct window while its predecessors
+    * remain buffered. Idle per-user state expires one hour past the
+    * watermark. */
+  def statefulRollingStats(stream: DataFrame, w: Int = 5): org.apache.spark.sql.Dataset[RollOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    def dec(v: Double): BigDecimal =
+      BigDecimal.decimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+
+    def fn(userId: Long, events: Iterator[RollEvent],
+        state: GroupState[RollState]): Iterator[RollOut] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val incoming = events.toSeq.map(_.copy())
+          .sortBy(e => (us(e.ts), e.event_id))
+        var buf = state.getOption.map(_.recent).getOrElse(Nil)
+        val out = incoming.map { e =>
+          buf = (buf :+ RollEntry(us(e.ts), e.event_id, e.value))
+            .sortBy(x => (x.us, x.event_id)).takeRight(w)
+          val vals = buf.map(_.value)
+          RollOut(userId, e.event_id, vals.size.toLong,
+            vals.map(dec).sum.toDouble, vals.min, vals.max)
+        }
+        state.update(RollState(buf.takeRight(w - 1)))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3600000L)
+        out.iterator
+      }
+    }
+
+    stream.selectExpr("user_id", "ts", "event_id", "value").as[RollEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
   case class SessState(startUs: Long, lastUs: Long, n: Long)
   case class Session(user_id: Long, session_start: Long, n_events: Long)

@@ -284,6 +284,20 @@ class EventStreamsSpec extends SparkSpec {
       (1L, "a", 30L, None, true)))
   }
 
+  test("stateful streaming rolling stats equal the batch window form") {
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    runToMemory(EventStreams.statefulRollingStats(stream).toDF(),
+      "rollstats", "append")
+    val streamed = spark.table("rollstats")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSet
+    val batch = EventStreams.rollingStats(Tables.events(spark, sf))
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSet
+    // bit-equality including the DECIMAL-replicated sums: the file source
+    // delivers in order, so the in-batch (ts, event_id) sort makes the
+    // trailing windows identical
+    assert(streamed === batch)
+  }
+
   test("anomalyFlags: upper-median threshold, per-user isolation") {
     import org.apache.spark.sql.functions.to_timestamp
     val e = Seq(
