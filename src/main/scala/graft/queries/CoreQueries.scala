@@ -801,6 +801,27 @@ object CoreQueries {
         .cast("double").as("revenue"))
   }
 
+  /** Percent-of-total window idiom: each line's share of its order's
+    * value in fixed-point ppm — prices become exact integer cents first
+    * (round(×100): positive-value HALF_UP agrees across engines), so
+    * the window sum and the share division are pure BIGINT. One shuffle
+    * on the order key. */
+  val qWindowShare = Q(
+    "q_window_share",
+    """WITH c AS (SELECT l_orderkey, l_linenumber,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber, cents,
+      |  CAST((cents * 1000000) // SUM(cents) OVER (PARTITION BY l_orderkey)
+      |    AS BIGINT) AS share_ppm
+      |FROM c""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .withColumn("share_ppm",
+        expr("(cents * 1000000) div sum(cents) over (partition by l_orderkey)"))
+  }
+
   /** Blocked fuzzy entity resolution over part names: distinct names
     * with multiplicities, blocked on the last token, Levenshtein ≤ 4
     * (identical names excluded — those are exact dedup's business).
@@ -924,7 +945,7 @@ object CoreQueries {
     sqlFrontDoor, qCube, qRollup, evPivot, qRunningTotal,
     q03ShippingPriority, q18LargeOrders, q05LocalSupplier, q10ReturnedItems,
     q04PriorityExists, q06ForecastRevenue, erBlockedMatch, qNtile, qUnpivot,
-    xDataQuality,
+    qWindowShare, xDataQuality,
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,
     j1OuterMerge, j4BroadcastMap, j5FallbackChain, j6SuffixSelfJoin,
     j7AntiJoin, jRangeBin, jSaltedSkew, a1KeepBest, a2Median3, a3OrderedMiddle,

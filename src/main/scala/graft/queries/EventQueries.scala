@@ -223,7 +223,26 @@ object EventQueries {
     EventStreams.anomalyFlags(Tables.events(s, d))
   }
 
+  /** RFM segmentation: recency/frequency/monetary with 1..5 ntile scores. */
+  val evRfm = Q(
+    "ev_rfm",
+    """WITH p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |now_ AS (SELECT MAX(s) AS now_s FROM p),
+      |per AS (SELECT user_id, MAX(s) AS last_s, COUNT(*) AS frequency,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+      |  FROM p GROUP BY 1)
+      |SELECT user_id, (now_s - last_s) // 86400 AS recency_days, frequency,
+      |  monetary,
+      |  ntile(5) OVER (ORDER BY (now_s - last_s) // 86400, user_id)
+      |    AS r_score,
+      |  ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+      |  ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_score
+      |FROM per, now_""".stripMargin) { (s, d) =>
+    EventStreams.rfmSegments(Tables.events(s, d))
+  }
+
   val all: Seq[Q] = Seq(evTumbling, evSliding, evSessionize, evFirstPerKey, evFunnel,
     evIntervalJoin, evAsofJoin, evRolling, evRetention, evStreaks,
-    evAsofForward, evTransitions, evScd2, evAnomaly)
+    evAsofForward, evTransitions, evScd2, evAnomaly, evRfm)
 }

@@ -151,6 +151,34 @@ object GraphQueries {
       .select(col("node"), col("landmark"), col("distance"))
   }
 
+  /** Harmonic centrality over the landmark set, fixed point: per node,
+    * Σ_{landmarks at d>0} (10⁶ div d) plus the reachable-landmark count
+    * — the closeness family without the disconnected-graph divide-by-
+    * infinity problem, and log/float-free like the other graph scores.
+    * Reuses the landmark BFS (GraphX ShortestPaths); oracle = the same
+    * recursive-CTE BFS aggregated. */
+  val gHarmonic = Q(
+    "g_harmonic",
+    nationEdgeCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+        |nodes AS (SELECT u AS node FROM und),
+        |bfs (node, landmark, dist) AS (
+        |  SELECT node, node, 0 FROM nodes WHERE node IN (0, 1)
+        |  UNION
+        |  SELECT w.v, b.landmark, b.dist + 1
+        |  FROM bfs b JOIN und w ON b.node = w.u WHERE b.dist < 30),
+        |d AS (SELECT node, landmark, MIN(dist) AS dist
+        |      FROM bfs GROUP BY node, landmark)
+        |SELECT node, COUNT(*) AS n_reachable,
+        |  CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_ppm
+        |FROM d WHERE dist > 0 GROUP BY node""".stripMargin) { (s, d) =>
+    GraphOps.shortestPaths(s, nationEdgeDf(s, d), Seq(0L, 1L))
+      .filter(col("distance") > 0)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_reachable"),
+        sum(expr("1000000 div distance")).as("harmonic_ppm"))
+  }
+
   /** Integer-scaled PageRank (2 iterations, scale 1e6, damping 85/100 in
     * BIGINT floor arithmetic — see GraphOps.integerPageRank for why
     * integer arithmetic is the only cluster-deterministic formulation).
@@ -271,5 +299,5 @@ object GraphQueries {
   }
 
   val all: Seq[Q] = Seq(gDegree, gComponents, gAncestors, gTriangles,
-    gShortestPaths, gPagerank, gKhop, gNeighborJaccard, gHits)
+    gShortestPaths, gPagerank, gKhop, gNeighborJaccard, gHits, gHarmonic)
 }

@@ -248,6 +248,25 @@ object TrainPrepQueries {
         size(col("chunk")).cast("long").as("n_chunk_tokens"))
   }
 
+  /** Winsorization at exact p05/p95 rank-select bounds (outlier clipping
+    * before corpus statistics) — bounds broadcast, clamp map-side. */
+  val xWinsorize = Q(
+    "x_winsorize",
+    """WITH vc AS (SELECT n_chars AS v, COUNT(*) AS cnt FROM documents
+      |            GROUP BY 1),
+      |vv AS (SELECT v, SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |         AS cum, SUM(cnt) OVER () AS n FROM vc),
+      |lo AS (SELECT MIN(v) AS lo FROM vv WHERE cum >= ceil(0.05 * n)),
+      |hi AS (SELECT MIN(v) AS hi FROM vv WHERE cum >= ceil(0.95 * n))
+      |SELECT doc_id, n_chars,
+      |  least(greatest(n_chars, lo), hi) AS clamped,
+      |  n_chars <> least(greatest(n_chars, lo), hi) AS was_clipped
+      |FROM documents, lo, hi""".stripMargin) { (s, d) =>
+    TrainPrep.winsorize(Tables.documents(s, d), "n_chars")
+      .select(col("doc_id"), col("n_chars"), col("clamped"), col("was_clipped"))
+  }
+
   val all: Seq[Q] = Seq(xSplit, xPack, xScrub, xSample, xDecontaminate,
-    xIncremental, xMixRebalance, xWeightedSample, xBudgetSelect, xChunk)
+    xIncremental, xMixRebalance, xWeightedSample, xBudgetSelect, xChunk,
+    xWinsorize)
 }

@@ -161,6 +161,32 @@ object EventStreams {
         sum(col("len")).as("n_active_days"))
   }
 
+  /** RFM (recency/frequency/monetary) customer segmentation over purchase
+    * events: "now" is the corpus max purchase time (a one-row broadcast),
+    * monetary goes through the DECIMAL detour, and the three 1..5 scores
+    * are ntile buckets under total orders (user_id tie-break) — score 1 =
+    * most recent / most frequent / highest spend. The ntile windows run
+    * over the USER dimension (one row per purchasing user). */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("s"), col("value"))
+    val now = p.agg(max(col("s")).as("now_s"))
+    val per = p.groupBy(col("user_id")).agg(
+      max(col("s")).as("last_s"),
+      count(lit(1)).as("frequency"),
+      sum(col("value").cast("decimal(18,4)")).cast("double").as("monetary"))
+    per.crossJoin(broadcast(now))
+      .withColumn("recency_days", expr("(now_s - last_s) div 86400"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        ntile(5).over(Window.orderBy(col("recency_days"), col("user_id")))
+          .cast("long").as("r_score"),
+        ntile(5).over(Window.orderBy(col("frequency").desc, col("user_id")))
+          .cast("long").as("f_score"),
+        ntile(5).over(Window.orderBy(col("monetary").desc, col("user_id")))
+          .cast("long").as("m_score"))
+  }
+
   /** Median-threshold anomaly flags: an event is anomalous when its value
     * exceeds twice its user's (upper-)median value. The median is the
     * deterministic rank-select idiom (rn = n div 2 + 1 under a

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-corpus preparation operators beyond dedup/quality: the steps a
@@ -181,5 +182,33 @@ object TrainPrep {
     val scrubbed = regexp_replace(
       regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
     (scrubbed, emails.cast("long"), phones.cast("long"))
+  }
+
+  /** Winsorize an integer column at exact [loQ, hiQ] rank-select bounds
+    * (outlier clipping before length/score statistics): the bounds are
+    * the deterministic "smallest value with cumulative count ≥ ⌈q·N⌉"
+    * used everywhere else here — never an interpolated percentile — and
+    * reach the corpus as a one-row broadcast, so the clamp itself is a
+    * map-side expression over one scan. The cumulative window runs over
+    * the DISTINCT-VALUE domain (bounded), not the corpus. */
+  def winsorize(df: DataFrame, valueCol: String,
+      loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val wCum = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val vals = df.select(v.as("__v")).groupBy(col("__v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    def bound(q: Double, name: String) =
+      vals.filter(col("cum") >= ceil(lit(q) * col("n")))
+        .agg(min(col("__v")).as(name))
+    val bounds = bound(loQ, "lo").crossJoin(bound(hiQ, "hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("clamped", least(greatest(v, col("lo")), col("hi")))
+      .withColumn("was_clipped", v =!= col("clamped"))
+      .drop("lo", "hi")
   }
 }
