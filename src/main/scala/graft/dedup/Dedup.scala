@@ -433,6 +433,56 @@ object Dedup {
         coalesce(col("__staged"), lit(false)).as("exact_hit"))
   }
 
+  /** Prefix-filtered set-similarity join (the PPJoin/AllPairs family) —
+    * the EXACT scale path beside probabilistic MinHash-LSH: for token-set
+    * Jaccard ≥ t, two sets must share at least one token among each
+    * set's first (|s| − ⌈t·|s|⌉ + 1) tokens under a GLOBAL rarest-first
+    * order — so candidates are generated by an equi-join on prefix
+    * tokens only (rare tokens → few pairs), with the size filter
+    * ⌈t·|a|⌉ ≤ |b| pruning before verification, and exact Jaccard
+    * computed only for candidates. No false negatives (prefix-filter
+    * completeness is a theorem, asserted against the all-pairs join in
+    * the spec), no hashing error.
+    *
+    * Scale: token df and the global (df, token) order are token-domain
+    * aggregations; prefixes are a per-doc ranking window (group size =
+    * tokens per doc); the candidate join keys on the prefix token —
+    * rare-first ordering keeps bucket sizes small where the inverted
+    * index is hottest — and verification touches candidates only. */
+  def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.6, shingleN: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    // word n-gram shingle SETS, not unigram sets: unigrams wash out on a
+    // small vocabulary (nearly every doc contains every common word and
+    // the join output goes quadratic); shingles are the standard unit
+    val toks = shingles(docs, idCol, textCol, shingleN)
+      .select(col("doc_id"), col("shingle").as("tok"))
+    val df_ = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
+    val prefix = toks.join(df_, Seq("tok"))
+      .withColumn("pos", row_number().over(w))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("pos") <= col("s") - ceil(lit(threshold) * col("s")) + 1)
+      .select(col("doc_id"), col("tok"), col("s"))
+    val cand = prefix.select(col("doc_id").as("a"), col("tok"), col("s").as("sa"))
+      .join(prefix.select(col("doc_id").as("b"), col("tok"), col("s").as("sb")),
+        Seq("tok"))
+      .filter(col("a") < col("b"))
+      .filter(col("sb") >= ceil(lit(threshold) * col("sa")) &&
+        col("sa") >= ceil(lit(threshold) * col("sb")))
+      .select(col("a"), col("b"), col("sa"), col("sb")).distinct()
+    cand
+      .join(toks.select(col("doc_id").as("a"), col("tok")), Seq("a"))
+      .join(toks.select(col("doc_id").as("b"), col("tok")), Seq("b", "tok"))
+      .groupBy(col("a"), col("b"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sa") + col("sb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("inter"), col("jaccard"))
+  }
+
   /** Corpus-level duplicated-segment removal — the RefinedWeb/CCNet
     * "drop lines repeated across the corpus" pass, generalized to
     * fixed-width token segments (this corpus has no newlines): each

@@ -317,7 +317,41 @@ object DedupQueries {
     Dedup.segmentDedup(Tables.documents(s, d), "doc_id", "text")
   }
 
+  /** Prefix-filtered set-similarity join (PPJoin/AllPairs family): exact
+    * token-set Jaccard ≥ 0.6 with candidates from a rarest-first prefix
+    * equi-join + size filter — the deterministic scale path beside
+    * MinHash-LSH (no hashing error, theorem-guaranteed completeness). */
+  val xDedupPrefixJoin = Q(
+    "x_dedup_prefix_join",
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+      |           FROM documents),
+      |tk AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS tok
+      |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+      |df AS (SELECT tok, COUNT(*) AS df FROM tk GROUP BY 1),
+      |sz AS (SELECT doc_id, COUNT(*) AS s FROM tk GROUP BY 1),
+      |pr AS (SELECT doc_id, tok, s FROM (
+      |    SELECT tk.doc_id, tk.tok, sz.s,
+      |      row_number() OVER (PARTITION BY tk.doc_id ORDER BY df.df, tk.tok)
+      |        AS pos
+      |    FROM tk JOIN df ON tk.tok = df.tok
+      |            JOIN sz ON tk.doc_id = sz.doc_id)
+      |  WHERE pos <= s - ceil(0.6 * s) + 1),
+      |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+      |    a.s AS sa, b.s AS sb
+      |  FROM pr a JOIN pr b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  WHERE b.s >= ceil(0.6 * a.s) AND a.s >= ceil(0.6 * b.s)),
+      |i AS (SELECT c.a, c.b, c.sa, c.sb, COUNT(*) AS inter
+      |  FROM cand c JOIN tk x ON x.doc_id = c.a
+      |              JOIN tk y ON y.doc_id = c.b AND y.tok = x.tok
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT a, b, inter,
+      |  CAST(inter AS DOUBLE) / (sa + sb - inter) AS jaccard
+      |FROM i WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.6""".stripMargin) {
+    (s, d) =>
+      Dedup.prefixFilterJoin(Tables.documents(s, d), "doc_id", "text")
+  }
+
   val all: Seq[Q] = Seq(xDedupNgram, xDedupMinhashLsh, xDedupClusters,
     xDedupApply, xDedupSimhashSig, xDedupSimhashPairs, xSubstringDup,
-    xBloomFilter, xContainment, xMinhashEst, xSegmentDedup)
+    xBloomFilter, xContainment, xMinhashEst, xSegmentDedup, xDedupPrefixJoin)
 }

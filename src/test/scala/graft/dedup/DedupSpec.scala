@@ -169,6 +169,37 @@ class DedupSpec extends SparkSpec {
     assert(out.filter($"kept_text".isNull && $"n_kept" === 0L).count() === 3)
   }
 
+  test("prefixFilterJoin: completeness vs all-pairs (the prefix-filter " +
+    "theorem) and exactness of the verified Jaccard") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words entirely here now friends"),
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "quick brown fox jumps over lazy dog")
+    ).toDF("doc_id", "text")
+    val got = Dedup.prefixFilterJoin(d, "doc_id", "text", 0.6)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    // all-pairs ground truth over the 3-gram shingle sets
+    val texts = Map(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat",
+      3L -> "completely different words entirely here now friends",
+      4L -> "the quick brown fox jumps over the lazy dog",
+      5L -> "quick brown fox jumps over lazy dog")
+    val sets = texts.view.mapValues(
+      _.split(" ").sliding(3).map(_.mkString(" ")).toSet).toMap
+    val truth = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      j = sets(a).intersect(sets(b)).size.toDouble /
+        sets(a).union(sets(b)).size
+      if j >= 0.6
+    } yield (a, b) -> j).toMap
+    assert(truth.nonEmpty) // planted: (1,2) 0.75, (1,4) 1.0, (2,4) 0.75
+    assert(got === truth)
+  }
+
   test("bloomProbe: no false negatives; novel docs clear a sparse filter") {
     val staged = docs.filter($"doc_id" <= 3L)
     val incoming = docs // 4 is an exact dup of staged 1; 5 is staged itself
