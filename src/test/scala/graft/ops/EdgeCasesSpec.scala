@@ -136,6 +136,15 @@ class EdgeCasesSpec extends SparkSpec {
       Seq.empty[Long].toDF("v"), "v").count() === 0)
   }
 
+  test("prefixFilterJoin: empty corpus and shingle-less docs yield no pairs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.prefixFilterJoin(empty, "doc_id", "text").count() === 0)
+    val short = Seq((1L, "only two"), (2L, "only two")).toDF("doc_id", "text")
+    // docs under the shingle width have no set to compare — no pairs,
+    // not a crash (sequence/ceil edge arithmetic)
+    assert(Dedup.prefixFilterJoin(short, "doc_id", "text").count() === 0)
+  }
+
   test("event analytics on an empty event stream stay empty") {
     import graft.streaming.EventStreams
     val e = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]

@@ -214,6 +214,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("x_dedup_prefix_join: candidates come from equi-joins only") {
+    val p = plan("x_dedup_prefix_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "prefix filter degenerated to all-pairs")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("column pruning: q01 scan reads only the needed lineitem columns") {
     val p = plan("q01_pricing_summary")
     val schema = "ReadSchema: struct<" +
