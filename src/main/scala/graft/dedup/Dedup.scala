@@ -464,13 +464,22 @@ object Dedup {
       .withColumn("pos", row_number().over(w))
       .join(sizes, Seq("doc_id"))
       .filter(col("pos") <= col("s") - ceil(lit(threshold) * col("s")) + 1)
-      .select(col("doc_id"), col("tok"), col("s"))
-    val cand = prefix.select(col("doc_id").as("a"), col("tok"), col("s").as("sa"))
-      .join(prefix.select(col("doc_id").as("b"), col("tok"), col("s").as("sb")),
-        Seq("tok"))
+      .select(col("doc_id"), col("tok"), col("pos"), col("s"))
+    // positional filter (full PPJoin): from the matched prefix token's
+    // positions the best-possible overlap is min(sa−i, sb−j)+1, which
+    // must reach the Jaccard-equivalent overlap threshold
+    // α = ⌈t/(1+t)·(sa+sb)⌉ — prunes candidates only; the final exact
+    // Jaccard filter makes the result set provably identical, so the
+    // oracle needs no mirror of this step
+    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("sa") + col("sb")))
+    val cand = prefix.select(col("doc_id").as("a"), col("tok"),
+        col("pos").as("pa"), col("s").as("sa"))
+      .join(prefix.select(col("doc_id").as("b"), col("tok"),
+        col("pos").as("pb"), col("s").as("sb")), Seq("tok"))
       .filter(col("a") < col("b"))
       .filter(col("sb") >= ceil(lit(threshold) * col("sa")) &&
         col("sa") >= ceil(lit(threshold) * col("sb")))
+      .filter(least(col("sa") - col("pa"), col("sb") - col("pb")) + 1 >= alpha)
       .select(col("a"), col("b"), col("sa"), col("sb")).distinct()
     cand
       .join(toks.select(col("doc_id").as("a"), col("tok")), Seq("a"))
