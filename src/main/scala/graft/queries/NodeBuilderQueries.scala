@@ -259,7 +259,9 @@ object NodeBuilderQueries {
   /** drug node builder (drug.py:1194-1222): escaped props, absent-prop
     * nulls, configured-subset conform (P10). Declared-but-unselected and
     * missing props are dropped/typed-null by the registry on the Spark
-    * side, so the oracle lists exactly the selected subset. */
+    * side, so the oracle lists exactly the selected subset. Multi-valued
+    * `groups` crosses the harness boundary pipe-joined — the reference's
+    * own CSV codec (drug.py:1370). */
   val drugNodes = Q(
     "drug_nodes",
     """WITH g AS (SELECT p_partkey,
@@ -272,27 +274,29 @@ object NodeBuilderQueries {
       |  p.p_partkey || '-' || (p.p_partkey % 100) || '-' || (p.p_partkey % 10)
       |    AS cas_number,
       |  translate(p.p_name, '''|', '^,') AS name,
-      |  CASE WHEN len(g.groups) > 0 THEN g.groups END AS groups,
+      |  CASE WHEN len(g.groups) > 0
+      |    THEN array_to_string(g.groups, '|') END AS groups,
       |  CASE WHEN p.p_partkey % 3 = 0 THEN 'D' || (p.p_partkey % 10000) END
       |    AS kegg_drug,
       |  'CHEMBL' || p.p_partkey AS chembl
       |FROM part p JOIN g ON p.p_partkey = g.p_partkey""".stripMargin) { (s, d) =>
-    graft.pipelines.DtiPipeline.nodes(s, d)
+    Q.pipeBoundary(graft.pipelines.DtiPipeline.nodes(s, d))
   }
 
   /** disease node builder (disease.py:1355-1407): obsolete-term filter,
-    * escaped name/synonyms, presence-conditional xref props. */
+    * escaped name/synonyms, presence-conditional xref props. Synonyms cross
+    * the harness boundary pipe-joined (the reference's CSV codec). */
   val diseaseNodes = Q(
     "disease_nodes",
     """SELECT 'mondo:' || c_custkey AS id, 'mondo_disease' AS label,
       |  translate(c_name, '''|', '^,') AS name,
-      |  list_sort([translate(lower(c_name), '''|', '^,'),
-      |    'syn ' || c_custkey]) AS synonyms,
+      |  array_to_string(list_sort([translate(lower(c_name), '''|', '^,'),
+      |    'syn ' || c_custkey]), '|') AS synonyms,
       |  CASE WHEN c_nationkey % 3 = 0 THEN 'C' || c_custkey END AS umls,
       |  CASE WHEN c_nationkey % 3 = 1 THEN 'DOID:' || c_custkey END AS doid,
       |  CASE WHEN c_nationkey % 3 = 2 THEN 'D' || c_custkey END AS mesh
       |FROM customer WHERE c_acctbal >= 0""".stripMargin) { (s, d) =>
-    graft.pipelines.DiseaseEdgesPipeline.diseaseNodes(s, d)
+    Q.pipeBoundary(graft.pipelines.DiseaseEdgesPipeline.diseaseNodes(s, d))
   }
 
   /** compound node builder (compound.py:379-401): MOL-structure filter +
@@ -340,12 +344,13 @@ object NodeBuilderQueries {
       |    WHEN 1 THEN translate(c.c_name, '''|"', '^,')
       |    WHEN 2 THEN translate(upper(c.c_name), '''|"', '^,')
       |    ELSE translate('badd ' || c.c_name, '''|"', '^,') END AS name,
-      |  CASE WHEN a.mid IS NOT NULL THEN list_sort([
-      |    translate(lower(c.c_name), '''|', '^,'), 'syn:' || w.mid]) END AS synonyms
+      |  CASE WHEN a.mid IS NOT NULL THEN array_to_string(list_sort([
+      |    translate(lower(c.c_name), '''|', '^,'), 'syn:' || w.mid]), '|')
+      |    END AS synonyms
       |FROM win w
       |JOIN customer c ON w.mid = CAST(c.c_custkey AS VARCHAR)
       |LEFT JOIN adr a ON w.mid = a.mid""".stripMargin) { (s, d) =>
-    graft.pipelines.SideEffectPipeline.nodes(s, d)
+    Q.pipeBoundary(graft.pipelines.SideEffectPipeline.nodes(s, d))
   }
 
   /** pathway node builder (pathway.py:434-476): Reactome + KEGG union with

@@ -23,4 +23,20 @@ class QueriesSmokeSpec extends SparkSpec {
   test("every oracle key is a registered query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  // The driver's oracle harness sorts both result frames with pandas before
+  // hashing; an Array/Map cell crashes that sort (TypeError: unhashable
+  // type) and reds the gate regardless of semantics — it happened to
+  // x_media_decode in round 1 and to three node builders in round 3. Every
+  // registered query must flatten multi-valued props (Q.pipeBoundary: the
+  // reference's own pipe-join CSV codec, drug.py:1370).
+  test("no registered query emits Array/Map top-level columns") {
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val bad = graft.Q.complexCols(q.fn(spark, sf))
+      if (bad.isEmpty) None else Some(s"${q.name}: ${bad.mkString(",")}")
+    }
+    assert(offenders.isEmpty,
+      s"oracle-unsortable columns (wrap with Q.pipeBoundary): " +
+        offenders.mkString("; "))
+  }
 }
