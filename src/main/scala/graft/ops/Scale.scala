@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scale mechanics (SURVEY §7.3 risk 7 / the 100 TB design rules):
@@ -62,6 +63,59 @@ object Scale {
         saltedLeft(leftKey) === replicatedRight(rightKey)
           && saltedLeft("__salt") === replicatedRight("__salt"))
       .drop("__salt")
+  }
+
+  /** Exact 1-based global rank under a total order, with NO corpus-sized
+    * single-partition window — the scale-safe replacement for
+    * `row_number()/ntile() OVER (ORDER BY …)`.
+    *
+    * Two levels: `bin` is a caller-supplied deterministic coarsening of the
+    * primary order key (identity for bounded integer domains; fixed-width
+    * cells from a broadcast min/max for continuous metrics). Bin counts are
+    * prefix-summed over the BIN domain (the only partitionless window —
+    * its input is the bin aggregate, bounded at any sf), broadcast back,
+    * and the in-bin `row_number` (a partitioned window) completes the rank:
+    * `rank = bins-before + position-in-bin`.
+    *
+    * Deterministic by construction (bins derive from values, never from
+    * sampling or partition ids — `repartitionByRange` would resample per
+    * plan branch and can disagree with itself across an exchange that
+    * fails to be reused). Caller contract: `binAsc`/`ordInBin` must order
+    * bins consistently with the row order, and `ordInBin` must be a total
+    * order (unique tie-break) for the rank to be well-defined. Worst-case
+    * skew is the largest single bin (e.g. every user with frequency 1) —
+    * strictly better than the one-task global window, and the honest
+    * limit of exact rank-with-tie-break semantics. */
+  def binnedGlobalRank(
+      df: DataFrame, bin: Column, ordInBin: Seq[Column],
+      binAsc: Boolean, rankCol: String): DataFrame = {
+    val binned = df.withColumn("__bin", bin)
+    val cumW = Window
+      .orderBy(if (binAsc) col("__bin").asc else col("__bin").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = binned.groupBy(col("__bin")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(cumW), lit(0L)))
+      .select(col("__bin"), col("__off"))
+    binned.join(broadcast(offs), Seq("__bin"))
+      .withColumn(rankCol,
+        col("__off") + row_number().over(
+          Window.partitionBy(col("__bin")).orderBy(ordInBin: _*)))
+      .drop("__bin", "__off")
+  }
+
+  /** Map-side `ntile(k)` from an exact global rank and total count —
+    * standard SQL ntile bucket sizing (first `n mod k` buckets take one
+    * extra row), pure integer arithmetic, no window. Pair with
+    * [[binnedGlobalRank]]. */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    val q = floor(n / k).cast("long")
+    val r = (n % k).cast("long")
+    val lead = r * (q + lit(1))
+    // q = 0 (n < k) keeps every rank inside the first branch, so the
+    // divide-by-q branch is never evaluated (CASE short-circuits).
+    when(rank <= lead,
+      floor((rank + q) / (q + lit(1))).cast("long"))
+      .otherwise(r + floor((rank - lead + q - lit(1)) / q).cast("long"))
   }
 
   /** Write a table bucketed+sorted by join keys — the co-located-join

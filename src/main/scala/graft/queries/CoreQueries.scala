@@ -842,12 +842,12 @@ object CoreQueries {
         name => element_at(split(name, " "), -1), maxDist = 4)
   }
 
-  /** Decile bucketing via ntile over a total order (the unique-key
-    * tie-break makes the assignment deterministic), aggregated to one
-    * row per decile. The global window runs over the CUSTOMER DIMENSION
-    * — the exact-rank idiom for dimension-sized inputs; a fact-table
-    * bucketing at 100 TB would switch to histogramQuantiles edges
-    * (mergeable, no global order). */
+  /** Decile bucketing under a total order (unique-key tie-break),
+    * aggregated to one row per decile. Exact ntile semantics WITHOUT the
+    * one-task global window: `Scale.binnedGlobalRank` over 4096
+    * fixed-width acctbal cells (edges from a broadcast min/max) + the
+    * map-side `ntileFromRank` arithmetic — even a "dimension" of
+    * customers is a straggler at 100×. */
   val qNtile = Q(
     "q_ntile",
     """WITH d AS (SELECT c_acctbal,
@@ -855,11 +855,20 @@ object CoreQueries {
       |  FROM customer)
       |SELECT decile, COUNT(*) AS n, MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
       |FROM d GROUP BY decile""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    Tables.customer(s, d)
-      .select(col("c_acctbal"), ntile(10).over(
-        Window.orderBy(col("c_acctbal"), col("c_custkey"))).cast("long")
-        .as("decile"))
+    import graft.ops.Scale
+    val cust = Tables.customer(s, d).select(col("c_acctbal"), col("c_custkey"))
+    val n = cust.agg(count(lit(1)).as("__n"))
+    val range = cust.agg(min(col("c_acctbal")).as("__lo"),
+      max(col("c_acctbal")).as("__hi"))
+    val width = greatest((col("__hi") - col("__lo")) / lit(4096.0), lit(1e-9))
+    val bin = least(floor((col("c_acctbal") - col("__lo")) / width), lit(4095))
+      .cast("long")
+    Scale.binnedGlobalRank(
+      cust.crossJoin(broadcast(n)).crossJoin(broadcast(range)),
+      bin, Seq(col("c_acctbal").asc, col("c_custkey").asc),
+      binAsc = true, "__rank")
+      .select(col("c_acctbal"),
+        Scale.ntileFromRank(col("__rank"), col("__n"), 10).as("decile"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),
         min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))

@@ -164,9 +164,17 @@ object EventStreams {
   /** RFM (recency/frequency/monetary) customer segmentation over purchase
     * events: "now" is the corpus max purchase time (a one-row broadcast),
     * monetary goes through the DECIMAL detour, and the three 1..5 scores
-    * are ntile buckets under total orders (user_id tie-break) — score 1 =
-    * most recent / most frequent / highest spend. The ntile windows run
-    * over the USER dimension (one row per purchasing user). */
+    * are exact ntile buckets under total orders (user_id tie-break) —
+    * score 1 = most recent / most frequent / highest spend.
+    *
+    * Scale shape: NO global ntile windows (one row per purchasing user is
+    * still fact-scale cardinality — at 100× every user would land on one
+    * task, three times). Each score is `Scale.binnedGlobalRank` +
+    * `Scale.ntileFromRank`: integer metrics bin on their own bounded value
+    * domain (distinct recency days / frequencies), the continuous monetary
+    * metric bins into 4096 fixed-width cells from a broadcast min/max;
+    * ranks assemble from broadcast bin prefix-sums + partitioned in-bin
+    * row numbers, and the ntile arithmetic is map-side. */
   def rfmSegments(events: DataFrame): DataFrame = {
     val p = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), unix_timestamp(col("ts")).as("s"), col("value"))
@@ -175,16 +183,36 @@ object EventStreams {
       max(col("s")).as("last_s"),
       count(lit(1)).as("frequency"),
       sum(col("value").cast("decimal(18,4)")).cast("double").as("monetary"))
-    per.crossJoin(broadcast(now))
+    val nUsers = per.agg(count(lit(1)).as("__n"))
+    val mRange = per.agg(min(col("monetary")).as("__mlo"),
+      max(col("monetary")).as("__mhi"))
+    val base = per.crossJoin(broadcast(now))
       .withColumn("recency_days", expr("(now_s - last_s) div 86400"))
-      .select(col("user_id"), col("recency_days"), col("frequency"),
-        col("monetary"),
-        ntile(5).over(Window.orderBy(col("recency_days"), col("user_id")))
-          .cast("long").as("r_score"),
-        ntile(5).over(Window.orderBy(col("frequency").desc, col("user_id")))
-          .cast("long").as("f_score"),
-        ntile(5).over(Window.orderBy(col("monetary").desc, col("user_id")))
-          .cast("long").as("m_score"))
+      .crossJoin(broadcast(nUsers))
+      .crossJoin(broadcast(mRange))
+    val mWidth = greatest((col("__mhi") - col("__mlo")) / lit(4096.0),
+      lit(1e-9))
+    val mBin = least(floor((col("monetary") - col("__mlo")) / mWidth),
+      lit(4095)).cast("long")
+    val ranked = Seq[(org.apache.spark.sql.Column,
+        Seq[org.apache.spark.sql.Column], Boolean, String)](
+      (col("recency_days"),
+        Seq(col("recency_days").asc, col("user_id").asc), true, "__r_rank"),
+      (col("frequency"),
+        Seq(col("frequency").desc, col("user_id").asc), false, "__f_rank"),
+      (mBin,
+        Seq(col("monetary").desc, col("user_id").asc), false, "__m_rank"))
+      .foldLeft(base) { case (df, (bin, ord, asc, rc)) =>
+        graft.ops.Scale.binnedGlobalRank(df, bin, ord, asc, rc)
+      }
+    ranked.select(col("user_id"), col("recency_days"), col("frequency"),
+      col("monetary"),
+      graft.ops.Scale.ntileFromRank(col("__r_rank"), col("__n"), 5)
+        .as("r_score"),
+      graft.ops.Scale.ntileFromRank(col("__f_rank"), col("__n"), 5)
+        .as("f_score"),
+      graft.ops.Scale.ntileFromRank(col("__m_rank"), col("__n"), 5)
+        .as("m_score"))
   }
 
   /** Median-threshold anomaly flags: an event is anomalous when its value

@@ -72,6 +72,40 @@ class ScaleSpec extends SparkSpec {
       key(GeneDiseasePipeline.merged(spark, sf)))
   }
 
+  test("binnedGlobalRank + ntileFromRank equal the global-window forms " +
+    "(ties, both directions, coarse bins)") {
+    import org.apache.spark.sql.expressions.Window
+    // heavy ties (v = id % 7) so bucket boundaries fall inside tie groups
+    val df = spark.range(1000)
+      .select($"id".as("k"), ($"id" % 7).as("v"),
+        (($"id" * 37) % 1000).cast("double").as("x"))
+    // identity bins on the tied integer metric, ascending
+    val asc = Scale.binnedGlobalRank(df, $"v",
+      Seq($"v".asc, $"k".asc), binAsc = true, "r")
+      .select($"k", $"r",
+        Scale.ntileFromRank($"r", lit(1000L), 5).as("nt"))
+    val ascRef = df.select($"k",
+      row_number().over(Window.orderBy($"v".asc, $"k".asc)).cast("long").as("r"),
+      ntile(5).over(Window.orderBy($"v".asc, $"k".asc)).cast("long").as("nt"))
+    assert(asc.as[(Long, Long, Long)].collect().toSet ===
+      ascRef.as[(Long, Long, Long)].collect().toSet)
+    // coarse fixed-width bins on the continuous metric, descending
+    val desc = Scale.binnedGlobalRank(df, floor($"x" / 100).cast("long"),
+      Seq($"x".desc, $"k".asc), binAsc = false, "r")
+      .select($"k", $"r", Scale.ntileFromRank($"r", lit(1000L), 7).as("nt"))
+    val descRef = df.select($"k",
+      row_number().over(Window.orderBy($"x".desc, $"k".asc)).cast("long").as("r"),
+      ntile(7).over(Window.orderBy($"x".desc, $"k".asc)).cast("long").as("nt"))
+    assert(desc.as[(Long, Long, Long)].collect().toSet ===
+      descRef.as[(Long, Long, Long)].collect().toSet)
+    // n < k edge: every rank its own bucket, no divide-by-zero branch
+    val tiny = Scale.binnedGlobalRank(spark.range(3).select($"id".as("k")),
+      $"k", Seq($"k".asc), binAsc = true, "r")
+      .select(Scale.ntileFromRank($"r", lit(3L), 5).as("nt"))
+      .as[Long].collect().sorted.toSeq
+    assert(tiny === Seq(1L, 2L, 3L))
+  }
+
   test("bucketed tables join with no shuffle exchange") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey", "l_quantity")
     val sup = Tables.supplier(spark, sf).select("s_suppkey", "s_acctbal")
