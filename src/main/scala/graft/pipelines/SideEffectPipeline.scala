@@ -109,23 +109,25 @@ object SideEffectPipeline {
     * so the priority window is deterministic. */
   def nodes(s: SparkSession, d: String): DataFrame = {
     import graft.core.ColFns
-    val b = base(s, d)
-    def ids(status: String) = b.filter(col("o_orderstatus") === status)
-      .select(col("o_custkey").cast("string").as("mid")).distinct()
-    val sider = ids("O").withColumn("prio", lit(1))
-    val offs = b.filter(col("o_orderstatus") === "P")
-      .select(when(col("o_custkey") % 7 === 0, concat(lit("M"), col("o_custkey")))
-        .otherwise(col("o_custkey").cast("string")).as("mid"))
-      .distinct()
-      .filter(col("mid").rlike("^[0-9]+$"))
-      .withColumn("prio", lit(2))
-    val adr = ids("F").withColumn("prio", lit(3))
-    val win = Kernels.keepBestPerKey(
-      sider.unionByName(offs).unionByName(adr), Seq("mid"), Seq(col("prio").asc))
-    val named = win
+    // ONE lineitem⋈orders scan: all three source id-sets are per-custkey
+    // presence predicates (the OffSides numeric-meddra admission is the
+    // custkey%7 test — M-prefixed ids never qualify), so the priority
+    // union + keep-best window and the ADReCS left join both collapse
+    // into a single conditional aggregation (the mergedSinglePass trick;
+    // previously each id-set re-derived base, 4 shuffle joins per run).
+    val pres = base(s, d).groupBy(col("o_custkey"))
+      .agg(
+        min(when(col("o_orderstatus") === "O", 1)
+          .when(col("o_orderstatus") === "P" &&
+            !(col("o_custkey") % 7 === 0), 2)
+          .when(col("o_orderstatus") === "F", 3)).as("prio"),
+        max((col("o_orderstatus") === "F").cast("int")).as("__adr"))
+      .filter(col("prio").isNotNull)
+      .select(col("o_custkey").cast("string").as("mid"), col("prio"),
+        when(col("__adr") === 1, lit(true)).as("has_syn"))
+    val named = pres
       .join(Tables.customer(s, d),
         col("mid") === col("c_custkey").cast("string"))
-      .join(adr.select(col("mid"), lit(true).as("has_syn")), Seq("mid"), "left")
     val nameEsc = (c: org.apache.spark.sql.Column) => translate(c, "'|\"", "^,")
     val raw = named.select(
       concat(lit("meddra:"), col("mid")).as("id"),
