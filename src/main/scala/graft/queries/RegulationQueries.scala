@@ -93,10 +93,81 @@ object RegulationQueries {
     PathwayPipeline.orthologyPairs(s, d)
   }
 
+  /** merge_drug_pathway_data (pathway.py:397-411): KEGG + Reactome
+    * drug→pathway frames concatenated (U1), each dict-admitted and
+    * key-deduped; Reactome rows evidence-filtered first. */
+  val drugPathwayMerged = Q(
+    "drug_pathway_merged",
+    """SELECT DISTINCT 'drugbank:DB' || l_partkey AS drug_id,
+      |  'kegg.pathway:hsa' || (l_orderkey % 40) AS pathway_id,
+      |  'KEGG' AS source
+      |FROM lineitem WHERE l_linestatus = 'O' AND l_partkey % 3 = 0
+      |UNION ALL
+      |SELECT DISTINCT 'drugbank:DB' || l_partkey,
+      |  'reactome:R-HSA-' || (l_orderkey % 40), 'Reactome'
+      |FROM lineitem JOIN part ON l_partkey = p_partkey AND p_size > 25
+      |WHERE l_linestatus = 'F' AND l_returnflag IN ('N', 'A')""".stripMargin) {
+    (s, d) => PathwayPipeline.drugPathwayEdges(s, d)
+  }
+
+  /** merge_disease_pathway_data (pathway.py:413-432): KEGG (J5
+    * MeSH>OMIM>ICD-10 fallback-mapped diseases) ⟗ CTD (catalogue-checked
+    * KEGG-shaped pathway ids), source pipe-merged. */
+  val diseasePathwayMerged = Q(
+    "disease_pathway_merged",
+    s"""WITH mesh AS (SELECT c_custkey AS f, 'mondo:' || c_custkey AS t
+       |    FROM customer WHERE c_nationkey % 3 = 2),
+       |omim AS (SELECT c_custkey AS f, 'mondo:' || (c_custkey % 997) AS t
+       |    FROM customer WHERE c_nationkey % 5 = 0),
+       |icd AS (SELECT c_custkey AS f, 'mondo:' || (c_custkey + 500000) AS t
+       |    FROM customer WHERE c_nationkey % 2 = 1),
+       |kegg AS (SELECT DISTINCT COALESCE(m.t, o.t, i.t) AS disease_id,
+       |    'kegg.pathway:hsa' || (l_partkey % 40) AS pathway_id,
+       |    'KEGG' AS source
+       |  FROM lineitem
+       |  LEFT JOIN mesh m ON l_suppkey = m.f
+       |  LEFT JOIN omim o ON l_suppkey = o.f
+       |  LEFT JOIN icd i ON l_suppkey = i.f
+       |  WHERE l_returnflag = 'N' AND COALESCE(m.t, o.t, i.t) IS NOT NULL),
+       |base AS (SELECT m.t AS disease_id,
+       |    CAST(l_orderkey % 50 AS VARCHAR) AS sfx, l_tax > 0.04 AS is_kegg
+       |  FROM lineitem JOIN mesh m ON l_suppkey = m.f
+       |  WHERE l_returnflag = 'A'),
+       |hsa AS (SELECT DISTINCT CAST(p_partkey % 40 AS VARCHAR) AS sfx
+       |  FROM part WHERE p_size % 2 = 0),
+       |ctd AS (SELECT DISTINCT disease_id, pathway_id, 'CTD' AS source FROM (
+       |  SELECT disease_id, 'kegg.pathway:hsa' || sfx AS pathway_id
+       |  FROM base WHERE is_kegg AND sfx IN (SELECT sfx FROM hsa)
+       |  UNION ALL
+       |  SELECT disease_id, 'reactome:R-HSA-' || sfx FROM base WHERE NOT is_kegg))
+       |SELECT COALESCE(k.disease_id, c.disease_id) AS disease_id,
+       |  COALESCE(k.pathway_id, c.pathway_id) AS pathway_id,
+       |  ${mergePipesSql("k.source", "c.source")} AS source
+       |FROM kegg k FULL OUTER JOIN ctd c
+       |  ON k.disease_id = c.disease_id AND k.pathway_id = c.pathway_id"""
+      .stripMargin) {
+    (s, d) => PathwayPipeline.diseasePathwayEdges(s, d)
+  }
+
+  /** get_reactome_hierarchical_edges (pathway.py:635-652): child→parent
+    * hierarchy projection, reactome prefixes both ends. */
+  val pathwayHierarchy = Q(
+    "pathway_hierarchy",
+    """WITH r AS (SELECT DISTINCT
+      |    (CASE WHEN p_size % 2 = 0 THEN 'HSA' ELSE 'MMU' END) AS org,
+      |    p_partkey % 40 AS sfx FROM part)
+      |SELECT 'reactome:R-' || org || '-' || sfx AS src,
+      |  'reactome:R-' || org || '-' || (sfx // 4) AS dst,
+      |  'pathway_participates_pathway' AS label
+      |FROM r WHERE sfx <> sfx // 4""".stripMargin) {
+    (s, d) => PathwayPipeline.hierarchyEdges(s, d)
+  }
+
   // TfGenPipeline.mergedSinglePass is deliberately NOT registered: it is
   // bit-equal (PipelinesSpec) but MEASURED SLOWER at sf0.1 (3.67s vs the
   // chain's 2.72s, 5-rep medians) — unlike gda/dti/side_effect, the tfg
   // chain is only 3 scans and its cost is the collect_set aggregation
   // state, which a single pass cannot reduce. See BENCH_NOTES.md.
-  val all: Seq[Q] = Seq(tfgMerged, pathwayEdges, pathwayPairs)
+  val all: Seq[Q] = Seq(tfgMerged, pathwayEdges, pathwayPairs,
+    drugPathwayMerged, diseasePathwayMerged, pathwayHierarchy)
 }
