@@ -22,6 +22,15 @@ exchanges, windows, and WindowGroupLimit rank-pushdowns. Regenerate:
 GraphX/mapPartitions stages (graph analytics, media decode) show as scans
 + exchanges only.
 
+Partitionless-window policy (PlanAuditSpec enforces this structurally on
+every registered query): a `WindowExec` with an empty partitionSpec may
+only appear ABOVE an aggregation — i.e. over a domain already reduced to
+bounded cardinality (winsorize / histogramQuantiles distinct-value and
+bin prefix-sums, `Scale.binnedGlobalRank` bin offsets, the BPE
+vocab-bounded fold). A partitionless window directly over scans or joins
+fails the suite: that input grows with the data and serializes through
+one task (the round-3 `ev_rfm` defect).
+
 | query | scans | pushed | BHJ | SMJ | BNLJ | exchange | window | rank-pushdown |
 |---|---|---|---|---|---|---|---|---|""")
 for name, plan in sorted(pairs):

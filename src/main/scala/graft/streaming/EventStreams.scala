@@ -183,28 +183,52 @@ object EventStreams {
       max(col("s")).as("last_s"),
       count(lit(1)).as("frequency"),
       sum(col("value").cast("decimal(18,4)")).cast("double").as("monetary"))
-    val nUsers = per.agg(count(lit(1)).as("__n"))
-    val mRange = per.agg(min(col("monetary")).as("__mlo"),
-      max(col("monetary")).as("__mhi"))
+    // one broadcast row: user count + monetary bin range (chaining three
+    // independent binnedGlobalRank calls would re-derive the upstream in
+    // every offset branch — 2^3 plan copies; this form computes all three
+    // offset maps from ONE pass over base, so base appears exactly twice)
+    val stats = per.agg(count(lit(1)).as("__n"),
+      min(col("monetary")).as("__mlo"), max(col("monetary")).as("__mhi"))
     val base = per.crossJoin(broadcast(now))
       .withColumn("recency_days", expr("(now_s - last_s) div 86400"))
-      .crossJoin(broadcast(nUsers))
-      .crossJoin(broadcast(mRange))
+      .crossJoin(broadcast(stats))
     val mWidth = greatest((col("__mhi") - col("__mlo")) / lit(4096.0),
       lit(1e-9))
-    val mBin = least(floor((col("monetary") - col("__mlo")) / mWidth),
-      lit(4095)).cast("long")
-    val ranked = Seq[(org.apache.spark.sql.Column,
-        Seq[org.apache.spark.sql.Column], Boolean, String)](
-      (col("recency_days"),
-        Seq(col("recency_days").asc, col("user_id").asc), true, "__r_rank"),
-      (col("frequency"),
-        Seq(col("frequency").desc, col("user_id").asc), false, "__f_rank"),
-      (mBin,
-        Seq(col("monetary").desc, col("user_id").asc), false, "__m_rank"))
-      .foldLeft(base) { case (df, (bin, ord, asc, rc)) =>
-        graft.ops.Scale.binnedGlobalRank(df, bin, ord, asc, rc)
-      }
+    val binned = base
+      .withColumn("__rbin", col("recency_days"))
+      .withColumn("__fbin", col("frequency"))
+      .withColumn("__mbin",
+        least(floor((col("monetary") - col("__mlo")) / mWidth), lit(4095))
+          .cast("long"))
+    // all three bin-count maps in one exploded aggregation; the prefix-sum
+    // window is partitioned by metric and ordered by a per-metric signed
+    // key (recency ranks ascending, frequency/monetary descending)
+    val counts = binned.select(explode(array(
+      struct(lit("r").as("m"), col("__rbin").as("bin")),
+      struct(lit("f").as("m"), col("__fbin").as("bin")),
+      struct(lit("m").as("m"), col("__mbin").as("bin")))).as("x"))
+      .select(col("x.m").as("m"), col("x.bin").as("bin"))
+      .groupBy(col("m"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val wOff = Window.partitionBy(col("m"))
+      .orderBy(when(col("m") === "r", col("bin")).otherwise(-col("bin")))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+    def offMap(metric: String, binName: String, offName: String) =
+      broadcast(offs.filter(col("m") === metric)
+        .select(col("bin").as(binName), col("off").as(offName)))
+    def inBin(binName: String, ord: Seq[org.apache.spark.sql.Column]) =
+      row_number().over(Window.partitionBy(col(binName)).orderBy(ord: _*))
+    val ranked = binned
+      .join(offMap("r", "__rbin", "__roff"), Seq("__rbin"))
+      .join(offMap("f", "__fbin", "__foff"), Seq("__fbin"))
+      .join(offMap("m", "__mbin", "__moff"), Seq("__mbin"))
+      .withColumn("__r_rank", col("__roff") +
+        inBin("__rbin", Seq(col("recency_days").asc, col("user_id").asc)))
+      .withColumn("__f_rank", col("__foff") +
+        inBin("__fbin", Seq(col("frequency").desc, col("user_id").asc)))
+      .withColumn("__m_rank", col("__moff") +
+        inBin("__mbin", Seq(col("monetary").desc, col("user_id").asc)))
     ranked.select(col("user_id"), col("recency_days"), col("frequency"),
       col("monetary"),
       graft.ops.Scale.ntileFromRank(col("__r_rank"), col("__n"), 5)

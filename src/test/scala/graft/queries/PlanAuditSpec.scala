@@ -221,6 +221,57 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  // ---- partitionless-window regression guard ---------------------------
+  // A WindowExec with an empty partitionSpec serializes its whole input
+  // through ONE task — the ev_rfm-class scale bug round 3 flagged. The
+  // legitimate uses in this codebase (winsorize / histogramQuantiles
+  // prefix-sums, binnedGlobalRank bin offsets, the BPE vocab fold) all run
+  // over a domain that an aggregation has already reduced to bounded
+  // cardinality, so the structural rule is: every partitionless window
+  // must have an aggregation somewhere below it. A window directly over
+  // scans/joins fails — that input grows with the data.
+  test("partitionless windows only ever run above an aggregation") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.inputPlan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    def hasAgg(p: SparkPlan): Boolean = flatten(p).exists {
+      case _: BaseAggregateExec => true
+      case _: SortAggregateExec => true
+      case _ => false
+    }
+    var seen = 0
+    val offenders = graft.SparkEntry.registry.flatMap { q =>
+      val plan = q.fn(spark, sf).queryExecution.executedPlan
+      flatten(plan).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          seen += 1
+          if (hasAgg(w.child)) None
+          else Some(s"${q.name}: Window(" +
+            w.windowExpression.map(_.sql).mkString(";").take(80) + ")")
+      }.flatten
+    }
+    // detector sanity: the bounded-domain prefix-sums (winsorize,
+    // histogramQuantiles, binnedGlobalRank, BPE) must be visible to this
+    // walk — zero sightings would mean the walk missed the window nodes,
+    // not that the codebase has none
+    assert(seen > 5, s"window detector only saw $seen partitionless windows")
+    assert(offenders.isEmpty,
+      "partitionless window over unbounded input (use binnedGlobalRank / " +
+        "a bounded-domain aggregate first): " + offenders.mkString("; "))
+  }
+
+  test("ev_rfm and q_ntile rank via partitioned in-bin windows") {
+    for (name <- Seq("ev_rfm", "q_ntile")) {
+      val p = plan(name)
+      assert(!p.contains("ntile("), s"$name still plans a global ntile")
+    }
+  }
+
   test("column pruning: q01 scan reads only the needed lineitem columns") {
     val p = plan("q01_pricing_summary")
     val schema = "ReadSchema: struct<" +
