@@ -78,11 +78,15 @@ object GraphOps {
     * combining is partition-order-free and the scores are bit-replicable
     * (the same determinism argument as [[integerPageRank]]; float HITS
     * with L2 normalization would not be). Emits (node, hub, auth) with
-    * hub = hub₁ and auth = auth₂. */
+    * hub = hub₁ and auth = auth₂. The edge set is deduped here (as
+    * [[triangleCounts]] canonicalizes its own): duplicate edge rows would
+    * otherwise double-count hub/auth mass, and the function's contract
+    * should not depend on the caller pre-aggregating. */
   def hitsScores(spark: SparkSession, edges: DataFrame): DataFrame = {
     val edgeRdd = edges.select(
       col(edges.columns(0)).cast("long"), col(edges.columns(1)).cast("long"))
       .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .distinct()
     val g0 = Graph.fromEdgeTuples(edgeRdd, defaultValue = 1)
     val auth1 = g0.aggregateMessages[Long](ctx => ctx.sendToDst(1L), _ + _)
     val g1 = g0.outerJoinVertices(auth1)((_, _, a) => a.getOrElse(0L))

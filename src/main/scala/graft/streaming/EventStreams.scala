@@ -513,8 +513,11 @@ object EventStreams {
     * the batch twin for the already-emitted later rows (they are not
     * retracted) — the same append-mode contract as [[statefulFunnel]];
     * a late event still gets ITS correct window while its predecessors
-    * remain buffered. Idle per-user state expires one hour past the
-    * watermark. */
+    * remain buffered. Idle per-user state expires one hour of EVENT TIME
+    * past that user's newest event (clamped past the watermark) — a user
+    * resuming after a longer gap restarts with an empty buffer, so the
+    * bit-for-bit claim holds within any stretch of activity without a
+    * 1h+ event-time gap. */
   def statefulRollingStats(stream: DataFrame, w: Int = 5): org.apache.spark.sql.Dataset[RollOut] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = stream.sparkSession
@@ -540,7 +543,14 @@ object EventStreams {
             vals.map(dec).sum.toDouble, vals.min, vals.max)
         }
         state.update(RollState(buf.takeRight(w - 1)))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3600000L)
+        // arm off the newest event time clamped past the watermark (as the
+        // sessionize/funnel siblings) — watermark-relative arming alone
+        // would land at epoch+1h on the first trigger (watermark 0) and
+        // then expire every quiet key as soon as the watermark jumps,
+        // dropping its w-1 buffer mid-stream
+        val maxUs = incoming.map(e => us(e.ts)).max
+        state.setTimeoutTimestamp(math.max(
+          maxUs / 1000L + 3600000L, state.getCurrentWatermarkMs() + 1))
         out.iterator
       }
     }

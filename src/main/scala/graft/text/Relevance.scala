@@ -153,7 +153,10 @@ object Relevance {
     * Integer bound: c_xy · 10⁶ · N < 2⁶³ holds while c_xy·N ≤ 9.2·10¹²
     * (comfortably true for any per-partition or benched corpus here; a
     * full 100 TB run would shard the count tables and rescale to ppb
-    * per shard before merging).
+    * per shard before merging). The bound is ENFORCED: exceeding it
+    * raises on the Spark side too (non-ANSI BIGINT would otherwise wrap
+    * silently while the DuckDB oracle errors — a silent wrong answer on
+    * one engine and a loud one on the other).
     *
     * Scale: bigram adjacency is the same doc-local lag window as
     * [[bigramLmScore]] (one shuffle on doc_id); counts are partial-
@@ -176,7 +179,13 @@ object Relevance {
       .join(uni.select(col("word").as("w1"), col("c").as("c_x")), Seq("w1"))
       .join(uni.select(col("word").as("w2"), col("c").as("c_y")), Seq("w2"))
       .crossJoin(broadcast(total))
-      .withColumn("lift_ppm", expr("(c_xy * 1000000 * n_tokens) div (c_x * c_y)"))
+      .withColumn("lift_ppm",
+        when(col("c_xy") <= lit(Long.MaxValue / 1000000L) / col("n_tokens"),
+          expr("(c_xy * 1000000 * n_tokens) div (c_x * c_y)"))
+          .otherwise(raise_error(concat(
+            lit("pmiCollocations: c_xy*n_tokens exceeds the 64-bit ppm " +
+              "bound (shard the count tables and rescale, see scaladoc); " +
+              "c_xy="), col("c_xy"), lit(" n_tokens="), col("n_tokens")))))
       .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
         col("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))

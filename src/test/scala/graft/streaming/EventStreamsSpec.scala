@@ -298,6 +298,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("statefulRollingStats keeps a quiet user's buffer across triggers " +
+    "(timeout arms off event time, not the watermark)") {
+    // three triggers: user 1 active, then only user 2 (watermark jumps),
+    // then user 1 again WITHIN 1h of its own last event. Watermark-relative
+    // timeout arming would expire user 1 in trigger 2 (first-trigger
+    // watermark is 0 → timeout lands at epoch+1h) and its third event
+    // would roll over an empty buffer; event-time arming keeps the buffer.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val input = ms.toDF.toDF("user_id", "ts", "event_id", "value")
+      .withWatermark("ts", "10 minutes")
+    val q = EventStreams.statefulRollingStats(input).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rollsurvive").start()
+    try {
+      ms.addData((1L, ts(0), 1L, 10.0), (1L, ts(1), 2L, 20.0))
+      q.processAllAvailable()
+      ms.addData((2L, ts(50), 3L, 1.0))
+      q.processAllAvailable()
+      ms.addData((1L, ts(55), 4L, 30.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("rollsurvive")
+      .select(col("event_id"), col("roll_n"), col("roll_sum"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(4L) === ((3L, 60.0)),
+      s"user 1's buffer was dropped between triggers: ${got(4L)}")
+  }
+
   test("anomalyFlags: upper-median threshold, per-user isolation") {
     import org.apache.spark.sql.functions.to_timestamp
     val e = Seq(
