@@ -141,6 +141,36 @@ object SideEffectPipeline {
     graft.core.SchemaRegistry.conformNodes(raw, "side_effect")
   }
 
+  /** ADReCS side-effect hierarchy edges
+    * (side_effect.py:402-417 `get_adrecs_side_effect_hierarchical_edges`):
+    * one child→parent edge per ontology relation where BOTH ends resolve
+    * through the adrecs_adr_id→meddra broadcast dict (:411 — the
+    * both-present guard drops relations with an unmapped end), meddra
+    * CURIE prefixes, label `side_effect_is_a_side_effect`. NOTE the
+    * reference only reaches this builder under the swapped
+    * DRUG_TO_SIDE_EFFECT guard (side_effect.py:366-367, the §7.3.8 bug);
+    * the engine wires each builder to its own semantics
+    * (ReferenceDeviationsSpec). Analog: relations child ck → parent ck/7
+    * over the customer domain; the dict covers ids with ck%4≠0. */
+  def hierarchyEdges(s: SparkSession, d: String): DataFrame = {
+    val dict = Tables.customer(s, d)
+      .filter(col("c_custkey") % 4 =!= 0)
+      .select(col("c_custkey").as("from_id"),
+        col("c_custkey").cast("string").as("meddra_id"))
+    val rel = Tables.customer(s, d).filter(col("c_custkey") >= 7)
+      .select(col("c_custkey").as("child"),
+        floor(col("c_custkey") / 7).cast("long").as("parent"))
+    rel
+      .join(broadcast(dict.withColumnRenamed("meddra_id", "child_meddra")),
+        col("child") === col("from_id")).drop("from_id")
+      .join(broadcast(dict.withColumnRenamed("meddra_id", "parent_meddra")),
+        col("parent") === col("from_id")).drop("from_id")
+      .select(
+        concat(lit("meddra:"), col("child_meddra")).as("src"),
+        concat(lit("meddra:"), col("parent_meddra")).as("dst"),
+        lit("side_effect_is_a_side_effect").as("label"))
+  }
+
   /** merge_drug_side_effect_data: (adrecs ⟗ sider) ⟗ offsides, source
     * pipe-merged, value columns coalesced. */
   def merged(s: SparkSession, d: String): DataFrame =

@@ -386,8 +386,23 @@ object NodeBuilderQueries {
     (s, d) => graft.pipelines.SideEffectPipeline.mergedSinglePass(s, d)
   }
 
+  /** ADReCS hierarchy (side_effect.py:402-417): both-ends-mapped
+    * child→parent meddra edges. */
+  val sideEffectHierarchy = Q(
+    "side_effect_hierarchy",
+    """WITH d AS (SELECT c_custkey AS f FROM customer WHERE c_custkey % 4 <> 0)
+      |SELECT 'meddra:' || c_custkey AS src,
+      |  'meddra:' || (c_custkey // 7) AS dst,
+      |  'side_effect_is_a_side_effect' AS label
+      |FROM customer
+      |JOIN d dc ON c_custkey = dc.f
+      |JOIN d dp ON (c_custkey // 7) = dp.f
+      |WHERE c_custkey >= 7""".stripMargin) { (s, d) =>
+    SideEffectPipeline.hierarchyEdges(s, d)
+  }
+
   val all: Seq[Q] = Seq(sideEffects, ecNodes, ecEdges, phenotypeEdges,
     goNodes, goEdges, domainNodes, domainEdges, uniprotNodes,
     drugNodes, diseaseNodes, compoundNodes, sideEffectNodes, pathwayNodes,
-    sideEffectsFast)
+    sideEffectsFast, sideEffectHierarchy)
 }
