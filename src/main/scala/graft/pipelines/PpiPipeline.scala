@@ -233,6 +233,13 @@ object PpiPipeline {
     * props, the reference's `get_edges()` tuple shape (ppi.py:58-71 sink). */
   def edges(s: SparkSession, d: String): DataFrame = emitEdges(merged(s, d))
 
+  /** [[edges]] over [[mergedSinglePass]]: same 5-tuple emit, one fact scan
+    * instead of the three-source chain (the flagship pair already enforces
+    * merged ≡ mergedSinglePass bit-equality under one oracle; this twin
+    * puts the edge PROJECTION of that equality on its own oracle row). */
+  def edgesFast(s: SparkSession, d: String): DataFrame =
+    emitEdges(mergedSinglePass(s, d))
+
   private def emitEdges(m: DataFrame): DataFrame =
     m.select(
       concat_ws("_", lit("ppi"), col("a"), col("b")).as("rel_id"),

@@ -110,5 +110,11 @@ object PipelineQueries {
     (s, d) => PpiPipeline.nodes(s, d)
   }
 
-  val all: Seq[Q] = Seq(ppiFlagship, ppiFlagshipFast, ppiEdges, ppiNodes)
+  /** Edge emit over the single-pass merge, same oracle as ppi_edges. */
+  val ppiEdgesFast = Q("ppi_edges_fast", ppiEdges.oracle.get) {
+    (s, d) => PpiPipeline.edgesFast(s, d)
+  }
+
+  val all: Seq[Q] = Seq(ppiFlagship, ppiFlagshipFast, ppiEdges, ppiNodes,
+    ppiEdgesFast)
 }
