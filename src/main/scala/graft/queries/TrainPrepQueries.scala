@@ -266,7 +266,45 @@ object TrainPrepQueries {
       .select(col("doc_id"), col("n_chars"), col("clamped"), col("was_clipped"))
   }
 
+  /** Deterministic global training-order shuffle + balanced 16-way shard
+    * assignment (round-robin on the exact md5-order global position; no
+    * corpus-sized one-task window — Scale.binnedGlobalRank over uniform
+    * hash cells). */
+  val xShard = Q(
+    "x_shard",
+    """SELECT doc_id, pos, (pos - 1) % 16 AS shard,
+      |  (pos - 1) // 16 + 1 AS pos_in_shard
+      |FROM (SELECT doc_id, row_number() OVER (ORDER BY h, doc_id) AS pos
+      |  FROM (SELECT doc_id,
+      |      ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS h
+      |    FROM documents))""".stripMargin) { (s, d) =>
+    TrainPrep.shardAssign(Tables.documents(s, d), "doc_id", nShards = 16)
+      .select(col("doc_id"), col("pos"), col("shard"), col("pos_in_shard"))
+  }
+
+  /** Weighted fair-queueing interleave across sources (the mixture
+    * SCHEDULE): source weight w = (numeric suffix % 4) + 1 here standing in
+    * for a configured mixture map; a weight-4 source appears 4× as often as
+    * a weight-1 source at every prefix of the global order. */
+  val xInterleave = Q(
+    "x_interleave",
+    """WITH h AS (SELECT doc_id, source,
+      |    ('0x' || substr(md5('ilv:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS h
+      |  FROM documents),
+      |r AS (SELECT doc_id, source,
+      |    CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w,
+      |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+      |  FROM h),
+      |v AS (SELECT doc_id, source, rn, (rn * 1000000) // w AS vt FROM r)
+      |SELECT doc_id, source, CAST(rn AS BIGINT) AS rn, vt,
+      |  row_number() OVER (ORDER BY vt, source, rn) AS pos
+      |FROM v""".stripMargin) { (s, d) =>
+    TrainPrep.interleaveOrder(Tables.documents(s, d), "doc_id", "source",
+        weight = expr("CAST(substr(source, 4, 8) AS BIGINT) % 4 + 1"))
+      .select(col("doc_id"), col("source"), col("rn"), col("vt"), col("pos"))
+  }
+
   val all: Seq[Q] = Seq(xSplit, xPack, xScrub, xSample, xDecontaminate,
     xIncremental, xMixRebalance, xWeightedSample, xBudgetSelect, xChunk,
-    xWinsorize)
+    xWinsorize, xShard, xInterleave)
 }

@@ -211,4 +211,81 @@ object TrainPrep {
       .withColumn("was_clipped", v =!= col("clamped"))
       .drop("lo", "hi")
   }
+
+  /** Deterministic global training-order shuffle + balanced shard
+    * assignment — the step between "selected corpus" and "shard files a
+    * training loader streams": every document gets an exact global
+    * position `pos` (1..n) under a content-independent md5 order (stable
+    * across re-runs and re-partitioning, unlike `orderBy(rand())`), a
+    * round-robin `shard` in 0..nShards-1 (shard sizes differ by at most
+    * one), and its 1-based `pos_in_shard`.
+    *
+    * The global order comes from [[graft.ops.Scale.binnedGlobalRank]] over
+    * fixed-width cells of the 56-bit hash domain — md5 output is uniform,
+    * so the `bins` cells are balanced by construction and no corpus-sized
+    * single-partition window ever runs. Round-robin (not contiguous
+    * blocks) so every shard is itself an unbiased sample of the corpus —
+    * a loader reading any shard prefix sees the full mix. */
+  def shardAssign(
+      docs: DataFrame, idCol: String, nShards: Int,
+      bins: Int = 4096): DataFrame = {
+    require(nShards > 0, "shardAssign: nShards must be positive")
+    val width = (1L << 56) / bins
+    val hashed = docs.withColumn("__h",
+      TextFns.portableHash(col(idCol).cast("string"), lit("shard")))
+    graft.ops.Scale.binnedGlobalRank(hashed,
+        expr(s"__h div ${width}L"),
+        Seq(col("__h").asc, col(idCol).asc),
+        binAsc = true, rankCol = "pos")
+      .withColumn("shard", expr(s"(pos - 1) % $nShards"))
+      .withColumn("pos_in_shard", expr(s"(pos - 1) div $nShards + 1"))
+      .drop("__h")
+  }
+
+  /** Deterministic weighted interleave of sources — the mixture SCHEDULE
+    * (not just the mixture proportions): a global reading order in which a
+    * source with weight w contributes one document per 1/w "virtual time"
+    * units, i.e. weight-4 and weight-1 sources interleave 4:1 all the way
+    * down the corpus instead of concatenating. This is weighted fair
+    * queueing: each document's virtual finish time is
+    * `vt = rn·10⁶ ⌊/⌋ w` (rn = its position in its source's own
+    * hash-shuffled stream), and the global order is (vt, source, rn) —
+    * pure integer arithmetic, engine-exact.
+    *
+    * Scale: the per-source rank is a window PARTITIONED by source; the
+    * global position again routes through
+    * [[graft.ops.Scale.binnedGlobalRank]], with fixed-width vt cells from
+    * a broadcast max — never a corpus-sized one-task window. */
+  def interleaveOrder(
+      docs: DataFrame, idCol: String, sourceCol: String, weight: Column,
+      bins: Int = 4096): DataFrame = {
+    val wSrc = Window.partitionBy(col(sourceCol))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    val vt = docs
+      .withColumn("__h",
+        TextFns.portableHash(col(idCol).cast("string"), lit("ilv")))
+      .withColumn("w", weight.cast("long"))
+      .withColumn("rn", row_number().over(wSrc).cast("long"))
+      .withColumn("vt", expr("(rn * 1000000) div w"))
+      .drop("__h")
+    val cellWidth = vt.agg(max(col("vt")).as("mx"))
+      .select(expr(s"greatest((mx + ${bins - 1}) div $bins, 1L)").as("__w"))
+    graft.ops.Scale.binnedGlobalRank(
+        vt.crossJoin(broadcast(cellWidth)),
+        expr("vt div __w"),
+        Seq(col("vt").asc, col(sourceCol).asc, col("rn").asc),
+        binAsc = true, rankCol = "pos")
+      .drop("__w")
+  }
+
+  /** Materialize [[shardAssign]] output as training shards: one
+    * `shard=N/` parquet directory per shard, rows inside each shard laid
+    * down in `pos_in_shard` order (a loader reads the files and replays
+    * the exact global shuffle without sorting anything). One hash exchange
+    * on the shard id; each task writes its shards' files already sorted. */
+  def writeShards(sharded: DataFrame, outDir: String): Unit =
+    sharded
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos_in_shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 }
