@@ -194,4 +194,65 @@ object GraphOps {
       .join(labels.select(col("vid").as("avid"), col("label").as("ancestor")), "avid")
       .select("node", "ancestor")
   }
+
+  /** Relational transitive ancestor closure — the scale-path twin of
+    * [[ancestorClosure]] (same (node, ancestor) output, proven equal in
+    * GraphOpsSpec): textbook semi-naïve evaluation. The delta (pairs first
+    * reached this round) joins the base edge set, new pairs are what the
+    * closure hasn't seen (left-anti), and the loop ends when a round adds
+    * nothing — exactly `depth` rounds for a depth-d hierarchy.
+    *
+    * Why it beats Pregel here: no DataFrame→RDD re-encode, no vertex-id
+    * hashing (labels join directly), no Set-of-ancestors vertex state to
+    * serialize each superstep — every round is one shuffle join + one
+    * anti-join on (node, ancestor), all inside Tungsten. Each round's
+    * delta/closure persist and the superseded generation unpersists, so
+    * lineage stays flat on deep hierarchies. The per-round `isEmpty` is a
+    * driver-side termination probe on an empty-or-not question — the same
+    * O(1)-row action Pregel's own loop runs internally — not a collect of
+    * data. `maxIterations` bounds the loop (a round per hierarchy level;
+    * cycles saturate to their reachability pairs like the Pregel form)
+    * and hitting the bound before the fixpoint fails loudly. */
+  def ancestorClosureRelational(
+      childParent: DataFrame, maxIterations: Int = 50): DataFrame = {
+    // the edge set is the hierarchy itself — dimension-sized by nature
+    // (ontologies, org charts, date rollups), so it materializes ONCE from
+    // the input (one upstream scan) and every round joins against its
+    // broadcast: the per-round shuffles are only the small delta dedup and
+    // the anti-join against the growing closure
+    val e = childParent
+      .select(col(childParent.columns(0)).as("mid"), col(childParent.columns(1)).as("up"))
+      .distinct().persist()
+    var closure = e.select(col("mid").as("node"), col("up").as("ancestor"))
+      .persist()
+    var delta = closure
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxIterations) {
+      val next = delta.select(col("node"), col("ancestor").as("mid"))
+        .join(broadcast(e), "mid")
+        .select(col("node"), col("up").as("ancestor"))
+        .distinct()
+        .join(closure, Seq("node", "ancestor"), "left_anti")
+        .persist()
+      // ONE action per round (the termination probe Pregel also pays);
+      // count() fully materializes next's cache as a side effect, so later
+      // rounds and the final union never re-run this round's joins
+      if (next.count() == 0) {
+        next.unpersist(); done = true
+      } else {
+        closure = closure.unionByName(next).persist()
+        delta = next
+      }
+      rounds += 1
+    }
+    require(done,
+      s"ancestor closure not converged after $maxIterations rounds — " +
+        "raise maxIterations (or the hierarchy has a cycle)")
+    // superseded generations stay cached until the session drops them: the
+    // returned plan reads every round's cached delta through the final
+    // union, so eager unpersist here would force a full lineage recompute
+    // on the caller's first action
+    closure.filter(col("node") =!= col("ancestor"))
+  }
 }

@@ -77,4 +77,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.size === 4 + 3 + 2 + 1)
     assert(got.contains(("a", "e")))
   }
+
+  test("ancestorClosureRelational equals the Pregel closure on a random DAG") {
+    // random-ish layered DAG: 40 nodes in 5 layers, deterministic edges
+    // from each node to 1-2 nodes of the next layer, plus a long chain so
+    // several semi-naive rounds are exercised
+    val layered = for {
+      layer <- 0 until 4
+      i <- 0 until 8
+      j <- Seq(i % 8, (i * 3 + layer) % 8).distinct
+    } yield (s"n${layer}_$i", s"n${layer + 1}_$j")
+    val chain = (0 until 6).map(i => (s"c$i", s"c${i + 1}"))
+    val edges = (layered ++ chain).toDF("child", "parent")
+    val pregel = GraphOps.ancestorClosure(spark, edges)
+      .as[(String, String)].collect().toSet
+    val relational = GraphOps.ancestorClosureRelational(edges)
+      .as[(String, String)].collect().toSet
+    assert(relational === pregel)
+  }
+
+  test("ancestorClosureRelational fails loudly when the hierarchy outruns maxIterations") {
+    val edges = (0 until 10).map(i => (s"c$i", s"c${i + 1}"))
+      .toDF("child", "parent")
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.ancestorClosureRelational(edges, maxIterations = 3).count()
+    }
+    assert(ex.getMessage.contains("not converged"))
+  }
 }
