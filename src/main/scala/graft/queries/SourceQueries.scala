@@ -39,6 +39,42 @@ object SourceQueries {
     Sinks.flatRecordFieldsKeyed(records)
   }
 
+  /** S12 through the DSv2 splittable source (graft.sources.v2
+    * .KeggFlatSource): the SAME oracle as s12_flat_records, but the flat
+    * records round-trip through real files and come back via
+    * `format("kegg-flat")` with a small splitSize so byte-range splits and
+    * record-boundary alignment are exercised on the driver path too (not
+    * just in KeggFlatSourceSpec). The source's stable `offset` keys the
+    * parse; the emitted rec_id is re-keyed from each record's ENTRY
+    * section (a broadcast-sized self-join on the record key). */
+  val s12Dsv2Scan = Q(
+    "s12_dsv2_scan",
+    """SELECT s_suppkey AS rec_id, 'ENTRY' AS section,
+      |  CAST(s_suppkey AS VARCHAR) AS value FROM supplier
+      |UNION ALL
+      |SELECT s_suppkey, 'NAME',
+      |  s_name || ' ' || CAST(s_acctbal AS VARCHAR) FROM supplier
+      |UNION ALL
+      |SELECT s_suppkey, 'NATION', CAST(s_nationkey AS VARCHAR) FROM supplier"""
+      .stripMargin) { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_kegg_dsv2").toString
+    Tables.supplier(s, d).select(
+      concat(
+        lit("ENTRY       "), col("s_suppkey"), lit("\n"),
+        lit("NAME        "), col("s_name"), lit("\n"),
+        lit("            "), col("s_acctbal").cast("string"), lit("\n"),
+        lit("NATION      "), col("s_nationkey"), lit("\n///")).as("value"))
+      .write.mode("overwrite").text(dir)
+    val src = s.read.format("kegg-flat")
+      .option("path", dir).option("splitSize", "4096").load()
+      .select(col("offset").as("rec_id"), col("record"))
+    val parsed = Sinks.flatRecordFieldsKeyed(src)
+    val keys = parsed.filter(col("section") === "ENTRY")
+      .select(col("rec_id"), col("value").cast("long").as("entry_id"))
+    parsed.join(broadcast(keys), Seq("rec_id"))
+      .select(col("entry_id").as("rec_id"), col("section"), col("value"))
+  }
+
   /** S3/S22: chunked-CSV sink round trip — write the nation table through
     * the chunked header-CSV sink (Neo4j escaping at the boundary, 7 rows
     * per file so chunking actually happens), read the files back, emit the
@@ -97,5 +133,6 @@ object SourceQueries {
       selected = Set("type", "full_mwt", "qed_score"))
   }
 
-  val all: Seq[Q] = Seq(s12FlatRecords, s3CsvRoundtrip, fCleanupPack, p10Conform)
+  val all: Seq[Q] = Seq(s12FlatRecords, s12Dsv2Scan, s3CsvRoundtrip,
+    fCleanupPack, p10Conform)
 }

@@ -1,0 +1,279 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for KEGG-style `///`-delimited flat-record files
+  * (S12, reference kegg_local.py:211-274 record framing).
+  *
+  * The built-in text source can split this format only by treating `///`
+  * as a line separator, which caps parallelism at one task per FILE. This
+  * source is byte-range SPLITTABLE the way the 100 TB layout needs: each
+  * file is planned into `splitSize`-byte input partitions and every reader
+  * aligns itself to record boundaries exactly like Hadoop text splits do —
+  * a reader whose split starts mid-record skips forward to the first
+  * delimiter line ending at or after its start offset, and the reader
+  * owning a record's START byte consumes the whole record even when it
+  * straddles the split end. Every byte belongs to exactly one reader's
+  * records for ANY split size (property-tested in KeggFlatSourceSpec
+  * across split sizes down to 16 bytes).
+  *
+  * Schema: `offset BIGINT` (byte offset of the record frame's first byte
+  * within its file — a stable, partition-count-independent record id,
+  * unlike monotonically_increasing_id), `file STRING`, `record STRING`
+  * (raw record text, delimiter and surrounding blank padding stripped).
+  * Column pruning is pushed down: a scan that only needs `offset` never
+  * materializes record strings (the byte scan still runs — boundaries are
+  * data-dependent — but per-record string allocation does not; asserted
+  * on the scan's readSchema in KeggFlatSourceSpec). Parsing into
+  * (section, value) rows stays OUT of the source, in the declarative plan
+  * (`Sinks.flatRecordFieldsKeyed`), where Catalyst can prune/push/codegen
+  * it — the source does IO and record framing only.
+  *
+  * Options: `path` (file or directory; directories list non-hidden
+  * files), `splitSize` (target bytes per input partition, default
+  * 128 MiB).
+  */
+class KeggFlatSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "kegg-flat"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KeggFlatSource.schema
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new KeggFlatTable(new CaseInsensitiveStringMap(properties))
+}
+
+object KeggFlatSource {
+  val schema: StructType = StructType(Seq(
+    StructField("offset", LongType, nullable = false),
+    StructField("file", StringType, nullable = false),
+    StructField("record", StringType, nullable = false)))
+}
+
+private[v2] class KeggFlatTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"kegg-flat(${options.get("path")})"
+  override def schema(): StructType = KeggFlatSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new KeggFlatScanBuilder(o)
+}
+
+private[v2] class KeggFlatScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = KeggFlatSource.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve source column order regardless of the requested order
+    required = StructType(
+      KeggFlatSource.schema.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = {
+    val path = options.get("path")
+    require(path != null, "kegg-flat: 'path' option is required")
+    val splitSize = Option(options.get("splitSize")).map(_.toLong)
+      .getOrElse(128L * 1024 * 1024)
+    require(splitSize > 0, "kegg-flat: splitSize must be positive")
+    new KeggFlatScan(path, splitSize, required)
+  }
+}
+
+private[v2] class KeggFlatScan(
+    path: String, splitSize: Long, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"kegg-flat path=$path splitSize=$splitSize cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // driver-side planning touches only file METADATA (names + lengths)
+    val conf = new Configuration()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val files: Seq[FileStatus] =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).toSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .sortBy(_.getPath.getName)
+      else Seq(fs.getFileStatus(root))
+    files.flatMap { st =>
+      val len = st.getLen
+      if (len == 0) Nil
+      else (0L until len by splitSize).map { start =>
+        KeggFlatPartition(
+          st.getPath.toString, start, math.min(splitSize, len - start))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KeggFlatReaderFactory(required)
+}
+
+private[v2] case class KeggFlatPartition(file: String, start: Long, length: Long)
+    extends InputPartition
+
+private[v2] class KeggFlatReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new KeggFlatReader(p.asInstanceOf[KeggFlatPartition], required)
+}
+
+/** Streams one byte-range split in a single buffered pass, O(one record)
+  * memory: record bytes accumulate only while a record is being assembled
+  * and only if the `record` column survived pruning.
+  *
+  * Framing contract: a delimiter is a line that is exactly `///`; the
+  * frame after it starts at the byte following its newline. A frame whose
+  * content is all whitespace emits no row (both in pruned and unpruned
+  * mode — `hasContent` is tracked on raw bytes so the row COUNT never
+  * depends on pruning). A record belongs to the split containing its
+  * frame's first byte.
+  */
+private[v2] class KeggFlatReader(
+    part: KeggFlatPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val needRecord = required.fieldNames.contains("record")
+  private val fieldGetters: Array[(Long, String) => Any] =
+    required.fields.map { f =>
+      f.name match {
+        case "offset" => (off: Long, _: String) => java.lang.Long.valueOf(off)
+        case "file" => (_: Long, _: String) => UTF8String.fromString(part.file)
+        case "record" => (_: Long, rec: String) => UTF8String.fromString(rec)
+      }
+    }
+
+  private val hPath = new Path(part.file)
+  private val fs = hPath.getFileSystem(new Configuration())
+  private val fileLen = fs.getFileStatus(hPath).getLen
+  private val in = new java.io.BufferedInputStream(fs.open(hPath), 64 * 1024)
+  private val splitEnd = part.start + part.length
+
+  /** Absolute offset of the next unread byte. */
+  private var pos: Long = 0L
+
+  // Align to the first frame owned by this split. Split 0 owns the frame
+  // at byte 0. Any other split seeks back far enough to see a "\n///\n"
+  // delimiter whose END lands exactly on its start byte (5 bytes), then
+  // scans forward for the first delimiter line ending at or after
+  // `start`; the frame it opens is this split's first. A candidate only
+  // counts when its preceding byte is a newline (or it sits at file
+  // offset 0) — a content line merely ENDING in /// is not framing.
+  locally {
+    if (part.start == 0L) { skipFully(0L) }
+    else {
+      val from = math.max(0L, part.start - 5)
+      skipFully(from)
+      var boundary = -1L
+      // last 5 bytes read, as a rolling window; window(4) is newest
+      val w = Array.fill(5)(-1)
+      var b = read()
+      while (boundary < 0 && b >= 0) {
+        System.arraycopy(w, 1, w, 0, 4); w(4) = b
+        val delimLine = w(1) == '/' && w(2) == '/' && w(3) == '/' && w(4) == '\n' &&
+          (w(0) == '\n' || pos - 4 == 0L)
+        if (delimLine && pos >= part.start) boundary = pos
+        else b = read()
+      }
+      if (boundary < 0) pos = fileLen // no boundary in range: nothing here
+    }
+  }
+
+  private var current: InternalRow = _
+  private val buf = new java.io.ByteArrayOutputStream()
+  private var line = new Array[Byte](256)
+  private var lineLen = 0
+
+  override def next(): Boolean = {
+    while (pos < splitEnd && pos < fileLen) {
+      val frameStart = pos
+      buf.reset()
+      var hasContent = false
+      var sawDelim = false
+      var atEof = false
+      while (!sawDelim && !atEof) {
+        val got = readLine()
+        if (!got) atEof = true
+        else if (isDelimLine) sawDelim = true
+        else {
+          var i = 0
+          while (!hasContent && i < lineLen) {
+            val c = line(i)
+            if (c != ' ' && c != '\t' && c != '\r') hasContent = true
+            i += 1
+          }
+          if (needRecord) { buf.write(line, 0, lineLen); buf.write('\n') }
+        }
+      }
+      if (hasContent) {
+        val rec =
+          if (needRecord)
+            buf.toString("UTF-8").replaceAll("^\\s+|\\s+$", "")
+          else ""
+        current = InternalRow.fromSeq(
+          fieldGetters.map(g => g(frameStart, rec)).toIndexedSeq)
+        return true
+      }
+      // all-whitespace frame: fall through and try the next frame
+    }
+    false
+  }
+
+  /** Reads one `\n`-terminated line into `line`/`lineLen` (terminator
+    * consumed, not stored). False when EOF arrived before any byte.
+    * Advances `pos`. */
+  private def readLine(): Boolean = {
+    if (pos >= fileLen) return false
+    lineLen = 0
+    var b = read()
+    if (b < 0) return false
+    while (b >= 0 && b != '\n') {
+      if (lineLen == line.length) line = util.Arrays.copyOf(line, line.length * 2)
+      line(lineLen) = b.toByte
+      lineLen += 1
+      b = read()
+    }
+    true
+  }
+
+  /** The current line is a delimiter iff it is exactly `///` (strict LF
+    * framing — matches the split-alignment scan above). */
+  private def isDelimLine: Boolean =
+    lineLen == 3 && line(0) == '/' && line(1) == '/' && line(2) == '/'
+
+  private def read(): Int = {
+    val b = in.read()
+    if (b >= 0) pos += 1
+    b
+  }
+
+  private def skipFully(target: Long): Unit = {
+    var remaining = target - pos
+    while (remaining > 0) {
+      val skipped = in.skip(remaining)
+      if (skipped <= 0) { if (in.read() < 0) return else remaining -= 1 }
+      else remaining -= skipped
+    }
+    pos = target
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}

@@ -1,0 +1,136 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The DSv2 kegg-flat source: record framing, split-boundary alignment
+  * (result identical for any splitSize), column pruning, directory
+  * listing, and agreement with the lineSep-based `Sinks.flatRecords`
+  * parse path. */
+class KeggFlatSourceSpec extends SparkSpec {
+
+  private def writeFlat(dir: Path, name: String, records: Seq[String]): Unit = {
+    val body = records.map(r => s"$r\n///\n").mkString
+    Files.write(dir.resolve(name), body.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def mkRecords(n: Int, seed: Int): Seq[String] =
+    (0 until n).map { i =>
+      val extra =
+        if ((i + seed) % 3 == 0) s"\n            continuation $i line"
+        else ""
+      s"ENTRY       R$i\nNAME        name-$i value ${i * seed}$extra\nNATION      ${i % 7}"
+    }
+
+  test("reads records with offsets; agrees with the lineSep parse path") {
+    val dir = Files.createTempDirectory("kegg_dsv2")
+    val recs = mkRecords(20, seed = 1)
+    writeFlat(dir, "a.flat", recs)
+    val got = spark.read.format("kegg-flat")
+      .option("path", dir.resolve("a.flat").toString).load()
+    assert(got.columns.toSeq === Seq("offset", "file", "record"))
+    val records = got.select("record").as[String](
+      org.apache.spark.sql.Encoders.STRING).collect().toSeq
+    assert(records.sorted === recs.sorted)
+    // offsets are strictly increasing and start at 0
+    val offs = got.select("offset").as[Long](
+      org.apache.spark.sql.Encoders.scalaLong).collect().toSeq.sorted
+    assert(offs.head === 0L)
+    assert(offs.distinct.size === recs.size)
+    // same records as the built-in lineSep path
+    val viaLineSep = Sinks.flatRecords(spark, dir.resolve("a.flat").toString)
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq
+    assert(records.sorted === viaLineSep.sorted)
+  }
+
+  test("split-boundary alignment: identical result for any splitSize") {
+    val dir = Files.createTempDirectory("kegg_dsv2_split")
+    // records of varying size so boundaries land mid-record, mid-line,
+    // mid-delimiter, and exactly on frame starts
+    val recs = mkRecords(60, seed = 7) ++ Seq(
+      "ENTRY       X\nLONG        " + ("z" * 500),
+      "ENTRY       tiny")
+    writeFlat(dir, "b.flat", recs)
+    val path = dir.resolve("b.flat").toString
+    val baseline = spark.read.format("kegg-flat")
+      .option("path", path).load()
+      .select("offset", "record").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    for (split <- Seq(16, 64, 256, 1024, 1 << 20)) {
+      val got = spark.read.format("kegg-flat")
+        .option("path", path).option("splitSize", split.toString).load()
+        .select("offset", "record").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === baseline, s"splitSize=$split diverged")
+    }
+  }
+
+  test("frames with only whitespace emit no row, in pruned and unpruned mode") {
+    val dir = Files.createTempDirectory("kegg_dsv2_blank")
+    val body = "///\nENTRY  A\n///\n\n///\n   \n///\nENTRY  B\n///\n"
+    Files.write(dir.resolve("c.flat"), body.getBytes(StandardCharsets.UTF_8))
+    val path = dir.resolve("c.flat").toString
+    val full = spark.read.format("kegg-flat").option("path", path).load()
+    assert(full.count() === 2)
+    // pruned scan (offset only) must agree on the row count
+    assert(full.select("offset").count() === 2)
+    val recs = full.select("record").as[String](
+      org.apache.spark.sql.Encoders.STRING).collect().toSet
+    assert(recs === Set("ENTRY  A", "ENTRY  B"))
+  }
+
+  test("column pruning reaches the scan") {
+    val dir = Files.createTempDirectory("kegg_dsv2_prune")
+    writeFlat(dir, "d.flat", mkRecords(5, seed = 3))
+    val df = spark.read.format("kegg-flat")
+      .option("path", dir.resolve("d.flat").toString).load()
+      .select("offset")
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.readSchema().fieldNames.toSeq === Seq("offset"))
+  }
+
+  test("directory input lists files; hidden/_ files skipped") {
+    val dir = Files.createTempDirectory("kegg_dsv2_dir")
+    writeFlat(dir, "p1.flat", mkRecords(4, seed = 2))
+    writeFlat(dir, "p2.flat", mkRecords(3, seed = 5))
+    Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
+    Files.write(dir.resolve(".hidden"), "ENTRY  H\n///\n".getBytes)
+    val got = spark.read.format("kegg-flat")
+      .option("path", dir.toString).load()
+    assert(got.count() === 7)
+    assert(got.select("file").distinct().count() === 2)
+  }
+
+  test("file without trailing delimiter keeps its last record") {
+    val dir = Files.createTempDirectory("kegg_dsv2_tail")
+    val body = "ENTRY  A\n///\nENTRY  B\nNAME   tail"
+    Files.write(dir.resolve("e.flat"), body.getBytes(StandardCharsets.UTF_8))
+    val recs = spark.read.format("kegg-flat")
+      .option("path", dir.resolve("e.flat").toString).load()
+      .select("record").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSet
+    assert(recs === Set("ENTRY  A", "ENTRY  B\nNAME   tail"))
+  }
+
+  test("feeds flatRecordFieldsKeyed with offset as the stable record id") {
+    val dir = Files.createTempDirectory("kegg_dsv2_parse")
+    writeFlat(dir, "f.flat", mkRecords(10, seed = 1))
+    val src = spark.read.format("kegg-flat")
+      .option("path", dir.resolve("f.flat").toString).load()
+      .select(col("offset").as("rec_id"), col("record"))
+    val parsed = Sinks.flatRecordFieldsKeyed(src)
+    val entries = parsed.filter(col("section") === "ENTRY").count()
+    assert(entries === 10)
+    // continuation lines fold into their section value
+    val withCont = parsed
+      .filter(col("section") === "NAME" && col("value").contains("continuation"))
+      .count()
+    assert(withCont > 0)
+  }
+}
