@@ -38,7 +38,7 @@ object Similarity {
 
   /** Shared emit: rank candidate pairs (vec_id, neighbor, cos) per query
     * vector by cosine desc with neighbor-id tie-break, keep the top k. */
-  private def topKFromPairs(pairs: DataFrame, k: Int): DataFrame = {
+  private[sim] def topKFromPairs(pairs: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor").asc)
     pairs.withColumn("rank", row_number().over(w))
@@ -63,7 +63,24 @@ object Similarity {
         col("vec_id") =!= col("neighbor"))
       .select(col("vec_id"), col("neighbor"),
         (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
-    topKFromPairs(pairs, k)
+    aggTopKFromPairs(pairs, k)
+  }
+
+  /** Top-k from a candidate-pair stream via the bounded TopKAgg aggregate
+    * instead of a window: partial aggregation reduces each map task's
+    * share of a key to k rows BEFORE the exchange, so the shuffle carries
+    * O(k·tasks) rows per key instead of every candidate pair — the
+    * difference between shipping n² rows and shipping n·k at the
+    * brute-force baseline's scale. Bit-identical to [[topKFromPairs]]
+    * (exact double comparisons, same neighbor-id tie-break; proven in
+    * SimilaritySpec). */
+  def aggTopKFromPairs(pairs: DataFrame, k: Int): DataFrame = {
+    val topk = graft.functions.TopKAgg.topK(k)
+    pairs.groupBy(col("vec_id"))
+      .agg(topk(col("cos"), col("neighbor")).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.id").as("neighbor"), col("s.score").as("cos"))
   }
 
   /** Deterministic ±1 hyperplane components: md5(seed:plane:dim) low bit.

@@ -22,6 +22,33 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(r => r._4 <= 1.0 + 1e-9 && r._4 >= -1.0 - 1e-9))
   }
 
+  test("aggTopKFromPairs is bit-identical to the window form") {
+    import org.apache.spark.sql.functions._
+    // deterministic pair stream with planted score ties (same cos for two
+    // neighbors of vec 1) so the id tie-break is actually exercised
+    val pairs = (1L to 40L).flatMap { v =>
+      (1L to 40L).filter(_ != v).map { n =>
+        val cos = ((v * 31 + n * 17) % 97).toDouble / 97.0
+        (v, n, cos)
+      }
+    }.toDF("vec_id", "neighbor", "cos")
+    val win = Similarity.topKFromPairs(pairs, 5)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val agg = Similarity.aggTopKFromPairs(pairs, 5)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(agg.toSeq === win.toSeq)
+  }
+
+  test("aggTopKFromPairs handles groups smaller than k") {
+    import org.apache.spark.sql.functions._
+    val pairs = Seq((1L, 2L, 0.5), (1L, 3L, 0.9), (2L, 1L, 0.1))
+      .toDF("vec_id", "neighbor", "cos")
+    val got = Similarity.aggTopKFromPairs(pairs, 5)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq === Seq((1L, 1L, 3L, 0.9), (1L, 2L, 2L, 0.5),
+      (2L, 1L, 1L, 0.1)))
+  }
+
   test("hyperplanes are deterministic across calls") {
     assert(Similarity.hyperplanes(4, 16) === Similarity.hyperplanes(4, 16))
   }
