@@ -26,8 +26,13 @@ case class TopKAgg(k: Int)
     extends Aggregator[ScoredId, List[ScoredId], Seq[ScoredId]] {
   require(k > 0, "k must be positive")
 
-  private def better(a: ScoredId, b: ScoredId): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  // java.lang.Double.compare is Catalyst's SortOrder semantics for doubles
+  // (total order: -0.0 < 0.0, NaN greatest) — primitive >/== would diverge
+  // from the window form on signed zeros
+  private def better(a: ScoredId, b: ScoredId): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   override def zero: List[ScoredId] = Nil
 

@@ -83,6 +83,19 @@ object Similarity {
         col("s.id").as("neighbor"), col("s.score").as("cos"))
   }
 
+  /** Distance-ordered twin of [[aggTopKFromPairs]]: keeps the k SMALLEST
+    * `dist` per vec_id (id tie-break) by aggregating on the negated score
+    * — IEEE negation is exact, so ordering and emitted values are
+    * bit-identical to the `dist asc` window form. */
+  def aggBottomKFromPairs(pairs: DataFrame, k: Int): DataFrame = {
+    val topk = graft.functions.TopKAgg.topK(k)
+    pairs.groupBy(col("vec_id"))
+      .agg(topk(-col("dist"), col("neighbor")).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.id").as("neighbor"), (-col("s.score")).as("dist"))
+  }
+
   /** Deterministic ±1 hyperplane components: md5(seed:plane:dim) low bit.
     * Computed once on the driver (planes × dim tiny), shipped as literals —
     * the planes are part of the plan, not data. */
@@ -148,7 +161,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("neighbor"))
       .select(col("vec_id"), col("neighbor"),
         (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
-    topKFromPairs(pairs, k)
+    aggTopKFromPairs(pairs, k)
   }
 
   /** Approximate top-k: exact cosine ranking restricted to bucket-local
@@ -191,7 +204,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("neighbor"))
       .select(col("vec_id"), col("neighbor"),
         (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
-    topKFromPairs(pairs, k)
+    aggTopKFromPairs(pairs, k)
   }
 
   /** Sequential-fold squared L2 distance in double precision (zip_with +
@@ -294,12 +307,7 @@ object Similarity {
         && col("ca") === col("pa") && col("cb_") === col("pb"))
       .groupBy(col("vec_id"), col("neighbor"))
       .agg(sum(col("d2").cast("decimal(28,12)")).cast("double").as("dist"))
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("dist").asc, col("neighbor").asc)
-    pairs.withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("rank").cast("long").as("rank"),
-        col("neighbor"), col("dist"))
+    aggBottomKFromPairs(pairs, k)
   }
 
   /** Near-duplicate pairs via multi-probe LSH candidates: (a < b, cos ≥
