@@ -187,23 +187,58 @@ object Dedup {
   /** LSH candidate pairs (a < b): band the minhash signature, bucket-join
     * on (band index, band key). The candidate set is what every downstream
     * consumer (verification, estimation) scales with. */
-  def minhashCandidates(
-      docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+  /** (doc_id, band, key) rows from a minhash signature frame: the banded
+    * LSH bucket keys every candidate join buckets on. */
+  private def bandedKeys(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
     val bandStructs = (0 until bands).map { j =>
       struct(lit(j).as("band"),
         concat_ws(",", (0 until rows).map(r => col(s"s${j * rows + r}")): _*).as("key"))
     }
-    val banded = sig.select(col("doc_id"),
-      explode(array(bandStructs: _*)).as("bk"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  def minhashCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
+    val banded = bandedKeys(sig, numHashes, bands)
     banded.toDF("a", "band", "key")
       .join(banded.toDF("b", "band", "key"), Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
+  }
+
+  /** Incremental (cross-snapshot) near-dup detection: near-duplicates of
+    * `incoming` documents AGAINST an existing `corpus` — the shape a
+    * rolling crawl/snapshot pipeline runs, where the already-deduped
+    * corpus is settled and only new→old matches matter. Banded minhash
+    * buckets are built per side and the candidate join pairs new with old
+    * ONLY (never new×new or old×old), so cost scales with the incoming
+    * batch, not the corpus; exact Jaccard verifies candidates. At 100 TB
+    * the corpus-side signatures are computed once and persisted — re-used
+    * across batches — and the bucket join shuffles on (band, key) like
+    * every LSH path here.
+    *
+    * Doc ids must be disjoint across the two frames (they key the shared
+    * verification). Returns (new_id, old_id, jaccard ≥ threshold). */
+  def crossSnapshotNearDups(
+      corpus: DataFrame, incoming: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val candNew = bandedKeys(
+      minhashSignatures(incoming, idCol, textCol, n, numHashes), numHashes, bands)
+    val candOld = bandedKeys(
+      minhashSignatures(corpus, idCol, textCol, n, numHashes), numHashes, bands)
+    val cand = candNew.toDF("a", "band", "key")
+      .join(candOld.toDF("b", "band", "key"), Seq("band", "key"))
+      .select(col("a"), col("b")).distinct()
+    val sh = shingles(incoming, idCol, textCol, n)
+      .unionByName(shingles(corpus, idCol, textCol, n))
+    jaccardOfPairs(sh, Some(cand), threshold)
+      .select(col("a").as("new_id"), col("b").as("old_id"), col("jaccard"))
   }
 
   /** MinHash + LSH near-duplicate pairs: band the signature, bucket-join on

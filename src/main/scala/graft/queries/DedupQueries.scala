@@ -84,6 +84,30 @@ object DedupQueries {
          |""".stripMargin
   }
 
+  /** Incremental dedup oracle: same sig/bands chain, but candidates pair
+    * NEW (odd doc_id) with OLD (even doc_id) only, and the emit keeps the
+    * (new, old) orientation instead of a < b. */
+  private val crossSnapshotSql: String =
+    minhashCteChain.replace(
+      """cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)"""
+        .stripMargin,
+      """cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.key = y.key
+        |  WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0),
+        |xinter AS (SELECT c.a, c.b, COUNT(*) AS inter
+        |  FROM cand c JOIN sh sa ON sa.doc_id = c.a
+        |  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+        |  GROUP BY 1, 2),
+        |xjacc AS (SELECT a, b,
+        |    CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+        |  FROM xinter JOIN cnt ca ON a = ca.doc_id
+        |  JOIN cnt cb ON b = cb.doc_id)""".stripMargin) +
+      """SELECT a AS new_id, b AS old_id, jaccard FROM xjacc
+        |WHERE jaccard >= 0.5""".stripMargin
+
   val xDedupMinhashLsh = Q(
     "x_dedup_minhash_lsh",
     minhashCteChain +
@@ -91,6 +115,19 @@ object DedupQueries {
         |WHERE jaccard >= 0.5""".stripMargin) { (s, d) =>
     Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
       n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5)
+  }
+
+  /** Incremental (cross-snapshot) near-dup dedup: odd-id documents play
+    * the incoming batch, even-id documents the settled corpus; matches
+    * are new→old ONLY (Dedup.crossSnapshotNearDups — candidate join never
+    * pairs new×new or old×old, so cost scales with the batch). */
+  val xDedupIncremental = Q("x_dedup_incremental", crossSnapshotSql) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.crossSnapshotNearDups(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", n = 3, numHashes = NumHashes, bands = Bands,
+      threshold = 0.5)
   }
 
   /** Recursive-CTE transitive closure over the LSH near-dup pairs, ending
@@ -351,7 +388,8 @@ object DedupQueries {
       Dedup.prefixFilterJoin(Tables.documents(s, d), "doc_id", "text")
   }
 
-  val all: Seq[Q] = Seq(xDedupNgram, xDedupMinhashLsh, xDedupClusters,
-    xDedupApply, xDedupSimhashSig, xDedupSimhashPairs, xSubstringDup,
-    xBloomFilter, xContainment, xMinhashEst, xSegmentDedup, xDedupPrefixJoin)
+  val all: Seq[Q] = Seq(xDedupNgram, xDedupMinhashLsh, xDedupIncremental,
+    xDedupClusters, xDedupApply, xDedupSimhashSig, xDedupSimhashPairs,
+    xSubstringDup, xBloomFilter, xContainment, xMinhashEst, xSegmentDedup,
+    xDedupPrefixJoin)
 }

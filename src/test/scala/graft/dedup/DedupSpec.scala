@@ -13,6 +13,32 @@ class DedupSpec extends SparkSpec {
     (5L, "tiny doc")                                     // shorter than shingle width
   ).toDF("doc_id", "text")
 
+  test("crossSnapshotNearDups pairs incoming with corpus only, oriented new->old") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (12L, "completely different words entirely here now friends"),
+      (14L, "another corpus document about nothing in particular today")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (21L, "the quick brown fox jumps over the lazy dog"),   // dup of 10
+      (23L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 10
+      (25L, "fresh unseen content with no earlier counterpart anywhere"),
+      // near-dup of ANOTHER INCOMING doc but nothing in the corpus — must
+      // NOT appear (new x new pairs are out of scope by construction)
+      (27L, "fresh unseen content with no earlier counterpart anytime")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossSnapshotNearDups(corpus, incoming, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((21L, 10L)))
+    assert(got.find(r => r._1 == 21L && r._2 == 10L).get._3 === 1.0)
+    // orientation: new ids on the left, corpus ids on the right
+    assert(got.forall(r => r._1 % 2 == 1 && r._2 % 2 == 0))
+    // 25/27 are mutual near-dups but match nothing in the corpus
+    assert(!pairs.exists(p => p._1 == 25L || p._1 == 27L))
+  }
+
   test("exactGroups groups identical bags of words, keeps min id") {
     val got = Dedup.exactGroups(docs, "doc_id", "text")
       .select("keep_id", "n_docs").as[(Long, Long)].collect().toSet
