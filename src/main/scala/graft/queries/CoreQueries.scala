@@ -950,11 +950,183 @@ object CoreQueries {
         col("l_discount") > 0.05)))
   }
 
+  // ---- Correlated-subquery pack (TPC-H Q13/Q15/Q17/Q21/Q22 shapes) ----
+  // Each demonstrates one decorrelation idiom: Catalyst rewrites the
+  // correlated form into the join the Spark side declares directly, so
+  // the DataFrame plan IS the decorrelated plan.
+
+  /** TPC-H Q13 shape — customer order-count distribution: LEFT join with
+    * the filter on the JOIN CONDITION (not a WHERE — customers with no
+    * qualifying orders must survive with count 0), then a two-level
+    * aggregation. Both aggs are partial-map-side; the distribution one is
+    * ~20 groups. */
+  val q13CustDistribution = Q(
+    "q13_cust_distribution",
+    """WITH co AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |    AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |SELECT c_count, COUNT(*) AS custdist FROM co GROUP BY c_count"""
+      .stripMargin) { (s, d) =>
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q15 shape — top revenue supplier(s): the scalar MAX subquery
+    * becomes a one-row broadcast crossJoin + filter. Revenue is the q06
+    * DECIMAL discipline (two exact sums, one subtraction) so the double
+    * equality against the max is bit-stable on both engines. */
+  val q15TopSupplier = Q(
+    "q15_top_supplier",
+    """WITH rev AS (SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+      |       - SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |             * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)"""
+      .stripMargin) { (s, d) =>
+    val pd = col("l_extendedprice").cast("decimal(18,4)")
+    val dd = col("l_discount").cast("decimal(8,4)")
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(pd).as("sp"), sum(pd * dd).as("spd"))
+      .select(col("supplier_no"),
+        (col("sp") - col("spd")).cast("double").as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("mx"))
+    Tables.supplier(s, d)
+      .join(rev, col("s_suppkey") === col("supplier_no"))
+      .crossJoin(broadcast(top))
+      .filter(col("total_revenue") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** TPC-H Q17 shape — small-quantity-order revenue: the correlated
+    * per-part AVG subquery decorrelates into one partial-aggregating
+    * groupBy over the fact joined back on the part key. The avg compare
+    * is multiplied out ((qty·cnt)·5 < Σqty) so no division touches the
+    * predicate; Σqty goes through DECIMAL. */
+  val q17SmallQtyRevenue = Q(
+    "q17_small_qty_revenue",
+    """WITH pa AS (SELECT l_partkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sq,
+      |    COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey)
+      |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+      |    / 7.0 AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey JOIN pa USING (l_partkey)
+      |WHERE p_brand = 'Brand#23' AND (l_quantity * cnt) * 5.0 < sq"""
+      .stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val pa = li.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sq"),
+        count(lit(1)).as("cnt"))
+    li.join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey"))),
+        col("p_partkey") === col("l_partkey"))
+      .join(pa, Seq("l_partkey"))
+      .filter((col("l_quantity") * col("cnt")) * lit(5.0) < col("sq"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+        / 7.0).as("avg_yearly"))
+  }
+
+  /** TPC-H Q21 shape — suppliers who kept completed orders waiting
+    * (shipdate > orderdate + 90d stands in for receipt-vs-commit):
+    * EXISTS(another supplier on the order) is a left-semi self-join,
+    * NOT EXISTS(another LATE supplier) a left-anti — both shuffle on the
+    * order key the fact already groups by, and the supplier dim
+    * broadcasts. */
+  val q21WaitingSuppliers = Q(
+    "q21_waiting_suppliers",
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY s_name""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val late = li
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+    val withOther = late.join(
+      li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2")),
+      col("ok2") === col("l_orderkey") && col("sk2") =!= col("l_suppkey"),
+      "left_semi")
+    val soleLate = withOther.join(
+      li.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"),
+        col("l_shipdate").as("sd3")),
+      col("ok3") === col("l_orderkey") && col("sk3") =!= col("l_suppkey") &&
+        col("sd3") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+      "left_anti")
+    soleLate
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** TPC-H Q22 shape — rich-but-dormant customers: the scalar AVG
+    * subquery is a DECIMAL-sum/count one-row broadcast (a distributed
+    * double AVG would not be bit-stable), dormancy ("no orders since
+    * mid-1999" — this dataset has no order-free customers) a left-anti
+    * against the pruned orders scan. */
+  val q22DormantCustomers = Q(
+    "q22_dormant_customers",
+    """WITH avg_bal AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4)))
+      |      AS DOUBLE) / COUNT(*) AS ab
+      |    FROM customer WHERE c_acctbal > 0.0)
+      |SELECT c_mktsegment, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+      |FROM customer, avg_bal
+      |WHERE c_acctbal > ab
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '1999-06-01 00:00:00')
+      |GROUP BY c_mktsegment""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d)
+    val ab = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,4)")).cast("double")
+        / count(lit(1))).as("ab"))
+    cust.crossJoin(broadcast(ab))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1999-06-01 00:00:00").cast("timestamp"))
+          .select(col("o_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast("decimal(18,4)")).cast("double").as("totacctbal"))
+  }
+
   val all: Seq[Q] = Seq(
     sqlFrontDoor, qCube, qRollup, evPivot, qRunningTotal,
     q03ShippingPriority, q18LargeOrders, q05LocalSupplier, q10ReturnedItems,
     q04PriorityExists, q06ForecastRevenue, erBlockedMatch, qNtile, qUnpivot,
     qWindowShare, xDataQuality,
+    q13CustDistribution, q15TopSupplier, q17SmallQtyRevenue,
+    q21WaitingSuppliers, q22DormantCustomers,
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,
     j1OuterMerge, j4BroadcastMap, j5FallbackChain, j6SuffixSelfJoin,
     j7AntiJoin, jRangeBin, jSaltedSkew, a1KeepBest, a2Median3, a3OrderedMiddle,
