@@ -21,6 +21,24 @@ import graft.text.TextFns
   */
 object Dedup {
 
+  /** Quality-aware cluster keeper selection (the "keep the best copy"
+    * policy a curation pipeline applies after near-dup clustering): given
+    * cluster membership `(doc_id, cluster_id)` and per-doc `(doc_id,
+    * quality)`, pick per cluster the highest-quality member, ties broken
+    * by lowest doc id. One partial-aggregating groupBy on the cluster id
+    * — the max-over-struct reduces map-side, so even a pathological
+    * boilerplate cluster with 10⁸ members never lands whole on one task
+    * (a rank-window keeper would). Returns (cluster_id, keep_id, n_docs,
+    * best_quality). */
+  def keepBest(clusters: DataFrame, quality: DataFrame): DataFrame =
+    clusters.join(quality, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("quality").as("q"), (-col("doc_id")).as("neg_id")))
+          .as("best"))
+      .select(col("cluster_id"), (-col("best.neg_id")).as("keep_id"),
+        col("n_docs"), col("best.q").as("best_quality"))
+
   /** Exact-duplicate groups by bag-of-words fingerprint: one row per
     * distinct fingerprint with the kept (min) id and group size. Group
     * membership is deliberately NOT materialized here — a concatenated

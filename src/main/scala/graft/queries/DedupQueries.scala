@@ -161,6 +161,43 @@ object DedupQueries {
       .select(col("node").as("doc_id"), col("component").as("cluster_id"))
   }
 
+  /** Quality-aware keeper selection over the LSH clusters: per cluster
+    * keep the HIGHEST-QUALITY member (TextFns.qualityScore — the same
+    * expression x_text_stats hash-proves — ties → lowest doc_id), not the
+    * min-id representative. Spark side is Dedup.keepBest: a map-side-
+    * reducing max-over-struct, never a rank window over the cluster.
+    * Oracle ranks with a window over the recursive-CTE clusters — fine at
+    * oracle scale, not the engine's shape. */
+  val xDedupKeepBest = Q(
+    "x_dedup_keep_best",
+    clusterCtes +
+      """, qual AS (SELECT d.doc_id,
+        |    least(CAST(len(d.text) AS DOUBLE) / 500, 1.0) * 0.4
+        |    + CAST(len(list_filter(w.ws,
+        |        x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |      / len(w.ws) * 0.4
+        |    + (1.0 - CAST(len(regexp_replace(d.text,
+        |        '[^.,!?;:''"()\[\]-]', '', 'g')) AS DOUBLE)
+        |      / len(d.text)) * 0.2 AS quality
+        |  FROM documents d JOIN w ON d.doc_id = w.doc_id),
+        |ranked AS (SELECT c.cluster_id, c.doc_id, q.quality,
+        |    row_number() OVER (PARTITION BY c.cluster_id
+        |                       ORDER BY q.quality DESC, c.doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+        |  FROM clusters c JOIN qual q ON c.doc_id = q.doc_id)
+        |SELECT cluster_id, doc_id AS keep_id, n_docs, quality AS best_quality
+        |FROM ranked WHERE rn = 1""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5)
+    val clusters = graft.graph.GraphOps
+      .connectedComponents(s, pairs.select("a", "b"))
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+    val quality = docs.select(col("doc_id"),
+      graft.text.TextFns.qualityScore(col("text")).as("quality"))
+    Dedup.keepBest(clusters, quality)
+  }
+
   /** End-to-end corpus dedup materialization: every document flagged
     * exact-dup (non-min of its bag-of-words fingerprint group) and/or
     * near-dup (non-representative member of an LSH cluster), with the
@@ -389,7 +426,7 @@ object DedupQueries {
   }
 
   val all: Seq[Q] = Seq(xDedupNgram, xDedupMinhashLsh, xDedupIncremental,
-    xDedupClusters, xDedupApply, xDedupSimhashSig, xDedupSimhashPairs,
-    xSubstringDup, xBloomFilter, xContainment, xMinhashEst, xSegmentDedup,
-    xDedupPrefixJoin)
+    xDedupClusters, xDedupKeepBest, xDedupApply, xDedupSimhashSig,
+    xDedupSimhashPairs, xSubstringDup, xBloomFilter, xContainment,
+    xMinhashEst, xSegmentDedup, xDedupPrefixJoin)
 }

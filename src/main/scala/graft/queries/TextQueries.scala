@@ -401,14 +401,20 @@ object TextQueries {
     * graft.text.Bpe for the vocabulary-sized scale argument and the
     * leftmost-non-overlapping merge-application contract both engines
     * share). */
-  val xBpeMerges = Q(
-    "x_bpe_merges",
-    """WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ws
+  /** Shared BPE CTE chain through both merge rounds: `gocc` = regex-safe
+    * word occurrences per doc, `w`/`ws1` the distinct-word table with
+    * char sequences, `p1`/`win1`/`m`/`p2` the two learned rounds — the
+    * merges query and the tokenize query build on the SAME chain so the
+    * learned vocabulary can never drift between them. */
+  private val bpeCtes: String =
+    """WITH t AS (SELECT doc_id,
+      |           string_split_regex(trim(lower(text)), '\s+') AS ws
       |           FROM documents),
-      |w0 AS (SELECT unnest(ws) AS word FROM t),
-      |w AS (SELECT word, COUNT(*) AS n FROM w0
-      |      WHERE regexp_matches(word, '^[a-z0-9]+$') GROUP BY 1),
-      |ws1 AS (SELECT n,
+      |occ AS (SELECT doc_id, unnest(ws) AS word FROM t),
+      |gocc AS (SELECT doc_id, word FROM occ
+      |         WHERE regexp_matches(word, '^[a-z0-9]+$')),
+      |w AS (SELECT word, COUNT(*) AS n FROM gocc GROUP BY 1),
+      |ws1 AS (SELECT word, n,
       |    ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seq
       |  FROM w),
       |p1 AS (SELECT arr[i] AS l, arr[i+1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
@@ -416,7 +422,7 @@ object TextQueries {
       |            UNNEST(range(1, len(arr))) AS t(i)
       |       GROUP BY 1, 2),
       |win1 AS (SELECT l, r FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
-      |m AS (SELECT n, regexp_replace(seq,
+      |m AS (SELECT word, n, regexp_replace(seq,
       |        ' ' || win1.l || ' ' || win1.r || ' ',
       |        ' ' || win1.l || win1.r || ' ', 'g') AS seq
       |      FROM ws1, win1),
@@ -424,22 +430,53 @@ object TextQueries {
       |       FROM (SELECT n, string_split(trim(seq), ' ') AS arr FROM m) x,
       |            UNNEST(range(1, len(arr))) AS t(i)
       |       GROUP BY 1, 2),
-      |r1 AS (SELECT 1 AS merge_round,
-      |    row_number() OVER (ORDER BY cnt DESC, l, r) AS pair_rank, l, r, cnt
-      |  FROM p1),
-      |r2 AS (SELECT 2 AS merge_round,
-      |    row_number() OVER (ORDER BY cnt DESC, l, r) AS pair_rank, l, r, cnt
-      |  FROM p2)
-      |SELECT CAST(merge_round AS BIGINT) AS merge_round,
-      |  CAST(pair_rank AS BIGINT) AS pair_rank, l, r, cnt
-      |FROM (SELECT * FROM r1 WHERE pair_rank <= 5
-      |      UNION ALL SELECT * FROM r2 WHERE pair_rank <= 5)""".stripMargin) {
+      |""".stripMargin
+
+  val xBpeMerges = Q(
+    "x_bpe_merges",
+    bpeCtes +
+      """r1 AS (SELECT 1 AS merge_round,
+        |    row_number() OVER (ORDER BY cnt DESC, l, r) AS pair_rank, l, r, cnt
+        |  FROM p1),
+        |r2 AS (SELECT 2 AS merge_round,
+        |    row_number() OVER (ORDER BY cnt DESC, l, r) AS pair_rank, l, r, cnt
+        |  FROM p2)
+        |SELECT CAST(merge_round AS BIGINT) AS merge_round,
+        |  CAST(pair_rank AS BIGINT) AS pair_rank, l, r, cnt
+        |FROM (SELECT * FROM r1 WHERE pair_rank <= 5
+        |      UNION ALL SELECT * FROM r2 WHERE pair_rank <= 5)""".stripMargin) {
     (s, d) =>
       graft.text.Bpe.topMerges(Tables.documents(s, d), "doc_id", "text")
+  }
+
+  /** End-to-end BPE tokenization: apply both learned merges to the
+    * distinct-word table, then count per-doc tokens through ONE
+    * occurrence⋈dictionary join (Bpe.tokenCounts — the dictionary side is
+    * vocabulary-bounded). Words outside `[a-z0-9]+` are outside the
+    * learned vocabulary on both engines. */
+  val xBpeTokenize = Q(
+    "x_bpe_tokenize",
+    bpeCtes +
+      """win2 AS (SELECT l, r FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |m2 AS (SELECT word, regexp_replace(seq,
+        |        ' ' || win2.l || ' ' || win2.r || ' ',
+        |        ' ' || win2.l || win2.r || ' ', 'g') AS seq
+        |      FROM m, win2),
+        |dict AS (SELECT word,
+        |    len(string_split(trim(seq), ' ')) AS n_sym FROM m2),
+        |per AS (SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+        |    COUNT(*) AS n_words
+        |  FROM gocc JOIN dict USING (word) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(per.n_bpe_tokens, 0) AS n_bpe_tokens,
+        |  coalesce(per.n_words, 0) AS n_words
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
+        .stripMargin) { (s, d) =>
+    graft.text.Bpe.tokenCounts(Tables.documents(s, d), "doc_id", "text")
   }
 
   val all: Seq[Q] = Seq(xTextStats, xLangId, xLenQuantiles, xRepetition,
     xVocab, xCorpusStats, xDistinctKmv, xDedupExact, xDedupExactMembers,
     xTfidf, xBigramLm, xHeavyHitters, xFingerprint, xQualityBuckets,
-    xImportanceWeight, xHistQuantiles, xCollocations, xBpeMerges)
+    xImportanceWeight, xHistQuantiles, xCollocations, xBpeMerges,
+    xBpeTokenize)
 }

@@ -49,25 +49,70 @@ object Bpe {
         col("pair_rank").cast("long").as("pair_rank"),
         col("l"), col("r"), col("cnt"))
 
-  /** Top-`perRound` symbol pairs per round over two BPE merge rounds.
-    * Words are restricted to `[a-z0-9]+` so symbols stay regex-safe.
-    * Output: (merge_round, pair_rank, l, r, cnt). */
-  def topMerges(docs: DataFrame, idCol: String, textCol: String,
-      perRound: Int = 5): DataFrame = {
-    val words = docs
+  /** Regex-safe (`[a-z0-9]+`) distinct words with corpus frequencies and
+    * the space-separated character sequence BPE operates on. Vocabulary-
+    * sized, never corpus-sized. */
+  private def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .select(explode(TextFns.tokens(col(textCol))).as("word"))
       .filter(col("word").rlike("^[a-z0-9]+$"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .withColumn("seq",
         concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" ")))
-    val p1 = pairCounts(words)
-    val win1 = topPairs(p1, 1, 1).select(col("l"), col("r"))
-    val merged = words.crossJoin(broadcast(win1))
+
+  /** Apply a one-row broadcast merge `(l, r)` to every `seq`, leftmost-
+    * non-overlapping (see object scaladoc). */
+  private def applyMerge(words: DataFrame, win: DataFrame): DataFrame =
+    words.crossJoin(broadcast(win))
       .withColumn("seq", regexp_replace(col("seq"),
         concat(lit(" "), col("l"), lit(" "), col("r"), lit(" ")),
         concat(lit(" "), col("l"), col("r"), lit(" "))))
-      .select(col("n"), col("seq"))
-    val p2 = pairCounts(merged)
+      .drop("l", "r")
+
+  /** Top-`perRound` symbol pairs per round over two BPE merge rounds.
+    * Words are restricted to `[a-z0-9]+` so symbols stay regex-safe.
+    * Output: (merge_round, pair_rank, l, r, cnt). */
+  def topMerges(docs: DataFrame, idCol: String, textCol: String,
+      perRound: Int = 5): DataFrame = {
+    val words = wordTable(docs, textCol)
+    val p1 = pairCounts(words)
+    val win1 = topPairs(p1, 1, 1).select(col("l"), col("r"))
+    val p2 = pairCounts(applyMerge(words, win1))
     topPairs(p1, perRound, 1).unionByName(topPairs(p2, perRound, 2))
+  }
+
+  /** Tokenize the corpus with the two learned merges and count per-doc BPE
+    * tokens — the end-to-end "learn the vocabulary, then tokenize with it"
+    * pass a data pipeline runs to budget training tokens.
+    *
+    * The scale shape: merges apply to the DISTINCT-WORD table (vocabulary-
+    * sized), producing a word → symbol-count dictionary; the corpus-sized
+    * work is ONE join of word occurrences against that dictionary plus a
+    * per-doc sum — the dictionary side is vocabulary-bounded, so on a real
+    * cluster it broadcasts and the corpus is never shuffled. Words outside
+    * `[a-z0-9]+` are outside the learned vocabulary and are excluded from
+    * both counts (documented contract, matched by the oracle).
+    *
+    * Output: (doc_id, n_bpe_tokens, n_words), one row per input doc. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val occ = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFns.tokens(col(textCol))).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+    val words = wordTable(docs, textCol)
+    val win1 = topPairs(pairCounts(words), 1, 1).select(col("l"), col("r"))
+    val m1 = applyMerge(words, win1)
+    val win2 = topPairs(pairCounts(m1), 1, 2).select(col("l"), col("r"))
+    val m2 = applyMerge(m1, win2)
+    val dict = m2.select(col("word"),
+      size(split(trim(col("seq")), " ")).cast("long").as("n_sym"))
+    val per = occ.join(dict, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_sym")).as("n_bpe_tokens"),
+        count(lit(1)).as("n_words"))
+    docs.select(col(idCol).as("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"))
   }
 }

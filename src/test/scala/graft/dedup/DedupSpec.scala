@@ -39,6 +39,18 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 25L || p._1 == 27L))
   }
 
+  test("keepBest picks the highest-quality member per cluster, min id on ties") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (7L, 0.3), (9L, 0.1))
+      .toDF("doc_id", "quality")
+    val got = Dedup.keepBest(clusters, quality)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === Set(
+      (1L, 2L, 3L, 0.9),   // 2 and 3 tie on quality — lower id kept
+      (7L, 7L, 2L, 0.3)))
+  }
+
   test("exactGroups groups identical bags of words, keeps min id") {
     val got = Dedup.exactGroups(docs, "doc_id", "text")
       .select("keep_id", "n_docs").as[(Long, Long)].collect().toSet

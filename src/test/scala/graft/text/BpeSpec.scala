@@ -27,6 +27,25 @@ class BpeSpec extends SparkSpec {
       (2L, 3L, "c", "d", 1L)))
   }
 
+  test("tokenCounts: both merges applied through the word dictionary; " +
+    "out-of-vocabulary docs get zero counts") {
+    val docs = Seq(
+      (1L, "abab abab ab"),
+      (2L, "abab ab cd"),
+      (3L, "!!! ???")                        // no [a-z0-9]+ words at all
+    ).toDF("doc_id", "text")
+    // round-1 merge (a,b), round-2 merge (a,b) again (ties with (ab,a) at
+    // cnt 3, l ascending): abab → "ab ab" (2 symbols — the leftmost-non-
+    // overlapping round-1 pass leaves " ab a b ", round 2 closes it),
+    // ab → "ab" (1), cd → "c d" (2)
+    val got = Bpe.tokenCounts(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 5L, 3L),   // abab+abab+ab = 2+2+1
+      (2L, 5L, 3L),   // abab+ab+cd   = 2+1+2
+      (3L, 0L, 0L)))
+  }
+
   test("topMerges: single-char words contribute no pairs; a fully merged " +
     "vocabulary leaves round 2 empty") {
     val docs = Seq((1L, "a a a bb")).toDF("doc_id", "text")
