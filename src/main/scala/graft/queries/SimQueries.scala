@@ -33,6 +33,28 @@ object SimQueries {
     Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding", k = 5)
   }
 
+  /** Filtered vector search: top-5 cosine neighbors RESTRICTED to
+    * label-1 vectors (Similarity.filteredTopK — pre-filter, so the label
+    * predicate reaches the corpus scan and no query comes back short).
+    * Queries span all labels; label-1 queries see their in-class
+    * neighborhood, the rest their nearest cross-class matches. */
+  val xAnnFiltered = Q(
+    "x_ann_filtered",
+    normCte +
+      """, p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+        |  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
+        |    / (a.nrm * b.nrm) AS cos
+        |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
+        |  JOIN embeddings e ON e.vec_id = b.vec_id AND e.label = 1)
+        |SELECT vec_id, rank, neighbor, cos FROM (
+        |  SELECT vec_id, neighbor, cos,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rank
+        |  FROM p) WHERE rank <= 5""".stripMargin) { (s, d) =>
+    Similarity.filteredTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      col("label") === 1, k = 5)
+  }
+
   /** IVF-flat ANN with deterministic sampled centroids — the second scale
     * path, fully oracle-replicated (assignment + probe both in SQL),
     * including the hot-cell candidate cap (neighbor side bounded to the
@@ -447,7 +469,7 @@ object SimQueries {
       .filter(col("n_docs") > 1)
   }
 
-  val all: Seq[Q] = Seq(xAnnTopK, xAnnIvf, xAnnLsh, xAnnPq, xKmeans,
+  val all: Seq[Q] = Seq(xAnnTopK, xAnnFiltered, xAnnIvf, xAnnLsh, xAnnPq, xKmeans,
     xSemanticDedup, xNearDupEmb, xMediaFeatures, xMediaDecode, xMediaFrames,
     xAnnRecall, xMediaPhash)
 }

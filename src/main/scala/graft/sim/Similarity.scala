@@ -96,6 +96,36 @@ object Similarity {
         col("s.id").as("neighbor"), (-col("s.score")).as("dist"))
   }
 
+  /** Filtered vector search — exact cosine top-k where the NEIGHBOR side
+    * must satisfy `predicate` (the production "vector search with a
+    * metadata filter" shape). PRE-filter strategy: the predicate
+    * restricts the corpus side BEFORE candidate generation, so it
+    * reaches the parquet scan as a pushed filter and every query still
+    * gets its full k when ≥k neighbors qualify — the post-filter
+    * alternative (search, then filter the k results) silently returns
+    * fewer. Queries are unfiltered: every vector asks "who are my k
+    * nearest QUALIFYING neighbors". At 100 TB the filtered side feeds
+    * the same IVF/LSH candidate machinery; here it rides the broadcast
+    * brute-force baseline (the filter only ever shrinks that side).
+    * Output: (vec_id, rank, neighbor, cos) like [[bruteForceTopK]]. */
+  def filteredTopK(emb: DataFrame, idCol: String, vecCol: String,
+      predicate: Column, k: Int): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
+    val withNorm = emb.withColumn("__keep", predicate)
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"), col("__keep"))
+      .withColumn("nrm", norm(col("v")))
+    val pairs = withNorm.select(col("id").as("vec_id"), col("v").as("va"),
+        col("nrm").as("na"))
+      .join(broadcast(withNorm.filter(col("__keep"))
+          .select(col("id").as("neighbor"), col("v").as("vb"),
+            col("nrm").as("nb"))),
+        col("vec_id") =!= col("neighbor"))
+      .select(col("vec_id"), col("neighbor"),
+        (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+    aggTopKFromPairs(pairs, k)
+  }
+
   /** Deterministic ±1 hyperplane components: md5(seed:plane:dim) low bit.
     * Computed once on the driver (planes × dim tiny), shipped as literals —
     * the planes are part of the plan, not data. */

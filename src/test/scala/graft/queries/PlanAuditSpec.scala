@@ -221,6 +221,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q21_waiting_suppliers: semi/anti self-joins stay hash equi-joins") {
+    val p = plan("q21_waiting_suppliers")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "EXISTS/NOT EXISTS shape degenerated to a nested loop")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+  }
+
+  test("q17_small_qty_revenue: brand-filtered part dim broadcasts; " +
+    "brand predicate reaches the scan") {
+    val p = plan("q17_small_qty_revenue")
+    assert(p.contains("BroadcastHashJoin"), "part dim join not broadcast")
+    assert(p.contains("EqualTo(p_brand,Brand#23)") ||
+      p.contains("p_brand = Brand#23") || p.contains("Brand#23"),
+      "brand filter missing from the plan")
+  }
+
+  test("q22_dormant_customers: dormancy anti-join prunes orders at the scan") {
+    val p = plan("q22_dormant_customers")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "orderdate cutoff not pushed to the orders scan")
+  }
+
+  test("x_dedup_keep_best keeps the keeper choice in aggregates, not windows") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.inputPlan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val phys = graft.SparkEntry.queries("x_dedup_keep_best")(spark, sf)
+      .queryExecution.executedPlan
+    assert(!flatten(phys).exists(_.isInstanceOf[WindowExec]),
+      "keeper selection must be the map-side max-over-struct, not a rank window")
+  }
+
   // ---- partitionless-window regression guard ---------------------------
   // A WindowExec with an empty partitionSpec serializes its whole input
   // through ONE task — the ev_rfm-class scale bug round 3 flagged. The

@@ -22,6 +22,33 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(r => r._4 <= 1.0 + 1e-9 && r._4 >= -1.0 - 1e-9))
   }
 
+  test("filteredTopK: neighbors all satisfy the predicate, queries do not " +
+    "lose rows, and scores match the brute-force answer on the filtered side") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf).limit(60)
+    val got = Similarity.filteredTopK(emb, "vec_id", "embedding",
+      col("label") === 1, k = 3)
+      .as[(Long, Long, Long, Double)].collect()
+    val label1 = emb.filter(col("label") === 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(label1.size >= 4, "fixture must have enough label-1 vectors")
+    // every emitted neighbor qualifies; every vector got its k (enough
+    // qualifying neighbors exist even for label-1 queries themselves)
+    assert(got.forall(r => label1.contains(r._3)))
+    val nQueries = emb.count()
+    assert(got.length == nQueries * 3)
+    // equivalent formulation: brute-force over ALL pairs, then keep
+    // qualifying neighbors and re-rank — must agree on the top-3
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      k = 60).as[(Long, Long, Long, Double)].collect().toSeq
+      .filter(r => label1.contains(r._3))
+      .groupBy(_._1).toSeq.flatMap { case (v, rs) =>
+        rs.sortBy(r => (-r._4, r._3)).take(3).zipWithIndex
+          .map { case (r, i) => (v, i + 1L, r._3, r._4) }
+      }.toSet
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSet === brute)
+  }
+
   test("aggTopKFromPairs is bit-identical to the window form") {
     import org.apache.spark.sql.functions._
     // deterministic pair stream with planted score ties (same cos for two
