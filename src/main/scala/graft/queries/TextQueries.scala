@@ -422,10 +422,11 @@ object TextQueries {
       |            UNNEST(range(1, len(arr))) AS t(i)
       |       GROUP BY 1, 2),
       |win1 AS (SELECT l, r FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
-      |m AS (SELECT word, n, regexp_replace(seq,
+      |m AS (SELECT word, n,
+      |      CASE WHEN win1.l IS NULL THEN seq ELSE regexp_replace(seq,
       |        ' ' || win1.l || ' ' || win1.r || ' ',
-      |        ' ' || win1.l || win1.r || ' ', 'g') AS seq
-      |      FROM ws1, win1),
+      |        ' ' || win1.l || win1.r || ' ', 'g') END AS seq
+      |      FROM ws1 LEFT JOIN win1 ON TRUE),
       |p2 AS (SELECT arr[i] AS l, arr[i+1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
       |       FROM (SELECT n, string_split(trim(seq), ' ') AS arr FROM m) x,
       |            UNNEST(range(1, len(arr))) AS t(i)
@@ -458,10 +459,11 @@ object TextQueries {
     "x_bpe_tokenize",
     bpeCtes +
       """win2 AS (SELECT l, r FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
-        |m2 AS (SELECT word, regexp_replace(seq,
+        |m2 AS (SELECT word,
+        |      CASE WHEN win2.l IS NULL THEN seq ELSE regexp_replace(seq,
         |        ' ' || win2.l || ' ' || win2.r || ' ',
-        |        ' ' || win2.l || win2.r || ' ', 'g') AS seq
-        |      FROM m, win2),
+        |        ' ' || win2.l || win2.r || ' ', 'g') END AS seq
+        |      FROM m LEFT JOIN win2 ON TRUE),
         |dict AS (SELECT word,
         |    len(string_split(trim(seq), ' ')) AS n_sym FROM m2),
         |per AS (SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,

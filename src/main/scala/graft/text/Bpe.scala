@@ -61,12 +61,16 @@ object Bpe {
         concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" ")))
 
   /** Apply a one-row broadcast merge `(l, r)` to every `seq`, leftmost-
-    * non-overlapping (see object scaladoc). */
+    * non-overlapping (see object scaladoc). An EMPTY merge table (a
+    * corpus with no adjacent pairs at all) is the identity — a plain
+    * cross join would instead annihilate the word table and tokenize
+    * everything to zero. */
   private def applyMerge(words: DataFrame, win: DataFrame): DataFrame =
-    words.crossJoin(broadcast(win))
-      .withColumn("seq", regexp_replace(col("seq"),
-        concat(lit(" "), col("l"), lit(" "), col("r"), lit(" ")),
-        concat(lit(" "), col("l"), col("r"), lit(" "))))
+    words.join(broadcast(win), lit(true), "left")
+      .withColumn("seq", when(col("l").isNull, col("seq"))
+        .otherwise(regexp_replace(col("seq"),
+          concat(lit(" "), col("l"), lit(" "), col("r"), lit(" ")),
+          concat(lit(" "), col("l"), col("r"), lit(" ")))))
       .drop("l", "r")
 
   /** Top-`perRound` symbol pairs per round over two BPE merge rounds.

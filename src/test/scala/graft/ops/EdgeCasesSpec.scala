@@ -102,6 +102,36 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.exactMembership(docs, "doc_id", "text").count() === 1000000L)
   }
 
+  test("crossSnapshotNearDups with an empty incoming batch or empty corpus " +
+    "yields no pairs") {
+    val docs = Seq((2L, "the quick brown fox jumps over it")).toDF("doc_id", "text")
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.crossSnapshotNearDups(docs, none, "doc_id", "text").count() === 0)
+    assert(Dedup.crossSnapshotNearDups(none, docs, "doc_id", "text").count() === 0)
+  }
+
+  test("keepBest on empty clusters is empty; singleton cluster keeps itself") {
+    val noClusters = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    val noQuality = Seq.empty[(Long, Double)].toDF("doc_id", "quality")
+    assert(Dedup.keepBest(noClusters, noQuality).count() === 0)
+    val one = Seq((5L, 5L)).toDF("doc_id", "cluster_id")
+    val q = Seq((5L, 0.7)).toDF("doc_id", "quality")
+    val got = Dedup.keepBest(one, q).as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((5L, 5L, 1L, 0.7)))
+  }
+
+  test("Bpe.tokenCounts: empty corpus is empty; a corpus with NO learnable " +
+    "pairs tokenizes to characters (empty merge table = identity)") {
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.text.Bpe.tokenCounts(none, "doc_id", "text").count() === 0)
+    // every word single-char → zero adjacent pairs → both merge rounds are
+    // empty; each word must still tokenize to its characters, not vanish
+    val singles = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val got = graft.text.Bpe.tokenCounts(singles, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 3L, 3L)))
+  }
+
   test("bloomProbe against an EMPTY staged corpus: nothing hits") {
     val incoming = Seq((1L, "some words here")).toDF("doc_id", "text")
     val empty = incoming.filter(lit(false))
