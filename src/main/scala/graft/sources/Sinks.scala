@@ -49,6 +49,30 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Compact a small-files table (the operational counterpart of the
+    * partitioned layout): rewrite `inDir`'s parquet into `outDir` with
+    * ~`targetRowsPerFile` rows per file. The small-file problem is a real
+    * 100 TB failure mode — a streaming sink or over-parallel write leaves
+    * thousands of KB-sized files and every later scan pays per-file open
+    * cost + starved row groups. Row-count-based sizing keeps this
+    * deterministic (byte-based would depend on encoder state); the
+    * repartition distributes rows round-robin so output files are even,
+    * and `maxRecordsPerFile` caps any residual overflow. Returns the
+    * output file count. */
+  def compactParquet(
+      spark: SparkSession, inDir: String, outDir: String,
+      targetRowsPerFile: Long = 1000000L): Int = {
+    val df = spark.read.parquet(inDir)
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
+    df.repartition(nFiles.toInt)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .parquet(outDir)
+    new java.io.File(outDir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+  }
+
   /** Scan a `///`-delimited flat-record file into one row per record. */
   def flatRecords(spark: SparkSession, path: String): DataFrame =
     spark.read.option("lineSep", "///").text(path)

@@ -46,6 +46,24 @@ class SinksSpec extends SparkSpec {
     assert(pruned.count() < all)
   }
 
+  test("compactParquet collapses a many-small-files table to the target " +
+    "file count with identical content") {
+    import org.apache.spark.sql.functions.col
+    val in = java.nio.file.Files.createTempDirectory("graft-small").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // 40 tiny files of 25 rows each
+    spark.range(1000).select(col("id"), (col("id") % 7).as("v"))
+      .repartition(40).write.mode("overwrite").parquet(in)
+    val inFiles = new java.io.File(in).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(inFiles == 40)
+    val outFiles = Sinks.compactParquet(spark, in, out, targetRowsPerFile = 500)
+    assert(outFiles == 2, s"expected 2 compacted files, got $outFiles")
+    val a = spark.read.parquet(in).as[(Long, Long)].collect().toSet
+    val b = spark.read.parquet(out).as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
   test("flatRecords + flatRecordFields parse ///-delimited keyword records") {
     val path = Files.createTempFile("graft-flat", ".txt")
     Files.writeString(path,
