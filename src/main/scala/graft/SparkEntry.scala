@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** All registered queries, in registry order. */
   def registry: Seq[Q] =
-    CoreQueries.all ++ PipelineQueries.all ++ IntegrationQueries.all ++
+    CoreQueries.all ++ TpchQueries.all ++ PipelineQueries.all ++ IntegrationQueries.all ++
       EdgeMergeQueries.all ++
       RegulationQueries.all ++ NodeBuilderQueries.all ++
       GraphQueries.all ++ TextQueries.all ++

@@ -1120,8 +1120,93 @@ object CoreQueries {
         sum(col("c_acctbal").cast("decimal(18,4)")).cast("double").as("totacctbal"))
   }
 
+  /** TPC-H Q7 shape — volume shipping between two nations: the nation
+    * dim is joined TWICE under different roles (supplier's vs customer's
+    * nation), both broadcast; the symmetric two-nation predicate filters
+    * after both roles resolve, and revenue follows the q06 DECIMAL
+    * discipline per (supp_nation, cust_nation, year) group. */
+  val q07VolumeShipping = Q(
+    "q07_volume_shipping",
+    """WITH sn AS (SELECT s_suppkey, n_name AS supp_nation
+      |            FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+      |cn AS (SELECT c_custkey, n_name AS cust_nation
+      |       FROM customer JOIN nation ON c_nationkey = n_nationkey)
+      |SELECT supp_nation, cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+      |     - SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |           * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN sn ON s_suppkey = l_suppkey
+      |  JOIN cn ON c_custkey = o_custkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND ((supp_nation = 'NATION_3' AND cust_nation = 'NATION_7')
+      |    OR (supp_nation = 'NATION_7' AND cust_nation = 'NATION_3'))
+      |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+    val pd = col("l_extendedprice").cast("decimal(18,4)")
+    val dd = col("l_discount").cast("decimal(8,4)")
+    val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    val sn = Tables.supplier(s, d)
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cn = Tables.customer(s, d)
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(sn), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(cn), col("c_custkey") === col("o_custkey"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7")
+        || (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(pd).as("sp"), sum(pd * dd).as("spd"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        (col("sp") - col("spd")).cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q14 shape — promo revenue share: conditional DECIMAL sums on
+    * a broadcast part-type lookup, one double division at the end. */
+  val q14PromoRevenue = Q(
+    "q14_promo_revenue",
+    """SELECT (100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,4)) ELSE 0 END)
+      |    - SUM(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,4))
+      |           * CAST(l_discount AS DECIMAL(8,4)) ELSE 0 END) AS DOUBLE))
+      |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+      |    - SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |          * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE)
+      |  AS promo_revenue_pct
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin) {
+    (s, d) =>
+      val pd = col("l_extendedprice").cast("decimal(18,4)")
+      val dd = col("l_discount").cast("decimal(8,4)")
+      val promo = col("p_type") === "PROMO"
+      val zero = lit(0).cast("decimal(18,4)")
+      val zero2 = lit(0).cast("decimal(27,8)")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-09-01 00:00:00").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1996-10-01 00:00:00").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+          col("p_partkey") === col("l_partkey"))
+        .agg(
+          sum(when(promo, pd).otherwise(zero)).as("np"),
+          sum(when(promo, pd * dd).otherwise(zero2)).as("npd"),
+          sum(pd).as("sp"), sum(pd * dd).as("spd"))
+        .select(((lit(100.0) * (col("np") - col("npd")).cast("double"))
+          / (col("sp") - col("spd")).cast("double")).as("promo_revenue_pct"))
+  }
+
   val all: Seq[Q] = Seq(
     sqlFrontDoor, qCube, qRollup, evPivot, qRunningTotal,
+    q07VolumeShipping, q14PromoRevenue,
     q03ShippingPriority, q18LargeOrders, q05LocalSupplier, q10ReturnedItems,
     q04PriorityExists, q06ForecastRevenue, erBlockedMatch, qNtile, qUnpivot,
     qWindowShare, xDataQuality,

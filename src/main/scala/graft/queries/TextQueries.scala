@@ -401,79 +401,82 @@ object TextQueries {
     * graft.text.Bpe for the vocabulary-sized scale argument and the
     * leftmost-non-overlapping merge-application contract both engines
     * share). */
-  /** Shared BPE CTE chain through both merge rounds: `gocc` = regex-safe
-    * word occurrences per doc, `w`/`ws1` the distinct-word table with
-    * char sequences, `p1`/`win1`/`m`/`p2` the two learned rounds — the
-    * merges query and the tokenize query build on the SAME chain so the
-    * learned vocabulary can never drift between them. */
-  private val bpeCtes: String =
-    """WITH t AS (SELECT doc_id,
-      |           string_split_regex(trim(lower(text)), '\s+') AS ws
-      |           FROM documents),
-      |occ AS (SELECT doc_id, unnest(ws) AS word FROM t),
-      |gocc AS (SELECT doc_id, word FROM occ
-      |         WHERE regexp_matches(word, '^[a-z0-9]+$')),
-      |w AS (SELECT word, COUNT(*) AS n FROM gocc GROUP BY 1),
-      |ws1 AS (SELECT word, n,
-      |    ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seq
-      |  FROM w),
-      |p1 AS (SELECT arr[i] AS l, arr[i+1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
-      |       FROM (SELECT n, string_split(trim(seq), ' ') AS arr FROM ws1) x,
-      |            UNNEST(range(1, len(arr))) AS t(i)
-      |       GROUP BY 1, 2),
-      |win1 AS (SELECT l, r FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
-      |m AS (SELECT word, n,
-      |      CASE WHEN win1.l IS NULL THEN seq ELSE regexp_replace(seq,
-      |        ' ' || win1.l || ' ' || win1.r || ' ',
-      |        ' ' || win1.l || win1.r || ' ', 'g') END AS seq
-      |      FROM ws1 LEFT JOIN win1 ON TRUE),
-      |p2 AS (SELECT arr[i] AS l, arr[i+1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
-      |       FROM (SELECT n, string_split(trim(seq), ' ') AS arr FROM m) x,
-      |            UNNEST(range(1, len(arr))) AS t(i)
-      |       GROUP BY 1, 2),
-      |""".stripMargin
+  /** Programmatic BPE CTE chain through `rounds` merge rounds (the same
+    * generator discipline as minhashCteChain): `gocc` = regex-safe word
+    * occurrences per doc, `w`/`m0` the distinct-word table with char
+    * sequences, then per round i: `p_i` pair counts over `m_{i-1}`,
+    * `win_i` the adopted merge, `m_i` the merged table (LEFT JOIN so an
+    * empty merge is identity — matches Bpe.applyMerge). The merges query
+    * and the tokenize query build on the SAME generator so the learned
+    * vocabulary can never drift between them. */
+  private def bpeCtes(rounds: Int): String = {
+    val head =
+      """WITH t AS (SELECT doc_id,
+        |           string_split_regex(trim(lower(text)), '\s+') AS ws
+        |           FROM documents),
+        |occ AS (SELECT doc_id, unnest(ws) AS word FROM t),
+        |gocc AS (SELECT doc_id, word FROM occ
+        |         WHERE regexp_matches(word, '^[a-z0-9]+$')),
+        |w AS (SELECT word, COUNT(*) AS n FROM gocc GROUP BY 1),
+        |m0 AS (SELECT word, n,
+        |    ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seq
+        |  FROM w),
+        |""".stripMargin
+    val perRound = (1 to rounds).map { i =>
+      s"""p$i AS (SELECT arr[i] AS l, arr[i+1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
+         |       FROM (SELECT n, string_split(trim(seq), ' ') AS arr FROM m${i - 1}) x,
+         |            UNNEST(range(1, len(arr))) AS t$i(i)
+         |       GROUP BY 1, 2),
+         |win$i AS (SELECT l, r FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |m$i AS (SELECT word, n,
+         |      CASE WHEN win$i.l IS NULL THEN seq ELSE regexp_replace(seq,
+         |        ' ' || win$i.l || ' ' || win$i.r || ' ',
+         |        ' ' || win$i.l || win$i.r || ' ', 'g') END AS seq
+         |      FROM m${i - 1} LEFT JOIN win$i ON TRUE),
+         |""".stripMargin
+    }
+    head + perRound.mkString
+  }
+
+  private val BpeRounds = 4
 
   val xBpeMerges = Q(
     "x_bpe_merges",
-    bpeCtes +
-      """r1 AS (SELECT 1 AS merge_round,
-        |    row_number() OVER (ORDER BY cnt DESC, l, r) AS pair_rank, l, r, cnt
-        |  FROM p1),
-        |r2 AS (SELECT 2 AS merge_round,
-        |    row_number() OVER (ORDER BY cnt DESC, l, r) AS pair_rank, l, r, cnt
-        |  FROM p2)
-        |SELECT CAST(merge_round AS BIGINT) AS merge_round,
-        |  CAST(pair_rank AS BIGINT) AS pair_rank, l, r, cnt
-        |FROM (SELECT * FROM r1 WHERE pair_rank <= 5
-        |      UNION ALL SELECT * FROM r2 WHERE pair_rank <= 5)""".stripMargin) {
-    (s, d) =>
-      graft.text.Bpe.topMerges(Tables.documents(s, d), "doc_id", "text")
+    bpeCtes(BpeRounds) +
+      (1 to BpeRounds).map { i =>
+        s"""r$i AS (SELECT $i AS merge_round,
+           |    row_number() OVER (ORDER BY cnt DESC, l, r) AS pair_rank, l, r, cnt
+           |  FROM p$i)""".stripMargin
+      }.mkString(",\n") +
+      s"""
+         |SELECT CAST(merge_round AS BIGINT) AS merge_round,
+         |  CAST(pair_rank AS BIGINT) AS pair_rank, l, r, cnt
+         |FROM (${(1 to BpeRounds)
+        .map(i => s"SELECT * FROM r$i WHERE pair_rank <= 5")
+        .mkString(" UNION ALL ")})""".stripMargin) { (s, d) =>
+    graft.text.Bpe.topMerges(Tables.documents(s, d), "doc_id", "text",
+      perRound = 5, rounds = BpeRounds)
   }
 
-  /** End-to-end BPE tokenization: apply both learned merges to the
-    * distinct-word table, then count per-doc tokens through ONE
+  /** End-to-end BPE tokenization: apply all `BpeRounds` learned merges to
+    * the distinct-word table, then count per-doc tokens through ONE
     * occurrence⋈dictionary join (Bpe.tokenCounts — the dictionary side is
     * vocabulary-bounded). Words outside `[a-z0-9]+` are outside the
     * learned vocabulary on both engines. */
   val xBpeTokenize = Q(
     "x_bpe_tokenize",
-    bpeCtes +
-      """win2 AS (SELECT l, r FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
-        |m2 AS (SELECT word,
-        |      CASE WHEN win2.l IS NULL THEN seq ELSE regexp_replace(seq,
-        |        ' ' || win2.l || ' ' || win2.r || ' ',
-        |        ' ' || win2.l || win2.r || ' ', 'g') END AS seq
-        |      FROM m LEFT JOIN win2 ON TRUE),
-        |dict AS (SELECT word,
-        |    len(string_split(trim(seq), ' ')) AS n_sym FROM m2),
-        |per AS (SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
-        |    COUNT(*) AS n_words
-        |  FROM gocc JOIN dict USING (word) GROUP BY 1)
-        |SELECT d.doc_id, coalesce(per.n_bpe_tokens, 0) AS n_bpe_tokens,
-        |  coalesce(per.n_words, 0) AS n_words
-        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
+    bpeCtes(BpeRounds) +
+      s"""dict AS (SELECT word,
+         |    len(string_split(trim(seq), ' ')) AS n_sym FROM m$BpeRounds),
+         |per AS (SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+         |    COUNT(*) AS n_words
+         |  FROM gocc JOIN dict USING (word) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(per.n_bpe_tokens, 0) AS n_bpe_tokens,
+         |  coalesce(per.n_words, 0) AS n_words
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
         .stripMargin) { (s, d) =>
-    graft.text.Bpe.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+    graft.text.Bpe.tokenCounts(Tables.documents(s, d), "doc_id", "text",
+      rounds = BpeRounds)
   }
 
   val all: Seq[Q] = Seq(xTextStats, xLangId, xLenQuantiles, xRepetition,

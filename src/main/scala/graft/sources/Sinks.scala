@@ -73,6 +73,23 @@ object Sinks {
       .count(f => f.getName.endsWith(".parquet"))
   }
 
+  /** Range-clustered rewrite — compaction plus DATA SKIPPING: rows are
+    * range-partitioned on `clusterCols` and sorted within each partition,
+    * so each output file covers a disjoint key range and its parquet
+    * footer min/max statistics prune whole FILES for range predicates
+    * (the layout Z-ordering generalizes; for a single clustering
+    * dimension plain range clustering is optimal). The spec asserts the
+    * disjointness from the written files themselves. `nFiles` is explicit
+    * because the right number is a capacity decision (rows × row width ÷
+    * target file size), not something to infer from a sample. */
+  def clusterParquet(
+      spark: SparkSession, inDir: String, outDir: String,
+      clusterCols: Seq[String], nFiles: Int): Unit =
+    spark.read.parquet(inDir)
+      .repartitionByRange(nFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode("overwrite").parquet(outDir)
+
   /** Scan a `///`-delimited flat-record file into one row per record. */
   def flatRecords(spark: SparkSession, path: String): DataFrame =
     spark.read.option("lineSep", "///").text(path)

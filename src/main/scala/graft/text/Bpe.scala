@@ -73,21 +73,30 @@ object Bpe {
           concat(lit(" "), col("l"), col("r"), lit(" ")))))
       .drop("l", "r")
 
-  /** Top-`perRound` symbol pairs per round over two BPE merge rounds.
+  /** Top-`perRound` symbol pairs per round over `rounds` BPE merge
+    * rounds (each round adopts its rank-1 pair before the next counts).
     * Words are restricted to `[a-z0-9]+` so symbols stay regex-safe.
+    * The plan chains `rounds` count→broadcast→map stages — plan depth is
+    * linear in `rounds`, corpus-sized work stays one word count.
     * Output: (merge_round, pair_rank, l, r, cnt). */
   def topMerges(docs: DataFrame, idCol: String, textCol: String,
-      perRound: Int = 5): DataFrame = {
-    val words = wordTable(docs, textCol)
-    val p1 = pairCounts(words)
-    val win1 = topPairs(p1, 1, 1).select(col("l"), col("r"))
-    val p2 = pairCounts(applyMerge(words, win1))
-    topPairs(p1, perRound, 1).unionByName(topPairs(p2, perRound, 2))
+      perRound: Int = 5, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    var cur = wordTable(docs, textCol)
+    var out = Vector.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val p = pairCounts(cur)
+      out :+= topPairs(p, perRound, r)
+      if (r < rounds)
+        cur = applyMerge(cur, topPairs(p, 1, r).select(col("l"), col("r")))
+    }
+    out.reduce(_.unionByName(_))
   }
 
-  /** Tokenize the corpus with the two learned merges and count per-doc BPE
-    * tokens — the end-to-end "learn the vocabulary, then tokenize with it"
-    * pass a data pipeline runs to budget training tokens.
+  /** Tokenize the corpus with the `rounds` learned merges and count
+    * per-doc BPE tokens — the end-to-end "learn the vocabulary, then
+    * tokenize with it" pass a data pipeline runs to budget training
+    * tokens.
     *
     * The scale shape: merges apply to the DISTINCT-WORD table (vocabulary-
     * sized), producing a word → symbol-count dictionary; the corpus-sized
@@ -98,17 +107,18 @@ object Bpe {
     * both counts (documented contract, matched by the oracle).
     *
     * Output: (doc_id, n_bpe_tokens, n_words), one row per input doc. */
-  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
     val occ = docs
       .select(col(idCol).as("doc_id"),
         explode(TextFns.tokens(col(textCol))).as("word"))
       .filter(col("word").rlike("^[a-z0-9]+$"))
-    val words = wordTable(docs, textCol)
-    val win1 = topPairs(pairCounts(words), 1, 1).select(col("l"), col("r"))
-    val m1 = applyMerge(words, win1)
-    val win2 = topPairs(pairCounts(m1), 1, 2).select(col("l"), col("r"))
-    val m2 = applyMerge(m1, win2)
-    val dict = m2.select(col("word"),
+    var cur = wordTable(docs, textCol)
+    for (r <- 1 to rounds)
+      cur = applyMerge(cur, topPairs(pairCounts(cur), 1, r)
+        .select(col("l"), col("r")))
+    val dict = cur.select(col("word"),
       size(split(trim(col("seq")), " ")).cast("long").as("n_sym"))
     val per = occ.join(dict, Seq("word"))
       .groupBy(col("doc_id"))

@@ -64,6 +64,30 @@ class SinksSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("clusterParquet: output files cover disjoint key ranges (footer " +
+    "min/max prune whole files for range predicates)") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val in = java.nio.file.Files.createTempDirectory("graft-unclustered").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-clustered").toString
+    // hash-partitioned write: every file spans ~the full key range
+    spark.range(2000).select(col("id"), (col("id") * 37 % 1000).as("k"))
+      .repartition(8, col("id")).write.mode("overwrite").parquet(in)
+    Sinks.clusterParquet(spark, in, out, Seq("k"), nFiles = 4)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length == 4)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("k")), max(col("k")))
+        .as[(Long, Long)].head()
+      r
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hiA), (loB, _)) =>
+      assert(hiA < loB, s"overlapping file ranges: ${ranges.mkString(",")}")
+    }
+    // content preserved
+    assert(spark.read.parquet(out).count() === 2000)
+  }
+
   test("flatRecords + flatRecordFields parse ///-delimited keyword records") {
     val path = Files.createTempFile("graft-flat", ".txt")
     Files.writeString(path,

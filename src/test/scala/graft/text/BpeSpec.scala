@@ -46,6 +46,24 @@ class BpeSpec extends SparkSpec {
       (3L, 0L, 0L)))
   }
 
+  test("rounds generalization: round 3 adopts (ab,ab); tokenization " +
+    "collapses abab to one symbol") {
+    val docs = Seq(
+      (1L, "abab abab ab"),
+      (2L, "abab ab cd")
+    ).toDF("doc_id", "text")
+    val merges = Bpe.topMerges(docs, "doc_id", "text", perRound = 1, rounds = 3)
+      .orderBy("merge_round")
+      .as[(Long, Long, String, String, Long)].collect()
+    assert(merges.map(m => (m._1, m._3, m._4)).toSeq ===
+      Seq((1L, "a", "b"), (2L, "a", "b"), (3L, "ab", "ab")))
+    val toks = Bpe.tokenCounts(docs, "doc_id", "text", rounds = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(toks === Set(
+      (1L, 3L, 3L),   // abab+abab+ab = 1+1+1 after three merges
+      (2L, 4L, 3L)))  // abab+ab+cd   = 1+1+2
+  }
+
   test("topMerges: single-char words contribute no pairs; a fully merged " +
     "vocabulary leaves round 2 empty") {
     val docs = Seq((1L, "a a a bb")).toDF("doc_id", "text")
