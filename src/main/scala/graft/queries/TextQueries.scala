@@ -181,6 +181,40 @@ object TextQueries {
       Tables.documents(s, d), "text", "lang", k = 64)
   }
 
+  /** Portable-register HyperLogLog per language — registers derived from
+    * the md5-prefix hash by integer ops only, harmonic sum accumulated as
+    * scaled BIGINT shifts, so the raw HLL estimate itself replicates
+    * bit-for-bit on both engines (see Sketches.hllDistinctTokens; the KMV
+    * sibling above is the k-mins alternative). */
+  val xDistinctHll = Q(
+    "x_distinct_hll",
+    wsCte +
+      """, w AS (SELECT DISTINCT lang AS g, unnest(ws) AS word FROM t),
+        |h AS (SELECT g, ('0x' || substr(md5('hll:' || word), 1, 14))::BIGINT AS h
+        |      FROM w),
+        |b AS (SELECT g, h // (1::BIGINT << 49) AS bucket,
+        |        h & ((1::BIGINT << 49) - 1) AS w FROM h),
+        |r AS (SELECT g, bucket,
+        |        MAX(CASE WHEN w = 0 THEN 50
+        |            ELSE 50 - length(bin(w)) END) AS reg
+        |      FROM b GROUP BY 1, 2),
+        |pg AS (SELECT g, COUNT(*) AS v_filled,
+        |         SUM(1::BIGINT << (50 - reg)) AS z_obs
+        |       FROM r GROUP BY 1),
+        |ex AS (SELECT g, COUNT(DISTINCT word) AS n_exact FROM w GROUP BY 1)
+        |SELECT ex.g AS lang, ex.n_exact, pg.v_filled,
+        |  (0.7213 / (1 + 1.079 / 128.0)) * 16384.0 * 1125899906842624.0
+        |    / CAST(pg.z_obs + (128 - pg.v_filled) * (1::BIGINT << 50) AS DOUBLE)
+        |    AS est,
+        |  ((0.7213 / (1 + 1.079 / 128.0)) * 16384.0 * 1125899906842624.0
+        |    / CAST(pg.z_obs + (128 - pg.v_filled) * (1::BIGINT << 50) AS DOUBLE)
+        |   - CAST(ex.n_exact AS DOUBLE)) / CAST(ex.n_exact AS DOUBLE)
+        |    AS rel_err
+        |FROM ex JOIN pg ON ex.g = pg.g""".stripMargin) { (s, d) =>
+    graft.text.Sketches.hllDistinctTokens(
+      Tables.documents(s, d), "text", "lang", p = 7)
+  }
+
   val xDedupExact = Q(
     "x_dedup_exact",
     """SELECT
@@ -480,7 +514,8 @@ object TextQueries {
   }
 
   val all: Seq[Q] = Seq(xTextStats, xLangId, xLenQuantiles, xRepetition,
-    xVocab, xCorpusStats, xDistinctKmv, xDedupExact, xDedupExactMembers,
+    xVocab, xCorpusStats, xDistinctKmv, xDistinctHll, xDedupExact,
+    xDedupExactMembers,
     xTfidf, xBigramLm, xHeavyHitters, xFingerprint, xQualityBuckets,
     xImportanceWeight, xHistQuantiles, xCollocations, xBpeMerges,
     xBpeTokenize)

@@ -4,12 +4,14 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Engine-portable sketches. Unlike HLL (whose register layout is
-  * library-private and never reproducible across engines), a K-minimum-
-  * values sketch built on the portable md5-prefix hash is bit-replicable
-  * anywhere — the sketch IS k BIGINTs — so the estimate itself can sit
-  * under a DuckDB oracle. At 100 TB the per-group state is k values
-  * (mergeable by min-union), vs shuffling every distinct token. */
+/** Engine-portable sketches. LIBRARY sketch implementations (a datasketches
+  * HLL, approx_percentile) are never reproducible across engines — their
+  * register layout and hash are private. Every sketch here is instead built
+  * from the portable md5-prefix hash with integer register state, so the
+  * ESTIMATE ITSELF is bit-replicable anywhere and can sit under a DuckDB
+  * oracle. At 100 TB the per-group state is k values (KMV, mergeable by
+  * min-union), m 6-bit registers (HLL, mergeable by max), or bin counts
+  * (histogram, mergeable by sum) — vs shuffling every distinct token. */
 object Sketches {
 
   /** Hash space of TextFns.portableHash: md5 hex prefix of 14 nibbles. */
@@ -39,6 +41,65 @@ object Sketches {
         when(col("kth_hash").isNull, col("n_exact").cast("double"))
           .otherwise(lit((k - 1).toDouble) * lit(HashSpace)
             / col("kth_hash").cast("double")).as("est"))
+  }
+
+  /** HyperLogLog distinct-token estimate per group with PORTABLE registers:
+    * bucket = top `p` bits of the 56-bit md5-prefix hash, register M_j =
+    * max over the bucket's values of (leading zeros of the remaining
+    * 56−p bits + 1) — every register is derived from the portable hash by
+    * integer ops (`length(bin(w))` is the msb position on both engines),
+    * so unlike a library HLL the whole sketch replicates bit-for-bit
+    * under the DuckDB oracle. The raw-estimate harmonic sum is kept
+    * EXACT by scaling: Σ 2^−M_j accumulates as BIGINT Σ 2^(57−p−M_j)
+    * (each term a left shift — no dyadic-rounding drift), and the only
+    * float math is the final α·m²·2^(57−p) ⁄ z division, identical IEEE
+    * ops on both engines. No small/large-range corrections (they need
+    * ln(); libm differs across engines) — raw HLL graded against the
+    * exact count, the x_ann_recall accuracy-meter pattern.
+    *
+    * Scale: distinct-(group,word) → hash is one shuffle; registers are a
+    * partial-aggregating groupBy to m rows per group; the per-group state
+    * a 100 TB run persists is m max-mergeable integers. Output per group:
+    * (group, n_exact, v_filled, est, rel_err). */
+  def hllDistinctTokens(
+      docs: DataFrame, textCol: String, groupCol: String,
+      p: Int = 7): DataFrame = {
+    val m = 1 << p                 // registers per group
+    val subBits = 56 - p           // hash bits left after the bucket index
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val words = docs
+      .select(col(groupCol).as("g"),
+        explode(TextFns.tokens(col(textCol))).as("word"))
+      .distinct()
+    val hashed = words
+      .select(col("g"), TextFns.portableHash(col("word"), lit("hll")).as("h"))
+      .select(col("g"),
+        shiftrightunsigned(col("h"), subBits).as("bucket"),
+        col("h").bitwiseAND(lit((1L << subBits) - 1)).as("w"))
+    val regs = hashed
+      .select(col("g"), col("bucket"),
+        when(col("w") === 0, lit(subBits + 1))
+          .otherwise(lit(subBits + 1) - length(bin(col("w")))).as("rank"))
+      .groupBy(col("g"), col("bucket"))
+      .agg(max(col("rank")).as("reg"))
+    val perGroup = regs
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("v_filled"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${subBits + 1} - reg)"))
+          .as("z_obs"))
+      // empty registers contribute 2^0 = 1 each to the harmonic sum,
+      // i.e. 2^(subBits+1) in the scaled domain
+      .withColumn("z_scaled",
+        col("z_obs") + (lit(m.toLong) - col("v_filled")) * lit(1L << (subBits + 1)))
+    val exact = words.groupBy(col("g")).agg(countDistinct(col("word")).as("n_exact"))
+    exact.join(perGroup, Seq("g"))
+      .withColumn("est",
+        lit(alpha) * lit(m.toDouble * m.toDouble) * lit(math.pow(2, subBits + 1))
+          / col("z_scaled").cast("double"))
+      .select(col("g").as(groupCol), col("n_exact"), col("v_filled"),
+        col("est"),
+        ((col("est") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double")).as("rel_err"))
   }
 
   /** Mergeable fixed-width-histogram quantile sketch, graded against the

@@ -58,6 +58,24 @@ class TextQualitySpec extends SparkSpec {
     assert(got(trainIds(2)) === ((0L, false)))
   }
 
+  test("HLL sketch: registers bounded by m, estimate within the m=128 " +
+    "error band, duplicate tokens change nothing") {
+    import graft.text.Sketches
+    val big = Seq(("b", (1 to 2000).map(i => s"tok$i").mkString(" ")))
+      .toDF("lang", "text")
+    val r = Sketches.hllDistinctTokens(big, "text", "lang", p = 7).head()
+    assert(r.getLong(1) === 2000L)               // n_exact
+    assert(r.getLong(2) <= 128L)                 // v_filled ≤ m
+    val est = r.getDouble(3)
+    // σ ≈ 1.04/√128 ≈ 9.2%; 4σ band, deterministic hash → never flakes
+    assert(est > 2000 * 0.6 && est < 2000 * 1.4, s"HLL estimate off: $est")
+    // distinct-(g,word) projection: repeating every token is a no-op
+    val dup = Seq(("b", ((1 to 2000) ++ (1 to 2000)).map(i => s"tok$i")
+      .mkString(" "))).toDF("lang", "text")
+    val r2 = Sketches.hllDistinctTokens(dup, "text", "lang", p = 7).head()
+    assert(r2.getDouble(3) === est)
+  }
+
   test("KMV sketch: exact below k, sane estimate above k") {
     import graft.text.Sketches
     // 40 distinct words < k=64 → exact path, kth_hash null
