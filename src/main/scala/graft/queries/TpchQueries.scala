@@ -56,14 +56,18 @@ object TpchQueries {
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice")).as("cost"))
-    val best = offer.groupBy(col("l_partkey").as("b_partkey"))
-      .agg(min(col("cost")).as("min_cost"))
     val parts = Tables.part(s, d)
       .filter(col("p_type") === "LARGE" && col("p_size") <= 10)
       .select(col("p_partkey"), col("p_name"))
+    // the min-join-back of the oracle, expressed as rank()=1 over the SAME
+    // offer aggregate (ties all kept, as TPC-H requires) — one fact scan
+    // and one partkey shuffle instead of recomputing `offer` for the best
+    // side, and the rank filter gets the WindowGroupLimit pushdown
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_partkey")).orderBy(col("cost"))
     offer
-      .join(best, col("l_partkey") === col("b_partkey")
-        && col("cost") === col("min_cost"))
+      .withColumn("__rk", rank().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
       .join(broadcast(parts), col("p_partkey") === col("l_partkey"))
       .join(broadcast(elig), col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),

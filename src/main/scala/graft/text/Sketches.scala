@@ -91,7 +91,9 @@ object Sketches {
       // i.e. 2^(subBits+1) in the scaled domain
       .withColumn("z_scaled",
         col("z_obs") + (lit(m.toLong) - col("v_filled")) * lit(1L << (subBits + 1)))
-    val exact = words.groupBy(col("g")).agg(countDistinct(col("word")).as("n_exact"))
+    // `words` is already distinct-(g, word): the exact count is a plain
+    // count, not a countDistinct (saves the distinct-expansion shuffle)
+    val exact = words.groupBy(col("g")).agg(count(lit(1)).as("n_exact"))
     exact.join(perGroup, Seq("g"))
       .withColumn("est",
         lit(alpha) * lit(m.toDouble * m.toDouble) * lit(math.pow(2, subBits + 1))

@@ -245,6 +245,76 @@ class PlanAuditSpec extends SparkSpec {
       "orderdate cutoff not pushed to the orders scan")
   }
 
+  test("q02_min_cost_supplier: decorrelated min is ONE offer aggregate + " +
+    "a pushed rank filter, dims broadcast") {
+    val p = plan("q02_min_cost_supplier")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2,
+      "eligible-supplier / part dims not broadcast")
+    assert(p.contains("WindowGroupLimit"),
+      "min-cost rank filter did not push down")
+    assert(!p.contains("SortMergeJoin"),
+      "best-cost side recomputed and joined back instead of ranking in place")
+  }
+
+  test("q08_market_share: all five dims broadcast; only lineitem⋈orders " +
+    "shuffles") {
+    val p = plan("q08_market_share")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.split("BroadcastHashJoin").length - 1 >= 3,
+      "part/supplier-nation/customer-region dims not broadcast")
+  }
+
+  test("q09_product_profit: star dims broadcast, date filter on orders only") {
+    val p = plan("q09_product_profit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2)
+  }
+
+  test("q11_important_parts: global total is a one-row broadcast, the " +
+    "nation filter a broadcast semi-join") {
+    val p = plan("q11_important_parts")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftSemi"), "nation scope lost its semi-join")
+    // the one-row total crossJoin legitimately plans as a broadcast NLJ
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 1)
+  }
+
+  test("q12_priority_by_status pushes the ship-date window to the scan") {
+    val p = plan("q12_priority_by_status")
+    assert(p.contains("PushedFilters: [IsNotNull"), "date filters not pushed")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q16_supplier_cnt: complaint exclusion is a broadcast anti-join") {
+    val p = plan("q16_supplier_cnt")
+    assert(p.contains("LeftAnti"), "NOT IN did not become an anti-join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q19_disjunctive: the factored common conjunct reaches the lineitem " +
+    "scan; the OR stays a post-join filter") {
+    val p = plan("q19_disjunctive")
+    assert(p.contains("EqualTo(l_returnflag,N)"),
+      "common conjunct not pushed to the scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q20_excess_shippers: both derived sets stay semi-joins") {
+    val p = plan("q20_excess_shippers")
+    assert(p.split("LeftSemi").length - 1 >= 2,
+      "part-family / excess-shipper sets lost their semi-joins")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x_distinct_hll: registers come from partial-aggregating groupBys, " +
+    "no window anywhere") {
+    val p = plan("x_distinct_hll")
+    assert(!p.contains("Window"), "HLL registers must not use windows")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("x_dedup_keep_best keeps the keeper choice in aggregates, not windows") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
