@@ -64,44 +64,70 @@ object Sketches {
   def hllDistinctTokens(
       docs: DataFrame, textCol: String, groupCol: String,
       p: Int = 7): DataFrame = {
-    val m = 1 << p                 // registers per group
-    val subBits = 56 - p           // hash bits left after the bucket index
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
     val words = docs
       .select(col(groupCol).as("g"),
         explode(TextFns.tokens(col(textCol))).as("word"))
       .distinct()
-    val hashed = words
+    // `words` is already distinct-(g, word): the exact count is a plain
+    // count, not a countDistinct (saves the distinct-expansion shuffle)
+    val exact = words.groupBy(col("g")).agg(count(lit(1)).as("n_exact"))
+    exact.join(hllEstimate(hllRegistersFromWords(words, p), p), Seq("g"))
+      .select(col("g").as(groupCol), col("n_exact"), col("v_filled"),
+        col("est"),
+        ((col("est") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double")).as("rel_err"))
+  }
+
+  /** The HLL register table (g, bucket, reg) for a document frame — the
+    * sketch's persistable state. See [[hllDistinctTokens]] for the
+    * register derivation contract. */
+  def hllRegisters(
+      docs: DataFrame, textCol: String, groupCol: String,
+      p: Int = 7): DataFrame =
+    hllRegistersFromWords(
+      docs.select(col(groupCol).as("g"),
+        explode(TextFns.tokens(col(textCol))).as("word"))
+        .distinct(), p)
+
+  private def hllRegistersFromWords(words: DataFrame, p: Int): DataFrame = {
+    val subBits = 56 - p
+    words
       .select(col("g"), TextFns.portableHash(col("word"), lit("hll")).as("h"))
       .select(col("g"),
         shiftrightunsigned(col("h"), subBits).as("bucket"),
         col("h").bitwiseAND(lit((1L << subBits) - 1)).as("w"))
-    val regs = hashed
       .select(col("g"), col("bucket"),
         when(col("w") === 0, lit(subBits + 1))
           .otherwise(lit(subBits + 1) - length(bin(col("w")))).as("rank"))
       .groupBy(col("g"), col("bucket"))
       .agg(max(col("rank")).as("reg"))
-    val perGroup = regs
+  }
+
+  /** Max-merge two register tables — HLL's defining property: registers
+    * over A ∪ B equal the cell-wise max of registers over A and over B,
+    * for ANY split (proven in the spec; exercised operationally by
+    * SketchStreams' incremental register maintenance). */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("g"), col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+
+  /** (g, v_filled, est) from a register table. Empty registers contribute
+    * 2^0 = 1 each to the harmonic sum — 2^(subBits+1) in the scaled
+    * BIGINT domain. */
+  def hllEstimate(regs: DataFrame, p: Int = 7): DataFrame = {
+    val m = 1 << p
+    val subBits = 56 - p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs
       .groupBy(col("g"))
       .agg(count(lit(1)).as("v_filled"),
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${subBits + 1} - reg)"))
           .as("z_obs"))
-      // empty registers contribute 2^0 = 1 each to the harmonic sum,
-      // i.e. 2^(subBits+1) in the scaled domain
       .withColumn("z_scaled",
         col("z_obs") + (lit(m.toLong) - col("v_filled")) * lit(1L << (subBits + 1)))
-    // `words` is already distinct-(g, word): the exact count is a plain
-    // count, not a countDistinct (saves the distinct-expansion shuffle)
-    val exact = words.groupBy(col("g")).agg(count(lit(1)).as("n_exact"))
-    exact.join(perGroup, Seq("g"))
-      .withColumn("est",
-        lit(alpha) * lit(m.toDouble * m.toDouble) * lit(math.pow(2, subBits + 1))
-          / col("z_scaled").cast("double"))
-      .select(col("g").as(groupCol), col("n_exact"), col("v_filled"),
-        col("est"),
-        ((col("est") - col("n_exact").cast("double"))
-          / col("n_exact").cast("double")).as("rel_err"))
+      .select(col("g"), col("v_filled"),
+        (lit(alpha) * lit(m.toDouble * m.toDouble) * lit(math.pow(2, subBits + 1))
+          / col("z_scaled").cast("double")).as("est"))
   }
 
   /** Mergeable fixed-width-histogram quantile sketch, graded against the
