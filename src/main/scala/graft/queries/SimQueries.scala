@@ -104,6 +104,36 @@ object SimQueries {
     * deterministic (sampled centroids/codebook, L2² + id tie-breaks,
     * DECIMAL sum over subspace distances), so the oracle replicates the
     * codes AND the approximate distances bit-exact. */
+  /** SQ8 scalar-quantized ANN — the per-tensor int8 grid beside PQ's
+    * codebook: one global [gmin,gmax] over all components, integer
+    * Σ(Δcode)² distances rescaled once per pair. Codes and distances are
+    * both oracle-replicated (the Σ runs in BIGINT; the scale factor is
+    * two double multiplies in fixed order). */
+  val xAnnSq8 = Q(
+    "x_ann_sq8",
+    """WITH v0 AS (SELECT vec_id AS id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |g AS (SELECT min(x) AS gmin, max(x) AS gmax
+      |      FROM (SELECT unnest(v) AS x FROM v0)),
+      |c AS (SELECT id, list_transform(v, x ->
+      |    least(255, greatest(0,
+      |      CAST(floor((x - g.gmin) * 255.0 / (g.gmax - g.gmin)) AS BIGINT))))
+      |    AS c
+      |  FROM v0, g),
+      |p AS (SELECT a.id AS vec_id, b.id AS neighbor,
+      |    CAST(list_reduce(list_transform(list_zip(a.c, b.c),
+      |      z -> (z[1] - z[2]) * (z[1] - z[2])), (s, t) -> s + t) AS DOUBLE)
+      |    * ((g.gmax - g.gmin) / 255.0) * ((g.gmax - g.gmin) / 255.0) AS dist
+      |  FROM c a CROSS JOIN c b CROSS JOIN g WHERE a.id <> b.id)
+      |SELECT vec_id, rank, neighbor, dist FROM (
+      |  SELECT vec_id, neighbor, dist,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist ASC, neighbor) AS rank
+      |  FROM p) WHERE rank <= 5""".stripMargin) { (s, d) =>
+    Similarity.sq8TopK(Tables.embeddings(s, d), "vec_id", "embedding", k = 5)
+  }
+
   val xAnnPq = Q(
     "x_ann_pq",
     """WITH v0 AS (SELECT vec_id AS id,
@@ -469,7 +499,8 @@ object SimQueries {
       .filter(col("n_docs") > 1)
   }
 
-  val all: Seq[Q] = Seq(xAnnTopK, xAnnFiltered, xAnnIvf, xAnnLsh, xAnnPq, xKmeans,
+  val all: Seq[Q] = Seq(xAnnTopK, xAnnFiltered, xAnnIvf, xAnnLsh, xAnnPq,
+    xAnnSq8, xKmeans,
     xSemanticDedup, xNearDupEmb, xMediaFeatures, xMediaDecode, xMediaFrames,
     xAnnRecall, xMediaPhash)
 }

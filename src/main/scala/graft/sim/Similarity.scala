@@ -340,6 +340,43 @@ object Similarity {
     aggBottomKFromPairs(pairs, k)
   }
 
+  /** Scalar-quantized (SQ8) approximate top-k — the per-tensor-scale
+    * int8 quantization production vector stores run when PQ's codebook is
+    * overkill: ONE global [gmin, gmax] grid over every component, each
+    * component coded to ⌊(x−gmin)·255⁄(gmax−gmin)⌋ clamped to [0,255],
+    * pair distance = Σ(Δcode)² · ((gmax−gmin)/255)². The Σ(Δcode)² runs
+    * entirely in BIGINT (exact, order-free); the scale factor is applied
+    * once per pair as two double multiplies with fixed operand order — so
+    * codes AND approximate distances replicate bit-exact on the oracle.
+    * Integer ordering == scaled ordering (positive scale), and 1-byte
+    * codes cut the brute-force scan's memory bandwidth 4× vs float32 —
+    * the variant's whole point at 100 TB (the candidate-pair stream still
+    * reduces through the bounded top-k aggregate, never a window).
+    * Output: (vec_id, rank, neighbor, dist), rank 1..k by dist asc,
+    * neighbor-id tie-break. */
+  def sq8TopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val v = emb.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val grid = v.select(explode(col("v")).as("x"))
+      .agg(min(col("x")).as("gmin"), max(col("x")).as("gmax"))
+    val coded = v.crossJoin(broadcast(grid))
+      .select(col("id"),
+        transform(col("v"), x =>
+          least(lit(255L), greatest(lit(0L),
+            floor((x - col("gmin")) * lit(255.0) / (col("gmax") - col("gmin")))
+              .cast("long")))).as("c"),
+        col("gmin"), col("gmax"))
+    val pairs = coded.toDF("vec_id", "ca", "gmin", "gmax")
+      .join(broadcast(coded.select(col("id").as("neighbor"), col("c").as("cb"))),
+        col("vec_id") =!= col("neighbor"))
+      .select(col("vec_id"), col("neighbor"),
+        (aggregate(zip_with(col("ca"), col("cb"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (s, x) => s + x).cast("double")
+          * ((col("gmax") - col("gmin")) / lit(255.0))
+          * ((col("gmax") - col("gmin")) / lit(255.0))).as("dist"))
+    aggBottomKFromPairs(pairs, k)
+  }
+
   /** Near-duplicate pairs via multi-probe LSH candidates: (a < b, cos ≥
     * threshold). Candidate generation is the same bucketed join as
     * [[lshTopK]] — cost O(n·planes·d) + bucket-local joins, never an

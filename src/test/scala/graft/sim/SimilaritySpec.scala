@@ -115,6 +115,33 @@ class SimilaritySpec extends SparkSpec {
     assert(r1 > r0 + 0.05, s"multi-probe gained too little: $r0 -> $r1")
   }
 
+  test("sq8TopK: grid-aligned vectors rank exactly; identical vectors at " +
+    "distance zero; off-grid values clamp into [0,255]") {
+    // components on the 0..255 grid scaled into [0,1]: quantization is
+    // lossless, so SQ8 ordering == exact L2 ordering by construction
+    def vec(cs: Int*): Array[Float] = cs.map(c => c / 255.0f).toArray
+    val emb = Seq(
+      (1L, vec(0, 0, 0, 0)),
+      (2L, vec(0, 0, 0, 255)),   // d²(1,2)=255²
+      (3L, vec(0, 0, 255, 255)), // d²(1,3)=2·255²
+      (4L, vec(0, 0, 0, 0))      // exact dup of 1
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.sq8TopK(emb, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (v, rs) => v -> rs.sortBy(_._2).map(_._3).toSeq }
+    assert(got(1L) === Seq(4L, 2L, 3L)) // dup first, then 1-component, 2-component
+    val d14 = Similarity.sq8TopK(emb, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .find(r => r._1 == 1L && r._3 == 4L).get._4
+    assert(d14 === 0.0)
+    // a value far outside the others' range defines the grid edge; codes
+    // clamp rather than overflow (structurally: result still k rows/vector)
+    val wild = emb.union(Seq((9L, Array(9.9f, -9.9f, 0f, 0f)))
+      .toDF("vec_id", "embedding"))
+    val n = Similarity.sq8TopK(wild, "vec_id", "embedding", k = 2).count()
+    assert(n === 5 * 2)
+  }
+
   test("pqTopK: structural shape + exact-duplicate pair at distance zero") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sf)
