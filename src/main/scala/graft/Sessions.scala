@@ -12,6 +12,10 @@ object Sessions {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Naive parquet timestamps read as TIMESTAMP in the UTC session (not
+      // TIMESTAMP_NTZ), matching the DuckDB oracle's naive-timestamp
+      // arithmetic and keeping epoch casts (`ts.cast("double")`) legal.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

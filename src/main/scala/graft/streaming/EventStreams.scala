@@ -17,10 +17,11 @@ import org.apache.spark.sql.types.StructType
   */
 object EventStreams {
 
-  /** Raw file-source schema: `ts` arrives as nanosecond LONG (see
-    * Tables.events — Spark reads nano-parquet under nanosAsLong). */
+  /** Raw file-source schema: `ts` is µs-precision parquet TIMESTAMP,
+    * read as session-zoned TimestampType (the batch Tables.events shape;
+    * NTZ inference is off in Sessions/SparkSpec). */
   val eventsRawSchema: StructType = StructType.fromDDL(
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, " +
       "value DOUBLE, props STRING")
 
   /** Tumbling 1-hour windows per event type. */
@@ -265,7 +266,6 @@ object EventStreams {
     * redefining an inherited one). */
   def readEventStreamRaw(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventsRawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** File-source stream over an events directory (parquet), 10-minute
     * watermark. */
