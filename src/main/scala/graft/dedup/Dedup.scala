@@ -49,6 +49,16 @@ object Dedup {
     docs.groupBy(TextFns.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
 
+  /** Normalized-exact duplicate groups: one row per distinct normalized
+    * sequence (see [[TextFns.normalizedText]]) with kept (min) id and
+    * group size. Sits between [[exactGroups]]' bag-of-words key (order-
+    * insensitive) and the near-dup family: case, punctuation, and digit
+    * edits collapse; any word-order or content edit does not. Same
+    * single content-keyed shuffle as exactGroups — the 100 TB shape. */
+  def normalizedGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(TextFns.normalizedText(col(textCol))).as("norm_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
   /** Membership table for exact-duplicate groups: one (fingerprint,
     * doc_id) row per document that belongs to a group of size > 1.
     * Row-per-member keeps every row O(1) regardless of group size; the

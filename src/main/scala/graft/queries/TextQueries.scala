@@ -225,6 +225,19 @@ object TextQueries {
     Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
   }
 
+  /** Normalized-exact dedup: strip case/punctuation/digits, collapse
+    * whitespace, hash the REMAINING SEQUENCE (order-preserving — the
+    * normalize-then-hash convention curation pipelines run before any
+    * near-dup pass). */
+  val xDedupNorm = Q(
+    "x_dedup_norm",
+    """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_key,
+      |  min(doc_id) AS keep_id, COUNT(*) AS n_docs
+      |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+    Dedup.normalizedGroups(Tables.documents(s, d), "doc_id", "text")
+  }
+
   /** Membership of exact-dup groups as one row per member — the scale-safe
     * replacement for a concatenated id roster (a boilerplate-heavy corpus
     * can put millions of docs behind one fingerprint). */
@@ -515,7 +528,7 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(xTextStats, xLangId, xLenQuantiles, xRepetition,
     xVocab, xCorpusStats, xDistinctKmv, xDistinctHll, xDedupExact,
-    xDedupExactMembers,
+    xDedupExactMembers, xDedupNorm,
     xTfidf, xBigramLm, xHeavyHitters, xFingerprint, xQualityBuckets,
     xImportanceWeight, xHistQuantiles, xCollocations, xBpeMerges,
     xBpeTokenize)

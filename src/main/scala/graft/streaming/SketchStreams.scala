@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.text.Sketches
+import graft.text.{Relevance, Sketches}
 
 /** Streaming sketch maintenance — the "running corpus statistics" shape: a
   * stream of new documents keeps a persisted HyperLogLog register table
@@ -32,7 +32,7 @@ object SketchStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val batchRegs = Sketches.hllRegisters(batch.toDF(), textCol, groupCol, p)
-        val merged = epochBefore(outDir, batchId) match {
+        val merged = epochBefore(outDir, "registers_", batchId) match {
           case Some(dir) =>
             Sketches.hllMerge(batch.sparkSession.read.parquet(dir), batchRegs)
           case None => batchRegs
@@ -44,14 +44,48 @@ object SketchStreams {
   /** The newest committed register epoch (to estimate from). */
   def latestRegisters(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(
-      epochBefore(outDir, Long.MaxValue)
+      epochBefore(outDir, "registers_", Long.MaxValue)
         .getOrElse(sys.error(s"no register epochs under $outDir")))
 
-  private def epochBefore(outDir: String, batchId: Long): Option[String] = {
+  /** Streaming count-min-sketch maintenance — the SUM-mergeable sibling of
+    * [[streamingHllRegisters]]: each micro-batch computes CMS cells over
+    * just its batch (O(batch) work) and cell-wise ADDS them into the
+    * newest prior epoch (Relevance.cmsMerge). Counts are additive, so the
+    * merged table equals the one-shot sketch of everything seen — provided
+    * the merged parts are disjoint, which the epoch discipline guarantees:
+    * `cells_<batchId>` reads only strictly-older epochs, so a crashed
+    * batch replays into its own directory deterministically rather than
+    * double-counting. */
+  def streamingCmsCells(
+      incoming: DataFrame, textCol: String,
+      outDir: String, checkpointDir: String,
+      depth: Int = 4, width: Int = 1024): StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val batchCells = Relevance.cmsCells(batch.toDF(), textCol, depth, width)
+        val merged = epochBefore(outDir, "cells_", batchId) match {
+          case Some(dir) =>
+            Relevance.cmsMerge(batch.sparkSession.read.parquet(dir), batchCells)
+          case None => batchCells
+        }
+        merged.write.mode("overwrite").parquet(s"$outDir/cells_$batchId")
+      }
+      .start()
+
+  /** The newest committed CMS cell epoch (to probe via Relevance.cmsProbe). */
+  def latestCells(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(
+      epochBefore(outDir, "cells_", Long.MaxValue)
+        .getOrElse(sys.error(s"no cell epochs under $outDir")))
+
+  private def epochBefore(
+      outDir: String, prefix: String, batchId: Long): Option[String] = {
     val ids = Option(new java.io.File(outDir).list()).getOrElse(Array.empty)
-      .filter(_.startsWith("registers_"))
-      .map(_.stripPrefix("registers_").toLong)
+      .filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).toLong)
       .filter(_ < batchId)
-    if (ids.isEmpty) None else Some(s"$outDir/registers_${ids.max}")
+    if (ids.isEmpty) None else Some(s"$outDir/$prefix${ids.max}")
   }
 }

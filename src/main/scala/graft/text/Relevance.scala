@@ -128,20 +128,58 @@ object Relevance {
       docs: DataFrame, textCol: String,
       depth: Int = 4, width: Int = 1024, minExact: Long = 100): DataFrame = {
     val toks = docs.select(explode(TextFns.tokens(col(textCol))).as("token"))
-    def bucket(i: Int) =
-      pmod(TextFns.portableHash(col("token"), lit(s"cms$i")), lit(width.toLong))
-    // one pass: each token explodes into its depth (row, bucket) cells
-    val cells = toks.select(
-      posexplode(array((0 until depth).map(bucket): _*)).as(Seq("r", "b")))
-    val sketch = cells.groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+    val sketch = cmsCellsFromTokens(toks, depth, width)
     val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
       .filter(col("exact_n") >= minExact)
     val probes = exact.select(col("token"), col("exact_n"),
-      posexplode(array((0 until depth).map(bucket): _*)).as(Seq("r", "b")))
+      posexplode(cmsBuckets(depth, width)).as(Seq("r", "b")))
     probes.join(broadcast(sketch), Seq("r", "b"))
       .groupBy(col("token"), col("exact_n"))
       .agg(min(col("c")).as("cms_est"))
   }
+
+  /** The depth bucket ids of col("token") as an array (row i = salt cmsN
+    * hash mod width). */
+  private def cmsBuckets(depth: Int, width: Int): Column =
+    array((0 until depth).map(i =>
+      pmod(TextFns.portableHash(col("token"), lit(s"cms$i")),
+        lit(width.toLong))): _*)
+
+  private def cmsCellsFromTokens(
+      toks: DataFrame, depth: Int, width: Int): DataFrame =
+    toks.select(posexplode(cmsBuckets(depth, width)).as(Seq("r", "b")))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+
+  /** The CMS cell table (r, b, c) over a document frame — the sketch's
+    * persistable state, sparse (an absent cell ≡ 0). Counts are additive,
+    * so cells over disjoint corpus parts SUM-merge ([[cmsMerge]]) — the
+    * dual of HLL's max-merge — which is what makes the sketch
+    * incrementally maintainable (SketchStreams.streamingCmsCells) without
+    * ever re-reading the corpus. */
+  def cmsCells(docs: DataFrame, textCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    cmsCellsFromTokens(
+      docs.select(explode(TextFns.tokens(col(textCol))).as("token")),
+      depth, width)
+
+  /** Cell-wise sum of two CMS cell tables: cells(A ⊎ B) = cmsMerge(
+    * cells(A), cells(B)) for DISJOINT corpus parts (counts add; unlike
+    * HLL's idempotent max, merging overlapping parts double-counts —
+    * the epoch discipline in SketchStreams guarantees disjointness). */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("r"), col("b")).agg(sum(col("c")).as("c"))
+
+  /** Probe a cell table for the given (`tokenCol`) tokens: est = min over
+    * the depth probed cells, 0 for a token whose every cell is absent.
+    * The cell table is a bounded dimension (≤ depth·width rows) —
+    * broadcast, so probing never shuffles the query side. */
+  def cmsProbe(cells: DataFrame, queries: DataFrame, tokenCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    queries.select(col(tokenCol).as("token"))
+      .select(col("token"), posexplode(cmsBuckets(depth, width)).as(Seq("r", "b")))
+      .join(broadcast(cells), Seq("r", "b"), "left")
+      .groupBy(col("token"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
 
   /** PMI-style collocation mining: top-k adjacent word pairs by lift over
     * unigram independence, lift_ppm = (c_xy · 10⁶ · N) div (c_x · c_y) —

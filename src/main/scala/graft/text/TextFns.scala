@@ -115,6 +115,16 @@ object TextFns {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** Aggressive normalization for "fuzzy-exact" dedup (the standard
+    * curation convention: normalize, then hash the whole sequence):
+    * lowercase, strip every character outside [a-z] and whitespace
+    * (punctuation, digits), collapse whitespace runs. Order-PRESERVING —
+    * unlike [[fingerprint]]'s bag-of-words key, documents differing only
+    * in case/punctuation/numbers collapse, reordered text does not. */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z\\s]", ""),
+      "\\s+", " "))
+
   /** Polynomial rolling hash over the text's characters:
     * h = fold(h*31 + ascii(c)) mod (2^31-1). Engine-portable (same fold in
     * DuckDB list_reduce); the classic cheap content fingerprint. */

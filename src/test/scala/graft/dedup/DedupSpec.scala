@@ -51,6 +51,19 @@ class DedupSpec extends SparkSpec {
       (7L, 7L, 2L, 0.3)))
   }
 
+  test("normalizedGroups: case/punct/digit edits collapse, reorders do not") {
+    val variants = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello world"),          // = 1 after normalization
+      (3L, "HELLO... world 2024"),  // = 1 after normalization
+      (4L, "world hello"),          // reordered → distinct (order-preserving)
+      (5L, "hello  worlds")         // content edit → distinct
+    ).toDF("doc_id", "text")
+    val got = Dedup.normalizedGroups(variants, "doc_id", "text")
+      .select("keep_id", "n_docs").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 3L), (4L, 1L), (5L, 1L)))
+  }
+
   test("exactGroups groups identical bags of words, keeps min id") {
     val got = Dedup.exactGroups(docs, "doc_id", "text")
       .select("keep_id", "n_docs").as[(Long, Long)].collect().toSet

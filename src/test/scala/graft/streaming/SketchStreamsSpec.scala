@@ -46,6 +46,58 @@ class SketchStreamsSpec extends SparkSpec {
     assert(se.keySet === Set("en", "fr"))
   }
 
+  test("streamed CMS cell maintenance over two micro-batches equals the " +
+    "one-shot batch cells (and probes agree with exact counts)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.text.Relevance
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = (1 to 200).map(i => s"alpha tok$i common")
+    val batch2 = (1 to 150).map(i => s"beta tok$i common")
+
+    val out = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cms-c").toString
+    val ms = MemoryStream[String]
+    val q = SketchStreams.streamingCmsCells(
+      ms.toDF().toDF("text"), "text", out, ckpt)
+    ms.addData(batch1: _*)
+    q.processAllAvailable()
+    ms.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val dirs = new java.io.File(out).list().filter(_.startsWith("cells_"))
+    assert(dirs.length == 2, dirs.mkString(","))
+
+    val streamed = SketchStreams.latestCells(spark, out)
+      .as[(Int, Long, Long)].collect().toSet
+    val oneShot = Relevance.cmsCells((batch1 ++ batch2).toDF("text"), "text")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed === oneShot)
+
+    // probing the maintained sketch upper-bounds (here: equals, the corpus
+    // is far below the collision regime) the exact counts
+    val probed = Relevance.cmsProbe(SketchStreams.latestCells(spark, out),
+      Seq("common", "alpha", "beta", "never-seen").toDF("token"), "token")
+      .as[(String, Long)].collect().toMap
+    assert(probed("common") === 350L)
+    assert(probed("alpha") === 200L)
+    assert(probed("beta") === 150L)
+    assert(probed("never-seen") === 0L)
+  }
+
+  test("cmsMerge is the cell-wise sum for any DISJOINT split of the corpus") {
+    import graft.text.Relevance
+    val docs = (1 to 400).map(i => s"w${i % 37} filler$i")
+    val (a, b) = docs.splitAt(123)
+    val merged = Relevance.cmsMerge(
+      Relevance.cmsCells(a.toDF("text"), "text"),
+      Relevance.cmsCells(b.toDF("text"), "text"))
+      .as[(Int, Long, Long)].collect().toSet
+    val direct = Relevance.cmsCells(docs.toDF("text"), "text")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged === direct)
+  }
+
   test("hllMerge is the cell-wise max for ANY split of the corpus") {
     val docs = (1 to 400).map(i => ("g", s"w$i"))
     val (a, b) = docs.splitAt(123)
