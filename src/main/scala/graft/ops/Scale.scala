@@ -46,6 +46,22 @@ object Scale {
         sum(col(valueCol).cast("decimal(18,4)")) -> "total"),
       name => sum(col(name)))
 
+  /** Key-skew profile — the diagnostic that decides whether a join or
+    * aggregation on `keyCol` needs salting: the k heaviest keys with row
+    * count and corpus share (ppm, fixed-point — engine-exact). Shape: one
+    * partial-aggregating per-key count, a one-row total broadcast, and
+    * per-partition top-k merged on k rows (TakeOrderedAndProject) — no
+    * full-width global sort, no partitionless window, so profiling a
+    * 100 TB fact table costs one count shuffle. */
+  def skewProfile(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("tot"))
+    counts.orderBy(col("n").desc, col("key").asc).limit(k)
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("n"),
+        expr("(n * 1000000) div tot").as("share_ppm"))
+  }
+
   /** Salt one side of a skewed join: replicate the (small) right side
     * `salts` times and salt the left key randomly-but-deterministically,
     * so one hot key spreads over `salts` tasks. Equi-join results are

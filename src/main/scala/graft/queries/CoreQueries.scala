@@ -678,6 +678,20 @@ object CoreQueries {
         min(col("dim_name")).as("dim_name"))
   }
 
+  /** Key-skew diagnostic over the events fact table: the 10 heaviest
+    * user_ids with row count and corpus share — the profile that decides
+    * whether a key needs salting (Scale.skewProfile; the operational
+    * companion to j_salted_skew's mechanics). */
+  val xSkewProfile = Q(
+    "x_skew_profile",
+    """WITH c AS (SELECT user_id AS key, COUNT(*) AS n FROM events GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c),
+      |tk AS (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 10)
+      |SELECT key, n, (n * 1000000) // tot AS share_ppm
+      |FROM tk CROSS JOIN t""".stripMargin) { (s, d) =>
+    graft.ops.Scale.skewProfile(Tables.events(s, d), "user_id", k = 10)
+  }
+
   /** TPC-H Q5-shaped local-supplier-volume query: six-way star join
     * (region→nation→{customer,supplier}→orders→lineitem) with the
     * customer-nation = supplier-nation co-location predicate. region and
@@ -1214,7 +1228,8 @@ object CoreQueries {
     q21WaitingSuppliers, q22DormantCustomers,
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,
     j1OuterMerge, j4BroadcastMap, j5FallbackChain, j6SuffixSelfJoin,
-    j7AntiJoin, jRangeBin, jSaltedSkew, a1KeepBest, a2Median3, a3OrderedMiddle,
+    j7AntiJoin, jRangeBin, jSaltedSkew, xSkewProfile,
+    a1KeepBest, a2Median3, a3OrderedMiddle,
     a4MergeSources, a6ConflictDrop, a7EffectFold, d1KeyedDedup,
     d2UndirectedDedup, u1UnionEntities, fScalarPack, f13NestedExplode,
     fComplexExpand, f15DateHierarchy, o2TopK, o3TopKPerKey)

@@ -213,6 +213,28 @@ object SimQueries {
          |""".stripMargin
   }
 
+  /** Semantic decontamination: every 25th vector plays the benchmark
+    * (eval-suite) set; each remaining vector reports its max cosine
+    * against ANY benchmark vector and whether it crosses the 0.4
+    * contamination threshold (the embedding analog of x_decontaminate's
+    * n-gram overlap). */
+  val xDecontaminateSem = Q(
+    "x_decontaminate_sem",
+    normCte +
+      """, bm AS (SELECT embedding, nrm FROM nrm WHERE vec_id % 25 = 0),
+        |tr AS (SELECT vec_id, embedding, nrm FROM nrm WHERE vec_id % 25 <> 0),
+        |p AS (SELECT tr.vec_id,
+        |  list_reduce(list_transform(list_zip(tr.embedding, bm.embedding),
+        |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
+        |    / (tr.nrm * bm.nrm) AS cos
+        |  FROM tr CROSS JOIN bm)
+        |SELECT vec_id, max(cos) AS max_cos,
+        |  max(cos) >= 0.4 AS contaminated
+        |FROM p GROUP BY 1""".stripMargin) { (s, d) =>
+    Similarity.semanticContamination(Tables.embeddings(s, d),
+      "vec_id", "embedding", col("vec_id") % 25 === 0, threshold = 0.4)
+  }
+
   private val dotPairSql =
     """list_reduce(list_transform(list_zip(q.embedding, c.embedding),
       |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
@@ -501,6 +523,7 @@ object SimQueries {
 
   val all: Seq[Q] = Seq(xAnnTopK, xAnnFiltered, xAnnIvf, xAnnLsh, xAnnPq,
     xAnnSq8, xKmeans,
-    xSemanticDedup, xNearDupEmb, xMediaFeatures, xMediaDecode, xMediaFrames,
+    xSemanticDedup, xNearDupEmb, xDecontaminateSem,
+    xMediaFeatures, xMediaDecode, xMediaFrames,
     xAnnRecall, xMediaPhash)
 }

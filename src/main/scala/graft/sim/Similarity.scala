@@ -126,6 +126,33 @@ object Similarity {
     aggTopKFromPairs(pairs, k)
   }
 
+  /** Semantic decontamination report — the embedding analog of the
+    * n-gram TrainPrep.contaminationReport: for every non-benchmark
+    * vector, the max cosine against ANY benchmark vector and the
+    * contaminated verdict at `threshold`. The benchmark side (an eval
+    * suite) is tiny relative to the corpus — broadcast — so the corpus
+    * is scanned once and the only shuffle is the per-vector max partial
+    * aggregation. Output: (vec_id, max_cos, contaminated). */
+  def semanticContamination(emb: DataFrame, idCol: String, vecCol: String,
+      isBenchmark: Column, threshold: Double): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
+    val withNorm = emb.withColumn("__bm", isBenchmark)
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"), col("__bm"))
+      .withColumn("nrm", norm(col("v")))
+    val bench = withNorm.filter(col("__bm"))
+      .select(col("v").as("vb"), col("nrm").as("nb"))
+    withNorm.filter(!col("__bm"))
+      .select(col("id").as("vec_id"), col("v").as("va"), col("nrm").as("na"))
+      .crossJoin(broadcast(bench))
+      .select(col("vec_id"),
+        (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos")).as("max_cos"))
+      .select(col("vec_id"), col("max_cos"),
+        (col("max_cos") >= threshold).as("contaminated"))
+  }
+
   /** Deterministic ±1 hyperplane components: md5(seed:plane:dim) low bit.
     * Computed once on the driver (planes × dim tiny), shipped as literals —
     * the planes are part of the plan, not data. */

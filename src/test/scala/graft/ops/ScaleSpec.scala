@@ -106,6 +106,14 @@ class ScaleSpec extends SparkSpec {
     assert(tiny === Seq(1L, 2L, 3L))
   }
 
+  test("skewProfile surfaces the heaviest keys with exact ppm shares") {
+    val rows = Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++
+      (1 to 10).map(i => s"cold$i")
+    val got = Scale.skewProfile(rows.toDF("k"), "k", k = 2)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("hot", 60L, 600000L), ("warm", 30L, 300000L)))
+  }
+
   test("bucketed tables join with no shuffle exchange") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey", "l_quantity")
     val sup = Tables.supplier(spark, sf).select("s_suppkey", "s_acctbal")

@@ -49,6 +49,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(r => (r._1, r._2, r._3, r._4)).toSet === brute)
   }
 
+  test("semanticContamination flags exactly the vectors near a benchmark " +
+    "vector, and benchmark rows never appear in the report") {
+    import org.apache.spark.sql.functions.col
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),   // benchmark
+      (1L, Array(2.0f, 0.0f)),   // same direction → cos 1 → contaminated
+      (2L, Array(0.0f, 1.0f)),   // orthogonal → cos 0 → clean
+      (3L, Array(-1.0f, 0.0f)),  // opposite → cos -1 → clean
+      (4L, Array(1.0f, 1.0f))    // cos √2/2 ≈ 0.707 → contaminated at 0.5
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticContamination(emb, "vec_id", "embedding",
+      col("vec_id") === 0L, threshold = 0.5)
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
+  }
+
   test("aggTopKFromPairs is bit-identical to the window form") {
     import org.apache.spark.sql.functions._
     // deterministic pair stream with planted score ties (same cos for two
