@@ -572,16 +572,46 @@ object Dedup {
     * back is a plain equi-join AQE skew-splits if one segment dominates;
     * the rebuild shuffles once on doc_id with bounded group size
     * (segments per doc). */
-  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
-      segTokens: Int = 10, maxDf: Long = 2): DataFrame = {
-    val words = docs.select(col(idCol).as("doc_id"),
-      posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "word")))
-    val segs = words
+  /** Intra-document segment dedup — the within-doc "remove repeated
+    * lines" scrub (segments = fixed `segTokens`-word windows standing in
+    * for lines in this corpus): keep each segment's FIRST occurrence
+    * inside its own document, drop later repeats, reassemble in order.
+    * Complements [[segmentDedup]] (cross-corpus df-based boilerplate):
+    * here the duplicate scope is one document, so every grouping and
+    * window is doc-keyed — group sizes bounded by document length, no
+    * corpus-wide state at any scale. Output: (doc_id, n_segs, n_kept,
+    * clean_text). */
+  def intraDocSegmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("seg"))
+    docSegments(docs, idCol, textCol, segTokens)
+      .withColumn("keep", col("seg_idx") === min(col("seg_idx")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        count(when(col("keep"), lit(1))).as("n_kept"),
+        array_join(transform(sort_array(collect_list(when(col("keep"),
+          struct(col("seg_idx"), col("seg"))))), s => s("seg")), " ")
+          .as("clean_text"))
+  }
+
+  /** One row per (doc, fixed-width word segment): seg_idx in document
+    * order, seg the space-joined window. Shared by the intra-doc and
+    * cross-corpus segment dedups so the segment definition cannot
+    * drift. */
+  private def docSegments(docs: DataFrame, idCol: String, textCol: String,
+      segTokens: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "word")))
       .groupBy(col("doc_id"),
         floor(col("pos") / segTokens.toDouble).cast("long").as("seg_idx"))
       .agg(array_join(
         transform(sort_array(collect_list(struct(col("pos"), col("word")))),
           w => w("word")), " ").as("seg"))
+
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 10, maxDf: Long = 2): DataFrame = {
+    val segs = docSegments(docs, idCol, textCol, segTokens)
     val df = segs.groupBy(col("seg")).agg(count(lit(1)).as("df"))
     segs.join(df, "seg")
       .groupBy(col("doc_id"))

@@ -391,6 +391,27 @@ object DedupQueries {
     Dedup.segmentDedup(Tables.documents(s, d), "doc_id", "text")
   }
 
+  /** Within-document repeated-segment removal (the "remove duplicate
+    * lines inside a doc" scrub; 10-token segments stand in for lines):
+    * each segment's first in-doc occurrence survives, later repeats are
+    * dropped, the document is rebuilt in order. Duplicate scope is one
+    * document — corpus df plays no part (contrast x_segment_dedup). */
+  val xIntraDedup = Q(
+    "x_intra_dedup",
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+      |           FROM documents),
+      |s AS (SELECT doc_id, i,
+      |    array_to_string(ws[i*10+1 : i*10+10], ' ') AS seg
+      |  FROM w, UNNEST(range(CAST(ceil(len(ws)/10.0) AS BIGINT))) AS t(i)),
+      |f AS (SELECT doc_id, i, seg,
+      |    i = min(i) OVER (PARTITION BY doc_id, seg) AS keep FROM s)
+      |SELECT doc_id, COUNT(*) AS n_segs,
+      |  COUNT(*) FILTER (WHERE keep) AS n_kept,
+      |  string_agg(seg, ' ' ORDER BY i) FILTER (WHERE keep) AS clean_text
+      |FROM f GROUP BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.intraDocSegmentDedup(Tables.documents(s, d), "doc_id", "text")
+  }
+
   /** Prefix-filtered set-similarity join (PPJoin/AllPairs family): exact
     * token-set Jaccard ≥ 0.6 with candidates from a rarest-first prefix
     * equi-join + size filter — the deterministic scale path beside
@@ -428,5 +449,5 @@ object DedupQueries {
   val all: Seq[Q] = Seq(xDedupNgram, xDedupMinhashLsh, xDedupIncremental,
     xDedupClusters, xDedupKeepBest, xDedupApply, xDedupSimhashSig,
     xDedupSimhashPairs, xSubstringDup, xBloomFilter, xContainment,
-    xMinhashEst, xSegmentDedup, xDedupPrefixJoin)
+    xMinhashEst, xSegmentDedup, xIntraDedup, xDedupPrefixJoin)
 }

@@ -64,6 +64,20 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 3L), (4L, 1L), (5L, 1L)))
   }
 
+  test("intraDocSegmentDedup drops later in-doc repeats only, keeps order, " +
+    "and cross-doc repeats are untouched") {
+    val segA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val segB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$segA $segB $segA"), // third segment repeats the first
+      (2L, segA)                  // same segment, different doc — kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.intraDocSegmentDedup(d, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3L, 2L, s"$segA $segB")))
+    assert(got(2L) === ((2L, 1L, 1L, segA)))
+  }
+
   test("exactGroups groups identical bags of words, keeps min id") {
     val got = Dedup.exactGroups(docs, "doc_id", "text")
       .select("keep_id", "n_docs").as[(Long, Long)].collect().toSet
