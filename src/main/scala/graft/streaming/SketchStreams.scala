@@ -27,19 +27,8 @@ object SketchStreams {
   def streamingHllRegisters(
       incoming: DataFrame, textCol: String, groupCol: String,
       outDir: String, checkpointDir: String, p: Int = 7): StreamingQuery =
-    incoming.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val batchRegs = Sketches.hllRegisters(batch.toDF(), textCol, groupCol, p)
-        val merged = epochBefore(outDir, "registers_", batchId) match {
-          case Some(dir) =>
-            Sketches.hllMerge(batch.sparkSession.read.parquet(dir), batchRegs)
-          case None => batchRegs
-        }
-        merged.write.mode("overwrite").parquet(s"$outDir/registers_$batchId")
-      }
-      .start()
+    maintained(incoming, outDir, "registers_", checkpointDir)(
+      b => Sketches.hllRegisters(b, textCol, groupCol, p), Sketches.hllMerge)
 
   /** The newest committed register epoch (to estimate from). */
   def latestRegisters(spark: SparkSession, outDir: String): DataFrame =
@@ -60,25 +49,54 @@ object SketchStreams {
       incoming: DataFrame, textCol: String,
       outDir: String, checkpointDir: String,
       depth: Int = 4, width: Int = 1024): StreamingQuery =
-    incoming.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val batchCells = Relevance.cmsCells(batch.toDF(), textCol, depth, width)
-        val merged = epochBefore(outDir, "cells_", batchId) match {
-          case Some(dir) =>
-            Relevance.cmsMerge(batch.sparkSession.read.parquet(dir), batchCells)
-          case None => batchCells
-        }
-        merged.write.mode("overwrite").parquet(s"$outDir/cells_$batchId")
-      }
-      .start()
+    maintained(incoming, outDir, "cells_", checkpointDir)(
+      b => Relevance.cmsCells(b, textCol, depth, width), Relevance.cmsMerge)
 
   /** The newest committed CMS cell epoch (to probe via Relevance.cmsProbe). */
   def latestCells(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(
       epochBefore(outDir, "cells_", Long.MaxValue)
         .getOrElse(sys.error(s"no cell epochs under $outDir")))
+
+  /** Streaming histogram-bin maintenance — the third mergeable-sketch
+    * state (Sketches.histogramBins, SUM-merged like the CMS): keeps the
+    * length/metric distribution queryable (quantileRanksFromBins) while
+    * the corpus streams in. */
+  def streamingHistogramBins(
+      incoming: DataFrame, valueCol: String,
+      outDir: String, checkpointDir: String, binWidth: Int = 50): StreamingQuery =
+    maintained(incoming, outDir, "bins_", checkpointDir)(
+      b => Sketches.histogramBins(b, valueCol, binWidth),
+      Sketches.histogramMerge)
+
+  /** The newest committed histogram epoch. */
+  def latestBins(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(
+      epochBefore(outDir, "bins_", Long.MaxValue)
+        .getOrElse(sys.error(s"no bin epochs under $outDir")))
+
+  /** Shared epoch-maintenance skeleton: per micro-batch, compute the
+    * batch's sketch state, merge it with the newest STRICTLY-OLDER epoch,
+    * overwrite `<prefix><batchId>` — so a crashed batch replays into its
+    * own directory deterministically (exactly-once for any merge law,
+    * idempotent max or additive sum alike). */
+  private def maintained(
+      incoming: DataFrame, outDir: String, prefix: String,
+      checkpointDir: String)(
+      state: DataFrame => DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame): StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = state(batch.toDF())
+        val merged = epochBefore(outDir, prefix, batchId) match {
+          case Some(dir) => merge(batch.sparkSession.read.parquet(dir), s)
+          case None => s
+        }
+        merged.write.mode("overwrite").parquet(s"$outDir/$prefix$batchId")
+      }
+      .start()
 
   private def epochBefore(
       outDir: String, prefix: String, batchId: Long): Option[String] = {

@@ -149,23 +149,7 @@ object Sketches {
       qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {
     val qArr = array(qs.map(lit): _*)
     val v = df.select(col(valueCol).cast("long").as("val"))
-    def cumAndTotal(grouped: DataFrame, ord: String): DataFrame = {
-      val wCum = Window.orderBy(col(ord))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.orderBy(col(ord))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      grouped
-        .withColumn("cum", sum(col("cnt")).over(wCum))
-        .withColumn("n", sum(col("cnt")).over(wAll))
-    }
-    val bins = cumAndTotal(
-      v.groupBy(floor(col("val") / binWidth.toDouble).cast("long").as("bin"))
-        .agg(count(lit(1)).as("cnt")), "bin")
-    val sk = bins.withColumn("q", explode(qArr))
-      .filter(col("cum") >= ceil(col("q") * col("n")))
-      .groupBy(col("q"))
-      .agg(min(col("bin")).as("minbin"),
-        min(ceil(col("q") * col("n")).cast("long")).as("target_rank"))
+    val sk = quantileRanksFromBins(histogramBins(df, valueCol, binWidth), qs)
     val vals = cumAndTotal(
       v.groupBy(col("val")).agg(count(lit(1)).as("cnt")), "val")
     val ex = vals.withColumn("q", explode(qArr))
@@ -175,5 +159,40 @@ object Sketches {
       .select(col("q"), col("target_rank"),
         ((col("minbin") + 1) * binWidth - 1).as("est_hi"), col("exact"),
         ((col("minbin") + 1) * binWidth - 1 - col("exact")).as("err"))
+  }
+
+  /** The histogram-bin table (bin, cnt) for a value column — the
+    * persistable, SUM-mergeable state behind [[histogramQuantiles]]
+    * (cell-wise sum over disjoint corpus parts, like the CMS; maintained
+    * incrementally by SketchStreams.streamingHistogramBins). */
+  def histogramBins(df: DataFrame, valueCol: String,
+      binWidth: Int = 50): DataFrame =
+    df.select(col(valueCol).cast("long").as("val"))
+      .groupBy(floor(col("val") / binWidth.toDouble).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Bin-wise sum of two histogram tables (disjoint corpus parts). */
+  def histogramMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+
+  /** (q, minbin, target_rank) from a bin table: the first bin whose
+    * cumulative count reaches ⌈q·N⌉. The cumulative window runs over the
+    * BIN domain (bounded), never the corpus. */
+  def quantileRanksFromBins(bins: DataFrame, qs: Seq[Double]): DataFrame =
+    cumAndTotal(bins, "bin")
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .filter(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy(col("q"))
+      .agg(min(col("bin")).as("minbin"),
+        min(ceil(col("q") * col("n")).cast("long")).as("target_rank"))
+
+  private def cumAndTotal(grouped: DataFrame, ord: String): DataFrame = {
+    val wCum = Window.orderBy(col(ord))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col(ord))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grouped
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
   }
 }

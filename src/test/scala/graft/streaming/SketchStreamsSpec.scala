@@ -98,6 +98,41 @@ class SketchStreamsSpec extends SparkSpec {
     assert(merged === direct)
   }
 
+  test("streamed histogram-bin maintenance equals one-shot bins, and " +
+    "quantile ranks from the maintained state match the batch path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = (1 to 300).map(i => i.toLong * 7 % 997)
+    val batch2 = (1 to 200).map(i => i.toLong * 13 % 997)
+
+    val out = java.nio.file.Files.createTempDirectory("graft-hist").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-hist-c").toString
+    val ms = MemoryStream[Long]
+    val q = SketchStreams.streamingHistogramBins(
+      ms.toDF().toDF("v"), "v", out, ckpt)
+    ms.addData(batch1: _*)
+    q.processAllAvailable()
+    ms.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = SketchStreams.latestBins(spark, out)
+      .as[(Long, Long)].collect().toSet
+    val oneShot = Sketches.histogramBins((batch1 ++ batch2).toDF("v"), "v")
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === oneShot)
+
+    val qs = Seq(0.25, 0.5, 0.9)
+    val se = Sketches.quantileRanksFromBins(
+      SketchStreams.latestBins(spark, out), qs)
+      .as[(Double, Long, Long)].collect().toSet
+    val be = Sketches.quantileRanksFromBins(
+      Sketches.histogramBins((batch1 ++ batch2).toDF("v"), "v"), qs)
+      .as[(Double, Long, Long)].collect().toSet
+    assert(se === be)
+    assert(se.nonEmpty)
+  }
+
   test("hllMerge is the cell-wise max for ANY split of the corpus") {
     val docs = (1 to 400).map(i => ("g", s"w$i"))
     val (a, b) = docs.splitAt(123)
