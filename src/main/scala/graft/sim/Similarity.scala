@@ -142,15 +142,18 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
     val bench = withNorm.filter(col("__bm"))
       .select(col("v").as("vb"), col("nrm").as("nb"))
-    withNorm.filter(!col("__bm"))
+    val train = withNorm.filter(!col("__bm"))
       .select(col("id").as("vec_id"), col("v").as("va"), col("nrm").as("na"))
-      .crossJoin(broadcast(bench))
+    // LEFT broadcast pairing (not an inner cross join) so an EMPTY
+    // benchmark set reports every corpus vector as clean (null max_cos)
+    // instead of an empty frame — same single corpus scan either way
+    train.join(broadcast(bench), lit(true), "left")
       .select(col("vec_id"),
         (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .groupBy(col("vec_id"))
       .agg(max(col("cos")).as("max_cos"))
       .select(col("vec_id"), col("max_cos"),
-        (col("max_cos") >= threshold).as("contaminated"))
+        coalesce(col("max_cos") >= threshold, lit(false)).as("contaminated"))
   }
 
   /** Deterministic ±1 hyperplane components: md5(seed:plane:dim) low bit.

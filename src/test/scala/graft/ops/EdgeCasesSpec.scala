@@ -154,6 +154,34 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.containmentPairs(d, "doc_id", "text", 3, 0.0).count() === 0)
   }
 
+  test("semanticContamination with an EMPTY benchmark set reports every " +
+    "vector clean (null max_cos), never an empty frame") {
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.sim.Similarity.semanticContamination(
+      emb, "vec_id", "embedding", lit(false), threshold = 0.5)
+      .select($"vec_id", $"max_cos".isNull.as("no_score"), $"contaminated")
+      .as[(Long, Boolean, Boolean)].collect().toSet
+    assert(got === Set((1L, true, false), (2L, true, false)))
+  }
+
+  test("intraDocSegmentDedup: doc shorter than one segment is kept whole; " +
+    "empty corpus stays empty") {
+    val short = Seq((1L, "just three words")).toDF("doc_id", "text")
+    val got = Dedup.intraDocSegmentDedup(short, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq((1L, 1L, 1L, "just three words")))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.intraDocSegmentDedup(empty, "doc_id", "text").count() === 0)
+  }
+
+  test("skewProfile: k larger than the key domain returns every key") {
+    val got = graft.ops.Scale.skewProfile(
+      Seq("a", "a", "b").toDF("k"), "k", k = 10)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("a", 2L, 666666L), ("b", 1L, 333333L)))
+  }
+
   test("segmentDedup / ER / BPE / collocations / quantiles on empty input") {
     val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.segmentDedup(docs, "doc_id", "text").count() === 0)

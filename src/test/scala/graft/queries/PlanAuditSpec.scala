@@ -380,6 +380,40 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("x_skew_profile: top-k is TakeOrderedAndProject, total is broadcast") {
+    val p = plan("x_skew_profile")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("x_decontaminate_sem: benchmark side broadcasts; the only wide " +
+    "exchange is the per-vector max") {
+    val p = plan("x_decontaminate_sem")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"non-broadcast cartesian:\n$p")
+  }
+
+  test("x_ann_sq8 ranks through the bounded top-k aggregate, no window") {
+    val p = plan("x_ann_sq8")
+    assert(!p.contains("Window"), s"sq8 should not plan a window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x_intra_dedup: every exchange is doc-keyed (no corpus-wide state)") {
+    val p = plan("x_intra_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the in-doc first-occurrence window partitions on (doc_id, seg)
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+  }
+
+  test("x_dedup_norm is one partial-aggregating groupBy on the content key") {
+    val p = plan("x_dedup_norm")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
+  }
+
   test("column pruning: q01 scan reads only the needed lineitem columns") {
     val p = plan("q01_pricing_summary")
     val schema = "ReadSchema: struct<" +
