@@ -304,7 +304,49 @@ object TrainPrepQueries {
       .select(col("doc_id"), col("source"), col("rn"), col("vt"), col("pos"))
   }
 
+  /** N-gram novelty scoring: per document, the fraction of its distinct
+    * 3-gram shingles it is the corpus-wide FIRST owner of (min doc id) —
+    * ranks later near-copies low without any pairwise join. */
+  val xNovelty = Q(
+    "x_novelty",
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+      |           FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+      |fo AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+      |SELECT doc_id, COUNT(*) AS n_shingles,
+      |  COUNT(*) FILTER (WHERE doc_id = first_doc) AS n_novel,
+      |  (COUNT(*) FILTER (WHERE doc_id = first_doc) * 1000000) // COUNT(*)
+      |    AS novelty_ppm
+      |FROM sh JOIN fo USING (shingle) GROUP BY 1""".stripMargin) { (s, d) =>
+    TrainPrep.noveltyReport(Tables.documents(s, d), "doc_id", "text", n = 3)
+  }
+
+  /** Content-defined chunking: boundaries after hash≡0 words (expected
+    * length 8 tokens) — edit-stable chunk boundaries, unlike x_chunk's
+    * fixed stride. */
+  val xChunkCdc = Q(
+    "x_chunk_cdc",
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+      |           FROM documents),
+      |t AS (SELECT doc_id, i, ws[i] AS word
+      |      FROM w, UNNEST(range(1, len(ws) + 1)) AS u(i)),
+      |b AS (SELECT doc_id, i, word,
+      |    CASE WHEN ('0x' || substr(md5('cdc:' || word), 1, 14))::BIGINT % 8 = 0
+      |      THEN 1 ELSE 0 END AS bd FROM t),
+      |c AS (SELECT doc_id, i, word,
+      |    CAST(COALESCE(SUM(bd) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS chunk_id FROM b)
+      |SELECT doc_id, chunk_id,
+      |  string_agg(word, ' ' ORDER BY i) AS chunk_text,
+      |  COUNT(*) AS n_tokens
+      |FROM c GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    TrainPrep.cdcChunks(Tables.documents(s, d), "doc_id", "text", avgTokens = 8)
+  }
+
   val all: Seq[Q] = Seq(xSplit, xPack, xScrub, xSample, xDecontaminate,
     xIncremental, xMixRebalance, xWeightedSample, xBudgetSelect, xChunk,
+    xChunkCdc, xNovelty,
     xWinsorize, xShard, xInterleave)
 }

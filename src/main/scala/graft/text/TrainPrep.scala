@@ -125,6 +125,52 @@ object TrainPrep {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** N-gram novelty: fraction of a document's distinct shingles whose
+    * FIRST owner over the whole corpus (min doc id) is the document
+    * itself — the data-selection signal that ranks later near-copies
+    * and boilerplate-heavy documents low WITHOUT pairwise comparison
+    * (cost: one shuffle on the shingle key + one per-doc aggregate, vs
+    * the quadratic candidate joins of the pair-based dedups). Fixed-point
+    * ppm (integral division, engine-exact). Documents shorter than `n`
+    * words have no shingles and no report row. Output: (doc_id,
+    * n_shingles, n_novel, novelty_ppm). */
+  def noveltyReport(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val sh = graft.dedup.Dedup.shingles(docs, idCol, textCol, n)
+    val firstOwner = sh.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstOwner, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("doc_id") === col("first_doc"), lit(1))).as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_shingles"))
+  }
+
+  /** Content-defined chunking (the dedup-friendly chunker): a chunk
+    * boundary falls AFTER every word whose content hash ≡ 0 mod
+    * `avgTokens`, so expected chunk length is avgTokens and — unlike
+    * x_chunk's fixed stride — boundaries are stable under upstream
+    * insertions/deletions (an edit re-chunks only its own neighborhood,
+    * so chunk-level dedup still matches everything downstream of the
+    * edit). One doc-keyed window + one doc-keyed aggregate. Output:
+    * (doc_id, chunk_id, chunk_text, n_tokens). */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      avgTokens: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "word")))
+      .withColumn("bd",
+        when(pmod(TextFns.portableHash(col("word"), lit("cdc")),
+          lit(avgTokens.toLong)) === 0, 1L).otherwise(0L))
+      .withColumn("chunk_id", coalesce(sum(col("bd")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("pos"), col("word")))),
+          s => s("word")), " ").as("chunk_text"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\b[0-9]{2,3}-[0-9]{3,4}-[0-9]{3,4}\\b"
 

@@ -58,6 +58,45 @@ class TextQualitySpec extends SparkSpec {
     assert(got(trainIds(2)) === ((0L, false)))
   }
 
+  test("noveltyReport: first owner scores full novelty, a later copy zero, " +
+    "partial overlap in between; sub-shingle docs have no row") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),        // first owner of its 2 shingles
+      (2L, "alpha beta gamma delta"),        // exact later copy → 0 novel
+      (3L, "alpha beta gamma epsilon zeta"), // shares 1 of 3 shingles
+      (4L, "too short")                      // < 3 words → no row
+    ).toDF("doc_id", "text")
+    val got = TrainPrep.noveltyReport(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L) === ((2L, 2L, 1000000L)))
+    assert(got(2L) === ((2L, 0L, 0L)))
+    assert(got(3L) === ((3L, 2L, 666666L))) // "beta gamma epsilon", "gamma epsilon zeta" novel
+  }
+
+  test("cdcChunks: chunk ids follow hash boundaries, concatenation in order " +
+    "rebuilds the document, boundaries are edit-stable downstream") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val docs = Seq((1L, base)).toDF("doc_id", "text")
+    val chunks = TrainPrep.cdcChunks(docs, "doc_id", "text", avgTokens = 4)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    // chunks partition the doc in order
+    assert(chunks.map(_._2).mkString(" ") === base)
+    assert(chunks.map(_._3).sum === 12L)
+    assert(chunks.map(_._1).toSeq === chunks.indices.map(_.toLong))
+    // edit stability: prepending words only re-chunks the head — the words
+    // after the first boundary land in chunks with identical contents
+    val edited = TrainPrep.cdcChunks(
+      Seq((1L, s"zzz $base")).toDF("doc_id", "text"), "doc_id", "text", 4)
+      .collect().map(_.getString(2)).toSet
+    val orig = chunks.map(_._2).toSet
+    assert((orig intersect edited).nonEmpty)
+    assert(orig.drop(1).forall(edited.contains) ||
+      orig.tail.toSet.subsetOf(edited))
+  }
+
   test("HLL sketch: registers bounded by m, estimate within the m=128 " +
     "error band, duplicate tokens change nothing") {
     import graft.text.Sketches
