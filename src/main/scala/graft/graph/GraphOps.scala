@@ -255,4 +255,33 @@ object GraphOps {
     // on the caller's first action
     closure.filter(col("node") =!= col("ancestor"))
   }
+
+  /** Synchronous label propagation (community detection), `iters` fixed
+    * rounds: every node starts labeled with its own id; each round a node
+    * adopts the MOST FREQUENT label among its undirected neighbors, ties
+    * broken by the smallest label. Deterministic by construction —
+    * synchronous rounds plus a total tie order — so an independent engine
+    * replicates every round exactly (GraphX's built-in LPA is
+    * asynchronous and seed-dependent, useless under a bit-exact oracle).
+    * Relational plan per round: one edge⋈labels equi-join, one
+    * (node, label) count, one max-over-struct — all partial-aggregating,
+    * no windows, cost linear in edges at any scale. Output: (node,
+    * label). */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val und = edges.select(col("src").as("node"), col("dst").as("nbr"))
+      .unionByName(edges.select(col("dst").as("node"), col("src").as("nbr")))
+      .distinct()
+    var labels = und.select(col("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      labels = und
+        .join(labels.withColumnRenamed("node", "nbr"), Seq("nbr"))
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("best"))
+        .select(col("node"), (-col("best.neg")).as("label"))
+    }
+    labels
+  }
 }

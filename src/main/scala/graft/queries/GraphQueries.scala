@@ -318,7 +318,32 @@ object GraphQueries {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** Deterministic synchronous label propagation, 3 rounds — community
+    * detection whose every round is engine-replicable (mode label with
+    * smallest-label tie-break). The oracle unrolls the SAME number of
+    * rounds from a generator loop, so Spark and SQL can never disagree on
+    * round count or tie order. */
+  val gLabelProp = Q(
+    "g_label_prop", {
+      val rounds = (1 to 3).map { r =>
+        s"""c$r AS (SELECT u.node, l.label, COUNT(*) AS cnt
+           |  FROM und u JOIN l${r - 1} l ON u.nbr = l.node GROUP BY 1, 2),
+           |l$r AS (SELECT node, label FROM (
+           |  SELECT node, label,
+           |    row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label)
+           |      AS rn FROM c$r) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      edgeCte +
+        s""", und AS (SELECT src AS node, dst AS nbr FROM e
+           |          UNION SELECT dst, src FROM e),
+           |l0 AS (SELECT DISTINCT node, node AS label FROM und),
+           |$rounds
+           |SELECT node, label FROM l3""".stripMargin
+    }) { (s, d) =>
+    GraphOps.labelPropagation(edgeDf(s, d), iters = 3)
+  }
+
   val all: Seq[Q] = Seq(gDegree, gComponents, gAncestors, gAncestorsRel,
     gTriangles, gShortestPaths, gPagerank, gKhop, gNeighborJaccard, gHits,
-    gHarmonic)
+    gHarmonic, gLabelProp)
 }

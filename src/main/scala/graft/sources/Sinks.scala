@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.ColFns
 
@@ -88,6 +88,36 @@ object Sinks {
     spark.read.parquet(inDir)
       .repartitionByRange(nFiles, clusterCols.map(col): _*)
       .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode("overwrite").parquet(outDir)
+
+  /** Morton (bit-interleaved) Z-value of two non-negative integer
+    * columns, 21 bits each: bit i of `a` lands at position 2i, bit i of
+    * `b` at 2i+1. Pure integer shift/mask expressions — whole-stage
+    * codegen, and trivially replicable by any engine. */
+  def zValue(a: Column, b: Column, bits: Int = 21): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftrightunsigned(b.cast("long"), i).bitwiseAND(lit(1L)),
+            2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Two-dimensional Z-order clustering rewrite — the multi-column
+    * generalization of [[clusterParquet]]: range-partition + sort on the
+    * Morton interleave of the two cluster keys, so each output file
+    * covers a small rectangle of the (c1, c2) plane and parquet footer
+    * min/max prune files for range predicates on EITHER column (plain
+    * range clustering only prunes on the leading one). Keys must be
+    * non-negative integers (ranks/ids/bucketed values — the usual
+    * clustering keys). */
+  def zorderParquet(
+      spark: SparkSession, inDir: String, outDir: String,
+      c1: String, c2: String, nFiles: Int): Unit =
+    spark.read.parquet(inDir)
+      .withColumn("__z", zValue(col(c1), col(c2)))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
       .write.mode("overwrite").parquet(outDir)
 
   /** Scan a `///`-delimited flat-record file into one row per record. */

@@ -96,6 +96,18 @@ class GraphOpsSpec extends SparkSpec {
     assert(relational === pregel)
   }
 
+  test("labelPropagation: a triangle converges to its min label; a 2-node " +
+    "cycle oscillates deterministically under synchronous rounds") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L))
+      .toDF("src", "dst")
+    val got = GraphOps.labelPropagation(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 1L)
+    // synchronous LPA on a bipartite pair swaps labels every round —
+    // odd round count leaves them exchanged (deterministic, documented)
+    assert(got(10L) === 11L && got(11L) === 10L)
+  }
+
   test("ancestorClosureRelational fails loudly when the hierarchy outruns maxIterations") {
     val edges = (0 until 10).map(i => (s"c$i", s"c${i + 1}"))
       .toDF("child", "parent")

@@ -88,6 +88,48 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 2000)
   }
 
+  test("zorderParquet: every file covers a small rectangle of BOTH key " +
+    "domains (range clustering only bounds the leading key)") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val in = java.nio.file.Files.createTempDirectory("graft-zin").toString
+    val outZ = java.nio.file.Files.createTempDirectory("graft-zout").toString
+    // two independent 0..1023 keys, hash-scattered input layout
+    spark.range(4096).select(
+        (col("id") * 37 % 1024).as("x"), (col("id") * 101 % 1024).as("y"))
+      .repartition(8, col("x"))
+      .write.mode("overwrite").parquet(in)
+    Sinks.zorderParquet(spark, in, outZ, "x", "y", nFiles = 16)
+    val files = new java.io.File(outZ).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length == 16)
+    val spans = files.map { f =>
+      spark.read.parquet(f)
+        .agg(max(col("x")) - min(col("x")), max(col("y")) - min(col("y")))
+        .as[(Long, Long)].head()
+    }
+    // a 16-file Z-order is a ~4x4 grid: each file spans ~1/4 of each
+    // domain; assert well under the full range on BOTH dimensions
+    assert(spans.map(_._1).sum / spans.length < 512,
+      s"x spans: ${spans.map(_._1).mkString(",")}")
+    assert(spans.map(_._2).sum / spans.length < 512,
+      s"y spans: ${spans.map(_._2).mkString(",")}")
+    assert(spark.read.parquet(outZ).count() === 4096)
+  }
+
+  test("zValue interleaves bits (known small cases)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val got = spark.range(1)
+      .select(
+        Sinks.zValue(lit(0L), lit(0L)).as("z00"),
+        Sinks.zValue(lit(1L), lit(0L)).as("z10"),
+        Sinks.zValue(lit(0L), lit(1L)).as("z01"),
+        Sinks.zValue(lit(3L), lit(5L)).as("z35"))
+      .as[(Long, Long, Long, Long)].head()
+    // z(3,5): a bits 11 at even positions -> 0b000101; b bits 101 at odd
+    // positions -> 0b100010; OR = 0b100111 = 39
+    assert(got === ((0L, 1L, 2L, 39L)))
+  }
+
   test("flatRecords + flatRecordFields parse ///-delimited keyword records") {
     val path = Files.createTempFile("graft-flat", ".txt")
     Files.writeString(path,
