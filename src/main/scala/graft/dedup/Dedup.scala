@@ -572,6 +572,33 @@ object Dedup {
     * back is a plain equi-join AQE skew-splits if one segment dominates;
     * the rebuild shuffles once on doc_id with bounded group size
     * (segments per doc). */
+  /** Source-pair contamination matrix: for every pair of corpus sources,
+    * the distinct shingles BOTH contain and the containment share
+    * (shared / smaller source's shingle set) — the provenance-level
+    * overlap that flags mirrored or re-crawled corpora before any
+    * doc-level dedup runs. The pair join runs over DISTINCT (source,
+    * shingle) rows, so a shingle contributes at most |sources|² pair
+    * rows — sources are a dimension, so the join is bounded by
+    * construction at any corpus size. Output: (src_a, src_b, n_shared,
+    * containment). */
+  def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, n: Int = 3): DataFrame = {
+    val srcSh = shingles(docs, idCol, textCol, n)
+      .join(docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source")),
+        Seq("doc_id"))
+      .select(col("source"), col("shingle")).distinct()
+    val counts = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    srcSh.toDF("a", "shingle")
+      .join(srcSh.toDF("b", "shingle"), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+      .join(counts.toDF("a", "na"), Seq("a"))
+      .join(counts.toDF("b", "nb"), Seq("b"))
+      .select(col("a").as("src_a"), col("b").as("src_b"), col("n_shared"),
+        (col("n_shared").cast("double") / least(col("na"), col("nb")))
+          .as("containment"))
+  }
+
   /** Intra-document segment dedup — the within-doc "remove repeated
     * lines" scrub (segments = fixed `segTokens`-word windows standing in
     * for lines in this corpus): keep each segment's FIRST occurrence

@@ -46,6 +46,35 @@ object Scale {
         sum(col(valueCol).cast("decimal(18,4)")) -> "total"),
       name => sum(col(name)))
 
+  /** The k Bloom positions of an integer join key (portable md5 family,
+    * salts jbloom0..jbloom{k-1}, mod mBits). */
+  private def bloomKeyPositions(key: Column, i: Int, mBits: Int): Column =
+    pmod(graft.text.TextFns.portableHash(key.cast("string"), lit(s"jbloom$i")),
+      lit(mBits.toLong))
+
+  /** Bloom-pruned equi-join — the classic 100 TB shuffle reducer: fold
+    * the dim side's join keys into a bounded bit-position set (≤ mBits
+    * rows regardless of dim size), broadcast it, and prune the fact side
+    * MAP-SIDE with k broadcast left-semi probes BEFORE any exchange, so
+    * fact rows that cannot match never enter the shuffle. Bloom
+    * guarantees no false negatives and survivors still pass the exact
+    * equi-join, so results are identical to the plain join by
+    * construction (the oracle IS the plain join). Spark's AQE runtime
+    * bloom pushdown does this implicitly; the explicit form is
+    * plan-testable and works on any build. */
+  def bloomPrunedJoin(
+      fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+      k: Int = 3, mBits: Int = 4096): DataFrame = {
+    val bits = (0 until k).map { i =>
+      dim.select(bloomKeyPositions(col(dimKey), i, mBits).as(s"__p$i")).distinct()
+    }
+    val pruned = (0 until k).foldLeft(fact) { (acc, i) =>
+      acc.join(broadcast(bits(i)),
+        bloomKeyPositions(col(factKey), i, mBits) === col(s"__p$i"), "left_semi")
+    }
+    pruned.join(dim, col(factKey) === col(dimKey))
+  }
+
   /** Key-skew profile — the diagnostic that decides whether a join or
     * aggregation on `keyCol` needs salting: the k heaviest keys with row
     * count and corpus share (ppm, fixed-point — engine-exact). Shape: one

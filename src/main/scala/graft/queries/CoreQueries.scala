@@ -678,6 +678,29 @@ object CoreQueries {
         min(col("dim_name")).as("dim_name"))
   }
 
+  /** Bloom-pruned join demo under the PLAIN join's oracle (same guarantee
+    * pattern as j_salted_skew): lineitem map-side-pruned by the Bloom
+    * positions of a selective supplier dim before the exact join. At
+    * test scale the final join broadcasts anyway; at 100 TB the dim
+    * outgrows the broadcast threshold and the pre-shuffle prune is what
+    * keeps the exchange small. */
+  val jBloomJoin = Q(
+    "j_bloom_join",
+    """WITH dim AS (SELECT s_suppkey FROM supplier WHERE s_acctbal > 3000)
+      |SELECT s_suppkey, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+      |FROM lineitem JOIN dim ON l_suppkey = s_suppkey
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    val dim = Tables.supplier(s, d).filter(col("s_acctbal") > 3000)
+      .select(col("s_suppkey"))
+    graft.ops.Scale.bloomPrunedJoin(
+      Tables.lineitem(s, d).select(col("l_suppkey"), col("l_quantity")),
+      dim, "l_suppkey", "s_suppkey")
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("qty"))
+  }
+
   /** Key-skew diagnostic over the events fact table: the 10 heaviest
     * user_ids with row count and corpus share — the profile that decides
     * whether a key needs salting (Scale.skewProfile; the operational
@@ -1228,7 +1251,7 @@ object CoreQueries {
     q21WaitingSuppliers, q22DormantCustomers,
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,
     j1OuterMerge, j4BroadcastMap, j5FallbackChain, j6SuffixSelfJoin,
-    j7AntiJoin, jRangeBin, jSaltedSkew, xSkewProfile,
+    j7AntiJoin, jRangeBin, jSaltedSkew, jBloomJoin, xSkewProfile,
     a1KeepBest, a2Median3, a3OrderedMiddle,
     a4MergeSources, a6ConflictDrop, a7EffectFold, d1KeyedDedup,
     d2UndirectedDedup, u1UnionEntities, fScalarPack, f13NestedExplode,

@@ -391,6 +391,29 @@ object DedupQueries {
     Dedup.segmentDedup(Tables.documents(s, d), "doc_id", "text")
   }
 
+  /** Provenance-level overlap: distinct-shingle containment between
+    * every source pair — flags mirrored/re-crawled corpora before any
+    * doc-level dedup. Sources are a dimension, so the pair space is
+    * bounded by construction. */
+  val xSourceOverlap = Q(
+    "x_source_overlap",
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+      |           FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+      |ss AS (SELECT DISTINCT d.source, s.shingle
+      |       FROM sh0 s JOIN documents d USING (doc_id)),
+      |cnt AS (SELECT source, COUNT(*) AS n_sh FROM ss GROUP BY 1),
+      |p AS (SELECT x.source AS src_a, y.source AS src_b, COUNT(*) AS n_shared
+      |      FROM ss x JOIN ss y ON x.shingle = y.shingle AND x.source < y.source
+      |      GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_shared,
+      |  CAST(n_shared AS DOUBLE) / least(ca.n_sh, cb.n_sh) AS containment
+      |FROM p JOIN cnt ca ON src_a = ca.source
+      |       JOIN cnt cb ON src_b = cb.source""".stripMargin) { (s, d) =>
+    Dedup.sourceOverlap(Tables.documents(s, d), "doc_id", "text", "source")
+  }
+
   /** Within-document repeated-segment removal (the "remove duplicate
     * lines inside a doc" scrub; 10-token segments stand in for lines):
     * each segment's first in-doc occurrence survives, later repeats are
@@ -449,5 +472,5 @@ object DedupQueries {
   val all: Seq[Q] = Seq(xDedupNgram, xDedupMinhashLsh, xDedupIncremental,
     xDedupClusters, xDedupKeepBest, xDedupApply, xDedupSimhashSig,
     xDedupSimhashPairs, xSubstringDup, xBloomFilter, xContainment,
-    xMinhashEst, xSegmentDedup, xIntraDedup, xDedupPrefixJoin)
+    xMinhashEst, xSegmentDedup, xIntraDedup, xSourceOverlap, xDedupPrefixJoin)
 }

@@ -64,6 +64,19 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 3L), (4L, 1L), (5L, 1L)))
   }
 
+  test("sourceOverlap: shared shingles per source pair with containment, " +
+    "no row for disjoint sources") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta", "A"),
+      (2L, "alpha beta gamma zeta", "B"),
+      (3L, "totally different words here", "C")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(d, "doc_id", "text", "source")
+      .as[(String, String, Long, Double)].collect().toSet
+    // A and B share exactly "alpha beta gamma" (1 of each side's 2)
+    assert(got === Set(("A", "B", 1L, 0.5)))
+  }
+
   test("intraDocSegmentDedup drops later in-doc repeats only, keeps order, " +
     "and cross-doc repeats are untouched") {
     val segA = (1 to 10).map(i => s"a$i").mkString(" ")

@@ -106,6 +106,21 @@ class ScaleSpec extends SparkSpec {
     assert(tiny === Seq(1L, 2L, 3L))
   }
 
+  test("bloomPrunedJoin equals the plain equi-join and prunes map-side " +
+    "via broadcast semi probes") {
+    val fact = (1L to 500L).map(i => (i % 50, i)).toDF("fk", "payload")
+    val dim = Seq(3L, 7L, 11L).toDF("dk")
+    val pruned = Scale.bloomPrunedJoin(fact, dim, "fk", "dk")
+    val plain = fact.join(dim, $"fk" === $"dk")
+    assert(pruned.select("fk", "payload", "dk").as[(Long, Long, Long)]
+      .collect().toSet ===
+      plain.select("fk", "payload", "dk").as[(Long, Long, Long)]
+        .collect().toSet)
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("skewProfile surfaces the heaviest keys with exact ppm shares") {
     val rows = Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++
       (1 to 10).map(i => s"cold$i")
