@@ -111,4 +111,33 @@ object TemporalJoins {
       .filter(col(pointCol).between(col(startCol), col(endCol)))
       .drop("__bin")
   }
+
+  /** Interval × interval OVERLAP join on DATE columns: every (left, right)
+    * pair with `[ls, le] ∩ [rs, re] ≠ ∅` (inclusive ends), emitted exactly
+    * once. The generalization of [[binnedRangeJoin]] both sides need at
+    * scale: a raw `a.s <= b.e AND b.s <= a.e` join has no equi-key and
+    * plans as a nested-loop cross product. Here both sides explode into
+    * `binSizeDays`-wide day bins and equi-join on the bin; a pair sharing
+    * several bins is kept only at the FIRST bin both cover
+    * (`max(bin(ls), bin(rs))` — always inside the intersection), so
+    * dedup costs a filter, not a distinct shuffle. Column names must be
+    * disjoint across the two inputs (the caller aliases). Backwards
+    * intervals match nothing. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      lsCol: String, leCol: String, rsCol: String, reCol: String,
+      binSizeDays: Int): DataFrame = {
+    def binOf(c: org.apache.spark.sql.Column) =
+      floor(datediff(c, lit("1970-01-01")) / binSizeDays).cast("int")
+    val lx = left.filter(col(leCol) >= col(lsCol))
+      .withColumn("__bin",
+        explode(sequence(binOf(col(lsCol)), binOf(col(leCol)))))
+    val rx = right.filter(col(reCol) >= col(rsCol))
+      .withColumn("__bin",
+        explode(sequence(binOf(col(rsCol)), binOf(col(reCol)))))
+    lx.join(rx, Seq("__bin"))
+      .filter(col(lsCol) <= col(reCol) && col(rsCol) <= col(leCol))
+      .filter(col("__bin") ===
+        greatest(binOf(col(lsCol)), binOf(col(rsCol))))
+      .drop("__bin")
+  }
 }

@@ -584,6 +584,42 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_orders"))
   }
 
+  /** Interval × interval overlap join (TemporalJoins.intervalOverlapJoin):
+    * shipping windows × urgent-order fulfilment windows, overlap count per
+    * lineitem. The inequality-only form would plan as a nested-loop cross
+    * product; the binned form is a shuffled equi-join on the day bin with
+    * a first-common-bin filter deduping multi-bin pairs (no distinct). */
+  val jIntervalOverlap = Q(
+    "j_interval_overlap",
+    """WITH a AS (SELECT l_orderkey, l_linenumber,
+      |    CAST(l_shipdate AS DATE) AS s,
+      |    CAST(l_shipdate AS DATE)
+      |      + to_days(CAST(l_quantity AS INT) % 10 + 1) AS e
+      |  FROM lineitem WHERE l_linenumber = 7),
+      |b AS (SELECT CAST(o_orderdate AS DATE) AS bs,
+      |    CAST(o_orderdate AS DATE)
+      |      + to_days(CAST(o_orderkey % 5 AS INT) + 1) AS be
+      |  FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT l_orderkey, l_linenumber, COUNT(*) AS n_overlaps
+      |FROM a JOIN b ON a.s <= b.be AND b.bs <= a.e
+      |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val a = Tables.lineitem(s, d)
+      .filter(col("l_linenumber") === 7)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        to_date(col("l_shipdate")).as("s"),
+        date_add(to_date(col("l_shipdate")),
+          pmod(col("l_quantity").cast("int"), lit(10)) + 1).as("e"))
+    val b = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(to_date(col("o_orderdate")).as("bs"),
+        date_add(to_date(col("o_orderdate")),
+          (col("o_orderkey") % 5).cast("int") + 1).as("be"))
+    graft.ops.TemporalJoins.intervalOverlapJoin(
+        a, b, "s", "e", "bs", "be", binSizeDays = 8)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("n_overlaps"))
+  }
+
   /** TPC-H Q3-shaped shipping-priority query: selective dimension filter →
     * two equi-joins → DECIMAL revenue aggregate → deterministic top-10.
     * Plan shape to want at 100 TB: the filtered customer dimension
@@ -1251,7 +1287,7 @@ object CoreQueries {
     q21WaitingSuppliers, q22DormantCustomers,
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,
     j1OuterMerge, j4BroadcastMap, j5FallbackChain, j6SuffixSelfJoin,
-    j7AntiJoin, jRangeBin, jSaltedSkew, jBloomJoin, xSkewProfile,
+    j7AntiJoin, jRangeBin, jIntervalOverlap, jSaltedSkew, jBloomJoin, xSkewProfile,
     a1KeepBest, a2Median3, a3OrderedMiddle,
     a4MergeSources, a6ConflictDrop, a7EffectFold, d1KeyedDedup,
     d2UndirectedDedup, u1UnionEntities, fScalarPack, f13NestedExplode,

@@ -521,9 +521,34 @@ object SimQueries {
       .filter(col("n_docs") > 1)
   }
 
+  /** Sparse random projection 64→16 (Similarity.randomProjection): the
+    * JL-lemma dimensionality-reduction pre-pass that shrinks a wide
+    * embedding corpus before any pairwise stage. All-integer (quantized
+    * components × md5-derived {+1,−1,0} weights), so the oracle rebuilds
+    * the identical matrix from range×range and hash arithmetic. The
+    * Spark side carries the matrix as plan literals — one scan, zero
+    * joins, zero shuffles. */
+  val xRandProj = Q(
+    "x_rand_proj",
+    """WITH q AS (SELECT vec_id, r.j,
+      |    CAST(floor(CAST(embedding[r.j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      |  FROM embeddings, range(0, 64) r(j)),
+      |w AS (SELECT r1.j, r2.k,
+      |    CASE (('0x' || substr(md5('graft-rp:' || CAST(r1.j AS VARCHAR)
+      |        || ':' || CAST(r2.k AS VARCHAR)), 1, 14))::BIGINT) % 6
+      |      WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS w
+      |  FROM range(0, 64) r1(j), range(0, 16) r2(k))
+      |SELECT q.vec_id, CAST(w.k AS BIGINT) AS k,
+      |  CAST(SUM(q.q * w.w) AS BIGINT) AS proj_q
+      |FROM q JOIN w ON q.j = w.j
+      |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    Similarity.randomProjection(Tables.embeddings(s, d), "vec_id", "embedding",
+      inDim = 64, outDim = 16)
+  }
+
   val all: Seq[Q] = Seq(xAnnTopK, xAnnFiltered, xAnnIvf, xAnnLsh, xAnnPq,
     xAnnSq8, xKmeans,
     xSemanticDedup, xNearDupEmb, xDecontaminateSem,
     xMediaFeatures, xMediaDecode, xMediaFrames,
-    xAnnRecall, xMediaPhash)
+    xAnnRecall, xMediaPhash, xRandProj)
 }

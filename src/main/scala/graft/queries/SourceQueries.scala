@@ -133,6 +133,77 @@ object SourceQueries {
       selected = Set("type", "full_mwt", "qed_score"))
   }
 
+  /** ORC round trip — the second columnar interchange format (Spark
+    * bundles the ORC reader/writer; a user migrating a Hive-era warehouse
+    * hands us ORC, not parquet). Write a supplier projection as ORC, read
+    * it back with a pushable predicate (ORC carries file/stripe min-max
+    * stats like parquet — the filter reaches the scan, SinksSpec asserts
+    * it), emit the surviving rows. */
+  val sOrcRoundtrip = Q(
+    "s_orc_roundtrip",
+    """SELECT s_suppkey, s_name, s_acctbal, s_nationkey
+      |FROM supplier WHERE s_nationkey < 20""".stripMargin) { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_rt").toString
+    Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("s_nationkey"))
+      .write.mode("overwrite").orc(dir)
+    s.read.orc(dir).filter(col("s_nationkey") < 20)
+  }
+
+  /** Key-based MERGE of a CDC batch into a month-partitioned parquet
+    * snapshot (Sinks.upsertPartitioned): base = orders snapshot
+    * (version 0); the batch updates every key ≡ 0 (mod 10) (price+1000,
+    * status 'U'), tombstones every key ≡ 3 (mod 100), and inserts a new
+    * key (+10⁸, month 2099-01) for every key ≡ 7 (mod 1000). The query
+    * emits the POST-MERGE table read back from the base directory — so
+    * the oracle states final-state semantics directly from `orders`,
+    * checking update-wins-over-base, tombstone removal, and new-partition
+    * inserts in one pass. Partition pruning (only touched months are
+    * scanned/rewritten) is asserted separately in SinksSpec with a
+    * narrow batch. */
+  val sUpsertMerge = Q(
+    "s_upsert_merge",
+    """WITH base AS (SELECT o_orderkey AS k, o_custkey,
+      |    o_totalprice AS price, o_orderstatus AS status,
+      |    strftime(o_orderdate, '%Y-%m') AS month
+      |  FROM orders)
+      |SELECT k AS o_orderkey, o_custkey,
+      |  CASE WHEN k % 10 = 0 THEN price + 1000 ELSE price END AS price,
+      |  CASE WHEN k % 10 = 0 THEN 'U' ELSE status END AS status, month
+      |FROM base WHERE k % 100 <> 3
+      |UNION ALL
+      |SELECT k + 100000000, o_custkey, price, 'N', '2099-01'
+      |FROM base WHERE k % 1000 = 7""".stripMargin) { (s, d) =>
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_upsert_base").toString
+    val stagingDir = java.nio.file.Files.createTempDirectory("graft_upsert_stage").toString
+    val snap = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").as("price"),
+      col("o_orderstatus").as("status"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+      lit(0L).as("version"), lit(false).as("del"))
+    snap.write.mode("overwrite").partitionBy("month").parquet(baseDir)
+    val updates = snap.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("price", col("price") + 1000)
+      .withColumn("status", lit("U"))
+      .withColumn("version", lit(1L))
+      .unionByName(snap.filter(col("o_orderkey") % 100 === 3)
+        .withColumn("version", lit(1L))
+        .withColumn("del", lit(true)))
+      .unionByName(snap.filter(col("o_orderkey") % 1000 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("status", lit("N"))
+        .withColumn("month", lit("2099-01"))
+        .withColumn("version", lit(1L)))
+    Sinks.upsertPartitioned(s, baseDir, updates,
+      partCol = "month", keyCols = Seq("o_orderkey"),
+      versionCol = "version", deleteCol = "del", stagingDir = stagingDir)
+    s.read.parquet(baseDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("price"),
+        col("status"), col("month"))
+  }
+
   val all: Seq[Q] = Seq(s12FlatRecords, s12Dsv2Scan, s3CsvRoundtrip,
-    fCleanupPack, p10Conform)
+    fCleanupPack, p10Conform, sOrcRoundtrip, sUpsertMerge)
 }

@@ -526,10 +526,56 @@ object TextQueries {
       rounds = BpeRounds)
   }
 
+  /** HTML boilerplate strip (the crawl-ingest text extraction that runs
+    * BEFORE every quality/dedup operator here): each document is embedded
+    * into a deterministic HTML page (head with script+style blocks whose
+    * content must NOT leak, entity-encoded body, an entity-bearing
+    * trailer), then `TextFns.htmlStrip` recovers the text. Emits the
+    * cleaned text plus the text-to-markup ratio (ppm) — the classic
+    * boilerplate-density signal. Pure per-row expression chain, zero
+    * shuffles; the oracle replicates synth + strip with the same RE2/Java
+    * shared-syntax regexes. */
+  val xHtmlStrip = Q(
+    "x_html_strip",
+    """WITH h AS (SELECT doc_id,
+      |    '<html><head><script type="text/javascript">var x = 1 < 2 && y;</script>'
+      |    || '<style>p { color: red }</style></head><body><h1 class="hd">Doc '
+      |    || CAST(doc_id AS VARCHAR) || '</h1><p id="p1">'
+      |    || replace(replace(replace(replace(text,
+      |         '&', '&amp;'), '<', '&lt;'), '"', '&quot;'), '''', '&#39;')
+      |    || '</p><br/><div>&nbsp;&amp;&lt;tail&gt;</div></body></html>' AS html
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, html, regexp_replace(html,
+      |    '(?is)<(script|style)[^>]*>.*?</(script|style)\s*>', ' ', 'g') AS a
+      |  FROM h),
+      |s2 AS (SELECT doc_id, html,
+      |    regexp_replace(a, '(?s)<[^>]*>', ' ', 'g') AS b FROM s1),
+      |s3 AS (SELECT doc_id, html,
+      |    trim(regexp_replace(replace(replace(replace(replace(replace(replace(b,
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |      '&nbsp;', ' '), '&amp;', '&'), '\s+', ' ', 'g')) AS clean
+      |  FROM s2)
+      |SELECT doc_id, clean AS clean_text,
+      |  (len(clean) * 1000000) // len(html) AS text_ratio_ppm
+      |FROM s3""".stripMargin) { (s, d) =>
+    val html = concat(
+      lit("<html><head><script type=\"text/javascript\">var x = 1 < 2 && y;</script>"),
+      lit("<style>p { color: red }</style></head><body><h1 class=\"hd\">Doc "),
+      col("doc_id").cast("string"), lit("</h1><p id=\"p1\">"),
+      TextFns.htmlEncode(col("text")),
+      lit("</p><br/><div>&nbsp;&amp;&lt;tail&gt;</div></body></html>"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), html.as("html"))
+      .withColumn("clean_text", TextFns.htmlStrip(col("html")))
+      .select(col("doc_id"), col("clean_text"),
+        expr("(length(clean_text) * 1000000) div length(html)")
+          .as("text_ratio_ppm"))
+  }
+
   val all: Seq[Q] = Seq(xTextStats, xLangId, xLenQuantiles, xRepetition,
     xVocab, xCorpusStats, xDistinctKmv, xDistinctHll, xDedupExact,
     xDedupExactMembers, xDedupNorm,
     xTfidf, xBigramLm, xHeavyHitters, xFingerprint, xQualityBuckets,
     xImportanceWeight, xHistQuantiles, xCollocations, xBpeMerges,
-    xBpeTokenize)
+    xBpeTokenize, xHtmlStrip)
 }

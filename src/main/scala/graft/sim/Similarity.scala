@@ -432,4 +432,56 @@ object Similarity {
         (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Sparse random projection (Achlioptas-style) for embedding
+    * dimensionality reduction: out_k = Σⱼ w(j,k)·qⱼ where qⱼ =
+    * ⌊vⱼ·10⁶⌋ (BIGINT quantization, the same float→double→floor contract
+    * as SQ8 codes) and w(j,k) ∈ {+1,−1,0} is derived from the portable md5
+    * family (h(seed:j:k) mod 6 → 0:+1, 1:−1, else 0 — expected density
+    * 1/3). Every term is an exact integer, so projections are
+    * bit-replicable across engines.
+    *
+    * Scale shape: the weight matrix is inDim×outDim — part of the PLAN
+    * (literal sums over the nonzero entries, whole-stage codegen), not
+    * data. One corpus scan, zero joins, zero shuffles; the 16-row
+    * explode per vector is narrow. This is the standard cheap pre-pass
+    * that shrinks 100 TB of wide embeddings before any pairwise stage
+    * (JL lemma: pairwise distances preserved within ε at outDim =
+    * O(log n / ε²)).
+    *
+    * Output: (vec_id, k, proj_q) — long format, outDim rows per vector. */
+  def randomProjection(
+      emb: DataFrame, idCol: String, vecCol: String,
+      inDim: Int = 64, outDim: Int = 16,
+      seed: String = "graft-rp"): DataFrame = {
+    val md = MessageDigest.getInstance("MD5")
+    def weight(j: Int, k: Int): Long = {
+      val hex = md.digest(s"$seed:$j:$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(14)
+      java.lang.Long.parseLong(hex, 16) % 6 match {
+        case 0 => 1L
+        case 1 => -1L
+        case _ => 0L
+      }
+    }
+    val q = transform(col(vecCol),
+      x => floor(x.cast("double") * 1000000d).cast("long"))
+    val projs = array((0 until outDim).map { k =>
+      val terms = (0 until inDim).flatMap { j =>
+        weight(j, k) match {
+          case 0L => None
+          case w  => Some(element_at(col("__q"), j + 1) * lit(w))
+        }
+      }
+      if (terms.isEmpty) lit(0L) else terms.reduce(_ + _)
+    }: _*)
+    // build the 16-sum array in its OWN Project (whole-stage codegen splits
+    // oversized expression trees there; the Generate operator cannot, and
+    // inlining the sums into posexplode trips the 64KB JVM method limit
+    // into an interpreted fallback)
+    emb.select(col(idCol).as("vec_id"), q.as("__q"))
+      .select(col("vec_id"), projs.as("__p"))
+      .select(col("vec_id"), posexplode(col("__p")).as(Seq("k", "proj_q")))
+      .select(col("vec_id"), col("k").cast("long").as("k"), col("proj_q"))
+  }
 }

@@ -120,6 +120,51 @@ object Sinks {
       .drop("__z")
       .write.mode("overwrite").parquet(outDir)
 
+  /** Key-based MERGE (upsert + delete) into a month/whatever-partitioned
+    * parquet table WITHOUT a transactional table format — the classic
+    * "apply a CDC batch to the snapshot" operator:
+    *
+    *  1. the touched partition set comes from the UPDATES (a bounded
+    *     dimension — collected, it becomes partition-pruning predicates),
+    *  2. only touched base partitions are scanned (PartitionFilters prune
+    *     the rest — the reason a 100 TB base costs only
+    *     O(touched partitions) per batch),
+    *  3. per key keep the highest `versionCol` row (the A1 keep-first
+    *     idiom), then drop tombstones (`deleteCol`),
+    *  4. the merged rows are STAGED to `stagingDir` and only then written
+    *     over the base with dynamic partition overwrite — Spark plans
+    *     lazily, so writing directly over a directory being read would
+    *     race the scan; the stage-then-swap is the non-negotiable part,
+    *     not a test convenience.
+    *
+    * Update rows may target new partitions (inserts) — dynamic overwrite
+    * creates them and leaves every untouched partition byte-identical.
+    * Assumes at most one update row per key per batch (CDC compaction
+    * upstream); ties on version fall back to tombstone-last so a
+    * same-version update+delete pair deletes. */
+  def upsertPartitioned(
+      spark: SparkSession, baseDir: String, updates: DataFrame,
+      partCol: String, keyCols: Seq[String], versionCol: String,
+      deleteCol: String, stagingDir: String): Unit = {
+    val touched = updates.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val base = spark.read.parquet(baseDir)
+      .filter(col(partCol).isin(touched: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col(deleteCol).desc)
+    val merged = base.unionByName(updates.select(base.columns.map(col): _*))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col(deleteCol))
+      .drop("__rn")
+    merged.write.mode("overwrite").parquet(stagingDir)
+    spark.read.parquet(stagingDir)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(baseDir)
+  }
+
   /** Scan a `///`-delimited flat-record file into one row per record. */
   def flatRecords(spark: SparkSession, path: String): DataFrame =
     spark.read.option("lineSep", "///").text(path)

@@ -141,4 +141,38 @@ object TextFns {
     * reproduce signatures exactly. */
   def portableHash(c: Column, salt: Column): Column =
     conv(substring(md5(concat(salt, lit(":"), c)), 1, 14), 16, 10).cast("long")
+
+  /** HTML → text extraction (the WET-style boilerplate strip every web
+    * crawl pipeline runs before any quality/dedup stage): drop
+    * script/style blocks wholesale (their CONTENT is code, not text —
+    * a bare tag strip would leak it), strip remaining tags to a space,
+    * decode the six common entities (`&amp;` last, the standard order —
+    * decoding it first would double-decode `&amp;lt;`), collapse
+    * whitespace. Pure per-row expression chain: zero shuffles, and every
+    * regex is shared Java-regex/RE2 syntax so the DuckDB oracle replicates
+    * byte-for-byte. */
+  def htmlStrip(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    // entity strings contain no regex metacharacters, so regexp_replace
+    // is a literal replace here (the oracle uses DuckDB's replace())
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) =>
+        regexp_replace(c, ent, ch)
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Entity-encode text for embedding into HTML (the inverse boundary of
+    * [[htmlStrip]]'s decode): `&` first so later entities aren't
+    * double-encoded, then `<` (the one character that would derail the
+    * tag-strip regex), quotes. */
+  def htmlEncode(text: Column): Column =
+    Seq("&" -> "&amp;", "<" -> "&lt;", "\"" -> "&quot;", "'" -> "&#39;")
+      .foldLeft(text) { case (c, (ch, ent)) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(ch), ent)
+      }
 }

@@ -144,4 +144,34 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(naive.exceptAll(binned).count() === 0)
     assert(binned.filter(col("id") === 3).count() === 0)
   }
+
+  test("intervalOverlapJoin equals the naive overlap join, one row per " +
+    "pair even when the pair shares several bins") {
+    val left = Seq(
+      (1L, "2020-01-01", "2020-03-10"), // long: shares many bins with rights
+      (2L, "2020-02-01", "2020-02-02"),
+      (3L, "2020-05-01", "2020-04-01"), // inverted → matches nothing
+      (4L, "2020-06-01", "2020-06-01")  // single day
+    ).toDF("lid", "ls", "le")
+      .select(col("lid"), to_date(col("ls")).as("ls"), to_date(col("le")).as("le"))
+    val right = Seq(
+      (10L, "2019-12-20", "2020-01-05"), // overlaps 1 across a bin edge
+      (11L, "2020-01-15", "2020-02-20"), // overlaps 1 and 2
+      (12L, "2020-02-02", "2020-02-02"), // point-interval, touches 2's end
+      (13L, "2020-06-01", "2020-06-30"), // touches 4's single day
+      (14L, "2020-03-11", "2020-03-12")  // adjacent to 1 but disjoint
+    ).toDF("rid", "rs", "re")
+      .select(col("rid"), to_date(col("rs")).as("rs"), to_date(col("re")).as("re"))
+    val binned = TemporalJoins
+      .intervalOverlapJoin(left, right, "ls", "le", "rs", "re", binSizeDays = 16)
+      .select("lid", "rid")
+    val naive = left.join(right,
+      col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid")
+    assert(binned.count() === naive.count(), "pair multiplicity must be 1")
+    assert(binned.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(binned).count() === 0)
+    assert(binned.filter(col("lid") === 3).count() === 0)
+    assert(binned.filter(col("lid") === 1 && col("rid") === 14).count() === 0)
+  }
 }

@@ -414,6 +414,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
   }
 
+  test("j_interval_overlap is an equi-join on bins: no nested-loop, " +
+    "no cartesian, no distinct for pair dedup") {
+    val p = plan("j_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "overlap join fell back to a nested-loop theta join")
+    assert(!p.contains("CartesianProduct"))
+    // pair dedup is the first-common-bin FILTER, not a distinct shuffle:
+    // the only exchanges are the bin-key join and the final groupBy
+    assert(p.split("Exchange").length - 1 <= 3, p)
+  }
+
+  test("x_rand_proj is narrow: the matrix is plan literals, zero exchanges") {
+    val p = plan("x_rand_proj")
+    assert(!p.contains("Exchange"), "projection must not shuffle or join")
+    assert(!p.contains("Join"), "weight matrix must be literals, not a dim")
+    assert(p.contains("Generate"), "posexplode missing")
+  }
+
+  test("s_orc_roundtrip pushes the predicate to the ORC scan") {
+    val p = plan("s_orc_roundtrip")
+    assert(p.contains("PushedFilters") && p.contains("s_nationkey"), p)
+  }
+
   test("column pruning: q01 scan reads only the needed lineitem columns") {
     val p = plan("q01_pricing_summary")
     val schema = "ReadSchema: struct<" +

@@ -248,4 +248,38 @@ class SimilaritySpec extends SparkSpec {
     val obj2 = two.agg(sum("dist2")).head().getDouble(0)
     assert(obj2 <= obj1 + 1e-6, s"objective rose: $obj1 -> $obj2")
   }
+
+  test("randomProjection matches a driver-side exact integer replay " +
+    "(same md5 weights, same quantization), outDim rows per vector") {
+    val inDim = 64
+    val outDim = 16
+    val vecs = (0 until 3).map { id =>
+      (id.toLong, (0 until inDim).map(j => (id * inDim + j) * 0.01f - 2f).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity
+      .randomProjection(df, "vec_id", "embedding", inDim, outDim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size === 3 * outDim)
+    // independent replay of the contract: q_j = floor(v_j·10⁶) in double,
+    // w(j,k) = md5-prefix mod 6 → {+1,−1,0}
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def w(j: Int, k: Int): Long = {
+      val hex = md.digest(s"graft-rp:$j:$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(14)
+      java.lang.Long.parseLong(hex, 16) % 6 match {
+        case 0 => 1L; case 1 => -1L; case _ => 0L
+      }
+    }
+    for ((id, v) <- vecs; k <- 0 until outDim) {
+      val expected = (0 until inDim).map { j =>
+        math.floor(v(j).toDouble * 1000000d).toLong * w(j, k)
+      }.sum
+      assert(got((id, k.toLong)) === expected, s"vec $id dim $k")
+    }
+    // the matrix is genuinely sparse AND genuinely mixed-sign
+    val ws = for (j <- 0 until inDim; k <- 0 until outDim) yield w(j, k)
+    assert(ws.count(_ == 0L) > ws.size / 2)
+    assert(ws.contains(1L) && ws.contains(-1L))
+  }
 }

@@ -116,6 +116,61 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(outZ).count() === 4096)
   }
 
+  test("ORC round trip: content identical, predicate pushed to the ORC scan") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val df = spark.range(1000).select(col("id"), (col("id") % 7).as("v"))
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.exceptAll(df).count() === 0 && df.exceptAll(back).count() === 0)
+    val filtered = back.filter(col("v") === 3)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("v"),
+      s"ORC filter not pushed:\n$plan")
+    assert(filtered.count() === df.filter(col("v") === 3).count())
+  }
+
+  test("upsertPartitioned: update wins, tombstone deletes, insert creates " +
+    "a new partition, untouched partitions are NOT rewritten") {
+    import org.apache.spark.sql.functions._
+    val baseDir = Files.createTempDirectory("graft-upsert-base").toString
+    val stage = Files.createTempDirectory("graft-upsert-stage").toString
+    val base = Seq(
+      (1L, "one", "A", 0L, false),
+      (2L, "two", "A", 0L, false),
+      (3L, "three", "B", 0L, false),
+      (4L, "four", "B", 0L, false),
+      (5L, "five", "C", 0L, false)
+    ).toDF("k", "payload", "p", "version", "del")
+    base.write.mode("overwrite").partitionBy("p").parquet(baseDir)
+    def partFiles(p: String) = {
+      val d = new java.io.File(s"$baseDir/p=$p")
+      if (!d.exists()) Vector.empty[(String, Long, Long)]
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).sortBy(_._1).toVector
+    }
+    val bBefore = partFiles("B")
+    val cBefore = partFiles("C")
+    val updates = Seq(
+      (1L, "one-v1", "A", 1L, false),  // update
+      (2L, "two", "A", 1L, true),      // tombstone
+      (10L, "ten", "D", 1L, false)     // insert into a NEW partition
+    ).toDF("k", "payload", "p", "version", "del")
+    Sinks.upsertPartitioned(spark, baseDir, updates,
+      partCol = "p", keyCols = Seq("k"), versionCol = "version",
+      deleteCol = "del", stagingDir = stage)
+    val fin = spark.read.parquet(baseDir)
+      .select("k", "payload", "p").as[(Long, String, String)].collect().toSet
+    assert(fin === Set(
+      (1L, "one-v1", "A"),
+      (3L, "three", "B"), (4L, "four", "B"),
+      (5L, "five", "C"),
+      (10L, "ten", "D")))
+    // incrementality: partitions B and C were neither rewritten nor touched
+    assert(partFiles("B") === bBefore)
+    assert(partFiles("C") === cBefore)
+  }
+
   test("zValue interleaves bits (known small cases)") {
     import org.apache.spark.sql.functions.{col, lit}
     val got = spark.range(1)

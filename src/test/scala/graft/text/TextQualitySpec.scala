@@ -203,4 +203,40 @@ class TextQualitySpec extends SparkSpec {
       .select("err").as[Long].collect()
     assert(errs.forall(e => e >= 0 && e < 25))
   }
+
+  private def strip(html: String): String =
+    Seq(html).toDF("h").select(TextFns.htmlStrip(col("h")).as("t"))
+      .head().getString(0)
+
+  test("htmlStrip: tags go, script/style CONTENT goes with the block") {
+    assert(strip("<p>Hello <b>world</b></p>") === "Hello world")
+    assert(strip("<script>var leak = 1;</script>text") === "text")
+    assert(strip("<style>p{color:red}</style>text") === "text")
+    // script body containing '<' must not derail the block removal
+    assert(strip("<script>if (a < b) leak();</script>ok") === "ok")
+    // multi-line blocks ((?s) flag)
+    assert(strip("<script>\nline1();\nline2();\n</script>after") === "after")
+  }
+
+  test("htmlStrip: entity decode in standard order, &amp; last") {
+    assert(strip("a &lt;tag&gt; b") === "a <tag> b")
+    assert(strip("q&quot;x&quot; &#39;y&#39;") === "q\"x\" 'y'")
+    assert(strip("a&nbsp;b") === "a b")
+    // &amp;lt; decodes to the LITERAL "&lt;", not to "<"
+    assert(strip("x &amp;lt; y") === "x &lt; y")
+  }
+
+  test("htmlStrip ∘ htmlEncode recovers whitespace-collapsed text " +
+    "(the embed-extract round trip the x_html_strip query runs)") {
+    val texts = Seq(
+      "it's a \"quoted\" thing & more",
+      "tabs\tand\nnewlines   collapse",
+      "1 < 2 && 3 > 2")
+    texts.foreach { t =>
+      val enc = Seq(t).toDF("t")
+        .select(TextFns.htmlEncode(col("t")).as("e")).head().getString(0)
+      val collapsed = t.trim.replaceAll("\\s+", " ")
+      assert(strip(s"<div class='x'>$enc</div>") === collapsed, s"for: $t")
+    }
+  }
 }
