@@ -183,7 +183,11 @@ object SourceQueries {
       col("o_orderstatus").as("status"),
       date_format(col("o_orderdate"), "yyyy-MM").as("month"),
       lit(0L).as("version"), lit(false).as("del"))
-    snap.write.mode("overwrite").partitionBy("month").parquet(baseDir)
+    // one file per month partition (not one per task × month): the
+    // partitionBy write otherwise fans 32 tasks × ~85 months into ~2700
+    // tiny files and the merge pays per-file open cost on every pass
+    snap.repartition(col("month"))
+      .write.mode("overwrite").partitionBy("month").parquet(baseDir)
     val updates = snap.filter(col("o_orderkey") % 10 === 0)
       .withColumn("price", col("price") + 1000)
       .withColumn("status", lit("U"))

@@ -158,7 +158,10 @@ object Sinks {
       .filter(col("__rn") === 1 && !col(deleteCol))
       .drop("__rn")
     merged.write.mode("overwrite").parquet(stagingDir)
+    // cluster by partition key so each touched partition rewrites as one
+    // file, not one per upstream task
     spark.read.parquet(stagingDir)
+      .repartition(col(partCol))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)
