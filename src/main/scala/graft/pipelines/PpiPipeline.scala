@@ -49,7 +49,10 @@ object PpiPipeline {
         col("l_discount"), col("l_linestatus"), col("l_returnflag"))
     val a = li.toDF("l_orderkey", "sk_a", "ln_a", "disc_a", "ls_a", "rf_a")
     val b = li.toDF("l_orderkey", "sk_b", "ln_b", "disc_b", "ls_b", "rf_b")
-    a.join(b, Seq("l_orderkey")).filter(col("sk_a") < col("sk_b"))
+    // fact×fact: shuffle on the order key, never broadcast a fact side
+    // (see mergedSinglePass — same rationale and same measured win)
+    a.join(b.hint("shuffle_hash"), Seq("l_orderkey"))
+      .filter(col("sk_a") < col("sk_b"))
   }
 
   /** SwissProt-set analog: suppliers considered "reviewed". */
@@ -172,7 +175,12 @@ object PpiPipeline {
     val b = li.toDF("l_orderkey", "sk_b", "ln_b", "disc_b", "ls_b", "win_b")
     val rev = Tables.supplier(s, d).filter(col("s_acctbal") > 1000)
       .select(col("s_suppkey"))
-    val pairs = a.join(b, Seq("l_orderkey"))
+    // fact×fact self-join: force the shuffle-hash strategy — Catalyst's
+    // size estimate puts the filtered scan under the broadcast threshold
+    // at test scale, but broadcasting a FACT side is exactly the plan
+    // that dies at 100 TB (and the driver-side build measurably dominates
+    // this query even at sf0.1: 9.1s broadcast vs ~2s shuffled)
+    val pairs = a.join(b.hint("shuffle_hash"), Seq("l_orderkey"))
       .filter(col("sk_a") < col("sk_b") && col("win_a") === col("win_b"))
       .withColumnRenamed("win_a", "win")
       .join(broadcast(rev.select(col("s_suppkey").as("sk_a"),

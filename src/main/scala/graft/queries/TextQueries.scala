@@ -292,6 +292,32 @@ object TextQueries {
     graft.text.Relevance.bigramLmScore(Tables.documents(s, d), "doc_id", "text")
   }
 
+  /** Log-space bigram LM (perplexity) document scoring: ln quantized at
+    * the bigram-type level, integer doc aggregates; avg_lp_micro =
+    * −10⁶·ln(ppl) ranks identically to perplexity without a doc-level
+    * exp (see Relevance.bigramLogScore). */
+  val xPerplexity = Q(
+    "x_perplexity",
+    """WITH w AS (SELECT doc_id,
+      |    string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+      |bi AS (SELECT doc_id, ws[i] AS prev, ws[i+1] AS word
+      |       FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+      |c2 AS (SELECT prev, word, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+      |c1 AS (SELECT word AS prev, COUNT(*) AS c1
+      |       FROM (SELECT unnest(ws) AS word FROM w) GROUP BY 1),
+      |ty AS (SELECT prev, word,
+      |    CAST(floor(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1000000)
+      |      AS BIGINT) AS lp_micro
+      |  FROM c2 JOIN c1 USING (prev))
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(lp_micro) AS BIGINT) AS sum_lp_micro,
+      |  CAST(floor(CAST(SUM(lp_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+      |    AS avg_lp_micro
+      |FROM bi JOIN ty USING (prev, word)
+      |GROUP BY doc_id""".stripMargin) { (s, d) =>
+    graft.text.Relevance.bigramLogScore(Tables.documents(s, d), "doc_id", "text")
+  }
+
   /** Count-min-sketch heavy hitters (depth 4 × width 1024, md5 hash
     * family): estimate vs exact for every token with exact count ≥ 100. */
   val xHeavyHitters = Q(
@@ -575,7 +601,8 @@ object TextQueries {
   val all: Seq[Q] = Seq(xTextStats, xLangId, xLenQuantiles, xRepetition,
     xVocab, xCorpusStats, xDistinctKmv, xDistinctHll, xDedupExact,
     xDedupExactMembers, xDedupNorm,
-    xTfidf, xBigramLm, xHeavyHitters, xFingerprint, xQualityBuckets,
+    xTfidf, xBigramLm, xPerplexity, xHeavyHitters, xFingerprint,
+    xQualityBuckets,
     xImportanceWeight, xHistQuantiles, xCollocations, xBpeMerges,
     xBpeTokenize, xHtmlStrip)
 }

@@ -81,6 +81,49 @@ object Relevance {
       .withColumn("avg_p_ppm", expr("sum_p_ppm div n_bigrams"))
   }
 
+  /** Log-space bigram LM scoring — the perplexity form of
+    * [[bigramLmScore]] (the filter FineWeb/CCNet-style pipelines actually
+    * rank by: documents with low geometric-mean transition probability =
+    * high perplexity = improbable text). lp_micro = ⌊ln(c₂/c₁)·10⁶⌋ is
+    * quantized at the bigram-TYPE level — one ln per vocabulary entry,
+    * both engines feed the same two BIGINTs through one divide, one ln,
+    * one floor — and every per-document aggregate after that is integer.
+    * `avg_lp_micro = ⌊sum/n⌋` is −10⁶·ln(perplexity): monotone in
+    * perplexity, so ranking by it IS ranking by perplexity without an
+    * engine-divergent `exp` at the doc level (the avg divide goes through
+    * doubles exactly — |sum| ≪ 2⁵³).
+    *
+    * Scale: the type table is bigram-vocabulary-sized (partial-agg
+    * groupBys); the occurrence⋈type join shuffles on the bigram key; the
+    * per-doc sum is the only doc-keyed exchange — same shape at any
+    * corpus size. The LM is trained on the scored corpus itself, so
+    * every document bigram is observed (c₂ ≥ 1: no zero-prob smoothing
+    * needed). */
+  def bigramLogScore(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wAdj = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "word")))
+    val bi = words.withColumn("prev", lag(col("word"), 1).over(wAdj))
+      .filter(col("prev").isNotNull)
+      .select(col("doc_id"), col("prev"), col("word"))
+    val c2 = bi.groupBy(col("prev"), col("word")).agg(count(lit(1)).as("c2"))
+    val c1 = words.groupBy(col("word")).agg(count(lit(1)).as("c1"))
+      .select(col("word").as("prev"), col("c1"))
+    val types = c2.join(c1, Seq("prev"))
+      .withColumn("lp_micro",
+        floor(log(col("c2").cast("double") / col("c1").cast("double"))
+          * 1000000).cast("long"))
+      .select(col("prev"), col("word"), col("lp_micro"))
+    bi.join(types, Seq("prev", "word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp_micro")).as("sum_lp_micro"))
+      .withColumn("avg_lp_micro",
+        floor(col("sum_lp_micro").cast("double") / col("n_bigrams"))
+          .cast("long"))
+  }
+
   /** DSIR-style importance weights: per-document log-likelihood ratio of a
     * TARGET unigram LM vs the GENERAL LM, for importance-resampling a raw
     * corpus toward a quality domain. Per vocabulary token,

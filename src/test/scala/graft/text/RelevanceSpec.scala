@@ -90,6 +90,25 @@ class RelevanceSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("bigramLogScore: hand-computed lp_micro, truncation-toward-minus-" +
+    "infinity avg, predictable text scores above improbable text") {
+    val tiny = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = Relevance.bigramLogScore(tiny, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // c1: a=3 b=3; c2: (a,b)=3 (b,a)=1
+    // lp(a,b) = floor(ln(1)·1e6) = 0
+    // lp(b,a) = floor(ln(1/3)·1e6) = -1098613  (floor, not trunc)
+    assert(got(1L) === ((3L, -1098613L, -366205L))) // floor(-1098613/3)
+    assert(got(2L) === ((1L, 0L, 0L)))
+    // on the shared corpus: the all-repeats doc (zebra⁴: 3 transitions of
+    // p=3/4 → floor(ln(0.75)·1e6) = -287683) is the most predictable
+    val full = Relevance.bigramLogScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(full(4L) === -287683L)
+    assert(full(4L) === full.values.max)
+  }
+
   test("pmiCollocations: planted collocation tops independence baseline") {
     val docs = Seq(
       (1L, "aa bb cc dd aa bb"),
