@@ -208,6 +208,58 @@ object SourceQueries {
         col("status"), col("month"))
   }
 
+  /** PERMISSIVE CSV ingestion — the dirty-feed contract every real scan
+    * needs: rows whose fields fail the declared schema land with the
+    * failing field null and the RAW LINE preserved in the corrupt-record
+    * column (quarantine-able downstream), while clean fields of the same
+    * row still parse. Every 10th supplier row carries a non-numeric
+    * balance; the oracle states the per-row outcome directly. */
+  val sCsvPermissive = Q(
+    "s_csv_permissive",
+    """SELECT s_suppkey AS k, s_name AS name,
+      |  CASE WHEN s_suppkey % 10 <> 0 THEN s_acctbal END AS bal,
+      |  CASE WHEN s_suppkey % 10 = 0
+      |    THEN s_suppkey || ',' || s_name || ',bad' END AS corrupt_raw
+      |FROM supplier""".stripMargin) { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_perm").toString
+    Tables.supplier(s, d).select(
+      when(col("s_suppkey") % 10 === 0,
+        concat(col("s_suppkey"), lit(","), col("s_name"), lit(",bad")))
+        .otherwise(concat(col("s_suppkey"), lit(","), col("s_name"),
+          lit(","), col("s_acctbal").cast("string"))).as("value"))
+      .write.mode("overwrite").text(dir)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("name", StringType),
+      StructField("bal", DoubleType), StructField("corrupt_raw", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "corrupt_raw")
+      .csv(dir)
+      .select(col("k"), col("name"), col("bal"), col("corrupt_raw"))
+  }
+
+  /** Parquet schema evolution — two write batches with divergent columns
+    * (the v1/v2 producer shape) read back as ONE table via mergeSchema:
+    * the union schema, absent columns typed-null. */
+  val sSchemaEvolve = Q(
+    "s_schema_evolve",
+    """SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_regionkey
+      |FROM nation
+      |UNION ALL
+      |SELECT n_nationkey, CAST(NULL AS VARCHAR), n_regionkey
+      |FROM nation""".stripMargin) { (s, d) =>
+    val d1 = java.nio.file.Files.createTempDirectory("graft_evolve_v1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_evolve_v2").toString
+    Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      .write.mode("overwrite").parquet(d1)
+    Tables.nation(s, d).select(col("n_nationkey"), col("n_regionkey"))
+      .write.mode("overwrite").parquet(d2)
+    s.read.option("mergeSchema", "true").parquet(d1, d2)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+  }
+
   val all: Seq[Q] = Seq(s12FlatRecords, s12Dsv2Scan, s3CsvRoundtrip,
-    fCleanupPack, p10Conform, sOrcRoundtrip, sUpsertMerge)
+    fCleanupPack, p10Conform, sOrcRoundtrip, sUpsertMerge,
+    sCsvPermissive, sSchemaEvolve)
 }

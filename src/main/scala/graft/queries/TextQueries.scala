@@ -292,6 +292,47 @@ object TextQueries {
     graft.text.Relevance.bigramLmScore(Tables.documents(s, d), "doc_id", "text")
   }
 
+  /** Writing-system profile (TextFns.scriptCount): per-document counts of
+    * Latin/CJK/Cyrillic/digit codepoints and the dominant script with a
+    * fixed tie order — the script-level complement of the stopword
+    * lang-ID (catches mixed-script spam and mojibake that stopwords
+    * can't). Codepoint-range classes are the one script syntax Java
+    * regex and RE2 share. */
+  val xScriptMix = Q(
+    "x_script_mix", {
+      def cnt(cls: String) = s"len(string_split_regex(text, '$cls')) - 1"
+      val latin = cnt("[A-Za-z]")
+      val cjk = cnt("[\\x{4e00}-\\x{9fff}]")
+      val cyr = cnt("[\\x{0400}-\\x{04ff}]")
+      val digit = cnt("[0-9]")
+      s"""SELECT doc_id, lang,
+         |  CAST($latin AS BIGINT) AS n_latin,
+         |  CAST($cjk AS BIGINT) AS n_cjk,
+         |  CAST($cyr AS BIGINT) AS n_cyrillic,
+         |  CAST($digit AS BIGINT) AS n_digit,
+         |  CASE
+         |    WHEN $latin >= $cjk AND $latin >= $cyr AND $latin >= $digit
+         |      THEN 'latin'
+         |    WHEN $cjk >= $cyr AND $cjk >= $digit THEN 'cjk'
+         |    WHEN $cyr >= $digit THEN 'cyrillic'
+         |    ELSE 'digit' END AS dominant
+         |FROM documents""".stripMargin
+    }) { (s, d) =>
+    import graft.text.TextFns._
+    val t = col("text")
+    val (la, cj, cy, di) = (scriptCount(t, latinClass),
+      scriptCount(t, cjkClass), scriptCount(t, cyrillicClass),
+      scriptCount(t, digitClass))
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      la.cast("long").as("n_latin"), cj.cast("long").as("n_cjk"),
+      cy.cast("long").as("n_cyrillic"), di.cast("long").as("n_digit"),
+      when(la >= cj && la >= cy && la >= di, "latin")
+        .when(cj >= cy && cj >= di, "cjk")
+        .when(cy >= di, "cyrillic")
+        .otherwise("digit").as("dominant"))
+  }
+
   /** Log-space bigram LM (perplexity) document scoring: ln quantized at
     * the bigram-type level, integer doc aggregates; avg_lp_micro =
     * −10⁶·ln(ppl) ranks identically to perplexity without a doc-level
@@ -601,7 +642,7 @@ object TextQueries {
   val all: Seq[Q] = Seq(xTextStats, xLangId, xLenQuantiles, xRepetition,
     xVocab, xCorpusStats, xDistinctKmv, xDistinctHll, xDedupExact,
     xDedupExactMembers, xDedupNorm,
-    xTfidf, xBigramLm, xPerplexity, xHeavyHitters, xFingerprint,
+    xTfidf, xBigramLm, xPerplexity, xScriptMix, xHeavyHitters, xFingerprint,
     xQualityBuckets,
     xImportanceWeight, xHistQuantiles, xCollocations, xBpeMerges,
     xBpeTokenize, xHtmlStrip)

@@ -142,6 +142,21 @@ object TextFns {
   def portableHash(c: Column, salt: Column): Column =
     conv(substring(md5(concat(salt, lit(":"), c)), 1, 14), 16, 10).cast("long")
 
+  /** Per-script character counts — the writing-system profile that
+    * complements [[langId]]'s stopword vote (stopwords need SPACES and a
+    * known vocabulary; script ranges work on any text, and catch
+    * mixed-script spam/mojibake). Counts use explicit codepoint-range
+    * classes (`\x{4e00}-\x{9fff}` etc) — the ONE script syntax Java regex
+    * and RE2 share, unlike `\p{Han}`/`\p{IsHan}` which differ — so the
+    * DuckDB oracle replicates exactly. Zero shuffles. */
+  def scriptCount(text: Column, rangeClass: String): Column =
+    size(split(text, rangeClass)) - 1
+
+  val latinClass = "[A-Za-z]"
+  val cjkClass = "[\\x{4e00}-\\x{9fff}]"
+  val cyrillicClass = "[\\x{0400}-\\x{04ff}]"
+  val digitClass = "[0-9]"
+
   /** HTML → text extraction (the WET-style boilerplate strip every web
     * crawl pipeline runs before any quality/dedup stage): drop
     * script/style blocks wholesale (their CONTENT is code, not text —

@@ -204,6 +204,23 @@ class TextQualitySpec extends SparkSpec {
     assert(errs.forall(e => e >= 0 && e < 25))
   }
 
+  test("scriptCount: per-range counts on mixed-script text, empty text zero") {
+    val df = Seq(
+      "abc ЖЗИ 漢字漢 123",
+      "",
+      "日本語テキスト" // kana outside the CJK-ideograph range, 3 kanji-range chars
+    ).toDF("text")
+    val got = df.select(
+      TextFns.scriptCount(col("text"), TextFns.latinClass).as("la"),
+      TextFns.scriptCount(col("text"), TextFns.cjkClass).as("cj"),
+      TextFns.scriptCount(col("text"), TextFns.cyrillicClass).as("cy"),
+      TextFns.scriptCount(col("text"), TextFns.digitClass).as("di"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got(0) === ((3, 3, 3, 3)))
+    assert(got(1) === ((0, 0, 0, 0)))
+    assert(got(2) === ((0, 3, 0, 0)))
+  }
+
   private def strip(html: String): String =
     Seq(html).toDF("h").select(TextFns.htmlStrip(col("h")).as("t"))
       .head().getString(0)
