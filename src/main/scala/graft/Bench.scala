@@ -12,15 +12,24 @@ object Bench {
     // deterministic (sorted) execution order for cross-round comparability
     // deterministic (sorted) order; failures are reported as -1 (never a
     // tiny elapsed time that would make a broken query look fast)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((name, fn), i) =>
+        // queries that persist() intermediates (iterative closures, merge
+        // reuse) would otherwise leave their blocks cached for the REST of
+        // the run — 200 queries of storage creep squeezing execution
+        // memory (the same reason BenchFocus clears per rep); the periodic
+        // driver GC lets ContextCleaner actually reclaim dropped
+        // broadcasts/blocks, which only happens on a GC cycle
+        spark.catalog.clearCache()
+        if (i % 25 == 24) System.gc()
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

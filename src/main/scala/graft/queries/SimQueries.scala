@@ -546,9 +546,53 @@ object SimQueries {
       inDim = 64, outDim = 16)
   }
 
+  /** Cluster exemplars (prototype selection): the 3 centroid-nearest
+    * members per k-means cluster — the "pick representatives per semantic
+    * cluster" op behind diversity-balanced subset selection. Reuses the
+    * kmeans CTE; ranking is a cluster-keyed window (rank pushdown). */
+  val xClusterExemplars = Q(
+    "x_cluster_exemplars",
+    kmeansCte +
+      """SELECT cluster, rank, vec_id, dist2 FROM (
+        |  SELECT cid AS cluster, id AS vec_id, dist AS dist2,
+        |    row_number() OVER (PARTITION BY cid ORDER BY dist ASC, id) AS rank
+        |  FROM km) WHERE rank <= 3""".stripMargin) { (s, d) =>
+    val km = graft.sim.KMeans.kmeans(Tables.embeddings(s, d),
+      "vec_id", "embedding", centroidStep = 40, iters = 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("dist2").asc, col("vec_id").asc)
+    km.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("cluster"), col("rank"), col("vec_id"), col("dist2"))
+  }
+
+  /** Hard-negative mining (Similarity.hardNegatives): top-5 cosine
+    * neighbors with a DIFFERENT label per vector — the pairwise-predicate
+    * variant of filtered search. */
+  val xHardNegatives = Q(
+    "x_hard_negatives",
+    """WITH v0 AS (SELECT vec_id AS id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |v AS (SELECT id, label, v,
+      |    sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b))
+      |      AS nrm FROM v0),
+      |p AS (SELECT a.id AS vec_id, b.id AS neighbor, b.label AS neg_label,
+      |    list_reduce(list_transform(list_zip(a.v, b.v),
+      |      z -> z[1] * z[2]), (s, t) -> s + t) / (a.nrm * b.nrm) AS cos
+      |  FROM v a JOIN v b ON a.label <> b.label)
+      |SELECT vec_id, rank, neighbor, neg_label, cos FROM (
+      |  SELECT vec_id, neighbor, neg_label, cos,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, neighbor) AS rank
+      |  FROM p) WHERE rank <= 5""".stripMargin) { (s, d) =>
+    Similarity.hardNegatives(Tables.embeddings(s, d),
+      "vec_id", "embedding", "label", k = 5)
+  }
+
   val all: Seq[Q] = Seq(xAnnTopK, xAnnFiltered, xAnnIvf, xAnnLsh, xAnnPq,
     xAnnSq8, xKmeans,
     xSemanticDedup, xNearDupEmb, xDecontaminateSem,
     xMediaFeatures, xMediaDecode, xMediaFrames,
-    xAnnRecall, xMediaPhash, xRandProj)
+    xAnnRecall, xMediaPhash, xRandProj, xClusterExemplars, xHardNegatives)
 }

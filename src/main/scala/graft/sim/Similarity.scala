@@ -433,6 +433,35 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Hard-negative mining — per vector, the k highest-cosine neighbors
+    * whose LABEL differs (the retrieval-training staple: the negatives
+    * worth contrasting are the near-misses, not random draws). The
+    * label predicate is pairwise (depends on both sides), so it composes
+    * as a filter over the candidate pairs rather than a corpus pre-filter
+    * ([[filteredTopK]]'s shape); ranking runs through the bounded top-k
+    * aggregate and the negative's label rides along via one broadcast
+    * id→label dimension join. At 100 TB the same LSH bucketing prunes
+    * candidates — hard negatives are near vectors by construction, so
+    * bucket-local search loses none of the high-cosine tail. */
+  def hardNegatives(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
+    val base = emb.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val pairs = base.toDF("vec_id", "la", "va", "na")
+      .join(broadcast(base.toDF("neighbor", "lb", "vb", "nb")),
+        col("la") =!= col("lb"))
+      .select(col("vec_id"), col("neighbor"),
+        (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+    aggTopKFromPairs(pairs, k)
+      .join(broadcast(base.select(col("id").as("neighbor"),
+        col("lbl").as("neg_label"))), Seq("neighbor"))
+      .select(col("vec_id"), col("rank"), col("neighbor"),
+        col("neg_label"), col("cos"))
+  }
+
   /** Sparse random projection (Achlioptas-style) for embedding
     * dimensionality reduction: out_k = Σⱼ w(j,k)·qⱼ where qⱼ =
     * ⌊vⱼ·10⁶⌋ (BIGINT quantization, the same float→double→floor contract

