@@ -221,4 +221,44 @@ class EdgeCasesSpec extends SparkSpec {
       .select("lv", "rv").as[(String, Option[String])].collect()
     assert(got.toSeq === Seq(("p", None)))
   }
+
+  test("hardNegatives: all-same-label corpus mines nothing; " +
+    "randomProjection of an empty frame is empty") {
+    val same = Seq(
+      (1L, Array(1f, 0f), 7), (2L, Array(0f, 1f), 7)
+    ).toDF("vec_id", "embedding", "label")
+    assert(graft.sim.Similarity
+      .hardNegatives(same, "vec_id", "embedding", "label", k = 3)
+      .count() === 0)
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.sim.Similarity
+      .randomProjection(emptyEmb, "vec_id", "embedding", inDim = 2, outDim = 4)
+      .count() === 0)
+  }
+
+  test("upsertPartitioned with an EMPTY update batch leaves the base " +
+    "untouched (empty touched-partition set)") {
+    val baseDir = java.nio.file.Files.createTempDirectory("graft-up-empty").toString
+    val stage = java.nio.file.Files.createTempDirectory("graft-up-empty-s").toString
+    val base = Seq((1L, "one", "A", 0L, false))
+      .toDF("k", "payload", "p", "version", "del")
+    base.write.mode("overwrite").partitionBy("p").parquet(baseDir)
+    val empty = Seq.empty[(Long, String, String, Long, Boolean)]
+      .toDF("k", "payload", "p", "version", "del")
+    graft.sources.Sinks.upsertPartitioned(spark, baseDir, empty,
+      "p", Seq("k"), "version", "del", stage)
+    val fin = spark.read.parquet(baseDir)
+      .select("k", "payload").as[(Long, String)].collect().toSeq
+    assert(fin === Seq((1L, "one")))
+  }
+
+  test("intervalOverlapJoin with an empty right side is empty") {
+    val left = Seq((1L, "2020-01-01", "2020-01-05")).toDF("lid", "ls", "le")
+      .select(col("lid"), to_date(col("ls")).as("ls"), to_date(col("le")).as("le"))
+    val right = Seq.empty[(Long, String, String)].toDF("rid", "rs", "re")
+      .select(col("rid"), to_date(col("rs")).as("rs"), to_date(col("re")).as("re"))
+    assert(TemporalJoins
+      .intervalOverlapJoin(left, right, "ls", "le", "rs", "re", 16)
+      .count() === 0)
+  }
 }
