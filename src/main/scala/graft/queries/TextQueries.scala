@@ -359,6 +359,27 @@ object TextQueries {
     graft.text.Relevance.bigramLogScore(Tables.documents(s, d), "doc_id", "text")
   }
 
+  /** Per-document token entropy (Relevance.tokenEntropy): the diversity
+    * filter — keyword-stuffed/template text scores low however probable
+    * its transitions are. Integer-carried ln terms, h_micro ≈ H·10⁶. */
+  val xTokenEntropy = Q(
+    "x_token_entropy",
+    wsCte +
+      """, tok AS (SELECT doc_id, unnest(ws) AS word FROM t),
+        |cnts AS (SELECT doc_id, word, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |nn AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnts GROUP BY 1),
+        |terms AS (SELECT cnts.doc_id, c, n,
+        |    c * CAST(floor(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000)
+        |      AS BIGINT) AS term_micro
+        |  FROM cnts JOIN nn ON cnts.doc_id = nn.doc_id)
+        |SELECT doc_id, COUNT(*) AS n_distinct, CAST(MAX(n) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(term_micro) AS BIGINT) AS sum_h_micro,
+        |  CAST(floor(CAST(SUM(term_micro) AS DOUBLE) / MAX(n)) AS BIGINT)
+        |    AS h_micro
+        |FROM terms GROUP BY doc_id""".stripMargin) { (s, d) =>
+    graft.text.Relevance.tokenEntropy(Tables.documents(s, d), "doc_id", "text")
+  }
+
   /** Count-min-sketch heavy hitters (depth 4 × width 1024, md5 hash
     * family): estimate vs exact for every token with exact count ≥ 100. */
   val xHeavyHitters = Q(
@@ -642,7 +663,8 @@ object TextQueries {
   val all: Seq[Q] = Seq(xTextStats, xLangId, xLenQuantiles, xRepetition,
     xVocab, xCorpusStats, xDistinctKmv, xDistinctHll, xDedupExact,
     xDedupExactMembers, xDedupNorm,
-    xTfidf, xBigramLm, xPerplexity, xScriptMix, xHeavyHitters, xFingerprint,
+    xTfidf, xBigramLm, xPerplexity, xScriptMix, xTokenEntropy,
+    xHeavyHitters, xFingerprint,
     xQualityBuckets,
     xImportanceWeight, xHistQuantiles, xCollocations, xBpeMerges,
     xBpeTokenize, xHtmlStrip)

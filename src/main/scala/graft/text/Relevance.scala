@@ -124,6 +124,36 @@ object Relevance {
           .cast("long"))
   }
 
+  /** Per-document token (Shannon) entropy — the diversity filter
+    * complementing [[bigramLogScore]]'s predictability: degenerate/spam
+    * text (keyword stuffing, template boilerplate) has LOW entropy
+    * regardless of its LM probability. H = Σₜ (cₜ/n)·ln(n/cₜ), carried as
+    * integers: each distinct (doc, token) row contributes
+    * cₜ·⌊ln(n/cₜ)·10⁶⌋ (one ln per row over two exact BIGINTs — engine-
+    * replicable), the per-doc sum is n·H·10⁶ up to quantization, and
+    * `h_micro = ⌊sum/n⌋` ≈ H·10⁶. Two doc-keyed partial-agg shuffles,
+    * no windows, no joins beyond the per-doc count ride-along. */
+  def tokenEntropy(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFns.tokens(col(textCol))).as("word"))
+    val counts = toks.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val n = counts.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    counts.join(n, Seq("doc_id"))
+      .withColumn("term_micro",
+        col("c") * floor(log(col("n").cast("double") / col("c").cast("double"))
+          * 1000000).cast("long"))
+      .groupBy(col("doc_id"))
+      // max over a per-doc-constant column (never first(): the codebase
+      // bans arrival-order dependence even where values coincide)
+      .agg(count(lit(1)).as("n_distinct"), max(col("n")).as("n_tokens"),
+        sum(col("term_micro")).as("sum_h_micro"))
+      .withColumn("h_micro",
+        floor(col("sum_h_micro").cast("double") / col("n_tokens"))
+          .cast("long"))
+  }
+
   /** DSIR-style importance weights: per-document log-likelihood ratio of a
     * TARGET unigram LM vs the GENERAL LM, for importance-resampling a raw
     * corpus toward a quality domain. Per vocabulary token,

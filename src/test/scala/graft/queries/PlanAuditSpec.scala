@@ -373,6 +373,50 @@ class PlanAuditSpec extends SparkSpec {
         "a bounded-domain aggregate first): " + offenders.mkString("; "))
   }
 
+  // ---- theta-join regression guard -------------------------------------
+  // A CartesianProduct is never acceptable; a BroadcastNestedLoopJoin is
+  // acceptable ONLY against a documented broadcast dimension (one-row
+  // totals, centroid/benchmark/vocab sets, the brute-force ANN corpus) —
+  // the whitelisted queries below. A new query that plans a theta join
+  // against data-scaled input fails here, not in a 100x bench.
+  test("no cartesian products anywhere; nested-loop joins only on the " +
+    "documented broadcast-dimension whitelist") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.inputPlan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val bnljWhitelist = Set(
+      "ev_rfm", "q_ntile",                       // one-row bin-offset dims
+      "q11_important_parts", "q22_dormant_customers", // global-scalar HAVING
+      "x_ann_topk", "x_ann_filtered", "x_ann_ivf", "x_ann_pq", "x_ann_sq8",
+      "x_ann_recall", "x_hard_negatives",        // broadcast ANN corpus
+      "x_kmeans", "x_cluster_exemplars", "x_semantic_dedup", // centroid sets
+      "x_decontaminate_sem",                     // benchmark set
+      "x_tfidf", "x_importance_weight", "x_collocations", // one-row totals
+      "x_bpe_merges", "x_bpe_tokenize",          // vocab-bounded dims
+      "x_skew_profile", "x_winsorize", "x_interleave") // one-row totals
+    var bnljSeen = 0
+    val offenders = graft.SparkEntry.registry.flatMap { q =>
+      val plan = q.fn(spark, sf).queryExecution.executedPlan
+      flatten(plan).flatMap {
+        case _: CartesianProductExec => Some(s"${q.name}: CartesianProduct")
+        case _: BroadcastNestedLoopJoinExec =>
+          bnljSeen += 1
+          if (bnljWhitelist(q.name)) None
+          else Some(s"${q.name}: BroadcastNestedLoopJoin")
+        case _ => None
+      }
+    }
+    assert(bnljSeen > 10,
+      s"join detector only saw $bnljSeen BNLJs — walk broken?")
+    assert(offenders.isEmpty,
+      "theta join against non-dimension input (bin it, broadcast a " +
+        "bounded dim, or add an equi-key): " + offenders.mkString("; "))
+  }
+
   test("ev_rfm and q_ntile rank via partitioned in-bin windows") {
     for (name <- Seq("ev_rfm", "q_ntile")) {
       val p = plan(name)

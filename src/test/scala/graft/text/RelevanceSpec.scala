@@ -109,6 +109,20 @@ class RelevanceSpec extends SparkSpec {
     assert(full(4L) === full.values.max)
   }
 
+  test("tokenEntropy: constant doc → 0, uniform doc → ln(k)·1e6, " +
+    "skew lands strictly between") {
+    val tiny = Seq(
+      (1L, "a a a a"), (2L, "a b c d"), (3L, "a a a b")
+    ).toDF("doc_id", "text")
+    val got = Relevance.tokenEntropy(tiny, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(got(1L) === ((1L, 4L, 0L)))
+    // uniform over 4 tokens: h = floor(ln(4)·1e6) = 1386294
+    assert(got(2L) === ((4L, 4L, 1386294L)))
+    assert(got(3L)._3 > 0L && got(3L)._3 < 1386294L)
+  }
+
   test("pmiCollocations: planted collocation tops independence baseline") {
     val docs = Seq(
       (1L, "aa bb cc dd aa bb"),
