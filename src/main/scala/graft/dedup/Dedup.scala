@@ -652,4 +652,75 @@ object Dedup {
           array_join(transform(col("__kept"), s => s("seg")), " "))
           .as("kept_text"))
   }
+
+  /** ExactSubstr TRIM — the APPLY step of exact-substring dedup (where
+    * [[duplicatedSpanFraction]] / `x_substring_dup` measures the signal,
+    * this performs the edit): every k-token window occurring verbatim in
+    * ≥ 2 DISTINCT documents is a duplicated span; the tokens covered by
+    * the INTERVAL UNION of a document's duplicated spans are removed and
+    * the survivors re-joined in order — the "delete the repeated
+    * substring, keep the unique prose around it" edit, approximated at
+    * fixed token width k instead of a suffix array (a suffix array is one
+    * globally sorted structure and does not shard; fixed-k window marking
+    * is an inverted-index pass with identical recall for duplicated runs
+    * ≥ k tokens). Differs from [[segmentDedup]] structurally: segments
+    * are DISJOINT tiles cut at fixed offsets (a shared passage straddling
+    * a tile boundary is missed), while these windows OVERLAP at every
+    * offset, so the covered-token union delimits the true extent of any
+    * shared run ≥ k tokens regardless of alignment.
+    *
+    * Output per doc: (doc_id, n_tokens, n_dup_spans, n_dup_tokens,
+    * kept_text — null when every token is covered).
+    *
+    * Scale: window document-frequency is a partial-aggregating groupBy on
+    * the 56-bit window hash (map-side combine absorbs boilerplate); the
+    * mark-back is a LEFT SEMI join keyed on the hash — LINEAR in index
+    * size (a window in 10⁶ docs contributes 10⁶ mark rows, never pairs —
+    * the decisive difference from pair-enumeration dedup, which is why
+    * span marking needs no df cap). Coverage and the rebuild shuffle on
+    * doc_id with group size bounded by tokens-per-doc; window generation
+    * is explode-based — no ranking window, no shuffle. */
+  def exactSubstrTrim(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val t = docs.select(col(idCol).as("doc_id"),
+        TextFns.tokens(col(textCol)).as("ws"))
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+    val spans = t.filter(col("n_tokens") >= k)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1),
+          (col("n_tokens") - (k - 1)).cast("int"))).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        TextFns.portableHash(
+          concat_ws(" ", slice(col("ws"), col("pos"), lit(k))), lit("span"))
+          .as("gh"))
+    val dupGrams = spans.select(col("doc_id"), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("gh"))
+    val marked = spans.join(dupGrams, Seq("gh"), "left_semi")
+    val nSpans = marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"))
+    val cov = marked
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("ti"))
+      .distinct()
+    val nCovered = cov.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_tokens"))
+    val toks = t.select(col("doc_id"),
+        posexplode(col("ws")).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("ti"), col("w"))
+    val kept = toks.join(cov, Seq("doc_id", "ti"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("ti"), col("w")))).as("__k"))
+      .select(col("doc_id"),
+        array_join(transform(col("__k"), s => s("w")), " ").as("kept_text"))
+    t.select(col("doc_id"), col("n_tokens"))
+      .join(nSpans, Seq("doc_id"), "left")
+      .join(nCovered, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        col("kept_text"))
+  }
 }

@@ -284,4 +284,39 @@ object GraphOps {
     }
     labels
   }
+
+  /** k-core: the maximal subgraph in which every vertex has (distinct-
+    * neighbor, undirected) degree ≥ k, by synchronous peeling — drop all
+    * vertices whose CURRENT degree is < k, recompute degrees on the
+    * induced subgraph, repeat. Both this engine and the SQL oracle run a
+    * FIXED `rounds` peels: peeling is monotone (rounds only remove
+    * vertices) and idempotent at the fixpoint, so any round count ≥ the
+    * convergence depth yields exactly the true k-core, and two engines
+    * running the same count agree even mid-convergence. GraphOpsSpec
+    * asserts the fixpoint lands well inside the default on a chain graph
+    * (the slowest-peeling shape).
+    *
+    * Scale: each round is one degree aggregation plus two semi joins —
+    * all shuffled on vertex id with partial aggregation; no windows, no
+    * driver-side vertex state. Lineage is cut per round with an eager
+    * localCheckpoint so the 2·rounds-join plan never reaches the
+    * optimizer as one expression. Output: (node, core_degree) for
+    * members of the k-core, with their degree inside it. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 12): DataFrame = {
+    var und = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("u"))
+      val next = und.join(keep, Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      und.unpersist()
+      und = next
+    }
+    und.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_degree"))
+  }
 }

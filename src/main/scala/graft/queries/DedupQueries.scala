@@ -469,8 +469,42 @@ object DedupQueries {
       Dedup.prefixFilterJoin(Tables.documents(s, d), "doc_id", "text")
   }
 
+  /** ExactSubstr TRIM apply (Dedup.exactSubstrTrim): where
+    * `x_substring_dup` measures the duplicated-shingle fraction, this
+    * performs the edit — tokens under the interval union of
+    * cross-doc-duplicated 8-token windows are removed and the survivors
+    * re-joined in order. */
+  val xSubstrTrim = Q(
+    "x_substr_trim",
+    """WITH t AS (SELECT doc_id,
+      |    string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+      |s AS (SELECT doc_id, pos,
+      |    ('0x' || substr(md5('span:' || array_to_string(ws[pos:pos+7], ' ')),
+      |      1, 14))::BIGINT AS gh
+      |  FROM t, UNNEST(range(1, len(ws) - 6)) AS u(pos) WHERE len(ws) >= 8),
+      |d AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM s)
+      |      GROUP BY gh HAVING COUNT(*) >= 2),
+      |m AS (SELECT s.doc_id, s.pos FROM s JOIN d USING (gh)),
+      |cov AS (SELECT DISTINCT doc_id, pos + j AS ti
+      |        FROM m, UNNEST(range(0, 8)) AS r(j)),
+      |ns AS (SELECT doc_id, COUNT(*) AS n_dup_spans FROM m GROUP BY doc_id),
+      |nc AS (SELECT doc_id, COUNT(*) AS n_dup_tokens FROM cov GROUP BY doc_id),
+      |tok AS (SELECT doc_id, UNNEST(ws) AS w,
+      |        UNNEST(range(1, len(ws) + 1)) AS ti FROM t),
+      |kept AS (SELECT tok.doc_id, string_agg(w, ' ' ORDER BY tok.ti) AS kept_text
+      |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.ti = cov.ti
+      |  WHERE cov.ti IS NULL GROUP BY tok.doc_id)
+      |SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+      |  COALESCE(ns.n_dup_spans, 0) AS n_dup_spans,
+      |  COALESCE(nc.n_dup_tokens, 0) AS n_dup_tokens, kept.kept_text
+      |FROM t LEFT JOIN ns USING (doc_id) LEFT JOIN nc USING (doc_id)
+      |LEFT JOIN kept ON t.doc_id = kept.doc_id""".stripMargin) { (s, d) =>
+    Dedup.exactSubstrTrim(Tables.documents(s, d), "doc_id", "text", k = 8)
+  }
+
   val all: Seq[Q] = Seq(xDedupNgram, xDedupMinhashLsh, xDedupIncremental,
     xDedupClusters, xDedupKeepBest, xDedupApply, xDedupSimhashSig,
     xDedupSimhashPairs, xSubstringDup, xBloomFilter, xContainment,
-    xMinhashEst, xSegmentDedup, xIntraDedup, xSourceOverlap, xDedupPrefixJoin)
+    xMinhashEst, xSegmentDedup, xIntraDedup, xSourceOverlap, xDedupPrefixJoin,
+    xSubstrTrim)
 }

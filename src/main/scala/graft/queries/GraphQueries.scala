@@ -343,7 +343,38 @@ object GraphQueries {
     GraphOps.labelPropagation(edgeDf(s, d), iters = 3)
   }
 
+  private val KcoreK = 3
+  private val KcoreRounds = 12
+
+  /** k-core via synchronous peeling (GraphOps.kCore), oracle = the SAME
+    * fixed number of peel rounds as chained CTEs. Peeling is monotone and
+    * idempotent at the fixpoint, so both engines running the identical
+    * round count agree by construction, and any count ≥ the convergence
+    * depth yields the true k-core (GraphOpsSpec pins convergence depth on
+    * the worst-case chain shape). */
+  val gKcore = Q(
+    "g_kcore", {
+      // AS MATERIALIZED: und{r-1} is referenced three times per round —
+      // inlined CTEs would re-expand the chain exponentially (DuckDB ran
+      // out of file handles re-scanning the base parquet)
+      val peels = (1 to KcoreRounds).map { r =>
+        s""", k$r AS MATERIALIZED (SELECT u FROM und${r - 1} GROUP BY u
+           |  HAVING COUNT(*) >= $KcoreK),
+           |und$r AS MATERIALIZED (SELECT u, v FROM und${r - 1}
+           |  WHERE u IN (SELECT u FROM k$r) AND v IN (SELECT u FROM k$r))"""
+          .stripMargin
+      }.mkString("\n")
+      edgeCte +
+        s""", und0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM e
+           |           UNION SELECT dst, src FROM e)
+           |$peels
+           |SELECT u AS node, COUNT(*) AS core_degree FROM und$KcoreRounds
+           |GROUP BY u""".stripMargin
+    }) { (s, d) =>
+    GraphOps.kCore(edgeDf(s, d), k = KcoreK, rounds = KcoreRounds)
+  }
+
   val all: Seq[Q] = Seq(gDegree, gComponents, gAncestors, gAncestorsRel,
     gTriangles, gShortestPaths, gPagerank, gKhop, gNeighborJaccard, gHits,
-    gHarmonic, gLabelProp)
+    gHarmonic, gLabelProp, gKcore)
 }

@@ -660,6 +660,40 @@ object TextQueries {
           .as("text_ratio_ppm"))
   }
 
+  /** fastText-shape hashed linear classifier inference
+    * (TextFns.classifierScore): token + adjacent-bigram features hashed
+    * to signed integer weights, document score = the weight sum, keep =
+    * score > 0. Entirely per-row — the canonical embarrassingly parallel
+    * corpus scoring pass, zero shuffles at any scale (the md5 per feature
+    * dominates; the HOF fold's interpreted step is noise beside it). The
+    * staged projections keep the feature array and score computed ONCE —
+    * CollapseProject leaves expensive aliases staged, so neither is
+    * re-evaluated per consumer. */
+  val xQualityClassifier = Q(
+    "x_quality_classifier",
+    wsCte +
+      """, f AS (SELECT doc_id, list_concat(ws,
+        |    CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+        |      i -> ws[i] || ' ' || ws[i+1]) ELSE [] END) AS feats FROM t),
+        |sc AS (SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_feats,
+        |    CAST(list_sum(list_transform(feats, w ->
+        |      ('0x' || substr(md5('qw:' || w), 1, 14))::BIGINT % 1001 - 500))
+        |      AS BIGINT) AS score
+        |  FROM f)
+        |SELECT doc_id, n_feats, score,
+        |  CAST(score AS DOUBLE) / n_feats AS mean_w, score > 0 AS keep
+        |FROM sc""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextFns.classifierFeatures(col("text")).as("__f"))
+      .select(col("doc_id"), size(col("__f")).cast("long").as("n_feats"),
+        aggregate(col("__f"), lit(0L),
+          (acc, f) => acc + TextFns.classifierWeight(f)).as("score"))
+      .select(col("doc_id"), col("n_feats"), col("score"),
+        (col("score").cast("double") / col("n_feats")).as("mean_w"),
+        (col("score") > 0).as("keep"))
+  }
+
   val all: Seq[Q] = Seq(xTextStats, xLangId, xLenQuantiles, xRepetition,
     xVocab, xCorpusStats, xDistinctKmv, xDistinctHll, xDedupExact,
     xDedupExactMembers, xDedupNorm,
@@ -667,5 +701,5 @@ object TextQueries {
     xHeavyHitters, xFingerprint,
     xQualityBuckets,
     xImportanceWeight, xHistQuantiles, xCollocations, xBpeMerges,
-    xBpeTokenize, xHtmlStrip)
+    xBpeTokenize, xHtmlStrip, xQualityClassifier)
 }

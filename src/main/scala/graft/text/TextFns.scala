@@ -190,4 +190,33 @@ object TextFns {
       .foldLeft(text) { case (c, (ch, ent)) =>
         regexp_replace(c, java.util.regex.Pattern.quote(ch), ent)
       }
+
+  /** Hashed linear quality-classifier features: every whitespace token
+    * plus every adjacent-token bigram (the fastText `wordNgrams=2`
+    * feature map). Always at least one feature (the empty-text token). */
+  def classifierFeatures(text: Column): Column = {
+    val ws = tokens(text)
+    val bigrams = when(size(ws) >= 2,
+      zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array())
+    concat(ws, bigrams)
+  }
+
+  /** Per-feature signed integer weight in [-500, 500]: the 56-bit
+    * portable hash folded to a small range. Stands in for a pre-trained
+    * model's weight table (which at scale is the same shape: a pure
+    * per-feature lookup, broadcast or hash-derived) while staying
+    * bit-replicable by the DuckDB oracle. */
+  def classifierWeight(feature: Column): Column =
+    portableHash(feature, lit("qw")) % 1001 - 500
+
+  /** fastText-shape linear classifier INFERENCE score: the integer sum of
+    * hashed token+bigram weights. Entirely per-row column expressions —
+    * ZERO shuffles: classifier scoring is the canonical embarrassingly
+    * parallel corpus pass and must never cost more than the scan. The
+    * keep decision is `score > 0` (sign of the mean = sign of the sum). */
+  def classifierScore(text: Column): Column =
+    aggregate(classifierFeatures(text), lit(0L),
+      (acc, f) => acc + classifierWeight(f))
 }

@@ -297,4 +297,47 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Boolean, Boolean)].collect().head
     assert(nv === ((99L, false, false)))
   }
+
+  test("exactSubstrTrim removes the interval union of shared 8-token runs") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (1L, s"$shared unique1 tail1"),          // shared run at offset 1
+      (2L, s"lead2a lead2b $shared tail2"),    // same run at offset 3
+      (3L, "nothing here matches any other document at all today ok"),
+      (4L, "dupd one two three four five six seven"), // exact dup of 5
+      (5L, "dupd one two three four five six seven"),
+      (6L, "short doc")                        // under the window width
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrTrim(d, "doc_id", "text", k = 8)
+      .as[(Long, Long, Long, Long, Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // doc 1: 10 tokens, ONE duplicated window (pos 1), 8 covered tokens
+    assert(got(1L) === ((10L, 1L, 8L, Some("unique1 tail1"))))
+    // doc 2: 11 tokens, same single window at pos 3
+    assert(got(2L) === ((11L, 1L, 8L, Some("lead2a lead2b tail2"))))
+    // doc 3: untouched — zero spans, full text kept
+    assert(got(3L)._2 === 0L)
+    assert(got(3L)._4 ===
+      Some("nothing here matches any other document at all today ok"))
+    // docs 4/5: fully covered (exact 8-token dup) → every token trimmed
+    assert(got(4L) === ((8L, 1L, 8L, None)))
+    assert(got(5L) === ((8L, 1L, 8L, None)))
+    // doc 6: shorter than the window — no spans possible, text kept
+    assert(got(6L) === ((2L, 0L, 0L, Some("short doc"))))
+  }
+
+  test("exactSubstrTrim overlapping windows union, not double-count") {
+    // a shared run of 9 tokens → TWO overlapping duplicated windows whose
+    // union covers exactly 9 tokens (not 16)
+    val run = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    val d = Seq(
+      (1L, s"$run end1"),
+      (2L, s"start2 $run")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrTrim(d, "doc_id", "text", k = 8)
+      .as[(Long, Long, Long, Long, Option[String])]
+      .collect().map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(got(1L) === ((2L, 9L, Some("end1"))))
+    assert(got(2L) === ((2L, 9L, Some("start2"))))
+  }
 }

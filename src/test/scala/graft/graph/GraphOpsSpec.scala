@@ -116,4 +116,34 @@ class GraphOpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("not converged"))
   }
+
+  test("kCore peels pendants and keeps the 2-core triangle") {
+    // triangle {1,2,3} + pendant chain 3-4-5: chain peels over two rounds
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = GraphOps.kCore(edges, k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore on a pure chain empties; k=1 keeps everything") {
+    // the chain is the slowest-peeling shape: 5 nodes converge in 3
+    // rounds, well inside the default 12 the oracle mirrors
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    assert(GraphOps.kCore(chain, k = 2).count() === 0L)
+    val all1 = GraphOps.kCore(chain, k = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(all1 === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("kCore fixed rounds are idempotent past convergence") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val atConvergence = GraphOps.kCore(edges, k = 2, rounds = 2)
+      .as[(Long, Long)].collect().toSet
+    val wellPast = GraphOps.kCore(edges, k = 2, rounds = 12)
+      .as[(Long, Long)].collect().toSet
+    assert(atConvergence === wellPast)
+  }
 }

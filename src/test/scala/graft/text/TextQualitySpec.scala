@@ -256,4 +256,36 @@ class TextQualitySpec extends SparkSpec {
       assert(strip(s"<div class='x'>$enc</div>") === collapsed, s"for: $t")
     }
   }
+
+  /** JVM-side replica of TextFns.classifierWeight: md5-prefix hash folded
+    * to [-500, 500] — the independent computation the engine must match. */
+  private def weightOf(feature: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"qw:$feature".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 14)
+    java.lang.Long.parseLong(hex, 16) % 1001 - 500
+  }
+
+  test("classifierScore = sum of token+bigram weights, keep = sign") {
+    val text = "good clean prose"
+    val feats = Seq("good", "clean", "prose", "good clean", "clean prose")
+    val expected = feats.map(weightOf).sum
+    val r = Seq(text).toDF("text")
+      .select(TextFns.classifierScore(col("text")).as("s"),
+        size(TextFns.classifierFeatures(col("text"))).as("n"))
+      .head()
+    assert(r.getLong(0) === expected)
+    assert(r.getInt(1) === 5)
+  }
+
+  test("classifierFeatures: single token has no bigrams; empty text is one feature") {
+    val n1 = Seq("word").toDF("text")
+      .select(size(TextFns.classifierFeatures(col("text"))))
+      .head().getInt(0)
+    assert(n1 === 1)
+    val n0 = Seq("").toDF("text")
+      .select(size(TextFns.classifierFeatures(col("text"))))
+      .head().getInt(0)
+    assert(n0 === 1) // tokens("") = [""] — one (empty) token, no bigrams
+  }
 }
