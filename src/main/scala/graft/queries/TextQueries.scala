@@ -41,23 +41,27 @@ object TextQueries {
       TextFns.qualityScore(text).as("quality"))
   }
 
+  /** DuckDB replica of TextFns.langId's argmax-with-code-ascending-ties:
+    * per-language stopword-hit comparisons folded to one CASE over `ws`. */
+  private val langIdCaseSql: String = {
+    def hits(l: String) = {
+      val words = TextFns.stopwords(l).map(w => s"'$w'").mkString(",")
+      s"len(list_filter(ws, w -> w IN ($words)))"
+    }
+    val langs = TextFns.stopwords.keys.toSeq.sorted // de,en,es,fr,zh
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1)
+      val conds = rest.map(r => s"${hits(l)} >= ${hits(r)}").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"CASE $cases ELSE '${langs.last}' END"
+  }
+
   val xLangId = Q(
-    "x_lang_id", {
-      // per-language hit expression, then argmax with code-ascending ties
-      def hits(l: String) = {
-        val words = TextFns.stopwords(l).map(w => s"'$w'").mkString(",")
-        s"len(list_filter(ws, w -> w IN ($words)))"
-      }
-      val langs = TextFns.stopwords.keys.toSeq.sorted // de,en,es,fr,zh
-      val cases = langs.init.zipWithIndex.map { case (l, i) =>
-        val rest = langs.drop(i + 1)
-        val conds = rest.map(r => s"${hits(l)} >= ${hits(r)}").mkString(" AND ")
-        s"WHEN $conds THEN '$l'"
-      }.mkString(" ")
-      wsCte +
-        s"""SELECT doc_id, lang, CASE $cases ELSE '${langs.last}' END AS predicted
-           |FROM t""".stripMargin
-    }) { (s, d) =>
+    "x_lang_id",
+    wsCte +
+      s"""SELECT doc_id, lang, $langIdCaseSql AS predicted
+         |FROM t""".stripMargin) { (s, d) =>
     Tables.documents(s, d).select(
       col("doc_id"), col("lang"), TextFns.langId(col("text")).as("predicted"))
   }
@@ -694,6 +698,82 @@ object TextQueries {
         (col("score") > 0).as("keep"))
   }
 
+  /** Multinomial Naive Bayes train+score in one dataflow
+    * (Relevance.naiveBayesClassify): the `source` column is the class
+    * label; add-one smoothing; every ln quantized to BIGINT microunits at
+    * the (class, token) type level, per-doc accumulation pure integer. */
+  val xNbClassify = Q(
+    "x_nb_classify",
+    """WITH t AS (SELECT doc_id, source AS cl,
+      |    string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+      |tok AS (SELECT doc_id, cl, UNNEST(ws) AS w FROM t),
+      |m AS (SELECT cl, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |ns AS (SELECT cl, SUM(c) AS n_s FROM m GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT w) AS vocab FROM tok),
+      |cls AS (SELECT source AS cl, COUNT(*) AS n_docs FROM documents
+      |        GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS total_docs FROM documents),
+      |lw AS (SELECT m.cl, m.w, CAST(floor(ln(CAST(c + 1 AS DOUBLE) /
+      |      CAST(n_s + vocab AS DOUBLE)) * 1000000) AS BIGINT) AS lw_micro
+      |  FROM m JOIN ns ON m.cl = ns.cl CROSS JOIN v),
+      |defs AS (SELECT cl, CAST(floor(ln(1.0 /
+      |      CAST(n_s + vocab AS DOUBLE)) * 1000000) AS BIGINT) AS def_micro
+      |  FROM ns CROSS JOIN v),
+      |pri AS (SELECT cl, CAST(floor(ln(CAST(n_docs AS DOUBLE) /
+      |      CAST(total_docs AS DOUBLE)) * 1000000) AS BIGINT) AS pri_micro
+      |  FROM cls CROSS JOIN tot),
+      |dt AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |ntok AS (SELECT doc_id, cl AS actual,
+      |    CAST(len(ws) AS BIGINT) AS n_tokens FROM t),
+      |matched AS (SELECT dt.doc_id, lw.cl,
+      |    CAST(SUM(dt.tf * lw.lw_micro) AS BIGINT) AS s_matched,
+      |    CAST(SUM(dt.tf) AS BIGINT) AS n_matched
+      |  FROM dt JOIN lw ON dt.w = lw.w GROUP BY 1, 2),
+      |scores AS (SELECT n.doc_id, c2.cl, n.actual,
+      |    pri.pri_micro + COALESCE(m2.s_matched, 0) +
+      |    (n.n_tokens - COALESCE(m2.n_matched, 0)) * defs.def_micro
+      |      AS score_micro
+      |  FROM ntok n CROSS JOIN (SELECT cl FROM cls) c2
+      |  LEFT JOIN matched m2 ON n.doc_id = m2.doc_id AND c2.cl = m2.cl
+      |  JOIN pri ON c2.cl = pri.cl JOIN defs ON c2.cl = defs.cl),
+      |win AS (SELECT doc_id, cl, actual, score_micro, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY score_micro DESC, cl ASC) AS rn
+      |  FROM scores)
+      |SELECT doc_id, cl AS predicted, score_micro, actual,
+      |  (cl = actual) AS correct
+      |FROM win WHERE rn = 1""".stripMargin) { (s, d) =>
+    graft.text.Relevance.naiveBayesClassify(
+      Tables.documents(s, d), "doc_id", "text", "source")
+  }
+
+  /** Per-class confusion summary (Relevance.classifierEval) over the
+    * lang-ID heuristic's predictions vs the actual lang column —
+    * precision/recall in integer ppm over the class dimension. */
+  val xLangEval = Q(
+    "x_lang_eval",
+    wsCte +
+      s""", p AS (SELECT doc_id, lang AS actual, $langIdCaseSql AS predicted
+         |  FROM t),
+         |a AS (SELECT actual AS cl, COUNT(*) AS n_actual FROM p GROUP BY 1),
+         |pr AS (SELECT predicted AS cl, COUNT(*) AS n_predicted FROM p
+         |       GROUP BY 1),
+         |c AS (SELECT actual AS cl, COUNT(*) AS n_correct FROM p
+         |      WHERE actual = predicted GROUP BY 1),
+         |j AS (SELECT cl, COALESCE(n_actual, 0) AS n_actual,
+         |    COALESCE(n_predicted, 0) AS n_predicted,
+         |    COALESCE(n_correct, 0) AS n_correct
+         |  FROM a FULL OUTER JOIN pr USING (cl) LEFT JOIN c USING (cl))
+         |SELECT cl, n_actual, n_predicted, n_correct,
+         |  CASE WHEN n_predicted > 0
+         |    THEN (n_correct * 1000000) // n_predicted END AS precision_ppm,
+         |  CASE WHEN n_actual > 0
+         |    THEN (n_correct * 1000000) // n_actual END AS recall_ppm
+         |FROM j""".stripMargin) { (s, d) =>
+    val preds = Tables.documents(s, d).select(
+      col("lang").as("actual"), TextFns.langId(col("text")).as("predicted"))
+    graft.text.Relevance.classifierEval(preds, "actual", "predicted")
+  }
+
   val all: Seq[Q] = Seq(xTextStats, xLangId, xLenQuantiles, xRepetition,
     xVocab, xCorpusStats, xDistinctKmv, xDistinctHll, xDedupExact,
     xDedupExactMembers, xDedupNorm,
@@ -701,5 +781,5 @@ object TextQueries {
     xHeavyHitters, xFingerprint,
     xQualityBuckets,
     xImportanceWeight, xHistQuantiles, xCollocations, xBpeMerges,
-    xBpeTokenize, xHtmlStrip, xQualityClassifier)
+    xBpeTokenize, xHtmlStrip, xQualityClassifier, xNbClassify, xLangEval)
 }

@@ -302,4 +302,104 @@ object Relevance {
       .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** Multinomial Naive Bayes — TRAIN on the corpus's own labels and SCORE
+    * every document in one dataflow (the classic distributed quality/
+    * domain classifier: the model is nothing but count tables, so
+    * training is two hash aggregations and scoring is an equi-join —
+    * no gradient loop, no driver state). Add-one smoothing:
+    * p(w|s) = (c_sw + 1)/(N_s + V); score(d,s) = ln p(s) + Σ_w ln p(w|s).
+    *
+    * Determinism: every ln is quantized to BIGINT microunits at the
+    * (class, token) TYPE level — both engines feed the same two exact
+    * BIGINTs through one divide and one ln (the [[bigramLogScore]]
+    * discipline); per-document accumulation is then pure integer
+    * arithmetic. Unseen (class, token) cells share one per-class default
+    * ⌊ln(1/(N_s+V))·10⁶⌋, so the scoring join only needs OBSERVED model
+    * rows: score = prior + Σ_matched tf·lw + (n_tokens − n_matched)·def.
+    *
+    * Scale: model/vocab/prior tables are token- or class-domain
+    * aggregations (partial agg, broadcast back as dimensions); the
+    * scoring join is keyed on the token; the doc×class score matrix is
+    * |classes| rows per doc and the argmax window's partition is that
+    * same bounded group. Output: (doc_id, predicted, score_micro,
+    * actual, correct). */
+  def naiveBayesClassify(docs: DataFrame, idCol: String, textCol: String,
+      classCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(classCol).as("cl"),
+      TextFns.tokens(col(textCol)).as("ws"))
+    val tok = base.select(col("doc_id"), col("cl"), explode(col("ws")).as("w"))
+    val m = tok.groupBy(col("cl"), col("w")).agg(count(lit(1)).as("c"))
+    val ns = m.groupBy(col("cl")).agg(sum(col("c")).as("n_s"))
+    val vocab = tok.select(col("w")).distinct().agg(count(lit(1)).as("vocab"))
+    val cls = docs.groupBy(col(classCol).as("cl"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = docs.agg(count(lit(1)).as("total_docs"))
+    val lw = m.join(ns, Seq("cl")).crossJoin(broadcast(vocab))
+      .select(col("cl"), col("w"),
+        floor(log((col("c") + 1).cast("double") /
+          (col("n_s") + col("vocab")).cast("double")) * 1000000)
+          .cast("long").as("lw_micro"))
+    val defs = ns.crossJoin(broadcast(vocab))
+      .select(col("cl"),
+        floor(log(lit(1.0) / (col("n_s") + col("vocab")).cast("double"))
+          * 1000000).cast("long").as("def_micro"))
+    val pri = cls.crossJoin(broadcast(tot))
+      .select(col("cl"),
+        floor(log(col("n_docs").cast("double") /
+          col("total_docs").cast("double")) * 1000000)
+          .cast("long").as("pri_micro"))
+    val dt = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val ntok = base.select(col("doc_id"), col("cl").as("actual"),
+      size(col("ws")).cast("long").as("n_tokens"))
+    val matched = dt.join(lw, Seq("w"))
+      .groupBy(col("doc_id"), col("cl"))
+      .agg(sum(col("tf") * col("lw_micro")).as("s_matched"),
+        sum(col("tf")).as("n_matched"))
+    val scores = ntok.crossJoin(broadcast(cls.select(col("cl"))))
+      .join(matched, Seq("doc_id", "cl"), "left")
+      .join(broadcast(pri), Seq("cl"))
+      .join(broadcast(defs), Seq("cl"))
+      .select(col("doc_id"), col("cl"), col("actual"),
+        (col("pri_micro") + coalesce(col("s_matched"), lit(0L)) +
+          (col("n_tokens") - coalesce(col("n_matched"), lit(0L))) *
+            col("def_micro")).as("score_micro"))
+    val wArg = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("cl").asc)
+    scores.withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cl").as("predicted"), col("score_micro"),
+        col("actual"), (col("cl") === col("actual")).as("correct"))
+  }
+
+  /** Per-class confusion summary over (actual, predicted) rows — the
+    * evaluation table every classifier stage needs: n_actual,
+    * n_predicted, n_correct, precision/recall in integer ppm (integral
+    * division — exact in both engines). The class domain is the union of
+    * actual and predicted labels; a side with zero count yields a null
+    * ratio, never a divide-by-zero. Three class-keyed partial
+    * aggregations + one outer join over the class DIMENSION — bounded at
+    * any corpus size. */
+  def classifierEval(pred: DataFrame, actualCol: String,
+      predictedCol: String): DataFrame = {
+    val a = pred.groupBy(col(actualCol).as("cl"))
+      .agg(count(lit(1)).as("n_actual"))
+    val p = pred.groupBy(col(predictedCol).as("cl"))
+      .agg(count(lit(1)).as("n_predicted"))
+    val c = pred.filter(col(actualCol) === col(predictedCol))
+      .groupBy(col(actualCol).as("cl"))
+      .agg(count(lit(1)).as("n_correct"))
+    a.join(p, Seq("cl"), "full_outer")
+      .join(c, Seq("cl"), "left")
+      .select(col("cl"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+      .withColumn("precision_ppm",
+        when(col("n_predicted") > 0,
+          expr("(n_correct * 1000000) div n_predicted")))
+      .withColumn("recall_ppm",
+        when(col("n_actual") > 0,
+          expr("(n_correct * 1000000) div n_actual")))
+  }
 }

@@ -138,4 +138,64 @@ class RelevanceSpec extends SparkSpec {
     assert(got.head === (("aa", "bb", 6L, 6L, 6L, 3166666L)))
     assert(got.forall(_._3 >= 2))
   }
+
+  test("naiveBayesClassify separates two vocabularies, matches a JVM replica") {
+    val labeled = Seq(
+      (1L, "apple apple banana", "fruit"),
+      (2L, "apple banana banana", "fruit"),
+      (3L, "steel iron iron", "metal"),
+      (4L, "iron steel steel", "metal"),
+      (5L, "apple iron banana", "fruit")
+    ).toDF("doc_id", "text", "source")
+    val got = Relevance.naiveBayesClassify(labeled, "doc_id", "text", "source")
+      .as[(Long, String, Long, String, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // class-pure docs classify correctly
+    assert(got(1L)._2 === "fruit" && got(1L)._5)
+    assert(got(2L)._2 === "fruit")
+    assert(got(3L)._2 === "metal" && got(3L)._5)
+    assert(got(4L)._2 === "metal")
+    // independent JVM replica of the fixed-point NB definition
+    val train = Seq(
+      (1L, "apple apple banana", "fruit"),
+      (2L, "apple banana banana", "fruit"),
+      (3L, "steel iron iron", "metal"),
+      (4L, "iron steel steel", "metal"),
+      (5L, "apple iron banana", "fruit"))
+    val toks = train.map { case (id, t, c) => (id, t.split("\\s+").toSeq, c) }
+    val classes = toks.map(_._3).distinct.sorted
+    val vocab = toks.flatMap(_._2).distinct.size
+    val counts = toks.flatMap(t => t._2.map(w => (t._3, w)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val nS = classes.map(c => c -> counts.collect {
+      case ((cl, _), n) if cl == c => n }.sum).toMap
+    def lnMicro(num: Double, den: Double): Long =
+      math.floor(math.log(num / den) * 1000000).toLong
+    def score(ws: Seq[String], c: String): Long = {
+      val prior = lnMicro(toks.count(_._3 == c).toDouble, toks.size.toDouble)
+      prior + ws.map { w =>
+        val cnt = counts.getOrElse((c, w), 0L)
+        lnMicro((cnt + 1).toDouble, (nS(c) + vocab).toDouble)
+      }.sum
+    }
+    toks.foreach { case (id, ws, _) =>
+      val best = classes.map(c => (c, score(ws, c)))
+        .sortBy { case (c, s) => (-s, c) }.head
+      assert(got(id)._2 === best._1, s"predicted class, doc $id")
+      assert(got(id)._3 === best._2, s"winning score_micro, doc $id")
+    }
+  }
+
+  test("classifierEval: per-class counts and ppm ratios, null-safe edges") {
+    val pred = Seq(
+      ("en", "en"), ("en", "de"), ("de", "de"), ("fr", "en")
+    ).toDF("actual", "predicted")
+    val got = Relevance.classifierEval(pred, "actual", "predicted")
+      .as[(String, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("en") === (("en", 2L, 2L, 1L, Some(500000L), Some(500000L))))
+    assert(got("de") === (("de", 1L, 2L, 1L, Some(500000L), Some(1000000L))))
+    // fr is never predicted: precision undefined (null), recall 0
+    assert(got("fr") === (("fr", 1L, 0L, 0L, None, Some(0L))))
+  }
 }
