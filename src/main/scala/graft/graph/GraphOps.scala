@@ -319,4 +319,48 @@ object GraphOps {
     }
     und.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_degree"))
   }
+
+  /** k-truss: the maximal subgraph whose every EDGE closes ≥ k−2
+    * triangles within it — the edge-cohesion analog of [[kCore]]
+    * (bridges and tree-like spray survive a k-core but never a truss,
+    * so trusses isolate genuinely dense communities). Synchronous
+    * peeling at a FIXED `rounds`, same contract as kCore: monotone,
+    * idempotent at the fixpoint, so engine and oracle running the same
+    * round count agree by construction, and any count ≥ the convergence
+    * depth yields the true truss. Output: surviving canonical (u, v)
+    * edges with the support that admitted them in the final round.
+    *
+    * Scale: per round one wedge equi-join on the shared endpoint, one
+    * pair-keyed LEFT SEMI closing check, one partial-aggregating support
+    * count — triangle enumeration is the algorithm's defining cost and
+    * every join is an equi-join (no pair enumeration beyond it);
+    * localCheckpoint per round bounds the plan. */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
+    require(rounds >= 1, "kTruss: rounds must be >= 1")
+    var e = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var prev = e // the checkpointed frame backing the current round
+    var sup: DataFrame = e.limit(0).withColumn("support", lit(0L))
+    for (_ <- 1 to rounds) {
+      val adj = e.select(col("u").as("n"), col("v").as("m"))
+        .unionByName(e.select(col("v").as("n"), col("u").as("m")))
+      val wedges = e
+        .join(adj.select(col("n").as("u"), col("m").as("w")), Seq("u"))
+        .filter(col("w") =!= col("v"))
+      val closed = wedges.join(
+        adj.select(col("n").as("v"), col("m").as("w")),
+        Seq("v", "w"), "left_semi")
+      sup = closed.groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= k - 2)
+        .localCheckpoint(true)
+      prev.unpersist()
+      prev = sup
+      e = sup.select(col("u"), col("v"))
+    }
+    sup
+  }
 }

@@ -345,6 +345,70 @@ object GraphQueries {
 
   private val KcoreK = 3
   private val KcoreRounds = 12
+  private val KtrussK = 6
+  private val KtrussRounds = 6
+
+  /** k-truss input: the nation graph SPARSIFIED to pairs trading at
+    * ≥ 1.3× the mean pair volume (exact integer cross-multiply against a
+    * one-row total) — the raw nation graph is complete at sf0.01+, where
+    * every edge trivially survives any truss. */
+  private def trussEdgeDf(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val p = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .groupBy(
+        least(col("s_nationkey"), col("c_nationkey")).cast("long").as("u"),
+        greatest(col("s_nationkey"), col("c_nationkey")).cast("long").as("v"))
+      .agg(count(lit(1)).as("n"))
+    val tots = p.agg(sum(col("n")).as("total"), count(lit(1)).as("cnt"))
+    p.crossJoin(broadcast(tots))
+      .filter(col("n") * 10 * col("cnt") >= col("total") * 13)
+      .select(col("u").as("src"), col("v").as("dst"))
+  }
+
+  private val trussEdgeCte =
+    """WITH p AS (
+      |  SELECT CAST(least(s_nationkey, c_nationkey) AS BIGINT) AS u,
+      |         CAST(greatest(s_nationkey, c_nationkey) AS BIGINT) AS v,
+      |         COUNT(*) AS n
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE s_nationkey <> c_nationkey GROUP BY 1, 2),
+      |tots AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS cnt
+      |         FROM p),
+      |e0 AS MATERIALIZED (SELECT u, v FROM p CROSS JOIN tots
+      |                    WHERE n * 10 * cnt >= total * 13)
+      |""".stripMargin
+
+  /** k-truss via fixed-round edge peeling (GraphOps.kTruss), oracle =
+    * the same rounds as materialized CTEs (wedge join + EXISTS closing
+    * check ≡ the engine's pair-keyed left-semi). Same fixed-round
+    * contract as g_kcore. */
+  val gKtruss = Q(
+    "g_ktruss", {
+      val peels = (1 to KtrussRounds).map { r =>
+        s""", adj$r AS MATERIALIZED (SELECT u AS n, v AS m FROM e${r - 1}
+           |    UNION ALL SELECT v, u FROM e${r - 1}),
+           |sup$r AS MATERIALIZED (
+           |  SELECT e.u, e.v, COUNT(*) AS support
+           |  FROM e${r - 1} e JOIN adj$r a ON e.u = a.n AND a.m <> e.v
+           |  WHERE EXISTS (SELECT 1 FROM adj$r b
+           |                WHERE b.n = e.v AND b.m = a.m)
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= ${KtrussK - 2}),
+           |e$r AS MATERIALIZED (SELECT u, v FROM sup$r)""".stripMargin
+      }.mkString("\n")
+      trussEdgeCte +
+        s"""$peels
+           |SELECT u, v, support FROM sup$KtrussRounds""".stripMargin
+    }) { (s, d) =>
+    GraphOps.kTruss(trussEdgeDf(s, d), k = KtrussK, rounds = KtrussRounds)
+  }
 
   /** k-core via synchronous peeling (GraphOps.kCore), oracle = the SAME
     * fixed number of peel rounds as chained CTEs. Peeling is monotone and
@@ -376,5 +440,5 @@ object GraphQueries {
 
   val all: Seq[Q] = Seq(gDegree, gComponents, gAncestors, gAncestorsRel,
     gTriangles, gShortestPaths, gPagerank, gKhop, gNeighborJaccard, gHits,
-    gHarmonic, gLabelProp, gKcore)
+    gHarmonic, gLabelProp, gKcore, gKtruss)
 }

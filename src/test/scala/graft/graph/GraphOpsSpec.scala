@@ -137,6 +137,38 @@ class GraphOpsSpec extends SparkSpec {
     assert(all1 === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("kTruss: 4-clique is a 4-truss; a pendant triangle peels at k=4 " +
+    "but survives k=3") {
+    // K4 on {1,2,3,4} (every edge in 2 triangles) + triangle {4,5,6}
+    // hanging off vertex 4 (its edges close exactly 1)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)
+    ).toDF("src", "dst")
+    val t4 = GraphOps.kTruss(edges, k = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(t4 === Set((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
+    // k=3 keeps both: every edge closes >= 1 triangle
+    assert(GraphOps.kTruss(edges, k = 3).count() === 9L)
+    // k=5 kills everything: no edge closes 3 triangles
+    assert(GraphOps.kTruss(edges, k = 5).count() === 0L)
+  }
+
+  test("kTruss: cascade peeling needs multiple rounds and converges " +
+    "inside the default") {
+    // two triangles sharing edge (1,2): (1,2) has support 2, the other
+    // four edges support 1. k=4 round 1 drops those four; round 2 then
+    // drops (1,2) whose support fell to 0 — a genuine cascade.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)
+    ).toDF("src", "dst")
+    assert(GraphOps.kTruss(edges, k = 4).count() === 0L)
+    assert(GraphOps.kTruss(edges, k = 4, rounds = 2)
+      .collect().toSet === GraphOps.kTruss(edges, k = 4, rounds = 6)
+      .collect().toSet)
+  }
+
   test("kCore fixed rounds are idempotent past convergence") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
       .toDF("src", "dst")

@@ -261,4 +261,34 @@ class EdgeCasesSpec extends SparkSpec {
       .intervalOverlapJoin(left, right, "ls", "le", "rs", "re", 16)
       .count() === 0)
   }
+
+  test("exactSubstrTrim: empty corpus empty; a corpus of ONE doc trims " +
+    "nothing (cross-doc df can never reach 2)") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.exactSubstrTrim(empty, "doc_id", "text").count() === 0)
+    val one = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrTrim(one, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Option[String])].collect().head
+    assert(got === ((1L, 10L, 0L, 0L, Some("a b c d e f g h i j"))))
+  }
+
+  test("naiveBayesClassify: a single-class corpus predicts that class " +
+    "everywhere, all correct") {
+    val d = Seq((1L, "apple banana", "only"), (2L, "cherry date", "only"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.text.Relevance
+      .naiveBayesClassify(d, "doc_id", "text", "source")
+      .as[(Long, String, Long, String, Boolean)].collect()
+    assert(got.length === 2)
+    assert(got.forall(r => r._2 == "only" && r._5))
+  }
+
+  test("classifierEval on empty predictions is empty; kCore on an empty " +
+    "edge set is empty") {
+    val empty = Seq.empty[(String, String)].toDF("actual", "predicted")
+    assert(graft.text.Relevance.classifierEval(empty, "actual", "predicted")
+      .count() === 0)
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.graph.GraphOps.kCore(noEdges, k = 2).count() === 0)
+  }
 }

@@ -398,7 +398,8 @@ class PlanAuditSpec extends SparkSpec {
       "x_tfidf", "x_importance_weight", "x_collocations", // one-row totals
       "x_bpe_merges", "x_bpe_tokenize",          // vocab-bounded dims
       "x_skew_profile", "x_winsorize", "x_interleave", // one-row totals
-      "x_nb_classify") // one-row vocab/corpus-size + class dim broadcasts
+      "x_nb_classify", // one-row vocab/corpus-size + class dim broadcasts
+      "g_ktruss")      // one-row pair-volume total (sparsify threshold)
     var bnljSeen = 0
     val offenders = graft.SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan
