@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -73,14 +73,61 @@ private[v2] class KeggFlatTable(options: CaseInsensitiveStringMap)
     new KeggFlatScanBuilder(o)
 }
 
+/** Filter pushdown (the parquet footer-min/max analog for this format):
+  * `offset` range bounds and `file` equality are applied EXACTLY by the
+  * source — qualifying splits are the only ones planned (an offset
+  * window over a 100 TB directory plans O(window) input partitions, not
+  * O(corpus)), the reader skips non-qualifying frames without
+  * materializing their strings and STOPS once past the upper bound —
+  * so accepted filters are consumed, not returned as residual. */
 private[v2] class KeggFlatScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = KeggFlatSource.schema
+  private var offsetLo: Long = Long.MinValue // inclusive
+  private var offsetHi: Long = Long.MaxValue // inclusive
+  private var fileEq: Option[String] = None
+  private var accepted: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve source column order regardless of the requested order
     required = StructType(
       KeggFlatSource.schema.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def num(v: Any): Option[Long] = v match {
+      case n: java.lang.Number => Some(n.longValue())
+      case _ => None
+    }
+    val (ours, residual) = filters.partition {
+      case GreaterThan("offset", v) => num(v).isDefined
+      case GreaterThanOrEqual("offset", v) => num(v).isDefined
+      case LessThan("offset", v) => num(v).isDefined
+      case LessThanOrEqual("offset", v) => num(v).isDefined
+      case EqualTo("offset", v) => num(v).isDefined
+      case EqualTo("file", _: String) => true
+      case _ => false
+    }
+    ours.foreach {
+      case GreaterThan("offset", v) =>
+        offsetLo = math.max(offsetLo, num(v).get + 1)
+      case GreaterThanOrEqual("offset", v) =>
+        offsetLo = math.max(offsetLo, num(v).get)
+      case LessThan("offset", v) =>
+        offsetHi = math.min(offsetHi, num(v).get - 1)
+      case LessThanOrEqual("offset", v) =>
+        offsetHi = math.min(offsetHi, num(v).get)
+      case EqualTo("offset", v) =>
+        offsetLo = math.max(offsetLo, num(v).get)
+        offsetHi = math.min(offsetHi, num(v).get)
+      case EqualTo("file", f: String) => fileEq = Some(f)
+      case _ => ()
+    }
+    accepted = ours
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
 
   override def build(): Scan = {
     val path = options.get("path")
@@ -88,17 +135,20 @@ private[v2] class KeggFlatScanBuilder(options: CaseInsensitiveStringMap)
     val splitSize = Option(options.get("splitSize")).map(_.toLong)
       .getOrElse(128L * 1024 * 1024)
     require(splitSize > 0, "kegg-flat: splitSize must be positive")
-    new KeggFlatScan(path, splitSize, required)
+    new KeggFlatScan(path, splitSize, required, offsetLo, offsetHi, fileEq)
   }
 }
 
 private[v2] class KeggFlatScan(
-    path: String, splitSize: Long, required: StructType)
+    path: String, splitSize: Long, required: StructType,
+    offsetLo: Long, offsetHi: Long, fileEq: Option[String])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"kegg-flat path=$path splitSize=$splitSize cols=${required.fieldNames.mkString(",")}"
+    s"kegg-flat path=$path splitSize=$splitSize " +
+      s"cols=${required.fieldNames.mkString(",")} " +
+      s"PushedOffsets=[$offsetLo,$offsetHi] PushedFile=${fileEq.getOrElse("*")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     // driver-side planning touches only file METADATA (names + lengths)
@@ -112,27 +162,36 @@ private[v2] class KeggFlatScan(
             !s.getPath.getName.startsWith("."))
           .sortBy(_.getPath.getName)
       else Seq(fs.getFileStatus(root))
-    files.flatMap { st =>
-      val len = st.getLen
-      if (len == 0) Nil
-      else (0L until len by splitSize).map { start =>
-        KeggFlatPartition(
-          st.getPath.toString, start, math.min(splitSize, len - start))
-      }
-    }.toArray
+    files
+      .filter(st => fileEq.forall(_ == st.getPath.toString))
+      .flatMap { st =>
+        val len = st.getLen
+        if (len == 0) Nil
+        else (0L until len by splitSize)
+          // a split owns the frames STARTING inside it, so it can hold a
+          // qualifying offset iff [start, start+length) meets [lo, hi]
+          .filter(start => start <= offsetHi &&
+            math.min(start + splitSize, len) - 1 >= offsetLo)
+          .map { start =>
+            KeggFlatPartition(
+              st.getPath.toString, start, math.min(splitSize, len - start))
+          }
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KeggFlatReaderFactory(required)
+    new KeggFlatReaderFactory(required, offsetLo, offsetHi)
 }
 
 private[v2] case class KeggFlatPartition(file: String, start: Long, length: Long)
     extends InputPartition
 
-private[v2] class KeggFlatReaderFactory(required: StructType)
+private[v2] class KeggFlatReaderFactory(
+    required: StructType, offsetLo: Long, offsetHi: Long)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new KeggFlatReader(p.asInstanceOf[KeggFlatPartition], required)
+    new KeggFlatReader(p.asInstanceOf[KeggFlatPartition], required,
+      offsetLo, offsetHi)
 }
 
 /** Streams one byte-range split in a single buffered pass, O(one record)
@@ -147,7 +206,8 @@ private[v2] class KeggFlatReaderFactory(required: StructType)
   * frame's first byte.
   */
 private[v2] class KeggFlatReader(
-    part: KeggFlatPartition, required: StructType)
+    part: KeggFlatPartition, required: StructType,
+    offsetLo: Long = Long.MinValue, offsetHi: Long = Long.MaxValue)
     extends PartitionReader[InternalRow] {
 
   private val needRecord = required.fieldNames.contains("record")
@@ -204,6 +264,12 @@ private[v2] class KeggFlatReader(
   override def next(): Boolean = {
     while (pos < splitEnd && pos < fileLen) {
       val frameStart = pos
+      // frames arrive in increasing offset order: past the pushed upper
+      // bound nothing later in this split can qualify — stop scanning
+      if (frameStart > offsetHi) return false
+      // below the lower bound the frame must still be WALKED (boundaries
+      // are data-dependent) but never materialized or emitted
+      val emit = frameStart >= offsetLo
       buf.reset()
       var hasContent = false
       var sawDelim = false
@@ -219,10 +285,10 @@ private[v2] class KeggFlatReader(
             if (c != ' ' && c != '\t' && c != '\r') hasContent = true
             i += 1
           }
-          if (needRecord) { buf.write(line, 0, lineLen); buf.write('\n') }
+          if (needRecord && emit) { buf.write(line, 0, lineLen); buf.write('\n') }
         }
       }
-      if (hasContent) {
+      if (hasContent && emit) {
         val rec =
           if (needRecord)
             buf.toString("UTF-8").replaceAll("^\\s+|\\s+$", "")

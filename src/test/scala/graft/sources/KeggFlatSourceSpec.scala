@@ -133,4 +133,53 @@ class KeggFlatSourceSpec extends SparkSpec {
       .count()
     assert(withCont > 0)
   }
+
+  test("offset-range pushdown prunes input partitions and is exact for " +
+    "any split size") {
+    val dir = Files.createTempDirectory("kegg_dsv2_push")
+    writeFlat(dir, "g.flat", mkRecords(40, seed = 2))
+    def scan(split: Int) = spark.read.format("kegg-flat")
+      .option("path", dir.resolve("g.flat").toString)
+      .option("splitSize", split.toString).load()
+    val full = scan(256).collect()
+    // pick a window around the middle record's offset
+    val offsets = full.map(_.getLong(0)).sorted
+    val (lo, hi) = (offsets(10), offsets(30))
+    for (split <- Seq(64, 256, 4096)) {
+      val filtered = scan(split)
+        .filter(col("offset") >= lo && col("offset") <= hi)
+      // exactness: pushdown result == post-hoc filter of the full scan
+      val expect = full.filter(r => r.getLong(0) >= lo && r.getLong(0) <= hi)
+        .map(_.getString(2)).toSet
+      assert(filtered.collect().map(_.getString(2)).toSet === expect,
+        s"splitSize=$split")
+    }
+    // pruning: at 64-byte splits a narrow window plans far fewer
+    // partitions than the unfiltered scan
+    val allParts = scan(64).rdd.getNumPartitions
+    val winParts = scan(64)
+      .filter(col("offset") >= lo && col("offset") <= lo + 100)
+      .rdd.getNumPartitions
+    assert(allParts > 10)
+    assert(winParts < allParts / 2,
+      s"expected pruning: $winParts vs $allParts")
+    // pushed filters are consumed exactly: the scan's own description
+    // carries the bounds
+    val desc = scan(64).filter(col("offset") >= lo).queryExecution
+      .executedPlan.toString
+    assert(desc.contains(s"PushedOffsets=[$lo,"), desc)
+  }
+
+  test("file-equality pushdown plans only the named file's splits") {
+    val dir = Files.createTempDirectory("kegg_dsv2_pushfile")
+    writeFlat(dir, "a.flat", mkRecords(5, seed = 1))
+    writeFlat(dir, "b.flat", mkRecords(5, seed = 3))
+    val df = spark.read.format("kegg-flat")
+      .option("path", dir.toString).option("splitSize", "64").load()
+    val aFile = df.select("file").as[String](
+      org.apache.spark.sql.Encoders.STRING).collect().min // a.flat's URI
+    val only = df.filter(col("file") === aFile)
+    assert(only.select("record").collect().length === 5)
+    assert(only.rdd.getNumPartitions < df.rdd.getNumPartitions)
+  }
 }
