@@ -70,6 +70,37 @@ object GraphOps {
     g.vertices.map { case (v, (pr, _)) => (v, pr) }.toDF("node", "pr")
   }
 
+  /** Personalized PageRank from a seed set, integer-scaled: pr₀ = scale
+    * on seeds and 0 elsewhere; each iteration
+    * pr'ᵥ = [v ∈ seeds]·(15·scale)/100 + (85·Σ_{u→v} ⌊prᵤ/outdegᵤ⌋)/100 —
+    * the teleport mass returns ONLY to the seed set, so scores rank nodes
+    * by proximity to the seeds (the recommendation / related-entity walk)
+    * instead of global prominence. Same BIGINT floor arithmetic as
+    * [[integerPageRank]] — commutative message sums, bit-replicable on any
+    * cluster and under a relational oracle. Fixed iteration count. */
+  def personalizedPageRank(
+      spark: SparkSession, edges: DataFrame, seeds: Set[Long],
+      iters: Int = 2, scale: Long = 1000000L): DataFrame = {
+    val edgeRdd = edges.select(
+      col(edges.columns(0)).cast("long"), col(edges.columns(1)).cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val base = Graph.fromEdgeTuples(edgeRdd, defaultValue = 1)
+    val seedB = spark.sparkContext.broadcast(seeds)
+    var g: Graph[(Long, Int), Int] = base.outerJoinVertices(base.outDegrees) {
+      (v, _, d) => (if (seedB.value(v)) scale else 0L, d.getOrElse(0))
+    }
+    for (_ <- 1 to iters) {
+      val sums = g.aggregateMessages[Long](
+        ctx => ctx.sendToDst(ctx.srcAttr._1 / ctx.srcAttr._2), _ + _)
+      g = g.outerJoinVertices(sums) { (v, attr, s) =>
+        (((if (seedB.value(v)) (15L * scale) / 100L else 0L)
+          + (85L * s.getOrElse(0L)) / 100L), attr._2)
+      }
+    }
+    import spark.implicits._
+    g.vertices.map { case (v, (pr, _)) => (v, pr) }.toDF("node", "pr")
+  }
+
   /** Depth-2 HITS hub/authority scores in pure integer arithmetic:
     * hub₀ ≡ 1, auth₁(v) = |in(v)| (= Σ hub₀ over in-neighbors),
     * hub₁(u) = Σ_{u→v} auth₁(v), auth₂(v) = Σ_{u→v} hub₁(u). Two unrolled

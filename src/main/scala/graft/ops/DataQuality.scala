@@ -52,4 +52,36 @@ object DataQuality {
     checks.reduce(_.unionByName(_))
       .select(col("check_name"), col("metric"),
         (col("metric") === 0).as("passed"))
+
+  /** Column profile — the discovery pass a pipeline runs before writing
+    * constraints (what a `describe`/Deequ-analyzer emits): one row per
+    * profiled column with row/null/distinct counts, lexicographic min/max
+    * and mean value length. Columns are pre-cast to STRING by the caller
+    * (floats excluded — their formatting is engine-specific), so min/max
+    * are string-ordered: deterministic and oracle-replicable, documented
+    * as such.
+    *
+    * Shape: the profiled columns UNPIVOT to (col_name, v) rows — k×|rows|
+    * of them — then a two-level aggregation: (col_name, v) partial counts
+    * first (this also carries the distinct), then per-column rollup.
+    * Both are content-keyed shuffles with map-side partial aggregation;
+    * nothing is quadratic in rows or columns. The distinct count is EXACT
+    * here; at 100 TB swap the first level for the portable HLL/KMV
+    * sketches in [[graft.text.Sketches]] when exactness isn't required. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stacked = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*))
+      .as("s"))
+      .select(col("s.col_name"), col("s.v"))
+    val perValue = stacked.groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("n"))
+    perValue.groupBy(col("col_name")).agg(
+      sum(col("n")).as("n_rows"),
+      coalesce(sum(when(col("v").isNull, col("n"))), lit(0L)).as("n_null"),
+      count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+      min(col("v")).as("min_v"),
+      max(col("v")).as("max_v"),
+      (sum(when(col("v").isNotNull, length(col("v")) * col("n")))
+        / sum(when(col("v").isNotNull, col("n")))).as("avg_len"))
+  }
 }

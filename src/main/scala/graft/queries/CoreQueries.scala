@@ -1023,6 +1023,47 @@ object CoreQueries {
         col("l_discount") > 0.05)))
   }
 
+  /** Column profiling (DataQuality.profile) — the discovery pass before
+    * constraint authoring: per-column row/null/distinct counts, string
+    * min/max, mean length, over five orders columns plus a synthesized
+    * nullable column (TPC-H has no nulls, so the null path must be
+    * planted to be proven). Timestamps pre-formatted yyyy-MM-dd and
+    * floats excluded — both engine-formatting hazards; min/max are
+    * documented string-order. */
+  val xProfile = Q(
+    "x_profile",
+    """WITH s AS (
+      |  SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS v
+      |  FROM orders
+      |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+      |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+      |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+      |  UNION ALL SELECT 'orderdate_str', strftime(o_orderdate, '%Y-%m-%d')
+      |  FROM orders
+      |  UNION ALL SELECT 'priority_nullable',
+      |    CASE WHEN o_custkey % 10 = 0 THEN NULL ELSE o_orderpriority END
+      |  FROM orders),
+      |pv AS (SELECT col_name, v, COUNT(*) AS n FROM s GROUP BY 1, 2)
+      |SELECT col_name, CAST(SUM(n) AS BIGINT) AS n_rows,
+      |  CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN n END), 0) AS BIGINT)
+      |    AS n_null,
+      |  COUNT(CASE WHEN v IS NOT NULL THEN 1 END) AS n_distinct,
+      |  MIN(v) AS min_v, MAX(v) AS max_v,
+      |  CAST(SUM(CASE WHEN v IS NOT NULL THEN len(v) * n END) AS DOUBLE)
+      |    / CAST(SUM(CASE WHEN v IS NOT NULL THEN n END) AS DOUBLE)
+      |    AS avg_len
+      |FROM pv GROUP BY col_name""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_orderpriority"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate_str"),
+      when(col("o_custkey") % 10 === 0, lit(null))
+        .otherwise(col("o_orderpriority")).as("priority_nullable"))
+    graft.ops.DataQuality.profile(base,
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "orderdate_str", "priority_nullable"))
+  }
+
   // ---- Correlated-subquery pack (TPC-H Q13/Q15/Q17/Q21/Q22 shapes) ----
   // Each demonstrates one decorrelation idiom: Catalyst rewrites the
   // correlated form into the join the Spark side declares directly, so
@@ -1282,7 +1323,7 @@ object CoreQueries {
     q07VolumeShipping, q14PromoRevenue,
     q03ShippingPriority, q18LargeOrders, q05LocalSupplier, q10ReturnedItems,
     q04PriorityExists, q06ForecastRevenue, erBlockedMatch, qNtile, qUnpivot,
-    qWindowShare, xDataQuality,
+    qWindowShare, xDataQuality, xProfile,
     q13CustDistribution, q15TopSupplier, q17SmallQtyRevenue,
     q21WaitingSuppliers, q22DormantCustomers,
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,

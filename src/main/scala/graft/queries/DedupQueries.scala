@@ -502,9 +502,36 @@ object DedupQueries {
     Dedup.exactSubstrTrim(Tables.documents(s, d), "doc_id", "text", k = 8)
   }
 
+  /** Leakage-safe train/val/test split (TrainPrep.clusterSplit): the split
+    * hash is keyed on the LSH dedup-cluster id, not the doc id, so a
+    * near-dup pair can never straddle train/test (the contamination that
+    * silently inflates held-out scores; per-doc x_split has no such
+    * guarantee). Oracle reuses the recursive-CTE clusters with the same
+    * md5 per-mille bucketing as x_split. */
+  val xSplitLeakageSafe = Q(
+    "x_split_leakage_safe",
+    clusterCtes +
+      """, keyed AS (SELECT d.doc_id,
+        |    COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN h % 1000 < 50 THEN 'test'
+        |       WHEN h % 1000 < 100 THEN 'val' ELSE 'train' END AS split
+        |FROM (SELECT doc_id, cluster_id,
+        |    ('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 14))::BIGINT AS h
+        |  FROM keyed)""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5)
+    val clusters = graft.graph.GraphOps
+      .connectedComponents(s, pairs.select("a", "b"))
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+    graft.text.TrainPrep.clusterSplit(docs, "doc_id", clusters)
+  }
+
   val all: Seq[Q] = Seq(xDedupNgram, xDedupMinhashLsh, xDedupIncremental,
     xDedupClusters, xDedupKeepBest, xDedupApply, xDedupSimhashSig,
     xDedupSimhashPairs, xSubstringDup, xBloomFilter, xContainment,
     xMinhashEst, xSegmentDedup, xIntraDedup, xSourceOverlap, xDedupPrefixJoin,
-    xSubstrTrim)
+    xSubstrTrim, xSplitLeakageSafe)
 }

@@ -222,6 +222,38 @@ object GraphQueries {
     GraphOps.integerPageRank(s, edgeDf(s, d), iters = 2)
   }
 
+  /** Personalized PageRank from customer seeds {1, 2} (vertex ids 2 and 4
+    * under the even/odd encoding), 2 iterations — teleport mass returns
+    * only to the seeds, so the walk scores seed-proximity (the
+    * related-entity query a knowledge graph serves). Integer arithmetic as
+    * g_pagerank; oracle = both iterations unrolled with the seed indicator
+    * in the teleport term. Nodes are the edge-derived vertex set, so a
+    * seed outside the graph contributes nothing on either engine. */
+  val gPpr = Q(
+    "g_ppr",
+    edgeCte +
+      """, nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+        |od AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |p0 AS (SELECT n, CASE WHEN n IN (2, 4)
+        |    THEN CAST(1000000 AS BIGINT) ELSE 0 END AS pr FROM nodes),
+        |s1 AS (SELECT e.dst AS n, SUM(p0.pr // od.deg) AS s
+        |       FROM e JOIN od ON e.src = od.src
+        |       JOIN p0 ON p0.n = e.src GROUP BY e.dst),
+        |p1 AS (SELECT nodes.n,
+        |    CAST(CASE WHEN nodes.n IN (2, 4) THEN 150000 ELSE 0 END
+        |      + (85 * COALESCE(s1.s, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nodes LEFT JOIN s1 ON nodes.n = s1.n),
+        |s2 AS (SELECT e.dst AS n, SUM(p1.pr // od.deg) AS s
+        |       FROM e JOIN od ON e.src = od.src
+        |       JOIN p1 ON p1.n = e.src GROUP BY e.dst)
+        |SELECT nodes.n AS node,
+        |  CAST(CASE WHEN nodes.n IN (2, 4) THEN 150000 ELSE 0 END
+        |    + (85 * COALESCE(s2.s, 0)) // 100 AS BIGINT) AS pr
+        |FROM nodes LEFT JOIN s2 ON nodes.n = s2.n""".stripMargin) { (s, d) =>
+    GraphOps.personalizedPageRank(s, edgeDf(s, d), seeds = Set(2L, 4L),
+      iters = 2)
+  }
+
   /** Depth-2 HITS hub/authority (integer, unnormalized — see
     * GraphOps.hitsScores for the determinism argument). Oracle = the two
     * half-iterations unrolled relationally. On this bipartite
@@ -439,6 +471,6 @@ object GraphQueries {
   }
 
   val all: Seq[Q] = Seq(gDegree, gComponents, gAncestors, gAncestorsRel,
-    gTriangles, gShortestPaths, gPagerank, gKhop, gNeighborJaccard, gHits,
-    gHarmonic, gLabelProp, gKcore, gKtruss)
+    gTriangles, gShortestPaths, gPagerank, gPpr, gKhop, gNeighborJaccard,
+    gHits, gHarmonic, gLabelProp, gKcore, gKtruss)
 }

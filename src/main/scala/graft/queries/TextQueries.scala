@@ -219,6 +219,49 @@ object TextQueries {
       Tables.documents(s, d), "text", "lang", p = 7)
   }
 
+  /** KMV θ-sketch set algebra between source pairs: union/intersection
+    * distinct-token estimates from the two k-min sketches alone (see
+    * Sketches.kmvSetOps — k hashes of state per source at any corpus
+    * size, vs x_source_overlap's exact distinct-shingle pair join). The
+    * oracle replicates the whole chain: sketches, union-sketch rank,
+    * membership flags, and the fixed-order float estimates. */
+  val xKmvSetops = Q(
+    "x_kmv_setops",
+    """WITH w AS (SELECT DISTINCT source AS g, unnest(
+      |    string_split_regex(trim(lower(text)), '\s+')) AS word
+      |  FROM documents),
+      |hs AS (SELECT DISTINCT g,
+      |    ('0x' || substr(md5('kmv:' || word), 1, 14))::BIGINT AS h FROM w),
+      |sk AS (SELECT g, h FROM (SELECT g, h,
+      |    row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hs)
+      |  WHERE rn <= 64),
+      |gs AS (SELECT DISTINCT g FROM sk),
+      |gp AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+      |side AS (
+      |  SELECT gp.ga, gp.gb, s.h, 1 AS in_a, 0 AS in_b
+      |  FROM gp JOIN sk s ON s.g = gp.ga
+      |  UNION ALL
+      |  SELECT gp.ga, gp.gb, s.h, 0, 1 FROM gp JOIN sk s ON s.g = gp.gb),
+      |uni AS (SELECT ga, gb, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+      |        FROM side GROUP BY 1, 2, 3),
+      |top AS (SELECT * FROM (SELECT *,
+      |    row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM uni)
+      |  WHERE rn <= 64),
+      |agg AS (SELECT ga, gb, COUNT(*) AS n_sketch,
+      |    MAX(CASE WHEN rn = 64 THEN h END) AS kth,
+      |    SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS n_both
+      |  FROM top GROUP BY 1, 2)
+      |SELECT ga AS src_a, gb AS src_b, n_sketch, CAST(n_both AS BIGINT) AS n_both,
+      |  CASE WHEN kth IS NULL THEN CAST(n_sketch AS DOUBLE)
+      |    ELSE 63.0 * 72057594037927936.0 / CAST(kth AS DOUBLE) END AS est_union,
+      |  CASE WHEN kth IS NULL THEN CAST(n_both AS DOUBLE)
+      |    ELSE (CAST(n_both AS DOUBLE) / 64.0)
+      |      * (63.0 * 72057594037927936.0 / CAST(kth AS DOUBLE)) END AS est_inter
+      |FROM agg""".stripMargin) { (s, d) =>
+    graft.text.Sketches.kmvSetOps(Tables.documents(s, d), "text", "source",
+      k = 64)
+  }
+
   val xDedupExact = Q(
     "x_dedup_exact",
     """SELECT
@@ -775,7 +818,7 @@ object TextQueries {
   }
 
   val all: Seq[Q] = Seq(xTextStats, xLangId, xLenQuantiles, xRepetition,
-    xVocab, xCorpusStats, xDistinctKmv, xDistinctHll, xDedupExact,
+    xVocab, xCorpusStats, xDistinctKmv, xDistinctHll, xKmvSetops, xDedupExact,
     xDedupExactMembers, xDedupNorm,
     xTfidf, xBigramLm, xPerplexity, xScriptMix, xTokenEntropy,
     xHeavyHitters, xFingerprint,

@@ -345,8 +345,80 @@ object TrainPrepQueries {
     TrainPrep.cdcChunks(Tables.documents(s, d), "doc_id", "text", avgTokens = 8)
   }
 
+  /** URL canonicalization + dedup (TextFns.canonicalizeUrl): the corpus
+    * has no URL column, so aliases are SYNTHESIZED deterministically from
+    * doc_id — case-varied scheme/host, www. prefix, default :443 port,
+    * trailing slash, utm params in varying order, fragments — and the
+    * operator under test collapses them: canonical key reduces to
+    * doc_id mod 100, so each group holds every alias spelling. Emits the
+    * per-row canonical form plus the min-id keeper (one canonical-keyed
+    * shuffle; the canonicalization itself is zero-shuffle per-row). */
+  val xUrlDedup = Q(
+    "x_url_dedup",
+    """WITH u AS (SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://'
+      |    || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)
+      |    || (CASE WHEN doc_id % 2 = 0 THEN 'Example' ELSE 'example' END)
+      |    || (doc_id % 20)
+      |    || (CASE WHEN doc_id % 2 = 0 THEN '.COM' ELSE '.com' END)
+      |    || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+      |    || '/docs/' || (doc_id % 50)
+      |    || (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END)
+      |    || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' || (doc_id % 100)
+      |        WHEN doc_id % 3 = 1 THEN '?id=' || (doc_id % 100) || '&utm_campaign=x'
+      |        ELSE '?id=' || (doc_id % 100) END)
+      |    || (CASE WHEN doc_id % 13 = 0 THEN '#sec2' ELSE '' END) AS url
+      |  FROM documents),
+      |p1 AS (SELECT doc_id, url,
+      |    string_split(url, '#')[1] AS nofrag FROM u),
+      |p2 AS (SELECT *, lower(string_split(nofrag, '://')[1]) AS scheme,
+      |    string_split(nofrag, '://')[2] AS rest FROM p1),
+      |p3 AS (SELECT *, regexp_extract(rest, '^([^/]*)', 1) AS hostport,
+      |    regexp_extract(rest, '^[^/]*(.*)$', 1) AS pathq FROM p2),
+      |p4 AS (SELECT *,
+      |    regexp_replace(regexp_replace(lower(hostport), ':(443|80)$', ''),
+      |      '^www\.', '') AS host,
+      |    regexp_replace(string_split(pathq, '?')[1], '/+$', '') AS path,
+      |    CASE WHEN contains(pathq, '?') THEN string_split(pathq, '?')[2]
+      |      ELSE '' END AS query FROM p3),
+      |p5 AS (SELECT *, list_sort(list_filter(string_split(query, '&'),
+      |      x -> x <> '' AND NOT regexp_matches(x,
+      |        '^(utm_[^=]*|fbclid|gclid|ref)='))) AS kept FROM p4),
+      |c AS (SELECT doc_id, url,
+      |    scheme || '://' || host || path
+      |    || (CASE WHEN len(kept) > 0
+      |        THEN '?' || array_to_string(kept, '&') ELSE '' END)
+      |      AS canonical_url FROM p5)
+      |SELECT doc_id, url, canonical_url,
+      |  MIN(doc_id) OVER (PARTITION BY canonical_url) AS keep_id
+      |FROM c""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val id = col("doc_id")
+    def s99(c: org.apache.spark.sql.Column) = c.cast("string")
+    val url = concat(
+      when(id % 2 === 0, "HTTPS").otherwise("https"), lit("://"),
+      when(id % 5 === 0, "www.").otherwise(""),
+      when(id % 2 === 0, "Example").otherwise("example"),
+      s99(id % 20),
+      when(id % 2 === 0, ".COM").otherwise(".com"),
+      when(id % 7 === 0, ":443").otherwise(""),
+      lit("/docs/"), s99(id % 50),
+      when(id % 11 === 0, "/").otherwise(""),
+      when(id % 3 === 0, concat(lit("?utm_source=feed&id="), s99(id % 100)))
+        .when(id % 3 === 1,
+          concat(lit("?id="), s99(id % 100), lit("&utm_campaign=x")))
+        .otherwise(concat(lit("?id="), s99(id % 100))),
+      when(id % 13 === 0, "#sec2").otherwise(""))
+    Tables.documents(s, d)
+      .select(id, url.as("url"))
+      .withColumn("canonical_url",
+        graft.text.TextFns.canonicalizeUrl(col("url")))
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("canonical_url"))))
+  }
+
   val all: Seq[Q] = Seq(xSplit, xPack, xScrub, xSample, xDecontaminate,
     xIncremental, xMixRebalance, xWeightedSample, xBudgetSelect, xChunk,
     xChunkCdc, xNovelty,
-    xWinsorize, xShard, xInterleave)
+    xWinsorize, xShard, xInterleave, xUrlDedup)
 }

@@ -479,6 +479,20 @@ object EventStreams {
         unix_timestamp(col("session_window.start")).as("session_start"),
         col("n_events"))
 
+  /** Streaming exact dedup via `dropDuplicatesWithinWatermark`: state
+    * holds one entry per key seen inside the watermark horizon and is
+    * PURGED once the watermark passes it — plain streaming
+    * `dropDuplicates` keeps every key forever (the classic unbounded-
+    * state OOM), so within-watermark is the only form that survives an
+    * unbounded stream. At-least-once upstream delivery (file-source
+    * replay, queue redelivery) becomes exactly-once downstream provided
+    * the redelivery lands within the watermark; the first arrival wins
+    * and is emitted once, in append mode. */
+  def streamingDedup(stream: DataFrame, keys: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Exactly-once parquet sink via foreachBatch: each micro-batch is
     * written under its batch id (idempotent on replay — a restarted query
     * re-runs the last uncommitted batch and OVERWRITES the same directory,

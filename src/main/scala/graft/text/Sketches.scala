@@ -43,6 +43,68 @@ object Sketches {
             / col("kth_hash").cast("double")).as("est"))
   }
 
+  /** KMV set-operation estimates between every pair of groups: union and
+    * intersection distinct-token counts from the two k-min-value sketches
+    * ALONE (the θ-sketch algebra) — at 100 TB each source keeps k hashes
+    * of state and any source pair is compared without touching the corpus
+    * again, vs an exact pair join over all distinct tokens
+    * ([[graft.dedup.Dedup.sourceOverlap]]'s shape).
+    *
+    * Per pair: the union sketch is the k smallest of the two sketches'
+    * value union with h₍ₖ₎ estimating the union count as (k−1)·2⁵⁶/h₍ₖ₎;
+    * the intersection estimate scales that by the fraction of union-
+    * sketch values present in BOTH sketches. Fewer than k union values ⇒
+    * both sketches are complete sets and both estimates are EXACT (the
+    * kth_hash-null fallback, as [[kmvDistinctTokens]]). All arithmetic on
+    * the portable hash in fixed operation order, so the estimates
+    * themselves replicate bit-for-bit under a DuckDB oracle.
+    *
+    * The group-pair frame is a theta join on the GROUP DIMENSION (sources,
+    * not rows) — bounded and broadcast, the whitelisted BNLJ class. */
+  def kmvSetOps(
+      docs: DataFrame, textCol: String, groupCol: String,
+      k: Int = 64): DataFrame = {
+    val hashes = docs
+      .select(col(groupCol).as("g"),
+        explode(TextFns.tokens(col(textCol))).as("word"))
+      .distinct()
+      .select(col("g"), TextFns.portableHash(col("word"), lit("kmv")).as("h"))
+      .distinct()
+    val sk = hashes
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("g")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .select(col("g"), col("h"))
+    val gs = sk.select(col("g")).distinct()
+    val gp = gs.toDF("ga").join(gs.toDF("gb"), col("ga") < col("gb"))
+    val side = gp.join(sk.toDF("ga", "h"), Seq("ga"))
+      .select(col("ga"), col("gb"), col("h"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+      .unionByName(gp.join(sk.toDF("gb", "h"), Seq("gb"))
+        .select(col("ga"), col("gb"), col("h"),
+          lit(0).as("in_a"), lit(1).as("in_b")))
+    val uni = side.groupBy(col("ga"), col("gb"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val top = uni
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("ga"), col("gb")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+    val agg = top.groupBy(col("ga"), col("gb")).agg(
+      count(lit(1)).as("n_sketch"),
+      max(when(col("rn") === k, col("h"))).as("kth"),
+      sum(when(col("in_a") === 1 && col("in_b") === 1, 1).otherwise(0))
+        .as("n_both"))
+    val estUnion = when(col("kth").isNull, col("n_sketch").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(HashSpace)
+        / col("kth").cast("double"))
+    agg.select(col("ga").as("src_a"), col("gb").as("src_b"),
+      col("n_sketch"), col("n_both"),
+      estUnion.as("est_union"),
+      when(col("kth").isNull, col("n_both").cast("double"))
+        .otherwise((col("n_both").cast("double") / lit(k.toDouble)) * estUnion)
+        .as("est_inter"))
+  }
+
   /** HyperLogLog distinct-token estimate per group with PORTABLE registers:
     * bucket = top `p` bits of the 56-bit md5-prefix hash, register M_j =
     * max over the bucket's values of (leading zeros of the remaining

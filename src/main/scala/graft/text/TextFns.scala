@@ -219,4 +219,36 @@ object TextFns {
   def classifierScore(text: Column): Column =
     aggregate(classifierFeatures(text), lit(0L),
       (acc, f) => acc + classifierWeight(f))
+
+  /** URL canonicalization — the normalize step of web-crawl dedup (the
+    * same fetched page arrives under utm-tagged, fragment-bearing,
+    * case-varied, www/port-decorated aliases; crawl frontiers and
+    * re-crawl joins key on the canonical form). Rules, each a pure
+    * per-row expression (ZERO shuffles):
+    *  1. drop the `#fragment` (never sent to the server);
+    *  2. lowercase scheme and host (RFC 3986 §6.2.2.1 — path stays
+    *     case-sensitive);
+    *  3. strip a default `:443`/`:80` port and a leading `www.`;
+    *  4. strip trailing `/` from the path;
+    *  5. drop tracking params (`utm_*`, `fbclid`, `gclid`, `ref`) and
+    *     SORT the survivors (param order is not semantic).
+    * Regex subset shared by Java and RE2 so a DuckDB oracle replicates
+    * byte-for-byte. Expects `scheme://host[/path][?query][#frag]`. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = split(url, "#").getItem(0)
+    val scheme = lower(split(noFrag, "://").getItem(0))
+    val rest = split(noFrag, "://").getItem(1)
+    val hostport = regexp_extract(rest, "^([^/]*)", 1)
+    val host = regexp_replace(
+      regexp_replace(lower(hostport), ":(443|80)$", ""), "^www\\.", "")
+    val pathq = regexp_extract(rest, "^[^/]*(.*)$", 1)
+    val path = regexp_replace(split(pathq, "\\?").getItem(0), "/+$", "")
+    val query = when(pathq.contains("?"),
+      split(pathq, "\\?").getItem(1)).otherwise(lit(""))
+    val kept = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=")))
+    concat(scheme, lit("://"), host, path,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit("")))
+  }
 }

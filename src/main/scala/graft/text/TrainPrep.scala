@@ -34,6 +34,32 @@ object TrainPrep {
       .otherwise("train")
   }
 
+  /** Leakage-safe train/val/test split: documents are assigned at DEDUP-
+    * CLUSTER granularity, not per document — every member of a near-dup
+    * cluster hashes on the cluster id, so two near-copies can never land
+    * on opposite sides of the split (per-doc hashing leaks test content
+    * into train through its near-duplicates, inflating eval scores).
+    * `clusters` is a (doc_id, cluster_id) membership table (e.g. GraphX
+    * connected components over LSH pairs); unclustered documents fall back
+    * to their own id as a singleton cluster. One doc-keyed shuffle join;
+    * the split itself is map-side hashing — no extra wide stage over the
+    * per-doc split. */
+  def clusterSplit(
+      docs: DataFrame, idCol: String, clusters: DataFrame,
+      testPerMille: Int = 50, valPerMille: Int = 50): DataFrame = {
+    val cl = clusters.select(col(clusters.columns(0)).as(idCol),
+      col(clusters.columns(1)).as("cluster_id"))
+    val keyed = docs.select(col(idCol)).join(cl, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+    val bucket =
+      TextFns.portableHash(col("cluster_id").cast("string"), lit("split")) % 1000
+    keyed.select(col(idCol), col("cluster_id"),
+      when(bucket < testPerMille, "test")
+        .when(bucket < testPerMille + valPerMille, "val")
+        .otherwise("train").as("split"))
+  }
+
   /** Pack documents into consecutive token-budget bins per SHARD: within a
     * shard, bin i holds the documents whose running token total (in
     * `orderCol` order) falls in (i·budget, (i+1)·budget]. The shard column

@@ -27,6 +27,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 150000L, 2L -> 277500L, 3L -> 1000000L))
   }
 
+  test("personalizedPageRank: teleport mass returns only to the seeds") {
+    // chain 1->2->3, seed {1}, 2 iters, scale 1e6:
+    // p0 = (1e6, 0, 0)
+    // it1: 2 <- 1e6; p1 = (150000, 850000, 0)
+    // it2: 2 <- 150000, 3 <- 850000
+    //      p2 = (150000, 127500, 722500)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = GraphOps.personalizedPageRank(spark, edges, seeds = Set(1L),
+      iters = 2).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 150000L, 2L -> 127500L, 3L -> 722500L))
+    // a seed absent from the graph contributes nothing (no phantom vertex)
+    val got2 = GraphOps.personalizedPageRank(spark, edges,
+      seeds = Set(1L, 99L), iters = 2).as[(Long, Long)].collect().toMap
+    assert(got2 === got)
+    // no seeds in the graph -> every score is zero (walk never starts)
+    val got3 = GraphOps.personalizedPageRank(spark, edges, seeds = Set(99L),
+      iters = 2).as[(Long, Long)].collect().toMap
+    assert(got3 === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("hitsScores hand-computed on a small bipartite-ish graph") {
     // 1->3, 2->3, 2->4: auth1 = indeg: 3->2, 4->1
     // hub1: 1 -> auth1(3)=2; 2 -> auth1(3)+auth1(4)=3

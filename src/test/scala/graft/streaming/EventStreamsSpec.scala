@@ -330,6 +330,32 @@ class EventStreamsSpec extends SparkSpec {
       s"user 1's buffer was dropped between triggers: ${got(4L)}")
   }
 
+  test("streamingDedup suppresses within-watermark redelivery across " +
+    "triggers and emits each key once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val input = ms.toDF.toDF("event_id", "ts", "value")
+    val q = EventStreams.streamingDedup(input, Seq("event_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedupstream").start()
+    try {
+      // trigger 1: ids 1,2 plus an in-batch dup of 1
+      ms.addData((1L, ts(0), 10.0), (2L, ts(1), 20.0), (1L, ts(2), 99.0))
+      q.processAllAvailable()
+      // trigger 2: id 2 redelivered within the watermark + new id 3
+      ms.addData((2L, ts(3), 88.0), (3L, ts(4), 30.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedupstream")
+      .select(col("event_id"), col("value"))
+      .as[(Long, Double)].collect().toMap
+    // one row per key, first arrival wins (value 10/20, never 99/88)
+    assert(got === Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+  }
+
   test("anomalyFlags: upper-median threshold, per-user isolation") {
     import org.apache.spark.sql.functions.to_timestamp
     val e = Seq(

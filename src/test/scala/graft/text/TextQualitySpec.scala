@@ -288,4 +288,61 @@ class TextQualitySpec extends SparkSpec {
       .head().getInt(0)
     assert(n0 === 1) // tokens("") = [""] — one (empty) token, no bigrams
   }
+
+  private def canon(url: String): String =
+    Seq(url).toDF("url")
+      .select(TextFns.canonicalizeUrl(col("url"))).head().getString(0)
+
+  test("canonicalizeUrl collapses case/www/port/slash/utm/fragment aliases") {
+    assert(canon("HTTPS://WWW.Example1.COM:443/docs/5/?utm_source=feed&id=7#x")
+      === "https://example1.com/docs/5?id=7")
+    assert(canon("https://example1.com/docs/5?id=7&utm_campaign=z")
+      === "https://example1.com/docs/5?id=7")
+    // already canonical -> fixed point
+    assert(canon("https://example1.com/docs/5?id=7")
+      === "https://example1.com/docs/5?id=7")
+  }
+
+  test("canonicalizeUrl: param sort, tracking-only query drops the '?', " +
+    "non-default port and path case survive") {
+    assert(canon("http://a.com/p?b=2&a=1") === "http://a.com/p?a=1&b=2")
+    assert(canon("http://a.com/p?ref=feed&gclid=123&fbclid=9")
+      === "http://a.com/p")
+    assert(canon("http://a.com:8080/Docs/X") === "http://a.com:8080/Docs/X")
+    // root path: trailing slash stripped to the bare authority
+    assert(canon("http://a.com/?id=1") === "http://a.com?id=1")
+  }
+
+  test("kmvSetOps: exact union/intersection below k (complete sketches)") {
+    import graft.text.Sketches
+    // A = w1..w40, B = w21..w60: union 60, inter 20 — all under k=64
+    val docs = Seq(
+      ("a", (1 to 40).map(i => s"w$i").mkString(" ")),
+      ("b", (21 to 60).map(i => s"w$i").mkString(" "))).toDF("src", "text")
+    val r = Sketches.kmvSetOps(docs, "text", "src", k = 64).head()
+    assert(r.getString(0) === "a" && r.getString(1) === "b")
+    assert(r.getLong(2) === 60L) // n_sketch = exact union size
+    assert(r.getLong(3) === 20L) // n_both = exact intersection
+    assert(r.getDouble(4) === 60.0 && r.getDouble(5) === 20.0)
+  }
+
+  test("kmvSetOps: estimates track a planted 50% overlap above k, and the " +
+    "union estimate obeys the merge law (= sketch of the concatenation)") {
+    import graft.text.Sketches
+    // A = t1..t1000, B = t501..t1500: union 1500, inter 500
+    val aText = (1 to 1000).map(i => s"t$i").mkString(" ")
+    val bText = (501 to 1500).map(i => s"t$i").mkString(" ")
+    val docs = Seq(("a", aText), ("b", bText)).toDF("src", "text")
+    val r = Sketches.kmvSetOps(docs, "text", "src", k = 64).head()
+    val (estU, estI) = (r.getDouble(4), r.getDouble(5))
+    // deterministic given the fixed hash family — these bands cannot flake
+    assert(math.abs(estU - 1500) / 1500.0 < 0.35, s"union est $estU")
+    assert(math.abs(estI - 500) / 500.0 < 0.6, s"inter est $estI")
+    // merge law: k-min of (top-k(A) ∪ top-k(B)) = k-min of A ∪ B, so the
+    // pairwise union estimate equals the single-group sketch of A ++ B
+    val merged = Seq(("u", aText + " " + bText)).toDF("src", "text")
+    val direct = Sketches.kmvDistinctTokens(merged, "text", "src", k = 64)
+      .head().getDouble(3)
+    assert(estU === direct)
+  }
 }

@@ -90,4 +90,31 @@ class TrainOrderSpec extends SparkSpec {
     val orig = sharded.select(col("doc_id"), col("pos"), col("shard"))
     assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
   }
+
+  test("clusterSplit: cluster members share a split, singletons fall back " +
+    "to per-id hashing, and the assignment matches hashSplit on the key") {
+    val corpus = spark.range(0, 300).toDF("doc_id")
+    // docs 0..99 pair up into 50 two-doc clusters; 100.. are unclustered
+    val clusters = spark.range(0, 100).toDF("doc_id")
+      .withColumn("cluster_id", col("doc_id") % 50)
+    val got = TrainPrep.clusterSplit(corpus, "doc_id", clusters)
+    // every cluster resolves to exactly one split value
+    val multi = got.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(multi === 0L)
+    // singleton fallback: cluster_id = doc_id for unclustered docs
+    assert(got.filter(col("doc_id") >= 100 &&
+      col("cluster_id") =!= col("doc_id")).count() === 0L)
+    // the split is hashSplit of the cluster key (same salt and cuts), so
+    // cross-granularity invariant: a doc whose cluster_id = its own id
+    // gets exactly its per-doc split
+    val single = got.filter(col("doc_id") >= 100)
+      .withColumn("expect", TrainPrep.hashSplit(corpus, "cluster_id"))
+    assert(single.filter(col("split") =!= col("expect")).count() === 0L)
+    // all three splits appear with roughly the configured mass
+    val byName = got.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName("train") > 200 && byName.size === 3)
+  }
 }
