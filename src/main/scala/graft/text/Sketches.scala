@@ -70,11 +70,15 @@ object Sketches {
       .distinct()
       .select(col("g"), TextFns.portableHash(col("word"), lit("kmv")).as("h"))
       .distinct()
+    // the sketch table is k×|groups| rows; persist it so the corpus-side
+    // explode+distinct runs ONCE — the pair algebra below reuses the plan
+    // three times and must stay in sketch space, never re-scan the corpus
     val sk = hashes
       .withColumn("rn",
         row_number().over(Window.partitionBy(col("g")).orderBy(col("h"))))
       .filter(col("rn") <= k)
       .select(col("g"), col("h"))
+      .persist()
     val gs = sk.select(col("g")).distinct()
     val gp = gs.toDF("ga").join(gs.toDF("gb"), col("ga") < col("gb"))
     val side = gp.join(sk.toDF("ga", "h"), Seq("ga"))
