@@ -242,7 +242,27 @@ object EventQueries {
     EventStreams.rfmSegments(Tables.events(s, d))
   }
 
+  /** OHLC bars (EventStreams.ohlcBars): per (user, hour) open/high/low/
+    * close with rank-deterministic first/last — the time-series
+    * downsampling rollup. */
+  val evOhlc = Q(
+    "ev_ohlc",
+    """WITH b AS (SELECT user_id,
+      |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour, value,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+      |      ORDER BY ts, event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+      |      ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM events)
+      |SELECT user_id, hour, COUNT(*) AS n_events,
+      |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+      |  MIN(value) AS low, MAX(value) AS high
+      |FROM b GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    EventStreams.ohlcBars(Tables.events(s, d))
+  }
+
   val all: Seq[Q] = Seq(evTumbling, evSliding, evSessionize, evFirstPerKey, evFunnel,
     evIntervalJoin, evAsofJoin, evRolling, evRetention, evStreaks,
-    evAsofForward, evTransitions, evScd2, evAnomaly, evRfm)
+    evAsofForward, evTransitions, evScd2, evAnomaly, evRfm, evOhlc)
 }

@@ -104,6 +104,52 @@ object SimQueries {
     * deterministic (sampled centroids/codebook, L2² + id tie-breaks,
     * DECIMAL sum over subspace distances), so the oracle replicates the
     * codes AND the approximate distances bit-exact. */
+  /** Binary (1-bit) quantized ANN (Similarity.binaryTopK): 63-bit sign
+    * codes from sparse random projections (63 bits, not 64 — bit 63
+    * would be the sign bit, where Spark's `1L << 63` wraps negative and
+    * DuckDB's `1::BIGINT << 63` overflows: different engines, different
+    * failure — 63 keeps every code positive on both), Hamming shortlist
+    * (4·k), exact cosine rerank. The full two-stage pipeline is
+    * oracle-replicated: codes, popcount ordering, rerank floats. */
+  val xAnnBinary = Q(
+    "x_ann_binary",
+    normCte +
+      """, qq AS (SELECT vec_id, r.j,
+        |    CAST(floor(CAST(embedding[r.j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM embeddings, range(0, 64) r(j)),
+        |w AS (SELECT r1.j, r2.k,
+        |    CASE (('0x' || substr(md5('graft-bq:' || CAST(r1.j AS VARCHAR)
+        |        || ':' || CAST(r2.k AS VARCHAR)), 1, 14))::BIGINT) % 6
+        |      WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS w
+        |  FROM range(0, 64) r1(j), range(0, 63) r2(k)),
+        |pj AS (SELECT qq.vec_id, w.k, SUM(qq.q * w.w) AS proj
+        |       FROM qq JOIN w ON qq.j = w.j GROUP BY 1, 2),
+        |codes AS (SELECT vec_id,
+        |    CAST(SUM(CASE WHEN proj >= 0 THEN (1::BIGINT << k) ELSE 0 END)
+        |      AS BIGINT) AS code
+        |  FROM pj GROUP BY 1),
+        |cand AS (SELECT a.vec_id, b.vec_id AS neighbor,
+        |    bit_count(xor(a.code, b.code)) AS ham
+        |  FROM codes a JOIN codes b ON a.vec_id <> b.vec_id),
+        |shortlist AS (SELECT vec_id, neighbor FROM (
+        |  SELECT vec_id, neighbor,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY ham, neighbor) AS rn
+        |  FROM cand) WHERE rn <= 20),
+        |rr AS (SELECT s.vec_id, s.neighbor,
+        |    list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, t) -> x + t)
+        |      / (a.nrm * b.nrm) AS cos
+        |  FROM shortlist s
+        |  JOIN nrm a ON a.vec_id = s.vec_id
+        |  JOIN nrm b ON b.vec_id = s.neighbor)
+        |SELECT vec_id, rank, neighbor, cos FROM (
+        |  SELECT vec_id, neighbor, cos,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rank
+        |  FROM rr) WHERE rank <= 5""".stripMargin) { (s, d) =>
+    Similarity.binaryTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      k = 5, oversample = 4, inDim = 64, bits = 63)
+  }
+
   /** SQ8 scalar-quantized ANN — the per-tensor int8 grid beside PQ's
     * codebook: one global [gmin,gmax] over all components, integer
     * Σ(Δcode)² distances rescaled once per pair. Codes and distances are
@@ -591,7 +637,7 @@ object SimQueries {
   }
 
   val all: Seq[Q] = Seq(xAnnTopK, xAnnFiltered, xAnnIvf, xAnnLsh, xAnnPq,
-    xAnnSq8, xKmeans,
+    xAnnSq8, xAnnBinary, xKmeans,
     xSemanticDedup, xNearDupEmb, xDecontaminateSem,
     xMediaFeatures, xMediaDecode, xMediaFrames,
     xAnnRecall, xMediaPhash, xRandProj, xClusterExemplars, xHardNegatives)

@@ -462,6 +462,92 @@ object Similarity {
         col("neg_label"), col("cos"))
   }
 
+  /** {+1,−1,0} projection weight from the portable md5 family
+    * (h(seed:j:k) mod 6 → 0:+1, 1:−1, else 0; density 1/3) — driver-side
+    * plan constant, replicated verbatim by the SQL oracles. */
+  private def rpWeight(seed: String, j: Int, k: Int): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$seed:$j:$k".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(14)
+    java.lang.Long.parseLong(hex, 16) % 6 match {
+      case 0 => 1L
+      case 1 => -1L
+      case _ => 0L
+    }
+  }
+
+  /** Binary (1-bit) quantized ANN — the fourth quantization path beside
+    * SQ8 / PQ / JL: each vector packs to ONE 64-bit sign code (bit b =
+    * sign of the b-th sparse random projection of the ⌊v·10⁶⌋-quantized
+    * vector), candidates are the `oversample`·k Hamming-nearest codes
+    * (bit_count(xor) — random-hyperplane LSH theory: Hamming distance on
+    * sign codes estimates angular distance), and the final k are an EXACT
+    * cosine rerank of those candidates — the standard two-stage
+    * retrieve-then-rerank a production vector store runs.
+    *
+    * Scale: codes are 8 bytes/vector (12.5 GB per billion vectors — the
+    * side that broadcasts or bucket-joins where raw vectors cannot);
+    * stage-1 cost is one popcount per pair vs 64 mul-adds, and stage 2
+    * touches only |queries|·oversample·k raw vectors. Every quantity is
+    * integer (codes, Hamming) or the exact brute-force float contract
+    * (rerank cosine), so the whole two-stage pipeline oracle-replicates
+    * bit-for-bit. Output: (vec_id, rank, neighbor, cos), rank 1..k. */
+  /** The 1-bit sign codes behind [[binaryTopK]], exposed because the code
+    * table is the PERSISTABLE artifact at scale (8 bytes/vector, computed
+    * once, reused across every query batch). Bit b = sign of the b-th
+    * sparse random projection of the ⌊v·10⁶⌋-quantized vector. */
+  def binaryCodes(emb: DataFrame, idCol: String, vecCol: String,
+      inDim: Int, bits: Int, seed: String): DataFrame = {
+    // DATA-FLOW projection (explode ⋈ broadcast weight table ⋈ sum), not
+    // plan-literal sums as in randomProjection: at 63 output bits the
+    // literal form is one ~1300-op expression whose janino compilation
+    // costs seconds per plan (measured 2-3s) and risks the 64KB
+    // interpreted fallback. The weight table is inDim×bits/3 rows —
+    // broadcast, engine-replicable, and the join/aggregate shapes are the
+    // same narrow per-vector work at any corpus size.
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val wDf = (for {
+      j <- 0 until inDim
+      b <- 0 until bits
+      w = rpWeight(seed, j, b) if w != 0L
+    } yield (j, b, w)).toDF("j", "k", "w")
+    val q = transform(col(vecCol),
+      x => floor(x.cast("double") * 1000000d).cast("long"))
+    emb.select(col(idCol).as("id"), posexplode(q).as(Seq("j", "qv")))
+      .join(broadcast(wDf), Seq("j"))
+      .groupBy(col("id"), col("k"))
+      .agg(sum(col("qv") * col("w")).as("proj"))
+      .groupBy(col("id"))
+      .agg(sum(when(col("proj") >= 0,
+        expr("shiftleft(CAST(1 AS BIGINT), k)")).otherwise(0L)).as("code"))
+  }
+
+  def binaryTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      oversample: Int = 4, inDim: Int = 64, bits: Int = 64,
+      seed: String = "graft-bq"): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
+    // computed once, probed from both sides of the pair join — the code
+    // table is the artifact a vector store persists
+    val codes = binaryCodes(emb, idCol, vecCol, inDim, bits, seed).persist()
+    val cand = codes.toDF("vec_id", "ca")
+      .join(broadcast(codes.toDF("neighbor", "cb")),
+        col("vec_id") =!= col("neighbor"))
+      .select(col("vec_id"), col("neighbor"),
+        bit_count(col("ca").bitwiseXOR(col("cb"))).cast("double").as("dist"))
+    val shortlist = aggBottomKFromPairs(cand, oversample * k)
+      .select(col("vec_id"), col("neighbor"))
+    val withNorm = emb.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val rerank = shortlist
+      .join(withNorm.toDF("vec_id", "va", "na"), Seq("vec_id"))
+      .join(withNorm.toDF("neighbor", "vb", "nb"), Seq("neighbor"))
+      .select(col("vec_id"), col("neighbor"),
+        (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+    aggTopKFromPairs(rerank, k)
+  }
+
   /** Sparse random projection (Achlioptas-style) for embedding
     * dimensionality reduction: out_k = Σⱼ w(j,k)·qⱼ where qⱼ =
     * ⌊vⱼ·10⁶⌋ (BIGINT quantization, the same float→double→floor contract
@@ -483,16 +569,7 @@ object Similarity {
       emb: DataFrame, idCol: String, vecCol: String,
       inDim: Int = 64, outDim: Int = 16,
       seed: String = "graft-rp"): DataFrame = {
-    val md = MessageDigest.getInstance("MD5")
-    def weight(j: Int, k: Int): Long = {
-      val hex = md.digest(s"$seed:$j:$k".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(14)
-      java.lang.Long.parseLong(hex, 16) % 6 match {
-        case 0 => 1L
-        case 1 => -1L
-        case _ => 0L
-      }
-    }
+    def weight(j: Int, k: Int): Long = rpWeight(seed, j, k)
     val q = transform(col(vecCol),
       x => floor(x.cast("double") * 1000000d).cast("long"))
     val projs = array((0 until outDim).map { k =>

@@ -34,6 +34,32 @@ object EventStreams {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
 
+  /** OHLC downsampling bars: per (user, hour) the first/last/min/max of
+    * `value` — the open-high-low-close time-series compaction (metrics
+    * rollup, market bars). First/last are deterministic via (ts,
+    * event_id)-ordered rank — `first()`/`last()` aggregate functions are
+    * arrival-order dependent on a cluster and never used here. One
+    * shuffle on the (user, hour) key; the two rank windows share its
+    * partitioning (two sorts, no second exchange), and values pass
+    * through un-summed so doubles stay bit-exact. */
+  def ohlcBars(events: DataFrame): DataFrame = {
+    val keyed = events.withColumn("hour",
+      unix_timestamp(date_trunc("hour", col("ts"))).cast("long"))
+    val wA = Window.partitionBy(col("user_id"), col("hour"))
+      .orderBy(col("ts"), col("event_id"))
+    val wD = Window.partitionBy(col("user_id"), col("hour"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    keyed
+      .withColumn("rn_a", row_number().over(wA))
+      .withColumn("rn_d", row_number().over(wD))
+      .groupBy(col("user_id"), col("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        min(col("value")).as("low"),
+        max(col("value")).as("high"))
+  }
+
   /** Sliding 10-minute windows every 5 minutes, keyed by epoch-second
     * window start: each event lands in exactly two windows. */
   def slidingAgg(events: DataFrame): DataFrame = {

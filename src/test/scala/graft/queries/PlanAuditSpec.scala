@@ -392,6 +392,7 @@ class PlanAuditSpec extends SparkSpec {
       "ev_rfm", "q_ntile",                       // one-row bin-offset dims
       "q11_important_parts", "q22_dormant_customers", // global-scalar HAVING
       "x_ann_topk", "x_ann_filtered", "x_ann_ivf", "x_ann_pq", "x_ann_sq8",
+      "x_ann_binary",                            // broadcast 8-byte codes
       "x_ann_recall", "x_hard_negatives",        // broadcast ANN corpus
       "x_kmeans", "x_cluster_exemplars", "x_semantic_dedup", // centroid sets
       "x_decontaminate_sem",                     // benchmark set

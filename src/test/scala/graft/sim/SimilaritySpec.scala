@@ -304,4 +304,47 @@ class SimilaritySpec extends SparkSpec {
     assert(ws.count(_ == 0L) > ws.size / 2)
     assert(ws.contains(1L) && ws.contains(-1L))
   }
+
+  test("binaryTopK recovers the exact top-k on sign-separable clusters " +
+    "and emits brute-force cosines") {
+    import org.apache.spark.sql.functions.col
+    // two antipodal clusters: members of a cluster share every projection
+    // sign, opposite clusters flip all of them — the Hamming shortlist
+    // is exactly the own-cluster set, so the rerank must reproduce the
+    // brute-force answer bit-for-bit
+    val base = (0 until 64).map(j => math.sin(j * 1.7).toFloat)
+    def jitter(id: Int) =
+      base.zipWithIndex.map { case (x, j) =>
+        x * (1.0f + 0.001f * ((id * 31 + j) % 7))
+      }
+    val rows = (0 until 8).map(i => (i.toLong, jitter(i))) ++
+      (8 until 16).map(i => (i.toLong, jitter(i).map(x => -x)))
+    val emb = rows.toDF("vec_id", "embedding")
+    // oversample 3 → shortlist 9 ⊇ the whole 8-member cluster even if
+    // jitter flips a few near-zero projection signs
+    val got = Similarity.binaryTopK(emb, "vec_id", "embedding",
+      k = 3, oversample = 3, inDim = 64, bits = 63)
+      .as[(Long, Long, Long, Double)].collect()
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.toSet === brute.toSet)
+    // neighbors never cross the antipodal boundary at k=3 < cluster size
+    assert(got.forall(r => (r._1 < 8) == (r._3 < 8)))
+  }
+
+  test("binary codes are positive 63-bit longs, identical vectors share " +
+    "a code, antipodal vectors complement it") {
+    import org.apache.spark.sql.functions.col
+    val v = (0 until 64).map(j => math.cos(j * 0.9).toFloat)
+    val emb = Seq((1L, v), (2L, v), (3L, v.map(x => -x)))
+      .toDF("vec_id", "embedding")
+    // reach the private code stage through the pair distances: identical
+    // vectors are Hamming-0 (same code), antipodal ones Hamming-63
+    val got = Similarity.binaryTopK(emb, "vec_id", "embedding",
+      k = 2, oversample = 1, inDim = 64, bits = 63)
+      .as[(Long, Long, Long, Double)].collect()
+    val m = got.map(r => (r._1, r._2) -> r._3).toMap
+    // 1's nearest is its twin 2 (cos 1.0), then the antipode
+    assert(m((1L, 1L)) === 2L && m((2L, 1L)) === 1L)
+  }
 }

@@ -330,6 +330,30 @@ class EventStreamsSpec extends SparkSpec {
       s"user 1's buffer was dropped between triggers: ${got(4L)}")
   }
 
+  test("ohlcBars: rank-deterministic open/close, min/max, hour isolation") {
+    import org.apache.spark.sql.functions.to_timestamp
+    val e = Seq(
+      // user 1, hour 10: open=5 (earliest ts; event_id breaks the ts tie
+      // between ids 1 and 2), close=1, low=1, high=9
+      (1L, "2026-01-01 10:00:00", 1L, 5.0),
+      (2L, "2026-01-01 10:00:00", 1L, 9.0),
+      (3L, "2026-01-01 10:30:00", 1L, 1.0),
+      // user 1, hour 11: singleton bar — all four prices equal
+      (4L, "2026-01-01 11:05:00", 1L, 7.0),
+      // user 2 isolated
+      (5L, "2026-01-01 10:10:00", 2L, 3.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+      .withColumn("ts", to_timestamp($"ts"))
+    val got = EventStreams.ohlcBars(e)
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    val h10 = java.time.LocalDateTime.of(2026, 1, 1, 10, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    assert(got((1L, h10)) === ((3L, 5.0, 1.0, 1.0, 9.0)))
+    assert(got((1L, h10 + 3600)) === ((1L, 7.0, 7.0, 7.0, 7.0)))
+    assert(got((2L, h10)) === ((1L, 3.0, 3.0, 3.0, 3.0)))
+  }
+
   test("streamingDedup suppresses within-watermark redelivery across " +
     "triggers and emits each key once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
