@@ -75,6 +75,26 @@ object SketchStreams {
       epochBefore(outDir, "bins_", Long.MaxValue)
         .getOrElse(sys.error(s"no bin epochs under $outDir")))
 
+  /** Streaming KMV maintenance — the MIN-merge law completing the
+    * mergeable family (HLL max, CMS sum, histogram sum, KMV min): each
+    * micro-batch sketches just its documents (k smallest distinct hashes
+    * per group) and Sketches.kmvMerge re-truncates the union with the
+    * newest prior epoch. Set-union distinctness makes the merge
+    * idempotent, so crash replay under the epoch discipline is
+    * exactly-once; estimates (and kmvSetOps pair algebra) read the
+    * committed sketch table without touching the corpus. */
+  def streamingKmvSketch(
+      incoming: DataFrame, textCol: String, groupCol: String,
+      outDir: String, checkpointDir: String, k: Int = 64): StreamingQuery =
+    maintained(incoming, outDir, "kmv_", checkpointDir)(
+      b => Sketches.kmvSketch(b, textCol, groupCol, k), Sketches.kmvMerge(k))
+
+  /** The newest committed KMV sketch epoch. */
+  def latestKmv(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(
+      epochBefore(outDir, "kmv_", Long.MaxValue)
+        .getOrElse(sys.error(s"no kmv epochs under $outDir")))
+
   /** Shared epoch-maintenance skeleton: per micro-batch, compute the
     * batch's sketch state, merge it with the newest STRICTLY-OLDER epoch,
     * overwrite `<prefix><batchId>` — so a crashed batch replays into its

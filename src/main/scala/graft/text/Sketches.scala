@@ -43,6 +43,54 @@ object Sketches {
             / col("kth_hash").cast("double")).as("est"))
   }
 
+  /** The k-min-value sketch itself: per group, the k smallest distinct
+    * portable token hashes — the persistable/streamable state behind
+    * [[kmvDistinctTokens]] and [[kmvSetOps]]. MIN-mergeable: the k-mins
+    * of a union are contained in the union of each part's k-mins
+    * ([[kmvMerge]]), so sketches maintain incrementally without
+    * re-reading the corpus (the fourth merge law beside HLL max, CMS sum,
+    * histogram sum). */
+  def kmvSketch(
+      docs: DataFrame, textCol: String, groupCol: String,
+      k: Int = 64): DataFrame = {
+    val hashes = docs
+      .select(col(groupCol).as("g"),
+        explode(TextFns.tokens(col(textCol))).as("word"))
+      .distinct()
+      .select(col("g"), TextFns.portableHash(col("word"), lit("kmv")).as("h"))
+      .distinct()
+    hashes
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("g")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .select(col("g"), col("h"))
+  }
+
+  /** Min-merge of two KMV sketch tables: distinct hash union per group,
+    * re-truncated to the k smallest — sketch(A ∪ B) exactly (set-union
+    * distinct-ness makes the merge idempotent, so crash-replay under the
+    * epoch discipline is exactly-once like the HLL max-merge). */
+  def kmvMerge(k: Int)(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).distinct()
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("g")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .select(col("g"), col("h"))
+
+  /** Distinct-count estimates from a stored/streamed [[kmvSketch]] table:
+    * (k−1)·2⁵⁶/h₍ₖ₎, exact-size fallback when the sketch holds fewer
+    * than k values. */
+  def kmvEstimateFromSketch(sk: DataFrame, k: Int = 64): DataFrame =
+    sk.withColumn("rn",
+      row_number().over(Window.partitionBy(col("g")).orderBy(col("h"))))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_sketch"),
+        max(when(col("rn") === k, col("h"))).as("kth_hash"))
+      .select(col("g"), col("n_sketch"), col("kth_hash"),
+        when(col("kth_hash").isNull, col("n_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(HashSpace)
+            / col("kth_hash").cast("double")).as("est"))
+
   /** KMV set-operation estimates between every pair of groups: union and
     * intersection distinct-token counts from the two k-min-value sketches
     * ALONE (the θ-sketch algebra) — at 100 TB each source keeps k hashes
@@ -64,21 +112,10 @@ object Sketches {
   def kmvSetOps(
       docs: DataFrame, textCol: String, groupCol: String,
       k: Int = 64): DataFrame = {
-    val hashes = docs
-      .select(col(groupCol).as("g"),
-        explode(TextFns.tokens(col(textCol))).as("word"))
-      .distinct()
-      .select(col("g"), TextFns.portableHash(col("word"), lit("kmv")).as("h"))
-      .distinct()
     // the sketch table is k×|groups| rows; persist it so the corpus-side
     // explode+distinct runs ONCE — the pair algebra below reuses the plan
     // three times and must stay in sketch space, never re-scan the corpus
-    val sk = hashes
-      .withColumn("rn",
-        row_number().over(Window.partitionBy(col("g")).orderBy(col("h"))))
-      .filter(col("rn") <= k)
-      .select(col("g"), col("h"))
-      .persist()
+    val sk = kmvSketch(docs, textCol, groupCol, k).persist()
     val gs = sk.select(col("g")).distinct()
     val gp = gs.toDF("ga").join(gs.toDF("gb"), col("ga") < col("gb"))
     val side = gp.join(sk.toDF("ga", "h"), Seq("ga"))

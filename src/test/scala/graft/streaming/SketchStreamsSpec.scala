@@ -133,6 +133,60 @@ class SketchStreamsSpec extends SparkSpec {
     assert(se.nonEmpty)
   }
 
+  test("streamed KMV sketch maintenance equals the one-shot sketch, and " +
+    "estimates from it match the batch query path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = (1 to 300).map(i => ("en", s"tok$i shared"))
+    val batch2 = (200 to 450).map(i => ("en", s"tok$i")) ++
+      Seq(("fr", "un deux trois"))
+
+    val out = java.nio.file.Files.createTempDirectory("graft-kmv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kmv-c").toString
+    val ms = MemoryStream[(String, String)]
+    val q = SketchStreams.streamingKmvSketch(
+      ms.toDF().toDF("lang", "text"), "text", "lang", out, ckpt, k = 64)
+    ms.addData(batch1: _*)
+    q.processAllAvailable()
+    ms.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = SketchStreams.latestKmv(spark, out)
+      .as[(String, Long)].collect().toSet
+    val oneShot = Sketches.kmvSketch(
+      (batch1 ++ batch2).toDF("lang", "text"), "text", "lang", k = 64)
+      .as[(String, Long)].collect().toSet
+    assert(streamed === oneShot)
+
+    // estimate from the maintained sketch = the batch kmvDistinctTokens
+    // estimate (same kth hash); fr has < k values -> exact fallback
+    val se = Sketches.kmvEstimateFromSketch(
+      SketchStreams.latestKmv(spark, out), k = 64)
+      .as[(String, Long, Option[Long], Double)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    val be = Sketches.kmvDistinctTokens(
+      (batch1 ++ batch2).toDF("lang", "text"), "text", "lang", k = 64)
+      .as[(String, Long, Option[Long], Double)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(se("en") === be("en"))
+    assert(se("fr")._1.isEmpty && se("fr")._2 === 3.0)
+  }
+
+  test("kmvMerge is the re-truncated min-union for ANY split of the corpus") {
+    val docs = (1 to 400).map(i => ("g", s"w$i"))
+    val (a, b) = docs.splitAt(123)
+    val withOverlap = b ++ a.take(50) // overlapping, uneven split
+    val merged = Sketches.kmvMerge(64)(
+      Sketches.kmvSketch(a.toDF("lang", "text"), "text", "lang", 64),
+      Sketches.kmvSketch(withOverlap.toDF("lang", "text"), "text", "lang", 64))
+      .as[(String, Long)].collect().toSet
+    val direct = Sketches.kmvSketch(docs.toDF("lang", "text"), "text", "lang", 64)
+      .as[(String, Long)].collect().toSet
+    assert(merged === direct)
+    assert(merged.size === 64)
+  }
+
   test("hllMerge is the cell-wise max for ANY split of the corpus") {
     val docs = (1 to 400).map(i => ("g", s"w$i"))
     val (a, b) = docs.splitAt(123)
