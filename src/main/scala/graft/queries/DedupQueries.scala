@@ -529,9 +529,91 @@ object DedupQueries {
     graft.text.TrainPrep.clusterSplit(docs, "doc_id", clusters)
   }
 
+  /** End-to-end curation pipeline verdict — the composition a corpus
+    * actually ships through, one row per curated (train-bucket) document
+    * with every stage's verdict and the final keep decision:
+    * exact dedup (fingerprint, keep-min-id) → near dedup (LSH + CC
+    * clusters, keep-representative) → quality filter (qualityScore <
+    * 0.35, ~p15 of this corpus) → benchmark decontamination (any shingle
+    * shared with the test-split proxy benchmark). Each stage is the
+    * already-proven kernel; what THIS query proves is that the composed
+    * dataflow agrees end-to-end with the composed oracle — the
+    * integration certificate on top of the per-stage certificates. All
+    * stage joins are doc-keyed; nothing widens beyond the stages' own
+    * shapes. */
+  val xCurateE2e = Q(
+    "x_curate_e2e",
+    clusterCtes +
+      """, fp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |    string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS f
+        |  FROM documents),
+        |ex AS (SELECT doc_id,
+        |    doc_id <> MIN(doc_id) OVER (PARTITION BY f) AS is_exact_dup
+        |  FROM fp),
+        |qual AS (SELECT d.doc_id,
+        |    least(CAST(len(d.text) AS DOUBLE) / 500, 1.0) * 0.4
+        |    + CAST(len(list_filter(w.ws,
+        |        x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |      / len(w.ws) * 0.4
+        |    + (1.0 - CAST(len(regexp_replace(d.text,
+        |        '[^.,!?;:''"()\[\]-]', '', 'g')) AS DOUBLE)
+        |      / len(d.text)) * 0.2 AS quality
+        |  FROM documents d JOIN w ON d.doc_id = w.doc_id),
+        |bkt AS (SELECT doc_id,
+        |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+        |      % 1000 AS bucket
+        |  FROM documents),
+        |ev AS (SELECT DISTINCT shingle FROM sh0 JOIN bkt USING (doc_id)
+        |       WHERE bucket < 50),
+        |tr AS (SELECT doc_id FROM bkt WHERE bucket >= 100),
+        |hits AS (SELECT s.doc_id, COUNT(*) AS n_hits
+        |         FROM sh0 s JOIN tr USING (doc_id) JOIN ev USING (shingle)
+        |         GROUP BY s.doc_id)
+        |SELECT t.doc_id, e.is_exact_dup,
+        |  coalesce(c.doc_id <> c.cluster_id, FALSE) AS is_near_dup,
+        |  q.quality < 0.35 AS low_quality,
+        |  coalesce(h.n_hits, 0) > 0 AS contaminated,
+        |  NOT e.is_exact_dup
+        |    AND NOT coalesce(c.doc_id <> c.cluster_id, FALSE)
+        |    AND NOT (q.quality < 0.35)
+        |    AND NOT (coalesce(h.n_hits, 0) > 0) AS kept
+        |FROM tr t
+        |JOIN ex e ON t.doc_id = e.doc_id
+        |LEFT JOIN clusters c ON t.doc_id = c.doc_id
+        |JOIN qual q ON t.doc_id = q.doc_id
+        |LEFT JOIN hits h ON t.doc_id = h.doc_id""".stripMargin) { (s, d) =>
+    import graft.text.{TextFns, TrainPrep}
+    val docs = Tables.documents(s, d)
+    val wFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fingerprint"))
+    val ex = docs.select(col("doc_id"),
+        TextFns.fingerprint(col("text")).as("fingerprint"))
+      .withColumn("is_exact_dup",
+        col("doc_id") =!= min(col("doc_id")).over(wFp))
+      .select(col("doc_id"), col("is_exact_dup"))
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5)
+    val near = graft.graph.GraphOps
+      .connectedComponents(s, pairs.select("a", "b"))
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"), lit(true).as("nd"))
+    val qual = docs.select(col("doc_id"),
+      TextFns.qualityScore(col("text")).as("quality"))
+    TrainPrep.contaminationReport(docs, "doc_id", "text", n = 3)
+      .join(ex, Seq("doc_id"))
+      .join(near, Seq("doc_id"), "left")
+      .join(qual, Seq("doc_id"))
+      .select(col("doc_id"), col("is_exact_dup"),
+        coalesce(col("nd"), lit(false)).as("is_near_dup"),
+        (col("quality") < 0.35).as("low_quality"),
+        col("contaminated"),
+        (!col("is_exact_dup") && !coalesce(col("nd"), lit(false))
+          && !(col("quality") < 0.35) && !col("contaminated")).as("kept"))
+  }
+
   val all: Seq[Q] = Seq(xDedupNgram, xDedupMinhashLsh, xDedupIncremental,
     xDedupClusters, xDedupKeepBest, xDedupApply, xDedupSimhashSig,
     xDedupSimhashPairs, xSubstringDup, xBloomFilter, xContainment,
     xMinhashEst, xSegmentDedup, xIntraDedup, xSourceOverlap, xDedupPrefixJoin,
-    xSubstrTrim, xSplitLeakageSafe)
+    xSubstrTrim, xSplitLeakageSafe, xCurateE2e)
 }
