@@ -291,4 +291,65 @@ class EdgeCasesSpec extends SparkSpec {
     val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(graft.graph.GraphOps.kCore(noEdges, k = 2).count() === 0)
   }
+
+  test("clusterSplit with an EMPTY cluster table splits every doc " +
+    "singleton (= hashSplit on the id) and never drops rows") {
+    import graft.text.TrainPrep
+    val docs = spark.range(0, 100).toDF("doc_id")
+    val noClusters = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    val got = TrainPrep.clusterSplit(docs, "doc_id", noClusters)
+    assert(got.count() === 100)
+    assert(got.filter(col("cluster_id") =!= col("doc_id")).count() === 0)
+    val perDoc = docs.select(col("doc_id"),
+      TrainPrep.hashSplit(docs, "doc_id").as("expect"))
+    assert(got.join(perDoc, Seq("doc_id"))
+      .filter(col("split") =!= col("expect")).count() === 0)
+  }
+
+  test("kmvSetOps: a single group yields no pairs; kmvSketch on empty " +
+    "input is empty") {
+    import graft.text.Sketches
+    val one = Seq(("only", "a b c")).toDF("src", "text")
+    assert(Sketches.kmvSetOps(one, "text", "src").count() === 0)
+    val empty = Seq.empty[(String, String)].toDF("src", "text")
+    assert(Sketches.kmvSketch(empty, "text", "src").count() === 0)
+  }
+
+  test("canonicalizeUrl: no query, no path, bare authority all survive") {
+    import graft.text.TextFns
+    val got = Seq(
+      "https://A.com/p",          // no query
+      "https://A.com",            // no path at all
+      "HTTP://WWW.B.com/#frag"    // fragment only
+    ).toDF("url").select(TextFns.canonicalizeUrl(col("url")))
+      .collect().map(_.getString(0))
+    assert(got === Array("https://a.com/p", "https://a.com", "http://b.com"))
+  }
+
+  test("binaryTopK on fewer vectors than k still ranks every neighbor") {
+    import graft.sim.Similarity
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.binaryTopK(emb, "vec_id", "embedding",
+      k = 5, oversample = 2, inDim = 2, bits = 8)
+    // only 2 possible neighbors per query — no phantom rows, no crash
+    assert(got.count() === 6)
+  }
+
+  test("DataQuality.profile on an all-null column reports 0 distinct " +
+    "and null min/max") {
+    val df = spark.range(0, 10).toDF("id")
+      .withColumn("dead", lit(null).cast("string"))
+    val r = graft.ops.DataQuality.profile(df, Seq("dead")).head()
+    assert(r.getLong(1) === 10L && r.getLong(2) === 10L) // rows, nulls
+    assert(r.getLong(3) === 0L)                          // distinct
+    assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+  }
+
+  test("ohlcBars on empty events is empty") {
+    val e = Seq.empty[(Long, java.sql.Timestamp, Long, Double)]
+      .toDF("event_id", "ts", "user_id", "value")
+    assert(graft.streaming.EventStreams.ohlcBars(e).count() === 0)
+  }
 }
