@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
 import graft.Q
 import graft.core.Tables
 import graft.streaming.EventStreams
@@ -262,7 +263,39 @@ object EventQueries {
     EventStreams.ohlcBars(Tables.events(s, d))
   }
 
+  /** Inter-event gap statistics per user — the cadence profile behind
+    * churn/engagement signals: consecutive-event gaps in integer seconds
+    * ((ts, event_id)-ordered lag), then per user the count, max, and
+    * ordered-middle gap (the A3 upper-median idiom — rank-deterministic,
+    * no float percentile). One user-keyed shuffle; the lag window and
+    * the aggregate share its partitioning. */
+  val evGapStats = Q(
+    "ev_gap_stats",
+    """WITH g AS (SELECT user_id,
+      |    epoch_us(ts)
+      |      - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |          ORDER BY ts, event_id) AS gap_us
+      |  FROM events),
+      |gg AS (SELECT user_id, gap_us FROM g WHERE gap_us IS NOT NULL)
+      |SELECT user_id, COUNT(*) AS n_gaps, MAX(gap_us) AS max_gap_us,
+      |  (list_sort(list(gap_us)))[len(list(gap_us)) // 2 + 1] AS mid_gap_us
+      |FROM gg GROUP BY user_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // exact MICROSECOND gaps: epoch seconds would differ across engines on
+    // sub-second timestamps (DuckDB epoch() keeps the fraction and a
+    // double→bigint cast ROUNDS; Spark unix_timestamp truncates)
+    val g = Tables.events(s, d)
+      .select(col("user_id"),
+        (unix_micros(col("ts"))
+          - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+      .filter(col("gap_us").isNotNull)
+    g.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"), max(col("gap_us")).as("max_gap_us"),
+        graft.ops.Kernels.orderedMiddle(col("gap_us")).as("mid_gap_us"))
+  }
+
   val all: Seq[Q] = Seq(evTumbling, evSliding, evSessionize, evFirstPerKey, evFunnel,
     evIntervalJoin, evAsofJoin, evRolling, evRetention, evStreaks,
-    evAsofForward, evTransitions, evScd2, evAnomaly, evRfm, evOhlc)
+    evAsofForward, evTransitions, evScd2, evAnomaly, evRfm, evOhlc, evGapStats)
 }

@@ -104,6 +104,31 @@ object SimQueries {
     * deterministic (sampled centroids/codebook, L2² + id tie-breaks,
     * DECIMAL sum over subspace distances), so the oracle replicates the
     * codes AND the approximate distances bit-exact. */
+  /** Per-label embedding pooling — the "build class centroids / mean-pool
+    * a group's vectors" aggregate behind classifier prototypes and
+    * SemDeDup-style cluster summaries. Emitted as exact BIGINT component
+    * SUMS over the ⌊v·10⁶⌋ grid plus the count (long format, one row per
+    * (label, dimension)): the mean is a display-time division, and
+    * keeping the sum avoids the engine-divergent negative integer
+    * division (Spark `div` truncates toward zero, DuckDB `//` floors).
+    * One narrow explode + one partial-agg shuffle on (label, pos) — the
+    * same shape at any corpus size. */
+  val xEmbedPool = Q(
+    "x_embed_pool",
+    """SELECT label, CAST(r.j AS BIGINT) AS pos, COUNT(*) AS n_vecs,
+      |  CAST(SUM(CAST(floor(CAST(embedding[r.j + 1] AS DOUBLE) * 1000000)
+      |    AS BIGINT)) AS BIGINT) AS sum_q
+      |FROM embeddings, range(0, 64) r(j)
+      |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000d).cast("long")))
+        .as(Seq("pos", "q")))
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sum_q"))
+  }
+
   /** Binary (1-bit) quantized ANN (Similarity.binaryTopK): 63-bit sign
     * codes from sparse random projections (63 bits, not 64 — bit 63
     * would be the sign bit, where Spark's `1L << 63` wraps negative and
@@ -637,7 +662,7 @@ object SimQueries {
   }
 
   val all: Seq[Q] = Seq(xAnnTopK, xAnnFiltered, xAnnIvf, xAnnLsh, xAnnPq,
-    xAnnSq8, xAnnBinary, xKmeans,
+    xAnnSq8, xAnnBinary, xEmbedPool, xKmeans,
     xSemanticDedup, xNearDupEmb, xDecontaminateSem,
     xMediaFeatures, xMediaDecode, xMediaFrames,
     xAnnRecall, xMediaPhash, xRandProj, xClusterExemplars, xHardNegatives)
