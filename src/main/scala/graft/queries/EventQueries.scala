@@ -295,7 +295,24 @@ object EventQueries {
         graft.ops.Kernels.orderedMiddle(col("gap_us")).as("mid_gap_us"))
   }
 
+  /** Per-user running distinct event-type count (batch form of the
+    * transformWithState state-v2 operator — EventStreamsSpec proves the
+    * streamed twin equals this row-for-row). */
+  val evDistinctRunning = Q(
+    "ev_distinct_running",
+    """WITH f AS (SELECT user_id, event_id, ts,
+      |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+      |        ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS is_first
+      |  FROM events)
+      |SELECT user_id, event_id,
+      |  CAST(SUM(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_types
+      |FROM f""".stripMargin) { (s, d) =>
+    EventStreams.distinctTypesRunning(Tables.events(s, d))
+  }
+
   val all: Seq[Q] = Seq(evTumbling, evSliding, evSessionize, evFirstPerKey, evFunnel,
     evIntervalJoin, evAsofJoin, evRolling, evRetention, evStreaks,
-    evAsofForward, evTransitions, evScd2, evAnomaly, evRfm, evOhlc, evGapStats)
+    evAsofForward, evTransitions, evScd2, evAnomaly, evRfm, evOhlc, evGapStats,
+    evDistinctRunning)
 }

@@ -558,6 +558,88 @@ object EventStreams {
     * resuming after a longer gap restarts with an empty buffer, so the
     * bit-for-bit claim holds within any stretch of activity without a
     * 1h+ event-time gap. */
+  // ---- state-v2: transformWithState ------------------------------------
+
+  case class TwsEvent(
+      user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+      event_type: String)
+  case class TwsOut(user_id: Long, event_id: Long, n_distinct_types: Long)
+
+  /** Stateful processor for [[statefulDistinctTypes]]: per-user running
+    * distinct event-type count on the state-v2 API — a MapState holds the
+    * seen-type SET (per-entry point lookups/puts against the state store,
+    * vs mapGroupsWithState's whole-value deserialize-reserialize per
+    * trigger: the reason the new API scales to large per-key state) and a
+    * ValueState carries the count so emission never iterates the map. */
+  private class DistinctTypesProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TwsEvent, TwsOut] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, OutputMode}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var seen
+      : org.apache.spark.sql.streaming.MapState[String, Boolean] = _
+    @transient private var nTypes
+      : org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      seen = getHandle.getMapState[String, Boolean](
+        "seen", E.STRING, E.scalaBoolean, TTLConfig.NONE)
+      nTypes = getHandle.getValueState[Long](
+        "n", E.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        key: Long, rows: Iterator[TwsEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TwsOut] = {
+      // in-batch (ts, event_id) order so running counts are deterministic
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var n = if (nTypes.exists()) nTypes.get() else 0L
+      val out = sorted.map { e =>
+        if (!seen.containsKey(e.event_type)) {
+          seen.updateValue(e.event_type, true)
+          n += 1
+        }
+        TwsOut(e.user_id, e.event_id, n)
+      }
+      nTypes.update(n)
+      out.iterator
+    }
+  }
+
+  /** Per-user running distinct event-type count via `transformWithState`
+    * (Spark 4 state-v2; requires the RocksDB state store provider).
+    * Each arriving event emits its user's distinct-type count INCLUDING
+    * itself, in append mode. Streamed rows equal the batch twin
+    * [[distinctTypesRunning]] row-for-row when input arrives in order
+    * (the [[statefulRollingStats]] contract); state is O(types) per user
+    * with point lookups, never a full-value rewrite. */
+  def statefulDistinctTypes(
+      stream: DataFrame): org.apache.spark.sql.Dataset[TwsOut] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .selectExpr("user_id", "ts", "event_id", "event_type")
+      .as[TwsEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new DistinctTypesProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Batch twin of [[statefulDistinctTypes]]: first-occurrence flag per
+    * (user, type), running sum in (ts, event_id) order — both windows
+    * user-keyed. */
+  def distinctTypesRunning(events: DataFrame): DataFrame = {
+    val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("is_first",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .select(col("user_id"), col("event_id"),
+        sum(col("is_first")).over(wRun).as("n_distinct_types"))
+  }
+
   def statefulRollingStats(stream: DataFrame, w: Int = 5): org.apache.spark.sql.Dataset[RollOut] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = stream.sparkSession

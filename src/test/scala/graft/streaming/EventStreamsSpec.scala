@@ -330,6 +330,52 @@ class EventStreamsSpec extends SparkSpec {
       s"user 1's buffer was dropped between triggers: ${got(4L)}")
   }
 
+  test("statefulDistinctTypes (transformWithState / state-v2 on RocksDB) " +
+    "equals the batch running distinct-type count across triggers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 09:$min%02d:00")
+      val rows = Seq(
+        (1L, ts(0), 1L, "view"), (1L, ts(1), 2L, "view"),
+        (1L, ts(2), 3L, "click"), (2L, ts(3), 4L, "view"))
+      val rows2 = Seq(
+        (1L, ts(10), 5L, "purchase"), (1L, ts(11), 6L, "view"),
+        (2L, ts(12), 7L, "click"))
+      val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+      val input = ms.toDF.toDF("user_id", "ts", "event_id", "event_type")
+      val q = EventStreams.statefulDistinctTypes(input).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("twsdistinct").start()
+      try {
+        ms.addData(rows: _*)
+        q.processAllAvailable()
+        ms.addData(rows2: _*) // state (seen set + count) must survive
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table("twsdistinct")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = EventStreams.distinctTypesRunning(
+        (rows ++ rows2).toDF("user_id", "ts", "event_id", "event_type"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      // spot-check: user 1 sees view=1, view=1, click=2, purchase=3, view=3
+      val byEvent = streamed.map(r => r._2 -> r._3).toMap
+      assert(byEvent(1L) === 1L && byEvent(3L) === 2L &&
+        byEvent(5L) === 3L && byEvent(6L) === 3L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("ohlcBars: rank-deterministic open/close, min/max, hour isolation") {
     import org.apache.spark.sql.functions.to_timestamp
     val e = Seq(
