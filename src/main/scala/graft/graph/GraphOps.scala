@@ -394,4 +394,43 @@ object GraphOps {
     }
     sup
   }
+
+  /** Fixed-round Bellman-Ford: single-source shortest WEIGHTED distances
+    * over the undirected view of `edges` (src, dst, w — integer weights;
+    * parallel edges collapse to the cheapest). `sources`' first column is
+    * the seed node set at distance 0; output is (node, dist) for every
+    * node reached within `rounds` hops.
+    *
+    * Same fixed-round contract as [[kCore]]/[[kTruss]]: distances are
+    * MONOTONE non-increasing per round and the relaxation is idempotent at
+    * the fixpoint, so engine and an oracle unrolling the SAME round count
+    * agree by construction, and any count ≥ the true shortest-path hop
+    * depth yields the exact Dijkstra answer. Per round: one equi-join of
+    * the frontier against the weighted adjacency + one min partial agg —
+    * the textbook distributed SSSP shape (no windows, no pair
+    * enumeration); localCheckpoint bounds plan depth. */
+  def weightedSssp(edges: DataFrame, sources: DataFrame,
+      rounds: Int = 6): DataFrame = {
+    require(rounds >= 1, "weightedSssp: rounds must be >= 1")
+    val und = edges
+      .select(col("src").as("u"), col("dst").as("v"), col("w").cast("long").as("w"))
+      .unionByName(edges
+        .select(col("dst").as("u"), col("src").as("v"), col("w").cast("long").as("w")))
+      .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    var dist = sources
+      .select(col(sources.columns(0)).cast("long").as("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relax = dist.join(und, dist("node") === und("u"))
+        .select(und("v").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionByName(relax)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      dist.unpersist()
+      dist = next
+    }
+    und.unpersist()
+    dist
+  }
 }

@@ -68,6 +68,98 @@ object DataQuality {
     * nothing is quadratic in rows or columns. The distinct count is EXACT
     * here; at 100 TB swap the first level for the portable HLL/KMV
     * sketches in [[graft.text.Sketches]] when exactness isn't required. */
+  /** k-anonymity audit: the re-identification risk table over a
+    * quasi-identifier tuple — each QI combination's population and
+    * whether it falls below the anonymity threshold `k` (a group of
+    * size < k re-identifies its members; the audit a privacy-preserving
+    * data release runs before publishing). One hash aggregation on the
+    * QI key — map-side partial, content-keyed shuffle, no windows;
+    * bounded by the QI value domain at any corpus size. */
+  def kAnonymity(df: DataFrame, qi: Seq[String], k: Int): DataFrame =
+    df.groupBy(qi.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("at_risk", col("group_size") < k)
+
+  /** Population-Stability-Index drift between two corpus snapshots — the
+    * monitoring metric that flags a distribution shift at ingest (new
+    * crawl vs reference). Input: one row per item with `snap` ∈ {0, 1}
+    * (0 = reference, 1 = candidate) and `bin` (the caller's deterministic
+    * value coarsening). Output: one row per bin with add-one-smoothed
+    * counts, integer ppm shares, the quantized log-ratio and the bin's
+    * PSI contribution (Σ psi_pico ·10⁻¹² = the classic PSI; > 0.2 ⇒
+    * actionable drift).
+    *
+    * Integer carry: shares are exact `c·10⁶ div n`; the log-ratio is
+    * computed on the EXACT product form ln((ca·nb)/(cb·na)) — add-one
+    * smoothing keeps every factor ≥ 1 (no ln 0), and each product must
+    * stay ≤ 2⁵³ for the double quotient to be exact (≈ 9·10¹⁵ — beyond
+    * that the guard raises rather than silently drifting, the PMI-guard
+    * discipline). psi_pico = (pa_ppm − pb_ppm)·lr_micro — |ppm| ≤ 10⁶ and
+    * |lr_micro| ≤ ~3·10⁷, so each term is ≪ 2⁶³.
+    *
+    * Scale: one hash aggregation over the bin domain + a one-row totals
+    * broadcast — never a shuffle of the raw rows beyond the bin count. */
+  def psiDrift(binned: DataFrame): DataFrame = {
+    val c = binned.groupBy(col("bin")).agg(
+      (count(when(col("snap") === 0, lit(1))) + 1).as("ca"),
+      (count(when(col("snap") === 1, lit(1))) + 1).as("cb"))
+    val t = c.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val bound = lit(9000000000000000L) // 9e15 < 2^53: exact-double bound
+    c.crossJoin(broadcast(t))
+      .withColumn("pa_ppm", expr("ca * 1000000 div na"))
+      .withColumn("pb_ppm", expr("cb * 1000000 div nb"))
+      .withColumn("lr_micro",
+        when(col("ca") * col("nb") <= bound && col("cb") * col("na") <= bound,
+          floor(log((col("ca") * col("nb")).cast("double") /
+            (col("cb") * col("na")).cast("double")) * 1000000).cast("long"))
+          .otherwise(raise_error(concat(
+            lit("psiDrift: smoothed-count product exceeds the exact-double " +
+              "bound (pre-aggregate or subsample the reference; see " +
+              "scaladoc); ca="), col("ca"), lit(" nb="), col("nb")))))
+      .withColumn("psi_pico", (col("pa_ppm") - col("pb_ppm")) * col("lr_micro"))
+      .select(col("bin"), col("ca"), col("cb"), col("pa_ppm"), col("pb_ppm"),
+        col("lr_micro"), col("psi_pico"))
+  }
+
+  /** Exact pairwise covariance/variance numerators between numeric
+    * columns, carried in DECIMAL(38,0) so nothing overflows or rounds:
+    * cov_num = n·Σxy − Σx·Σy (= n² · covariance), var_num likewise —
+    * the correlation's sign and any downstream ratio derive exactly.
+    * Inputs must already be integer-quantized (cents/ppm) LONG columns.
+    * The decimal totals leave the query as STRINGS — plain digit strings
+    * are the one representation both engines (int128 vs Decimal) print
+    * identically, the same boundary discipline as [[graft.Q.pipeBoundary]].
+    *
+    * Scale: ONE scan of the fact table computing every Σx/Σx²/Σxy
+    * partial-aggregated (Catalyst folds all pairs into a single hash
+    * aggregate with no keys); the pair assembly is a per-row explode of a
+    * one-row frame. Decimal aggregation is exact at any corpus size the
+    * 38-digit width holds (10³⁸ ≫ any 100 TB sum of 64-bit products). */
+  def exactCorrelation(df: DataFrame, cols: Seq[String]): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val pairs = cols.combinations(2).map { case Seq(x, y) => (x, y) }.toSeq
+    val sums = df.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      (cols.map(c => Seq(
+        sum(d(col(c))).as(s"s_$c"),
+        sum((d(col(c)) * d(col(c))).cast("decimal(38,0)")).as(s"ss_$c"))) ++
+        pairs.map { case (x, y) => Seq(
+          sum((d(col(x)) * d(col(y))).cast("decimal(38,0)")).as(s"sp_${x}_$y")) })
+        .flatten: _*)
+    sums.select(explode(array(pairs.map { case (x, y) =>
+      struct(
+        lit(x).as("x_col"), lit(y).as("y_col"),
+        col("n").cast("long").as("n"),
+        (col("n") * col(s"sp_${x}_$y") - col(s"s_$x") * col(s"s_$y"))
+          .cast("decimal(38,0)").cast("string").as("cov_num"),
+        (col("n") * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x"))
+          .cast("decimal(38,0)").cast("string").as("var_num_x"),
+        (col("n") * col(s"ss_$y") - col(s"s_$y") * col(s"s_$y"))
+          .cast("decimal(38,0)").cast("string").as("var_num_y"))
+    }: _*)).as("p"))
+      .select(col("p.*"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val stacked = df.select(explode(array(cols.map(c =>
       struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*))

@@ -140,4 +140,59 @@ object TemporalJoins {
         greatest(binOf(col(lsCol)), binOf(col(rsCol))))
       .drop("__bin")
   }
+
+  /** Nearest as-of join: for every left row, the right row with the
+    * SMALLEST |Δtime| within the key — either direction (the "closest
+    * reading" join: sensor calibration, nearest price tick). Ties at equal
+    * distance resolve to the EARLIER right row (the backward match), so the
+    * answer is total.
+    *
+    * Shape: ONE key shuffle; the backward and forward carried-struct
+    * windows share the exchange (same partitioning, two in-partition
+    * sorts) — never a pairing join, so cost stays linear in events-per-key
+    * where the naive `join ... min |Δ|` form is quadratic.
+    *
+    * Time columns must be TIMESTAMP (distance is compared in exact
+    * microseconds — epoch SECONDS diverge cross-engine on sub-second
+    * values, the `ev_gap_stats` contract). Same determinism/NULL contracts
+    * as [[asOfJoin]]: `right` unique per (key, time); NULL-key/time right
+    * rows match nobody; NULL left rows keep null payload.
+    *
+    * Output: all left columns, `<time>_right`, remaining right columns.
+    */
+  def asOfJoinNearest(left: DataFrame, right: DataFrame,
+      key: String, time: String): DataFrame = {
+    val leftPayload = left.columns.filterNot(c => c == key || c == time).toSeq
+    val rightPayload = right.columns.filterNot(c => c == key || c == time).toSeq
+    val rTime = s"${time}_right"
+    val rTagged = right
+      .filter(col(key).isNotNull && col(time).isNotNull)
+      .select(col(key), col(time), lit(0).as("__side"),
+        struct(col(time).as(rTime) +: rightPayload.map(col): _*).as("__r"))
+    val lTagged = left.select(
+      col(key) +: col(time) +: lit(1).as("__side") +: leftPayload.map(col): _*)
+    // __side asc puts the right row first at equal time in BOTH traversal
+    // directions → a same-instant right row is the backward match (Δ = 0)
+    val wB = Window.partitionBy(key)
+      .orderBy(col(time).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wF = Window.partitionBy(key)
+      .orderBy(col(time).desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withBoth = lTagged.unionByName(rTagged, allowMissingColumns = true)
+      .withColumn("__b", last(col("__r"), ignoreNulls = true).over(wB))
+      .withColumn("__f", last(col("__r"), ignoreNulls = true).over(wF))
+      .filter(col("__side") === 1)
+    val dB = unix_micros(col(time)) - unix_micros(col(s"__b.$rTime"))
+    val dF = unix_micros(col(s"__f.$rTime")) - unix_micros(col(time))
+    val pick = when(col("__f").isNull, col("__b"))
+      .when(col("__b").isNull, col("__f"))
+      .when(dB <= dF, col("__b"))
+      .otherwise(col("__f"))
+    withBoth
+      .withColumn("__n", pick)
+      .select((key +: time +: leftPayload).map(col) ++
+        (col(s"__n.$rTime").as(rTime) +:
+          rightPayload.map(c => col(s"__n.$c").as(c))): _*)
+  }
 }

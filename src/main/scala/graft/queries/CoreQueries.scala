@@ -1064,6 +1064,105 @@ object CoreQueries {
         "orderdate_str", "priority_nullable"))
   }
 
+  /** k-anonymity audit ([[graft.ops.DataQuality.kAnonymity]]) over a
+    * three-column quasi-identifier (nation, segment, balance sign) at
+    * k = 5 — the finer third column guarantees genuinely at-risk groups
+    * at every sf, proving the risk path. */
+  val xKAnonymity = Q(
+    "x_k_anonymity",
+    """SELECT c_nationkey, c_mktsegment,
+      |  CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_sign,
+      |  COUNT(*) AS group_size, COUNT(*) < 5 AS at_risk
+      |FROM customer GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+    graft.ops.DataQuality.kAnonymity(
+      Tables.customer(s, d).select(col("c_nationkey"), col("c_mktsegment"),
+        when(col("c_acctbal") < 0, lit("neg")).otherwise(lit("pos"))
+          .as("bal_sign")),
+      Seq("c_nationkey", "c_mktsegment", "bal_sign"), k = 5)
+  }
+
+  /** PSI distribution drift ([[graft.ops.DataQuality.psiDrift]]) between
+    * the even- and odd-doc_id halves of the corpus (a deterministic
+    * stand-in for reference-vs-new-crawl), binned by 200-char length
+    * cells. Same halves ⇒ PSI near 0; the per-bin contributions are the
+    * monitored series. */
+  val xDriftPsi = Q(
+    "x_drift_psi",
+    """WITH s AS (SELECT doc_id % 2 AS snap, n_chars // 200 AS bin
+      |  FROM documents),
+      |c AS (SELECT bin, 1 + COUNT(*) FILTER (WHERE snap = 0) AS ca,
+      |             1 + COUNT(*) FILTER (WHERE snap = 1) AS cb
+      |  FROM s GROUP BY 1),
+      |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+      |  CAST(SUM(cb) AS BIGINT) AS nb FROM c)
+      |SELECT bin, ca, cb,
+      |  ca * 1000000 // na AS pa_ppm,
+      |  cb * 1000000 // nb AS pb_ppm,
+      |  CAST(floor(ln(CAST(ca * nb AS DOUBLE) / CAST(cb * na AS DOUBLE))
+      |    * 1000000) AS BIGINT) AS lr_micro,
+      |  (ca * 1000000 // na - cb * 1000000 // nb)
+      |    * CAST(floor(ln(CAST(ca * nb AS DOUBLE) / CAST(cb * na AS DOUBLE))
+      |      * 1000000) AS BIGINT) AS psi_pico
+      |FROM c, t""".stripMargin) { (s, d) =>
+    graft.ops.DataQuality.psiDrift(
+      Tables.documents(s, d).select(
+        (col("doc_id") % 2).as("snap"),
+        expr("n_chars div 200").as("bin")))
+  }
+
+  /** Exact correlation numerators ([[graft.ops.DataQuality.exactCorrelation]])
+    * between quantity/price/discount on the fact table — DECIMAL(38,0)
+    * internal carry, digit-string boundary (the one representation
+    * DuckDB's int128 and Spark's Decimal print identically). The oracle
+    * runs the same sums in HUGEINT. */
+  val xColCorr = Q(
+    "x_col_corr",
+    """WITH q AS (SELECT
+      |    CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT) AS qty,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS price_c,
+      |    CAST(CAST(l_discount AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+      |      AS disc_ppm
+      |  FROM lineitem),
+      |s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    SUM(CAST(qty AS HUGEINT)) AS s_qty,
+      |    SUM(CAST(price_c AS HUGEINT)) AS s_price,
+      |    SUM(CAST(disc_ppm AS HUGEINT)) AS s_disc,
+      |    SUM(CAST(qty AS HUGEINT) * CAST(qty AS HUGEINT)) AS ss_qty,
+      |    SUM(CAST(price_c AS HUGEINT) * CAST(price_c AS HUGEINT)) AS ss_price,
+      |    SUM(CAST(disc_ppm AS HUGEINT) * CAST(disc_ppm AS HUGEINT)) AS ss_disc,
+      |    SUM(CAST(qty AS HUGEINT) * CAST(price_c AS HUGEINT)) AS sp_qp,
+      |    SUM(CAST(qty AS HUGEINT) * CAST(disc_ppm AS HUGEINT)) AS sp_qd,
+      |    SUM(CAST(price_c AS HUGEINT) * CAST(disc_ppm AS HUGEINT)) AS sp_pd
+      |  FROM q)
+      |SELECT 'qty' AS x_col, 'price_c' AS y_col, CAST(n AS BIGINT) AS n,
+      |  CAST(n * sp_qp - s_qty * s_price AS VARCHAR) AS cov_num,
+      |  CAST(n * ss_qty - s_qty * s_qty AS VARCHAR) AS var_num_x,
+      |  CAST(n * ss_price - s_price * s_price AS VARCHAR) AS var_num_y
+      |FROM s
+      |UNION ALL
+      |SELECT 'qty', 'disc_ppm', CAST(n AS BIGINT),
+      |  CAST(n * sp_qd - s_qty * s_disc AS VARCHAR),
+      |  CAST(n * ss_qty - s_qty * s_qty AS VARCHAR),
+      |  CAST(n * ss_disc - s_disc * s_disc AS VARCHAR)
+      |FROM s
+      |UNION ALL
+      |SELECT 'price_c', 'disc_ppm', CAST(n AS BIGINT),
+      |  CAST(n * sp_pd - s_price * s_disc AS VARCHAR),
+      |  CAST(n * ss_price - s_price * s_price AS VARCHAR),
+      |  CAST(n * ss_disc - s_disc * s_disc AS VARCHAR)
+      |FROM s""".stripMargin) { (s, d) =>
+    graft.ops.DataQuality.exactCorrelation(
+      Tables.lineitem(s, d).select(
+        (col("l_quantity").cast("decimal(18,4)") * 10000).cast("long")
+          .as("qty"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_c"),
+        (col("l_discount").cast("decimal(18,6)") * 1000000).cast("long")
+          .as("disc_ppm")),
+      Seq("qty", "price_c", "disc_ppm"))
+  }
+
   // ---- Correlated-subquery pack (TPC-H Q13/Q15/Q17/Q21/Q22 shapes) ----
   // Each demonstrates one decorrelation idiom: Catalyst rewrites the
   // correlated form into the join the Spark side declares directly, so
@@ -1323,7 +1422,7 @@ object CoreQueries {
     q07VolumeShipping, q14PromoRevenue,
     q03ShippingPriority, q18LargeOrders, q05LocalSupplier, q10ReturnedItems,
     q04PriorityExists, q06ForecastRevenue, erBlockedMatch, qNtile, qUnpivot,
-    qWindowShare, xDataQuality, xProfile,
+    qWindowShare, xDataQuality, xProfile, xKAnonymity, xDriftPsi, xColCorr,
     q13CustDistribution, q15TopSupplier, q17SmallQtyRevenue,
     q21WaitingSuppliers, q22DormantCustomers,
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,

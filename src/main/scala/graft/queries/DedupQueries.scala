@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.functions.{coalesce, col, lit, min}
+import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, min}
 import graft.Q
 import graft.core.Tables
 import graft.dedup.Dedup
@@ -611,9 +611,44 @@ object DedupQueries {
           && !(col("quality") < 0.35) && !col("contaminated")).as("kept"))
   }
 
+  /** Duplicate-aware soft reweighting (the SoftDedup policy): instead of
+    * DROPPING near-duplicates, every document keeps a sampling weight
+    * 1e6/cluster_size ppm — a cluster of 4 near-copies contributes one
+    * document's worth of expected training mass, but retains all 4
+    * surface forms. Docs outside any LSH cluster weigh 1e6 (full).
+    * Reuses the proven cluster closure; the add-on is one cluster-keyed
+    * count + a doc-keyed left join — nothing new shuffles at scale. */
+  val xDupReweight = Q(
+    "x_dup_reweight",
+    clusterCtes +
+      """, sz AS (SELECT cluster_id, COUNT(*) AS n_dups FROM clusters
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(s.n_dups, 1) AS n_dups,
+        |  1000000 // coalesce(s.n_dups, 1) AS weight_ppm
+        |FROM documents d
+        |LEFT JOIN clusters c ON d.doc_id = c.doc_id
+        |LEFT JOIN sz s ON c.cluster_id = s.cluster_id"""
+        .stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5)
+    val clusters = graft.graph.GraphOps
+      .connectedComponents(s, pairs.select("a", "b"))
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+    val sz = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_dups"))
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .join(sz, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dups"), lit(1L)).as("n_dups"),
+        expr("1000000 div coalesce(n_dups, 1)").as("weight_ppm"))
+  }
+
   val all: Seq[Q] = Seq(xDedupNgram, xDedupMinhashLsh, xDedupIncremental,
     xDedupClusters, xDedupKeepBest, xDedupApply, xDedupSimhashSig,
     xDedupSimhashPairs, xSubstringDup, xBloomFilter, xContainment,
     xMinhashEst, xSegmentDedup, xIntraDedup, xSourceOverlap, xDedupPrefixJoin,
-    xSubstrTrim, xSplitLeakageSafe, xCurateE2e)
+    xSubstrTrim, xSplitLeakageSafe, xCurateE2e, xDupReweight)
 }

@@ -311,8 +311,46 @@ object EventQueries {
     EventStreams.distinctTypesRunning(Tables.events(s, d))
   }
 
+  /** Nearest as-of: each purchase matched to the temporally closest click
+    * either direction (ties → earlier click). The oracle picks the same
+    * row with a per-purchase LATERAL min-|Δ| scan — quadratic per user,
+    * fine at oracle sf; the engine's union-window form is linear. Distance
+    * compared in exact microseconds (the ev_gap_stats contract). */
+  val evAsofNearest = Q(
+    "ev_asof_nearest",
+    """WITH c AS (SELECT user_id, ts, max(event_id) AS click_id FROM events
+      |  WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (SELECT user_id, event_id AS purchase_id, ts FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.purchase_id, n.click_id,
+      |  CAST(epoch_us(p.ts) - epoch_us(n.ts) AS BIGINT) AS delta_us
+      |FROM p LEFT JOIN LATERAL (
+      |  SELECT c.click_id, c.ts FROM c WHERE c.user_id = p.user_id
+      |  ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)), c.ts LIMIT 1
+      |) n ON true""".stripMargin) { (s, d) =>
+    EventStreams.nearestClickMatch(Tables.events(s, d))
+  }
+
+  /** Dyadic recency-decayed engagement score over each user's last 16
+    * events — exact integer decay (α = 1/2 as a left shift), see
+    * [[EventStreams.decayScore]]. */
+  val evDecayScore = Q(
+    "ev_decay_score",
+    """WITH r AS (SELECT user_id, value, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events),
+      |q AS (SELECT user_id, rn,
+      |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vq
+      |  FROM r WHERE rn <= 16)
+      |SELECT user_id,
+      |  CAST(SUM(vq * (CAST(1 AS BIGINT) << (16 - rn))) AS BIGINT) AS decay_q,
+      |  COUNT(*) AS n_recent
+      |FROM q GROUP BY 1""".stripMargin) { (s, d) =>
+    EventStreams.decayScore(Tables.events(s, d), w = 16)
+  }
+
   val all: Seq[Q] = Seq(evTumbling, evSliding, evSessionize, evFirstPerKey, evFunnel,
     evIntervalJoin, evAsofJoin, evRolling, evRetention, evStreaks,
     evAsofForward, evTransitions, evScd2, evAnomaly, evRfm, evOhlc, evGapStats,
-    evDistinctRunning)
+    evDistinctRunning, evAsofNearest, evDecayScore)
 }

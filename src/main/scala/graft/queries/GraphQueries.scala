@@ -470,7 +470,90 @@ object GraphQueries {
     GraphOps.kCore(edgeDf(s, d), k = KcoreK, rounds = KcoreRounds)
   }
 
+  /** Adamic-Adar link prediction: for node pairs sharing ≥ 2 neighbors,
+    * Σ_z 1/ln(deg z) over the common neighbors z — rare shared neighbors
+    * count more than hubs (the classic common-neighbor refinement beside
+    * g_neighbor_jaccard). Per-z contribution quantized once on the
+    * DEGREE domain (⌊10⁶/ln d⌋, d ∈ [2,32] — no boundary value sits
+    * within 10⁻⁶ of an integer, checked) then summed as exact BIGINTs.
+    * The wedge join is bounded by the same mid-degree cap as jaccard:
+    * hubs (deg > 32) generate no candidate pairs — at 100 TB that cap is
+    * what keeps the pair count linear in edges. */
+  val gAdamicAdar = Q(
+    "g_adamic_adar",
+    edgeCte +
+      """, und AS (SELECT src AS node, dst AS other FROM e
+        |          UNION SELECT dst, src FROM e),
+        |deg AS (SELECT node, COUNT(*) AS d FROM und GROUP BY node),
+        |aa AS (SELECT node AS z, CAST(floor(1000000.0 / ln(d)) AS BIGINT) AS aa_z
+        |  FROM deg WHERE d BETWEEN 2 AND 32),
+        |pairs AS (SELECT a.node AS u, b.node AS v, COUNT(*) AS inter,
+        |    CAST(SUM(aa.aa_z) AS BIGINT) AS aa_micro
+        |  FROM und a JOIN und b ON a.other = b.other AND a.node < b.node
+        |  JOIN aa ON a.other = aa.z
+        |  GROUP BY 1, 2)
+        |SELECT u, v, inter, aa_micro FROM pairs WHERE inter >= 2"""
+        .stripMargin) { (s, d) =>
+    val e = edgeDf(s, d)
+    val und = e.select(col("src").as("node"), col("dst").as("other"))
+      .union(e.select(col("dst").as("node"), col("src").as("other")))
+      .distinct()
+    val deg = und.groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // inner-joining the capped aa table is BOTH the hub cap and the
+    // contribution lookup — one broadcast-sized dimension, two uses
+    val aa = deg.filter(col("d").between(2, 32))
+      .select(col("node").as("other"),
+        floor(lit(1000000.0) / log(col("d"))).cast("long").as("aa_z"))
+    und.toDF("u", "other")
+      .join(aa, Seq("other"))
+      .join(und.toDF("v", "other"), Seq("other"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("inter"), sum(col("aa_z")).as("aa_micro"))
+      .filter(col("inter") >= 2)
+  }
+
+  private val SsspRounds = 6
+
+  /** Weighted single-source shortest paths (fixed-round Bellman-Ford,
+    * [[GraphOps.weightedSssp]]); weight = co-order multiplicity. The
+    * oracle unrolls the SAME round count from this generator, so the two
+    * engines can never disagree on round depth; monotonicity makes any
+    * depth ≥ the true hop radius exact. Source = smallest customer node
+    * (data-derived one-row frame, no driver collect). */
+  val gSsspWeighted = Q(
+    "g_sssp_weighted",
+    """WITH e AS (
+      |  SELECT CAST(o_custkey * 2 AS BIGINT) AS src,
+      |         CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst,
+      |         COUNT(*) AS w
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |und AS (SELECT u, v, MIN(w) AS w FROM (
+      |    SELECT src AS u, dst AS v, w FROM e
+      |    UNION ALL SELECT dst, src, w FROM e) b GROUP BY 1, 2),
+      |r0 AS (SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS dist FROM e),
+      |""".stripMargin +
+      (1 to SsspRounds).map { k =>
+        s"""r$k AS (SELECT node, MIN(dist) AS dist FROM (
+           |    SELECT node, dist FROM r${k - 1}
+           |    UNION ALL
+           |    SELECT und.v AS node, r.dist + und.w AS dist
+           |    FROM r${k - 1} r JOIN und ON r.node = und.u) b
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n") +
+      s"\nSELECT node, dist FROM r$SsspRounds") { (s, d) =>
+    val e = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).cast("long").as("src"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 3)
+    GraphOps.weightedSssp(e, e.agg(min(col("src"))), rounds = SsspRounds)
+  }
+
   val all: Seq[Q] = Seq(gDegree, gComponents, gAncestors, gAncestorsRel,
     gTriangles, gShortestPaths, gPagerank, gPpr, gKhop, gNeighborJaccard,
-    gHits, gHarmonic, gLabelProp, gKcore, gKtruss)
+    gHits, gHarmonic, gLabelProp, gKcore, gKtruss, gAdamicAdar,
+    gSsspWeighted)
 }

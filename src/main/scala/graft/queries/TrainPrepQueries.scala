@@ -417,8 +417,39 @@ object TrainPrepQueries {
         min(col("doc_id")).over(Window.partitionBy(col("canonical_url"))))
   }
 
+  /** Curriculum ordering: documents ranked easy→hard (difficulty =
+    * n_chars, ties → doc_id), cut into 4 training phases with a
+    * deterministic shuffle key WITHIN each phase (md5 of the doc id —
+    * curriculum training reads phases in order but must not feed
+    * length-sorted batches inside one). The global rank comes from
+    * [[graft.ops.Scale.binnedGlobalRank]] (integer difficulty domain =
+    * identity bins) — no corpus-sized one-task window; the oracle uses
+    * the plain rank/ntile windows it replaces. */
+  val xCurriculum = Q(
+    "x_curriculum",
+    """WITH r AS (SELECT doc_id, n_chars AS difficulty,
+      |    row_number() OVER (ORDER BY n_chars, doc_id) AS rnk
+      |  FROM documents)
+      |SELECT doc_id, difficulty, rnk,
+      |  ntile(4) OVER (ORDER BY rnk) AS phase,
+      |  substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 8) AS order_key
+      |FROM r""".stripMargin) { (s, d) =>
+    import graft.ops.Scale
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars").as("difficulty"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    Scale.binnedGlobalRank(
+      docs.crossJoin(broadcast(n)),
+      col("difficulty"), Seq(col("difficulty").asc, col("doc_id").asc),
+      binAsc = true, "rnk")
+      .select(col("doc_id"), col("difficulty"), col("rnk"),
+        Scale.ntileFromRank(col("rnk"), col("__n"), 4).as("phase"),
+        substring(md5(concat(lit("cur:"), col("doc_id").cast("string"))),
+          1, 8).as("order_key"))
+  }
+
   val all: Seq[Q] = Seq(xSplit, xPack, xScrub, xSample, xDecontaminate,
     xIncremental, xMixRebalance, xWeightedSample, xBudgetSelect, xChunk,
     xChunkCdc, xNovelty,
-    xWinsorize, xShard, xInterleave, xUrlDedup)
+    xWinsorize, xShard, xInterleave, xUrlDedup, xCurriculum)
 }

@@ -369,6 +369,52 @@ object EventStreams {
           .as("wait_sec"))
   }
 
+  /** Nearest-click match: every purchase paired with the temporally
+    * CLOSEST click of the same user — either direction, ties to the
+    * earlier click (session reconstruction when attribution order is
+    * unknown), on [[graft.ops.TemporalJoins.asOfJoinNearest]]. `delta_us`
+    * is signed exact microseconds (purchase − click): positive = the
+    * nearest click preceded the purchase. Clicks are pre-deduped per
+    * (user, instant) as the nearest-asof determinism contract requires. */
+  def nearestClickMatch(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    graft.ops.TemporalJoins.asOfJoinNearest(purchases, clicks, "user_id", "ts")
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("ts_right")))
+          .as("delta_us"))
+  }
+
+  /** Dyadic recency-decayed engagement score: over each user's most
+    * recent `w` events (by (ts, event_id) descending), the weighted sum
+    * Σ v_q · 2^(w−r) where r = recency rank (newest = 1) and v_q is the
+    * value quantized to exact 1e-4 units through DECIMAL(18,4). A power-
+    * of-two decay (α = 1/2 per step) keeps every term an exact BIGINT —
+    * no float pow, engine-replicable bit-for-bit. With w = 16 the largest
+    * multiplier is 2^15; |v_q| ≤ 10^7 for |value| ≤ 10^3, so the per-user
+    * sum stays ≤ ~5·10^12 ≪ 2^63.
+    *
+    * Scale: one user-keyed shuffle; the rank window is user-partitioned
+    * and the sum is a partial agg on the same partitioning. */
+  def decayScore(events: DataFrame, w: Int = 16): DataFrame = {
+    val rw = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .withColumn("rn", row_number().over(rw))
+      .filter(col("rn") <= w)
+      .withColumn("vq",
+        (col("value").cast("decimal(18,4)") * 10000).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("vq") *
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST($w - rn AS INT))"))
+          .as("decay_q"),
+        count(lit(1)).as("n_recent"))
+  }
+
   /** Event-type transition matrix (first-order Markov counts): adjacent
     * (event, next-event) pairs in each user's (ts, event_id) order, with
     * the per-source transition probability in fixed-point ppm (see the

@@ -198,4 +198,31 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(atConvergence === wellPast)
   }
+
+  test("weightedSssp: shortcut beats the direct heavy edge; unreachable " +
+    "nodes absent") {
+    // 1-2 (w 10) vs 1-3-2 (w 1+2 = 3); node 50-60 is a separate island
+    val edges = Seq(
+      (1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 2L), (50L, 60L, 1L)
+    ).toDF("src", "dst", "w")
+    val src = Seq(Tuple1(1L)).toDF("node")
+    val got = GraphOps.weightedSssp(edges, src, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 3L -> 1L, 2L -> 3L))
+  }
+
+  test("weightedSssp: parallel edges collapse to the cheapest; undirected " +
+    "traversal; idempotent past convergence") {
+    val edges = Seq(
+      (1L, 2L, 5L), (2L, 1L, 3L), // parallel opposite-direction pair
+      (3L, 2L, 4L)                // reaches 3 only via the reversed view
+    ).toDF("src", "dst", "w")
+    val src = Seq(Tuple1(1L)).toDF("node")
+    val atConvergence = GraphOps.weightedSssp(edges, src, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(atConvergence === Map(1L -> 0L, 2L -> 3L, 3L -> 7L))
+    val wellPast = GraphOps.weightedSssp(edges, src, rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(atConvergence === wellPast)
+  }
 }

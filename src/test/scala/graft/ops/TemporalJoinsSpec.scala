@@ -125,6 +125,52 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(naive.exceptAll(got).count() === 0)
   }
 
+  test("asOfJoinNearest picks the closest row either direction, ties to " +
+    "the earlier one") {
+    val left = Seq((1L, ts(10), "p10"), (1L, ts(4), "p4"), (1L, ts(1), "p1"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, ts(3), "r3"), (1L, ts(5), "r5"), (1L, ts(20), "r20"))
+      .toDF("k", "t", "rv")
+    val got = TemporalJoins.asOfJoinNearest(left, right, "k", "t")
+      .select("lv", "rv").as[(String, String)].collect().toMap
+    // p1 → r3 (forward-only, Δ=2 beats none backward); p4 → tie |Δ|=1
+    // between r3 and r5 → earlier (r3); p10 → r5 (Δ=5) beats r20 (Δ=10)
+    assert(got === Map("p1" -> "r3", "p4" -> "r3", "p10" -> "r5"))
+  }
+
+  test("asOfJoinNearest: same-instant right row wins with Δ=0; empty side " +
+    "keeps null payload") {
+    val left = Seq((1L, ts(5), "a"), (2L, ts(5), "b")).toDF("k", "t", "lv")
+    val right = Seq((1L, ts(5), "x"), (1L, ts(6), "y")).toDF("k", "t", "rv")
+    val got = TemporalJoins.asOfJoinNearest(left, right, "k", "t")
+      .select("lv", "rv").as[(String, String)].collect().toMap
+    assert(got === Map("a" -> "x", "b" -> null))
+  }
+
+  test("asOfJoinNearest equals the naive min-|Δ| formulation on real events") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val got = TemporalJoins.asOfJoinNearest(purchases, clicks, "user_id", "ts")
+      .select("purchase_id", "click_id")
+    val naive = purchases
+      .join(clicks.toDF("cuid", "cts", "cid"),
+        col("user_id") === col("cuid"), "left")
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("user_id"), col("purchase_id"))
+        .orderBy(abs(unix_micros(col("cts")) - unix_micros(col("ts")))
+          .asc_nulls_last, col("cts").asc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(col("purchase_id"), col("cid").as("click_id"))
+    assert(got.count() === purchases.count())
+    assert(got.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(got).count() === 0)
+  }
+
   test("binnedRangeJoin equals the naive between-join, including multi-bin spans") {
     val intervals = Seq(
       (1L, "2020-01-01", "2020-03-10"), // spans many 16-day bins

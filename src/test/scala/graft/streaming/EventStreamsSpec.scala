@@ -215,6 +215,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(got(3) === ((20L, 4L, 1L, 7.0, 7.0, 7.0))) // other user isolated
   }
 
+  test("decayScore: newest event carries 2^(w-1), window bounded at w, " +
+    "per-user isolation") {
+    import org.apache.spark.sql.functions.to_timestamp
+    val e = Seq(
+      (1L, "2026-01-01 00:00:00", 10L, 1.0),
+      (2L, "2026-01-01 00:01:00", 10L, 2.0),
+      (3L, "2026-01-01 00:02:00", 10L, 4.0),
+      (4L, "2026-01-01 00:00:00", 20L, 0.5)
+    ).toDF("event_id", "ts", "user_id", "value")
+      .withColumn("ts", to_timestamp($"ts"))
+    // w=2: user 10 keeps events 3 (rank 1, weight 2) and 2 (rank 2,
+    // weight 1); event 1 ages out. vq = value*10000.
+    val got = EventStreams.decayScore(e, w = 2)
+      .orderBy("user_id").as[(Long, Long, Long)].collect()
+    assert(got(0) === ((10L, 40000L * 2 + 20000L * 1, 2L)))
+    assert(got(1) === ((20L, 5000L * 2, 1L)))
+  }
+
   test("retentionCohorts: users bucket by first-seen week, offsets count") {
     import org.apache.spark.sql.functions.to_timestamp
     // epoch week 0 starts 1970-01-01; week 1 starts 1970-01-08
