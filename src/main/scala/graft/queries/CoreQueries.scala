@@ -1163,6 +1163,73 @@ object CoreQueries {
       Seq("qty", "price_c", "disc_ppm"))
   }
 
+  /** Robust outlier detection per group: median / MAD (median absolute
+    * deviation) / |x − med| > 3·MAD counts over exact price cents — the
+    * robust z-score a curation pipeline prefers to mean/stddev (one fat
+    * tail poisons a stddev, not a MAD). Both medians use the
+    * distinct-VALUE rank-select idiom (counts per (grp, value), group-
+    * partitioned cumulative window over the value domain, pick the first
+    * value at rank ⌊n/2⌋+1 — the upper median, integer-exact): the
+    * windows run over the value-domain aggregate, never the raw rows,
+    * the winsorize/histogram scale shape. Two fact scans (values, then
+    * deviations against the broadcast medians) + bounded-domain windows. */
+  val xMad = Q(
+    "x_mad",
+    """WITH pc AS (SELECT l_returnflag AS grp,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM lineitem),
+      |vc AS (SELECT grp, v, COUNT(*) AS c FROM pc GROUP BY 1, 2),
+      |vr AS (SELECT grp, v, c,
+      |    SUM(c) OVER (PARTITION BY grp ORDER BY v
+      |                 ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(c) OVER (PARTITION BY grp) AS n FROM vc),
+      |med AS (SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+      |    MIN(CASE WHEN cum >= n // 2 + 1 THEN v END) AS med
+      |  FROM vr GROUP BY grp),
+      |dv AS (SELECT p.grp, abs(p.v - m.med) AS v
+      |  FROM pc p JOIN med m USING (grp)),
+      |dc AS (SELECT grp, v, COUNT(*) AS c FROM dv GROUP BY 1, 2),
+      |dr AS (SELECT grp, v, c,
+      |    SUM(c) OVER (PARTITION BY grp ORDER BY v
+      |                 ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(c) OVER (PARTITION BY grp) AS n FROM dc),
+      |mad AS (SELECT grp, MIN(CASE WHEN cum >= n // 2 + 1 THEN v END) AS mad
+      |  FROM dr GROUP BY grp),
+      |outl AS (SELECT d.grp,
+      |    COUNT(*) FILTER (WHERE d.v > 3 * a.mad) AS n_outliers
+      |  FROM dv d JOIN mad a USING (grp) GROUP BY 1)
+      |SELECT m.grp, m.n, m.med, a.mad,
+      |  CAST(o.n_outliers AS BIGINT) AS n_outliers
+      |FROM med m JOIN mad a USING (grp) JOIN outl o USING (grp)"""
+      .stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy(col("grp"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def upperMedian(vals: org.apache.spark.sql.DataFrame, out: String) =
+      vals.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .groupBy(col("grp"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") >= expr("n div 2 + 1"), col("v"))).as(out))
+    val pc = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("grp"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("v"))
+    val med = upperMedian(pc, "med")
+    val dv = pc.join(broadcast(med), Seq("grp"))
+      .select(col("grp"), abs(col("v") - col("med")).as("v"))
+    val mad = upperMedian(dv, "mad").select(col("grp"), col("mad"))
+    val outl = dv.join(broadcast(mad), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(count(when(col("v") > lit(3) * col("mad"), lit(1)))
+        .as("n_outliers"))
+    med.join(mad, Seq("grp")).join(outl, Seq("grp"))
+      .select(col("grp"), col("n"), col("med"), col("mad"),
+        col("n_outliers"))
+  }
+
   // ---- Correlated-subquery pack (TPC-H Q13/Q15/Q17/Q21/Q22 shapes) ----
   // Each demonstrates one decorrelation idiom: Catalyst rewrites the
   // correlated form into the join the Spark side declares directly, so
@@ -1423,6 +1490,7 @@ object CoreQueries {
     q03ShippingPriority, q18LargeOrders, q05LocalSupplier, q10ReturnedItems,
     q04PriorityExists, q06ForecastRevenue, erBlockedMatch, qNtile, qUnpivot,
     qWindowShare, xDataQuality, xProfile, xKAnonymity, xDriftPsi, xColCorr,
+    xMad,
     q13CustDistribution, q15TopSupplier, q17SmallQtyRevenue,
     q21WaitingSuppliers, q22DormantCustomers,
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,

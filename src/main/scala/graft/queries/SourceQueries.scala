@@ -259,7 +259,64 @@ object SourceQueries {
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
   }
 
+  /** binaryFile DSv2 ingestion — the opaque-blob entry point of the
+    * multimodal pipeline (image/audio corpora land as files, not rows):
+    * each document's UTF-8 bytes written as one `.bin` fixture file
+    * ([[Sinks.writeBlobs]]), then ingested with
+    * `spark.read.format("binaryFile")` and projected to (id from the
+    * path, byte length, content digest). The oracle derives the same
+    * three facts from the parquet text — proving the listed files carry
+    * the exact bytes. The content column stays opaque binary end-to-end
+    * (no decode), the Multimodal contract. Zero-byte payloads are
+    * pre-filtered on BOTH sides: the binaryFile source does not list
+    * 0-byte files (SinksSpec pins this). */
+  val sBinaryFiles = Q(
+    "s_binary_files",
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS length,
+      |  md5(text) AS content_md5
+      |FROM documents WHERE text IS NOT NULL AND text <> ''"""
+      .stripMargin) { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_blobs").toString
+    Sinks.writeBlobs(
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+      "doc_id", "payload", dir)
+    s.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long")
+          .as("doc_id"),
+        col("length"),
+        md5(col("content")).as("content_md5"))
+  }
+
+  /** Incremental aggregate maintenance ([[Sinks.mergeAggState]]): the
+    * 1994–1996 order history is the settled per-customer state, 1997+ the
+    * incoming batch; the refreshed state must equal the full recompute
+    * (the oracle) by sum associativity. Revenue carried in exact cents. */
+  val sAggMaintain = Q(
+    "s_agg_maintain",
+    """SELECT o_custkey,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS rev_c
+      |FROM orders GROUP BY 1""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderdate"),
+      lit(1L).as("n_orders"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("rev_c"))
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("o_custkey"))
+        .agg(sum(col("n_orders")).as("n_orders"), sum(col("rev_c")).as("rev_c"))
+    val state = aggOf(o.filter(col("o_orderdate") < "1997-01-01"))
+    val batch = aggOf(o.filter(col("o_orderdate") >= "1997-01-01"))
+    Sinks.mergeAggState(state, batch, Seq("o_custkey"),
+      Seq("n_orders", "rev_c"))
+  }
+
   val all: Seq[Q] = Seq(s12FlatRecords, s12Dsv2Scan, s3CsvRoundtrip,
     fCleanupPack, p10Conform, sOrcRoundtrip, sUpsertMerge,
-    sCsvPermissive, sSchemaEvolve)
+    sCsvPermissive, sSchemaEvolve, sBinaryFiles, sAggMaintain)
 }

@@ -448,8 +448,33 @@ object TrainPrepQueries {
           1, 8).as("order_key"))
   }
 
+  /** Per-source document cap (the domain-cap anti-boilerplate policy —
+    * no single domain may contribute more than k = 10 documents; keep the
+    * LONGEST k, ties → doc_id). Implemented with the bounded TopKAgg
+    * aggregate, NOT a per-source rank window: partial aggregation trims
+    * each map task's share of a source to k rows BEFORE the exchange, so
+    * one giant domain (the 100 TB failure mode of the window form — all
+    * its rows sort in one task) costs k·tasks shuffled rows like any
+    * other. Oracle = the window form it replaces bit-for-bit. */
+  val xSourceCap = Q(
+    "x_source_cap",
+    """SELECT source, doc_id, n_chars, rk FROM (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents) t WHERE rk <= 10""".stripMargin) { (s, d) =>
+    val topk = graft.functions.TopKAgg.topK(10)
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(topk(col("n_chars").cast("double"), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("source"), col("s.id").as("doc_id"),
+        col("s.score").cast("long").as("n_chars"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
   val all: Seq[Q] = Seq(xSplit, xPack, xScrub, xSample, xDecontaminate,
     xIncremental, xMixRebalance, xWeightedSample, xBudgetSelect, xChunk,
     xChunkCdc, xNovelty,
-    xWinsorize, xShard, xInterleave, xUrlDedup, xCurriculum)
+    xWinsorize, xShard, xInterleave, xUrlDedup, xCurriculum, xSourceCap)
 }

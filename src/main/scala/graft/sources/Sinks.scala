@@ -209,4 +209,46 @@ object Sinks {
           array_sort(collect_list(struct(col("line_no"), col("value_part")))),
           s => s.getField("value_part"))).as("value"))
   }
+
+  /** Write each row's binary payload as one `<id>.bin` file under `dir` —
+    * the fixture writer for the `binaryFile` ingestion path (tasks write
+    * with plain NIO, so this targets a shared filesystem; the OPERATOR
+    * under test is the read side: Spark's binaryFile DSv2 source listing
+    * and streaming opaque blobs with (path, length, content) metadata —
+    * the ingestion shape for image/audio corpora, see
+    * [[graft.multimodal.Multimodal]]). */
+  def writeBlobs(df: DataFrame, idCol: String, payloadCol: String,
+      dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.select(col(idCol).cast("string").as("id"),
+        col(payloadCol).cast("binary").as("b"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, r.getString(0) + ".bin"),
+            r.getAs[Array[Byte]](1))
+        }
+      }
+  }
+
+  /** Incremental aggregate maintenance (the materialized-view delta
+    * merge): fold a new batch's aggregate into the persisted aggregate
+    * state without touching the already-aggregated history. Both inputs
+    * carry `keys` plus SUM-mergeable measure columns (counts are sums of
+    * 1s; min/max/HLL merge the same way — sums are the demonstrator);
+    * the output is the refreshed state under the same schema, so the
+    * maintenance is a FIXED SHAPE applied per batch.
+    *
+    * Scale: the merge shuffles state ∪ delta-aggregate on the key — the
+    * state is key-dimension-sized (never fact-sized) and the delta side
+    * is one batch, so refresh cost is O(|state| + |batch|) per cycle
+    * instead of the O(|history|) full recompute. Equality with the full
+    * recompute is the oracle contract (sum associativity). */
+  def mergeAggState(base: DataFrame, delta: DataFrame,
+      keys: Seq[String], sums: Seq[String]): DataFrame = {
+    val aggs = sums.map(c => sum(col(c)).as(c))
+    base.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

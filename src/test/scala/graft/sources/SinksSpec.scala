@@ -206,4 +206,40 @@ class SinksSpec extends SparkSpec {
     assert(fields.contains(("DBLINKS", "ICD-10: A00")))
     assert(fields.contains(("ENTRY", "H00002")))
   }
+
+  test("writeBlobs + binaryFile read round-trips exact bytes, one file " +
+    "per row; the source SKIPS zero-byte files (documented contract)") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_blob_rt").toString
+    val docs = Seq((1L, "alpha"), (2L, "Ünïcode ✓"), (3L, ""))
+      .toDF("id", "text")
+    Sinks.writeBlobs(docs.select($"id", encode($"text", "UTF-8").as("p")),
+      "id", "p", dir)
+    assert(Files.size(java.nio.file.Paths.get(dir, "3.bin")) === 0L)
+    val got = spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long")
+          .as("id"),
+        col("content").cast("string").as("text"),
+        col("length"))
+      .as[(Long, String, Long)].collect()
+      .map { case (i, t, l) => i -> ((t, l)) }.toMap
+    assert(got(1L) === (("alpha", 5L)))
+    assert(got(2L)._1 === "Ünïcode ✓")
+    assert(got(2L)._2 > 9L) // multi-byte codepoints: bytes > chars
+    // the empty blob was written but binaryFile does not list 0-byte
+    // files — callers must pre-filter empty payloads (sBinaryFiles does)
+    assert(!got.contains(3L))
+  }
+
+  test("mergeAggState: refreshed state equals the full recompute; " +
+    "delta-only and state-only keys both survive") {
+    import org.apache.spark.sql.functions._
+    val hist = Seq((1L, 10L, 2L), (2L, 5L, 1L)).toDF("k", "s", "n")
+    val batch = Seq((2L, 7L, 3L), (9L, 1L, 1L)).toDF("k", "s", "n")
+    val got = Sinks.mergeAggState(hist, batch, Seq("k"), Seq("s", "n"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, s0, n) => k -> ((s0, n)) }.toMap
+    assert(got === Map(1L -> ((10L, 2L)), 2L -> ((12L, 4L)), 9L -> ((1L, 1L))))
+  }
 }
