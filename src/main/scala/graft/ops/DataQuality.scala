@@ -80,6 +80,19 @@ object DataQuality {
       .agg(count(lit(1)).as("group_size"))
       .withColumn("at_risk", col("group_size") < k)
 
+  /** l-diversity audit — k-anonymity's companion: a QI group whose
+    * members all share ONE sensitive value leaks that value even when the
+    * group is large (the homogeneity attack). Per QI group: size, number
+    * of distinct sensitive values, and whether it reaches `l`. Same
+    * QI-domain-bounded single aggregation as [[kAnonymity]] (the distinct
+    * count rides the same shuffle). */
+  def lDiversity(df: DataFrame, qi: Seq[String], sensitive: Column,
+      l: Int): DataFrame =
+    df.groupBy(qi.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(sensitive).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+
   /** Population-Stability-Index drift between two corpus snapshots — the
     * monitoring metric that flags a distribution shift at ingest (new
     * crawl vs reference). Input: one row per item with `snap` ∈ {0, 1}

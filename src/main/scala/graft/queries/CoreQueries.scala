@@ -1081,6 +1081,49 @@ object CoreQueries {
       Seq("c_nationkey", "c_mktsegment", "bal_sign"), k = 5)
   }
 
+  /** l-diversity audit ([[graft.ops.DataQuality.lDiversity]]) over the
+    * (nation, segment) QI with balance sign as the sensitive attribute —
+    * groups where every member shares one sign fail the l = 2 bar (the
+    * homogeneity attack k-anonymity alone misses). */
+  val xLDiversity = Q(
+    "x_l_diversity",
+    """SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size,
+      |  COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END)
+      |    AS n_sensitive,
+      |  COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END)
+      |    >= 2 AS diverse
+      |FROM customer GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    graft.ops.DataQuality.lDiversity(
+      Tables.customer(s, d),
+      Seq("c_nationkey", "c_mktsegment"),
+      when(col("c_acctbal") < 0, lit("neg")).otherwise(lit("pos")),
+      l = 2)
+  }
+
+  /** Set operators INTERSECT / EXCEPT as true plan nodes (Spark compiles
+    * both to aggregated semi/anti joins): customers active in BOTH 1995
+    * and 1996 vs churned after 1995, tagged into one relation. */
+  val u2IntersectExcept = Q(
+    "u2_intersect_except",
+    """WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE year(o_orderdate) = 1995),
+      |y96 AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE year(o_orderdate) = 1996)
+      |SELECT 'retained' AS tag, o_custkey
+      |FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96) a
+      |UNION ALL
+      |SELECT 'churned', o_custkey
+      |FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96) b"""
+      .stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    def inYear(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+    inYear(1995).intersect(inYear(1996))
+      .select(lit("retained").as("tag"), col("o_custkey"))
+      .unionByName(inYear(1995).except(inYear(1996))
+        .select(lit("churned").as("tag"), col("o_custkey")))
+  }
+
   /** PSI distribution drift ([[graft.ops.DataQuality.psiDrift]]) between
     * the even- and odd-doc_id halves of the corpus (a deterministic
     * stand-in for reference-vs-new-crawl), binned by 200-char length
@@ -1490,7 +1533,7 @@ object CoreQueries {
     q03ShippingPriority, q18LargeOrders, q05LocalSupplier, q10ReturnedItems,
     q04PriorityExists, q06ForecastRevenue, erBlockedMatch, qNtile, qUnpivot,
     qWindowShare, xDataQuality, xProfile, xKAnonymity, xDriftPsi, xColCorr,
-    xMad,
+    xMad, xLDiversity, u2IntersectExcept,
     q13CustDistribution, q15TopSupplier, q17SmallQtyRevenue,
     q21WaitingSuppliers, q22DormantCustomers,
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,

@@ -817,6 +817,88 @@ object TextQueries {
     graft.text.Relevance.classifierEval(preds, "actual", "predicted")
   }
 
+  /** Gopher-heuristics quality filter ([[TextFns.gopherRules]]): the
+    * published rule bundle as per-doc verdicts + the final keep — every
+    * threshold an exact integer cross-multiplication, one corpus scan,
+    * zero shuffles. */
+  val xGopherRules = Q(
+    "x_gopher_rules",
+    """WITH t AS (SELECT doc_id, text,
+      |    string_split_regex(trim(lower(text)), '\s+') AS ws,
+      |    string_split(text, chr(10)) AS lines
+      |  FROM documents),
+      |m AS (SELECT doc_id,
+      |    CAST(len(ws) AS BIGINT) AS n_w,
+      |    CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sum_len,
+      |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+      |    CAST(len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_ell,
+      |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+      |      AS BIGINT) AS alpha_w,
+      |    CAST(len(lines) AS BIGINT) AS n_lines,
+      |    CAST(len(list_filter(lines,
+      |      l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS bullet_l,
+      |    CAST(len(list_filter(lines,
+      |      l -> regexp_matches(l, '\.\.\.\s*$'))) AS BIGINT) AS ell_l,
+      |    CAST(len(list_intersect(list_distinct(ws),
+      |      ['the','a','of','and','to','in','is']))
+      |      AS BIGINT) AS stop_hits
+      |  FROM t)
+      |SELECT doc_id, n_w AS n_words,
+      |  n_w >= 50 AND n_w <= 100000 AS r_word_count,
+      |  sum_len >= n_w * 3 AND sum_len <= n_w * 10 AS r_word_len,
+      |  (n_hash + n_ell) * 10 <= n_w AS r_symbol,
+      |  bullet_l * 10 <= n_lines * 9 AS r_bullet,
+      |  ell_l * 10 <= n_lines * 3 AS r_ellipsis,
+      |  alpha_w * 10 >= n_w * 8 AS r_alpha,
+      |  stop_hits >= 2 AS r_stopwords,
+      |  (n_w >= 50 AND n_w <= 100000)
+      |    AND (sum_len >= n_w * 3 AND sum_len <= n_w * 10)
+      |    AND ((n_hash + n_ell) * 10 <= n_w)
+      |    AND (bullet_l * 10 <= n_lines * 9)
+      |    AND (ell_l * 10 <= n_lines * 3)
+      |    AND (alpha_w * 10 >= n_w * 8)
+      |    AND (stop_hits >= 2) AS keep
+      |FROM m""".stripMargin) { (s, d) =>
+    val rules = TextFns.gopherRules(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id") +:
+        TextFns.tokenCount(col("text")).cast("long").as("n_words") +:
+        rules.map { case (n, c) => c.as(n) } :+
+        rules.map(_._2).reduce(_ && _).as("keep"): _*)
+  }
+
+  /** Flesch-Kincaid grade heuristic in exact integer microunits:
+    * fk_micro = 390000·words div sentences + 11800000·syllables div words
+    * − 15590000 (syllables ≈ vowel-group runs, sentences ≈ [.!?]+ runs,
+    * both clamped ≥ 1) — the readability signal a curation pipeline
+    * buckets by, with no float in the carry. One scan, zero shuffles. */
+  val xReadability = Q(
+    "x_readability",
+    """WITH m AS (SELECT doc_id,
+      |    greatest(CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+      |      AS BIGINT), 1) AS n_w,
+      |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+      |      1) AS n_s,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+      |      AS syl
+      |  FROM documents)
+      |SELECT doc_id, n_w AS n_words, n_s AS n_sents, syl AS n_syllables,
+      |  390000 * n_w // n_s + 11800000 * syl // n_w - 15590000 AS fk_micro
+      |FROM m""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      greatest(TextFns.tokenCount(col("text")).cast("long"), lit(1L))
+        .as("n_w"),
+      greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+        .cast("long"), lit(1L)).as("n_s"),
+      size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+        .cast("long").as("syl"))
+      .select(col("doc_id"), col("n_w").as("n_words"),
+        col("n_s").as("n_sents"), col("syl").as("n_syllables"),
+        expr("390000 * n_w div n_s + 11800000 * syl div n_w - 15590000")
+          .as("fk_micro"))
+  }
+
   val all: Seq[Q] = Seq(xTextStats, xLangId, xLenQuantiles, xRepetition,
     xVocab, xCorpusStats, xDistinctKmv, xDistinctHll, xKmvSetops, xDedupExact,
     xDedupExactMembers, xDedupNorm,
@@ -824,5 +906,6 @@ object TextQueries {
     xHeavyHitters, xFingerprint,
     xQualityBuckets,
     xImportanceWeight, xHistQuantiles, xCollocations, xBpeMerges,
-    xBpeTokenize, xHtmlStrip, xQualityClassifier, xNbClassify, xLangEval)
+    xBpeTokenize, xHtmlStrip, xQualityClassifier, xNbClassify, xLangEval,
+    xGopherRules, xReadability)
 }

@@ -251,4 +251,43 @@ object TextFns {
       when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
         .otherwise(lit("")))
   }
+
+  /** The Gopher-style rule bundle (Rae et al. 2021 §A1.1 heuristics,
+    * re-expressed as exact integer comparisons — every threshold is a
+    * cross-multiplication, never a float ratio, so the verdicts
+    * oracle-replicate bit-for-bit): word-count bounds, mean-word-length
+    * bounds via 3n ≤ Σlen ≤ 10n, symbol(#/…)-to-word ratio ≤ 0.1,
+    * bullet-started lines ≤ 90%, ellipsis-ended lines ≤ 30%, ≥ 80% of
+    * words contain a letter, ≥ 2 distinct core stopwords present.
+    * Pure per-row expressions — the bundle costs one corpus scan. */
+  def gopherRules(text: Column): Seq[(String, Column)] = {
+    val ws = tokens(text)
+    val nW = size(ws).cast("long")
+    val sumLen = aggregate(transform(ws, w => length(w).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val nHash = (length(text) - length(regexp_replace(text, "#", "")))
+      .cast("long")
+    val nEll = size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0)))
+      .cast("long")
+    val alphaW = size(filter(ws, w => w.rlike("[a-z]"))).cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val bulletL = size(filter(lines, l => l.rlike("^\\s*[-*•]")))
+      .cast("long")
+    val ellL = size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).cast("long")
+    // the published rule names {the, be, to, of, and, that, have, with};
+    // this engine substitutes its house language-ID list (same mechanism,
+    // ≥ 2 distinct core stopwords) so one rule set serves both operators
+    val core = stopwords("en")
+    val stopHits = size(array_intersect(array_distinct(ws),
+      array(core.map(lit): _*))).cast("long")
+    Seq(
+      "r_word_count" -> (nW >= 50 && nW <= 100000),
+      "r_word_len" -> (sumLen >= nW * 3 && sumLen <= nW * 10),
+      "r_symbol" -> ((nHash + nEll) * 10 <= nW),
+      "r_bullet" -> (bulletL * 10 <= nLines * 9),
+      "r_ellipsis" -> (ellL * 10 <= nLines * 3),
+      "r_alpha" -> (alphaW * 10 >= nW * 8),
+      "r_stopwords" -> (stopHits >= 2))
+  }
 }

@@ -345,4 +345,38 @@ class TextQualitySpec extends SparkSpec {
       .head().getDouble(3)
     assert(estU === direct)
   }
+
+  test("gopherRules: each rule fires on its own planted violation") {
+    def verdicts(text: String): Map[String, Boolean] = {
+      val rules = TextFns.gopherRules(col("text"))
+      val r = Seq(text).toDF("text")
+        .select(rules.map { case (n, c) => c.as(n) }: _*).head()
+      rules.map(_._1).zipWithIndex
+        .map { case (n, i) => n -> r.getBoolean(i) }.toMap
+    }
+    // a healthy doc: 60 ordinary words incl. several core stopwords
+    val good = (("the quick brown fox of june and the lazy dog in a barn " +
+      "is to be seen ") * 4).trim
+    val g = verdicts(good)
+    assert(g.values.forall(identity), s"healthy doc fails: $g")
+    // too short
+    assert(!verdicts("the of and short")("r_word_count"))
+    // degenerate word length (all 1-char tokens)
+    assert(!verdicts(Seq.fill(60)("a").mkString(" "))("r_word_len"))
+    // symbol spam: > 1 hash/ellipsis per 10 words
+    val hashy = good.split(" ").map(w => w + " ###").mkString(" ")
+    assert(!verdicts(hashy)("r_symbol"))
+    // bullet-only lines
+    val bullets = (1 to 20).map(i => s"- item $i of the list").mkString("\n")
+    assert(!verdicts(bullets)("r_bullet"))
+    // every line trails an ellipsis
+    val ell = (1 to 10).map(i => s"line $i of text...").mkString("\n")
+    assert(!verdicts(ell)("r_ellipsis"))
+    // numeric spam: < 80% alphabetic words
+    val nums = (good.split(" ").take(20) ++ (1 to 40).map(_.toString))
+      .mkString(" ")
+    assert(!verdicts(nums)("r_alpha"))
+    // only one distinct core stopword present
+    assert(!verdicts(Seq.fill(60)("the word").mkString(" "))("r_stopwords"))
+  }
 }
