@@ -723,4 +723,46 @@ object Dedup {
         coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
         col("kept_text"))
   }
+
+  /** Contrastive training-pair mining: (anchor, positive, negative)
+    * triplets for embedding-model training — positive = the anchor's
+    * lowest-id VERIFIED near-duplicate (the LSH pair pipeline), negative
+    * = a deterministic pseudo-random OTHER document drawn by hashed
+    * corpus index (the standard random-negative convention; hash-derived
+    * so both engines draw the same one). The index table comes from
+    * [[graft.ops.Scale.binnedGlobalRank]] — no corpus-sized global
+    * window — and three candidate indices (h, h+1, h+2 mod N) guarantee
+    * a valid draw even when the hash lands on the anchor or positive.
+    *
+    * Scale: the positive side is the proven LSH chain; the negative side
+    * adds one one-row-count broadcast, a 3-way index explode and one
+    * equi-join against the index table — all linear. */
+  def contrastiveTriplets(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      posThreshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairs(docs, idCol, textCol, n, numHashes, bands,
+      posThreshold)
+    val und = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+    val pos = und.groupBy(col("a")).agg(min(col("b")).as("positive"))
+    val ranked = graft.ops.Scale.binnedGlobalRank(
+      docs.select(col(idCol)), col(idCol), Seq(col(idCol).asc),
+      binAsc = true, "__r")
+      .select((col("__r") - 1).as("idx"), col(idCol).as("cand_neg"))
+    val nDf = docs.agg(count(lit(1)).as("__n"))
+    val tries = pos.crossJoin(broadcast(nDf))
+      .select(col("a"), col("positive"),
+        posexplode(array((0 to 2).map(o =>
+          pmod(TextFns.portableHash(col("a").cast("string"), lit("neg"))
+            + o, col("__n"))): _*))
+          .as(Seq("prio", "idx")))
+    tries.join(ranked, Seq("idx"))
+      .filter(col("cand_neg") =!= col("a") &&
+        col("cand_neg") =!= col("positive"))
+      .groupBy(col("a"), col("positive"))
+      .agg(min(struct(col("prio"), col("cand_neg"))).as("__p"))
+      .select(col("a").as("anchor"), col("positive"),
+        col("__p.cand_neg").as("negative"))
+  }
 }

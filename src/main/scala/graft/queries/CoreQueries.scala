@@ -947,6 +947,40 @@ object CoreQueries {
         min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
   }
 
+  /** Exact percent_rank / cume_dist in ppm integers WITHOUT the global
+    * one-task window both functions normally plan: the rank comes from
+    * [[graft.ops.Scale.binnedGlobalRank]] (value-derived bins), the
+    * normalizers from a one-row count broadcast —
+    * pr_ppm = (rank−1)·10⁶ div (n−1), cd_ppm = rank·10⁶ div n (total
+    * order, so cume_dist = rank/n). The oracle uses the windows this
+    * replaces. */
+  val qPercentRank = Q(
+    "q_percent_rank",
+    """WITH r AS (SELECT c_custkey, c_acctbal,
+      |    row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rnk,
+      |    COUNT(*) OVER () AS n
+      |  FROM customer)
+      |SELECT c_custkey, c_acctbal,
+      |  (rnk - 1) * 1000000 // greatest(n - 1, 1) AS pr_ppm,
+      |  rnk * 1000000 // n AS cd_ppm
+      |FROM r""".stripMargin) { (s, d) =>
+    import graft.ops.Scale
+    val cust = Tables.customer(s, d).select(col("c_acctbal"), col("c_custkey"))
+    val n = cust.agg(count(lit(1)).as("__n"))
+    val range = cust.agg(min(col("c_acctbal")).as("__lo"),
+      max(col("c_acctbal")).as("__hi"))
+    val width = greatest((col("__hi") - col("__lo")) / lit(4096.0), lit(1e-9))
+    val bin = least(floor((col("c_acctbal") - col("__lo")) / width), lit(4095))
+      .cast("long")
+    Scale.binnedGlobalRank(
+      cust.crossJoin(broadcast(n)).crossJoin(broadcast(range)),
+      bin, Seq(col("c_acctbal").asc, col("c_custkey").asc),
+      binAsc = true, "rnk")
+      .select(col("c_custkey"), col("c_acctbal"),
+        expr("(rnk - 1) * 1000000 div greatest(__n - 1, 1)").as("pr_ppm"),
+        expr("rnk * 1000000 div __n").as("cd_ppm"))
+  }
+
   /** Wide→long unpivot (melt) of a per-nation metric table via stack —
     * the codegen-friendly melt; the oracle is the portable UNION ALL
     * form. */
@@ -1533,7 +1567,7 @@ object CoreQueries {
     q03ShippingPriority, q18LargeOrders, q05LocalSupplier, q10ReturnedItems,
     q04PriorityExists, q06ForecastRevenue, erBlockedMatch, qNtile, qUnpivot,
     qWindowShare, xDataQuality, xProfile, xKAnonymity, xDriftPsi, xColCorr,
-    xMad, xLDiversity, u2IntersectExcept,
+    xMad, xLDiversity, u2IntersectExcept, qPercentRank,
     q13CustDistribution, q15TopSupplier, q17SmallQtyRevenue,
     q21WaitingSuppliers, q22DormantCustomers,
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,

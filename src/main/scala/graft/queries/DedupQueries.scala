@@ -646,9 +646,44 @@ object DedupQueries {
         expr("1000000 div coalesce(n_dups, 1)").as("weight_ppm"))
   }
 
+  /** Contrastive (anchor, positive, negative) triplet mining
+    * ([[Dedup.contrastiveTriplets]]): positives from the verified LSH
+    * near-dup pairs, negatives drawn by hashed corpus index with a
+    * 3-candidate collision bump — the training-pair feed for an
+    * embedding model, fully deterministic on both engines. */
+  val xContrastivePairs = Q(
+    "x_contrastive_pairs",
+    minhashCteChain +
+      """, und AS (
+        |  SELECT jacc.a, jacc.b FROM cand JOIN jacc USING (a, b)
+        |  WHERE jaccard >= 0.5
+        |  UNION ALL
+        |  SELECT jacc.b, jacc.a FROM cand JOIN jacc USING (a, b)
+        |  WHERE jaccard >= 0.5),
+        |poss AS (SELECT a, MIN(b) AS positive FROM und GROUP BY a),
+        |nn AS (SELECT COUNT(*) AS n FROM documents),
+        |rk AS (SELECT doc_id AS cand_neg,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS idx FROM documents),
+        |tries AS (SELECT p.a, p.positive, o.o AS prio,
+        |    (('0x' || substr(md5('neg:' || CAST(p.a AS VARCHAR)), 1, 14))
+        |      ::BIGINT + o.o) % nn.n AS idx
+        |  FROM poss p, nn, (SELECT unnest([0, 1, 2]) AS o) o),
+        |valid AS (SELECT t.a, t.positive, t.prio, r.cand_neg
+        |  FROM tries t JOIN rk r USING (idx)
+        |  WHERE r.cand_neg <> t.a AND r.cand_neg <> t.positive),
+        |pick AS (SELECT a, positive, cand_neg,
+        |    row_number() OVER (PARTITION BY a ORDER BY prio) AS rn
+        |  FROM valid)
+        |SELECT a AS anchor, positive, cand_neg AS negative
+        |FROM pick WHERE rn = 1""".stripMargin) { (s, d) =>
+    Dedup.contrastiveTriplets(Tables.documents(s, d), "doc_id", "text",
+      n = 3, numHashes = NumHashes, bands = Bands, posThreshold = 0.5)
+  }
+
   val all: Seq[Q] = Seq(xDedupNgram, xDedupMinhashLsh, xDedupIncremental,
     xDedupClusters, xDedupKeepBest, xDedupApply, xDedupSimhashSig,
     xDedupSimhashPairs, xSubstringDup, xBloomFilter, xContainment,
     xMinhashEst, xSegmentDedup, xIntraDedup, xSourceOverlap, xDedupPrefixJoin,
-    xSubstrTrim, xSplitLeakageSafe, xCurateE2e, xDupReweight)
+    xSubstrTrim, xSplitLeakageSafe, xCurateE2e, xDupReweight,
+    xContrastivePairs)
 }

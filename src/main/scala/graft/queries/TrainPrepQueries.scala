@@ -473,8 +473,57 @@ object TrainPrepQueries {
         (col("pos") + 1).cast("long").as("rk"))
   }
 
+  /** Quantile normalization across sources: each document's length is
+    * replaced by the GLOBAL distribution's value at the same quantile —
+    * the calibration that makes per-source scores comparable when sources
+    * have different length profiles. Per-source rank r_s → quantile
+    * q_ppm = (r_s−1)·10⁶ div (n_s−1) → global target rank
+    * 1 + (r_s−1)(N−1) div (n_s−1) → the global value at that rank. All
+    * integer; the global rank table comes from
+    * [[graft.ops.Scale.binnedGlobalRank]] (no corpus-sized window); the
+    * per-source windows are source-bounded like x_len_quantiles. */
+  val xQuantileNorm = Q(
+    "x_quantile_norm",
+    """WITH r AS (SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS rs,
+      |    COUNT(*) OVER (PARTITION BY source) AS ns
+      |  FROM documents),
+      |g AS (SELECT n_chars AS norm_value,
+      |    row_number() OVER (ORDER BY n_chars, doc_id) AS rg
+      |  FROM documents),
+      |t AS (SELECT COUNT(*) AS n FROM documents),
+      |q AS (SELECT r.doc_id, r.source, r.n_chars,
+      |    (r.rs - 1) * 1000000 // greatest(r.ns - 1, 1) AS q_ppm,
+      |    1 + ((r.rs - 1) * (t.n - 1)) // greatest(r.ns - 1, 1) AS rg
+      |  FROM r, t)
+      |SELECT q.doc_id, q.source, q.n_chars, q.q_ppm, g.norm_value
+      |FROM q JOIN g USING (rg)""".stripMargin) { (s, d) =>
+    import graft.ops.Scale
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val wSrc = Window.partitionBy(col("source"))
+    val r = docs
+      .withColumn("rs", row_number().over(
+        wSrc.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+      .withColumn("ns", count(lit(1)).over(wSrc))
+    val g = Scale.binnedGlobalRank(docs, col("n_chars"),
+      Seq(col("n_chars").asc, col("doc_id").asc), binAsc = true, "rg")
+      .select(col("n_chars").as("norm_value"), col("rg").cast("long").as("rg"))
+    val t = docs.agg(count(lit(1)).as("__n"))
+    r.crossJoin(broadcast(t))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr("(rs - 1) * 1000000 div greatest(ns - 1, 1)").as("q_ppm"),
+        expr("1 + ((rs - 1) * (__n - 1)) div greatest(ns - 1, 1)").as("rg"))
+      .join(g, Seq("rg"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("q_ppm"),
+        col("norm_value"))
+  }
+
   val all: Seq[Q] = Seq(xSplit, xPack, xScrub, xSample, xDecontaminate,
     xIncremental, xMixRebalance, xWeightedSample, xBudgetSelect, xChunk,
     xChunkCdc, xNovelty,
-    xWinsorize, xShard, xInterleave, xUrlDedup, xCurriculum, xSourceCap)
+    xWinsorize, xShard, xInterleave, xUrlDedup, xCurriculum, xSourceCap,
+    xQuantileNorm)
 }

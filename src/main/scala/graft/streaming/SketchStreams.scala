@@ -95,6 +95,35 @@ object SketchStreams {
       epochBefore(outDir, "kmv_", Long.MaxValue)
         .getOrElse(sys.error(s"no kmv epochs under $outDir")))
 
+  /** Streaming materialized-aggregate maintenance — the epoch skeleton
+    * applied to BUSINESS aggregates rather than sketch cells: each
+    * micro-batch is aggregated alone (O(batch)) and SUM-merged into the
+    * newest prior per-key state via [[graft.sources.Sinks.mergeAggState]],
+    * keeping an always-fresh key-dimension-sized table (e.g. revenue per
+    * customer) no trigger of which ever rescans history. Counts ride as
+    * sums of 1s; the same crash-replay epoch discipline as the sketches
+    * (a replayed batch overwrites its own epoch, reading only
+    * strictly-older state). */
+  def streamingAggMaintain(
+      incoming: DataFrame, keys: Seq[String], sums: Seq[String],
+      outDir: String, checkpointDir: String): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, sum}
+    def aggOf(df: DataFrame): DataFrame = {
+      val aggs = sums.map(c => sum(col(c)).as(c))
+      df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+    maintained(incoming, outDir, "agg_", checkpointDir)(
+      aggOf,
+      (base, delta) => graft.sources.Sinks.mergeAggState(
+        base, delta, keys, sums))
+  }
+
+  /** The newest committed aggregate-state epoch. */
+  def latestAgg(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(
+      epochBefore(outDir, "agg_", Long.MaxValue)
+        .getOrElse(sys.error(s"no aggregate epochs under $outDir")))
+
   /** Shared epoch-maintenance skeleton: per micro-batch, compute the
     * batch's sketch state, merge it with the newest STRICTLY-OLDER epoch,
     * overwrite `<prefix><batchId>` — so a crashed batch replays into its

@@ -200,4 +200,37 @@ class SketchStreamsSpec extends SparkSpec {
       .as[(String, Long, Int)].collect().toSet
     assert(merged === direct)
   }
+
+  test("streamed aggregate-state maintenance over two micro-batches " +
+    "equals the one-shot aggregate; keys only in one batch survive") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // (custkey, revenue_cents, 1) rows; key 1 spans both batches, key 2
+    // exists only in batch 1, key 9 only in batch 2
+    val batch1 = Seq((1L, 100L, 1L), (1L, 250L, 1L), (2L, 40L, 1L))
+    val batch2 = Seq((1L, 600L, 1L), (9L, 7L, 1L))
+
+    val out = java.nio.file.Files.createTempDirectory("graft-agg").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-agg-c").toString
+    val ms = MemoryStream[(Long, Long, Long)]
+    val q = SketchStreams.streamingAggMaintain(
+      ms.toDF().toDF("k", "rev_c", "n_orders"),
+      Seq("k"), Seq("rev_c", "n_orders"), out, ckpt)
+    ms.addData(batch1: _*)
+    q.processAllAvailable()
+    ms.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = SketchStreams.latestAgg(spark, out)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === Set((1L, 950L, 3L), (2L, 40L, 1L), (9L, 7L, 1L)))
+    // ≡ one-shot aggregate of everything seen (sum associativity)
+    val oneShot = (batch1 ++ batch2).toDF("k", "rev_c", "n_orders")
+      .groupBy($"k")
+      .agg(org.apache.spark.sql.functions.sum($"rev_c").as("rev_c"),
+        org.apache.spark.sql.functions.sum($"n_orders").as("n_orders"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === oneShot)
+  }
 }
