@@ -899,6 +899,38 @@ object TextQueries {
           .as("fk_micro"))
   }
 
+  /** Tokenizer fertility per source: BPE-ish tokens per whitespace word
+    * (fertility_ppm) and raw characters per BPE-ish token — the
+    * compression profile that decides whether a tokenizer suits a corpus
+    * slice. Exact integer sums, ppm divisions at the boundary. */
+  val xTokFertility = Q(
+    "x_tok_fertility",
+    """WITH t AS (SELECT source,
+      |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+      |      AS w,
+      |    CAST(len(regexp_extract_all(lower(text),
+      |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS b,
+      |    CAST(len(text) AS BIGINT) AS c
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(w) AS BIGINT) AS n_words,
+      |  CAST(SUM(b) AS BIGINT) AS n_bpeish,
+      |  CAST(SUM(b) * 1000000 // SUM(w) AS BIGINT) AS fertility_ppm,
+      |  CAST(SUM(c) * 1000000 // SUM(b) AS BIGINT) AS chars_per_tok_ppm
+      |FROM t GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("source"),
+      TextFns.tokenCount(col("text")).cast("long").as("w"),
+      TextFns.bpeishCount(col("text")).cast("long").as("b"),
+      length(col("text")).cast("long").as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        sum(col("b")).as("n_bpeish"),
+        expr("sum(b) * 1000000 div sum(w)").as("fertility_ppm"),
+        expr("sum(c) * 1000000 div sum(b)").as("chars_per_tok_ppm"))
+  }
+
   val all: Seq[Q] = Seq(xTextStats, xLangId, xLenQuantiles, xRepetition,
     xVocab, xCorpusStats, xDistinctKmv, xDistinctHll, xKmvSetops, xDedupExact,
     xDedupExactMembers, xDedupNorm,
@@ -907,5 +939,5 @@ object TextQueries {
     xQualityBuckets,
     xImportanceWeight, xHistQuantiles, xCollocations, xBpeMerges,
     xBpeTokenize, xHtmlStrip, xQualityClassifier, xNbClassify, xLangEval,
-    xGopherRules, xReadability)
+    xGopherRules, xReadability, xTokFertility)
 }

@@ -521,9 +521,59 @@ object TrainPrepQueries {
         col("norm_value"))
   }
 
+  /** Length-sorted batching meter: padding waste of arrival-order vs
+    * length-sorted batch assembly (batch = 32 docs per shard; a batch
+    * pads every member to its max length, so waste = Σ(max·n − Σlen)).
+    * Sorting within the shard is the standard training-efficiency
+    * technique; this query QUANTIFIES it per shard in exact tokens and
+    * ppm. Windows are shard-partitioned (bounded); one scan feeds both
+    * policies. */
+  val xBatchPadding = Q(
+    "x_batch_padding",
+    """WITH t AS (SELECT doc_id, doc_id % 4 AS shard,
+      |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents),
+      |a AS (SELECT shard, n_tokens,
+      |    (row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1) // 32
+      |      AS batch FROM t),
+      |b AS (SELECT shard, n_tokens,
+      |    (row_number() OVER (PARTITION BY shard
+      |       ORDER BY n_tokens, doc_id) - 1) // 32 AS batch FROM t),
+      |pa AS (
+      |  SELECT 'arrival' AS policy, shard, batch, COUNT(*) AS n,
+      |    MAX(n_tokens) AS mx, SUM(n_tokens) AS s FROM a GROUP BY 2, 3
+      |  UNION ALL
+      |  SELECT 'sorted', shard, batch, COUNT(*), MAX(n_tokens),
+      |    SUM(n_tokens) FROM b GROUP BY 2, 3)
+      |SELECT policy, shard, COUNT(*) AS n_batches,
+      |  CAST(SUM(mx * n - s) AS BIGINT) AS pad_tokens,
+      |  CAST(SUM(mx * n - s) * 1000000 // SUM(mx * n) AS BIGINT)
+      |    AS waste_ppm
+      |FROM pa GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d).select(
+      col("doc_id"), (col("doc_id") % 4).as("shard"),
+      graft.text.TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+    def batched(name: String, order: Seq[org.apache.spark.sql.Column]) =
+      t.withColumn("rn", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(order: _*)).cast("long"))
+        .select(lit(name).as("policy"), col("shard"), col("n_tokens"),
+          expr("(rn - 1) div 32").as("batch"))
+    val both = batched("arrival", Seq(col("doc_id").asc))
+      .unionByName(batched("sorted", Seq(col("n_tokens").asc, col("doc_id").asc)))
+    both.groupBy(col("policy"), col("shard"), col("batch"))
+      .agg(count(lit(1)).as("n"), max(col("n_tokens")).as("mx"),
+        sum(col("n_tokens")).as("s"))
+      .groupBy(col("policy"), col("shard"))
+      .agg(count(lit(1)).as("n_batches"),
+        sum(col("mx") * col("n") - col("s")).as("pad_tokens"),
+        expr("sum(mx * n - s) * 1000000 div sum(mx * n)").as("waste_ppm"))
+  }
+
   val all: Seq[Q] = Seq(xSplit, xPack, xScrub, xSample, xDecontaminate,
     xIncremental, xMixRebalance, xWeightedSample, xBudgetSelect, xChunk,
     xChunkCdc, xNovelty,
     xWinsorize, xShard, xInterleave, xUrlDedup, xCurriculum, xSourceCap,
-    xQuantileNorm)
+    xQuantileNorm, xBatchPadding)
 }

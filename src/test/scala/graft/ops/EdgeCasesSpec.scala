@@ -352,4 +352,77 @@ class EdgeCasesSpec extends SparkSpec {
       .toDF("event_id", "ts", "user_id", "value")
     assert(graft.streaming.EventStreams.ohlcBars(e).count() === 0)
   }
+
+  test("asOfJoinNearest with an empty right side keeps every left row " +
+    "with null payload; decayScore on empty events is empty") {
+    val ts0 = new java.sql.Timestamp(1000L)
+    val left = Seq((1L, ts0, "p")).toDF("k", "t", "lv")
+    val right = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("k", "t", "rv")
+    val got = TemporalJoins.asOfJoinNearest(left, right, "k", "t")
+      .select("lv", "rv").as[(String, String)].collect()
+    assert(got.toSeq === Seq(("p", null)))
+    val e = Seq.empty[(Long, java.sql.Timestamp, Long, Double)]
+      .toDF("event_id", "ts", "user_id", "value")
+    assert(graft.streaming.EventStreams.decayScore(e).count() === 0)
+  }
+
+  test("psiDrift: identical snapshots give zero PSI in every bin; a bin " +
+    "present on one side only still smooths to a finite contribution") {
+    val same = Seq((0, 1L), (1, 1L), (0, 2L), (1, 2L)).toDF("snap", "bin")
+    val r = graft.ops.DataQuality.psiDrift(same)
+      .select("psi_pico").as[Long].collect()
+    assert(r.forall(_ === 0L), r.mkString(","))
+    val skew = Seq((0, 1L), (1, 2L)).toDF("snap", "bin")
+    val rows = graft.ops.DataQuality.psiDrift(skew)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 2)
+    assert(rows.forall(t => t._6 != 0L)) // lr_micro finite and nonzero
+  }
+
+  test("exactCorrelation: a constant column has var_num 0 and cov_num 0") {
+    val df = Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("c", "x")
+    val r = graft.ops.DataQuality.exactCorrelation(df, Seq("c", "x"))
+      .head()
+    assert(r.getAs[String]("cov_num") === "0")
+    assert(r.getAs[String]("var_num_x") === "0")
+    assert(r.getAs[String]("var_num_y") !== "0")
+  }
+
+  test("kAnonymity/lDiversity on empty input are empty; a singleton " +
+    "group is at risk and not diverse") {
+    val empty = Seq.empty[(Int, String)].toDF("qi", "s")
+    assert(graft.ops.DataQuality.kAnonymity(empty, Seq("qi"), 5)
+      .count() === 0)
+    assert(graft.ops.DataQuality.lDiversity(empty, Seq("qi"), col("s"), 2)
+      .count() === 0)
+    val one = Seq((1, "x")).toDF("qi", "s")
+    val ka = graft.ops.DataQuality.kAnonymity(one, Seq("qi"), 5).head()
+    assert(ka.getAs[Boolean]("at_risk"))
+    val ld = graft.ops.DataQuality.lDiversity(one, Seq("qi"), col("s"), 2)
+      .head()
+    assert(!ld.getAs[Boolean]("diverse"))
+  }
+
+  test("weightedSssp with empty edges returns just the sources at 0; " +
+    "contrastiveTriplets with no near-dup pairs is empty") {
+    val edges = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    val src = Seq(Tuple1(7L)).toDF("node")
+    val got = graft.graph.GraphOps.weightedSssp(edges, src, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(7L -> 0L))
+    // all-distinct docs: LSH finds no pairs, so no anchors to mine
+    val docs = (1 to 8)
+      .map(i => (i.toLong, s"totally unique text number $i with tail $i$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.contrastiveTriplets(docs, "doc_id", "text").count() === 0)
+  }
+
+  test("mergeAggState with an empty delta is the identity on the state") {
+    val base = Seq((1L, 10L), (2L, 5L)).toDF("k", "s")
+    val delta = Seq.empty[(Long, Long)].toDF("k", "s")
+    val got = graft.sources.Sinks.mergeAggState(base, delta, Seq("k"), Seq("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 10L, 2L -> 5L))
+  }
 }
