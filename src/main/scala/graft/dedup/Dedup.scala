@@ -333,6 +333,23 @@ object Dedup {
   def semanticDedupFlags(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
       centroidStep: Long = 40, iters: Int = 2): DataFrame = {
+    val (withVec, pairs) = clusterCosinePairs(emb, idCol, vecCol,
+      centroidStep, iters)
+    val dups = pairs
+      .filter(col("cos") >= threshold)
+      .select(col("b").as("vec_id")).distinct()
+      .withColumn("__d", lit(true))
+    withVec.select(col("vec_id"), col("cluster"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("__d"), lit(false)).as("is_semantic_dup"))
+  }
+
+  /** Shared SemDeDup pair machinery: k-means cluster scope + in-cluster
+    * cosine pairs (a < b). Returns (vectors-with-cluster, pairs). */
+  private def clusterCosinePairs(
+      emb: DataFrame, idCol: String, vecCol: String,
+      centroidStep: Long, iters: Int): (DataFrame, DataFrame) = {
     graft.functions.DotProduct.register(emb.sparkSession)
     val clusters = graft.sim.KMeans
       .kmeans(emb, idCol, vecCol, centroidStep, iters)
@@ -341,19 +358,43 @@ object Dedup {
         transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", graft.sim.Similarity.norm(col("v")))
       .join(clusters, Seq("vec_id"))
-    val dups = withVec.toDF("a", "va", "na", "cluster")
+    val pairs = withVec.toDF("a", "va", "na", "cluster")
       .join(withVec.toDF("b", "vb", "nb", "cluster"), Seq("cluster"))
       .filter(col("a") < col("b"))
-      .select(col("b"),
+      .select(col("a"), col("b"),
         (call_function("graft_dot", col("va"), col("vb"))
           / (col("na") * col("nb"))).as("cos"))
-      .filter(col("cos") >= threshold)
-      .select(col("b").as("vec_id")).distinct()
-      .withColumn("__d", lit(true))
-    withVec.select(col("vec_id"), col("cluster"))
-      .join(dups, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cluster"),
-        coalesce(col("__d"), lit(false)).as("is_semantic_dup"))
+    (withVec, pairs)
+  }
+
+  /** SemDeDup threshold sweep — the tuning meter run BEFORE committing to
+    * an epsilon: for each candidate cosine threshold, how many in-cluster
+    * pairs would match and what fraction of the corpus survives the
+    * keep-lowest-id policy. One pair computation serves every threshold
+    * (explode over the bounded threshold list); corpus size arrives as a
+    * one-row broadcast. Thresholds are ppm integers so the report columns
+    * stay exact. */
+  def semanticDedupSweep(
+      emb: DataFrame, idCol: String, vecCol: String,
+      thresholdsPpm: Seq[Long], centroidStep: Long = 40,
+      iters: Int = 2): DataFrame = {
+    import emb.sparkSession.implicits._
+    val (_, pairs) = clusterCosinePairs(emb, idCol, vecCol,
+      centroidStep, iters)
+    val hits = pairs.select(col("b"), col("cos"),
+        explode(array(thresholdsPpm.map(lit): _*)).as("thr_ppm"))
+      .filter(col("cos") * 1000000 >= col("thr_ppm"))
+    val agg = hits.groupBy(col("thr_ppm"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("b")).as("n_dropped"))
+    val nDf = emb.agg(count(lit(1)).as("__n"))
+    thresholdsPpm.toDF("thr_ppm")
+      .join(agg, Seq("thr_ppm"), "left")
+      .crossJoin(broadcast(nDf))
+      .select(col("thr_ppm"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        expr("(__n - coalesce(n_dropped, 0)) * 1000000 div __n")
+          .as("keep_ppm"))
   }
 
   /** SimHash signatures (`bits`-wide, default 64): per word-frequency vote —

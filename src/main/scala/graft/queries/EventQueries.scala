@@ -349,8 +349,68 @@ object EventQueries {
     EventStreams.decayScore(Tables.events(s, d), w = 16)
   }
 
+  private val MarkovRounds = 4
+
+  /** Fixed-round Markov stationary estimate over the event-type
+    * transition matrix ([[EventStreams.markovStationary]]); the oracle
+    * unrolls the SAME rounds from this generator. */
+  val evMarkovStationary = Q(
+    "ev_markov_stationary",
+    """WITH o AS (SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS next_type
+      |  FROM events),
+      |c AS (SELECT event_type AS f, next_type AS t, COUNT(*) AS n
+      |  FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |tr AS (SELECT f, t,
+      |    CAST((n * 1000000) // SUM(n) OVER (PARTITION BY f) AS BIGINT)
+      |      AS pp FROM c),
+      |ty AS (SELECT DISTINCT event_type FROM events),
+      |tn AS (SELECT COUNT(*) AS tcnt FROM ty),
+      |r0 AS (SELECT event_type, CAST(1000000 // tcnt AS BIGINT) AS p
+      |  FROM ty, tn),
+      |""".stripMargin +
+      (1 to MarkovRounds).map { k =>
+        s"""r$k AS (SELECT tr.t AS event_type,
+           |    CAST(SUM(r${k - 1}.p * tr.pp) // 1000000 AS BIGINT) AS p
+           |  FROM r${k - 1} JOIN tr ON r${k - 1}.event_type = tr.f
+           |  GROUP BY tr.t)""".stripMargin
+      }.mkString(",\n") +
+      s"\nSELECT event_type, p AS p_ppm FROM r$MarkovRounds") { (s, d) =>
+    EventStreams.markovStationary(Tables.events(s, d), rounds = MarkovRounds)
+  }
+
+  /** Cross-device identity stitching ([[EventStreams.identityStitch]]):
+    * CC over the bipartite user–device graph, then per-identity rollup.
+    * Oracle: recursive-CTE reachability over the same edges. */
+  val evIdentityStitch = Q(
+    "ev_identity_stitch",
+    """WITH RECURSIVE f AS (SELECT user_id, props,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS rn
+      |  FROM events),
+      |ud AS (SELECT user_id,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS dev
+      |  FROM f WHERE rn = 1),
+      |e AS (SELECT user_id * 2 AS u, dev * 2 + 1 AS v FROM ud),
+      |und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+      |reach (n, m) AS (
+      |  SELECT u, u FROM und
+      |  UNION
+      |  SELECT r.n, w.v FROM reach r JOIN und w ON r.m = w.u),
+      |comp AS (SELECT n, MIN(m) AS c FROM reach GROUP BY n),
+      |ident AS (SELECT n // 2 AS user_id, c AS identity
+      |  FROM comp WHERE n % 2 = 0)
+      |SELECT i.identity, COUNT(DISTINCT ev.user_id) AS n_users,
+      |  COUNT(*) AS n_events
+      |FROM events ev JOIN ident i ON ev.user_id = i.user_id
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    EventStreams.identityStitch(s, Tables.events(s, d))
+  }
+
   val all: Seq[Q] = Seq(evTumbling, evSliding, evSessionize, evFirstPerKey, evFunnel,
     evIntervalJoin, evAsofJoin, evRolling, evRetention, evStreaks,
     evAsofForward, evTransitions, evScd2, evAnomaly, evRfm, evOhlc, evGapStats,
-    evDistinctRunning, evAsofNearest, evDecayScore)
+    evDistinctRunning, evAsofNearest, evDecayScore, evMarkovStationary,
+    evIdentityStitch)
 }

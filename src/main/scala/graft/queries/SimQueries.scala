@@ -465,6 +465,41 @@ object SimQueries {
       "vec_id", "embedding", threshold = 0.4, centroidStep = 40, iters = 2)
   }
 
+  /** SemDeDup threshold sweep ([[graft.dedup.Dedup.semanticDedupSweep]]):
+    * per candidate cosine epsilon, matching-pair count and surviving-
+    * corpus share — the tuning meter run before fixing the production
+    * threshold. One in-cluster pair computation serves every epsilon. */
+  val xSemdedupEps = Q(
+    "x_semdedup_eps",
+    kmeansCte +
+      """, nv AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |wv AS (SELECT k.id, k.cid, n.v, n.nrm
+        |       FROM km k JOIN nv n ON k.id = n.vec_id),
+        |pr AS (SELECT x.id AS a, y.id AS b,
+        |    list_reduce(list_transform(list_zip(x.v, y.v),
+        |      z -> z[1] * z[2]), (s, t) -> s + t) / (x.nrm * y.nrm) AS cos
+        |  FROM wv x JOIN wv y ON x.cid = y.cid AND x.id < y.id),
+        |th AS (SELECT unnest([300000, 400000, 500000, 700000]) AS thr_ppm),
+        |hits AS (SELECT th.thr_ppm, pr.b FROM th
+        |  JOIN pr ON pr.cos * 1000000 >= th.thr_ppm),
+        |agg AS (SELECT thr_ppm, COUNT(*) AS n_pairs,
+        |    COUNT(DISTINCT b) AS n_dropped FROM hits GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n FROM embeddings)
+        |SELECT CAST(th.thr_ppm AS BIGINT) AS thr_ppm,
+        |  coalesce(a.n_pairs, 0) AS n_pairs,
+        |  coalesce(a.n_dropped, 0) AS n_dropped,
+        |  (nn.n - coalesce(a.n_dropped, 0)) * 1000000 // nn.n AS keep_ppm
+        |FROM th LEFT JOIN agg a USING (thr_ppm), nn""".stripMargin) { (s, d) =>
+    graft.dedup.Dedup.semanticDedupSweep(Tables.embeddings(s, d),
+      "vec_id", "embedding",
+      thresholdsPpm = Seq(300000L, 400000L, 500000L, 700000L),
+      centroidStep = 40, iters = 2)
+  }
+
   /** Frame sampling over the binary media path: one row per kept frame
     * (every 2nd 64-byte block), emitted as md5 + byte count. The oracle
     * slices the text instead of the blob (DuckDB 1.0 has no blob
@@ -715,5 +750,5 @@ object SimQueries {
     xSemanticDedup, xNearDupEmb, xDecontaminateSem,
     xMediaFeatures, xMediaDecode, xMediaFrames,
     xAnnRecall, xMediaPhash, xRandProj, xClusterExemplars, xHardNegatives,
-    xKnnGraph)
+    xKnnGraph, xSemdedupEps)
 }

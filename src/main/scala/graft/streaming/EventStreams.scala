@@ -432,6 +432,64 @@ object EventStreams {
         "(n * 1000000) div sum(n) over (partition by from_type)"))
   }
 
+  /** Fixed-round Markov power iteration over the event-type transition
+    * matrix: start uniform (10⁶ div T ppm per type), then
+    * p′_j = Σ_i p_i·P_ij div 10⁶ per round — all integer, so engine and a
+    * generator-unrolled oracle agree bit-for-bit (the fixed-round
+    * contract of kCore/weightedSssp applied to a stochastic matrix). The
+    * stationary estimate ranks event types by long-run visit share.
+    * Scale: every frame is bounded by the TYPE domain — joins and aggs
+    * are dimension-sized regardless of event volume; only the transition
+    * count scans the facts (once). */
+  def markovStationary(events: DataFrame, rounds: Int = 4): DataFrame = {
+    val tr = eventTransitions(events)
+      .select(col("from_type").as("f"), col("to_type").as("t"),
+        col("p_ppm").as("pp"))
+    val ty = events.select(col("event_type")).distinct()
+    val tn = ty.agg(count(lit(1)).as("__t"))
+    var p = ty.crossJoin(broadcast(tn))
+      .select(col("event_type"), expr("1000000 div __t").as("p"))
+    for (_ <- 1 to rounds) {
+      p = p.join(tr, col("event_type") === col("f"))
+        .groupBy(col("t"))
+        .agg(expr("CAST(sum(p * pp) div 1000000 AS BIGINT)").as("p"))
+        .select(col("t").as("event_type"), col("p"))
+    }
+    p.select(col("event_type"), col("p").as("p_ppm"))
+  }
+
+  /** Cross-key identity stitching: users sharing a device (here the
+    * deterministic `props.k mod 40` stand-in) merge into one identity via
+    * connected components over the bipartite user–device graph — the
+    * industry identity-resolution pass BEFORE any per-identity analytics.
+    * Output: per stitched identity, its member-user and event counts.
+    * Scale: the edge build is one distinct projection of the facts; CC is
+    * GraphX; the final rollup joins facts to the identity map on
+    * user_id. */
+  def identityStitch(spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame): DataFrame = {
+    // each user's "primary device" = the k of their FIRST event (the A1
+    // keep-first idiom) — one edge per user keeps the bipartite graph
+    // sparse, so identities are genuine small merges, not one blob
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ud = events
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("dev"))
+    val edges = ud.select((col("user_id") * 2).as("src"),
+      (col("dev") * 2 + 1).as("dst"))
+    val ident = graft.graph.GraphOps.connectedComponents(spark, edges)
+      .filter(col("node") % 2 === 0)
+      .select(expr("node div 2").as("user_id"),
+        col("component").as("identity"))
+    events.join(ident, Seq("user_id"))
+      .groupBy(col("identity"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** SCD2 validity intervals from an event stream: consecutive runs of
     * the same event_type per user collapse to one row with
     * [valid_from, valid_to) epoch bounds; the current (last) state has a
