@@ -680,10 +680,31 @@ object DedupQueries {
       n = 3, numHashes = NumHashes, bands = Bands, posThreshold = 0.5)
   }
 
+  /** Duplicate-cluster size distribution — the curation report a dedup
+    * run ships (how much of the corpus sits in 2-copy vs 10-copy
+    * clusters): per cluster size, the cluster and member-document counts.
+    * Pure reuse of the proven closure + two bounded aggregations. */
+  val xDedupClusterStats = Q(
+    "x_dedup_cluster_stats",
+    clusterCtes +
+      """, sz AS (SELECT cluster_id, COUNT(*) AS size FROM clusters
+        |  GROUP BY 1)
+        |SELECT size, COUNT(*) AS n_clusters,
+        |  CAST(SUM(size) AS BIGINT) AS n_docs
+        |FROM sz GROUP BY 1""".stripMargin) { (s, d) =>
+    val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5)
+    graft.graph.GraphOps.connectedComponents(s, pairs.select("a", "b"))
+      .groupBy(col("component")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        org.apache.spark.sql.functions.sum(col("size")).as("n_docs"))
+  }
+
   val all: Seq[Q] = Seq(xDedupNgram, xDedupMinhashLsh, xDedupIncremental,
     xDedupClusters, xDedupKeepBest, xDedupApply, xDedupSimhashSig,
     xDedupSimhashPairs, xSubstringDup, xBloomFilter, xContainment,
     xMinhashEst, xSegmentDedup, xIntraDedup, xSourceOverlap, xDedupPrefixJoin,
     xSubstrTrim, xSplitLeakageSafe, xCurateE2e, xDupReweight,
-    xContrastivePairs)
+    xContrastivePairs, xDedupClusterStats)
 }

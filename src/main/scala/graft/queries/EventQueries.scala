@@ -408,9 +408,35 @@ object EventQueries {
     EventStreams.identityStitch(s, Tables.events(s, d))
   }
 
+  /** Sequential-pattern counts: 3-event-type runs per user ((ts,
+    * event_id) order) — the frequent-subsequence mining a behavioural
+    * pipeline runs beyond first-order transitions. One user-keyed
+    * shuffle; two leads share the window; counts bounded by the type
+    * domain cubed. */
+  val evTrigrams = Q(
+    "ev_trigrams",
+    """WITH o AS (SELECT user_id, event_type AS a,
+      |    lead(event_type, 1) OVER w AS b,
+      |    lead(event_type, 2) OVER w AS c
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT a, b, c, COUNT(*) AS n
+      |FROM o WHERE b IS NOT NULL AND c IS NOT NULL
+      |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type").as("a"),
+        lead(col("event_type"), 1).over(w).as("b"),
+        lead(col("event_type"), 2).over(w).as("c"))
+      .filter(col("b").isNotNull && col("c").isNotNull)
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val all: Seq[Q] = Seq(evTumbling, evSliding, evSessionize, evFirstPerKey, evFunnel,
     evIntervalJoin, evAsofJoin, evRolling, evRetention, evStreaks,
     evAsofForward, evTransitions, evScd2, evAnomaly, evRfm, evOhlc, evGapStats,
     evDistinctRunning, evAsofNearest, evDecayScore, evMarkovStationary,
-    evIdentityStitch)
+    evIdentityStitch, evTrigrams)
 }

@@ -552,8 +552,47 @@ object GraphQueries {
     GraphOps.weightedSssp(e, e.agg(min(col("src"))), rounds = SsspRounds)
   }
 
+  /** Degree assortativity ingredients: exact Pearson numerators between
+    * endpoint degrees over the undirected edge list (positive cov ⇒ hubs
+    * link to hubs). REUSES [[graft.ops.DataQuality.exactCorrelation]] —
+    * the DECIMAL(38,0) carry and digit-string boundary come for free; the
+    * graph-side work is one degree aggregation + two broadcast joins. */
+  val gAssortativity = Q(
+    "g_assortativity",
+    edgeCte +
+      """, und AS (SELECT src AS node, dst AS other FROM e
+        |          UNION SELECT dst, src FROM e),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM und
+        |  GROUP BY node),
+        |t AS (SELECT du.d AS du, dv.d AS dv
+        |  FROM und JOIN deg du ON und.node = du.node
+        |  JOIN deg dv ON und.other = dv.node),
+        |s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(CAST(du AS HUGEINT)) AS s_du,
+        |    SUM(CAST(dv AS HUGEINT)) AS s_dv,
+        |    SUM(CAST(du AS HUGEINT) * CAST(du AS HUGEINT)) AS ss_du,
+        |    SUM(CAST(dv AS HUGEINT) * CAST(dv AS HUGEINT)) AS ss_dv,
+        |    SUM(CAST(du AS HUGEINT) * CAST(dv AS HUGEINT)) AS sp
+        |  FROM t)
+        |SELECT 'du' AS x_col, 'dv' AS y_col, CAST(n AS BIGINT) AS n,
+        |  CAST(n * sp - s_du * s_dv AS VARCHAR) AS cov_num,
+        |  CAST(n * ss_du - s_du * s_du AS VARCHAR) AS var_num_x,
+        |  CAST(n * ss_dv - s_dv * s_dv AS VARCHAR) AS var_num_y
+        |FROM s""".stripMargin) { (s, d) =>
+    val e = edgeDf(s, d)
+    val und = e.select(col("src").as("node"), col("dst").as("other"))
+      .union(e.select(col("dst").as("node"), col("src").as("other")))
+      .distinct()
+    val deg = und.groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val t = und
+      .join(deg.toDF("node", "du"), Seq("node"))
+      .join(deg.toDF("other", "dv"), Seq("other"))
+      .select(col("du"), col("dv"))
+    graft.ops.DataQuality.exactCorrelation(t, Seq("du", "dv"))
+  }
+
   val all: Seq[Q] = Seq(gDegree, gComponents, gAncestors, gAncestorsRel,
     gTriangles, gShortestPaths, gPagerank, gPpr, gKhop, gNeighborJaccard,
     gHits, gHarmonic, gLabelProp, gKcore, gKtruss, gAdamicAdar,
-    gSsspWeighted)
+    gSsspWeighted, gAssortativity)
 }

@@ -110,4 +110,70 @@ class KernelPropertiesSpec extends SparkSpec {
         s"pairwise($x, $y)=$m disagrees with the aggregate fold")
     }
   }
+
+  test("asOfJoinNearest equals the naive min-|Δ| pick on random event sets") {
+    import java.sql.Timestamp
+    val row = Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 50L))
+    for (i <- 0 until 6) {
+      val ls = samples(Gen.listOfN(12, row), 1).head.zipWithIndex
+        .map { case ((k, t), j) => (k, new Timestamp(t * 1000), s"l$j") }
+      val rs = samples(Gen.listOfN(10, row), 1).head
+        // nearest-asof determinism contract: right unique per (key, time)
+        .distinctBy(r => (r._1, r._2)).zipWithIndex
+        .map { case ((k, t), j) => (k, new Timestamp(t * 1000), s"r$j") }
+      val left = ls.toDF("k", "t", "lv")
+      val right = rs.toDF("k", "t", "rv")
+      val got = TemporalJoins.asOfJoinNearest(left, right, "k", "t")
+        .select("lv", "rv").as[(String, String)].collect().toMap
+      // reference picks min (|Δ|, backward-preferred, earlier t) per left row
+      val expected = ls.map { case (k, t, lv) =>
+        val cands = rs.filter(_._1 == k)
+        if (cands.isEmpty) lv -> null
+        else lv -> cands.minBy { case (_, rt, _) =>
+          val d = math.abs(rt.getTime - t.getTime)
+          (d, rt.getTime) // earlier right row wins a distance tie
+        }._3
+      }.toMap
+      assert(got === expected, s"iteration $i")
+    }
+  }
+
+  test("mergeAggState is associative and order-free " +
+    "((a ⊎ b) ⊎ c = a ⊎ (b ⊎ c) = one-shot)") {
+    val rows = Gen.listOfN(8, Gen.zip(Gen.choose(1L, 3L), Gen.choose(-5L, 20L)))
+    def merge(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      graft.sources.Sinks.mergeAggState(x, y, Seq("k"), Seq("s"))
+    for (i <- 0 until 4) {
+      val Seq(a, b, c) = (0 until 3).map { j =>
+        rows.apply(Gen.Parameters.default, Seed(100L + i * 3 + j))
+          .get.toDF("k", "s")
+      }
+      val left = merge(merge(a, b), c).as[(Long, Long)].collect().toSet
+      val rightAssoc = merge(a, merge(b, c)).as[(Long, Long)].collect().toSet
+      val oneShot = a.unionByName(b).unionByName(c)
+        .groupBy($"k").agg(sum($"s").as("s"))
+        .as[(Long, Long)].collect().toSet
+      assert(left === rightAssoc && left === oneShot, s"iteration $i")
+    }
+  }
+
+  test("decayScore halves every weight when one newer event arrives " +
+    "(the dyadic shift law)") {
+    import java.sql.Timestamp
+    val vals = samples(Gen.listOfN(5, Gen.choose(1, 100)), 1).head
+    val base = vals.zipWithIndex.map { case (v, j) =>
+      (j.toLong, new Timestamp(1000L * (j + 1)), 1L, v.toDouble)
+    }
+    def score(rows: Seq[(Long, Timestamp, Long, Double)]): Long =
+      graft.streaming.EventStreams
+        .decayScore(rows.toDF("event_id", "ts", "user_id", "value"), w = 16)
+        .select($"decay_q").as[Long].head()
+    val s0 = score(base)
+    // append one strictly-newer zero-value event: every existing weight
+    // doubles its exponent distance → total halves exactly (integer, since
+    // all original weights were ≥ 2 with w=16 and 6 events)
+    val s1 = score(base :+
+      (99L, new Timestamp(1000L * 100), 1L, 0.0))
+    assert(s1 * 2 === s0, s"s0=$s0 s1=$s1")
+  }
 }
