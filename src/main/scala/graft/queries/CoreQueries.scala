@@ -1134,6 +1134,47 @@ object CoreQueries {
       l = 2)
   }
 
+  /** Differential-privacy-style noisy count release (deterministic demo):
+    * per-nation order counts perturbed with discrete two-sided geometric
+    * noise via inverse-CDF — noise = ⌊−ln u₁⌋ − ⌊−ln u₂⌋ with u_i
+    * md5-seeded ppm uniforms (a production release draws real randomness;
+    * SEEDED noise is how DP pipelines get reproducible releases, and the
+    * only form a bit-exact oracle can check). The true count is emitted
+    * beside the release here because this is the mechanism demo, not a
+    * privacy boundary. Scale: one fact aggregation + per-row noise
+    * expressions over the nation dimension. */
+  val xDpRelease = Q(
+    "x_dp_release",
+    """WITH c AS (SELECT n.n_name AS nation, COUNT(*) AS n
+      |  FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey
+      |  JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      |  GROUP BY 1),
+      |u AS (SELECT nation, n,
+      |    ('0x' || substr(md5('dp1:' || nation), 1, 14))::BIGINT % 999998 + 1
+      |      AS u1,
+      |    ('0x' || substr(md5('dp2:' || nation), 1, 14))::BIGINT % 999998 + 1
+      |      AS u2
+      |  FROM c)
+      |SELECT nation, n,
+      |  CAST(floor(-ln(u1 / 1000000.0)) AS BIGINT)
+      |    - CAST(floor(-ln(u2 / 1000000.0)) AS BIGINT) AS noise,
+      |  n + CAST(floor(-ln(u1 / 1000000.0)) AS BIGINT)
+      |    - CAST(floor(-ln(u2 / 1000000.0)) AS BIGINT) AS noisy_n
+      |FROM u""".stripMargin) { (s, d) =>
+    import graft.text.TextFns.portableHash
+    val c = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n"))
+    def g(salt: String) = floor(-log(
+      (pmod(portableHash(col("nation"), lit(salt)), lit(999998L)) + 1)
+        / lit(1000000.0))).cast("long")
+    c.select(col("nation"), col("n"),
+      (g("dp1") - g("dp2")).as("noise"),
+      (col("n") + g("dp1") - g("dp2")).as("noisy_n"))
+  }
+
   /** Set operators INTERSECT / EXCEPT as true plan nodes (Spark compiles
     * both to aggregated semi/anti joins): customers active in BOTH 1995
     * and 1996 vs churned after 1995, tagged into one relation. */
@@ -1567,7 +1608,7 @@ object CoreQueries {
     q03ShippingPriority, q18LargeOrders, q05LocalSupplier, q10ReturnedItems,
     q04PriorityExists, q06ForecastRevenue, erBlockedMatch, qNtile, qUnpivot,
     qWindowShare, xDataQuality, xProfile, xKAnonymity, xDriftPsi, xColCorr,
-    xMad, xLDiversity, u2IntersectExcept, qPercentRank,
+    xMad, xLDiversity, u2IntersectExcept, qPercentRank, xDpRelease,
     q13CustDistribution, q15TopSupplier, q17SmallQtyRevenue,
     q21WaitingSuppliers, q22DormantCustomers,
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,

@@ -434,9 +434,35 @@ object EventQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** A/B experiment metric table: per (variant = user_id parity,
+    * event_type) the exact count, value sum (1e-4 units) and sum of
+    * squares — everything a t-test/CUPED computes from, carried exactly
+    * (squares in int128/DECIMAL, digit-string boundary) so the stats
+    * layer gets unrounded inputs. One fact aggregation. */
+  val evAbMetrics = Q(
+    "ev_ab_metrics",
+    """WITH q AS (SELECT user_id % 2 AS variant, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vq
+      |  FROM events)
+      |SELECT variant, event_type, COUNT(*) AS n,
+      |  CAST(SUM(vq) AS BIGINT) AS sum_q,
+      |  CAST(SUM(CAST(vq AS HUGEINT) * CAST(vq AS HUGEINT)) AS VARCHAR)
+      |    AS ss_q
+      |FROM q GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select((col("user_id") % 2).as("variant"), col("event_type"),
+        (col("value").cast("decimal(18,4)") * 10000).cast("long").as("vq"))
+      .groupBy(col("variant"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vq")).as("sum_q"),
+        sum((col("vq").cast("decimal(38,0)") * col("vq").cast("decimal(38,0)"))
+          .cast("decimal(38,0)"))
+          .cast("decimal(38,0)").cast("string").as("ss_q"))
+  }
+
   val all: Seq[Q] = Seq(evTumbling, evSliding, evSessionize, evFirstPerKey, evFunnel,
     evIntervalJoin, evAsofJoin, evRolling, evRetention, evStreaks,
     evAsofForward, evTransitions, evScd2, evAnomaly, evRfm, evOhlc, evGapStats,
     evDistinctRunning, evAsofNearest, evDecayScore, evMarkovStationary,
-    evIdentityStitch, evTrigrams)
+    evIdentityStitch, evTrigrams, evAbMetrics)
 }

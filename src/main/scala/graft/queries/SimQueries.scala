@@ -598,8 +598,11 @@ object SimQueries {
     * oracle rebuilds every stripe sum and bit from codepoints (the
     * pure-ASCII payload contract, as x_media_decode). Emits only groups
     * of ≥ 2 (linear output; membership would be exactMembership-shaped). */
-  val xMediaPhash = Q(
-    "x_media_phash",
+  /** Shared dHash chain (text stand-in for the media bytes, matching
+    * Multimodal.dHash bit-for-bit) ending in `h (doc_id, phash)` — used
+    * by the pHash-dup query and the end-to-end media curation verdict so
+    * the hash definition can never drift between them. */
+  private val phashCte =
     """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
       |           FROM documents),
       |by AS (SELECT doc_id, (i*32)//n AS c, ascii(text[i+1:i+1]) AS v
@@ -616,8 +619,13 @@ object SimQueries {
       |h AS (SELECT doc_id,
       |    CAST(SUM(bit * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS phash
       |  FROM bits GROUP BY doc_id)
-      |SELECT phash, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
-      |FROM h GROUP BY phash HAVING COUNT(*) > 1""".stripMargin) { (s, d) =>
+      |""".stripMargin
+
+  val xMediaPhash = Q(
+    "x_media_phash",
+    phashCte +
+      """SELECT phash, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+        |FROM h GROUP BY phash HAVING COUNT(*) > 1""".stripMargin) { (s, d) =>
     import s.implicits._
     val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text")
       .as[Multimodal.MediaRow]
@@ -625,6 +633,38 @@ object SimQueries {
       .groupBy(col("phash"))
       .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)
+  }
+
+  /** End-to-end media curation verdict — the multimodal twin of
+    * x_curate_e2e: per media item its perceptual hash, byte size,
+    * pHash-duplicate flag (non-min of its hash group) and size-bounds
+    * check, composed into one keep decision. Every stage is an
+    * already-proven kernel (dHash, min-per-group); the window is
+    * hash-group-bounded. */
+  val xMediaCurate = Q(
+    "x_media_curate",
+    phashCte +
+      """SELECT h.doc_id AS media_id, h.phash, CAST(b.n AS BIGINT) AS n_bytes,
+        |  h.doc_id <> MIN(h.doc_id) OVER (PARTITION BY h.phash) AS is_dup,
+        |  b.n BETWEEN 100 AND 500 AS size_ok,
+        |  h.doc_id = MIN(h.doc_id) OVER (PARTITION BY h.phash)
+        |    AND b.n BETWEEN 100 AND 500 AS keep
+        |FROM h JOIN b ON h.doc_id = b.doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text")
+      .as[Multimodal.MediaRow]
+    val h = Multimodal.extractHashes(media).toDF()
+    val sizes = media.toDF().select(col("media_id"),
+      length(col("content")).cast("long").as("n_bytes"))
+    val wP = Window.partitionBy(col("phash"))
+    h.join(sizes, Seq("media_id"))
+      .withColumn("__keep_id", min(col("media_id")).over(wP))
+      .select(col("media_id"), col("phash"), col("n_bytes"),
+        (col("media_id") =!= col("__keep_id")).as("is_dup"),
+        col("n_bytes").between(100, 500).as("size_ok"),
+        (col("media_id") === col("__keep_id") &&
+          col("n_bytes").between(100, 500)).as("keep"))
   }
 
   /** Sparse random projection 64→16 (Similarity.randomProjection): the
@@ -750,5 +790,5 @@ object SimQueries {
     xSemanticDedup, xNearDupEmb, xDecontaminateSem,
     xMediaFeatures, xMediaDecode, xMediaFrames,
     xAnnRecall, xMediaPhash, xRandProj, xClusterExemplars, xHardNegatives,
-    xKnnGraph, xSemdedupEps)
+    xKnnGraph, xSemdedupEps, xMediaCurate)
 }
