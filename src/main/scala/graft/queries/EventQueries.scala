@@ -460,9 +460,27 @@ object EventQueries {
           .cast("decimal(38,0)").cast("string").as("ss_q"))
   }
 
+  /** Semi-structured extraction through Spark 4's VARIANT type
+    * (`parse_json` → binary variant → typed `variant_get`) — the
+    * open-table-format path for schemaless columns, vs
+    * ev_json_extract's string-path `get_json_object`. A missing path
+    * proves the null contract. The oracle extracts the same facts from
+    * the JSON text. */
+  val evVariantExtract = Q(
+    "ev_variant_extract",
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |  json_extract_string(props, '$.missing') AS missing
+      |FROM events""".stripMargin) { (s, d) =>
+    Tables.events(s, d).select(col("event_id"),
+      expr("variant_get(parse_json(props), '$.k', 'int')").as("k"),
+      expr("variant_get(parse_json(props), '$.missing', 'string')")
+        .as("missing"))
+  }
+
   val all: Seq[Q] = Seq(evTumbling, evSliding, evSessionize, evFirstPerKey, evFunnel,
     evIntervalJoin, evAsofJoin, evRolling, evRetention, evStreaks,
     evAsofForward, evTransitions, evScd2, evAnomaly, evRfm, evOhlc, evGapStats,
     evDistinctRunning, evAsofNearest, evDecayScore, evMarkovStationary,
-    evIdentityStitch, evTrigrams, evAbMetrics)
+    evIdentityStitch, evTrigrams, evAbMetrics, evVariantExtract)
 }
