@@ -1175,6 +1175,40 @@ object CoreQueries {
       (col("n") + g("dp1") - g("dp2")).as("noisy_n"))
   }
 
+  /** Explicit GROUPING SETS with grouping_id — the third member of the
+    * multi-aggregation trio beside q_cube / q_rollup: exactly the chosen
+    * subtotal combinations ((status, priority), (status), ()), nothing
+    * else, with the grouping_id disambiguating real NULLs from subtotal
+    * rows. One expand + one hash aggregation. */
+  val qGroupingSets = Q(
+    "q_grouping_sets",
+    """SELECT coalesce(o_orderstatus, '<all>') AS status,
+      |  coalesce(o_orderpriority, '<all>') AS priority,
+      |  grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS rev_c
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |  (o_orderstatus), ())""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_c"))
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        (grouping(col("o_orderstatus")) * 2 +
+          grouping(col("o_orderpriority"))).as("gid"),
+        count(lit(1)).as("n"), sum(col("price_c")).as("rev_c"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+        coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+        col("gid").cast("long").as("gid"), col("n"), col("rev_c"))
+  }
+
   /** Set operators INTERSECT / EXCEPT as true plan nodes (Spark compiles
     * both to aggregated semi/anti joins): customers active in BOTH 1995
     * and 1996 vs churned after 1995, tagged into one relation. */
@@ -1609,6 +1643,7 @@ object CoreQueries {
     q04PriorityExists, q06ForecastRevenue, erBlockedMatch, qNtile, qUnpivot,
     qWindowShare, xDataQuality, xProfile, xKAnonymity, xDriftPsi, xColCorr,
     xMad, xLDiversity, u2IntersectExcept, qPercentRank, xDpRelease,
+    qGroupingSets,
     q13CustDistribution, q15TopSupplier, q17SmallQtyRevenue,
     q21WaitingSuppliers, q22DormantCustomers,
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,

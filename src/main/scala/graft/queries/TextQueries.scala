@@ -899,6 +899,41 @@ object TextQueries {
           .as("fk_micro"))
   }
 
+  /** Vocabulary coverage / OOV rate per source: the share of corpus
+    * tokens NOT covered by the df-ranked top-200 vocabulary (x_vocab's
+    * definition — shared ordering so the two can't drift). The vocab is
+    * a broadcast dimension; coverage is one map-side left join + one
+    * source-keyed aggregation. The tokenizer-sizing metric beside
+    * x_tok_fertility. */
+  val xVocabCoverage = Q(
+    "x_vocab_coverage",
+    wsCte.replace("doc_id, text, lang,", "doc_id, text, lang, source,") +
+      """, w AS (SELECT doc_id, source, unnest(ws) AS word FROM t),
+        |v AS (SELECT word FROM (
+        |  SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1
+        |  ORDER BY df DESC, word LIMIT 200) x),
+        |j AS (SELECT w.source,
+        |    CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END AS inv
+        |  FROM w LEFT JOIN v ON w.word = v.word)
+        |SELECT source, COUNT(*) AS n_tokens,
+        |  CAST(SUM(inv) AS BIGINT) AS n_in_vocab,
+        |  CAST((COUNT(*) - SUM(inv)) * 1000000 // COUNT(*) AS BIGINT)
+        |    AS oov_ppm
+        |FROM j GROUP BY 1""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d).select(col("source"), col("doc_id"),
+      explode(TextFns.tokens(col("text"))).as("word"))
+    val vocab = toks.groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("word")).limit(200)
+      .select(col("word"), lit(1L).as("inv"))
+    toks.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("inv"), lit(0L))).as("n_in_vocab"))
+      .select(col("source"), col("n_tokens"), col("n_in_vocab"),
+        expr("(n_tokens - n_in_vocab) * 1000000 div n_tokens").as("oov_ppm"))
+  }
+
   /** Tokenizer fertility per source: BPE-ish tokens per whitespace word
     * (fertility_ppm) and raw characters per BPE-ish token — the
     * compression profile that decides whether a tokenizer suits a corpus
@@ -939,5 +974,5 @@ object TextQueries {
     xQualityBuckets,
     xImportanceWeight, xHistQuantiles, xCollocations, xBpeMerges,
     xBpeTokenize, xHtmlStrip, xQualityClassifier, xNbClassify, xLangEval,
-    xGopherRules, xReadability, xTokFertility)
+    xGopherRules, xReadability, xTokFertility, xVocabCoverage)
 }
