@@ -139,6 +139,45 @@ object EventQueries {
     EventStreams.retentionCohorts(Tables.events(s, d))
   }
 
+  /** Cohort LTV curves: cumulative purchase revenue per (signup-week
+    * cohort, week offset) in exact 1e-4 units — ev_retention's revenue
+    * companion (the product-analytics table behind payback-period
+    * charts). The cumulative window runs over the (cohort, offset)
+    * AGGREGATE — offset-domain-bounded, never the raw events. */
+  val evCohortLtv = Q(
+    "ev_cohort_ltv",
+    """WITH wk AS (SELECT user_id,
+      |    CAST(floor(epoch(ts)/604800) AS BIGINT) AS week,
+      |    CASE WHEN event_type = 'purchase'
+      |      THEN CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+      |      ELSE 0 END AS vq
+      |  FROM events),
+      |c AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY 1),
+      |o AS (SELECT c.cohort_week, wk.week - c.cohort_week AS week_offset,
+      |    CAST(SUM(wk.vq) AS BIGINT) AS rev_q
+      |  FROM wk JOIN c ON wk.user_id = c.user_id
+      |  GROUP BY 1, 2)
+      |SELECT cohort_week, week_offset, rev_q,
+      |  CAST(SUM(rev_q) OVER (PARTITION BY cohort_week ORDER BY week_offset
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_q
+      |FROM o""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val wk = Tables.events(s, d).select(col("user_id"),
+      floor(unix_timestamp(col("ts")) / 604800).cast("long").as("week"),
+      when(col("event_type") === "purchase",
+        (col("value").cast("decimal(18,4)") * 10000).cast("long"))
+        .otherwise(0L).as("vq"))
+    val c = wk.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val o = wk.join(c, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(sum(col("vq")).as("rev_q"))
+    o.withColumn("cum_rev_q",
+      sum(col("rev_q")).over(Window.partitionBy(col("cohort_week"))
+        .orderBy(col("week_offset"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
   /** Gaps-and-islands consecutive-active-day streaks per user. */
   val evStreaks = Q(
     "ev_streaks",
@@ -482,5 +521,6 @@ object EventQueries {
     evIntervalJoin, evAsofJoin, evRolling, evRetention, evStreaks,
     evAsofForward, evTransitions, evScd2, evAnomaly, evRfm, evOhlc, evGapStats,
     evDistinctRunning, evAsofNearest, evDecayScore, evMarkovStationary,
-    evIdentityStitch, evTrigrams, evAbMetrics, evVariantExtract)
+    evIdentityStitch, evTrigrams, evAbMetrics, evVariantExtract,
+    evCohortLtv)
 }

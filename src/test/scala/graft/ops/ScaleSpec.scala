@@ -150,4 +150,26 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_supplier")
     }
   }
+
+  test("dynamic partition pruning: a filtered dim join prunes the " +
+    "partitioned fact scan at runtime") {
+    // the 100 TB shape: fact partitioned on the join key, dim filtered —
+    // Catalyst injects a DynamicPruning subquery so only the dim's
+    // surviving keys' partitions are ever read
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val fact = spark.range(0, 10000)
+      .select((col("id") % 25).as("nk"), col("id").as("v"))
+    graft.sources.Sinks.writePartitioned(fact, dir, Seq("nk"))
+    val factP = spark.read.parquet(dir)
+    val dim = Tables.nation(spark, sf).filter(col("n_regionkey") === 0)
+    val q = factP.join(dim, factP("nk") === dim("n_nationkey"))
+      .agg(sum(col("v")).as("s"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "no DynamicPruning subquery in the plan:\n" + plan.take(800))
+    // and the result is the plain-join answer
+    val expected = fact.join(dim, fact("nk") === dim("n_nationkey"))
+      .agg(sum(col("v"))).head().getLong(0)
+    assert(q.head().getLong(0) === expected)
+  }
 }
