@@ -178,6 +178,31 @@ object EventQueries {
         .rowsBetween(Window.unboundedPreceding, 0)))
   }
 
+  /** Hour-of-day × day-of-week activity heat map with exact ppm shares —
+    * the seasonality profile that sizes capacity and detects bot traffic
+    * (flat profiles). Calendar cells derive from epoch arithmetic
+    * ((d+4) mod 7: 1970-01-01 was a Thursday), portable across engines;
+    * one fact aggregation + a one-row total broadcast. */
+  val evSeasonality = Q(
+    "ev_seasonality",
+    """WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+      |c AS (SELECT (es // 86400 + 4) % 7 AS dow,
+      |    (es % 86400) // 3600 AS hour, COUNT(*) AS n
+      |  FROM e GROUP BY 1, 2),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+      |SELECT dow, hour, n, n * 1000000 // total AS share_ppm
+      |FROM c, t""".stripMargin) { (s, d) =>
+    val cells = Tables.events(s, d)
+      .select(unix_timestamp(col("ts")).as("es"))
+      .groupBy(expr("(es div 86400 + 4) % 7").as("dow"),
+        expr("(es % 86400) div 3600").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val t = cells.agg(sum(col("n")).as("total"))
+    cells.crossJoin(broadcast(t))
+      .select(col("dow"), col("hour"), col("n"),
+        expr("n * 1000000 div total").as("share_ppm"))
+  }
+
   /** Gaps-and-islands consecutive-active-day streaks per user. */
   val evStreaks = Q(
     "ev_streaks",
@@ -522,5 +547,5 @@ object EventQueries {
     evAsofForward, evTransitions, evScd2, evAnomaly, evRfm, evOhlc, evGapStats,
     evDistinctRunning, evAsofNearest, evDecayScore, evMarkovStationary,
     evIdentityStitch, evTrigrams, evAbMetrics, evVariantExtract,
-    evCohortLtv)
+    evCohortLtv, evSeasonality)
 }

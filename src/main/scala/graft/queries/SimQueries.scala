@@ -346,6 +346,32 @@ object SimQueries {
       "vec_id", "embedding", threshold = 0.4, planes = 6, dim = 64, probes = 1)
   }
 
+  /** Cross-snapshot embedding near-dups
+    * ([[Similarity.crossSnapshotEmbNearDups]]): odd vec_ids play the
+    * incoming batch, even the settled corpus; the batch's probe buckets
+    * join the corpus's home buckets only — new×old candidates, cost
+    * scaling with the batch (the embedding twin of x_dedup_incremental).
+    * Full oracle replica of buckets, probes and cosines. */
+  val xEmbIncremental = Q(
+    "x_emb_incremental",
+    lshCteSql(6, 64) +
+      """, bko AS (SELECT * FROM bk WHERE vec_id % 2 = 0),
+        |qn AS (SELECT * FROM q WHERE vec_id % 2 = 1),
+        |p AS (SELECT qn.vec_id AS new_id, c.vec_id AS old_id,
+        |  list_reduce(list_transform(list_zip(qn.embedding, c.embedding),
+        |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
+        |    / (qn.nrm * c.nrm) AS cos
+        |  FROM qn JOIN bko c ON qn.bucket = c.bucket)
+        |SELECT new_id, old_id, cos FROM p WHERE cos >= 0.4"""
+        .stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.crossSnapshotEmbNearDups(
+      emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", threshold = 0.4, planes = 6, dim = 64,
+      probes = 1)
+  }
+
   /** Multimodal plumbing: synthesized binary payloads through the batched
     * partition-local extractor; byte length + digest are oracle-checked. */
   val xMediaFeatures = Q(
@@ -790,5 +816,5 @@ object SimQueries {
     xSemanticDedup, xNearDupEmb, xDecontaminateSem,
     xMediaFeatures, xMediaDecode, xMediaFrames,
     xAnnRecall, xMediaPhash, xRandProj, xClusterExemplars, xHardNegatives,
-    xKnnGraph, xSemdedupEps, xMediaCurate)
+    xKnnGraph, xSemdedupEps, xMediaCurate, xEmbIncremental)
 }

@@ -433,6 +433,27 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Cross-snapshot embedding near-dups — the embedding twin of
+    * [[graft.dedup.Dedup.crossSnapshotNearDups]]: the incoming batch's
+    * multi-probe buckets join the settled corpus's HOME buckets only, so
+    * candidates pair new×old and cost scales with the batch, never
+    * corpus². The corpus bucket table is computable once and persisted at
+    * scale (8 bytes + vector per row); determinism and the
+    * one-pair-per-candidate property follow from the shared machinery
+    * (each corpus vector sits in one bucket; probe values are distinct).
+    * Output: (new_id, old_id, cos) with cos ≥ threshold. */
+  def crossSnapshotEmbNearDups(corpus: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      planes: Int = 6, dim: Int = 64, probes: Int = 1): DataFrame = {
+    val (queries, _) = lshCandidates(batch, idCol, vecCol, planes, dim, probes)
+    val (_, corpusBk) = lshCandidates(corpus, idCol, vecCol, planes, dim, 0)
+    queries.toDF("new_id", "va", "na", "bucket")
+      .join(corpusBk.toDF("old_id", "vb", "nb", "bucket"), Seq("bucket"))
+      .select(col("new_id"), col("old_id"),
+        (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Hard-negative mining — per vector, the k highest-cosine neighbors
     * whose LABEL differs (the retrieval-training staple: the negatives
     * worth contrasting are the near-misses, not random draws). The

@@ -402,6 +402,7 @@ class PlanAuditSpec extends SparkSpec {
       "x_drift_psi", "x_curriculum", "q_percent_rank", // one-row totals
       "x_quantile_norm", "x_contrastive_pairs",  // one-row totals
       "ev_markov_stationary", "x_semdedup_eps",  // type-domain/one-row dims
+      "ev_seasonality",                          // one-row total
       "x_nb_classify", // one-row vocab/corpus-size + class dim broadcasts
       "x_kmv_setops",  // source-dimension pair frame (groups, not rows)
       "g_ktruss")      // one-row pair-volume total (sparsify threshold)
