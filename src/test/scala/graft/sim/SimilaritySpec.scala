@@ -347,4 +347,21 @@ class SimilaritySpec extends SparkSpec {
     // 1's nearest is its twin 2 (cos 1.0), then the antipode
     assert(m((1L, 1L)) === 2L && m((2L, 1L)) === 1L)
   }
+
+  test("crossSnapshotEmbNearDups: planted batch twin matches its corpus " +
+    "original; batch-internal twins never pair") {
+    // corpus vector 10 and batch vectors 11, 13 identical; batch 13 and
+    // 15 identical to EACH OTHER only → (11,10) and (13,10)... 15 has no
+    // corpus twin → absent. Other vectors orthogonal-ish.
+    def v(seed: Int): Seq[Float] =
+      (0 until 64).map(i => if (i == seed % 64) 1.0f else 0.0f)
+    val corpus = Seq((10L, v(3)), (20L, v(7)), (22L, v(9)))
+      .toDF("vec_id", "embedding")
+    val batch = Seq((11L, v(3)), (13L, v(3)), (15L, v(21)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.crossSnapshotEmbNearDups(corpus, batch,
+      "vec_id", "embedding", threshold = 0.9)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((11L, 10L), (13L, 10L)))
+  }
 }
