@@ -771,9 +771,15 @@ object Dedup {
     * = a deterministic pseudo-random OTHER document drawn by hashed
     * corpus index (the standard random-negative convention; hash-derived
     * so both engines draw the same one). The index table comes from
-    * [[graft.ops.Scale.binnedGlobalRank]] — no corpus-sized global
-    * window — and three candidate indices (h, h+1, h+2 mod N) guarantee
-    * a valid draw even when the hash lands on the anchor or positive.
+    * [[graft.ops.Scale.binnedGlobalRank]] over 2^16-wide id-range bins —
+    * no corpus-sized global window or broadcast — and three candidate
+    * indices (h, h+1, h+2 mod N) guarantee a valid draw even when the
+    * hash lands on the anchor or positive.
+    *
+    * Caller contract: `idCol` must be non-negative integral and roughly
+    * dense (each occupied 2^16-wide id range contributes one offset-table
+    * row; hash-sparse 64-bit ids would degenerate to one bin per doc —
+    * densify first via e.g. the exact-rank pipeline).
     *
     * Scale: the positive side is the proven LSH chain; the negative side
     * adds one one-row-count broadcast, a 3-way index explode and one
@@ -787,8 +793,19 @@ object Dedup {
     val und = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
     val pos = und.groupBy(col("a")).agg(min(col("b")).as("positive"))
+    // Bin = id div 2^16, NOT the identity: an identity bin would make the
+    // binnedGlobalRank offset table one row per document — a corpus-sized
+    // unpartitioned cumulative window AND a corpus-sized broadcast. A
+    // 2^16-wide id range keeps the offset table at ~N/65536 rows (for the
+    // dense ids this kernel contracts — see scaladoc) and caps every
+    // in-bin window partition at 65536 rows. A right-shift is exact
+    // integer arithmetic (no double rounding above 2^53) and
+    // order-consistent for the non-negative ids this kernel requires,
+    // so the exact rank (and the oracle) is unchanged.
     val ranked = graft.ops.Scale.binnedGlobalRank(
-      docs.select(col(idCol)), col(idCol), Seq(col(idCol).asc),
+      docs.select(col(idCol)),
+      shiftright(col(idCol).cast("long"), 16),
+      Seq(col(idCol).asc),
       binAsc = true, "__r")
       .select((col("__r") - 1).as("idx"), col(idCol).as("cand_neg"))
     val nDf = docs.agg(count(lit(1)).as("__n"))

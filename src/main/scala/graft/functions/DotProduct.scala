@@ -26,6 +26,16 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Always nullable: mismatched array lengths yield NULL even when both
+    * inputs are non-null. Without this override BinaryExpression derives
+    * nullability from the children, and with non-nullable inputs
+    * nullSafeCodeGen takes the branch that never declares `ev.isNull` —
+    * the generated `isNull = true;` then references an undeclared variable,
+    * the stage fails to compile, and Spark silently falls back to
+    * interpreted execution (negating the codegen win). It also keeps the
+    * optimizer from mis-folding IsNull/coalesce over this expression. */
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
       case ArrayType(DoubleType, _) => true

@@ -111,7 +111,21 @@ object DataQuality {
     * |lr_micro| ≤ ~3·10⁷, so each term is ≪ 2⁶³.
     *
     * Scale: one hash aggregation over the bin domain + a one-row totals
-    * broadcast — never a shuffle of the raw rows beyond the bin count. */
+    * broadcast — never a shuffle of the raw rows beyond the bin count.
+    *
+    * Residual cross-engine risk (documented, not eliminated): the quotient
+    * (ca*nb)/(cb*na) is exact in double, but `ln` itself is correctly-
+    * rounded on neither JVM `Math.log` nor libm — both guarantee < 1 ulp,
+    * not 0.5. A ratio whose true 1e6*ln lands within ~1 ulp of an integer
+    * (probability ~1e-9 per bin for data-dependent ratios; zero at r = 1
+    * where ln is exact) can floor differently across engines, flipping
+    * lr_micro by 1. Unlike g_adamic_adar's bounded degree domain, these
+    * arguments are data-dependent and cannot be pre-checked; a one-micro
+    * disagreement here indicts the quantization boundary, not the
+    * pipeline — the decision threshold (0.2 PSI = 2e11 pico) sits ten
+    * orders of magnitude above a single flip. Exact adjudication would
+    * need integer bounds on e^(k/1e6), out of proportion to a monitoring
+    * metric. */
   def psiDrift(binned: DataFrame): DataFrame = {
     val c = binned.groupBy(col("bin")).agg(
       (count(when(col("snap") === 0, lit(1))) + 1).as("ca"),

@@ -185,7 +185,12 @@ object TemporalJoins {
       .filter(col("__side") === 1)
     val dB = unix_micros(col(time)) - unix_micros(col(s"__b.$rTime"))
     val dF = unix_micros(col(s"__f.$rTime")) - unix_micros(col(time))
-    val pick = when(col("__f").isNull, col("__b"))
+    // NULL-time left rows keep null payload: in the forward window
+    // (ORDER BY time DESC, NULLS LAST) a null-time left row sorts after
+    // every right row, so last(__r) would hand it the minimum-time right
+    // row — guard before either window result is consulted.
+    val pick = when(col(time).isNull, lit(null))
+      .when(col("__f").isNull, col("__b"))
       .when(col("__b").isNull, col("__f"))
       .when(dB <= dF, col("__b"))
       .otherwise(col("__f"))

@@ -1142,7 +1142,16 @@ object CoreQueries {
     * only form a bit-exact oracle can check). The true count is emitted
     * beside the release here because this is the mechanism demo, not a
     * privacy boundary. Scale: one fact aggregation + per-row noise
-    * expressions over the nation dimension. */
+    * expressions over the nation dimension.
+    *
+    * Residual cross-engine risk: `floor(-ln(u/1e6))` shares psiDrift's
+    * libm-vs-Math.log caveat ([[graft.ops.DataQuality.psiDrift]]) — a
+    * u whose true -ln lands within ~1 ulp of an integer could floor
+    * differently across engines. The u domain here is only 999,998
+    * values, and none of them sits near a boundary (the nearest
+    * -ln(u/1e6) to an integer over the whole domain is ~1e-6 away,
+    * >>1 ulp), so for THIS query the risk is zero by domain audit,
+    * unlike psiDrift's unbounded data-dependent ratios. */
   val xDpRelease = Q(
     "x_dp_release",
     """WITH c AS (SELECT n.n_name AS nation, COUNT(*) AS n

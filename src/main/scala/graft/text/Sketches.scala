@@ -289,7 +289,18 @@ object Sketches {
       .agg(min(col("bin")).as("minbin"),
         min(ceil(col("q") * col("n")).cast("long")).as("target_rank"))
 
+  /** GUARDED contract: `ord` must be an integral bin id. The partitionless
+    * cumulative windows here are whitelisted in PlanAuditSpec because
+    * their input is a BIN aggregate (bounded at any sf); admitting a
+    * continuous DOUBLE ordinal would let a corpus-sized domain through
+    * the whitelist — the exact straggler the audit bans elsewhere. */
   private def cumAndTotal(grouped: DataFrame, ord: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = grouped.schema(ord).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"cumAndTotal: ordinal '$ord' is $dt — the partitionless cumulative " +
+        "window is only scale-safe over a bounded integral bin domain. " +
+        "Route continuous values through histogramBins first.")
     val wCum = Window.orderBy(col(ord))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.orderBy(col(ord))

@@ -262,9 +262,24 @@ object TrainPrep {
     * used everywhere else here — never an interpolated percentile — and
     * reach the corpus as a one-row broadcast, so the clamp itself is a
     * map-side expression over one scan. The cumulative window runs over
-    * the DISTINCT-VALUE domain (bounded), not the corpus. */
+    * the DISTINCT-VALUE domain (bounded), not the corpus.
+    *
+    * GUARDED contract: `valueCol` must be an integral type. The
+    * partitionless cumulative window below is whitelisted in
+    * PlanAuditSpec precisely because its input is the distinct-value
+    * aggregate of a bounded integer domain; a continuous DOUBLE column
+    * would make that domain corpus-sized and the window a one-task
+    * straggler — the failure mode the audit bans elsewhere. Continuous
+    * metrics go through [[Sketches.histogramBins]] first. */
   def winsorize(df: DataFrame, valueCol: String,
       loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(valueCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"winsorize: valueCol '$valueCol' is $dt — the distinct-value " +
+        "cumulative window is only scale-safe over a bounded integer " +
+        "domain. Bin continuous metrics first (Sketches.histogramBins) " +
+        "or cast explicitly after quantizing.")
     val v = col(valueCol).cast("long")
     val wCum = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

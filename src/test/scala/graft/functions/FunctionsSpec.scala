@@ -34,6 +34,36 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("DotProduct codegen compiles with NON-nullable inputs " +
+    "(nullable override regression)") {
+    // Without `override def nullable = true`, non-nullable children make
+    // nullSafeCodeGen take the branch that never declares ev.isNull, so
+    // the emitted `isNull = true;` references an undeclared variable and
+    // the stage silently falls back to interpreted. CODEGEN_ONLY turns
+    // that silent fallback into a hard failure.
+    DotProduct.register(spark)
+    withSQLConf("spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY") {
+      // array(lit...) of literals is non-nullable by construction
+      val df = spark.range(3).select(
+        array(lit(1.0), col("id").cast("double")).as("a"),
+        array(lit(2.0), lit(3.0)).as("b"),
+        array(lit(1.0)).as("short"))
+      assert(!df.schema("a").nullable && !df.schema("b").nullable)
+      val got = df.select(
+        call_function("graft_dot", col("a"), col("b")).as("dot"),
+        call_function("graft_dot", col("a"), col("short")).as("mismatch"))
+        .as[(Option[Double], Option[Double])].collect()
+      assert(got.map(_._1).toSeq ===
+        Seq(Some(2.0), Some(5.0), Some(8.0)))
+      // mismatched lengths → NULL even with non-nullable inputs
+      assert(got.forall(_._2.isEmpty))
+      // and the planner must agree the output is nullable
+      val outSchema = df.select(
+        call_function("graft_dot", col("a"), col("short")).as("m")).schema
+      assert(outSchema("m").nullable)
+    }
+  }
+
   test("OrderedMiddleAgg (typed Aggregator) agrees with the expression form") {
     val udafCol = udaf(OrderedMiddleAgg)
     val df = Seq(("k", 1.0), ("k", 2.0), ("k", 3.0), ("k", 4.0),

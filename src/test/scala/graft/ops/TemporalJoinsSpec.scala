@@ -147,6 +147,20 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got === Map("a" -> "x", "b" -> null))
   }
 
+  test("asOfJoinNearest: NULL-time left rows keep null payload (not the " +
+    "minimum-time right row)") {
+    // the forward window orders time DESC (nulls last), so without the
+    // explicit guard a null-time left row would inherit the min-time right
+    // row via last(__r, ignoreNulls)
+    val left = Seq((Option(1L), Option(ts(5)), "ok"),
+      (Option(1L), None: Option[Timestamp], "nulltime"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, ts(4), "r4"), (1L, ts(9), "r9")).toDF("k", "t", "rv")
+    val got = TemporalJoins.asOfJoinNearest(left, right, "k", "t")
+      .select("lv", "rv").as[(String, String)].collect().toMap
+    assert(got === Map("ok" -> "r4", "nulltime" -> null))
+  }
+
   test("asOfJoinNearest equals the naive min-|Δ| formulation on real events") {
     import org.apache.spark.sql.expressions.Window
     val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")

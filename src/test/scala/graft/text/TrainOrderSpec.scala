@@ -117,4 +117,26 @@ class TrainOrderSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byName("train") > 200 && byName.size === 3)
   }
+
+  test("winsorize refuses a continuous DOUBLE column (bounded-domain guard)") {
+    // the partitionless distinct-value window is whitelisted ONLY for
+    // integral domains — a double column must fail loudly, not straggle
+    val dd = docs.withColumn("score", col("doc_id") / 3.0)
+    val ex = intercept[IllegalArgumentException] {
+      TrainPrep.winsorize(dd, "score")
+    }
+    assert(ex.getMessage.contains("histogramBins"))
+    // integral input still works and clips both tails
+    val ok = TrainPrep.winsorize(docs, "doc_id")
+    assert(ok.filter(col("was_clipped")).count() > 0)
+    assert(ok.agg(max(col("clamped"))).as[Long].head() < 999L)
+  }
+
+  test("Sketches.quantileRanksFromBins refuses a DOUBLE bin ordinal") {
+    val bins = Seq((0.5, 10L), (1.5, 20L)).toDF("bin", "cnt")
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.quantileRanksFromBins(bins, Seq(0.5))
+    }
+    assert(ex.getMessage.contains("histogramBins"))
+  }
 }
