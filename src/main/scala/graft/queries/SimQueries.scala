@@ -762,42 +762,34 @@ object SimQueries {
       "vec_id", "embedding", "label", k = 5)
   }
 
-  /** Mutual-kNN-graph density clustering: edge (a,b) iff each is in the
-    * other's cosine top-5; connected components over that graph are the
-    * density clusters (the kNN-graph clustering a curation pipeline uses
-    * when k-means' sphericity assumption fails); singletons keep their own
-    * id. The kNN stage here is the brute-force baseline (the documented
-    * O(n²) meter — at scale the LSH-bucketed candidate path of
-    * x_near_dup_emb feeds the same mutual filter); mutuality is ONE
-    * left-semi self-join on the reversed edge, CC is GraphX. Oracle:
-    * window top-5 + reversed-pair join + recursive-CTE reachability. */
-  val xKnnGraph = Q(
-    "x_knn_graph",
-    normCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """, p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
-        |  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
-        |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
-        |    / (a.nrm * b.nrm) AS cos
-        |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id),
-        |knn AS (SELECT vec_id AS a, neighbor AS b FROM (
-        |  SELECT vec_id, neighbor,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY cos DESC, neighbor) AS rank
-        |  FROM p) WHERE rank <= 5),
-        |mut AS (SELECT k1.a, k1.b FROM knn k1
-        |  JOIN knn k2 ON k1.a = k2.b AND k1.b = k2.a WHERE k1.a < k1.b),
-        |und AS (SELECT a AS u, b AS v FROM mut UNION SELECT b, a FROM mut),
-        |reach (n, m) AS (
-        |  SELECT u, u FROM und
-        |  UNION
-        |  SELECT r.n, w.v FROM reach r JOIN und w ON r.m = w.u),
-        |clusters AS (SELECT n AS vec_id, MIN(m) AS cl FROM reach GROUP BY n)
-        |SELECT e.vec_id, coalesce(c.cl, e.vec_id) AS cluster_id
-        |FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.vec_id"""
-        .stripMargin) { (s, d) =>
-    val knn = Similarity.bruteForceTopK(
-      Tables.embeddings(s, d), "vec_id", "embedding", k = 5)
-      .select(col("vec_id").as("a"), col("neighbor").as("b"))
+  /** Shared SQL tail of the mutual-kNN clustering oracles: top-5 rank
+    * select over a `p (vec_id, neighbor, cos)` CTE, mutuality via the
+    * reversed-pair join, undirected closure by recursive reachability,
+    * singletons keep their own id. */
+  private val knnMutualCcSql =
+    """,knn AS (SELECT vec_id AS a, neighbor AS b FROM (
+      |  SELECT vec_id, neighbor,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, neighbor) AS rank
+      |  FROM p) WHERE rank <= 5),
+      |mut AS (SELECT k1.a, k1.b FROM knn k1
+      |  JOIN knn k2 ON k1.a = k2.b AND k1.b = k2.a WHERE k1.a < k1.b),
+      |und AS (SELECT a AS u, b AS v FROM mut UNION SELECT b, a FROM mut),
+      |reach (n, m) AS (
+      |  SELECT u, u FROM und
+      |  UNION
+      |  SELECT r.n, w.v FROM reach r JOIN und w ON r.m = w.u),
+      |clusters AS (SELECT n AS vec_id, MIN(m) AS cl FROM reach GROUP BY n)
+      |SELECT e.vec_id, coalesce(c.cl, e.vec_id) AS cluster_id
+      |FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.vec_id"""
+      .stripMargin
+
+  /** Shared Spark tail: mutuality is ONE left-semi self-join on the
+    * reversed edge, CC is GraphX, singletons keep their own id. */
+  private def mutualKnnClusters(
+      s: org.apache.spark.sql.SparkSession,
+      knn: org.apache.spark.sql.DataFrame,
+      ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val mutual = knn
       .join(knn.select(col("b").as("a"), col("a").as("b")),
         Seq("a", "b"), "left_semi")
@@ -805,10 +797,57 @@ object SimQueries {
     val cc = graft.graph.GraphOps
       .connectedComponents(s, mutual.toDF("src", "dst"))
       .select(col("node").as("vec_id"), col("component").as("cl"))
-    Tables.embeddings(s, d).select(col("vec_id"))
-      .join(cc, Seq("vec_id"), "left")
+    ids.join(cc, Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("cl"), col("vec_id")).as("cluster_id"))
+  }
+
+  /** Mutual-kNN-graph density clustering: edge (a,b) iff each is in the
+    * other's cosine top-5; connected components over that graph are the
+    * density clusters (the kNN-graph clustering a curation pipeline uses
+    * when k-means' sphericity assumption fails); singletons keep their own
+    * id. The kNN stage here is the brute-force baseline — the documented
+    * O(n²) RECALL METER, kept (like x_ann_topk beside its bucketed
+    * siblings) only so [[xKnnGraphLsh]], the scale path, has an exact
+    * form to be graded against (SimilaritySpec asserts the recall).
+    * Oracle: window top-5 + reversed-pair join + recursive-CTE
+    * reachability. */
+  val xKnnGraph = Q(
+    "x_knn_graph",
+    normCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+        |  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
+        |    / (a.nrm * b.nrm) AS cos
+        |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id)"""
+        .stripMargin + knnMutualCcSql) { (s, d) =>
+    val knn = Similarity.bruteForceTopK(
+      Tables.embeddings(s, d), "vec_id", "embedding", k = 5)
+      .select(col("vec_id").as("a"), col("neighbor").as("b"))
+    mutualKnnClusters(s, knn, Tables.embeddings(s, d).select(col("vec_id")))
+  }
+
+  /** The SCALE form of the mutual-kNN clustering: the kNN stage runs on
+    * multi-probe LSH candidates ([[Similarity.lshTopK]] — bucket the
+    * corpus once, explode the query side's Hamming-1 probe set, exact
+    * cosine only within shared buckets, per-vector top-5), so the pair
+    * stream is bucket-local, never the O(n²) all-pairs join of
+    * [[xKnnGraph]]. Mutual filter + CC identical. At 100 TB this is the
+    * registered plan; the brute-force twin exists purely as its recall
+    * meter. Oracle: full bucket/probe replica (lshCteSql) + the shared
+    * mutual-CC tail. */
+  val xKnnGraphLsh = Q(
+    "x_knn_graph_lsh",
+    lshCteSql(6, 64).replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", p AS (SELECT q.vec_id AS vec_id, c.vec_id AS neighbor,
+         |  $dotPairSql AS cos
+         |  FROM q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)"""
+        .stripMargin + knnMutualCcSql) { (s, d) =>
+    val knn = Similarity.lshTopK(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      k = 5, planes = 6, dim = 64, probes = 1)
+      .select(col("vec_id").as("a"), col("neighbor").as("b"))
+    mutualKnnClusters(s, knn, Tables.embeddings(s, d).select(col("vec_id")))
   }
 
   val all: Seq[Q] = Seq(xAnnTopK, xAnnFiltered, xAnnIvf, xAnnLsh, xAnnPq,
@@ -816,5 +855,5 @@ object SimQueries {
     xSemanticDedup, xNearDupEmb, xDecontaminateSem,
     xMediaFeatures, xMediaDecode, xMediaFrames,
     xAnnRecall, xMediaPhash, xRandProj, xClusterExemplars, xHardNegatives,
-    xKnnGraph, xSemdedupEps, xMediaCurate, xEmbIncremental)
+    xKnnGraph, xKnnGraphLsh, xSemdedupEps, xMediaCurate, xEmbIncremental)
 }

@@ -131,6 +131,55 @@ class SimilaritySpec extends SparkSpec {
     assert(r1 > r0 + 0.05, s"multi-probe gained too little: $r0 -> $r1")
   }
 
+  test("mutual-kNN edge recall: LSH-candidate kNN (x_knn_graph_lsh's " +
+    "stage) recovers most brute-force mutual edges at query settings") {
+    // the scale form's kNN stage vs the brute-force recall meter, at the
+    // registered query's settings (6 planes / 64 dim / Hamming-1 probes)
+    val emb = Tables.embeddings(spark, sf)
+    def mutualEdges(knn: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val k = knn.select(knn("vec_id").as("a"), knn("neighbor").as("b"))
+      k.join(k.select(k("b").as("a"), k("a").as("b")),
+          Seq("a", "b"), "left_semi")
+        .filter(org.apache.spark.sql.functions.col("a") <
+          org.apache.spark.sql.functions.col("b"))
+        .as[(Long, Long)].collect().toSet
+    }
+    val bruteMut = mutualEdges(
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", 5))
+    val lshMut = mutualEdges(Similarity.lshTopK(emb, "vec_id", "embedding",
+      5, planes = 6, dim = 64, probes = 1))
+    assert(bruteMut.nonEmpty)
+    // the synthetic corpus is ISOTROPIC noise (max pair cosine ≈ 0.51, no
+    // planted neighbors) — the documented LSH worst case, where "top-5"
+    // itself is noise-level; assert only a sanity floor here
+    val noiseRecall = lshMut.count(bruteMut.contains).toDouble / bruteMut.size
+    assert(noiseRecall >= 0.1,
+      s"mutual-edge recall $noiseRecall below the isotropic-noise floor " +
+        s"(${lshMut.size} lsh vs ${bruteMut.size} brute)")
+
+    // on data WITH neighbor structure (the case mutual-kNN clustering
+    // exists for: planted clusters, in-cluster cosine ≈ 1, cross ≈ 0),
+    // the cluster's shared sign pattern puts it in one bucket and the
+    // bucketed kNN recovers the meter's edges near-exactly
+    val planted = (0 until 500).map { i =>
+      val c = i % 10
+      val m = i / 10
+      val v = Array.fill(64)(0.0f)
+      v(c * 6) = 1.0f
+      v(c * 6 + 1) = 0.01f * (m % 5)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val pBrute = mutualEdges(
+      Similarity.bruteForceTopK(planted, "vec_id", "embedding", 5))
+    val pLsh = mutualEdges(Similarity.lshTopK(planted, "vec_id", "embedding",
+      5, planes = 6, dim = 64, probes = 1))
+    val pRecall = pLsh.count(pBrute.contains).toDouble / pBrute.size
+    assert(pBrute.nonEmpty)
+    assert(pRecall >= 0.95,
+      s"planted-cluster mutual-edge recall $pRecall below 0.95 " +
+        s"(${pLsh.size} lsh vs ${pBrute.size} brute)")
+  }
+
   test("sq8TopK: grid-aligned vectors rank exactly; identical vectors at " +
     "distance zero; off-grid values clamp into [0,255]") {
     // components on the 0..255 grid scaled into [0,1]: quantization is
