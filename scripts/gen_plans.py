@@ -31,6 +31,24 @@ vocab-bounded fold). A partitionless window directly over scans or joins
 fails the suite: that input grows with the data and serializes through
 one task (the round-3 `ev_rfm` defect).
 
+Small-domain-partition window policy (round 5, also structural in
+PlanAuditSpec): a window whose partition columns are ALL from a declared
+bounded domain (lang/source/stratum/split/event_type/media_type/label/
+predicted/snap/side) must likewise sit above an aggregation — the
+distinct-VALUE rank-select idiom (`x_len_quantiles`, `x_quantile_norm`)
+or `Scale.binnedGroupRank`/`binnedGroupRunningSum` (`x_interleave`,
+`x_budget_select`) — or have a WindowGroupLimit pushdown bounding its
+input (per-group top-k). A raw-row rank window partitioned only by such
+a column carries ~corpus/|domain| rows per task: the low-cardinality
+variant of the same straggler.
+
+Bounded-domain whitelist guard: the partitionless prefix-sum entry
+points (`TrainPrep.winsorize`, `Sketches.cumAndTotal` behind
+`quantileRanksFromBins`) REQUIRE integral input and raise otherwise —
+a continuous DOUBLE column would make the "bounded distinct-value
+domain" corpus-sized and re-admit the straggler through the whitelist.
+Continuous metrics must route through `Sketches.histogramBins` first.
+
 | query | scans | pushed | BHJ | SMJ | BNLJ | exchange | window | rank-pushdown |
 |---|---|---|---|---|---|---|---|---|""")
 for name, plan in sorted(pairs):

@@ -148,6 +148,74 @@ object Scale {
       .drop("__bin", "__off")
   }
 
+  /** PER-GROUP variant of [[binnedGlobalRank]]: exact 1-based rank WITHIN
+    * each group under a total order, with no raw-row window partitioned
+    * by a low-cardinality group key — the scale-safe replacement for
+    * `row_number() OVER (PARTITION BY lang/source ORDER BY …)`, whose
+    * window tasks otherwise carry ~corpus/|groups| rows each.
+    *
+    * Bin-count offsets are computed per (group, bin) — the cumulative
+    * window partitions on the GROUP over the bin aggregate, so its input
+    * is the (group × bin) domain, bounded at any sf — and joined back on
+    * (group, bin); the in-bin `row_number` partitions on (group, bin).
+    * Both the join and the window shuffle on the same (group, bin) key,
+    * so the exchange is reused. Same caller contract as
+    * [[binnedGlobalRank]]: bins must order consistently with the row
+    * order inside each group, `ordInBin` must be a total order, and the
+    * honest worst case is the largest single (group, bin) cell. */
+  def binnedGroupRank(
+      df: DataFrame, group: Seq[Column], bin: Column,
+      ordInBin: Seq[Column], binAsc: Boolean, rankCol: String): DataFrame = {
+    val gNames = group.indices.map(i => s"__g$i")
+    val binned = df
+      .withColumns(gNames.zip(group).toMap)
+      .withColumn("__bin", bin)
+    val gCols = gNames.map(col)
+    val cumW = Window.partitionBy(gCols: _*)
+      .orderBy(if (binAsc) col("__bin").asc else col("__bin").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = binned.groupBy(gCols :+ col("__bin"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(cumW), lit(0L)))
+      .select(gCols :+ col("__bin") :+ col("__off"): _*)
+    binned.join(offs, gNames :+ "__bin")
+      .withColumn(rankCol,
+        col("__off") + row_number().over(
+          Window.partitionBy(gCols :+ col("__bin"): _*).orderBy(ordInBin: _*)))
+      .drop(gNames :+ "__bin" :+ "__off": _*)
+  }
+
+  /** PER-GROUP binned running sum: for every row, the exact cumulative
+    * `value` over all rows of its group at-or-before it under
+    * (bin order, ordInBin) — the scale-safe form of
+    * `SUM(v) OVER (PARTITION BY lang ORDER BY … ROWS UNBOUNDED
+    * PRECEDING)` for greedy budget selection. Same two-level shape as
+    * [[binnedGroupRank]] with SUM(value) offsets instead of counts. */
+  def binnedGroupRunningSum(
+      df: DataFrame, group: Seq[Column], bin: Column,
+      ordInBin: Seq[Column], value: Column, binAsc: Boolean,
+      outCol: String): DataFrame = {
+    val gNames = group.indices.map(i => s"__g$i")
+    val binned = df
+      .withColumns(gNames.zip(group).toMap)
+      .withColumn("__bin", bin)
+      .withColumn("__val", value.cast("long"))
+    val gCols = gNames.map(col)
+    val cumW = Window.partitionBy(gCols: _*)
+      .orderBy(if (binAsc) col("__bin").asc else col("__bin").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = binned.groupBy(gCols :+ col("__bin"): _*)
+      .agg(sum(col("__val")).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(cumW), lit(0L)))
+      .select(gCols :+ col("__bin") :+ col("__off"): _*)
+    val inBinW = Window.partitionBy(gCols :+ col("__bin"): _*)
+      .orderBy(ordInBin: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned.join(offs, gNames :+ "__bin")
+      .withColumn(outCol, col("__off") + sum(col("__val")).over(inBinW))
+      .drop(gNames :+ "__bin" :+ "__val" :+ "__off": _*)
+  }
+
   /** Map-side `ntile(k)` from an exact global rank and total count —
     * standard SQL ntile bucket sizing (first `n mod k` buckets take one
     * extra row), pure integer arithmetic, no window. Pair with

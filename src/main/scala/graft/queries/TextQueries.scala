@@ -69,8 +69,18 @@ object TextQueries {
   /** Exact per-language token-count quantiles — corpus-analysis stats with
     * a DETERMINISTIC quantile definition (value at rank ceil(q·n) ordered
     * by (value, doc_id)), not approx_percentile: bit-replicable by any
-    * engine, and at scale one ranking window per group vs a global sketch
-    * merge. */
+    * engine.
+    *
+    * Scale shape (the x_mad distinct-VALUE idiom): token counts are a
+    * bounded integer domain, so the plan aggregates to (lang, n_tokens)
+    * counts FIRST and runs the cumulative windows over that aggregate —
+    * never a rank window over raw documents partitioned by the handful of
+    * language values, which would put ~corpus/|langs| rows in each window
+    * task (the low-cardinality-partition straggler ev_rfm was cured of).
+    * The value at rank ceil(q·n) equals the smallest value whose
+    * cumulative count reaches the rank (ties share a value, so the
+    * doc_id tie-break never changes the VALUE at a rank) — the oracle's
+    * per-document ranking definition is unchanged. */
   val xLenQuantiles = Q(
     "x_len_quantiles",
     wsCte +
@@ -82,18 +92,26 @@ object TextQueries {
         |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_tokens END) AS p90,
         |  max(n_tokens) AS max_tokens
         |FROM r GROUP BY lang""".stripMargin) { (s, d) =>
-    val wLang = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
-    val r = Tables.documents(s, d)
-      .select(col("lang"), col("doc_id"),
+    import org.apache.spark.sql.expressions.Window
+    val vals = Tables.documents(s, d)
+      .select(col("lang"),
         TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
-      .withColumn("rn", row_number().over(
-        wLang.orderBy(col("n_tokens"), col("doc_id"))).cast("long"))
-      .withColumn("n", count(lit(1)).over(wLang))
-    r.groupBy(col("lang")).agg(
-      max(col("n")).as("n_docs"),
-      max(when(col("rn") === ceil(lit(0.5) * col("n")), col("n_tokens"))).as("p50"),
-      max(when(col("rn") === ceil(lit(0.9) * col("n")), col("n_tokens"))).as("p90"),
-      max(col("n_tokens")).as("max_tokens"))
+      .groupBy(col("lang"), col("n_tokens"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("n_tokens"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    vals
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .groupBy(col("lang")).agg(
+        max(col("n")).as("n_docs"),
+        min(when(col("cum") >= ceil(lit(0.5) * col("n")), col("n_tokens")))
+          .as("p50"),
+        min(when(col("cum") >= ceil(lit(0.9) * col("n")), col("n_tokens")))
+          .as("p90"),
+        max(col("n_tokens")).as("max_tokens"))
   }
 
   /** Intra-document repetition quality filter (Gopher-style rules):

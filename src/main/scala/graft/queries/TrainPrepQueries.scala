@@ -481,7 +481,9 @@ object TrainPrepQueries {
     * 1 + (r_s−1)(N−1) div (n_s−1) → the global value at that rank. All
     * integer; the global rank table comes from
     * [[graft.ops.Scale.binnedGlobalRank]] (no corpus-sized window); the
-    * per-source windows are source-bounded like x_len_quantiles. */
+    * per-source rank from [[graft.ops.Scale.binnedGroupRank]] over
+    * (source, n_chars) bins, so no raw-row window partitions on the
+    * handful of source values. */
   val xQuantileNorm = Q(
     "x_quantile_norm",
     """WITH r AS (SELECT doc_id, source, n_chars,
@@ -500,14 +502,16 @@ object TrainPrepQueries {
       |SELECT q.doc_id, q.source, q.n_chars, q.q_ppm, g.norm_value
       |FROM q JOIN g USING (rg)""".stripMargin) { (s, d) =>
     import graft.ops.Scale
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("n_chars"))
-    val wSrc = Window.partitionBy(col("source"))
-    val r = docs
-      .withColumn("rs", row_number().over(
-        wSrc.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
-      .withColumn("ns", count(lit(1)).over(wSrc))
+    // per-source rank via the (source, n_chars) bin — lengths are a
+    // bounded integer domain, so no raw-row window ever partitions on
+    // the handful of source values; ns is a broadcast source dimension
+    val ns = docs.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val r = Scale.binnedGroupRank(docs, Seq(col("source")), col("n_chars"),
+        Seq(col("doc_id").asc), binAsc = true, "rs")
+      .withColumn("rs", col("rs").cast("long"))
+      .join(broadcast(ns), Seq("source"))
     val g = Scale.binnedGlobalRank(docs, col("n_chars"),
       Seq(col("n_chars").asc, col("doc_id").asc), binAsc = true, "rg")
       .select(col("n_chars").as("norm_value"), col("rg").cast("long").as("rg"))

@@ -231,21 +231,25 @@ object TrainPrep {
   /** Greedy token-budget corpus selection: order a stratum's documents by
     * a quality key (descending) and keep the prefix whose running token
     * total stays within the budget — the "fill the training mix with the
-    * best docs first" step. The running total is per-stratum (the window
-    * never sees an unbounded global group, same contract as
-    * [[sequentialPack]]); quality and tokens are integers so the cutoff is
-    * engine-exact. */
+    * best docs first" step. Quality and tokens are integers so the cutoff
+    * is engine-exact.
+    *
+    * Scale shape: the running total routes through
+    * [[graft.ops.Scale.binnedGroupRunningSum]] with the quality value as
+    * the bin — strata are typically a handful of languages/sources, so a
+    * raw-row window partitioned by the stratum would carry
+    * ~corpus/|strata| rows per task (the x_len_quantiles straggler
+    * class). With quality binning the only per-row window partitions on
+    * (stratum, quality), and the cross-bin offsets live on the bounded
+    * (stratum × quality) aggregate. Caller contract: `qualityCol` is a
+    * bounded integral score (e.g. milli-units in 0..1000). */
   def budgetSelect(
       docs: DataFrame, strataCol: String, qualityCol: String,
-      orderCol: String, tokenCol: String, budget: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(strataCol))
-      .orderBy(col(qualityCol).desc, col(orderCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    docs
-      .withColumn("running", sum(col(tokenCol)).over(w))
+      orderCol: String, tokenCol: String, budget: Long): DataFrame =
+    graft.ops.Scale.binnedGroupRunningSum(
+        docs, Seq(col(strataCol)), col(qualityCol),
+        Seq(col(orderCol)), col(tokenCol), binAsc = false, "running")
       .filter(col("running") <= budget)
-  }
 
   /** Scrub emails and phone-shaped numbers, counting hits per document. */
   def scrubPii(text: Column): (Column, Column, Column) = {
@@ -346,13 +350,17 @@ object TrainPrep {
   def interleaveOrder(
       docs: DataFrame, idCol: String, sourceCol: String, weight: Column,
       bins: Int = 4096): DataFrame = {
-    val wSrc = Window.partitionBy(col(sourceCol))
-      .orderBy(col("__h").asc, col(idCol).asc)
-    val vt = docs
-      .withColumn("__h",
-        TextFns.portableHash(col(idCol).cast("string"), lit("ilv")))
+    // per-source rank: NOT a raw-row window partitioned by source (a
+    // handful of sources → corpus/|sources| rows per window task) —
+    // binnedGroupRank over 2^16 uniform cells of the 56-bit hash keeps
+    // every (source, cell) partition ~|source|/65536 rows
+    val vt = graft.ops.Scale.binnedGroupRank(
+        docs.withColumn("__h",
+          TextFns.portableHash(col(idCol).cast("string"), lit("ilv"))),
+        Seq(col(sourceCol)), shiftright(col("__h"), 40),
+        Seq(col("__h").asc, col(idCol).asc), binAsc = true, "rn")
+      .withColumn("rn", col("rn").cast("long"))
       .withColumn("w", weight.cast("long"))
-      .withColumn("rn", row_number().over(wSrc).cast("long"))
       .withColumn("vt", expr("(rn * 1000000) div w"))
       .drop("__h")
     val cellWidth = vt.agg(max(col("vt")).as("mx"))

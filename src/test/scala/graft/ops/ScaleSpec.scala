@@ -106,6 +106,37 @@ class ScaleSpec extends SparkSpec {
     assert(tiny === Seq(1L, 2L, 3L))
   }
 
+  test("binnedGroupRank / binnedGroupRunningSum equal the per-group " +
+    "window forms (ties, descending bins, multi-group)") {
+    import org.apache.spark.sql.expressions.Window
+    // 3 groups, tied integer quality (0..6), value = tokens
+    val df = spark.range(900)
+      .select($"id".as("k"), ($"id" % 3).cast("string").as("g"),
+        ($"id" % 7).as("q"), ($"id" % 13 + 1).as("tok"))
+    val rk = Scale.binnedGroupRank(df, Seq($"g"), $"q",
+      Seq($"q".asc, $"k".asc), binAsc = true, "r")
+      .select($"k", $"r".cast("long"))
+    val rkRef = df.select($"k",
+      row_number().over(Window.partitionBy($"g")
+        .orderBy($"q".asc, $"k".asc)).cast("long").as("r"))
+    assert(rk.as[(Long, Long)].collect().toSet ===
+      rkRef.as[(Long, Long)].collect().toSet)
+    // running sum, DESC bins (the budgetSelect shape: quality desc)
+    val rs = Scale.binnedGroupRunningSum(df, Seq($"g"), $"q",
+      Seq($"k".asc), $"tok", binAsc = false, "running")
+      .select($"k", $"running")
+    val rsRef = df.select($"k",
+      sum($"tok").over(Window.partitionBy($"g")
+        .orderBy($"q".desc, $"k".asc)
+        .rowsBetween(Window.unboundedPreceding, 0)).as("running"))
+    assert(rs.as[(Long, Long)].collect().toSet ===
+      rsRef.as[(Long, Long)].collect().toSet)
+    // no raw-row window may partition on the group column alone
+    val plans = Seq(rk, rs).map(_.queryExecution.executedPlan.toString)
+    plans.foreach(p => assert(!p.contains("windowspecdefinition(g#"),
+      "group-only window partition leaked into the plan"))
+  }
+
   test("bloomPrunedJoin equals the plain equi-join and prunes map-side " +
     "via broadcast semi probes") {
     val fact = (1L to 500L).map(i => (i % 50, i)).toDF("fk", "payload")

@@ -373,6 +373,59 @@ class PlanAuditSpec extends SparkSpec {
         "a bounded-domain aggregate first): " + offenders.mkString("; "))
   }
 
+  // ---- low-cardinality-partition window guard --------------------------
+  // The x_len_quantiles class: a rank/row_number window over RAW rows
+  // partitioned by a declared small-domain column (lang/source/stratum/
+  // event_type) carries ~corpus/|domain| rows per window task — the
+  // low-cardinality variant of the partitionless straggler above, which
+  // the empty-partitionSpec rule cannot see because the window IS
+  // partitioned. Structural rule: such a window must either sit above an
+  // aggregation (the distinct-VALUE rank-select idiom) or have a
+  // WindowGroupLimit pushdown bounding its per-partition input (top-k
+  // per group).
+  test("windows partitioned ONLY by small-domain columns run above an " +
+    "aggregation or under a WindowGroupLimit pushdown") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // columns whose value domain stays bounded as the corpus grows
+    val smallDomains = Set("lang", "source", "stratum", "split",
+      "event_type", "media_type", "label", "predicted", "snap", "side")
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.inputPlan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    def hasAgg(p: SparkPlan): Boolean = flatten(p).exists {
+      case _: BaseAggregateExec => true
+      case _: SortAggregateExec => true
+      case _ => false
+    }
+    def hasGroupLimit(p: SparkPlan): Boolean =
+      flatten(p).exists(_.isInstanceOf[WindowGroupLimitExec])
+    var seen = 0
+    val offenders = graft.SparkEntry.registry.flatMap { q =>
+      val plan = q.fn(spark, sf).queryExecution.executedPlan
+      flatten(plan).collect {
+        case w: WindowExec if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.flatMap(_.references.toSeq).map(_.name)
+              .forall(n => smallDomains(n.takeWhile(_ != '#'))) =>
+          seen += 1
+          if (hasAgg(w.child) || hasGroupLimit(w.child)) None
+          else Some(s"${q.name}: Window(partition=" +
+            w.partitionSpec.map(_.sql).mkString(",") + ")")
+      }.flatten
+    }
+    // detector sanity: the legitimate small-domain windows (per-lang
+    // distinct-value prefix sums, per-source top-k pushdowns) must be
+    // visible to the walk
+    assert(seen > 0, "small-domain window detector saw nothing — broken?")
+    assert(offenders.isEmpty,
+      "rank window over raw rows with a small-domain partition key " +
+        "(aggregate to the distinct-value domain first, or bound with a " +
+        "rank filter the optimizer can push): " + offenders.mkString("; "))
+  }
+
   // ---- theta-join regression guard -------------------------------------
   // A CartesianProduct is never acceptable; a BroadcastNestedLoopJoin is
   // acceptable ONLY against a documented broadcast dimension (one-row
