@@ -125,6 +125,95 @@ object DiseaseEdgesPipeline {
       selected = Set("name", "synonyms", "umls", "doid", "mesh"))
   }
 
+  /** MONDO hierarchical edges (disease.py:1410-1446
+    * `get_mondo_hiererchical_edges`): one child→parent
+    * `disease_is_a_disease` edge per entry of the OBO parents map — only
+    * sources with a non-empty parent list survive the dict build
+    * (disease.py:235's `if v` filter) — MONDO CURIEs on both ends, no
+    * props. Analog: the same customer id domain as [[diseaseNodes]] with
+    * a deterministic multi-parent DAG (parents of ck = distinct positive
+    * {ck div 7, ck div 11}). Scale: a narrow projection + explode —
+    * zero shuffles. */
+  def hierarchyEdges(s: SparkSession, d: String): DataFrame = {
+    import graft.core.ColFns
+    Tables.customer(s, d)
+      .filter(col("c_custkey") >= 7)
+      .select(col("c_custkey").as("child"),
+        explode(array_distinct(array(
+          floor(col("c_custkey") / 7).cast("long"),
+          floor(col("c_custkey") / 11).cast("long")))).as("parent"))
+      .filter(col("parent") >= 1)
+      .select(ColFns.curie("mondo", col("child")).as("src"),
+        ColFns.curie("mondo", col("parent")).as("dst"),
+        lit("disease_is_a_disease").as("label"))
+  }
+
+  /** MalaCards comorbidity edges (disease.py:1127-1163
+    * `process_malacards_disease_comorbidity` + 1584-1611
+    * `get_disease_comorbidity_edges`): the disease's McId maps to MONDO
+    * through the malacards dict; the comorbidity partner resolves
+    * slug → McId → MONDO through two chained dicts; a row survives only
+    * if EVERY dict lookup hits (the nested `.get` admissions,
+    * :1136-1139); self-pairs are removed (:1145) and the frozenset
+    * (undirected) dedup keeps the FIRST encounter (:1147) — encounter
+    * order is input row order, pinned here with the lineitem PK.
+    * Label `disease_is_comorbid_with_disease`, no props.
+    *
+    * Scale: three broadcast dict joins ([[Kernels.fallbackMap]], which
+    * also carries the dict-uniqueness guard) + one undirected dedup
+    * shuffle on the canonical pair. */
+  def comorbidityEdges(s: SparkSession, d: String): DataFrame = {
+    import graft.core.ColFns
+    val mcToMondo = Tables.part(s, d)
+      .filter(col("p_partkey") % 3 =!= 0)
+      .select(col("p_partkey").as("from_id"),
+        (col("p_partkey") * 3).as("to_id"))
+    val slugToMc = Tables.supplier(s, d)
+      .filter(col("s_suppkey") % 5 =!= 0)
+      .select(col("s_suppkey").as("from_id"),
+        (col("s_suppkey") + 7).as("to_id"))
+    val base = Tables.lineitem(s, d).select(
+      col("l_partkey").as("mc1"), col("l_suppkey").as("slug"),
+      col("l_orderkey"), col("l_linenumber"))
+    val step1 = Kernels.fallbackMap(base, col("mc1"), Seq(mcToMondo))
+      .withColumnRenamed("resolved", "d1").filter(col("d1").isNotNull)
+    val step2 = Kernels.fallbackMap(step1, col("slug"), Seq(slugToMc))
+      .withColumnRenamed("resolved", "mc2").filter(col("mc2").isNotNull)
+    val step3 = Kernels.fallbackMap(step2, col("mc2"), Seq(mcToMondo))
+      .withColumnRenamed("resolved", "d2").filter(col("d2").isNotNull)
+      .filter(col("d1") =!= col("d2"))
+    Kernels.undirectedDedup(step3, "d1", "d2",
+        Seq(col("l_orderkey"), col("l_linenumber")))
+      .select(ColFns.curie("mondo", col("d1")).as("src"),
+        ColFns.curie("mondo", col("d2")).as("dst"),
+        lit("disease_is_comorbid_with_disease").as("label"))
+  }
+
+  /** Organism→disease edges (disease.py:1448-1487
+    * `get_organism_disease_edges`): PathoPhenoDB interactions filtered to
+    * `manual assertion` evidence AND a resolving DOID→MONDO mapping
+    * (the `and ... get` admission, :1461); emit
+    * (ncbitaxon:taxid, mondo:mapped, `organism_causes_disease`) one row
+    * PER INTERACTION — the reference never dedups, so duplicates pass
+    * through. Analog: lineitem plays the interaction list (returnflag A =
+    * manual assertion), the DOID dict covers part ids ∉ 4ℤ. Scale: one
+    * broadcast dict join over a filtered scan — zero wide shuffles. */
+  def organismDiseaseEdges(s: SparkSession, d: String): DataFrame = {
+    import graft.core.ColFns
+    val doidToMondo = Tables.part(s, d)
+      .filter(col("p_partkey") % 4 =!= 0)
+      .select(col("p_partkey").as("from_id"),
+        (col("p_partkey") + 50000).as("to_id"))
+    val inter = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "A")
+      .select(col("l_suppkey").as("taxid"), col("l_partkey").as("doid"))
+    Kernels.fallbackMap(inter, col("doid"), Seq(doidToMondo))
+      .filter(col("resolved").isNotNull)
+      .select(ColFns.curie("ncbitaxon", col("taxid")).as("src"),
+        ColFns.curie("mondo", col("resolved")).as("dst"),
+        lit("organism_causes_disease").as("label"))
+  }
+
   /** The DDA merge (disease.py:1331) + post-merge self-pair filter
     * (disease.py:1336). */
   def ddaMerged(s: SparkSession, d: String): DataFrame = {

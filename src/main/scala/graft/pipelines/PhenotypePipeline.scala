@@ -75,4 +75,33 @@ object PhenotypePipeline {
     proteinPhenotype(s, d)
       .unionByName(hierarchy(s, d))
       .unionByName(phenotypeDisease(s, d))
+
+  /** Phenotype node builder (phenotype.py:194-236 `get_nodes`): one
+    * `phenotype` node per HPO term — hp CURIE id, name with the
+    * `|`→`,` / `'`→`^` escapes (:208), and the synonyms quirk (:210-215):
+    * a term with exactly ONE synonym gets the scalar string, more get the
+    * list, a dict miss gets no prop at all. Under the pipe CSV boundary
+    * codec the scalar and the 1-element list coincide (pipe-join of one
+    * element is the element), so the quirk is represented as a 1-element
+    * vs n-element array; the reference's synonym SET is emitted sorted
+    * (the set iteration order is not observable in its CSV either).
+    * Conformed to the configured field subset (P10).
+    *
+    * Analog: customer plays hpo_terms (name = c_name); ids ≡ 0 mod 3
+    * carry one synonym, ≡ 1 two, ≡ 2 none. Scale: narrow projection,
+    * zero shuffles. */
+  def nodes(s: SparkSession, d: String): DataFrame = {
+    val single = ColFns.escapeProps(lower(col("c_name")))
+    val raw = Tables.customer(s, d)
+      .select(
+        ColFns.curie("hp", col("c_custkey")).as("id"),
+        lit("phenotype").as("label"),
+        ColFns.escapeProps(col("c_name")).as("name"),
+        when(col("c_custkey") % 3 === 0, array(single))
+          .when(col("c_custkey") % 3 === 1, array_sort(array(
+            single, concat(lit("syn "), col("c_custkey")))))
+          .as("synonyms"))
+    graft.core.SchemaRegistry.conformNodes(raw, "phenotype",
+      selected = Set("name", "synonyms"))
+  }
 }

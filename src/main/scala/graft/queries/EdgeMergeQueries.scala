@@ -141,5 +141,55 @@ object EdgeMergeQueries {
     (s, d) => DiseaseEdgesPipeline.ddaMerged(s, d)
   }
 
-  val all: Seq[Q] = Seq(ddiMerged, dgiCtd, diseaseDrugMerged, ddaMerged)
+  /** MONDO child→parent is_a edges (disease.py:1410-1446): the disease
+    * module's most-used edge type — every ontology rollup needs it. */
+  val diseaseHierarchy = Q(
+    "disease_hierarchy",
+    """WITH p AS (SELECT c_custkey AS child,
+      |    unnest(list_distinct([c_custkey // 7, c_custkey // 11])) AS parent
+      |  FROM customer WHERE c_custkey >= 7)
+      |SELECT 'mondo:' || child AS src, 'mondo:' || parent AS dst,
+      |  'disease_is_a_disease' AS label
+      |FROM p WHERE parent >= 1""".stripMargin) {
+    (s, d) => DiseaseEdgesPipeline.hierarchyEdges(s, d)
+  }
+
+  /** MalaCards comorbidity (disease.py:1127-1163,1584-1611): chained dict
+    * admissions, self-pair filter, first-encounter undirected dedup. */
+  val diseaseComorbidity = Q(
+    "disease_comorbidity",
+    """WITH mc AS (SELECT p_partkey AS f, p_partkey * 3 AS mondo
+      |            FROM part WHERE p_partkey % 3 <> 0),
+      |sm AS (SELECT s_suppkey AS f, s_suppkey + 7 AS mc2
+      |       FROM supplier WHERE s_suppkey % 5 <> 0),
+      |r AS (SELECT m1.mondo AS d1, m2.mondo AS d2, l_orderkey, l_linenumber
+      |  FROM lineitem
+      |  JOIN mc m1 ON l_partkey = m1.f
+      |  JOIN sm ON l_suppkey = sm.f
+      |  JOIN mc m2 ON sm.mc2 = m2.f
+      |  WHERE m1.mondo <> m2.mondo)
+      |SELECT 'mondo:' || d1 AS src, 'mondo:' || d2 AS dst,
+      |  'disease_is_comorbid_with_disease' AS label
+      |FROM r
+      |QUALIFY row_number() OVER (PARTITION BY least(d1, d2), greatest(d1, d2)
+      |  ORDER BY l_orderkey, l_linenumber) = 1""".stripMargin) {
+    (s, d) => DiseaseEdgesPipeline.comorbidityEdges(s, d)
+  }
+
+  /** PathoPhenoDB organism→disease (disease.py:1448-1487): manual-
+    * assertion evidence + DOID→MONDO dict admission, one row per
+    * interaction (the reference never dedups). */
+  val organismDisease = Q(
+    "organism_disease",
+    """WITH m AS (SELECT p_partkey AS f, p_partkey + 50000 AS mondo
+      |           FROM part WHERE p_partkey % 4 <> 0)
+      |SELECT 'ncbitaxon:' || l_suppkey AS src, 'mondo:' || mondo AS dst,
+      |  'organism_causes_disease' AS label
+      |FROM lineitem JOIN m ON l_partkey = m.f
+      |WHERE l_returnflag = 'A'""".stripMargin) {
+    (s, d) => DiseaseEdgesPipeline.organismDiseaseEdges(s, d)
+  }
+
+  val all: Seq[Q] = Seq(ddiMerged, dgiCtd, diseaseDrugMerged, ddaMerged,
+    diseaseHierarchy, diseaseComorbidity, organismDisease)
 }

@@ -401,8 +401,27 @@ object NodeBuilderQueries {
     SideEffectPipeline.hierarchyEdges(s, d)
   }
 
+  /** Phenotype node builder (phenotype.py:194-236): hp CURIE, escaped
+    * name, and the single-vs-list synonyms quirk (1 synonym → scalar,
+    * which coincides with the 1-element list under the pipe CSV codec);
+    * the last of the reference's node emits without a query. */
+  val phenotypeNodes = Q(
+    "phenotype_nodes",
+    """SELECT 'hp:' || c_custkey AS id, 'phenotype' AS label,
+      |  translate(c_name, '''|', '^,') AS name,
+      |  CASE WHEN c_custkey % 3 = 0
+      |      THEN translate(lower(c_name), '''|', '^,')
+      |    WHEN c_custkey % 3 = 1
+      |      THEN array_to_string(list_sort([
+      |        translate(lower(c_name), '''|', '^,'),
+      |        'syn ' || c_custkey]), '|')
+      |  END AS synonyms
+      |FROM customer""".stripMargin) { (s, d) =>
+    Q.pipeBoundary(graft.pipelines.PhenotypePipeline.nodes(s, d))
+  }
+
   val all: Seq[Q] = Seq(sideEffects, ecNodes, ecEdges, phenotypeEdges,
     goNodes, goEdges, domainNodes, domainEdges, uniprotNodes,
     drugNodes, diseaseNodes, compoundNodes, sideEffectNodes, pathwayNodes,
-    sideEffectsFast, sideEffectHierarchy)
+    sideEffectsFast, sideEffectHierarchy, phenotypeNodes)
 }
