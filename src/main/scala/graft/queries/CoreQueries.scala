@@ -476,6 +476,38 @@ object CoreQueries {
     }
   }
 
+  /** SQL front door #2 — CORRELATED subqueries Catalyst must decorrelate
+    * ITSELF: the same ANSI text runs on both engines, and it contains two
+    * correlated scalar aggregate subqueries (the above-nation-average
+    * predicate, written multiplication-form so the arithmetic stays in
+    * exact DECIMAL — AVG would return engine-specific float division) and
+    * one correlated EXISTS. The DataFrame catalogue hand-decorrelates
+    * this shape (Q13/Q15/Q17/Q21/Q22); THIS query proves the SQL surface
+    * handles what the DataFrame side hand-builds: Catalyst's
+    * decorrelation rewrites both subqueries to aggregates + joins (no
+    * per-row re-execution, no cartesian — the plan is audited like any
+    * other registered query by PlanAuditSpec's structural rules). */
+  val sqlDecorrelate: Q = {
+    val text =
+      """SELECT c.c_nationkey,
+        |  COUNT(*) AS n_above,
+        |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer c
+        |WHERE CAST(c.c_acctbal AS DECIMAL(18,4))
+        |    * (SELECT COUNT(*) FROM customer c2
+        |       WHERE c2.c_nationkey = c.c_nationkey)
+        |  > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) FROM customer c2
+        |     WHERE c2.c_nationkey = c.c_nationkey)
+        |  AND EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus <> 'F')
+        |GROUP BY c.c_nationkey""".stripMargin
+    Q("sql_decorrelate", text) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(text)
+    }
+  }
+
   /** CUBE aggregation (beyond the reference — SURVEY §2.4: "no grouping
     * sets / cube / rollup"; table stakes for an analytics engine).
     * Subtotal rows carry NULL group keys on both engines. */
@@ -1646,7 +1678,7 @@ object CoreQueries {
   }
 
   val all: Seq[Q] = Seq(
-    sqlFrontDoor, qCube, qRollup, evPivot, qRunningTotal,
+    sqlFrontDoor, sqlDecorrelate, qCube, qRollup, evPivot, qRunningTotal,
     q07VolumeShipping, q14PromoRevenue,
     q03ShippingPriority, q18LargeOrders, q05LocalSupplier, q10ReturnedItems,
     q04PriorityExists, q06ForecastRevenue, erBlockedMatch, qNtile, qUnpivot,
