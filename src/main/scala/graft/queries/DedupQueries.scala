@@ -68,12 +68,12 @@ object DedupQueries {
   private val clusterTableMemo =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def lshClustersPersisted(
-      s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val key = s.sparkContext.applicationId + "|" + d
+  private def persistClusters(
+      s: org.apache.spark.sql.SparkSession, d: String, tag: String,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val key = s.sparkContext.applicationId + "|" + d + "|" + tag
     val path = clusterTableMemo.getOrElseUpdate(key, {
-      val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id",
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id",
         "text", n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5)
       val cl = graft.graph.GraphOps
         .connectedComponents(s, pairs.select("a", "b"))
@@ -85,6 +85,11 @@ object DedupQueries {
     })
     s.read.parquet(path)
   }
+
+  private def lshClustersPersisted(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    persistClusters(s, d, "full", Tables.documents(s, d))
 
   /** DuckDB replica of portableHash(x, salt=i). */
   private def sqlHash(salt: String, x: String) =
@@ -729,10 +734,46 @@ object DedupQueries {
     lshClustersPersisted(s, d)
   }
 
+  /** INCREMENTAL cluster maintenance — the operational completion of the
+    * persist-and-derive story: when a batch arrives, the new cluster
+    * table is the connected components of
+    *   (settled cluster table as STAR edges doc→representative)
+    *   ∪ (batch-internal LSH pairs)      — cost O(batch²-bucketed)
+    *   ∪ (batch×corpus cross-snapshot pairs) — cost O(batch),
+    * never a re-shuffle of the corpus shingles. This is EXACT, not an
+    * approximation: the LSH candidate condition (band-key equality) and
+    * the Jaccard verify are pairwise-determined, so the full-corpus pair
+    * set decomposes as old×old ∪ new×new ∪ new×old, and the star edges
+    * preserve old×old connectivity (the settled table IS its CC). The
+    * oracle is therefore the SAME full-recompute recursive-CTE as
+    * x_dedup_clusters — a green row proves incremental ≡ recompute.
+    * Analog split: even doc_ids play the settled corpus (their cluster
+    * table persisted once), odd the incoming batch. */
+  val xDedupClustersIncremental = Q(
+    "x_dedup_clusters_incremental",
+    clusterCtes + "SELECT doc_id, cluster_id FROM clusters") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val star = persistClusters(s, d, "settled-even", corpus)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("a"), col("cluster_id").as("b"))
+    val newNew = Dedup.minhashLshPairs(batch, "doc_id", "text",
+      n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5)
+      .select(col("a"), col("b"))
+    val newOld = Dedup.crossSnapshotNearDups(corpus, batch, "doc_id", "text",
+      n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5)
+      .select(col("new_id").as("a"), col("old_id").as("b"))
+    graft.graph.GraphOps.connectedComponents(s,
+        star.unionByName(newNew).unionByName(newOld))
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+  }
+
   val all: Seq[Q] = Seq(xDedupNgram, xDedupMinhashLsh, xDedupIncremental,
     xDedupClusters, xDedupKeepBest, xDedupApply, xDedupSimhashSig,
     xDedupSimhashPairs, xSubstringDup, xBloomFilter, xContainment,
     xMinhashEst, xSegmentDedup, xIntraDedup, xSourceOverlap, xDedupPrefixJoin,
     xSubstrTrim, xSplitLeakageSafe, xCurateE2e, xDupReweight,
-    xContrastivePairs, xDedupClusterStats, xDedupClustersPersisted)
+    xContrastivePairs, xDedupClusterStats, xDedupClustersPersisted,
+    xDedupClustersIncremental)
 }

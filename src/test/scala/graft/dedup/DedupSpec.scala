@@ -340,4 +340,48 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) === ((2L, 9L, Some("end1"))))
     assert(got(2L) === ((2L, 9L, Some("start2"))))
   }
+
+  test("incremental cluster maintenance: a batch doc MERGES two settled " +
+    "clusters; star + new-new + new-old CC equals full recompute") {
+    import org.apache.spark.sql.functions.col
+    // settled corpus: two separate near-dup clusters {10,12} and {20,22}
+    // (different texts), plus a loner 30. The batch brings 11 — a bridge
+    // document similar to BOTH cluster texts — and 13, a twin of 11.
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "one two three four five six seven eight nine ten"
+    val bridge = s"$a $b" // contains both shingle sets → joins both
+    val corpus = Seq(
+      (10L, a), (12L, a + " mu"), (20L, b), (22L, b + " eleven"),
+      (30L, "totally unrelated content that matches nothing else at all"))
+      .toDF("doc_id", "text")
+    val batch = Seq((11L, bridge), (13L, bridge)).toDF("doc_id", "text")
+    val all = corpus.unionByName(batch)
+
+    def cc(pairs: org.apache.spark.sql.DataFrame) =
+      graft.graph.GraphOps.connectedComponents(spark, pairs)
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        .as[(Long, Long)].collect().toMap
+
+    // full recompute over the union corpus
+    val full = cc(Dedup.minhashLshPairs(all, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 32, threshold = 0.3).select("a", "b"))
+    // incremental: settled star edges + batch-internal + cross-snapshot
+    val settled = cc(Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 32, threshold = 0.3).select("a", "b"))
+    val star = settled.toSeq.filter { case (d0, c) => d0 != c }
+      .toDF("a", "b")
+    val newNew = Dedup.minhashLshPairs(batch, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 32, threshold = 0.3).select("a", "b")
+    val newOld = Dedup.crossSnapshotNearDups(corpus, batch, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 32, threshold = 0.3)
+      .select(col("new_id").as("a"), col("old_id").as("b"))
+    val inc = cc(star.unionByName(newNew).unionByName(newOld))
+
+    assert(inc === full)
+    // the bridge genuinely merged the two settled clusters
+    assert(settled(10L) !== settled(20L), "test setup: clusters separate")
+    assert(inc(10L) === inc(20L), "bridge doc must merge the clusters")
+    assert(inc(11L) === inc(10L) && inc(13L) === inc(10L))
+    assert(!inc.contains(30L), "loner stays out of the pair graph")
+  }
 }
