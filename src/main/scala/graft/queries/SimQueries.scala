@@ -802,6 +802,44 @@ object SimQueries {
         coalesce(col("cl"), col("vec_id")).as("cluster_id"))
   }
 
+  /** Greedy k-center coreset selection ([[Similarity.kCenterGreedy]]):
+    * 6 maximally-spread exemplars by deterministic farthest-point
+    * traversal (seed = min id, exact-fold L2² distances, id tie-breaks).
+    * Oracle: the SAME traversal unrolled round by round from one
+    * generator — each round a LIMIT-1 argmax CTE plus a `least` running
+    * min-distance update, so both engines replay the identical
+    * selection, distances included. */
+  val xCoresetKcenter: Q = {
+    val k = 6
+    def l2(a: String, b: String) = l2Sql(a, b)
+    val sb = new StringBuilder
+    sb ++=
+      """WITH nrm AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c1 AS (SELECT vec_id, v FROM nrm ORDER BY vec_id LIMIT 1),
+        |""".stripMargin
+    sb ++= s"d1 AS (SELECT n.vec_id, n.v, ${l2("n.v", "c.v")} AS dmin\n" +
+      "  FROM nrm n, c1 c)"
+    for (i <- 2 to k) {
+      sb ++= s""",
+        |c$i AS (SELECT vec_id, v, dmin FROM d${i - 1}
+        |  ORDER BY dmin DESC, vec_id LIMIT 1)""".stripMargin
+      if (i < k)
+        sb ++= s""",
+          |d$i AS (SELECT p.vec_id, p.v,
+          |  least(p.dmin, ${l2("p.v", "c.v")}) AS dmin
+          |  FROM d${i - 1} p, c$i c)""".stripMargin
+    }
+    sb ++= "\nSELECT 1 AS sel_rank, vec_id, CAST(NULL AS DOUBLE) AS radius FROM c1"
+    for (i <- 2 to k)
+      sb ++= s"\nUNION ALL SELECT $i, vec_id, dmin FROM c$i"
+    Q("x_coreset_kcenter", sb.toString) { (s, d) =>
+      Similarity.kCenterGreedy(Tables.embeddings(s, d),
+        "vec_id", "embedding", k)
+    }
+  }
+
   /** Mutual-kNN-graph density clustering: edge (a,b) iff each is in the
     * other's cosine top-5; connected components over that graph are the
     * density clusters (the kNN-graph clustering a curation pipeline uses
@@ -855,5 +893,6 @@ object SimQueries {
     xSemanticDedup, xNearDupEmb, xDecontaminateSem,
     xMediaFeatures, xMediaDecode, xMediaFrames,
     xAnnRecall, xMediaPhash, xRandProj, xClusterExemplars, xHardNegatives,
-    xKnnGraph, xKnnGraphLsh, xSemdedupEps, xMediaCurate, xEmbIncremental)
+    xKnnGraph, xKnnGraphLsh, xSemdedupEps, xMediaCurate, xEmbIncremental,
+    xCoresetKcenter)
 }

@@ -759,6 +759,75 @@ object TextQueries {
         (col("score") > 0).as("keep"))
   }
 
+  /** Classifier-calibration report (reliability diagram + per-bin gap) —
+    * the model-quality monitoring a filtering pipeline runs before
+    * trusting a quality classifier's scores as probabilities: the hashed
+    * linear classifier's per-doc mean weight is mapped to an exact-ppm
+    * confidence, binned into deciles, and each bin reports its document
+    * count, mean predicted ppm, empirical positive rate (proxy label:
+    * the rule-based qualityScore ≥ 0.35, the same threshold
+    * x_curate_e2e filters on) and the |predicted − empirical| gap — the
+    * per-bin terms of expected calibration error. All integer ppm
+    * arithmetic (the only doubles are the proven qualityScore fold);
+    * one aggregation over ≤10 bins — zero joins wider than doc-keyed,
+    * no windows. */
+  val xCalibrationBins = Q(
+    "x_calibration_bins",
+    wsCte +
+      """, f AS (SELECT doc_id, list_concat(ws,
+        |    CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+        |      i -> ws[i] || ' ' || ws[i+1]) ELSE [] END) AS feats FROM t),
+        |sc AS (SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_feats,
+        |    CAST(list_sum(list_transform(feats, w ->
+        |      ('0x' || substr(md5('qw:' || w), 1, 14))::BIGINT % 1001 - 500))
+        |      AS BIGINT) AS score
+        |  FROM f),
+        |q AS (SELECT doc_id,
+        |    least(CAST(len(text) AS DOUBLE) / 500, 1.0) * 0.4
+        |    + CAST(len(list_filter(ws,
+        |        w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |      / len(ws) * 0.4
+        |    + (1.0 - CAST(len(regexp_replace(text,
+        |        '[^.,!?;:''"()\[\]-]', '', 'g')) AS DOUBLE)
+        |      / len(text)) * 0.2 AS quality
+        |  FROM t),
+        |b AS (SELECT sc.doc_id,
+        |    least((score + 500 * n_feats) * 1000
+        |      // greatest(n_feats, 1) // 100000, 9) AS bin,
+        |    (score + 500 * n_feats) * 1000 // greatest(n_feats, 1) AS p_ppm,
+        |    q.quality >= 0.35 AS label
+        |  FROM sc JOIN q USING (doc_id))
+        |SELECT bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(p_ppm) AS BIGINT) // COUNT(*) AS mean_p_ppm,
+        |  COUNT(*) FILTER (WHERE label) AS n_pos,
+        |  COUNT(*) FILTER (WHERE label) * 1000000 // COUNT(*) AS pos_rate_ppm,
+        |  abs(CAST(SUM(p_ppm) AS BIGINT) // COUNT(*)
+        |    - COUNT(*) FILTER (WHERE label) * 1000000 // COUNT(*)) AS gap_ppm
+        |FROM b GROUP BY 1""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val scored = docs
+      .select(col("doc_id"), col("text"),
+        TextFns.classifierFeatures(col("text")).as("__f"))
+      .select(col("doc_id"),
+        size(col("__f")).cast("long").as("n_feats"),
+        aggregate(col("__f"), lit(0L),
+          (acc, f) => acc + TextFns.classifierWeight(f)).as("score"),
+        (TextFns.qualityScore(col("text")) >= 0.35).as("label"))
+      .withColumn("p_ppm",
+        expr("(score + 500 * n_feats) * 1000 div greatest(n_feats, 1)"))
+      .withColumn("bin", least(expr("p_ppm div 100000"), lit(9L)))
+    scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.sum(col("p_ppm")).as("__sp"),
+        count(when(col("label"), lit(1))).as("n_pos"))
+      .select(col("bin"), col("n_docs"),
+        expr("__sp div n_docs").as("mean_p_ppm"),
+        col("n_pos"),
+        expr("n_pos * 1000000 div n_docs").as("pos_rate_ppm"),
+        abs(expr("__sp div n_docs") - expr("n_pos * 1000000 div n_docs"))
+          .as("gap_ppm"))
+  }
+
   /** Multinomial Naive Bayes train+score in one dataflow
     * (Relevance.naiveBayesClassify): the `source` column is the class
     * label; add-one smoothing; every ln quantized to BIGINT microunits at
@@ -992,5 +1061,6 @@ object TextQueries {
     xQualityBuckets,
     xImportanceWeight, xHistQuantiles, xCollocations, xBpeMerges,
     xBpeTokenize, xHtmlStrip, xQualityClassifier, xNbClassify, xLangEval,
-    xGopherRules, xReadability, xTokFertility, xVocabCoverage)
+    xGopherRules, xReadability, xTokFertility, xVocabCoverage,
+    xCalibrationBins)
 }

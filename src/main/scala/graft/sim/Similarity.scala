@@ -611,4 +611,47 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("__p")).as(Seq("k", "proj_q")))
       .select(col("vec_id"), col("k").cast("long").as("k"), col("proj_q"))
   }
+
+  /** Greedy k-center coreset selection (farthest-point traversal) — the
+    * diversity-sampling step a curation pipeline runs when it wants k
+    * maximally-spread exemplars rather than cluster centroids (the
+    * 2-approximation of the k-center objective; the DEITA-style "pick
+    * what's far from everything picked so far" selector). Deterministic:
+    * the seed is the minimum id, each round picks the vector maximizing
+    * its exact-fold L2² distance to the nearest already-selected center
+    * (ties → lowest id), so both engines replay the identical traversal.
+    *
+    * Scale: round i is ONE corpus scan with an i-row broadcast (the
+    * selected set) folded through `least` — k rounds = k narrow scans, no
+    * pairwise joins, no windows; the running min-distance column carries
+    * forward so each round computes ONE new distance per vector. k is a
+    * small constant (coresets are picked to fit a human or a prompt, not
+    * the corpus), so the k-deep plan chain is bounded.
+    *
+    * Output: (sel_rank 1..k, vec_id, radius) — radius is the selected
+    * vector's min distance at selection time (null for the seed); the
+    * sequence of radii is non-increasing and radius_k bounds the covering
+    * radius of the first k-1 centers. */
+  def kCenterGreedy(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val base = emb.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val seed = base.orderBy(col("vec_id").asc).limit(1)
+    var out = Vector(seed.select(lit(1L).as("sel_rank"), col("vec_id"),
+      lit(null).cast("double").as("radius")))
+    var d = base
+      .crossJoin(broadcast(seed.select(col("v").as("cv"))))
+      .select(col("vec_id"), col("v"), l2sq(col("v"), col("cv")).as("dmin"))
+    for (i <- 2 to k) {
+      val ci = d.orderBy(col("dmin").desc, col("vec_id").asc).limit(1)
+      out :+= ci.select(lit(i.toLong).as("sel_rank"), col("vec_id"),
+        col("dmin").as("radius"))
+      if (i < k)
+        d = d.crossJoin(broadcast(ci.select(col("v").as("cv"))))
+          .select(col("vec_id"), col("v"),
+            least(col("dmin"), l2sq(col("v"), col("cv"))).as("dmin"))
+    }
+    out.reduce(_.unionByName(_))
+  }
 }
