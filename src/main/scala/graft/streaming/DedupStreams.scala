@@ -46,4 +46,74 @@ object DedupStreams {
           .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
       }
       .start()
+
+  /** Streaming LSH dedup-CLUSTER maintenance — the operational completion
+    * of [[streamingCrossSnapshotDedup]]: instead of emitting per-batch
+    * match pairs, each micro-batch folds into a persisted two-piece state
+    * (settled docs, cluster table):
+    *
+    *   clusters_b = CC( star(clusters_{b-1})
+    *                    ∪ pairs(batch × batch)
+    *                    ∪ pairs(batch × settled docs) )
+    *   docs_b     = docs_{b-1} ∪ batch
+    *
+    * EXACT by the same decomposition argument as the batch
+    * `x_dedup_clusters_incremental` query (LSH candidates and Jaccard are
+    * pairwise-determined; star edges carry settled connectivity), applied
+    * inductively per batch — so after any number of batches the cluster
+    * table equals the one-shot recompute over everything seen (proven in
+    * DedupStreamsSpec). Per-trigger cost is O(batch): the settled corpus
+    * contributes only its bucket join against the batch, never a
+    * re-shuffle of its own shingles (at 100 TB the settled signatures are
+    * persisted too — the documented crossSnapshot discipline).
+    *
+    * Epoch-per-batch crash replay: `state_<batchId>` reads only strictly
+    * OLDER epochs and overwrites its own directory, so a crashed batch
+    * replays deterministically (the SketchStreams discipline). */
+  def streamingClusterMaintenance(
+      incoming: DataFrame, idCol: String, textCol: String,
+      stateDir: String, checkpointDir: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val b = batch.toDF().select(col(idCol), col(textCol))
+        val prior = SketchStreams.epochBefore(stateDir, "state_", batchId)
+        val emptyPairs = b
+          .select(col(idCol).as("a"), col(idCol).as("b")).limit(0)
+        val (docs0, star, newOld) = prior match {
+          case Some(dir) =>
+            val d0 = s.read.parquet(s"$dir/docs")
+            val cl = s.read.parquet(s"$dir/clusters")
+            (d0,
+              cl.filter(col("doc_id") =!= col("cluster_id"))
+                .select(col("doc_id").as("a"), col("cluster_id").as("b")),
+              Dedup.crossSnapshotNearDups(d0, b, idCol, textCol,
+                  n, numHashes, bands, threshold)
+                .select(col("new_id").as("a"), col("old_id").as("b")))
+          case None => (b.limit(0), emptyPairs, emptyPairs)
+        }
+        val newNew = Dedup.minhashLshPairs(b, idCol, textCol,
+          n, numHashes, bands, threshold).select(col("a"), col("b"))
+        val clusters = graft.graph.GraphOps.connectedComponents(s,
+            star.unionByName(newNew).unionByName(newOld))
+          .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        clusters.write.mode("overwrite")
+          .parquet(s"$stateDir/state_$batchId/clusters")
+        docs0.unionByName(b).write.mode("overwrite")
+          .parquet(s"$stateDir/state_$batchId/docs")
+      }
+      .start()
+  }
+
+  /** The newest committed cluster-table epoch. */
+  def latestClusters(
+      spark: org.apache.spark.sql.SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(
+      SketchStreams.epochBefore(stateDir, "state_", Long.MaxValue)
+        .getOrElse(sys.error(s"no state epochs under $stateDir")) + "/clusters")
 }

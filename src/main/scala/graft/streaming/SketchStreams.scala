@@ -147,7 +147,7 @@ object SketchStreams {
       }
       .start()
 
-  private def epochBefore(
+  private[streaming] def epochBefore(
       outDir: String, prefix: String, batchId: Long): Option[String] = {
     val ids = Option(new java.io.File(outDir).list()).getOrElse(Array.empty)
       .filter(_.startsWith(prefix))

@@ -49,4 +49,49 @@ class DedupStreamsSpec extends SparkSpec {
     assert(streamed.exists(r => r._1 == 27L && r._2 == 14L && r._3 == 1.0))
     assert(!streamed.exists(_._1 == 23L))
   }
+
+  test("streaming cluster maintenance over three micro-batches equals the " +
+    "one-shot CC recompute, including a cross-batch merge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "one two three four five six seven eight nine ten"
+    // batch1 plants cluster {1,2}; batch2 plants {20,22} (text b) and a
+    // loner; batch3 brings a twin of text a — a CROSS-BATCH merge into
+    // the {1,2} cluster via the new×settled path
+    val batch1 = Seq((1L, a), (2L, a + " mu"))
+    val batch2 = Seq((20L, b), (22L, b + " eleven"),
+      (30L, "totally unrelated content matching nothing else at all"))
+    val batch3 = Seq((41L, a))
+
+    val state = java.nio.file.Files.createTempDirectory("graft-clstate").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-clstate-c").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = DedupStreams.streamingClusterMaintenance(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", state, ckpt,
+      threshold = 0.3)
+    ms.addData(batch1: _*); q.processAllAvailable()
+    ms.addData(batch2: _*); q.processAllAvailable()
+    ms.addData(batch3: _*); q.processAllAvailable()
+    q.stop()
+
+    val streamed = DedupStreams.latestClusters(spark, state)
+      .as[(Long, Long)].collect().toMap
+    val allDocs = (batch1 ++ batch2 ++ batch3).toDF("doc_id", "text")
+    val oneShot = graft.graph.GraphOps.connectedComponents(spark,
+        Dedup.minhashLshPairs(allDocs, "doc_id", "text", threshold = 0.3)
+          .select(col("a"), col("b")))
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(streamed === oneShot)
+    // the batch-3 doc joined the batch-1 cluster across epochs
+    assert(streamed(41L) === streamed(1L))
+    assert(streamed(20L) !== streamed(1L))
+    assert(!streamed.contains(30L))
+    // settled docs accumulated across epochs
+    val lastEpoch = new java.io.File(state).list()
+      .filter(_.startsWith("state_")).map(_.stripPrefix("state_").toLong).max
+    assert(spark.read.parquet(s"$state/state_$lastEpoch/docs").count() === 6)
+  }
 }
