@@ -180,6 +180,34 @@ class SimilaritySpec extends SparkSpec {
         s"(${pLsh.size} lsh vs ${pBrute.size} brute)")
   }
 
+  test("kCenterGreedy: seed is min id; selections hit distinct planted " +
+    "clusters before any revisit; radii non-increasing after round 2") {
+    // 4 tight orthogonal clusters of 5 vectors each: greedy farthest-point
+    // must visit all 4 clusters in the first 4 picks (any unvisited
+    // cluster is ~sqrt(2) away, in-cluster is ~0.01)
+    val planted = (0 until 20).map { i =>
+      val c = i % 4
+      val v = Array.fill(64)(0.0f)
+      v(c * 10) = 1.0f
+      v(c * 10 + 1) = 0.001f * (i / 4)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.kCenterGreedy(planted, "vec_id", "embedding", k = 6)
+      .orderBy("sel_rank")
+      .as[(Long, Long, Option[Double])].collect()
+    assert(got.length === 6)
+    assert(got.head === ((1L, 0L, None))) // seed = min id, null radius
+    val clustersOf = got.take(4).map(_._2 % 4).toSet
+    assert(clustersOf.size === 4,
+      s"first 4 picks must cover all clusters, got ${got.take(4).toSeq}")
+    // radii: available from round 2 on, non-increasing
+    val radii = got.drop(1).map(_._3.get)
+    assert(radii.zip(radii.tail).forall { case (x, y) => y <= x },
+      s"radii must be non-increasing: ${radii.toSeq}")
+    // rounds 5-6 are in-cluster revisits: far smaller than cross-cluster
+    assert(radii(3) < radii(2) / 100)
+  }
+
   test("sq8TopK: grid-aligned vectors rank exactly; identical vectors at " +
     "distance zero; off-grid values clamp into [0,255]") {
     // components on the 0..255 grid scaled into [0,1]: quantization is
