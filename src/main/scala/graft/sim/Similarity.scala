@@ -621,12 +621,15 @@ object Similarity {
     * its exact-fold L2² distance to the nearest already-selected center
     * (ties → lowest id), so both engines replay the identical traversal.
     *
-    * Scale: round i is ONE corpus scan with an i-row broadcast (the
-    * selected set) folded through `least` — k rounds = k narrow scans, no
-    * pairwise joins, no windows; the running min-distance column carries
-    * forward so each round computes ONE new distance per vector. k is a
-    * small constant (coresets are picked to fit a human or a prompt, not
-    * the corpus), so the k-deep plan chain is bounded.
+    * Scale: round i is ONE pass over the running (vec_id, v, dmin) frame
+    * with a one-row broadcast (the new center) folded through `least` —
+    * each round computes ONE new distance per vector. The running frame
+    * is persisted per round (the GraphOps iterative-closure discipline),
+    * so round i reads round i-1's cache instead of re-executing the whole
+    * chain; k rounds = k linear passes, no pairwise joins, no windows.
+    * The argmax is a TakeOrderedAndProject (top-1 per partition, merged
+    * at the driver), never a global sort shuffle. k is a small constant
+    * (coresets are picked to fit a human or a prompt, not the corpus).
     *
     * Output: (sel_rank 1..k, vec_id, radius) — radius is the selected
     * vector's min distance at selection time (null for the seed); the
@@ -643,6 +646,7 @@ object Similarity {
     var d = base
       .crossJoin(broadcast(seed.select(col("v").as("cv"))))
       .select(col("vec_id"), col("v"), l2sq(col("v"), col("cv")).as("dmin"))
+      .persist()
     for (i <- 2 to k) {
       val ci = d.orderBy(col("dmin").desc, col("vec_id").asc).limit(1)
       out :+= ci.select(lit(i.toLong).as("sel_rank"), col("vec_id"),
@@ -651,6 +655,7 @@ object Similarity {
         d = d.crossJoin(broadcast(ci.select(col("v").as("cv"))))
           .select(col("vec_id"), col("v"),
             least(col("dmin"), l2sq(col("v"), col("cv"))).as("dmin"))
+          .persist()
     }
     out.reduce(_.unionByName(_))
   }
