@@ -354,6 +354,9 @@ object TrainPrep {
     // handful of sources → corpus/|sources| rows per window task) —
     // binnedGroupRank over 2^16 uniform cells of the 56-bit hash keeps
     // every (source, cell) partition ~|source|/65536 rows
+    // persisted: binnedGlobalRank below reads vt THREE times (offset
+    // aggregate, main branch, cell-width max) — without the cache each
+    // read would re-execute the whole grouped-rank chain
     val vt = graft.ops.Scale.binnedGroupRank(
         docs.withColumn("__h",
           TextFns.portableHash(col(idCol).cast("string"), lit("ilv"))),
@@ -363,6 +366,7 @@ object TrainPrep {
       .withColumn("w", weight.cast("long"))
       .withColumn("vt", expr("(rn * 1000000) div w"))
       .drop("__h")
+      .persist()
     val cellWidth = vt.agg(max(col("vt")).as("mx"))
       .select(expr(s"greatest((mx + ${bins - 1}) div $bins, 1L)").as("__w"))
     graft.ops.Scale.binnedGlobalRank(
