@@ -634,7 +634,13 @@ object Similarity {
     * Output: (sel_rank 1..k, vec_id, radius) — radius is the selected
     * vector's min distance at selection time (null for the seed); the
     * sequence of radii is non-increasing and radius_k bounds the covering
-    * radius of the first k-1 centers. */
+    * radius of the first k-1 centers.
+    *
+    * k > corpus contract (documented, oracle-replicated): once every
+    * vector is selected, every dmin is 0 and the argmax tie-break
+    * re-picks the minimum id with radius 0 — the caller reads radius = 0
+    * as "corpus exhausted" (exact duplicates also select at radius 0, so
+    * a zero radius means no NEW diversity either way). */
   def kCenterGreedy(emb: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")

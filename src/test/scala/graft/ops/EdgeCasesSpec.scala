@@ -425,4 +425,19 @@ class EdgeCasesSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 10L, 2L -> 5L))
   }
+
+  test("kCenterGreedy with k > corpus: exhausted rounds re-pick the min id " +
+    "at radius 0 (the documented exhaustion signal)") {
+    def v(hot: Int): Seq[Float] =
+      (0 until 64).map(i => if (i == hot) 1.0f else 0.0f)
+    val tiny = Seq((5L, v(0)), (9L, v(1))).toDF("vec_id", "embedding")
+    val got = graft.sim.Similarity
+      .kCenterGreedy(tiny, "vec_id", "embedding", k = 4)
+      .orderBy("sel_rank")
+      .as[(Long, Long, Option[Double])].collect()
+    assert(got.map(r => (r._1, r._2)).toSeq ===
+      Seq((1L, 5L), (2L, 9L), (3L, 5L), (4L, 5L)))
+    assert(got(1)._3 === Some(2.0)) // orthogonal unit vectors: L2² = 2
+    assert(got.drop(2).forall(_._3 === Some(0.0)))
+  }
 }

@@ -138,6 +138,33 @@ class KernelPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("binnedGroupRank / binnedGroupRunningSum equal the per-group window " +
+    "forms on random (group, bin, value) sets") {
+    import org.apache.spark.sql.expressions.Window
+    val row = Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 4L),
+      Gen.choose(1L, 9L))
+    for (i <- 0 until 5) {
+      val rows = samples(Gen.listOfN(40, row), 1).head.zipWithIndex
+        .map { case ((g, q, v), j) => (j.toLong, s"g$g", q, v) }
+      val df = rows.toDF("k", "g", "q", "v")
+      val rk = Scale.binnedGroupRank(df, Seq(col("g")), col("q"),
+        Seq(col("q").asc, col("k").asc), binAsc = true, "r")
+        .select($"k", $"r".cast("long")).as[(Long, Long)].collect().toMap
+      val rkRef = df.select($"k", row_number().over(Window.partitionBy($"g")
+          .orderBy($"q".asc, $"k".asc)).cast("long").as("r"))
+        .as[(Long, Long)].collect().toMap
+      assert(rk === rkRef, s"rank iteration $i")
+      val rs = Scale.binnedGroupRunningSum(df, Seq(col("g")), col("q"),
+        Seq(col("k").asc), col("v"), binAsc = false, "run")
+        .select($"k", $"run").as[(Long, Long)].collect().toMap
+      val rsRef = df.select($"k", sum($"v").over(Window.partitionBy($"g")
+          .orderBy($"q".desc, $"k".asc)
+          .rowsBetween(Window.unboundedPreceding, 0)).as("run"))
+        .as[(Long, Long)].collect().toMap
+      assert(rs === rsRef, s"runsum iteration $i")
+    }
+  }
+
   test("mergeAggState is associative and order-free " +
     "((a ⊎ b) ⊎ c = a ⊎ (b ⊎ c) = one-shot)") {
     val rows = Gen.listOfN(8, Gen.zip(Gen.choose(1L, 3L), Gen.choose(-5L, 20L)))
