@@ -57,6 +57,7 @@ object KMeans {
   def kmeans(
       emb: DataFrame, idCol: String, vecCol: String,
       centroidStep: Long = 40, iters: Int = 2): DataFrame = {
+    graft.functions.L2Squared.register(emb.sparkSession)
     val base = emb
       .select(col(idCol).as("id"),
         transform(col(vecCol),

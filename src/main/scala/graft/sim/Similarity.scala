@@ -55,6 +55,7 @@ object Similarity {
     * matches bit-exact), leaving only mul/add in the hot loop. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
+    graft.functions.L2Squared.register(emb.sparkSession)
     val withNorm = emb.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -111,6 +112,7 @@ object Similarity {
   def filteredTopK(emb: DataFrame, idCol: String, vecCol: String,
       predicate: Column, k: Int): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
+    graft.functions.L2Squared.register(emb.sparkSession)
     val withNorm = emb.withColumn("__keep", predicate)
       .select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v"), col("__keep"))
@@ -136,6 +138,7 @@ object Similarity {
   def semanticContamination(emb: DataFrame, idCol: String, vecCol: String,
       isBenchmark: Column, threshold: Double): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
+    graft.functions.L2Squared.register(emb.sparkSession)
     val withNorm = emb.withColumn("__bm", isBenchmark)
       .select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v"), col("__bm"))
@@ -196,6 +199,7 @@ object Similarity {
       emb: DataFrame, idCol: String, vecCol: String, k: Int,
       centroidStep: Long = 40, cellCap: Int = 512): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
+    graft.functions.L2Squared.register(emb.sparkSession)
     val base = emb.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -241,6 +245,7 @@ object Similarity {
       emb: DataFrame, idCol: String, vecCol: String,
       planes: Int, dim: Int, probes: Int): (DataFrame, DataFrame) = {
     graft.functions.DotProduct.register(emb.sparkSession)
+    graft.functions.L2Squared.register(emb.sparkSession)
     val hp = hyperplanes(planes, dim)
     val withBucket = emb.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
@@ -267,11 +272,16 @@ object Similarity {
     aggTopKFromPairs(pairs, k)
   }
 
-  /** Sequential-fold squared L2 distance in double precision (zip_with +
-    * aggregate with zero init ≡ DuckDB list_reduce over the same zip). */
+  /** Sequential-fold squared L2 distance in double precision — the native
+    * [[graft.functions.L2Squared]] primitive loop (identical left-to-right
+    * IEEE fold as `zip_with + aggregate` with zero init ≡ DuckDB
+    * list_reduce over the same zip, so every oracle comparison holds
+    * bit-exact; the native form stays inside whole-stage codegen where
+    * the interpreted lambda fold dominated the assignment joins).
+    * Requires `graft_l2sq` on the session (GraftExtensions injects it;
+    * the entry points also register imperatively). */
   def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("graft_l2sq", a, b)
 
   /** IVF-PQ approximate top-k — the FAISS-style 100 TB ANN design: a
     * coarse quantizer restricts candidates to one cell, and ranking inside
@@ -296,6 +306,7 @@ object Similarity {
       coarseStep: Long = 40, codeStep: Long = 100, codeMax: Long = 3000,
       m: Int = 8, subDim: Int = 8, cellCap: Int = 512): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
+    graft.functions.L2Squared.register(emb.sparkSession)
     // squared norm: sequential fold, matches the oracle's list_reduce
     def norm2(v: Column): Column =
       aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x)
@@ -386,6 +397,7 @@ object Similarity {
     * neighbor-id tie-break. */
   def sq8TopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
+    graft.functions.L2Squared.register(emb.sparkSession)
     val v = emb.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val grid = v.select(explode(col("v")).as("x"))
@@ -468,6 +480,7 @@ object Similarity {
       emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
       k: Int): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
+    graft.functions.L2Squared.register(emb.sparkSession)
     val base = emb.select(col(idCol).as("id"), col(labelCol).as("lbl"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -548,6 +561,7 @@ object Similarity {
       oversample: Int = 4, inDim: Int = 64, bits: Int = 64,
       seed: String = "graft-bq"): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
+    graft.functions.L2Squared.register(emb.sparkSession)
     // computed once, probed from both sides of the pair join — the code
     // table is the artifact a vector store persists
     val codes = binaryCodes(emb, idCol, vecCol, inDim, bits, seed).persist()

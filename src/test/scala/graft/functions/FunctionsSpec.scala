@@ -64,6 +64,35 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("L2Squared matches the composable fold bit-for-bit; codegen " +
+    "compiles with non-nullable inputs; mismatch yields NULL") {
+    L2Squared.register(spark)
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 6.0, 3.5)),
+      (Seq(0.1, 0.2), Seq(0.3, 0.7))).toDF("a", "b")
+    val got = df.select(
+      call_function("graft_l2sq", col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v).as("folded"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (n, f) =>
+      assert(java.lang.Double.doubleToRawLongBits(n) ===
+        java.lang.Double.doubleToRawLongBits(f))
+    }
+    withSQLConf("spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY") {
+      val nn = spark.range(2).select(
+        array(lit(1.0), col("id").cast("double")).as("a"),
+        array(lit(0.0), lit(2.0)).as("b"),
+        array(lit(1.0)).as("short"))
+      val r = nn.select(
+        call_function("graft_l2sq", col("a"), col("b")).as("d"),
+        call_function("graft_l2sq", col("a"), col("short")).as("m"))
+        .as[(Option[Double], Option[Double])].collect()
+      assert(r.map(_._1).toSeq === Seq(Some(5.0), Some(2.0)))
+      assert(r.forall(_._2.isEmpty))
+    }
+  }
+
   test("OrderedMiddleAgg (typed Aggregator) agrees with the expression form") {
     val udafCol = udaf(OrderedMiddleAgg)
     val df = Seq(("k", 1.0), ("k", 2.0), ("k", 3.0), ("k", 4.0),
