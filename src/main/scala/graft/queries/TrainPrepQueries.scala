@@ -266,6 +266,72 @@ object TrainPrepQueries {
       .select(col("doc_id"), col("n_chars"), col("clamped"), col("was_clipped"))
   }
 
+  /** Temperature-based mixture weights (the multilingual-corpus
+    * flattening standard, α = 0.5): per-source sampling weight ∝ √n_s,
+    * beside the raw share — small sources up-weighted, large flattened.
+    * Engine-exact WITHOUT the ln caveat: IEEE requires sqrt and multiply
+    * correctly rounded, so both engines compute the identical double for
+    * √n·10⁶, the identical floor, and from there everything is BIGINT
+    * (the quantized weights are summed as integers — never a
+    * source-order-dependent double sum). One aggregation over the source
+    * dimension + a one-row totals broadcast. */
+  val xMixTemperature = Q(
+    "x_mix_temperature",
+    """WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+      |q AS (SELECT source, n_docs,
+      |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS wq
+      |  FROM s),
+      |z AS (SELECT CAST(SUM(wq) AS BIGINT) AS tot_wq,
+      |             CAST(SUM(n_docs) AS BIGINT) AS tot_n FROM q)
+      |SELECT source, n_docs,
+      |  n_docs * 1000000 // tot_n AS share_ppm,
+      |  wq * 1000000 // tot_wq AS weight_ppm
+      |FROM q, z""".stripMargin) { (s, d) =>
+    val src = Tables.documents(s, d)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("wq",
+        floor(sqrt(col("n_docs").cast("double")) * 1000000).cast("long"))
+    val z = src.agg(
+      org.apache.spark.sql.functions.sum(col("wq")).as("tot_wq"),
+      org.apache.spark.sql.functions.sum(col("n_docs")).as("tot_n"))
+    src.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"),
+        expr("n_docs * 1000000 div tot_n").as("share_ppm"),
+        expr("wq * 1000000 div tot_wq").as("weight_ppm"))
+  }
+
+  /** Winsorization of a CONTINUOUS metric through the guard's sanctioned
+    * route: the double avg-token-length is quantized to exact milli-units
+    * (floor of a correctly-rounded product — deterministic cross-engine),
+    * and the quantized INTEGER metric goes through the same distinct-value
+    * rank-select winsorize as x_winsorize. This is the path the
+    * bounded-domain guard points continuous callers at — registered so
+    * the documented alternative is itself oracle-proven. */
+  val xWinsorizeCont = Q(
+    "x_winsorize_cont",
+    """WITH t AS (SELECT doc_id,
+      |    string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+      |m AS (SELECT doc_id,
+      |    CAST(floor(CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
+      |      / len(ws) * 1000) AS BIGINT) AS atl_milli
+      |  FROM t),
+      |vc AS (SELECT atl_milli AS v, COUNT(*) AS cnt FROM m GROUP BY 1),
+      |vv AS (SELECT v, SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |         AS cum, SUM(cnt) OVER () AS n FROM vc),
+      |lo AS (SELECT MIN(v) AS lo FROM vv WHERE cum >= ceil(0.05 * n)),
+      |hi AS (SELECT MIN(v) AS hi FROM vv WHERE cum >= ceil(0.95 * n))
+      |SELECT doc_id, atl_milli,
+      |  least(greatest(atl_milli, lo), hi) AS clamped,
+      |  atl_milli <> least(greatest(atl_milli, lo), hi) AS was_clipped
+      |FROM m, lo, hi""".stripMargin) { (s, d) =>
+    val quantized = Tables.documents(s, d).select(col("doc_id"),
+      floor(graft.text.TextFns.avgTokenLen(col("text")) * 1000)
+        .cast("long").as("atl_milli"))
+    TrainPrep.winsorize(quantized, "atl_milli")
+      .select(col("doc_id"), col("atl_milli"), col("clamped"),
+        col("was_clipped"))
+  }
+
   /** Deterministic global training-order shuffle + balanced 16-way shard
     * assignment (round-robin on the exact md5-order global position; no
     * corpus-sized one-task window — Scale.binnedGlobalRank over uniform
@@ -579,5 +645,5 @@ object TrainPrepQueries {
     xIncremental, xMixRebalance, xWeightedSample, xBudgetSelect, xChunk,
     xChunkCdc, xNovelty,
     xWinsorize, xShard, xInterleave, xUrlDedup, xCurriculum, xSourceCap,
-    xQuantileNorm, xBatchPadding)
+    xQuantileNorm, xBatchPadding, xMixTemperature, xWinsorizeCont)
 }
