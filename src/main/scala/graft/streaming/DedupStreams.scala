@@ -47,6 +47,30 @@ object DedupStreams {
       }
       .start()
 
+  /** Streaming EMBEDDING near-dup detection — the embedding twin of
+    * [[streamingCrossSnapshotDedup]]: each micro-batch of (id, vector)
+    * rows is checked against the settled corpus through
+    * [[graft.sim.Similarity.crossSnapshotEmbNearDups]] (batch probe
+    * buckets × corpus home buckets only — new×old candidates, exact
+    * cosine verify), per-batch epoch directories for exactly-once
+    * replay. Batch independence gives the same union ≡ one-shot law as
+    * the minhash stream (proven in DedupStreamsSpec). */
+  def streamingEmbNearDups(
+      incoming: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      outDir: String, checkpointDir: String,
+      threshold: Double, planes: Int = 6, dim: Int = 64,
+      probes: Int = 1): StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.sim.Similarity.crossSnapshotEmbNearDups(
+            corpus, batch.toDF(), idCol, vecCol, threshold,
+            planes, dim, probes)
+          .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+      }
+      .start()
+
   /** Streaming LSH dedup-CLUSTER maintenance — the operational completion
     * of [[streamingCrossSnapshotDedup]]: instead of emitting per-batch
     * match pairs, each micro-batch folds into a persisted two-piece state

@@ -50,6 +50,37 @@ class DedupStreamsSpec extends SparkSpec {
     assert(!streamed.exists(_._1 == 23L))
   }
 
+  test("streaming embedding near-dup detection over two micro-batches " +
+    "equals the one-shot batch answer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def v(hot: Int): Seq[Float] =
+      (0 until 64).map(i => if (i == hot % 64) 1.0f else 0.0f)
+    val corpus = Seq((10L, v(3)), (20L, v(7)), (22L, v(9)))
+      .toDF("vec_id", "embedding")
+    val batch1 = Seq((11L, v(3)), (15L, v(21)))
+    val batch2 = Seq((13L, v(3)), (17L, v(7)))
+
+    val out = java.nio.file.Files.createTempDirectory("graft-embdedup").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-embdedup-c").toString
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = DedupStreams.streamingEmbNearDups(
+      ms.toDF().toDF("vec_id", "embedding"), corpus, "vec_id", "embedding",
+      out, ckpt, threshold = 0.9)
+    ms.addData(batch1: _*); q.processAllAvailable()
+    ms.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(s"$out/batch_*")
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    val oneShot = graft.sim.Similarity.crossSnapshotEmbNearDups(
+      corpus, (batch1 ++ batch2).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.9)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(streamed === oneShot)
+    assert(streamed === Set((11L, 10L), (13L, 10L), (17L, 20L)))
+  }
+
   test("streaming cluster maintenance over three micro-batches equals the " +
     "one-shot CC recompute, including a cross-batch merge") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
