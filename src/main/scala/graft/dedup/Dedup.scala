@@ -447,10 +447,22 @@ object Dedup {
     * signature width below 64 at corpus scale. */
   def simhashNearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      bits: Int = 64, bands: Int = 4, maxHamming: Int = 6): DataFrame = {
+      bits: Int = 64, bands: Int = 4, maxHamming: Int = 6): DataFrame =
+    signatureNearDupPairs(
+      simhashSignatures(docs, idCol, textCol, bits), bits, bands, maxHamming)
+
+  /** Banded Hamming-neighbor pairs over ANY 64-bit-signature table
+    * (`(doc_id, sig)`) — the candidate machinery shared by SimHash text
+    * near-dups and perceptual-hash media near-dups: a pair at Hamming
+    * distance ≤ maxHamming must agree exactly on at least one of `bands`
+    * contiguous bit slices when maxHamming < bands (pigeonhole), so the
+    * bucket join on (band, key) sees only agreeing slices, never the
+    * all-pairs table. Output (a < b, hamming ≤ maxHamming). */
+  def signatureNearDupPairs(
+      sig: DataFrame, bits: Int = 64, bands: Int = 4,
+      maxHamming: Int = 6): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     val width = bits / bands
-    val sig = simhashSignatures(docs, idCol, textCol, bits)
     val bandStructs = (0 until bands).map { j =>
       struct(lit(j).as("band"),
         shiftright(col("sig"), j * width).bitwiseAND(lit((1L << width) - 1)).as("key"))

@@ -661,6 +661,39 @@ object SimQueries {
       .filter(col("n_docs") > 1)
   }
 
+  /** Perceptual-hash NEAR-duplicate media pairs — the Hamming-tolerant
+    * completion of x_media_phash's exact grouping (re-encodes, crops and
+    * format shifts perturb a few pHash bits; exact grouping misses
+    * them). Runs [[graft.dedup.Dedup.signatureNearDupPairs]] over the
+    * extracted 64-bit hashes: 4×16-bit band keys, bucket join (pigeonhole
+    * guarantees a ≤3-bit pair agrees on ≥1 band), popcount verify —
+    * the same machinery as SimHash text near-dups, proving the signature
+    * kernel is media-agnostic. */
+  val xMediaPhashNear = Q(
+    "x_media_phash_near", {
+      val bandSelects = (0 until 4).map(j =>
+        s"SELECT doc_id, phash, $j AS band, " +
+          s"(phash >> ${j * 16}) & 65535 AS key FROM h")
+        .mkString(" UNION ALL ")
+      phashCte +
+        s""", bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+           |    bit_count(xor(x.phash, y.phash)) AS hamming
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+           |SELECT a AS media_a, b AS media_b, CAST(hamming AS INT) AS hamming
+           |FROM cand WHERE hamming <= 3""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text")
+      .as[Multimodal.MediaRow]
+    val sig = Multimodal.extractHashes(media).toDF()
+      .select(col("media_id").as("doc_id"), col("phash").as("sig"))
+    graft.dedup.Dedup.signatureNearDupPairs(sig, bits = 64, bands = 4,
+        maxHamming = 3)
+      .select(col("a").as("media_a"), col("b").as("media_b"), col("hamming"))
+  }
+
   /** End-to-end media curation verdict — the multimodal twin of
     * x_curate_e2e: per media item its perceptual hash, byte size,
     * pHash-duplicate flag (non-min of its hash group) and size-bounds
@@ -894,5 +927,5 @@ object SimQueries {
     xMediaFeatures, xMediaDecode, xMediaFrames,
     xAnnRecall, xMediaPhash, xRandProj, xClusterExemplars, xHardNegatives,
     xKnnGraph, xKnnGraphLsh, xSemdedupEps, xMediaCurate, xEmbIncremental,
-    xCoresetKcenter)
+    xCoresetKcenter, xMediaPhashNear)
 }
