@@ -131,6 +131,21 @@ class SimilaritySpec extends SparkSpec {
     assert(r1 > r0 + 0.05, s"multi-probe gained too little: $r0 -> $r1")
   }
 
+  test("lshTopK plans the candidate stage as a bucket EQUI-join — no " +
+    "nested-loop, no cartesian (the x_knn_graph_lsh no-O(n²) pin)") {
+    // the final CC stage of x_knn_graph_lsh runs through GraphX (an RDD
+    // boundary the plan audit cannot see through), so the no-all-pairs
+    // claim is pinned HERE, on the kNN kernel's own physical plan
+    val emb = Tables.embeddings(spark, sf)
+    val p = Similarity.lshTopK(emb, "vec_id", "embedding",
+      5, planes = 6, dim = 64, probes = 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "LSH candidate join fell back to a nested loop")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("bucket"), "bucket key missing from the plan")
+  }
+
   test("mutual-kNN edge recall: LSH-candidate kNN (x_knn_graph_lsh's " +
     "stage) recovers most brute-force mutual edges at query settings") {
     // the scale form's kNN stage vs the brute-force recall meter, at the
