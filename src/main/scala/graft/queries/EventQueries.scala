@@ -91,6 +91,36 @@ object EventQueries {
     EventStreams.asOfAttribution(Tables.events(s, d))
   }
 
+  /** U-shaped multi-touch attribution
+    * ([[EventStreams.multiTouchAttribution]]): every click in the 600 s
+    * lookback shares a purchase's credit — 100% single touch, 50/50 for
+    * two, else 40/40 first/last + 20% split over the middles, exact ppm
+    * integers (the position-aware complement of ev_asof_join's
+    * last-touch and ev_decay_score's exponential decay). */
+  val evAttributionMulti = Q(
+    "ev_attribution_multi",
+    """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (SELECT c.user_id, click_id, purchase_id,
+      |    CAST(floor(epoch(purchase_ts)) - floor(epoch(click_ts)) AS BIGINT)
+      |      AS lag_sec
+      |  FROM c JOIN p ON c.user_id = p.user_id
+      |  AND purchase_ts >= click_ts
+      |  AND purchase_ts < click_ts + INTERVAL 600 SECONDS),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY purchase_id
+      |      ORDER BY lag_sec DESC, click_id) AS touch_pos,
+      |    COUNT(*) OVER (PARTITION BY purchase_id) AS n_touch FROM j)
+      |SELECT user_id, purchase_id, click_id, touch_pos, n_touch,
+      |  CAST(CASE WHEN n_touch = 1 THEN 1000000
+      |       WHEN n_touch = 2 THEN 500000
+      |       WHEN touch_pos = 1 OR touch_pos = n_touch THEN 400000
+      |       ELSE 200000 // (n_touch - 2) END AS BIGINT) AS credit_ppm
+      |FROM r""".stripMargin) { (s, d) =>
+    EventStreams.multiTouchAttribution(Tables.events(s, d))
+  }
+
   /** Causally-ordered view→click→purchase funnel (click counts only
     * at-or-after the first view, purchase only at-or-after that click). */
   val evFunnel = Q(
@@ -547,5 +577,5 @@ object EventQueries {
     evAsofForward, evTransitions, evScd2, evAnomaly, evRfm, evOhlc, evGapStats,
     evDistinctRunning, evAsofNearest, evDecayScore, evMarkovStationary,
     evIdentityStitch, evTrigrams, evAbMetrics, evVariantExtract,
-    evCohortLtv, evSeasonality)
+    evCohortLtv, evSeasonality, evAttributionMulti)
 }

@@ -333,6 +333,38 @@ object EventStreams {
           .as("lag_sec"))
   }
 
+  /** U-shaped MULTI-touch attribution: every click in the `windowSeconds`
+    * lookback before a purchase gets a deterministic ppm credit share —
+    * 100% for a single touch, 50/50 for two, else 40% first + 40% last +
+    * 20% split evenly over the middles (integer division; the ≤(n-3) ppm
+    * rounding shortfall is documented, not smeared). The position-aware
+    * complement of [[asOfAttribution]]'s last-touch and
+    * [[decayScores]]'s exponential decay.
+    *
+    * Scale: the lookback pairing is the [[intervalJoin]] equi-join on
+    * user; the position windows partition on purchase_id — a
+    * high-cardinality key whose group size is bounded by
+    * clicks-per-user-per-window, never a corpus-wide or small-domain
+    * partition. Output: (user_id, purchase_id, click_id, touch_pos,
+    * n_touch, credit_ppm). */
+  def multiTouchAttribution(
+      events: DataFrame, windowSeconds: Long = 600): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("purchase_id"))
+    val paired = intervalJoin(events, windowSeconds)
+      .withColumn("touch_pos", row_number().over(
+        w.orderBy(col("lag_sec").desc, col("click_id"))).cast("long"))
+      .withColumn("n_touch", count(lit(1)).over(w))
+    paired.select(col("user_id"), col("purchase_id"), col("click_id"),
+      col("touch_pos"), col("n_touch"),
+      when(col("n_touch") === 1, lit(1000000L))
+        .when(col("n_touch") === 2, lit(500000L))
+        .when(col("touch_pos") === 1 || col("touch_pos") === col("n_touch"),
+          lit(400000L))
+        .otherwise(expr("200000 div (n_touch - 2)"))
+        .as("credit_ppm"))
+  }
+
   /** Click→purchase AS-OF attribution: each purchase is matched to the
     * LATEST click by the same user at-or-before the purchase instant
     * (last-touch attribution — vs [[intervalJoin]]'s every-click-in-window

@@ -472,4 +472,34 @@ class EventStreamsSpec extends SparkSpec {
     // same rule, so the session sets coincide on this data
     assert(streamed === batch)
   }
+
+  test("multiTouchAttribution: U-shape credits for n = 1, 2, 4; clicks " +
+    "outside the lookback excluded") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions.col
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    def row(id: Long, u: Long, t: Long, tpe: String) =
+      (id, u, ts(t), tpe, 1.0)
+    // user 1: 1 click → 100%; user 2: 2 clicks → 50/50;
+    // user 3: 4 clicks → 40/10/10/40; user 4: click 700s before → excluded
+    val ev = Seq(
+      row(10, 1, 100, "click"), row(11, 1, 200, "purchase"),
+      row(20, 2, 100, "click"), row(21, 2, 150, "click"),
+      row(22, 2, 300, "purchase"),
+      row(30, 3, 100, "click"), row(31, 3, 150, "click"),
+      row(32, 3, 200, "click"), row(33, 3, 250, "click"),
+      row(34, 3, 400, "purchase"),
+      row(40, 4, 100, "click"), row(41, 4, 800, "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventStreams.multiTouchAttribution(ev)
+      .select(col("purchase_id"), col("touch_pos"), col("click_id"),
+        col("credit_ppm"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got === Map(
+      (11L, 1L) -> ((10L, 1000000L)),
+      (22L, 1L) -> ((20L, 500000L)), (22L, 2L) -> ((21L, 500000L)),
+      (34L, 1L) -> ((30L, 400000L)), (34L, 2L) -> ((31L, 100000L)),
+      (34L, 3L) -> ((32L, 100000L)), (34L, 4L) -> ((33L, 400000L))))
+  }
 }
