@@ -187,6 +187,63 @@ object DataQuality {
       .select(col("p.*"))
   }
 
+  /** Poisson-bootstrap confidence interval for a corpus mean — the
+    * MAP-SIDE bootstrap big-data systems use because the classic
+    * multinomial resample needs global coordination: each row contributes
+    * Poisson(1) copies to each of `b` resamples, drawn by inverse-CDF on
+    * a deterministic md5 ppm uniform (cumulative thresholds 367879,
+    * 735758, 919698, 981011, 996340, 999405 — Poisson(1) quantized to
+    * ppm, tail capped at 5 copies; the SEEDED draw is what makes the CI
+    * bit-replicable, the x_dp_release discipline). Resample means carry
+    * exact integer milli-units (Σ copies·v ·1000 div Σ copies); the
+    * percentile CI rank-selects over the b-row resample table.
+    *
+    * Scale: one corpus scan exploded ×b (map-side; no index join, no
+    * per-resample shuffle of the data) + one b-row aggregation + a b-row
+    * window — the coordination-free shape, cost linear in b·N.
+    *
+    * Output: ONE row (point_milli, ci_lo_milli, ci_hi_milli,
+    * b_resamples), CI at ranks ⌈0.025·b⌉ / ⌈0.975·b⌉ of the resample
+    * means. */
+  def bootstrapMeanCi(
+      df: DataFrame, idCol: String, valueCol: String, seed: String,
+      b: Int = 40): DataFrame = {
+    import graft.text.TextFns.portableHash
+    val thresholds = Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L)
+    val u = pmod(portableHash(
+      concat(lit(seed + ":"), col("__b").cast("string"),
+        lit(":"), col("__id")),
+      lit("boot")), lit(1000000L))
+    val copies = thresholds.zipWithIndex
+      .foldRight(lit(thresholds.size): Column) { case ((t, k), els) =>
+        when(u < t, lit(k)).otherwise(els)
+      }
+    val v = col(valueCol).cast("long")
+    val resamples = df
+      .select(v.as("__v"), col(idCol).cast("string").as("__id"))
+      .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__c", copies.cast("long"))
+      .groupBy(col("__b"))
+      .agg((sum(col("__c") * col("__v")) * 1000).as("__s"),
+        sum(col("__c")).as("__n"))
+      .select(col("__b"), expr("__s div __n").as("mean_milli"))
+    val point = df.select(v.as("__v"))
+      .agg((sum(col("__v")) * 1000).as("__s"), count(lit(1)).as("__n"))
+      .select(expr("__s div __n").as("point_milli"))
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_milli").asc, col("__b").asc)
+    val ranked = resamples
+      .withColumn("__r", row_number().over(wAsc)) // b-row window, bounded
+    val loRank = math.ceil(0.025 * b).toLong.max(1L)
+    val hiRank = math.ceil(0.975 * b).toLong
+    ranked.agg(
+        min(when(col("__r") === loRank, col("mean_milli"))).as("ci_lo_milli"),
+        min(when(col("__r") === hiRank, col("mean_milli"))).as("ci_hi_milli"))
+      .crossJoin(broadcast(point))
+      .select(col("point_milli"), col("ci_lo_milli"), col("ci_hi_milli"),
+        lit(b.toLong).as("b_resamples"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val stacked = df.select(explode(array(cols.map(c =>
       struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*))

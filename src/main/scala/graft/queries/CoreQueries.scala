@@ -1166,6 +1166,42 @@ object CoreQueries {
       l = 2)
   }
 
+  /** Poisson-bootstrap CI for the corpus mean doc length
+    * ([[graft.ops.DataQuality.bootstrapMeanCi]]): 40 map-side resamples —
+    * each doc contributes Poisson(1) copies per resample via inverse-CDF
+    * on a seeded md5 ppm uniform (no multinomial coordination, the
+    * big-data bootstrap) — exact integer milli-unit means, percentile CI
+    * at ranks 1/39. The seeded draw is what a bit-exact oracle can
+    * check (the x_dp_release discipline). */
+  val xBootstrapCi = Q(
+    "x_bootstrap_ci",
+    """WITH d AS (SELECT doc_id, n_chars FROM documents),
+      |r AS (SELECT bb.b AS rb, d.doc_id, d.n_chars,
+      |    ('0x' || substr(md5('boot:' || 'x_bci:' || CAST(bb.b AS VARCHAR)
+      |      || ':' || CAST(d.doc_id AS VARCHAR)), 1, 14))::BIGINT
+      |      % 1000000 AS u
+      |  FROM d, (SELECT unnest(range(0, 40)) AS b) bb),
+      |c AS (SELECT rb, n_chars,
+      |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+      |         WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+      |         WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+      |         ELSE 6 END AS cp
+      |  FROM r),
+      |m AS (SELECT rb, CAST(SUM(cp * n_chars) AS BIGINT) * 1000
+      |    // CAST(SUM(cp) AS BIGINT) AS mean_milli FROM c GROUP BY 1),
+      |rk AS (SELECT mean_milli,
+      |    row_number() OVER (ORDER BY mean_milli, rb) AS r FROM m),
+      |pt AS (SELECT CAST(SUM(n_chars) AS BIGINT) * 1000 // COUNT(*)
+      |         AS point_milli FROM d)
+      |SELECT pt.point_milli,
+      |  (SELECT mean_milli FROM rk WHERE r = 1) AS ci_lo_milli,
+      |  (SELECT mean_milli FROM rk WHERE r = 39) AS ci_hi_milli,
+      |  CAST(40 AS BIGINT) AS b_resamples
+      |FROM pt""".stripMargin) { (s, d) =>
+    graft.ops.DataQuality.bootstrapMeanCi(
+      Tables.documents(s, d), "doc_id", "n_chars", seed = "x_bci", b = 40)
+  }
+
   /** Differential-privacy-style noisy count release (deterministic demo):
     * per-nation order counts perturbed with discrete two-sided geometric
     * noise via inverse-CDF — noise = ⌊−ln u₁⌋ − ⌊−ln u₂⌋ with u_i
@@ -1684,6 +1720,7 @@ object CoreQueries {
     q04PriorityExists, q06ForecastRevenue, erBlockedMatch, qNtile, qUnpivot,
     qWindowShare, xDataQuality, xProfile, xKAnonymity, xDriftPsi, xColCorr,
     xMad, xLDiversity, u2IntersectExcept, qPercentRank, xDpRelease,
+    xBootstrapCi,
     qGroupingSets,
     q13CustDistribution, q15TopSupplier, q17SmallQtyRevenue,
     q21WaitingSuppliers, q22DormantCustomers,

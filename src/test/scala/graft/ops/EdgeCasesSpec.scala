@@ -426,6 +426,21 @@ class EdgeCasesSpec extends SparkSpec {
     assert(got === Map(1L -> 10L, 2L -> 5L))
   }
 
+  test("bootstrapMeanCi: constant column degenerates to a zero-width CI " +
+    "at the point estimate; varying column brackets the point") {
+    val const = spark.range(200).toDF("id").withColumn("v", lit(7L))
+    val c = DataQuality.bootstrapMeanCi(const, "id", "v", seed = "t", b = 40)
+      .as[(Long, Long, Long, Long)].head()
+    assert(c === ((7000L, 7000L, 7000L, 40L)))
+    val varied = spark.range(500).toDF("id")
+      .withColumn("v", col("id") % 100)
+    val g = DataQuality.bootstrapMeanCi(varied, "id", "v", seed = "t", b = 40)
+      .as[(Long, Long, Long, Long)].head()
+    assert(g._2 <= g._1 && g._1 <= g._3,
+      s"CI [${g._2}, ${g._3}] must bracket point ${g._1}")
+    assert(g._2 < g._3, "varying data must give a non-degenerate CI")
+  }
+
   test("kCenterGreedy with k > corpus: exhausted rounds re-pick the min id " +
     "at radius 0 (the documented exhaustion signal)") {
     def v(hot: Int): Seq[Float] =
