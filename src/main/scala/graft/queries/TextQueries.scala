@@ -828,6 +828,75 @@ object TextQueries {
           .as("gap_ppm"))
   }
 
+  /** Exact ROC-AUC of the hashed quality classifier against the
+    * rule-based proxy label — the DISCRIMINATION half of the classifier
+    * eval (x_calibration_bins is the calibration half). Mann-Whitney
+    * identity with exact tie handling, all integer: per distinct score
+    * value v, U2 += nPos(v)·(2·negBelow(v) + nNeg(v)) — a tied pair
+    * counts 1 (= 0.5 doubled) — and AUC_ppm = U2·10⁶ div (2·nPos·nNeg).
+    * The cumulative window runs over the DISTINCT-SCORE aggregate
+    * (bounded integer domain, the x_len_quantiles discipline), never the
+    * corpus. */
+  val xAuc = Q(
+    "x_auc",
+    wsCte +
+      """, f AS (SELECT doc_id, list_concat(ws,
+        |    CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+        |      i -> ws[i] || ' ' || ws[i+1]) ELSE [] END) AS feats FROM t),
+        |sc AS (SELECT doc_id,
+        |    CAST(list_sum(list_transform(feats, w ->
+        |      ('0x' || substr(md5('qw:' || w), 1, 14))::BIGINT % 1001 - 500))
+        |      AS BIGINT) AS score
+        |  FROM f),
+        |q AS (SELECT doc_id,
+        |    least(CAST(len(text) AS DOUBLE) / 500, 1.0) * 0.4
+        |    + CAST(len(list_filter(ws,
+        |        w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |      / len(ws) * 0.4
+        |    + (1.0 - CAST(len(regexp_replace(text,
+        |        '[^.,!?;:''"()\[\]-]', '', 'g')) AS DOUBLE)
+        |      / len(text)) * 0.2 >= 0.35 AS label
+        |  FROM t),
+        |vals AS (SELECT score,
+        |    COUNT(*) FILTER (WHERE label) AS np,
+        |    COUNT(*) FILTER (WHERE NOT label) AS nn
+        |  FROM sc JOIN q USING (doc_id) GROUP BY 1),
+        |cum AS (SELECT score, np, nn,
+        |    CAST(coalesce(SUM(nn) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS neg_below
+        |  FROM vals)
+        |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |  CAST(SUM(np * (2 * neg_below + nn)) AS BIGINT) AS u2,
+        |  CAST(SUM(np * (2 * neg_below + nn)) AS BIGINT) * 1000000
+        |    // (2 * CAST(SUM(np) AS BIGINT) * CAST(SUM(nn) AS BIGINT))
+        |    AS auc_ppm
+        |FROM cum""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"),
+        aggregate(TextFns.classifierFeatures(col("text")), lit(0L),
+          (acc, f) => acc + TextFns.classifierWeight(f)).as("score"),
+        (TextFns.qualityScore(col("text")) >= 0.35).as("label"))
+    val vals = scored.groupBy(col("score"))
+      .agg(count(when(col("label"), lit(1))).as("np"),
+        count(when(!col("label"), lit(1))).as("nn"))
+    val wCum = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    vals
+      .withColumn("neg_below",
+        coalesce(org.apache.spark.sql.functions.sum(col("nn")).over(wCum),
+          lit(0L)))
+      .agg(
+        org.apache.spark.sql.functions.sum(col("np")).as("n_pos"),
+        org.apache.spark.sql.functions.sum(col("nn")).as("n_neg"),
+        org.apache.spark.sql.functions
+          .sum(col("np") * (lit(2) * col("neg_below") + col("nn"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        expr("u2 * 1000000 div (2 * n_pos * n_neg)").as("auc_ppm"))
+  }
+
   /** Multinomial Naive Bayes train+score in one dataflow
     * (Relevance.naiveBayesClassify): the `source` column is the class
     * label; add-one smoothing; every ln quantized to BIGINT microunits at
@@ -1062,5 +1131,5 @@ object TextQueries {
     xImportanceWeight, xHistQuantiles, xCollocations, xBpeMerges,
     xBpeTokenize, xHtmlStrip, xQualityClassifier, xNbClassify, xLangEval,
     xGopherRules, xReadability, xTokFertility, xVocabCoverage,
-    xCalibrationBins)
+    xCalibrationBins, xAuc)
 }
