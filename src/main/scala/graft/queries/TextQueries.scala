@@ -897,6 +897,66 @@ object TextQueries {
         expr("u2 * 1000000 div (2 * n_pos * n_neg)").as("auc_ppm"))
   }
 
+  /** Dataset card — the one-row corpus summary a training-data release
+    * ships: document/token/char volumes, language and source breadth,
+    * exact-duplicate rate (bag-of-words fingerprint groups) and the
+    * rule-based quality keep rate, all in exact integers/ppm. One scan
+    * feeds the per-doc flags; the dup rate adds one content-keyed
+    * aggregation — the same shapes x_dedup_exact and x_text_stats
+    * already prove, composed into the release artifact. */
+  val xDatasetCard = Q(
+    "x_dataset_card",
+    wsCte +
+      """, fp AS (SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS f,
+        |    CAST(len(ws) AS BIGINT) AS n_tokens
+        |  FROM t),
+        |ex AS (SELECT doc_id, n_tokens,
+        |    doc_id <> MIN(doc_id) OVER (PARTITION BY f) AS is_dup
+        |  FROM fp),
+        |q AS (SELECT doc_id,
+        |    least(CAST(len(text) AS DOUBLE) / 500, 1.0) * 0.4
+        |    + CAST(len(list_filter(ws,
+        |        w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |      / len(ws) * 0.4
+        |    + (1.0 - CAST(len(regexp_replace(text,
+        |        '[^.,!?;:''"()\[\]-]', '', 'g')) AS DOUBLE)
+        |      / len(text)) * 0.2 >= 0.35 AS keep
+        |  FROM t)
+        |SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(e.n_tokens) AS BIGINT) AS n_tokens,
+        |  (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents) AS n_chars,
+        |  (SELECT COUNT(DISTINCT lang) FROM documents) AS n_langs,
+        |  (SELECT COUNT(DISTINCT source) FROM documents) AS n_sources,
+        |  COUNT(*) FILTER (WHERE e.is_dup) * 1000000 // COUNT(*)
+        |    AS dup_ppm,
+        |  COUNT(*) FILTER (WHERE q.keep) * 1000000 // COUNT(*)
+        |    AS quality_keep_ppm
+        |FROM ex e JOIN q USING (doc_id)""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val wFp = Window.partitionBy(col("fingerprint"))
+    val flags = docs.select(col("doc_id"),
+        TextFns.fingerprint(col("text")).as("fingerprint"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+        (TextFns.qualityScore(col("text")) >= 0.35).as("keep"))
+      .withColumn("is_dup", col("doc_id") =!= min(col("doc_id")).over(wFp))
+    val dims = docs.agg(
+      org.apache.spark.sql.functions.sum(col("n_chars")).as("n_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+    flags.agg(
+        count(lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.sum(col("n_tokens")).as("n_tokens"),
+        count(when(col("is_dup"), lit(1))).as("__nd"),
+        count(when(col("keep"), lit(1))).as("__nk"))
+      .crossJoin(broadcast(dims))
+      .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_langs"), col("n_sources"),
+        expr("__nd * 1000000 div n_docs").as("dup_ppm"),
+        expr("__nk * 1000000 div n_docs").as("quality_keep_ppm"))
+  }
+
   /** Multinomial Naive Bayes train+score in one dataflow
     * (Relevance.naiveBayesClassify): the `source` column is the class
     * label; add-one smoothing; every ln quantized to BIGINT microunits at
@@ -1131,5 +1191,5 @@ object TextQueries {
     xImportanceWeight, xHistQuantiles, xCollocations, xBpeMerges,
     xBpeTokenize, xHtmlStrip, xQualityClassifier, xNbClassify, xLangEval,
     xGopherRules, xReadability, xTokFertility, xVocabCoverage,
-    xCalibrationBins, xAuc)
+    xCalibrationBins, xAuc, xDatasetCard)
 }
