@@ -454,6 +454,8 @@ class PlanAuditSpec extends SparkSpec {
       "x_skew_profile", "x_winsorize", "x_interleave", // one-row totals
       "x_winsorize_cont",         // one-row p05/p95 bounds broadcast
       "x_mix_temperature",        // one-row weight-total broadcast
+      "x_bootstrap_ci",           // one-row point-estimate broadcast
+      "x_dataset_card",           // one-row corpus-dims broadcast
       "x_drift_psi", "x_curriculum", "q_percent_rank", // one-row totals
       "x_quantile_norm", "x_contrastive_pairs",  // one-row totals
       "ev_markov_stationary", "x_semdedup_eps",  // type-domain/one-row dims
