@@ -58,6 +58,10 @@ case class DotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // a NULL element → NULL result, matching the composable fold (null
+      // poisons the + chain); without this check interpreted eval NPEs on
+      // GenericArrayData and codegen silently reads 0.0 from UnsafeArrayData
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
@@ -79,8 +83,12 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  final int $n = $a.numElements();
          |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      $acc += $a.getDouble($i) * $b.getDouble($i);
+         |    }
          |  }
          |  ${ev.value} = $acc;
          |}

@@ -47,6 +47,10 @@ case class L2Squared(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // a NULL element → NULL result, matching the composable fold (null
+      // poisons the + chain); without this check interpreted eval NPEs on
+      // GenericArrayData and codegen silently reads 0.0 from UnsafeArrayData
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val d = a.getDouble(i) - b.getDouble(i)
       acc += d * d
       i += 1
@@ -66,9 +70,13 @@ case class L2Squared(left: Expression, right: Expression)
          |} else {
          |  final int $n = $a.numElements();
          |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    final double $dd = $a.getDouble($i) - $b.getDouble($i);
-         |    $acc += $dd * $dd;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      final double $dd = $a.getDouble($i) - $b.getDouble($i);
+         |      $acc += $dd * $dd;
+         |    }
          |  }
          |  ${ev.value} = $acc;
          |}

@@ -193,8 +193,14 @@ object DataQuality {
     * Poisson(1) copies to each of `b` resamples, drawn by inverse-CDF on
     * a deterministic md5 ppm uniform (cumulative thresholds 367879,
     * 735758, 919698, 981011, 996340, 999405 — Poisson(1) quantized to
-    * ppm, tail capped at 5 copies; the SEEDED draw is what makes the CI
-    * bit-replicable, the x_dp_release discipline). Resample means carry
+    * ppm, tail capped at 6 copies (draws past the last threshold take
+    * `thresholds.size` = 6, mirrored by the oracle's ELSE 6); the SEEDED
+    * draw is what makes the CI bit-replicable, the x_dp_release
+    * discipline. A resample whose total copy count is 0 would yield a
+    * NULL mean via `div` — vanishingly unlikely at realistic N (p ≈
+    * e^(-0.632·N) per resample) and excluded by the rank selection only
+    * when it occurs; documented rather than special-cased). Resample
+    * means carry
     * exact integer milli-units (Σ copies·v ·1000 div Σ copies); the
     * percentile CI rank-selects over the b-row resample table.
     *

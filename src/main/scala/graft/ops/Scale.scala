@@ -140,12 +140,15 @@ object Scale {
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = binned.groupBy(col("__bin")).agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(sum(col("__cnt")).over(cumW), lit(0L)))
-      .select(col("__bin"), col("__off"))
-    binned.join(broadcast(offs), Seq("__bin"))
+      .select(col("__bin").as("__obin"), col("__off"))
+    // null-SAFE (<=>) join back: a NULL bin is its own partition in the
+    // row_number()/sum() OVER forms this decomposition replaces (and in
+    // the DuckDB oracles) — an equi-join would silently drop those rows
+    binned.join(broadcast(offs), col("__bin") <=> col("__obin"))
       .withColumn(rankCol,
         col("__off") + row_number().over(
           Window.partitionBy(col("__bin")).orderBy(ordInBin: _*)))
-      .drop("__bin", "__off")
+      .drop("__bin", "__obin", "__off")
   }
 
   /** PER-GROUP variant of [[binnedGlobalRank]]: exact 1-based rank WITHIN
@@ -177,12 +180,19 @@ object Scale {
     val offs = binned.groupBy(gCols :+ col("__bin"): _*)
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(sum(col("__cnt")).over(cumW), lit(0L)))
-      .select(gCols :+ col("__bin") :+ col("__off"): _*)
-    binned.join(offs, gNames :+ "__bin")
+      .select(gCols.zip(gNames).map { case (c, n) => c.as(s"__o$n") }
+        :+ col("__bin").as("__obin") :+ col("__off"): _*)
+    // null-SAFE (<=>) join back on every group/bin key: NULL group or bin
+    // values are their own partitions in the window forms this replaces
+    // (and in the DuckDB oracles) — an equi-join would silently drop them
+    val cond = (gNames.map(n => col(n) <=> col(s"__o$n"))
+      :+ (col("__bin") <=> col("__obin"))).reduce(_ && _)
+    binned.join(offs, cond)
       .withColumn(rankCol,
         col("__off") + row_number().over(
           Window.partitionBy(gCols :+ col("__bin"): _*).orderBy(ordInBin: _*)))
-      .drop(gNames :+ "__bin" :+ "__off": _*)
+      .drop(gNames.map(n => s"__o$n") ++ gNames
+        :+ "__bin" :+ "__obin" :+ "__off": _*)
   }
 
   /** PER-GROUP binned running sum: for every row, the exact cumulative
@@ -207,13 +217,18 @@ object Scale {
     val offs = binned.groupBy(gCols :+ col("__bin"): _*)
       .agg(sum(col("__val")).as("__cnt"))
       .withColumn("__off", coalesce(sum(col("__cnt")).over(cumW), lit(0L)))
-      .select(gCols :+ col("__bin") :+ col("__off"): _*)
+      .select(gCols.zip(gNames).map { case (c, n) => c.as(s"__o$n") }
+        :+ col("__bin").as("__obin") :+ col("__off"): _*)
     val inBinW = Window.partitionBy(gCols :+ col("__bin"): _*)
       .orderBy(ordInBin: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    binned.join(offs, gNames :+ "__bin")
+    // null-SAFE (<=>) join back — same rationale as binnedGroupRank
+    val cond = (gNames.map(n => col(n) <=> col(s"__o$n"))
+      :+ (col("__bin") <=> col("__obin"))).reduce(_ && _)
+    binned.join(offs, cond)
       .withColumn(outCol, col("__off") + sum(col("__val")).over(inBinW))
-      .drop(gNames :+ "__bin" :+ "__val" :+ "__off": _*)
+      .drop(gNames.map(n => s"__o$n") ++ gNames
+        :+ "__bin" :+ "__obin" :+ "__val" :+ "__off": _*)
   }
 
   /** Map-side `ntile(k)` from an exact global rank and total count —

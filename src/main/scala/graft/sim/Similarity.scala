@@ -658,6 +658,10 @@ object Similarity {
   def kCenterGreedy(emb: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // like every sibling entry point: works on sessions built without
+    // GraftExtensions (l2sq resolves graft_l2sq by name)
+    graft.functions.DotProduct.register(emb.sparkSession)
+    graft.functions.L2Squared.register(emb.sparkSession)
     val base = emb.select(col(idCol).as("vec_id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val seed = base.orderBy(col("vec_id").asc).limit(1)
@@ -668,14 +672,25 @@ object Similarity {
       .select(col("vec_id"), col("v"), l2sq(col("v"), col("cv")).as("dmin"))
       .persist()
     for (i <- 2 to k) {
-      val ci = d.orderBy(col("dmin").desc, col("vec_id").asc).limit(1)
+      // the argmax row is persisted (ONE row) so the final union and the
+      // next round's broadcast both read its cache instead of re-running
+      // the argmax against a round frame that has since been released
+      val ci = d.orderBy(col("dmin").desc, col("vec_id").asc).limit(1).persist()
       out :+= ci.select(lit(i.toLong).as("sel_rank"), col("vec_id"),
         col("dmin").as("radius"))
-      if (i < k)
+      if (i < k) {
+        val prev = d
         d = d.crossJoin(broadcast(ci.select(col("v").as("cv"))))
           .select(col("vec_id"), col("v"),
             least(col("dmin"), l2sq(col("v"), col("cv"))).as("dmin"))
           .persist()
+        // materialize round i's frame (and ci) BEFORE releasing round
+        // i-1's cache — without this each call leaks k-1 cached
+        // corpus-sized frames; what stays cached after return is the k-1
+        // one-row argmax frames plus the final round frame
+        d.count()
+        prev.unpersist(blocking = false)
+      }
     }
     out.reduce(_.unionByName(_))
   }

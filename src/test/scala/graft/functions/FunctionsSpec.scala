@@ -93,6 +93,37 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("DotProduct / L2Squared: a NULL array ELEMENT yields NULL in both " +
+    "interpreted and codegen modes, matching the composable fold") {
+    DotProduct.register(spark)
+    L2Squared.register(spark)
+    // array(lit, null-cast) has containsNull = true with a null element in
+    // row 0 and none in row 1
+    def probe(): Seq[(Option[Double], Option[Double], Option[Double], Option[Double])] =
+      spark.range(2).select(
+        array(lit(1.0),
+          when(col("id") === 0, lit(null).cast("double")).otherwise(lit(2.0)))
+          .as("a"),
+        array(lit(3.0), lit(4.0)).as("b"))
+        .select(
+          call_function("graft_dot", col("a"), col("b")).as("dot"),
+          call_function("graft_l2sq", col("a"), col("b")).as("l2"),
+          aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+            lit(0.0), (acc, v) => acc + v).as("dot_fold"),
+          aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, v) => acc + v).as("l2_fold"))
+        .as[(Option[Double], Option[Double], Option[Double], Option[Double])]
+        .collect().toSeq
+    for (mode <- Seq("NO_CODEGEN", "CODEGEN_ONLY")) {
+      withSQLConf("spark.sql.codegen.factoryMode" -> mode) {
+        val Seq(withNull, clean) = probe()
+        assert(withNull === ((None, None, None, None)), s"mode=$mode")
+        assert(clean === ((Some(11.0), Some(8.0), Some(11.0), Some(8.0))),
+          s"mode=$mode")
+      }
+    }
+  }
+
   test("OrderedMiddleAgg (typed Aggregator) agrees with the expression form") {
     val udafCol = udaf(OrderedMiddleAgg)
     val df = Seq(("k", 1.0), ("k", 2.0), ("k", 3.0), ("k", 4.0),

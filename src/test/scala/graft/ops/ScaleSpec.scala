@@ -137,6 +137,43 @@ class ScaleSpec extends SparkSpec {
       "group-only window partition leaked into the plan"))
   }
 
+  test("binned helpers keep NULL group/bin keys (null-safe join back, " +
+    "matching the window forms' NULL-is-its-own-partition semantics)") {
+    import org.apache.spark.sql.expressions.Window
+    // one NULL group and one NULL bin value; every row must survive
+    val df = spark.range(60)
+      .select($"id".as("k"),
+        when($"id" % 5 === 0, lit(null)).otherwise(($"id" % 3).cast("string"))
+          .as("g"),
+        when($"id" % 7 === 0, lit(null)).otherwise($"id" % 4).as("q"),
+        ($"id" % 9 + 1).as("tok"))
+    val rk = Scale.binnedGroupRank(df, Seq($"g"), $"q",
+      Seq($"q".asc_nulls_first, $"k".asc), binAsc = true, "r")
+    assert(rk.count() === 60, "null-keyed rows dropped by binnedGroupRank")
+    val rkRef = df.select($"k",
+      row_number().over(Window.partitionBy($"g")
+        .orderBy($"q".asc_nulls_first, $"k".asc)).cast("long").as("r"))
+    assert(rk.select($"k", $"r".cast("long")).as[(Long, Long)].collect().toSet
+      === rkRef.as[(Long, Long)].collect().toSet)
+    val rs = Scale.binnedGroupRunningSum(df, Seq($"g"), $"q",
+      Seq($"k".asc), $"tok", binAsc = true, "running")
+    assert(rs.count() === 60, "null-keyed rows dropped by binnedGroupRunningSum")
+    val rsRef = df.select($"k",
+      sum($"tok").over(Window.partitionBy($"g")
+        .orderBy($"q".asc_nulls_first, $"k".asc)
+        .rowsBetween(Window.unboundedPreceding, 0)).as("running"))
+    assert(rs.select($"k", $"running").as[(Long, Long)].collect().toSet ===
+      rsRef.as[(Long, Long)].collect().toSet)
+    val rg = Scale.binnedGlobalRank(df, $"q",
+      Seq($"q".asc_nulls_first, $"k".asc), binAsc = true, "r")
+    assert(rg.count() === 60, "null-bin rows dropped by binnedGlobalRank")
+    val rgRef = df.select($"k",
+      row_number().over(Window.orderBy($"q".asc_nulls_first, $"k".asc))
+        .cast("long").as("r"))
+    assert(rg.select($"k", $"r".cast("long")).as[(Long, Long)].collect().toSet
+      === rgRef.as[(Long, Long)].collect().toSet)
+  }
+
   test("bloomPrunedJoin equals the plain equi-join and prunes map-side " +
     "via broadcast semi probes") {
     val fact = (1L to 500L).map(i => (i % 50, i)).toDF("fk", "payload")
