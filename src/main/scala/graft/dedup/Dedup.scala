@@ -316,9 +316,11 @@ object Dedup {
     * all-pairs cross join). `dim` must match the embedding width. */
   def embeddingNearDupPairs(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      planes: Int = 6, dim: Int = 64, probes: Int = 1): DataFrame =
+      planes: Int = 6, dim: Int = 64, probes: Int = 1,
+      bucketCap: Int = 512): DataFrame =
     graft.sim.Similarity
-      .lshNearDupPairs(emb, idCol, vecCol, threshold, planes, dim, probes)
+      .lshNearDupPairs(emb, idCol, vecCol, threshold, planes, dim, probes,
+        bucketCap)
 
   /** Semantic (embedding-space) dedup at cluster scope — the SemDeDup
     * recipe: k-means-cluster the corpus embeddings, then compare pairs
@@ -437,30 +439,46 @@ object Dedup {
     voted.select(col("doc_id"), sig.as("sig"))
   }
 
-  /** SimHash near-duplicate pairs: split the signature into `bands` bands
-    * (default 64-bit / 4 bands = 16-bit band keys → 65,536 buckets per
-    * band), bucket-join, keep pairs with Hamming distance ≤ maxHamming.
-    * Any pair within Hamming distance `bands - 1` is guaranteed to share
-    * at least one band (pigeonhole); wider distances are best-effort.
-    * Band keys narrower than ~16 bits make the bucket self-join
-    * quadratic-with-a-constant rather than bucketed — don't lower the
-    * signature width below 64 at corpus scale. */
+  /** SimHash near-duplicate pairs via simple banding. COMPLETE only when
+    * `maxHamming < bands` (pigeonhole — the default 4 bands / maxHamming 3
+    * satisfies it); for wider Hamming radii use
+    * [[simhashNearDupPairsComplete]], whose combination tables restore
+    * the guarantee. Band keys narrower than ~16 bits make the bucket
+    * self-join quadratic-with-a-constant rather than bucketed — don't
+    * lower the signature width below 64 at corpus scale. */
   def simhashNearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      bits: Int = 64, bands: Int = 4, maxHamming: Int = 6): DataFrame =
+      bits: Int = 64, bands: Int = 4, maxHamming: Int = 3): DataFrame =
     signatureNearDupPairs(
       simhashSignatures(docs, idCol, textCol, bits), bits, bands, maxHamming)
+
+  /** SimHash near-duplicate pairs with the COMPLETE candidate guarantee at
+    * radii ≥ the band count — [[mankuNearDupPairs]] over the signatures
+    * (default: 10 blocks, C(10,2) = 45 two-block tables, complete for
+    * Hamming ≤ 8). */
+  def simhashNearDupPairsComplete(
+      docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 64, blocks: Int = 10, maxHamming: Int = 8): DataFrame =
+    mankuNearDupPairs(
+      simhashSignatures(docs, idCol, textCol, bits), bits, blocks, maxHamming)
 
   /** Banded Hamming-neighbor pairs over ANY 64-bit-signature table
     * (`(doc_id, sig)`) — the candidate machinery shared by SimHash text
     * near-dups and perceptual-hash media near-dups: a pair at Hamming
     * distance ≤ maxHamming must agree exactly on at least one of `bands`
-    * contiguous bit slices when maxHamming < bands (pigeonhole), so the
+    * contiguous bit slices when `maxHamming < bands` (pigeonhole), so the
     * bucket join on (band, key) sees only agreeing slices, never the
-    * all-pairs table. Output (a < b, hamming ≤ maxHamming). */
+    * all-pairs table.
+    *
+    * RECALL CONTRACT: completeness holds ONLY for `maxHamming < bands`.
+    * At maxHamming ≥ bands a pair whose differing bits spread across
+    * every band shares no band key and is silently missed (the
+    * adversarial case is planted in DedupSpec) — candidates are
+    * best-effort there; use [[mankuNearDupPairs]] when the radius must
+    * be complete. Output (a < b, hamming ≤ maxHamming). */
   def signatureNearDupPairs(
       sig: DataFrame, bits: Int = 64, bands: Int = 4,
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 3): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     val width = bits / bands
     val bandStructs = (0 until bands).map { j =>
@@ -472,6 +490,75 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
     banded.toDF("a", "sig_a", "band", "key")
       .join(banded.toDF("b", "sig_b", "band", "key"), Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Block layout + combination tables for the Manku-style COMPLETE
+    * Hamming search ([[mankuNearDupPairs]]): the signature's `bits` are
+    * partitioned into `blocks` contiguous blocks (widths differing by at
+    * most one; the first `bits % blocks` blocks take the extra bit), and
+    * every (blocks − maxHamming)-subset of block indices becomes one
+    * exact-match table. Returned as ((offset, width) per block, subsets)
+    * — shared by the Spark kernel and the DuckDB oracle generator so the
+    * two can never drift. */
+  def mankuLayout(bits: Int, blocks: Int,
+      maxHamming: Int): (Seq[(Int, Int)], Seq[Seq[Int]]) = {
+    require(blocks > maxHamming,
+      s"completeness needs blocks > maxHamming (a ≤$maxHamming-bit pair " +
+        s"agrees on ≥ blocks - $maxHamming blocks), got $blocks blocks")
+    require(blocks <= bits && bits <= 64, s"bad layout: $bits bits / $blocks blocks")
+    val base = bits / blocks
+    val rem = bits % blocks
+    val widths = Seq.tabulate(blocks)(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val layout = offsets.zip(widths)
+    val subsets = (0 until blocks).combinations(blocks - maxHamming)
+      .map(_.toSeq).toSeq
+    (layout, subsets)
+  }
+
+  /** COMPLETE Hamming-neighbor pairs over a 64-bit-signature table — the
+    * Manku/Jain/Sarma construction that [[signatureNearDupPairs]]'
+    * simple banding cannot provide at radii ≥ its band count: any pair
+    * with ≤ maxHamming differing bits touches ≤ maxHamming blocks, hence
+    * agrees EXACTLY on ≥ blocks − maxHamming of them, hence shares the
+    * key of at least one (blocks − maxHamming)-subset table — no near
+    * pair can escape (the pigeonhole restored by widening the table set
+    * instead of narrowing the bands).
+    *
+    * Scale tuning (defaults 10 blocks / maxHamming 8 → C(10,2) = 45
+    * tables of ~13-bit keys): table count C(blocks, blocks − maxHamming)
+    * multiplies the banded-row volume, key width bits·(blocks −
+    * maxHamming)/blocks divides the per-table collision rate — raising
+    * `blocks` buys sharper keys (fewer candidates per table) at more
+    * tables per row. 10/8 balances the two at 64 bits; at 10⁹+ docs move
+    * to 11 blocks (165 tables, ~17-bit keys) so candidate volume stays
+    * ~n²/2¹⁷ per table. Output (a < b, hamming ≤ maxHamming), exactly
+    * [[signatureNearDupPairs]]' shape. */
+  def mankuNearDupPairs(
+      sig: DataFrame, bits: Int = 64, blocks: Int = 10,
+      maxHamming: Int = 8): DataFrame = {
+    val (layout, subsets) = mankuLayout(bits, blocks, maxHamming)
+    val tableKeys = subsets.zipWithIndex.map { case (ss, t) =>
+      // concatenate the chosen blocks' values ascending: shift-left by the
+      // next block's width then add (low bits are zero, so + ≡ bitwise or)
+      val key = ss.foldLeft(lit(0L)) { (acc, b) =>
+        val (off, w) = layout(b)
+        shiftleft(acc, w) +
+          shiftright(col("sig"), off).bitwiseAND(lit((1L << w) - 1))
+      }
+      struct(lit(t).as("t"), key.as("key"))
+    }
+    val tabled = sig.select(col("doc_id"), col("sig"),
+      explode(array(tableKeys: _*)).as("tk"))
+      .select(col("doc_id"), col("sig"),
+        col("tk.t").as("t"), col("tk.key").as("key"))
+    tabled.toDF("a", "sig_a", "t", "key")
+      .join(tabled.toDF("b", "sig_b", "t", "key"), Seq("t", "key"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))

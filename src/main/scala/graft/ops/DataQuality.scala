@@ -137,8 +137,8 @@ object DataQuality {
       .withColumn("pb_ppm", expr("cb * 1000000 div nb"))
       .withColumn("lr_micro",
         when(col("ca") * col("nb") <= bound && col("cb") * col("na") <= bound,
-          floor(log((col("ca") * col("nb")).cast("double") /
-            (col("cb") * col("na")).cast("double")) * 1000000).cast("long"))
+          graft.core.QuantLn.lnMicro((col("ca") * col("nb")).cast("double") /
+            (col("cb") * col("na")).cast("double")))
           .otherwise(raise_error(concat(
             lit("psiDrift: smoothed-count product exceeds the exact-double " +
               "bound (pre-aggregate or subsample the reference; see " +

@@ -1244,9 +1244,9 @@ object CoreQueries {
       .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
       .agg(count(lit(1)).as("n"))
-    def g(salt: String) = floor(-log(
+    def g(salt: String) = graft.core.QuantLn.negLnUnit(
       (pmod(portableHash(col("nation"), lit(salt)), lit(999998L)) + 1)
-        / lit(1000000.0))).cast("long")
+        / lit(1000000.0))
     c.select(col("nation"), col("n"),
       (g("dp1") - g("dp2")).as("noise"),
       (col("n") + g("dp1") - g("dp2")).as("noisy_n"))

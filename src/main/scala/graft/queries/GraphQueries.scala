@@ -503,7 +503,7 @@ object GraphQueries {
     // contribution lookup — one broadcast-sized dimension, two uses
     val aa = deg.filter(col("d").between(2, 32))
       .select(col("node").as("other"),
-        floor(lit(1000000.0) / log(col("d"))).cast("long").as("aa_z"))
+        graft.core.QuantLn.microOverLn(col("d")).as("aa_z"))
     und.toDF("u", "other")
       .join(aa, Seq("other"))
       .join(und.toDF("v", "other"), Seq("other"))

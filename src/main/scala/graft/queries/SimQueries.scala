@@ -18,6 +18,11 @@ object SimQueries {
       |  FROM embeddings)
       |""".stripMargin
 
+  /** Exact brute-force baseline — the RECALL METER for the approximate
+    * family (IVF / PQ / SQ8 / binary / LSH). Meter discipline: the query
+    * side is a deterministic 1-in-4 sample (vec_id % 4), the corpus side
+    * ranks in full, so the meter costs O(sample·corpus) instead of
+    * O(corpus²) while every sampled answer stays the exact ranking. */
   val xAnnTopK = Q(
     "x_ann_topk",
     normCte +
@@ -25,12 +30,14 @@ object SimQueries {
         |  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
         |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
         |    / (a.nrm * b.nrm) AS cos
-        |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id)
+        |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id % 4 = 0)
         |SELECT vec_id, rank, neighbor, cos FROM (
         |  SELECT vec_id, neighbor, cos,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rank
         |  FROM p) WHERE rank <= 5""".stripMargin) { (s, d) =>
-    Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding", k = 5)
+    Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      k = 5, queryPred = col("id") % 4 === 0)
   }
 
   /** Filtered vector search: top-5 cosine neighbors RESTRICTED to
@@ -257,11 +264,21 @@ object SimQueries {
       m = 8, subDim = 8, cellCap = 512)
   }
 
+  /** The registered hot-bucket cap of the hyperplane-LSH family — a no-op
+    * at every test sf (no bucket approaches 512 vectors) exactly like the
+    * IVF/PQ cellCap, but the structural guard a skewed embedding
+    * distribution needs at corpus scale. */
+  private val LshBucketCap = 512
+
   /** Shared DuckDB replica of the multi-probe LSH machinery (Similarity
     * .lshCandidates): hyperplane ±1 literals baked in, projections as
-    * sequential folds, sign-bit bucket ids, Hamming-1 probe explode. Ends
-    * with CTEs `bk` (corpus, bucketed once) and `q` (probe-exploded). */
-  private def lshCteSql(planes: Int, dim: Int): String = {
+    * sequential folds, sign-bit bucket ids, Hamming-1 probe explode, and
+    * the hot-bucket corpus cap (norm desc, vec_id asc — the deterministic
+    * order the engine uses). Ends with CTEs `bk0` (bucketed, uncapped —
+    * for callers that re-slice the corpus before capping), `bk` (the
+    * capped corpus side) and `q` (probe-exploded queries). */
+  private def lshCteSql(planes: Int, dim: Int,
+      cap: Int = LshBucketCap): String = {
     val hp = Similarity.hyperplanes(planes, dim)
     val projCols = hp.zipWithIndex.map { case (p, j) =>
       val lits = p.map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
@@ -277,10 +294,13 @@ object SimQueries {
       s""", proj AS (SELECT vec_id, embedding, nrm,
          |    $projCols
          |  FROM nrm),
-         |bk AS (SELECT vec_id, embedding, nrm,
+         |bk0 AS (SELECT vec_id, embedding, nrm,
          |  CAST($bucketExpr AS BIGINT) AS bucket FROM proj),
+         |bk AS (SELECT vec_id, embedding, nrm, bucket FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY bucket
+         |    ORDER BY nrm DESC, vec_id) AS crn FROM bk0) WHERE crn <= $cap),
          |q AS (SELECT vec_id, embedding, nrm,
-         |  unnest([$probeList]) AS bucket FROM bk)
+         |  unnest([$probeList]) AS bucket FROM bk0)
          |""".stripMargin
   }
 
@@ -355,7 +375,10 @@ object SimQueries {
   val xEmbIncremental = Q(
     "x_emb_incremental",
     lshCteSql(6, 64) +
-      """, bko AS (SELECT * FROM bk WHERE vec_id % 2 = 0),
+      s""", bko AS (SELECT vec_id, embedding, nrm, bucket FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY bucket
+        |    ORDER BY nrm DESC, vec_id) AS crn
+        |  FROM bk0 WHERE vec_id % 2 = 0) WHERE crn <= $LshBucketCap),
         |qn AS (SELECT * FROM q WHERE vec_id % 2 = 1),
         |p AS (SELECT qn.vec_id AS new_id, c.vec_id AS old_id,
         |  list_reduce(list_transform(list_zip(qn.embedding, c.embedding),
@@ -557,7 +580,10 @@ object SimQueries {
     * when tuning nprobe/cells. Both rankings are already oracle-replicated
     * queries; this composes them (LEFT JOIN on the (query, neighbor) pair,
     * hit count per query). The oracle inlines both CTE chains under
-    * disjoint names. */
+    * disjoint names. Meter discipline (x_ann_topk): the exact side runs
+    * on the deterministic 1-in-4 query sample, so recall is measured on
+    * the sample at O(sample·corpus) — the approximate side is the full
+    * registered plan. */
   val xAnnRecall = Q(
     "x_ann_recall",
     normCte +
@@ -565,7 +591,8 @@ object SimQueries {
         |  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
         |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
         |    / (a.nrm * b.nrm) AS cos
-        |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id),
+        |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id % 4 = 0),
         |exact AS (SELECT vec_id, neighbor FROM (
         |  SELECT vec_id, neighbor,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rank
@@ -603,7 +630,8 @@ object SimQueries {
         |  ON e.vec_id = a.vec_id AND e.neighbor = a.neighbor
         |GROUP BY e.vec_id""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5,
+        queryPred = col("id") % 4 === 0)
       .select(col("vec_id"), col("neighbor"))
     val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
         k = 5, centroidStep = 40, cellCap = 512)
@@ -771,9 +799,11 @@ object SimQueries {
       .select(col("cluster"), col("rank"), col("vec_id"), col("dist2"))
   }
 
-  /** Hard-negative mining (Similarity.hardNegatives): top-5 cosine
-    * neighbors with a DIFFERENT label per vector — the pairwise-predicate
-    * variant of filtered search. */
+  /** Hard-negative mining RECALL METER (Similarity.hardNegatives): exact
+    * top-5 different-label neighbors for the deterministic 1-in-4 query
+    * sample against the full corpus — kept, like x_ann_topk, purely so
+    * [[xHardNegativesLsh]] (the registered scale path) has an exact form
+    * to be graded against (SimilaritySpec asserts the recall). */
   val xHardNegatives = Q(
     "x_hard_negatives",
     """WITH v0 AS (SELECT vec_id AS id, label,
@@ -785,22 +815,53 @@ object SimQueries {
       |p AS (SELECT a.id AS vec_id, b.id AS neighbor, b.label AS neg_label,
       |    list_reduce(list_transform(list_zip(a.v, b.v),
       |      z -> z[1] * z[2]), (s, t) -> s + t) / (a.nrm * b.nrm) AS cos
-      |  FROM v a JOIN v b ON a.label <> b.label)
+      |  FROM v a JOIN v b ON a.label <> b.label
+      |  WHERE a.id % 4 = 0)
       |SELECT vec_id, rank, neighbor, neg_label, cos FROM (
       |  SELECT vec_id, neighbor, neg_label, cos,
       |    row_number() OVER (PARTITION BY vec_id
       |      ORDER BY cos DESC, neighbor) AS rank
       |  FROM p) WHERE rank <= 5""".stripMargin) { (s, d) =>
     Similarity.hardNegatives(Tables.embeddings(s, d),
-      "vec_id", "embedding", "label", k = 5)
+      "vec_id", "embedding", "label", k = 5,
+      queryPred = col("id") % 4 === 0)
+  }
+
+  /** The SCALE form of hard-negative mining
+    * ([[Similarity.hardNegativesLsh]]): candidates from the multi-probe
+    * LSH bucket machinery (hot-bucket-capped corpus side), the
+    * different-label filter pruning the pair stream BEFORE the exact
+    * cosine, bounded top-k aggregation — never the broadcast-corpus
+    * cross-product of the meter. At 100 TB this is the registered plan
+    * (the x_knn_graph → x_knn_graph_lsh move applied to negative
+    * mining). Oracle: full bucket/probe/cap replica + label joins. */
+  val xHardNegativesLsh = Q(
+    "x_hard_negatives_lsh",
+    lshCteSql(6, 64) +
+      s""", p AS (SELECT q.vec_id AS vec_id, c.vec_id AS neighbor,
+         |  $dotPairSql AS cos
+         |  FROM q JOIN bk c ON q.bucket = c.bucket
+         |  JOIN embeddings ea ON ea.vec_id = q.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = c.vec_id
+         |    AND ea.label <> eb.label)
+         |SELECT vec_id, rank, neighbor, neg_label, cos FROM (
+         |  SELECT p.vec_id, p.neighbor, e.label AS neg_label, p.cos,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY p.cos DESC, p.neighbor) AS rank
+         |  FROM p JOIN embeddings e ON e.vec_id = p.neighbor)
+         |WHERE rank <= 5""".stripMargin) { (s, d) =>
+    Similarity.hardNegativesLsh(Tables.embeddings(s, d),
+      "vec_id", "embedding", "label", k = 5, planes = 6, dim = 64,
+      probes = 1)
   }
 
   /** Shared SQL tail of the mutual-kNN clustering oracles: top-5 rank
     * select over a `p (vec_id, neighbor, cos)` CTE, mutuality via the
     * reversed-pair join, undirected closure by recursive reachability,
-    * singletons keep their own id. */
-  private val knnMutualCcSql =
-    """,knn AS (SELECT vec_id AS a, neighbor AS b FROM (
+    * singletons keep their own id. `idsWhere` restricts the id universe
+    * (the meter's subcorpus). */
+  private def knnMutualCcSql(idsWhere: String = ""): String =
+    s""",knn AS (SELECT vec_id AS a, neighbor AS b FROM (
       |  SELECT vec_id, neighbor,
       |    row_number() OVER (PARTITION BY vec_id
       |      ORDER BY cos DESC, neighbor) AS rank
@@ -814,8 +875,8 @@ object SimQueries {
       |  SELECT r.n, w.v FROM reach r JOIN und w ON r.m = w.u),
       |clusters AS (SELECT n AS vec_id, MIN(m) AS cl FROM reach GROUP BY n)
       |SELECT e.vec_id, coalesce(c.cl, e.vec_id) AS cluster_id
-      |FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.vec_id"""
-      .stripMargin
+      |FROM (SELECT vec_id FROM embeddings $idsWhere) e
+      |LEFT JOIN clusters c ON e.vec_id = c.vec_id""".stripMargin
 
   /** Shared Spark tail: mutuality is ONE left-semi self-join on the
     * reversed edge, CC is GraphX, singletons keep their own id. */
@@ -878,9 +939,13 @@ object SimQueries {
     * density clusters (the kNN-graph clustering a curation pipeline uses
     * when k-means' sphericity assumption fails); singletons keep their own
     * id. The kNN stage here is the brute-force baseline — the documented
-    * O(n²) RECALL METER, kept (like x_ann_topk beside its bucketed
-    * siblings) only so [[xKnnGraphLsh]], the scale path, has an exact
-    * form to be graded against (SimilaritySpec asserts the recall).
+    * RECALL METER, kept (like x_ann_topk beside its bucketed siblings)
+    * only so [[xKnnGraphLsh]], the scale path, has an exact form to be
+    * graded against (SimilaritySpec asserts the recall). Meter
+    * discipline: it runs on the deterministic 1-in-2 SUBCORPUS
+    * (vec_id % 2 — mutuality needs both directions, so sampling the
+    * query side alone would break the edge definition), bounding the
+    * meter at O((n/2)²) while the full corpus belongs to the LSH twin.
     * Oracle: window top-5 + reversed-pair join + recursive-CTE
     * reachability. */
   val xKnnGraph = Q(
@@ -890,12 +955,14 @@ object SimQueries {
         |  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
         |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
         |    / (a.nrm * b.nrm) AS cos
-        |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id)"""
-        .stripMargin + knnMutualCcSql) { (s, d) =>
-    val knn = Similarity.bruteForceTopK(
-      Tables.embeddings(s, d), "vec_id", "embedding", k = 5)
+        |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 0)"""
+        .stripMargin +
+      knnMutualCcSql("WHERE vec_id % 2 = 0")) { (s, d) =>
+    val sub = Tables.embeddings(s, d).filter(col("vec_id") % 2 === 0)
+    val knn = Similarity.bruteForceTopK(sub, "vec_id", "embedding", k = 5)
       .select(col("vec_id").as("a"), col("neighbor").as("b"))
-    mutualKnnClusters(s, knn, Tables.embeddings(s, d).select(col("vec_id")))
+    mutualKnnClusters(s, knn, sub.select(col("vec_id")))
   }
 
   /** The SCALE form of the mutual-kNN clustering: the kNN stage runs on
@@ -913,7 +980,7 @@ object SimQueries {
       s""", p AS (SELECT q.vec_id AS vec_id, c.vec_id AS neighbor,
          |  $dotPairSql AS cos
          |  FROM q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)"""
-        .stripMargin + knnMutualCcSql) { (s, d) =>
+        .stripMargin + knnMutualCcSql()) { (s, d) =>
     val knn = Similarity.lshTopK(
       Tables.embeddings(s, d), "vec_id", "embedding",
       k = 5, planes = 6, dim = 64, probes = 1)
@@ -926,6 +993,7 @@ object SimQueries {
     xSemanticDedup, xNearDupEmb, xDecontaminateSem,
     xMediaFeatures, xMediaDecode, xMediaFrames,
     xAnnRecall, xMediaPhash, xRandProj, xClusterExemplars, xHardNegatives,
+    xHardNegativesLsh,
     xKnnGraph, xKnnGraphLsh, xSemdedupEps, xMediaCurate, xEmbIncremental,
     xCoresetKcenter, xMediaPhashNear)
 }

@@ -52,14 +52,19 @@ object Similarity {
     * neighbor-id tie-break.
     * The float→double cast happens once per vector BEFORE the O(n²) pair
     * join (same values as casting inside the product, so the oracle still
-    * matches bit-exact), leaving only mul/add in the hot loop. */
-  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    * matches bit-exact), leaving only mul/add in the hot loop.
+    * `queryPred` restricts the QUERY side only (the corpus side always
+    * ranks in full) — the recall-meter discipline: exact answers for a
+    * deterministic sampled query set cost O(sample·corpus), not
+    * O(corpus²). */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      queryPred: Column = lit(true)): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
     graft.functions.L2Squared.register(emb.sparkSession)
     val withNorm = emb.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val pairs = withNorm.toDF("vec_id", "va", "na")
+    val pairs = withNorm.filter(queryPred).toDF("vec_id", "va", "na")
       .join(broadcast(withNorm.toDF("neighbor", "vb", "nb")),
         col("vec_id") =!= col("neighbor"))
       .select(col("vec_id"), col("neighbor"),
@@ -240,10 +245,24 @@ object Similarity {
     * `probes` ≥ 1), join on bucket equality. The probe values are pairwise
     * DISTINCT (xor with distinct masks) and each corpus vector sits in ONE
     * bucket, so a (query, corpus) pair can surface through at most one
-    * probe — no dedup pass is needed after the join. */
+    * probe — no dedup pass is needed after the join.
+    *
+    * `bucketCap` is the hot-bucket guard (the `cellCap` of [[ivfTopK]] /
+    * [[pqTopK]], ported here): the CORPUS side of the bucket join is
+    * bounded to the `bucketCap` highest-norm vectors of each bucket (norm
+    * desc, id asc — deterministic, so an oracle replicates the cap
+    * exactly). Without it the in-bucket join is (n/2^planes)² per bucket
+    * — and real embedding distributions produce hot buckets far worse
+    * than uniform. Queries are never dropped, only their candidate pool
+    * is bounded (the IVF list-length trade). The row_number + filter
+    * shape gets Spark's WindowGroupLimit pushdown, so each partition is
+    * pre-truncated to `bucketCap` rows map-side before the final rank.
+    * At corpus scale `planes` must also grow ~log₂(n) so the bucket
+    * domain keeps pace with the data (see PLANS.md). */
   private def lshCandidates(
       emb: DataFrame, idCol: String, vecCol: String,
-      planes: Int, dim: Int, probes: Int): (DataFrame, DataFrame) = {
+      planes: Int, dim: Int, probes: Int,
+      bucketCap: Int): (DataFrame, DataFrame) = {
     graft.functions.DotProduct.register(emb.sparkSession)
     graft.functions.L2Squared.register(emb.sparkSession)
     val hp = hyperplanes(planes, dim)
@@ -257,13 +276,21 @@ object Similarity {
         (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)
     val queries = withBucket
       .select(col("id"), col("v"), col("nrm"), explode(probeBuckets).as("bucket"))
-    (queries, withBucket)
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("nrm").desc, col("id").asc)
+    val corpus = withBucket
+      .withColumn("__crn", row_number().over(wBucket))
+      .filter(col("__crn") <= bucketCap)
+      .drop("__crn")
+    (queries, corpus)
   }
 
   def lshTopK(
       emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      planes: Int = 6, dim: Int = 64, probes: Int = 0): DataFrame = {
-    val (queries, corpus) = lshCandidates(emb, idCol, vecCol, planes, dim, probes)
+      planes: Int = 6, dim: Int = 64, probes: Int = 0,
+      bucketCap: Int = 512): DataFrame = {
+    val (queries, corpus) =
+      lshCandidates(emb, idCol, vecCol, planes, dim, probes, bucketCap)
     val pairs = queries.toDF("vec_id", "va", "na", "bucket")
       .join(corpus.toDF("neighbor", "vb", "nb", "bucket"), Seq("bucket"))
       .filter(col("vec_id") =!= col("neighbor"))
@@ -435,8 +462,10 @@ object Similarity {
     * so an independent engine replicates candidates AND scores exactly. */
   def lshNearDupPairs(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      planes: Int = 6, dim: Int = 64, probes: Int = 1): DataFrame = {
-    val (queries, corpus) = lshCandidates(emb, idCol, vecCol, planes, dim, probes)
+      planes: Int = 6, dim: Int = 64, probes: Int = 1,
+      bucketCap: Int = 512): DataFrame = {
+    val (queries, corpus) =
+      lshCandidates(emb, idCol, vecCol, planes, dim, probes, bucketCap)
     queries.toDF("a", "va", "na", "bucket")
       .join(corpus.toDF("b", "vb", "nb", "bucket"), Seq("bucket"))
       .filter(col("a") < col("b"))
@@ -456,9 +485,12 @@ object Similarity {
     * Output: (new_id, old_id, cos) with cos ≥ threshold. */
   def crossSnapshotEmbNearDups(corpus: DataFrame, batch: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
-      planes: Int = 6, dim: Int = 64, probes: Int = 1): DataFrame = {
-    val (queries, _) = lshCandidates(batch, idCol, vecCol, planes, dim, probes)
-    val (_, corpusBk) = lshCandidates(corpus, idCol, vecCol, planes, dim, 0)
+      planes: Int = 6, dim: Int = 64, probes: Int = 1,
+      bucketCap: Int = 512): DataFrame = {
+    val (queries, _) =
+      lshCandidates(batch, idCol, vecCol, planes, dim, probes, bucketCap)
+    val (_, corpusBk) =
+      lshCandidates(corpus, idCol, vecCol, planes, dim, 0, bucketCap)
     queries.toDF("new_id", "va", "na", "bucket")
       .join(corpusBk.toDF("old_id", "vb", "nb", "bucket"), Seq("bucket"))
       .select(col("new_id"), col("old_id"),
@@ -473,18 +505,21 @@ object Similarity {
     * as a filter over the candidate pairs rather than a corpus pre-filter
     * ([[filteredTopK]]'s shape); ranking runs through the bounded top-k
     * aggregate and the negative's label rides along via one broadcast
-    * id→label dimension join. At 100 TB the same LSH bucketing prunes
-    * candidates — hard negatives are near vectors by construction, so
-    * bucket-local search loses none of the high-cosine tail. */
+    * id→label dimension join.
+    *
+    * This brute form broadcasts the corpus against itself — Θ(n²) pairs.
+    * It is the RECALL METER for [[hardNegativesLsh]], the registered
+    * scale path (exactly the bruteForceTopK ↔ lshTopK pairing); restrict
+    * `queries` to a deterministic sample when metering a large corpus. */
   def hardNegatives(
       emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
-      k: Int): DataFrame = {
+      k: Int, queryPred: Column = lit(true)): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
     graft.functions.L2Squared.register(emb.sparkSession)
     val base = emb.select(col(idCol).as("id"), col(labelCol).as("lbl"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val pairs = base.toDF("vec_id", "la", "va", "na")
+    val pairs = base.filter(queryPred).toDF("vec_id", "la", "va", "na")
       .join(broadcast(base.toDF("neighbor", "lb", "vb", "nb")),
         col("la") =!= col("lb"))
       .select(col("vec_id"), col("neighbor"),
@@ -492,6 +527,40 @@ object Similarity {
     aggTopKFromPairs(pairs, k)
       .join(broadcast(base.select(col("id").as("neighbor"),
         col("lbl").as("neg_label"))), Seq("neighbor"))
+      .select(col("vec_id"), col("rank"), col("neighbor"),
+        col("neg_label"), col("cos"))
+  }
+
+  /** The SCALE form of hard-negative mining: candidates come from the
+    * multi-probe LSH bucket machinery ([[lshCandidates]] — corpus
+    * bucketed once and hot-bucket-capped, query probe set exploded,
+    * bucket equi-join), the different-label filter prunes the pair
+    * stream before the exact cosine, and ranking runs through the
+    * bounded top-k aggregate. Hard negatives are near vectors by
+    * construction, so bucket-local search loses none of the high-cosine
+    * tail a contrastive batch actually wants (recall vs the brute meter
+    * asserted in SimilaritySpec). The negative's label attaches through
+    * a plain equi-join of the (id → label) projection against the n·k
+    * result — shuffle-sized by the OUTPUT, never the pair stream.
+    * Output: (vec_id, rank, neighbor, neg_label, cos), rank 1..k. */
+  def hardNegativesLsh(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int, planes: Int = 6, dim: Int = 64, probes: Int = 1,
+      bucketCap: Int = 512): DataFrame = {
+    val labels = emb.select(col(idCol).as("id"), col(labelCol).as("lbl"))
+    val (queries, corpus) =
+      lshCandidates(emb, idCol, vecCol, planes, dim, probes, bucketCap)
+    val q = queries.join(labels, Seq("id"))
+      .toDF("vec_id", "va", "na", "bucket", "la")
+    val c = corpus.join(labels, Seq("id"))
+      .toDF("neighbor", "vb", "nb", "bucket", "lb")
+    val pairs = q.join(c, Seq("bucket"))
+      .filter(col("la") =!= col("lb"))
+      .select(col("vec_id"), col("neighbor"),
+        (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+    aggTopKFromPairs(pairs, k)
+      .join(labels.select(col("id").as("neighbor"), col("lbl").as("neg_label")),
+        Seq("neighbor"))
       .select(col("vec_id"), col("rank"), col("neighbor"),
         col("neg_label"), col("cos"))
   }

@@ -112,8 +112,8 @@ object Relevance {
       .select(col("word").as("prev"), col("c1"))
     val types = c2.join(c1, Seq("prev"))
       .withColumn("lp_micro",
-        floor(log(col("c2").cast("double") / col("c1").cast("double"))
-          * 1000000).cast("long"))
+        graft.core.QuantLn.lnMicro(
+          col("c2").cast("double") / col("c1").cast("double")))
       .select(col("prev"), col("word"), col("lp_micro"))
     bi.join(types, Seq("prev", "word"))
       .groupBy(col("doc_id"))
@@ -142,8 +142,8 @@ object Relevance {
     val n = counts.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
     counts.join(n, Seq("doc_id"))
       .withColumn("term_micro",
-        col("c") * floor(log(col("n").cast("double") / col("c").cast("double"))
-          * 1000000).cast("long"))
+        col("c") * graft.core.QuantLn.lnMicro(
+          col("n").cast("double") / col("c").cast("double")))
       .groupBy(col("doc_id"))
       // max over a per-doc-constant column (never first(): the codebase
       // bans arrival-order dependence even where values coincide)
@@ -179,10 +179,9 @@ object Relevance {
       sum(col("c_g")).as("g_tot"), count(lit(1)).as("v_sz"))
     val vocab = counts.crossJoin(broadcast(tot))
       .withColumn("llr_micro",
-        floor(log(
+        graft.core.QuantLn.lnMicro(
           ((col("c_t") + 1) / (col("t_tot") + col("v_sz"))) *
-            ((col("g_tot") + col("v_sz")) / (col("c_g") + 1))) * 1000000)
-          .cast("long"))
+            ((col("g_tot") + col("v_sz")) / (col("c_g") + 1))))
       .select(col("token"), col("llr_micro"))
     toks.join(broadcast(vocab), Seq("token"))
       .groupBy(col("doc_id"))
@@ -337,18 +336,17 @@ object Relevance {
     val tot = docs.agg(count(lit(1)).as("total_docs"))
     val lw = m.join(ns, Seq("cl")).crossJoin(broadcast(vocab))
       .select(col("cl"), col("w"),
-        floor(log((col("c") + 1).cast("double") /
-          (col("n_s") + col("vocab")).cast("double")) * 1000000)
-          .cast("long").as("lw_micro"))
+        graft.core.QuantLn.lnMicro((col("c") + 1).cast("double") /
+          (col("n_s") + col("vocab")).cast("double")).as("lw_micro"))
     val defs = ns.crossJoin(broadcast(vocab))
       .select(col("cl"),
-        floor(log(lit(1.0) / (col("n_s") + col("vocab")).cast("double"))
-          * 1000000).cast("long").as("def_micro"))
+        graft.core.QuantLn.lnMicro(
+          lit(1.0) / (col("n_s") + col("vocab")).cast("double"))
+          .as("def_micro"))
     val pri = cls.crossJoin(broadcast(tot))
       .select(col("cl"),
-        floor(log(col("n_docs").cast("double") /
-          col("total_docs").cast("double")) * 1000000)
-          .cast("long").as("pri_micro"))
+        graft.core.QuantLn.lnMicro(col("n_docs").cast("double") /
+          col("total_docs").cast("double")).as("pri_micro"))
     val dt = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val ntok = base.select(col("doc_id"), col("cl").as("actual"),
       size(col("ws")).cast("long").as("n_tokens"))

@@ -221,7 +221,7 @@ object TrainPrep {
     docs
       .withColumn("__u_ppm", u)
       .withColumn("__neg_ln_micro",
-        floor(-log(col("__u_ppm") / 1000000.0) * 1000000).cast("long"))
+        graft.core.QuantLn.negLnMicro(col("__u_ppm") / 1000000.0))
       .withColumn("priority", expr(s"(__neg_ln_micro * 1000000) div $weightCol"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)

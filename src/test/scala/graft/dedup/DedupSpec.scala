@@ -139,6 +139,39 @@ class DedupSpec extends SparkSpec {
     assert(got.exists(r => r._1 == 1L && r._2 == 4L && r._3 == 0))
   }
 
+  test("adversarial planted pair: errors spread across ALL bands escape " +
+    "simple banding; Manku combination tables catch every ≤8-bit pair") {
+    // 8 differing bits, TWO per 16-bit band: the pair agrees on no band
+    // key, so 4-band banding at maxHamming 8 silently misses it — the
+    // round-5 pigeonhole violation, made visible
+    val spread = (0L, java.lang.Long.parseLong("0000000000000011", 16) |
+      (3L << 16) | (3L << 32) | (3L << 48))
+    val sigs = Seq((1L, spread._1), (2L, spread._2)).toDF("doc_id", "sig")
+    assert(java.lang.Long.bitCount(spread._1 ^ spread._2) === 8)
+    val banded = Dedup.signatureNearDupPairs(sigs, bits = 64, bands = 4,
+      maxHamming = 8).count()
+    assert(banded === 0, "banding unexpectedly caught the spread pair — " +
+      "the adversarial case no longer demonstrates the miss")
+    val manku = Dedup.mankuNearDupPairs(sigs, bits = 64, blocks = 10,
+      maxHamming = 8).as[(Long, Long, Int)].collect()
+    assert(manku.toSeq === Seq((1L, 2L, 8)),
+      s"complete tables missed the planted ≤8-bit pair: ${manku.toSeq}")
+    // exhaustive completeness sweep: a 0-signature doc against every
+    // 8-bit error pattern hitting 8 DISTINCT blocks (worst case — no two
+    // errors share a block, so agreement is exactly 2 blocks)
+    val worst = (0 until 8).map(b => 1L << (b * 8 + b % 7))
+      .foldLeft(0L)(_ | _)
+    val sigs2 = Seq((1L, 0L), (2L, worst)).toDF("doc_id", "sig")
+    assert(java.lang.Long.bitCount(worst) === 8)
+    assert(Dedup.mankuNearDupPairs(sigs2, bits = 64, blocks = 10,
+      maxHamming = 8).count() === 1)
+    // and a 9-bit pair is correctly OUTSIDE the contract radius
+    val nine = worst | 2L
+    val sigs3 = Seq((1L, 0L), (2L, nine)).toDF("doc_id", "sig")
+    assert(Dedup.mankuNearDupPairs(sigs3, bits = 64, blocks = 10,
+      maxHamming = 8).count() === 0)
+  }
+
   test("exactMembership lists only multi-doc groups, one row per member") {
     val got = Dedup.exactMembership(docs, "doc_id", "text")
       .as[(String, Long)].collect()

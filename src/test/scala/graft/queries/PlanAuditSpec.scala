@@ -446,7 +446,11 @@ class PlanAuditSpec extends SparkSpec {
       "q11_important_parts", "q22_dormant_customers", // global-scalar HAVING
       "x_ann_topk", "x_ann_filtered", "x_ann_ivf", "x_ann_pq", "x_ann_sq8",
       "x_ann_binary",                            // broadcast 8-byte codes
-      "x_ann_recall", "x_hard_negatives",        // broadcast ANN corpus
+      // broadcast ANN corpus — METER-ONLY members: x_hard_negatives is
+      // the sampled-query recall meter of x_hard_negatives_lsh (the
+      // registered scale path, which must NOT appear here — its candidate
+      // stage is a bucket equi-join)
+      "x_ann_recall", "x_hard_negatives",
       "x_kmeans", "x_cluster_exemplars", "x_semantic_dedup", // centroid sets
       "x_decontaminate_sem",                     // benchmark set
       "x_tfidf", "x_importance_weight", "x_collocations", // one-row totals

@@ -195,6 +195,68 @@ class SimilaritySpec extends SparkSpec {
         s"(${pLsh.size} lsh vs ${pBrute.size} brute)")
   }
 
+  test("lshTopK bucketCap bounds a planted hot bucket's candidates; " +
+    "queries are never dropped") {
+    // v_i = (i+1)·u for a fixed positive u: every projection scales
+    // positively, so ALL 100 vectors share one home bucket — the hot
+    // bucket a skewed embedding distribution produces. Capped at 10, the
+    // corpus side of the bucket join is the 10 highest-norm vectors
+    // (norm desc, id asc), so no query sees more than 10 candidates.
+    val emb = (0L until 100L).map(i =>
+      (i, (0 until 8).map(j => ((j + 1) * (i + 1)).toFloat)))
+      .toDF("vec_id", "embedding")
+    val capped = Similarity.lshTopK(emb, "vec_id", "embedding", k = 50,
+      planes = 4, dim = 8, probes = 0, bucketCap = 10)
+      .groupBy("vec_id").count()
+      .as[(Long, Long)].collect()
+    assert(capped.length === 100, "a query lost its row to the cap")
+    assert(capped.map(_._2).max <= 10,
+      s"hot bucket leaked past the cap: max ${capped.map(_._2).max}")
+    val uncapped = Similarity.lshTopK(emb, "vec_id", "embedding", k = 50,
+      planes = 4, dim = 8, probes = 0, bucketCap = 10000)
+      .groupBy("vec_id").count().select("count").as[Long].collect()
+    assert(uncapped.max === 50L) // k-limited, not cap-limited
+  }
+
+  test("hardNegativesLsh: planted cross-label near-misses recovered at " +
+    "recall >= 0.9 vs the brute meter; labels always differ; candidate " +
+    "stage is an equi-join") {
+    // 10 tight clusters along distinct axes, each cluster holding BOTH
+    // labels — the hard negatives (nearest different-label vectors) are
+    // in-cluster, hence in-bucket: the case LSH candidate mining must not
+    // lose (hard negatives are near vectors by construction)
+    val planted = (0 until 400).map { i =>
+      val c = (i / 2) % 10
+      val m = i / 20
+      val v = Array.fill(64)(0.0f)
+      v(c * 6) = 1.0f
+      v(c * 6 + 1) = 0.01f * (m % 5)
+      (i.toLong, (i % 2).toLong, v.toSeq)
+    }.toDF("vec_id", "label", "embedding")
+    val brute = Similarity.hardNegatives(
+      planted, "vec_id", "embedding", "label", k = 5)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val lshDf = Similarity.hardNegativesLsh(
+      planted, "vec_id", "embedding", "label", k = 5,
+      planes = 6, dim = 64, probes = 1)
+    val p = lshDf.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "hardNegativesLsh candidate stage fell back to a theta join")
+    val lsh = lshDf.as[(Long, Long, Long, Long, Double)].collect()
+    val labelOf = (0 until 400).map(i => (i.toLong, (i % 2).toLong)).toMap
+    lsh.foreach { case (v, _, n, negLbl, _) =>
+      assert(labelOf(n) === negLbl, s"negative label wrong for ($v, $n)")
+      assert(labelOf(v) !== negLbl, s"negative label equals query's ($v, $n)")
+    }
+    val bruteSet = brute.map(r => (r._1, r._3)).toSet
+    val lshSet = lsh.map(r => (r._1, r._3)).toSet
+    val recall = bruteSet.count(lshSet.contains).toDouble / bruteSet.size
+    assert(recall >= 0.9,
+      s"hard-negative recall $recall below 0.9 " +
+        s"(${lshSet.size} lsh vs ${bruteSet.size} brute)")
+  }
+
   test("kCenterGreedy: seed is min id; selections hit distinct planted " +
     "clusters before any revisit; radii non-increasing after round 2") {
     // 4 tight orthogonal clusters of 5 vectors each: greedy farthest-point
