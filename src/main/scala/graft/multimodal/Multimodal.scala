@@ -9,12 +9,18 @@ import org.apache.spark.sql.functions._
   * `batchSize` rows at a time through the decoder, never a whole partition
   * materialized).
   *
-  * The actual media decode is STUBBED (no image/audio codecs in this
-  * environment): [[fakeDecode]] is a deterministic stand-in that derives a
-  * feature vector from the bytes. The Spark-side plumbing — schema, typed
-  * Dataset, batch shape, partition-local execution — is real and tested;
-  * swapping [[fakeDecode]] for a JNI/codec call is the only change needed
-  * for real media.
+  * Two decode tiers:
+  *  - [[decodeImage]] is a REAL image decode (JDK `javax.imageio` —
+  *    PNG/JPEG/GIF/BMP, no external dependency), driven through the same
+  *    batched partition-local path by [[decodeImageSummaries]] and
+  *    oracle-verified end-to-end by `x_media_decode_real` (planted pixels
+  *    → real PNG encode → real decode → arithmetic replica);
+  *  - [[fakeDecode]] is the deterministic stand-in retained for the
+  *    byte-stripe FEATURE path (audio/video codecs aren't in this
+  *    environment): its integer-exactness contract is what lets an
+  *    independent engine replicate feature values bit-for-bit. The
+  *    plumbing — schema, typed Dataset, batch shape, partition-local
+  *    execution — is identical for both tiers.
   */
 object Multimodal {
 
@@ -152,5 +158,87 @@ object Multimodal {
   def documentFeatures(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     extractFeatures(asMedia(docs, "doc_id", "text").as[MediaRow])
+  }
+
+  // ---- REAL image decode (JDK javax.imageio — no external codec) -------
+
+  /** A decoded raster: dimensions plus row-major 24-bit RGB pixels. */
+  case class DecodedImage(width: Int, height: Int, rgb: Array[Int])
+
+  /** Encode a raster as PNG bytes (JDK ImageIO, lossless for 24-bit RGB)
+    * — the fixture side of the real-decode roundtrip: tests and the
+    * x_media_decode_real query synthesize known pixels, push them through
+    * a REAL encoder, and the decode operator must recover them exactly. */
+  def encodePng(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode via `javax.imageio.ImageIO.read` — PNG/JPEG/GIF/BMP
+    * from the JDK's ImageReader registry, no external dependency. Returns
+    * None for undecodable payloads (the permissive-ingestion contract:
+    * corrupt media quarantines, it doesn't kill the task). PNG's 24-bit
+    * RGB path is lossless, so decoded pixels are bit-exact against the
+    * encoder's input — what makes an independent engine able to verify
+    * DECODED values by pure arithmetic (see x_media_decode_real). */
+  def decodeImage(content: Array[Byte]): Option[DecodedImage] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = new Array[Int](w * h)
+        var y = 0
+        var i = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { px(i) = img.getRGB(x, y) & 0xffffff; x += 1; i += 1 }
+          y += 1
+        }
+        Some(DecodedImage(w, h, px))
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Per-image decode summary: dimensions and the exact sum of all R+G+B
+    * channel values — integer, so an oracle that knows the planted pixel
+    * formula replays it without any codec. `decoded = false` rows carry
+    * zeros (quarantined, not dropped). */
+  case class ImageSummary(
+      media_id: Long, decoded: Boolean, width: Int, height: Int, rgb_sum: Long)
+
+  /** Batched REAL decode over the typed media set — same partition-local
+    * `batchSize`-buffer shape as [[extractFeatures]] (the mapInPandas
+    * batch contract), but the decoder inside is the genuine ImageIO path,
+    * not [[fakeDecode]]. */
+  def decodeImageSummaries(
+      media: Dataset[MediaRow], batchSize: Int = 64): Dataset[ImageSummary] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        decodeImage(r.content) match {
+          case Some(img) =>
+            var s = 0L
+            var i = 0
+            while (i < img.rgb.length) {
+              val p = img.rgb(i)
+              s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              i += 1
+            }
+            ImageSummary(r.media_id, decoded = true, img.width, img.height, s)
+          case None => ImageSummary(r.media_id, decoded = false, 0, 0, 0L)
+        }
+      })
+    }
   }
 }

@@ -176,6 +176,22 @@ object IntegrationQueries {
     (s, d) => graft.pipelines.GeneDiseasePipeline.mergedSinglePass(s, d)
   }
 
+  /** SKEW-PROOFED form of the 7-way merge, registered under the SAME
+    * oracle (the j_salted_skew pattern): the diseases_knowledge source —
+    * the chain's realistic hot spot (one heavily-studied disease =
+    * thousands of rows on one (gene, disease) key) — aggregates through
+    * `Scale.saltedAgg` with 8 salts, spreading the hot key over 8
+    * reducers in the partial phase; the algebraic final merge makes the
+    * result bit-identical (driver hash compare enforces it). Salting
+    * sits in the AGGREGATION feeding the outer chain because that is
+    * where the skew materializes and where AQE cannot help
+    * (OptimizeSkewedJoin refuses to split full-outer joins); the joins
+    * themselves stay AQE-managed (skew-split activation proven on a
+    * planted fixture in ScaleSpec). */
+  val gdaMergedSalted = Q("gda_merged_salted", gdaMerged.oracle.get) {
+    (s, d) => graft.pipelines.GeneDiseasePipeline.merged(s, d, salts = 8)
+  }
+
   /** Single-pass form of the DTI 5-way merge, same-oracle bit-equality. */
   val dtiMergedFast = Q("dti_merged_fast", dtiMerged.oracle.get) {
     (s, d) => DtiPipeline.mergedSinglePass(s, d)
@@ -212,5 +228,5 @@ object IntegrationQueries {
   }
 
   val all: Seq[Q] = Seq(ctiInteractions, dtiMerged, dtiMergedFast,
-    gdaMerged, gdaMergedFast, orthoPairs, evJsonExtract)
+    gdaMerged, gdaMergedFast, gdaMergedSalted, orthoPairs, evJsonExtract)
 }

@@ -754,6 +754,48 @@ object SimQueries {
           col("n_bytes").between(100, 500)).as("keep"))
   }
 
+  /** REAL image decode, end to end ([[Multimodal.decodeImageSummaries]]):
+    * per document a small raster is synthesized from a pure-arithmetic
+    * pixel formula (w = 1 + id%7, h = 1 + id%5, channel value =
+    * (id·31 + pixel·7 + channel) mod 256), encoded through the JDK's
+    * REAL PNG encoder, then decoded back through `javax.imageio` in the
+    * batched partition-local operator — the emitted dimensions and exact
+    * R+G+B sum come from the DECODED raster. PNG 24-bit RGB is lossless,
+    * so DuckDB verifies the decode by replaying the pixel formula with
+    * pure integer arithmetic, no codec: any decoder deviation (wrong
+    * dims, channel order, color management) breaks the hash match.
+    * Scale: encode/decode are per-row CPU inside one scan — no joins, no
+    * shuffles beyond the final exchange-free projection. */
+  val xMediaDecodeReal = Q(
+    "x_media_decode_real",
+    """WITH dims AS (SELECT doc_id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+      |             FROM documents),
+      |px AS (SELECT doc_id, w, h,
+      |    (doc_id * 31 + t.i * 7 + c.c) % 256 AS v
+      |  FROM dims, UNNEST(range(0, w * h)) AS t(i),
+      |       UNNEST(range(0, 3)) AS c(c))
+      |SELECT doc_id AS media_id, TRUE AS decoded,
+      |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  CAST(SUM(v) AS BIGINT) AS rgb_sum
+      |FROM px GROUP BY 1, 2, 3, 4""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (1 + id % 7).toInt
+        val h = (1 + id % 5).toInt
+        Multimodal.MediaRow(id, Multimodal.encodePng(w, h, (x, y) => {
+          val i = y * w + x
+          val r = ((id * 31 + i * 7 + 0) % 256).toInt
+          val g = ((id * 31 + i * 7 + 1) % 256).toInt
+          val b = ((id * 31 + i * 7 + 2) % 256).toInt
+          (r << 16) | (g << 8) | b
+        }), "image/png")
+      }
+    Multimodal.decodeImageSummaries(media).toDF()
+      .select(col("media_id"), col("decoded"), col("width"), col("height"),
+        col("rgb_sum"))
+  }
+
   /** Sparse random projection 64→16 (Similarity.randomProjection): the
     * JL-lemma dimensionality-reduction pre-pass that shrinks a wide
     * embedding corpus before any pairwise stage. All-integer (quantized
@@ -991,7 +1033,7 @@ object SimQueries {
   val all: Seq[Q] = Seq(xAnnTopK, xAnnFiltered, xAnnIvf, xAnnLsh, xAnnPq,
     xAnnSq8, xAnnBinary, xEmbedPool, xKmeans,
     xSemanticDedup, xNearDupEmb, xDecontaminateSem,
-    xMediaFeatures, xMediaDecode, xMediaFrames,
+    xMediaFeatures, xMediaDecode, xMediaDecodeReal, xMediaFrames,
     xAnnRecall, xMediaPhash, xRandProj, xClusterExemplars, xHardNegatives,
     xHardNegativesLsh,
     xKnnGraph, xKnnGraphLsh, xSemdedupEps, xMediaCurate, xEmbIncremental,

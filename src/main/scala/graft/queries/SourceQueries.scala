@@ -75,6 +75,33 @@ object SourceQueries {
       .select(col("entry_id").as("rec_id"), col("section"), col("value"))
   }
 
+  /** DSv2 AGGREGATE pushdown over the kegg-flat source
+    * (SupportsPushDownAggregates, the planning-time analog of s12's EXACT
+    * filter pushdown): COUNT(*) + MIN(offset) evaluate split-locally —
+    * one partial row per byte-range split crosses the wire, no record
+    * string is ever materialized, and Spark's final aggregate merges the
+    * partials (KeggFlatSourceSpec pins the plan: PushedAggregates on the
+    * scan, `record` absent). Oracle strategy: record offsets depend on
+    * parquet partition write order, so the oracle checks the two
+    * order-STABLE facts — the record count (one frame per supplier) and
+    * min(offset) = 0 (every non-empty flat file opens with a frame at
+    * byte 0). */
+  val s12Dsv2Agg = Q(
+    "s12_dsv2_agg",
+    """SELECT COUNT(*) AS n_records, CAST(0 AS BIGINT) AS min_offset
+      |FROM supplier""".stripMargin) { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_kegg_agg").toString
+    Tables.supplier(s, d).select(
+      concat(
+        lit("ENTRY       "), col("s_suppkey"), lit("\n"),
+        lit("NAME        "), col("s_name"), lit("\n///")).as("value"))
+      .write.mode("overwrite").text(dir)
+    s.read.format("kegg-flat")
+      .option("path", dir).option("splitSize", "2048").load()
+      .agg(count(lit(1)).as("n_records"),
+        min(col("offset")).as("min_offset"))
+  }
+
   /** S3/S22: chunked-CSV sink round trip — write the nation table through
     * the chunked header-CSV sink (Neo4j escaping at the boundary, 7 rows
     * per file so chunking actually happens), read the files back, emit the
@@ -316,7 +343,7 @@ object SourceQueries {
       Seq("n_orders", "rev_c"))
   }
 
-  val all: Seq[Q] = Seq(s12FlatRecords, s12Dsv2Scan, s3CsvRoundtrip,
+  val all: Seq[Q] = Seq(s12FlatRecords, s12Dsv2Scan, s12Dsv2Agg, s3CsvRoundtrip,
     fCleanupPack, p10Conform, sOrcRoundtrip, sUpsertMerge,
     sCsvPermissive, sSchemaEvolve, sBinaryFiles, sAggMaintain)
 }

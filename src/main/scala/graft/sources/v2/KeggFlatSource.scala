@@ -73,21 +73,62 @@ private[v2] class KeggFlatTable(options: CaseInsensitiveStringMap)
     new KeggFlatScanBuilder(o)
 }
 
+/** The aggregate shapes the source evaluates split-locally
+  * ([[SupportsPushDownAggregates]]): group-by-free COUNT(*) / MIN(offset)
+  * / MAX(offset). */
+private[v2] sealed trait KeggAgg
+private[v2] case object KeggCountStar extends KeggAgg
+private[v2] case object KeggMinOffset extends KeggAgg
+private[v2] case object KeggMaxOffset extends KeggAgg
+
 /** Filter pushdown (the parquet footer-min/max analog for this format):
   * `offset` range bounds and `file` equality are applied EXACTLY by the
   * source — qualifying splits are the only ones planned (an offset
   * window over a 100 TB directory plans O(window) input partitions, not
   * O(corpus)), the reader skips non-qualifying frames without
   * materializing their strings and STOPS once past the upper bound —
-  * so accepted filters are consumed, not returned as residual. */
+  * so accepted filters are consumed, not returned as residual.
+  *
+  * Aggregate pushdown (planning-time analog of the same idea, the
+  * SupportsPushDownAggregates exercise): group-by-free COUNT(*) /
+  * MIN(offset) / MAX(offset) are computed INSIDE each split's reader —
+  * one partial row per split crosses the wire instead of every record
+  * (frames are still walked; boundaries are data-dependent — but no
+  * record string is ever materialized). Pushdown is PARTIAL
+  * (supportCompletePushDown stays false): Spark's final aggregate merges
+  * the per-split rows (SUM of counts, MIN of mins), which is exactly the
+  * multi-partition contract. Pushed filters compose — only qualifying
+  * frames are counted. */
 private[v2] class KeggFlatScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = KeggFlatSource.schema
   private var offsetLo: Long = Long.MinValue // inclusive
   private var offsetHi: Long = Long.MaxValue // inclusive
   private var fileEq: Option[String] = None
   private var accepted: Array[Filter] = Array.empty
+  private var aggSpecs: Option[Seq[KeggAgg]] = None
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def offsetRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: NamedReference => nr.fieldNames.toSeq == Seq("offset")
+        case _ => false
+      }
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    val specs = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(KeggCountStar)
+      case m: Min if offsetRef(m.column) => Some(KeggMinOffset)
+      case m: Max if offsetRef(m.column) => Some(KeggMaxOffset)
+      case _ => None
+    }
+    if (specs.isEmpty || specs.exists(_.isEmpty)) false
+    else { aggSpecs = Some(specs.flatten); true }
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve source column order regardless of the requested order
@@ -135,20 +176,35 @@ private[v2] class KeggFlatScanBuilder(options: CaseInsensitiveStringMap)
     val splitSize = Option(options.get("splitSize")).map(_.toLong)
       .getOrElse(128L * 1024 * 1024)
     require(splitSize > 0, "kegg-flat: splitSize must be positive")
-    new KeggFlatScan(path, splitSize, required, offsetLo, offsetHi, fileEq)
+    val readSchema = aggSpecs match {
+      case Some(specs) => StructType(specs.zipWithIndex.map {
+        case (KeggCountStar, i) =>
+          StructField(s"count_$i", LongType, nullable = false)
+        case (KeggMinOffset, i) =>
+          StructField(s"min_offset_$i", LongType, nullable = true)
+        case (KeggMaxOffset, i) =>
+          StructField(s"max_offset_$i", LongType, nullable = true)
+      })
+      case None => required
+    }
+    new KeggFlatScan(path, splitSize, readSchema, offsetLo, offsetHi, fileEq,
+      aggSpecs)
   }
 }
 
 private[v2] class KeggFlatScan(
     path: String, splitSize: Long, required: StructType,
-    offsetLo: Long, offsetHi: Long, fileEq: Option[String])
+    offsetLo: Long, offsetHi: Long, fileEq: Option[String],
+    aggSpecs: Option[Seq[KeggAgg]] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"kegg-flat path=$path splitSize=$splitSize " +
       s"cols=${required.fieldNames.mkString(",")} " +
-      s"PushedOffsets=[$offsetLo,$offsetHi] PushedFile=${fileEq.getOrElse("*")}"
+      s"PushedOffsets=[$offsetLo,$offsetHi] PushedFile=${fileEq.getOrElse("*")}" +
+      aggSpecs.map(ss => s" PushedAggregates=[${ss.mkString(",")}]")
+        .getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
     // driver-side planning touches only file METADATA (names + lengths)
@@ -180,18 +236,64 @@ private[v2] class KeggFlatScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KeggFlatReaderFactory(required, offsetLo, offsetHi)
+    new KeggFlatReaderFactory(required, offsetLo, offsetHi, aggSpecs)
 }
 
 private[v2] case class KeggFlatPartition(file: String, start: Long, length: Long)
     extends InputPartition
 
 private[v2] class KeggFlatReaderFactory(
-    required: StructType, offsetLo: Long, offsetHi: Long)
+    required: StructType, offsetLo: Long, offsetHi: Long,
+    aggSpecs: Option[Seq[KeggAgg]] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new KeggFlatReader(p.asInstanceOf[KeggFlatPartition], required,
-      offsetLo, offsetHi)
+    aggSpecs match {
+      case Some(specs) =>
+        new KeggFlatAggReader(p.asInstanceOf[KeggFlatPartition], specs,
+          offsetLo, offsetHi)
+      case None =>
+        new KeggFlatReader(p.asInstanceOf[KeggFlatPartition], required,
+          offsetLo, offsetHi)
+    }
+}
+
+/** Split-local partial aggregation: wraps the frame-walking reader with an
+  * offset-only pruned schema (record strings never materialize) and emits
+  * ONE row per split — (count / min / max) in the pushed order, min/max
+  * NULL for an empty split (Spark's final merge ignores nulls; a 0 count
+  * sums correctly). */
+private[v2] class KeggFlatAggReader(
+    part: KeggFlatPartition, specs: Seq[KeggAgg],
+    offsetLo: Long, offsetHi: Long)
+    extends PartitionReader[InternalRow] {
+  private val inner = new KeggFlatReader(part,
+    StructType(Seq(StructField("offset", LongType, nullable = false))),
+    offsetLo, offsetHi)
+  private var done = false
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (done) return false
+    var n = 0L
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    while (inner.next()) {
+      val off = inner.get().getLong(0)
+      n += 1
+      if (off < mn) mn = off
+      if (off > mx) mx = off
+    }
+    row = InternalRow.fromSeq(specs.map {
+      case KeggCountStar => java.lang.Long.valueOf(n)
+      case KeggMinOffset => if (n == 0) null else java.lang.Long.valueOf(mn)
+      case KeggMaxOffset => if (n == 0) null else java.lang.Long.valueOf(mx)
+    })
+    done = true
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = inner.close()
 }
 
 /** Streams one byte-range split in a single buffered pass, O(one record)

@@ -74,6 +74,41 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dHash(Array.emptyByteArray) === 0L)
   }
 
+  test("decodeImage: a known 2x2 PNG decodes to its exact pixels; " +
+    "garbage bytes quarantine as None") {
+    // known raster: red, green / blue, white — through the REAL JDK PNG
+    // encoder and back through the REAL ImageIO decoder, bit-exact
+    val px = Map((0, 0) -> 0xff0000, (1, 0) -> 0x00ff00,
+      (0, 1) -> 0x0000ff, (1, 1) -> 0xffffff)
+    val bytes = Multimodal.encodePng(2, 2, (x, y) => px((x, y)))
+    // PNG magic present — this is a real container, not a fake
+    assert((bytes(0) & 0xff) === 0x89 && bytes(1) === 'P'.toByte &&
+      bytes(2) === 'N'.toByte && bytes(3) === 'G'.toByte)
+    val img = Multimodal.decodeImage(bytes).get
+    assert(img.width === 2 && img.height === 2)
+    assert(img.rgb.toSeq === Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff))
+    assert(Multimodal.decodeImage("not an image at all".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+  }
+
+  test("decodeImageSummaries: batched real decode recovers planted " +
+    "dimensions and channel sums; corrupt rows quarantine with " +
+    "decoded = false") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, Multimodal.encodePng(3, 2,
+        (x, y) => ((y * 3 + x) << 16) | 0x000102), "image/png"),
+      Multimodal.MediaRow(2L, "corrupt payload".getBytes, "image/png")
+    ).toDS()
+    val got = Multimodal.decodeImageSummaries(media, batchSize = 1)
+      .collect().map(s => s.media_id -> s).toMap
+    val ok = got(1L)
+    assert(ok.decoded && ok.width === 3 && ok.height === 2)
+    // rgb sum: Σ_{i<6} i (red) + 6·(1 + 2) (green+blue planted constant)
+    assert(ok.rgb_sum === (0 until 6).sum + 6 * 3)
+    val bad = got(2L)
+    assert(!bad.decoded && bad.width === 0 && bad.rgb_sum === 0L)
+  }
+
   test("extractHashes groups exact payload duplicates under one phash") {
     val media = Seq(
       Multimodal.MediaRow(1L, "the same payload body".getBytes, "text/plain"),

@@ -64,6 +64,36 @@ class ScaleSpec extends SparkSpec {
     assert(salted === direct)
   }
 
+  test("AQE skew-join splits a planted skewed sort-merge join " +
+    "(skew=true lands in the executed adaptive plan)") {
+    // one key owns ~195k of 200k fact rows; thresholds lowered so the
+    // planted skew crosses AQE's split bar at test scale — the fixture
+    // proving the runtime path the big chains (gda_merged etc.) rely on
+    // for JOIN-side skew (aggregation-side skew is the salted form's job)
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val fact = spark.range(200000).select(
+        when($"id" % 40 === 0, $"id" % 97).otherwise(lit(0L)).as("k"),
+        concat(lit("payload-"), $"id").as("payload"))
+      val dim = spark.range(97).select($"id".as("k"),
+        concat(lit("dim-"), $"id").as("label"))
+      val joined = fact.join(dim, Seq("k"))
+      // execute THIS frame's own plan (count()/write() build a separate
+      // QueryExecution and would leave this one un-run, isFinalPlan=false)
+      val n = joined.queryExecution.toRdd.count()
+      assert(n === 200000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the planted skewed join:\n$plan")
+    }
+  }
+
   test("gda chain with the salted source equals the direct chain") {
     import graft.pipelines.GeneDiseasePipeline
     def key(df: org.apache.spark.sql.DataFrame) =

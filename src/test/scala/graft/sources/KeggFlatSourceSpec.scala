@@ -170,6 +170,44 @@ class KeggFlatSourceSpec extends SparkSpec {
     assert(desc.contains(s"PushedOffsets=[$lo,"), desc)
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX computed split-locally (one " +
+    "partial row per split, no record strings), composing with pushed " +
+    "filters; values equal the raw-scan aggregation") {
+    val dir = Files.createTempDirectory("kegg_dsv2_agg")
+    writeFlat(dir, "a.flat", mkRecords(40, seed = 2))
+    def scan(split: Int) = spark.read.format("kegg-flat")
+      .option("path", dir.resolve("a.flat").toString)
+      .option("splitSize", split.toString).load()
+    val full = scan(256).collect()
+    val expectN = full.length.toLong
+    val expectMin = full.map(_.getLong(0)).min
+    val expectMax = full.map(_.getLong(0)).max
+    val agg = scan(64).agg(count(lit(1)).as("n"),
+      min(col("offset")).as("mn"), max(col("offset")).as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates=[KeggCountStar,KeggMinOffset," +
+      "KeggMaxOffset]"), s"aggregates not pushed:\n$plan")
+    // the scan's output is the 3 partial-agg columns — the raw `record`
+    // column (and any full-width Aggregate over it) is gone from the scan
+    assert(plan.contains("count_0") && !plan.contains("record"),
+      s"scan still reads raw rows:\n$plan")
+    val row = agg.collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ===
+      ((expectN, expectMin, expectMax)))
+    // composes with an offset-range pushed filter
+    val offsets = full.map(_.getLong(0)).sorted
+    val (lo, hi) = (offsets(10), offsets(30))
+    val fAgg = scan(64).filter(col("offset") >= lo && col("offset") <= hi)
+      .agg(count(lit(1)).as("n"), min(col("offset")).as("mn"))
+      .collect().head
+    assert(fAgg.getLong(0) === 21L && fAgg.getLong(1) === lo)
+    // an unsupported shape (group-by, or min over `file`) falls back to
+    // the raw scan — correct values either way
+    val grouped = scan(64).groupBy(col("file"))
+      .agg(count(lit(1)).as("n")).collect()
+    assert(grouped.head.getLong(1) === expectN)
+  }
+
   test("file-equality pushdown plans only the named file's splits") {
     val dir = Files.createTempDirectory("kegg_dsv2_pushfile")
     writeFlat(dir, "a.flat", mkRecords(5, seed = 1))
