@@ -210,6 +210,100 @@ object Multimodal {
       }
     } catch { case _: java.io.IOException => None }
 
+  // ---- REAL audio decode (JDK javax.sound.sampled — no external codec) -
+
+  /** A decoded PCM clip: sample rate plus 16-bit signed samples (mono). */
+  case class DecodedAudio(sampleRate: Int, samples: Array[Short])
+
+  /** Encode 16-bit signed little-endian mono PCM as a WAV container
+    * (44-byte RIFF header hand-assembled — byte-deterministic, no encoder
+    * variance) — the fixture side of the audio roundtrip: the decode
+    * operator must recover these exact samples through the REAL
+    * `javax.sound.sampled` parser. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)            // PCM
+      .putShort(1.toShort)            // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)         // byte rate
+      .putShort(2.toShort)            // block align
+      .putShort(16.toShort)           // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL audio decode via `javax.sound.sampled.AudioSystem` — WAV/AIFF/AU
+    * PCM from the JDK's AudioFileReader registry, no external dependency.
+    * Returns None for undecodable payloads (quarantine, not task death).
+    * Only 16-bit signed PCM is accepted (the lossless path — decoded
+    * samples are bit-exact against the encoder's input, which is what
+    * lets an independent engine verify DECODED values by arithmetic). */
+  def decodeAudio(content: Array[Byte]): Option[DecodedAudio] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val f = in.getFormat
+      if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+        f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        None
+      else {
+        val bytes = in.readAllBytes()
+        val n = bytes.length / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          val lo = bytes(2 * i) & 0xff
+          val hi = bytes(2 * i + 1).toInt
+          out(i) = (if (f.isBigEndian) (lo << 8) | (hi & 0xff)
+          else (hi << 8) | lo).toShort
+          i += 1
+        }
+        Some(DecodedAudio(math.round(f.getSampleRate), out))
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Per-clip decode summary: rate, length, exact Σ|sample| and peak —
+    * all integers, so an oracle that knows the planted sample formula
+    * replays them without any codec. */
+  case class AudioSummary(
+      media_id: Long, decoded: Boolean, sample_rate: Int, n_samples: Int,
+      sum_abs: Long, peak: Int)
+
+  /** Batched REAL audio decode — same partition-local batch shape as
+    * [[decodeImageSummaries]], genuine AudioSystem parse inside. */
+  def decodeAudioSummaries(
+      media: Dataset[MediaRow], batchSize: Int = 64): Dataset[AudioSummary] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        decodeAudio(r.content) match {
+          case Some(clip) =>
+            var s = 0L
+            var pk = 0
+            var i = 0
+            while (i < clip.samples.length) {
+              val a = math.abs(clip.samples(i).toInt)
+              s += a
+              if (a > pk) pk = a
+              i += 1
+            }
+            AudioSummary(r.media_id, decoded = true, clip.sampleRate,
+              clip.samples.length, s, pk)
+          case None => AudioSummary(r.media_id, decoded = false, 0, 0, 0L, 0)
+        }
+      })
+    }
+  }
+
   /** Per-image decode summary: dimensions and the exact sum of all R+G+B
     * channel values — integer, so an oracle that knows the planted pixel
     * formula replays it without any codec. `decoded = false` rows carry

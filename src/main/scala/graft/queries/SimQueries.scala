@@ -796,6 +796,39 @@ object SimQueries {
         col("rgb_sum"))
   }
 
+  /** REAL audio decode, end to end ([[Multimodal.decodeAudioSummaries]]):
+    * per document a short 16-bit mono PCM clip is synthesized from a
+    * pure-arithmetic sample formula (n = 50 + id%50, sample_i =
+    * (id·7 + i·13) mod 2003 − 1001), wrapped in a byte-deterministic WAV
+    * container, then decoded back through the JDK's REAL
+    * `javax.sound.sampled` parser in the batched partition-local
+    * operator — emitted rate/length/Σ|sample|/peak all come from the
+    * DECODED clip. PCM is lossless, so DuckDB verifies the decode by
+    * replaying the sample formula with integer arithmetic, no codec. */
+  val xMediaAudioReal = Q(
+    "x_media_audio_real",
+    """WITH par AS (SELECT doc_id, 50 + doc_id % 50 AS n FROM documents),
+      |sm AS (SELECT doc_id, n,
+      |    abs((doc_id * 7 + t.i * 13) % 2003 - 1001) AS a
+      |  FROM par, UNNEST(range(0, n)) AS t(i))
+      |SELECT doc_id AS media_id, TRUE AS decoded,
+      |  CAST(8000 AS INT) AS sample_rate, CAST(n AS INT) AS n_samples,
+      |  CAST(SUM(a) AS BIGINT) AS sum_abs, CAST(MAX(a) AS INT) AS peak
+      |FROM sm GROUP BY 1, 2, 3, 4""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val n = (50 + id % 50).toInt
+        val samples = Array.tabulate(n)(i =>
+          ((id * 7 + i * 13) % 2003 - 1001).toShort)
+        Multimodal.MediaRow(id, Multimodal.encodeWav(8000, samples),
+          "audio/wav")
+      }
+    Multimodal.decodeAudioSummaries(media).toDF()
+      .select(col("media_id"), col("decoded"), col("sample_rate"),
+        col("n_samples"), col("sum_abs"), col("peak"))
+  }
+
   /** Sparse random projection 64→16 (Similarity.randomProjection): the
     * JL-lemma dimensionality-reduction pre-pass that shrinks a wide
     * embedding corpus before any pairwise stage. All-integer (quantized
@@ -1033,7 +1066,8 @@ object SimQueries {
   val all: Seq[Q] = Seq(xAnnTopK, xAnnFiltered, xAnnIvf, xAnnLsh, xAnnPq,
     xAnnSq8, xAnnBinary, xEmbedPool, xKmeans,
     xSemanticDedup, xNearDupEmb, xDecontaminateSem,
-    xMediaFeatures, xMediaDecode, xMediaDecodeReal, xMediaFrames,
+    xMediaFeatures, xMediaDecode, xMediaDecodeReal, xMediaAudioReal,
+    xMediaFrames,
     xAnnRecall, xMediaPhash, xRandProj, xClusterExemplars, xHardNegatives,
     xHardNegativesLsh,
     xKnnGraph, xKnnGraphLsh, xSemdedupEps, xMediaCurate, xEmbIncremental,

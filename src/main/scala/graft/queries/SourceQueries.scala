@@ -102,6 +102,30 @@ object SourceQueries {
         min(col("offset")).as("min_offset"))
   }
 
+  /** DSv2 WRITE surface round trip (SupportsWrite + TRUNCATE on the
+    * kegg-flat table): supplier-derived records go out through the V2
+    * BatchWrite (task-private tmp files, all-or-nothing driver-commit
+    * rename, job-unique part names) and come back through the
+    * byte-range-splittable V2 reader — the oracle rebuilds each record
+    * string from the supplier table, so the row hash proves the sink
+    * wrote frames the reader (and any /// consumer) parses bit-exact. */
+  val s12Dsv2Write = Q(
+    "s12_dsv2_write",
+    """SELECT 'ENTRY       ' || CAST(s_suppkey AS VARCHAR) || chr(10) ||
+      |  'NAME        ' || s_name AS record
+      |FROM supplier""".stripMargin) { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_kegg_w").toString
+    Tables.supplier(s, d).select(
+      concat(
+        lit("ENTRY       "), col("s_suppkey"), lit("\n"),
+        lit("NAME        "), col("s_name")).as("record"))
+      .write.format("kegg-flat").option("path", dir)
+      .mode("overwrite").save()
+    s.read.format("kegg-flat")
+      .option("path", dir).option("splitSize", "2048").load()
+      .select(col("record"))
+  }
+
   /** S3/S22: chunked-CSV sink round trip — write the nation table through
     * the chunked header-CSV sink (Neo4j escaping at the boundary, 7 rows
     * per file so chunking actually happens), read the files back, emit the
@@ -343,7 +367,8 @@ object SourceQueries {
       Seq("n_orders", "rev_c"))
   }
 
-  val all: Seq[Q] = Seq(s12FlatRecords, s12Dsv2Scan, s12Dsv2Agg, s3CsvRoundtrip,
+  val all: Seq[Q] = Seq(s12FlatRecords, s12Dsv2Scan, s12Dsv2Agg, s12Dsv2Write,
+    s3CsvRoundtrip,
     fCleanupPack, p10Conform, sOrcRoundtrip, sUpsertMerge,
     sCsvPermissive, sSchemaEvolve, sBinaryFiles, sAggMaintain)
 }

@@ -64,13 +64,35 @@ object KeggFlatSource {
 }
 
 private[v2] class KeggFlatTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"kegg-flat(${options.get("path")})"
   override def schema(): StructType = KeggFlatSource.schema
+  // ACCEPT_ANY_SCHEMA: the logical table schema (offset/file/record) is
+  // the READ shape; offset/file are placement-derived, so a write carries
+  // only `record` — the analyzer must not demand the derived columns, and
+  // the WriteBuilder enforces the (record STRING) contract itself.
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new KeggFlatScanBuilder(o)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val path = Option(info.options.get("path"))
+      .orElse(Option(options.get("path")))
+      .getOrElse(throw new IllegalArgumentException(
+        "kegg-flat write: 'path' option is required"))
+    val fields = info.schema().fields
+    require(fields.length == 1 && fields(0).name == "record" &&
+      fields(0).dataType == StringType,
+      s"kegg-flat write expects exactly (record STRING); got " +
+        info.schema().simpleString +
+        " — offset/file are read-side derived columns, not writable")
+    new KeggFlatWriteBuilder(path)
+  }
 }
 
 /** The aggregate shapes the source evaluates split-locally
@@ -444,4 +466,108 @@ private[v2] class KeggFlatReader(
 
   override def get(): InternalRow = current
   override def close(): Unit = in.close()
+}
+
+// ---- write surface (SupportsWrite: the sink side of the format) --------
+
+/** DSv2 BATCH WRITE for the kegg-flat format — the sink half of the
+  * source API (SupportsWrite + TRUNCATE): each task streams its rows as
+  * `record\n///\n` frames into a task-private `.tmp` file (task attempts
+  * are isolated, so speculative/retried attempts never interleave), the
+  * task commit message carries the tmp path, and the DRIVER commit
+  * renames every tmp to its final `part-NNNNN.flat` name — an
+  * all-or-nothing publish with abort cleaning tmps (no half-visible
+  * output under retries). Truncate (SaveMode.Overwrite) deletes prior
+  * `.flat` files inside the driver commit, after all tasks succeeded.
+  * Written files round-trip through the byte-range-splittable reader
+  * (property: read(write(df)) ≡ df.records — KeggFlatSourceSpec + the
+  * s12_dsv2_write oracle row). */
+private[v2] class KeggFlatWriteBuilder(path: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val t = doTruncate
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new KeggFlatBatchWrite(path, t)
+    }
+  }
+}
+
+private[v2] case class KeggFlatCommit(tmpPath: String)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[v2] class KeggFlatBatchWrite(path: String, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  // job-unique suffix so an APPEND can never collide with (and silently
+  // replace) a prior job's part files of the same index
+  private val jobId = java.util.UUID.randomUUID().toString.take(8)
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new KeggFlatWriterFactory(path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(new Configuration())
+    if (!fs.exists(root)) fs.mkdirs(root)
+    if (truncate)
+      fs.listStatus(root).filter(s => s.isFile &&
+          s.getPath.getName.endsWith(".flat"))
+        .foreach(s => fs.delete(s.getPath, false))
+    messages.zipWithIndex.foreach {
+      case (KeggFlatCommit(tmp), i) =>
+        fs.rename(new Path(tmp), new Path(root, f"part-$i%05d-$jobId.flat"))
+      case _ => ()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    messages.foreach {
+      case KeggFlatCommit(tmp) => fs.delete(new Path(tmp), false)
+      case _ => ()
+    }
+  }
+}
+
+private[v2] class KeggFlatWriterFactory(path: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new KeggFlatDataWriter(path, partitionId, taskId)
+}
+
+/** Streams frames to a task-private tmp file; rows where `record` is NULL
+  * are skipped (a NULL frame has no representation in the format). */
+private[v2] class KeggFlatDataWriter(path: String, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val tmp = new Path(path,
+    f".part-$partitionId%05d-$taskId.flat.tmp")
+  private val fs = tmp.getFileSystem(new Configuration())
+  private val out = new java.io.BufferedOutputStream(fs.create(tmp, true), 64 * 1024)
+
+  override def write(row: InternalRow): Unit =
+    if (!row.isNullAt(0)) {
+      out.write(row.getUTF8String(0).toString.getBytes("UTF-8"))
+      out.write("\n///\n".getBytes("UTF-8"))
+    }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    KeggFlatCommit(tmp.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(tmp, false)
+  }
+
+  override def close(): Unit = ()
 }

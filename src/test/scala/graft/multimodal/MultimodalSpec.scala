@@ -109,6 +109,30 @@ class MultimodalSpec extends SparkSpec {
     assert(!bad.decoded && bad.width === 0 && bad.rgb_sum === 0L)
   }
 
+  test("decodeAudio: a known WAV clip decodes to its exact 16-bit PCM " +
+    "samples (negatives included); garbage quarantines as None") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 1000, -999)
+    val bytes = Multimodal.encodeWav(8000, samples)
+    // RIFF/WAVE magic present — a real container through the real parser
+    assert(new String(bytes.slice(0, 4), "US-ASCII") === "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") === "WAVE")
+    val clip = Multimodal.decodeAudio(bytes).get
+    assert(clip.sampleRate === 8000)
+    assert(clip.samples.toSeq === samples.toSeq)
+    assert(Multimodal.decodeAudio("not audio".getBytes).isEmpty)
+    assert(Multimodal.decodeAudio(Array.emptyByteArray).isEmpty)
+    // batched summary path: exact |sum| and peak
+    val media = Seq(
+      Multimodal.MediaRow(1L, bytes, "audio/wav"),
+      Multimodal.MediaRow(2L, "corrupt".getBytes, "audio/wav")).toDS()
+    val got = Multimodal.decodeAudioSummaries(media, batchSize = 1)
+      .collect().map(s => s.media_id -> s).toMap
+    assert(got(1L).decoded && got(1L).n_samples === 7)
+    assert(got(1L).sum_abs === samples.map(s => math.abs(s.toLong)).sum)
+    assert(got(1L).peak === 32768)
+    assert(!got(2L).decoded && got(2L).n_samples === 0)
+  }
+
   test("extractHashes groups exact payload duplicates under one phash") {
     val media = Seq(
       Multimodal.MediaRow(1L, "the same payload body".getBytes, "text/plain"),

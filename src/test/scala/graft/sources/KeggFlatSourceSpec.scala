@@ -208,6 +208,47 @@ class KeggFlatSourceSpec extends SparkSpec {
     assert(grouped.head.getLong(1) === expectN)
   }
 
+  test("DSv2 write: task-tmp files publish as part-N.flat on driver " +
+    "commit; overwrite truncates, append accumulates; round-trip through " +
+    "the splittable reader equals the input; wrong schema rejected") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("kegg_dsv2_write").toString
+    val recs = mkRecords(25, seed = 5)
+    recs.toDF("record").repartition(3)
+      .write.format("kegg-flat").option("path", dir)
+      .mode("overwrite").save()
+    // hidden entries are Hadoop local-FS .crc sidecars — the reader's
+    // directory listing skips dotfiles, so only part-N.flat are visible
+    val listed = new java.io.File(dir).listFiles().map(_.getName).toSeq
+      .filterNot(_.startsWith("."))
+    assert(listed.nonEmpty && listed.forall(_.endsWith(".flat")),
+      s"unexpected output listing: $listed")
+    assert(!listed.exists(_.endsWith(".tmp")), "tmp files leaked past commit")
+    def readBack(split: Int) = spark.read.format("kegg-flat")
+      .option("path", dir).option("splitSize", split.toString).load()
+    for (split <- Seq(64, 100000))
+      assert(readBack(split).select("record").as[String].collect().sorted.toSeq
+        === recs.sorted, s"round-trip mismatch at splitSize=$split")
+    // overwrite truncates prior .flat files
+    Seq("ENTRY       only-one").toDF("record")
+      .write.format("kegg-flat").option("path", dir)
+      .mode("overwrite").save()
+    assert(readBack(4096).count() === 1)
+    // append accumulates
+    Seq("ENTRY       second").toDF("record")
+      .write.format("kegg-flat").option("path", dir)
+      .mode("append").save()
+    assert(readBack(4096).select("record").as[String].collect().sorted.toSeq
+      === Seq("ENTRY       only-one", "ENTRY       second"))
+    // only (record STRING) is writable — offset/file are read-side derived
+    val ex = intercept[Exception] {
+      Seq((1L, "x")).toDF("offset", "record")
+        .write.format("kegg-flat").option("path", dir)
+        .mode("append").save()
+    }
+    assert(ex.getMessage.contains("kegg-flat write expects"), ex.getMessage)
+  }
+
   test("file-equality pushdown plans only the named file's splits") {
     val dir = Files.createTempDirectory("kegg_dsv2_pushfile")
     writeFlat(dir, "a.flat", mkRecords(5, seed = 1))
