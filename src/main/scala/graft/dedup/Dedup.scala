@@ -539,9 +539,10 @@ object Dedup {
     * to 11 blocks (165 tables, ~17-bit keys) so candidate volume stays
     * ~n²/2¹⁷ per table. Output (a < b, hamming ≤ maxHamming), exactly
     * [[signatureNearDupPairs]]' shape. */
-  def mankuNearDupPairs(
-      sig: DataFrame, bits: Int = 64, blocks: Int = 10,
-      maxHamming: Int = 8): DataFrame = {
+  /** One (t, key) row per (doc, combination table) — the shared tabling
+    * step of the Manku construction. */
+  private def mankuTabled(
+      sig: DataFrame, bits: Int, blocks: Int, maxHamming: Int): DataFrame = {
     val (layout, subsets) = mankuLayout(bits, blocks, maxHamming)
     val tableKeys = subsets.zipWithIndex.map { case (ss, t) =>
       // concatenate the chosen blocks' values ascending: shift-left by the
@@ -553,10 +554,16 @@ object Dedup {
       }
       struct(lit(t).as("t"), key.as("key"))
     }
-    val tabled = sig.select(col("doc_id"), col("sig"),
+    sig.select(col("doc_id"), col("sig"),
       explode(array(tableKeys: _*)).as("tk"))
       .select(col("doc_id"), col("sig"),
         col("tk.t").as("t"), col("tk.key").as("key"))
+  }
+
+  def mankuNearDupPairs(
+      sig: DataFrame, bits: Int = 64, blocks: Int = 10,
+      maxHamming: Int = 8): DataFrame = {
+    val tabled = mankuTabled(sig, bits, blocks, maxHamming)
     tabled.toDF("a", "sig_a", "t", "key")
       .join(tabled.toDF("b", "sig_b", "t", "key"), Seq("t", "key"))
       .filter(col("a") < col("b"))
@@ -565,6 +572,27 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Cross-snapshot COMPLETE Hamming pairs — the incremental form of
+    * [[mankuNearDupPairs]]: the incoming batch's combination tables join
+    * the settled corpus's tables, so candidates pair new×old only and
+    * per-batch cost is O(batch·tables) plus the bucketed join against
+    * the corpus table — never corpus². The corpus side (doc_id, sig, t,
+    * key — `tables`·|corpus| small rows) is the PERSISTABLE artifact at
+    * scale, computed once per snapshot and appended as batches settle.
+    * Completeness at ≤ maxHamming is the same agreement pigeonhole.
+    * Output: (new_id, old_id, hamming ≤ maxHamming). */
+  def mankuCrossSnapshotPairs(
+      corpusSig: DataFrame, batchSig: DataFrame, bits: Int = 64,
+      blocks: Int = 10, maxHamming: Int = 8): DataFrame =
+    mankuTabled(batchSig, bits, blocks, maxHamming)
+      .toDF("new_id", "sig_n", "t", "key")
+      .join(mankuTabled(corpusSig, bits, blocks, maxHamming)
+        .toDF("old_id", "sig_o", "t", "key"), Seq("t", "key"))
+      .select(col("new_id"), col("old_id"),
+        bit_count(col("sig_n").bitwiseXOR(col("sig_o"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
 
   /** Asymmetric shingle-containment pairs: C(a,b) = |A∩B| / min(|A|,|B|) —
     * the "one document quotes most of the other" signal that symmetric

@@ -210,6 +210,53 @@ object Multimodal {
       }
     } catch { case _: java.io.IOException => None }
 
+  /** Nearest-neighbor resize over a DECODED raster — the documented
+    * deterministic rule (src index = ⌊out·srcDim⁄outDim⌋ per axis, the
+    * standard integer nearest-neighbor map), applied to REAL decoded
+    * pixels: unlike library scalers (area-average, bilinear — float and
+    * implementation-defined), this rule is pure integer arithmetic, so an
+    * independent engine can verify resized values of a real decode. */
+  def resizeNearest(img: DecodedImage, outW: Int, outH: Int): DecodedImage = {
+    val out = new Array[Int](outW * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = y * img.height / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * img.width / outW
+        out(y * outW + x) = img.rgb(sy * img.width + sx)
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(outW, outH, out)
+  }
+
+  /** Batched REAL decode + nearest-neighbor resize: summary of the
+    * RESIZED raster (the decode → transform → feature pipeline shape). */
+  def resizeSummaries(
+      media: Dataset[MediaRow], outW: Int, outH: Int,
+      batchSize: Int = 64): Dataset[ImageSummary] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        decodeImage(r.content) match {
+          case Some(img) =>
+            val rz = resizeNearest(img, outW, outH)
+            var s = 0L
+            var i = 0
+            while (i < rz.rgb.length) {
+              val p = rz.rgb(i)
+              s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              i += 1
+            }
+            ImageSummary(r.media_id, decoded = true, rz.width, rz.height, s)
+          case None => ImageSummary(r.media_id, decoded = false, 0, 0, 0L)
+        }
+      })
+    }
+  }
+
   // ---- REAL audio decode (JDK javax.sound.sampled — no external codec) -
 
   /** A decoded PCM clip: sample rate plus 16-bit signed samples (mono). */

@@ -318,27 +318,55 @@ object DedupQueries {
     * pair agrees on ≥ 2 blocks, so at least one table catches it. The
     * oracle rebuilds the identical 45 tables from the SAME
     * [[Dedup.mankuLayout]] metadata. */
+  /** The 45-table UNION ALL (`tabs (doc_id, sig, t, key)`) generated from
+    * the SAME [[Dedup.mankuLayout]] metadata the engine uses. */
+  private def mankuTabsSql: String = {
+    val (layout, subsets) = Dedup.mankuLayout(SimBits, SimBlocks, SimMaxHamming)
+    def keySql(ss: Seq[Int]): String =
+      ss.foldLeft("CAST(0 AS BIGINT)") { (acc, b) =>
+        val (off, w) = layout(b)
+        s"(($acc << $w) + ((sig >> $off) & ${(1L << w) - 1}))"
+      }
+    subsets.zipWithIndex.map { case (ss, t) =>
+      s"SELECT doc_id, sig, $t AS t, ${keySql(ss)} AS key FROM sig"
+    }.mkString(" UNION ALL ")
+  }
+
   val xDedupSimhashPairs = Q(
-    "x_dedup_simhash_pairs", {
-      val (layout, subsets) = Dedup.mankuLayout(SimBits, SimBlocks, SimMaxHamming)
-      def keySql(ss: Seq[Int]): String =
-        ss.foldLeft("CAST(0 AS BIGINT)") { (acc, b) =>
-          val (off, w) = layout(b)
-          s"(($acc << $w) + ((sig >> $off) & ${(1L << w) - 1}))"
-        }
-      val tableSelects = subsets.zipWithIndex.map { case (ss, t) =>
-        s"SELECT doc_id, sig, $t AS t, ${keySql(ss)} AS key FROM sig"
-      }.mkString(" UNION ALL ")
-      simhashCte +
-        s""", tabs AS ($tableSelects),
-           |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-           |    bit_count(xor(x.sig, y.sig)) AS hamming
-           |  FROM tabs x JOIN tabs y
-           |    ON x.t = y.t AND x.key = y.key AND x.doc_id < y.doc_id)
-           |SELECT a, b, CAST(hamming AS INT) AS hamming FROM cand
-           |WHERE hamming <= $SimMaxHamming""".stripMargin
-    }) { (s, d) =>
+    "x_dedup_simhash_pairs",
+    simhashCte +
+      s""", tabs AS ($mankuTabsSql),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |    bit_count(xor(x.sig, y.sig)) AS hamming
+         |  FROM tabs x JOIN tabs y
+         |    ON x.t = y.t AND x.key = y.key AND x.doc_id < y.doc_id)
+         |SELECT a, b, CAST(hamming AS INT) AS hamming FROM cand
+         |WHERE hamming <= $SimMaxHamming""".stripMargin) { (s, d) =>
     Dedup.simhashNearDupPairsComplete(Tables.documents(s, d), "doc_id", "text",
+      bits = SimBits, blocks = SimBlocks, maxHamming = SimMaxHamming)
+  }
+
+  /** Incremental (cross-snapshot) form of the COMPLETE SimHash dedup
+    * ([[Dedup.mankuCrossSnapshotPairs]]): odd doc_ids play the incoming
+    * batch, even the settled corpus — the batch's combination tables
+    * join the corpus's persisted tables, new×old candidates only, same
+    * ≤8-bit completeness pigeonhole, cost O(batch) per batch. */
+  val xDedupSimhashIncr = Q(
+    "x_dedup_simhash_incr",
+    simhashCte +
+      s""", tabs AS ($mankuTabsSql),
+         |cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id,
+         |    bit_count(xor(n.sig, o.sig)) AS hamming
+         |  FROM tabs n JOIN tabs o
+         |    ON n.t = o.t AND n.key = o.key
+         |    AND n.doc_id % 2 = 1 AND o.doc_id % 2 = 0)
+         |SELECT new_id, old_id, CAST(hamming AS INT) AS hamming FROM cand
+         |WHERE hamming <= $SimMaxHamming""".stripMargin) { (s, d) =>
+    val sig = Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text",
+      bits = SimBits)
+    Dedup.mankuCrossSnapshotPairs(
+      sig.filter(col("doc_id") % 2 === 0),
+      sig.filter(col("doc_id") % 2 === 1),
       bits = SimBits, blocks = SimBlocks, maxHamming = SimMaxHamming)
   }
 
@@ -786,7 +814,8 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(xDedupNgram, xDedupMinhashLsh, xDedupIncremental,
     xDedupClusters, xDedupKeepBest, xDedupApply, xDedupSimhashSig,
-    xDedupSimhashPairs, xSubstringDup, xBloomFilter, xContainment,
+    xDedupSimhashPairs, xDedupSimhashIncr, xSubstringDup, xBloomFilter,
+    xContainment,
     xMinhashEst, xSegmentDedup, xIntraDedup, xSourceOverlap, xDedupPrefixJoin,
     xSubstrTrim, xSplitLeakageSafe, xCurateE2e, xDupReweight,
     xContrastivePairs, xDedupClusterStats, xDedupClustersPersisted,

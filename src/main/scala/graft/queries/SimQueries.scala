@@ -796,6 +796,45 @@ object SimQueries {
         col("rgb_sum"))
   }
 
+  /** REAL decode → RESIZE pipeline ([[Multimodal.resizeSummaries]]): the
+    * planted rasters of x_media_decode_real go through the real PNG
+    * roundtrip, then a nearest-neighbor resize to 4×3 over the DECODED
+    * pixels (src index = ⌊out·src⁄out_dim⌋ — the deterministic integer
+    * rule, not a library scaler). The oracle composes the pixel formula
+    * with the same index map, so the resized channel sums verify both
+    * the decode AND the transform arithmetic. */
+  val xMediaResizeReal = Q(
+    "x_media_resize_real",
+    """WITH dims AS (SELECT doc_id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+      |             FROM documents),
+      |rp AS (SELECT doc_id, w, h,
+      |    (xx.x * w) // 4 AS sx, (yy.y * h) // 3 AS sy
+      |  FROM dims, UNNEST(range(0, 4)) AS xx(x), UNNEST(range(0, 3)) AS yy(y)),
+      |vals AS (SELECT doc_id,
+      |    (doc_id * 31 + (sy * w + sx) * 7 + cc.c) % 256 AS v
+      |  FROM rp, UNNEST(range(0, 3)) AS cc(c))
+      |SELECT doc_id AS media_id, TRUE AS decoded,
+      |  CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
+      |  CAST(SUM(v) AS BIGINT) AS rgb_sum
+      |FROM vals GROUP BY 1, 2, 3, 4""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (1 + id % 7).toInt
+        val h = (1 + id % 5).toInt
+        Multimodal.MediaRow(id, Multimodal.encodePng(w, h, (x, y) => {
+          val i = y * w + x
+          val r = ((id * 31 + i * 7 + 0) % 256).toInt
+          val g = ((id * 31 + i * 7 + 1) % 256).toInt
+          val b = ((id * 31 + i * 7 + 2) % 256).toInt
+          (r << 16) | (g << 8) | b
+        }), "image/png")
+      }
+    Multimodal.resizeSummaries(media, outW = 4, outH = 3).toDF()
+      .select(col("media_id"), col("decoded"), col("width"), col("height"),
+        col("rgb_sum"))
+  }
+
   /** REAL audio decode, end to end ([[Multimodal.decodeAudioSummaries]]):
     * per document a short 16-bit mono PCM clip is synthesized from a
     * pure-arithmetic sample formula (n = 50 + id%50, sample_i =
@@ -1066,8 +1105,8 @@ object SimQueries {
   val all: Seq[Q] = Seq(xAnnTopK, xAnnFiltered, xAnnIvf, xAnnLsh, xAnnPq,
     xAnnSq8, xAnnBinary, xEmbedPool, xKmeans,
     xSemanticDedup, xNearDupEmb, xDecontaminateSem,
-    xMediaFeatures, xMediaDecode, xMediaDecodeReal, xMediaAudioReal,
-    xMediaFrames,
+    xMediaFeatures, xMediaDecode, xMediaDecodeReal, xMediaResizeReal,
+    xMediaAudioReal, xMediaFrames,
     xAnnRecall, xMediaPhash, xRandProj, xClusterExemplars, xHardNegatives,
     xHardNegativesLsh,
     xKnnGraph, xKnnGraphLsh, xSemdedupEps, xMediaCurate, xEmbIncremental,

@@ -172,6 +172,20 @@ class DedupSpec extends SparkSpec {
       maxHamming = 8).count() === 0)
   }
 
+  test("mankuCrossSnapshotPairs: batch probes corpus only — the spread " +
+    "8-bit pair is caught across snapshots, batch-internal twins never pair") {
+    val spread = java.lang.Long.parseLong("11", 16) |
+      (3L << 16) | (3L << 32) | (3L << 48)
+    val corpus = Seq((2L, 0L), (4L, 999L)).toDF("doc_id", "sig")
+    // batch holds the spread signature TWICE (1 and 3): both must pair
+    // with corpus doc 2, but never with each other (new×old only)
+    val batch = Seq((1L, spread), (3L, spread)).toDF("doc_id", "sig")
+    val got = Dedup.mankuCrossSnapshotPairs(corpus, batch,
+      bits = 64, blocks = 10, maxHamming = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 2L, 8), (3L, 2L, 8)), s"got $got")
+  }
+
   test("exactMembership lists only multi-doc groups, one row per member") {
     val got = Dedup.exactMembership(docs, "doc_id", "text")
       .as[(String, Long)].collect()

@@ -109,6 +109,23 @@ class MultimodalSpec extends SparkSpec {
     assert(!bad.decoded && bad.width === 0 && bad.rgb_sum === 0L)
   }
 
+  test("resizeNearest: upscale duplicates pixels per the integer index " +
+    "map; downscale to 1x1 keeps the (0,0) source pixel") {
+    val px = Map((0, 0) -> 0xff0000, (1, 0) -> 0x00ff00,
+      (0, 1) -> 0x0000ff, (1, 1) -> 0xffffff)
+    val img = Multimodal.decodeImage(
+      Multimodal.encodePng(2, 2, (x, y) => px((x, y)))).get
+    val up = Multimodal.resizeNearest(img, 4, 4)
+    // sx = x*2/4 = x/2: each source pixel becomes a 2x2 block
+    assert(up.rgb.toSeq === Seq(
+      0xff0000, 0xff0000, 0x00ff00, 0x00ff00,
+      0xff0000, 0xff0000, 0x00ff00, 0x00ff00,
+      0x0000ff, 0x0000ff, 0xffffff, 0xffffff,
+      0x0000ff, 0x0000ff, 0xffffff, 0xffffff))
+    val down = Multimodal.resizeNearest(img, 1, 1)
+    assert(down.rgb.toSeq === Seq(0xff0000))
+  }
+
   test("decodeAudio: a known WAV clip decodes to its exact 16-bit PCM " +
     "samples (negatives included); garbage quarantines as None") {
     val samples = Array[Short](0, 1, -1, 32767, -32768, 1000, -999)
