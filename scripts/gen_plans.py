@@ -49,6 +49,30 @@ a continuous DOUBLE column would make the "bounded distinct-value
 domain" corpus-sized and re-admit the straggler through the whitelist.
 Continuous metrics must route through `Sketches.histogramBins` first.
 
+Skew policy for the big merge chains (round 6): JOIN-side skew is AQE's
+job — OptimizeSkewedJoin splits oversized partitions at runtime
+(activation proven on a planted-skew fixture in ScaleSpec: `skew=true`
+in the executed adaptive plan). AGGREGATION-side skew — a hot
+(gene, disease) key feeding the chain, where OptimizeSkewedJoin refuses
+to split full-outer joins — is the salted form's job:
+`gda_merged_salted` registers the 7-chain with `Scale.saltedAgg` (8
+salts) on its hot source under gda_merged's own oracle, so the salted
+plan's bit-equality is driver-enforced every round.
+
+Hyperplane-LSH sizing policy (round 6): the bucket domain is 2^planes, so
+`planes` must grow ~log₂(corpus) for the in-bucket join to stay bounded —
+the registered 6 planes (64 buckets) fit the test corpora; at 10⁹ vectors
+plan ~20+ planes (with multi-probe depth compensating recall). The
+corpus side of every LSH bucket join is additionally capped at the 512
+highest-norm vectors per bucket (`bucketCap`, the IVF `cellCap` ported —
+deterministic norm-desc/id-asc order, replicated by every LSH oracle), so
+a hot bucket under a skewed embedding distribution degrades recall
+instead of going quadratic; the cap's row_number+filter shape gets the
+WindowGroupLimit pushdown (map-side per-partition truncation). Brute-force
+meters (x_ann_topk, x_ann_recall's exact side, x_hard_negatives,
+x_knn_graph) run on deterministic samples — O(sample·corpus), never
+O(corpus²); the full corpus belongs to the bucketed twins.
+
 | query | scans | pushed | BHJ | SMJ | BNLJ | exchange | window | rank-pushdown |
 |---|---|---|---|---|---|---|---|---|""")
 for name, plan in sorted(pairs):
