@@ -101,6 +101,47 @@ object SimQueries {
       k = 5, centroidStep = 40, cellCap = 512)
   }
 
+  /** IVF with multi-probe (nprobe = 2): each query searches its TWO
+    * nearest cells while corpus membership stays single-cell — the other
+    * half of the FAISS nlist/nprobe recall dial beside the cellCap
+    * list-length bound. Oracle: same CTE chain with the probe side at
+    * assignment ranks ≤ 2 (deterministic, so probes replicate exactly);
+    * candidates grow 2×, cell-boundary neighbors come back. */
+  val xAnnIvfProbe = Q(
+    "x_ann_ivf_probe",
+    normCte +
+      """, cent AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+        |           FROM nrm WHERE vec_id % 40 = 0),
+        |ac AS (SELECT n.vec_id, n.embedding, n.nrm, c.cid,
+        |    list_reduce(list_transform(list_zip(n.embedding, c.cv),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
+        |      / (n.nrm * c.cnrm) AS ccos
+        |  FROM nrm n CROSS JOIN cent c),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cid) AS arn FROM ac),
+        |assigned AS (SELECT vec_id, embedding, nrm, cid, ccos
+        |             FROM ranked WHERE arn = 1),
+        |cand AS (
+        |  SELECT vec_id, embedding, nrm, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cid
+        |      ORDER BY ccos DESC, vec_id) AS crn
+        |    FROM assigned) WHERE crn <= 512),
+        |probes AS (SELECT vec_id, embedding, nrm, cid
+        |           FROM ranked WHERE arn <= 2),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+        |  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
+        |    / (a.nrm * b.nrm) AS cos
+        |  FROM probes a JOIN cand b
+        |    ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+        |SELECT vec_id, rank, neighbor, cos FROM (
+        |  SELECT vec_id, neighbor, cos,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rank
+        |  FROM p) WHERE rank <= 5""".stripMargin) { (s, d) =>
+    Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      k = 5, centroidStep = 40, cellCap = 512, nprobe = 2)
+  }
+
   /** Sequential-fold squared-L2 between two double lists (≡ Similarity.l2sq). */
   private def l2Sql(a: String, b: String): String =
     s"""list_reduce(list_transform(list_zip($a, $b),
@@ -1102,7 +1143,8 @@ object SimQueries {
     mutualKnnClusters(s, knn, Tables.embeddings(s, d).select(col("vec_id")))
   }
 
-  val all: Seq[Q] = Seq(xAnnTopK, xAnnFiltered, xAnnIvf, xAnnLsh, xAnnPq,
+  val all: Seq[Q] = Seq(xAnnTopK, xAnnFiltered, xAnnIvf, xAnnIvfProbe,
+    xAnnLsh, xAnnPq,
     xAnnSq8, xAnnBinary, xEmbedPool, xKmeans,
     xSemanticDedup, xNearDupEmb, xDecontaminateSem,
     xMediaFeatures, xMediaDecode, xMediaDecodeReal, xMediaResizeReal,

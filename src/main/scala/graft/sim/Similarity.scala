@@ -198,11 +198,21 @@ object Similarity {
     * tie-break — deterministic, so the oracle replicates the cap): a hot
     * cell under a skewed embedding distribution would otherwise make the
     * in-cell self-join quadratic in that cell's population. Queries are
-    * never dropped — only their candidate pool is bounded, the standard
-    * IVF nprobe/list-length trade. */
+    * never dropped — only their candidate pool is bounded.
+    *
+    * `nprobe` is the OTHER half of the standard IVF recall/cost dial:
+    * each query probes its `nprobe` nearest cells (corpus membership
+    * stays single-cell), so the candidate pool grows nprobe× and the
+    * neighbors lost to a cell-boundary cut come back — the exact FAISS
+    * nlist/nprobe trade, still deterministic and oracle-replicable
+    * (probe set = assignment ranks 1..nprobe). A (query, neighbor) pair
+    * surfaces at most once: the neighbor's home cell either is or is not
+    * in the query's distinct probe set. */
   def ivfTopK(
       emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      centroidStep: Long = 40, cellCap: Int = 512): DataFrame = {
+      centroidStep: Long = 40, cellCap: Int = 512,
+      nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
     graft.functions.DotProduct.register(emb.sparkSession)
     graft.functions.L2Squared.register(emb.sparkSession)
     val base = emb.select(col(idCol).as("id"),
@@ -210,21 +220,24 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
     val centroids = base.filter(col("id") % centroidStep === 0)
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    // nearest centroid per vector (cosine desc, centroid id asc)
+    // centroid ranking per vector (cosine desc, centroid id asc): rank 1
+    // is the home cell (corpus membership), ranks 1..nprobe the probe set
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
-    val assigned = base.join(broadcast(centroids), lit(true))
+    val ranked = base.join(broadcast(centroids), lit(true))
       .select(col("id"), col("v"), col("nrm"), col("cid"),
         (dotD(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
       .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
+    val assigned = ranked.filter(col("arn") === 1)
       .select(col("id"), col("v"), col("nrm"), col("cid"), col("ccos"))
     val wCell = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cid")).orderBy(col("ccos").desc, col("id").asc)
     val capped = assigned.withColumn("crn", row_number().over(wCell))
       .filter(col("crn") <= cellCap)
       .select(col("id"), col("v"), col("nrm"), col("cid"))
-    val pairs = assigned.select(col("id"), col("v"), col("nrm"), col("cid"))
+    val probes = ranked.filter(col("arn") <= nprobe)
+      .select(col("id"), col("v"), col("nrm"), col("cid"))
+    val pairs = probes
       .toDF("vec_id", "va", "na", "cell")
       .join(capped.toDF("neighbor", "vb", "nb", "cell"), Seq("cell"))
       .filter(col("vec_id") =!= col("neighbor"))

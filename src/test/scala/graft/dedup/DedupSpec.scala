@@ -172,6 +172,44 @@ class DedupSpec extends SparkSpec {
       maxHamming = 8).count() === 0)
   }
 
+  test("mankuNearDupPairs completeness property: EVERY random ≤8-bit " +
+    "perturbation of a random signature is found (and banding's misses " +
+    "are a strict subset)") {
+    // fixed-seed ScalaCheck-style sweep: 40 (base, error-pattern) cases,
+    // error weights 1..8 at random positions — the exhaustive adversary
+    // the pigeonhole proof must survive
+    val rnd = new scala.util.Random(4242L)
+    val cases = (0 until 40).map { i =>
+      val base = rnd.nextLong()
+      val weight = 1 + rnd.nextInt(8)
+      val bits = rnd.shuffle((0 until 64).toList).take(weight)
+      (i, base, bits.foldLeft(base)((s, b) => s ^ (1L << b)), weight)
+    }
+    val sigs = cases.flatMap { case (i, a, b, _) =>
+      Seq((i * 2L, a), (i * 2L + 1, b))
+    }.toDF("doc_id", "sig")
+    val found = Dedup.mankuNearDupPairs(sigs, bits = 64, blocks = 10,
+      maxHamming = 8)
+      .as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2)).toSet
+    cases.foreach { case (i, a, b, w) =>
+      // only same-case pairs are guaranteed (cross-case pairs may also
+      // qualify by chance — irrelevant here)
+      assert(found.contains((i * 2L, i * 2L + 1)),
+        f"missed planted pair case=$i weight=$w a=$a%016x b=$b%016x")
+    }
+    // the banded form over the same table finds at most as many of the
+    // planted pairs (and, across seeds, strictly fewer — the round-5 gap)
+    val banded = Dedup.signatureNearDupPairs(sigs, bits = 64, bands = 4,
+      maxHamming = 8)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val plantedFoundBanded =
+      cases.count { case (i, _, _, _) => banded.contains((i * 2L, i * 2L + 1)) }
+    assert(plantedFoundBanded <= cases.size)
+    assert(plantedFoundBanded < cases.size,
+      "banding found every planted pair — the adversarial seed lost its bite")
+  }
+
   test("mankuCrossSnapshotPairs: batch probes corpus only — the spread " +
     "8-bit pair is caught across snapshots, batch-internal twins never pair") {
     val spread = java.lang.Long.parseLong("11", 16) |

@@ -359,6 +359,23 @@ class SimilaritySpec extends SparkSpec {
     assert(uncapped.max === 50L) // k-limited, not cap-limited
   }
 
+  test("ivfTopK multi-probe: nprobe=2 recall vs brute force is at least " +
+    "nprobe=1's, with strictly more candidates scored") {
+    val emb = Tables.embeddings(spark, sf)
+    val bruteTop = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 5)
+      .as[(Long, Long, Long, Double)].collect().map(r => (r._1, r._3)).toSet
+    def got(nprobe: Int) = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      k = 5, centroidStep = 40, nprobe = nprobe)
+      .as[(Long, Long, Long, Double)].collect().map(r => (r._1, r._3)).toSet
+    val g1 = got(1)
+    val g2 = got(2)
+    val r1 = g1.count(bruteTop.contains).toDouble / bruteTop.size
+    val r2 = g2.count(bruteTop.contains).toDouble / bruteTop.size
+    assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 $r1")
+    assert(r2 > r1, s"nprobe=2 gained nothing over nprobe=1 ($r1) — " +
+      "fixture has no cell-boundary neighbors, pick another sf")
+  }
+
   test("pqTopK cellCap bounds a planted hot cell; dim mismatch fails fast") {
     val emb = (0L until 60L).map(i =>
       (i, Array.tabulate(64)(j => ((i * 11 + j) % 17 - 8).toFloat)))
