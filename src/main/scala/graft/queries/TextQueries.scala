@@ -338,6 +338,38 @@ object TextQueries {
       "doc_id", "text", k = 3)
   }
 
+  /** BM25 retrieval scoring ([[graft.text.Relevance.bm25Scores]]) against
+    * the corpus's top-3-df term set: Lucene non-negative idf through the
+    * quantized-ln helper, k1/b saturation cleared to ONE exact integral
+    * division in DECIMAL carry — the oracle replays idf, the cleared
+    * fraction and the division verbatim (HUGEINT on the DuckDB side). */
+  val xBm25 = Q(
+    "x_bm25",
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+      |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+      |              (SELECT COUNT(*) FROM toks) AS len_total),
+      |q AS (SELECT term, df FROM dft ORDER BY df DESC, term LIMIT 3),
+      |qi AS (SELECT term,
+      |    CAST(floor(ln(CAST(2 * st.n_docs + 2 AS DOUBLE)
+      |      / CAST(2 * df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+      |  FROM q, st),
+      |c AS (SELECT tf.doc_id,
+      |    (CAST(idf_micro AS HUGEINT) * 44 * st.len_total * tf.tf)
+      |    // (CAST(20 AS HUGEINT) * st.len_total * tf.tf
+      |        + 6 * st.len_total + 18 * dl.dl * st.n_docs) AS contrib
+      |  FROM tf JOIN qi USING (term) JOIN dl USING (doc_id), st)
+      |SELECT doc_id, COUNT(*) AS n_hit,
+      |  CAST(SUM(contrib) AS BIGINT) AS score_micro
+      |FROM c GROUP BY 1""".stripMargin) { (s, d) =>
+    graft.text.Relevance.bm25Scores(Tables.documents(s, d),
+      "doc_id", "text", qTerms = 3)
+  }
+
   /** Corpus-trained bigram LM document scoring (fixed-point transition
     * probabilities — the KenLM-style quality-filter shape). */
   val xBigramLm = Q(
@@ -1185,7 +1217,7 @@ object TextQueries {
   val all: Seq[Q] = Seq(xTextStats, xLangId, xLenQuantiles, xRepetition,
     xVocab, xCorpusStats, xDistinctKmv, xDistinctHll, xKmvSetops, xDedupExact,
     xDedupExactMembers, xDedupNorm,
-    xTfidf, xBigramLm, xPerplexity, xScriptMix, xTokenEntropy,
+    xTfidf, xBm25, xBigramLm, xPerplexity, xScriptMix, xTokenEntropy,
     xHeavyHitters, xFingerprint,
     xQualityBuckets,
     xImportanceWeight, xHistQuantiles, xCollocations, xBpeMerges,

@@ -55,6 +55,56 @@ object Relevance {
         col("term"), col("tf"), col("df"), col("score_ppm"))
   }
 
+  /** BM25 document scoring against the corpus's `qTerms` highest-df terms
+    * (a deterministic self-contained query set — df desc, term asc,
+    * selected via TakeOrderedAndProject, no window) — the classic
+    * retrieval ranking function, carried EXACTLY in integers:
+    *
+    *  - idf is the Lucene non-negative variant ln(1 + (N−df+0.5)/(df+0.5))
+    *    = ln((2N+2)/(2df+1)) — an exact integer ratio through
+    *    [[graft.core.QuantLn.lnMicro]], and ≥ 0, so every division below
+    *    has a non-negative dividend (sidestepping the engine-divergent
+    *    negative integer division);
+    *  - the tf saturation with k1 = 6/5, b = 3/4 clears algebraically to
+    *      contrib_micro = (idf_micro · 44·L·tf) div (20·L·tf + 6·L + 18·dl·N)
+    *    where N = #docs, L = Σ token counts, dl = the doc's token count —
+    *    numerator/denominator are exact integers carried in DECIMAL(38,0)
+    *    (L·tf·idf_micro can pass 2⁶³ at corpus scale), and the single
+    *    integral division lands in BIGINT micro-units.
+    *
+    * Scale: two hash aggregations (doc-term tf, term df), a one-row (N, L)
+    * broadcast, a `qTerms`-row broadcast query dimension, one per-doc sum
+    * — no windows, no corpus-side joins beyond the tf table.
+    * Output: (doc_id, n_hit, score_micro) for docs hitting ≥ 1 query term. */
+  def bm25Scores(
+      docs: DataFrame, idCol: String, textCol: String,
+      qTerms: Int = 3): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFns.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(toks.agg(count(lit(1)).as("len_total")))
+    val query = dft.orderBy(col("df").desc, col("term").asc).limit(qTerms)
+    val qIdf = query.crossJoin(broadcast(stats))
+      .select(col("term"),
+        graft.core.QuantLn.lnMicro(
+          (lit(2) * col("n_docs") + 2).cast("double") /
+            (lit(2) * col("df") + 1).cast("double")).as("idf_micro"))
+    tf.join(broadcast(qIdf), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib_micro", expr(
+        """CAST(idf_micro AS DECIMAL(38,0)) * 44 * len_total * tf div
+          |(CAST(20 AS DECIMAL(38,0)) * len_total * tf
+          | + 6 * len_total + 18 * dl * n_docs)""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"),
+        sum(col("contrib_micro")).cast("long").as("score_micro"))
+  }
+
   /** Bigram language-model document scoring — the classic LM quality
     * filter: train bigram/unigram counts on the corpus itself, score each
     * document by its bigram transition probabilities p(w|prev) =

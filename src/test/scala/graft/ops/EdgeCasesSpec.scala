@@ -83,6 +83,18 @@ class EdgeCasesSpec extends SparkSpec {
     assert(got.forall(r => r._2 == 0 && r._3 == 0))
   }
 
+  test("bm25Scores: empty corpus is empty; single-doc corpus scores " +
+    "itself against its own top terms") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.text.Relevance.bm25Scores(empty, "doc_id", "text").count() === 0)
+    val one = Seq((7L, "alpha alpha beta")).toDF("doc_id", "text")
+    val got = graft.text.Relevance.bm25Scores(one, "doc_id", "text", qTerms = 3)
+      .as[(Long, Long, Long)].collect()
+    // N=1, L=3, df=1 for both terms: idf_micro = ⌊ln(4/3)·1e6⌋ = 287682 ≥ 0
+    assert(got.length === 1 && got.head._1 === 7L && got.head._2 === 2L)
+    assert(got.head._3 > 0L)
+  }
+
   test("effectMergePair: unknown-only pair resolves to unknown") {
     val df = Seq((Option("Unknown"), Option("Unknown"))).toDF("x", "y")
     val got = df.select(Kernels.effectMergePair($"x", $"y")).as[String].collect()

@@ -12,6 +12,24 @@ class RelevanceSpec extends SparkSpec {
     (4L, "zebra zebra zebra zebra")
   ).toDF("doc_id", "text")
 
+  test("bm25Scores: hand-computed integer BM25 on a tiny corpus " +
+    "(Lucene idf, cleared k1/b fraction, exact integral division)") {
+    val corpus = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple cherry cherry date")).toDF("doc_id", "text")
+    // N = 3, L = 9; df(apple)=df(banana)=df(cherry)=2, df(date)=1 →
+    // query = {apple, banana, cherry}; idf_micro = ⌊ln(8/5)·1e6⌋ = 470003
+    // contrib = (470003·44·9·tf) div (180·tf + 6·9 + 18·dl·3)
+    val got = Relevance.bm25Scores(corpus, "doc_id", "text", qTerms = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) === ((2L, 646254L + 470003L)))   // apple tf2 + banana tf1
+    assert(got(2L) === ((2L, 544214L + 544214L)))   // banana + cherry, dl 2
+    assert(got(3L) === ((2L, 413602L + 590860L)))   // apple tf1 + cherry tf2
+    // monotonicity sanity: higher tf of a query term at equal dl scores higher
+    assert(got(1L)._2 > got(3L)._2)
+  }
+
   test("tfIdfTopTerms: rare terms outrank common ones, k respected") {
     val got = Relevance.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
       .as[(Long, Long, String, Long, Long, Long)].collect()
