@@ -444,7 +444,8 @@ class PlanAuditSpec extends SparkSpec {
     val bnljWhitelist = Set(
       "ev_rfm", "q_ntile",                       // one-row bin-offset dims
       "q11_important_parts", "q22_dormant_customers", // global-scalar HAVING
-      "x_ann_topk", "x_ann_filtered", "x_ann_ivf", "x_ann_pq", "x_ann_sq8",
+      "x_ann_topk", "x_ann_filtered", "x_ann_ivf", "x_ann_ivf_probe",
+      "x_ann_pq", "x_ann_sq8",
       "x_ann_binary",                            // broadcast 8-byte codes
       // broadcast ANN corpus — METER-ONLY members: x_hard_negatives is
       // the sampled-query recall meter of x_hard_negatives_lsh (the
@@ -453,7 +454,7 @@ class PlanAuditSpec extends SparkSpec {
       "x_ann_recall", "x_hard_negatives",
       "x_kmeans", "x_cluster_exemplars", "x_semantic_dedup", // centroid sets
       "x_decontaminate_sem",                     // benchmark set
-      "x_tfidf", "x_importance_weight", "x_collocations", // one-row totals
+      "x_tfidf", "x_bm25", "x_importance_weight", "x_collocations", // one-row totals
       "x_bpe_merges", "x_bpe_tokenize",          // vocab-bounded dims
       "x_skew_profile", "x_winsorize", "x_interleave", // one-row totals
       "x_winsorize_cont",         // one-row p05/p95 bounds broadcast
