@@ -71,6 +71,33 @@ object DedupStreams {
       }
       .start()
 
+  /** Streaming COMPLETE SimHash dedup — the Manku-combination-table twin
+    * of [[streamingCrossSnapshotDedup]]: each micro-batch's signatures
+    * (per-doc word-frequency votes — independent of any other document,
+    * so batch signatures ≡ one-shot signatures) probe the settled
+    * corpus's combination tables through
+    * [[Dedup.mankuCrossSnapshotPairs]], keeping the ≤ maxHamming
+    * completeness guarantee per batch. Batch independence gives the same
+    * union ≡ one-shot law; epoch directories give exactly-once replay.
+    * At 100 TB the corpus's (t, key, sig) table is persisted and
+    * appended as batches settle — here it is recomputed because the
+    * fixture corpus is test-sized. */
+  def streamingSimhashDedup(
+      incoming: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      outDir: String, checkpointDir: String,
+      bits: Int = 64, blocks: Int = 10, maxHamming: Int = 8): StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        Dedup.mankuCrossSnapshotPairs(
+            Dedup.simhashSignatures(corpus, idCol, textCol, bits),
+            Dedup.simhashSignatures(batch.toDF(), idCol, textCol, bits),
+            bits, blocks, maxHamming)
+          .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+      }
+      .start()
+
   /** Streaming LSH dedup-CLUSTER maintenance — the operational completion
     * of [[streamingCrossSnapshotDedup]]: instead of emitting per-batch
     * match pairs, each micro-batch folds into a persisted two-piece state

@@ -81,6 +81,45 @@ class DedupStreamsSpec extends SparkSpec {
     assert(streamed === Set((11L, 10L), (13L, 10L), (17L, 20L)))
   }
 
+  test("streaming COMPLETE SimHash dedup over two micro-batches equals " +
+    "the one-shot Manku cross-snapshot answer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (12L, "completely different words entirely here now friends"),
+      (14L, "another corpus document about nothing in particular today")
+    ).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (21L, "the quick brown fox jumps over the lazy dog"),
+      (23L, "fresh unseen content with no earlier counterpart anywhere"))
+    val batch2 = Seq(
+      (25L, "the quick brown fox jumps over the lazy dog today"),
+      (27L, "wholly novel second-batch material with zero overlap"))
+
+    val out = java.nio.file.Files.createTempDirectory("graft-simdedup").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-simdedup-c").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = DedupStreams.streamingSimhashDedup(
+      ms.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text", out, ckpt)
+    ms.addData(batch1: _*); q.processAllAvailable()
+    ms.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+
+    val dirs = new java.io.File(out).list().filter(_.startsWith("batch_"))
+    assert(dirs.length == 2, dirs.mkString(","))
+    val streamed = spark.read.parquet(s"$out/batch_*")
+      .as[(Long, Long, Int)].collect().toSet
+    val oneShot = Dedup.mankuCrossSnapshotPairs(
+      Dedup.simhashSignatures(corpus, "doc_id", "text"),
+      Dedup.simhashSignatures(
+        (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(streamed === oneShot)
+    // the exact dup is a Hamming-0 match against its corpus original
+    assert(streamed.contains((21L, 10L, 0)))
+  }
+
   test("streaming cluster maintenance over three micro-batches equals the " +
     "one-shot CC recompute, including a cross-batch merge") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
