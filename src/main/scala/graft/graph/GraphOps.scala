@@ -29,6 +29,24 @@ object GraphOps {
       .map { case (v, c) => (v, c) }.toDF("node", "component")
   }
 
+  /** Strongly connected components over a DIRECTED edge list of Long
+    * vertex ids — the communicating-classes decomposition connected
+    * components cannot see (an edge u→v with no path back leaves u and v
+    * in different SCCs). GraphX's coloring convention: component = min
+    * vertex id in the SCC. `numIter` caps the outer peel loop; it must
+    * cover the graph's SCC-DAG depth (each iteration settles at least
+    * the current terminal components). */
+  def stronglyConnectedComponents(
+      spark: SparkSession, edges: DataFrame, numIter: Int = 50): DataFrame = {
+    val edgeRdd = edges.select(
+      col(edges.columns(0)).cast("long"), col(edges.columns(1)).cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val graph = Graph.fromEdgeTuples(edgeRdd, defaultValue = 1)
+    import spark.implicits._
+    graph.stronglyConnectedComponents(numIter).vertices
+      .map { case (v, c) => (v, c) }.toDF("node", "component")
+  }
+
   /** Undirected degree per vertex (in+out over the given directed edge
     * list; pass a deduped edge set for distinct-neighbor degree). */
   def degrees(spark: SparkSession, edges: DataFrame): DataFrame = {

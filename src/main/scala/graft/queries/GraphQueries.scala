@@ -45,6 +45,39 @@ object GraphQueries {
       .select(col("node"), col("degree").cast("long").as("degree"))
   }
 
+  /** STRONGLY connected components via GraphX — the communicating-classes
+    * decomposition undirected CC cannot see (u→v with no path back keeps
+    * u, v apart). Fixture: the functional graph n → (31n+7) mod 64 over
+    * the customer key residues — a BOUNDED 64-node domain chosen because
+    * the oracle's ground truth is pairwise mutual reachability (recursive
+    * CTE + self-join), which must stay enumerable at every sf; the
+    * operator itself is GraphX-distributed and domain-agnostic.
+    * Convention matched to GraphX: component = min vertex id in the SCC;
+    * off-cycle (tail) nodes are singleton SCCs = themselves. */
+  val gScc = Q(
+    "g_scc",
+    """WITH RECURSIVE nodes0 AS (
+      |  SELECT DISTINCT c_custkey % 64 AS n FROM customer),
+      |e AS (SELECT DISTINCT CAST(n AS BIGINT) AS src,
+      |             CAST((n * 31 + 7) % 64 AS BIGINT) AS dst FROM nodes0),
+      |nd AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+      |reach (a, b) AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+      |mut AS (SELECT r1.a AS n, r1.b AS m FROM reach r1
+      |        JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+      |SELECT nd.n AS node,
+      |  CAST(least(nd.n, coalesce(MIN(mut.m), nd.n)) AS BIGINT) AS component
+      |FROM nd LEFT JOIN mut ON nd.n = mut.n
+      |GROUP BY nd.n""".stripMargin) { (s, d) =>
+    val nodes = Tables.customer(s, d)
+      .select((col("c_custkey") % 64).cast("long").as("n")).distinct()
+    val edges = nodes.select(col("n").as("src"),
+      ((col("n") * 31 + 7) % 64).cast("long").as("dst"))
+    GraphOps.stronglyConnectedComponents(s, edges, numIter = 10)
+  }
+
   /** Connected components via GraphX, oracle = recursive-CTE min-label
     * reachability in DuckDB (component = min reachable vertex id, GraphX's
     * convention). */
@@ -591,7 +624,7 @@ object GraphQueries {
     graft.ops.DataQuality.exactCorrelation(t, Seq("du", "dv"))
   }
 
-  val all: Seq[Q] = Seq(gDegree, gComponents, gAncestors, gAncestorsRel,
+  val all: Seq[Q] = Seq(gDegree, gComponents, gScc, gAncestors, gAncestorsRel,
     gTriangles, gShortestPaths, gPagerank, gPpr, gKhop, gNeighborJaccard,
     gHits, gHarmonic, gLabelProp, gKcore, gKtruss, gAdamicAdar,
     gSsspWeighted, gAssortativity)

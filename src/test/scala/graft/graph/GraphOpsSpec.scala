@@ -12,6 +12,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("stronglyConnectedComponents: cycles collapse to their min id, " +
+    "DAG edges and tails stay singletons (what undirected CC cannot see)") {
+    // 3-cycle {1,2,3} → 2-cycle {4,5}; 6 is a tail into the first cycle
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 4L), (3L, 4L), (6L, 1L)).toDF("src", "dst")
+    val got = GraphOps.stronglyConnectedComponents(spark, edges, numIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L))
+    // sanity: undirected CC would merge everything into one component
+    val cc = GraphOps.connectedComponents(spark, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet === Set(1L))
+  }
+
   test("degrees counts incident edges (in+out)") {
     val edges = Seq((1L, 2L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
     val got = GraphOps.degrees(spark, edges).as[(Long, Long)].collect().toMap
