@@ -272,15 +272,21 @@ object Similarity {
     * pre-truncated to `bucketCap` rows map-side before the final rank.
     * At corpus scale `planes` must also grow ~log₂(n) so the bucket
     * domain keeps pace with the data (see PLANS.md). */
+  /** `carryCols` ride along both sides (query AND capped corpus) APPENDED
+    * after the (id, v, nrm, bucket) prefix — so a pairwise predicate (a
+    * label, a language, a shard) joins zero extra tables into the pair
+    * stream instead of shuffling the probe-exploded frame against a
+    * dimension. */
   private def lshCandidates(
       emb: DataFrame, idCol: String, vecCol: String,
       planes: Int, dim: Int, probes: Int,
-      bucketCap: Int): (DataFrame, DataFrame) = {
+      bucketCap: Int, carryCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
     graft.functions.DotProduct.register(emb.sparkSession)
     graft.functions.L2Squared.register(emb.sparkSession)
     val hp = hyperplanes(planes, dim)
-    val withBucket = emb.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val withBucket = emb.select(col(idCol).as("id") +:
+        transform(col(vecCol), x => x.cast("double")).as("v") +:
+        carryCols.map(col): _*)
       .withColumn("nrm", norm(col("v")))
       .withColumn("bucket", bucketOf(col("v"), hp))
     val probeBuckets =
@@ -288,13 +294,15 @@ object Similarity {
       else array(col("bucket") +:
         (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)
     val queries = withBucket
-      .select(col("id"), col("v"), col("nrm"), explode(probeBuckets).as("bucket"))
+      .select(col("id") +: col("v") +: col("nrm") +:
+        explode(probeBuckets).as("bucket") +: carryCols.map(col): _*)
     val wBucket = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket")).orderBy(col("nrm").desc, col("id").asc)
     val corpus = withBucket
       .withColumn("__crn", row_number().over(wBucket))
       .filter(col("__crn") <= bucketCap)
-      .drop("__crn")
+      .select(col("id") +: col("v") +: col("nrm") +: col("bucket") +:
+        carryCols.map(col): _*)
     (queries, corpus)
   }
 
@@ -561,12 +569,16 @@ object Similarity {
       k: Int, planes: Int = 6, dim: Int = 64, probes: Int = 1,
       bucketCap: Int = 512): DataFrame = {
     val labels = emb.select(col(idCol).as("id"), col(labelCol).as("lbl"))
-    val (queries, corpus) =
-      lshCandidates(emb, idCol, vecCol, planes, dim, probes, bucketCap)
-    val q = queries.join(labels, Seq("id"))
-      .toDF("vec_id", "va", "na", "bucket", "la")
-    val c = corpus.join(labels, Seq("id"))
-      .toDF("neighbor", "vb", "nb", "bucket", "lb")
+    // the label RIDES THROUGH the candidate machinery (carryCols), so the
+    // pair stream needs no label-dimension joins at all; only the final
+    // neg_label attach touches the n·k OUTPUT
+    val (queries, corpus) = lshCandidates(
+      emb.select(col(idCol).as("__hid"), col(vecCol).as("__hvec"),
+        col(labelCol).as("__hlbl")),
+      "__hid", "__hvec", planes, dim, probes, bucketCap,
+      carryCols = Seq("__hlbl"))
+    val q = queries.toDF("vec_id", "va", "na", "bucket", "la")
+    val c = corpus.toDF("neighbor", "vb", "nb", "bucket", "lb")
     val pairs = q.join(c, Seq("bucket"))
       .filter(col("la") =!= col("lb"))
       .select(col("vec_id"), col("neighbor"),
