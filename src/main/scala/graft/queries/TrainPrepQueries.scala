@@ -22,6 +22,33 @@ object TrainPrepQueries {
       TrainPrep.hashSplit(docs, "doc_id").as("split"))
   }
 
+  /** Concat-then-chunk packing with BOUNDARY accounting
+    * ([[TrainPrep.sequencePacking]]) — the x_pack delta: one GLOBAL
+    * document stream (not per-shard), each doc's stream offset and
+    * first/last 512-token chunk, and the `straddles` flag marking docs a
+    * packed batch must attention-mask across a chunk boundary. The
+    * running sum is the binned scale-safe form (no raw-row partitionless
+    * window — the cumulative pass runs over id-block aggregates). */
+  val xPackStraddle = Q(
+    "x_pack_straddle",
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cum FROM t)
+      |SELECT doc_id, n_tokens, cum - n_tokens AS start_off,
+      |  (cum - n_tokens) // 512 AS first_chunk,
+      |  (cum - n_tokens + greatest(n_tokens, 1) - 1) // 512 AS last_chunk,
+      |  ((cum - n_tokens) // 512)
+      |    <> ((cum - n_tokens + greatest(n_tokens, 1) - 1) // 512)
+      |    AS straddles
+      |FROM c""".stripMargin) { (s, d) =>
+    TrainPrep.sequencePacking(Tables.documents(s, d), "doc_id", "text",
+      capacity = 512)
+  }
+
   val xPack = Q(
     "x_pack",
     """SELECT doc_id, shard, n_tokens, running,
@@ -641,7 +668,8 @@ object TrainPrepQueries {
         expr("sum(mx * n - s) * 1000000 div sum(mx * n)").as("waste_ppm"))
   }
 
-  val all: Seq[Q] = Seq(xSplit, xPack, xScrub, xSample, xDecontaminate,
+  val all: Seq[Q] = Seq(xSplit, xPack, xPackStraddle, xScrub, xSample,
+    xDecontaminate,
     xIncremental, xMixRebalance, xWeightedSample, xBudgetSelect, xChunk,
     xChunkCdc, xNovelty,
     xWinsorize, xShard, xInterleave, xUrlDedup, xCurriculum, xSourceCap,

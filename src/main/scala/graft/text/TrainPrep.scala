@@ -251,6 +251,41 @@ object TrainPrep {
         Seq(col(orderCol)), col(tokenCol), binAsc = false, "running")
       .filter(col("running") <= budget)
 
+  /** Sequence packing — the concat-then-chunk layout LLM pretraining
+    * actually feeds the model: documents are concatenated in a
+    * deterministic stream order (doc_id asc) and the token stream is cut
+    * every `capacity` tokens. Per document: its exclusive start offset in
+    * the stream, the first/last chunk it lands in, and whether it
+    * STRADDLES a chunk boundary (the attention-mask/split accounting a
+    * packing pipeline needs).
+    *
+    * Scale shape: the global running sum routes through
+    * [[graft.ops.Scale.binnedGroupRunningSum]] with doc_id-block bins
+    * (id div 2¹⁶ — the contrastiveTriplets binning), so no raw-row
+    * partitionless window exists: the cumulative pass runs over the
+    * bounded bin aggregate, the in-bin window over one id block. A
+    * zero-token document occupies no stream space: it lands wholly in
+    * the chunk at its offset (first = last, no straddle).
+    * Output: (doc_id, n_tokens, start_off, first_chunk, last_chunk,
+    * straddles). */
+  def sequencePacking(
+      docs: DataFrame, idCol: String, textCol: String,
+      capacity: Long): DataFrame = {
+    require(capacity >= 1, "capacity must be >= 1")
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextFns.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    graft.ops.Scale.binnedGroupRunningSum(
+        base, Seq(lit(1)), expr("doc_id div 65536"),
+        Seq(col("doc_id").asc), col("n_tokens"), binAsc = true, "cum")
+      .withColumn("start_off", col("cum") - col("n_tokens"))
+      .withColumn("first_chunk", expr(s"start_off div $capacity"))
+      .withColumn("last_chunk", expr(
+        s"(start_off + greatest(n_tokens, 1L) - 1L) div $capacity"))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        col("first_chunk"), col("last_chunk"),
+        (col("first_chunk") =!= col("last_chunk")).as("straddles"))
+  }
+
   /** Scrub emails and phone-shaped numbers, counting hits per document. */
   def scrubPii(text: Column): (Column, Column, Column) = {
     val emails = size(regexp_extract_all(text, lit(EmailRe), lit(0)))

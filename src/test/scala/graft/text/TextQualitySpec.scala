@@ -7,6 +7,28 @@ import graft.SparkSpec
 class TextQualitySpec extends SparkSpec {
   import spark.implicits._
 
+  test("sequencePacking: hand-computed stream offsets, chunks, straddle " +
+    "flags at capacity 5; zero-token docs occupy no stream space") {
+    val docs = Seq(
+      (1L, "a b c"),        // 3 tokens: [0,3) → chunk 0
+      (2L, "d e f g"),      // 4 tokens: [3,7) → chunks 0-1, straddles
+      (3L, "h"),            // 1 token:  [7,8) → chunk 1
+      (4L, "i j k l m n")   // 6 tokens: [8,14) → chunks 1-2, straddles
+    ).toDF("doc_id", "text")
+    val got = TrainPrep.sequencePacking(docs, "doc_id", "text", capacity = 5)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3L, 0L, 0L, 0L, false)))
+    assert(got(2L) === ((2L, 4L, 3L, 0L, 1L, true)))
+    assert(got(3L) === ((3L, 1L, 7L, 1L, 1L, false)))
+    assert(got(4L) === ((4L, 6L, 8L, 1L, 2L, true)))
+    // offsets are gapless and ordered by doc_id: Σ n_tokens = next start
+    val ordered = got.values.toSeq.sortBy(_._1)
+    ordered.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._3 + a._2 === b._3, s"stream gap between ${a._1} and ${b._1}")
+    }
+  }
+
   private def metrics(text: String): (Option[Double], Option[Double]) = {
     val r = Seq(text).toDF("text")
       .select(TextFns.dupBigramFrac(col("text")).as("d"),
