@@ -407,6 +407,34 @@ object SimQueries {
       "vec_id", "embedding", threshold = 0.4, planes = 6, dim = 64, probes = 1)
   }
 
+  /** PARTITION-SCOPED embedding near-dups
+    * ([[Similarity.lshNearDupPairsWithin]]): duplicates are only sought
+    * WITHIN a label (the language/source-stratified dedup shape) — the
+    * partition column is pushed into the bucket join key, so
+    * cross-partition candidates never materialize, and the hot-bucket cap
+    * applies per (bucket, label) cell. Oracle: bucket replica + label
+    * ride-along with the same two-key join and per-cell cap. */
+  val xNearDupWithin = Q(
+    "x_near_dup_within",
+    lshCteSql(6, 64) +
+      s""", bl AS (SELECT b.vec_id, b.embedding, b.nrm, b.bucket, e.label
+         |  FROM bk0 b JOIN embeddings e ON e.vec_id = b.vec_id),
+         |blc AS (SELECT vec_id, embedding, nrm, bucket, label FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY bucket, label
+         |    ORDER BY nrm DESC, vec_id) AS crn FROM bl) WHERE crn <= 512),
+         |ql AS (SELECT q.vec_id, q.embedding, q.nrm, q.bucket, e.label
+         |  FROM q JOIN embeddings e ON e.vec_id = q.vec_id),
+         |p AS (SELECT q.label AS part, q.vec_id AS a, c.vec_id AS b,
+         |  $dotPairSql AS cos
+         |  FROM ql q JOIN blc c ON q.bucket = c.bucket
+         |    AND q.label = c.label AND q.vec_id < c.vec_id)
+         |SELECT part, a, b, cos FROM p WHERE cos >= 0.35""".stripMargin) {
+    (s, d) =>
+    Similarity.lshNearDupPairsWithin(Tables.embeddings(s, d),
+      "vec_id", "embedding", "label", threshold = 0.35,
+      planes = 6, dim = 64, probes = 1)
+  }
+
   /** Cross-snapshot embedding near-dups
     * ([[Similarity.crossSnapshotEmbNearDups]]): odd vec_ids play the
     * incoming batch, even the settled corpus; the batch's probe buckets
@@ -1146,7 +1174,7 @@ object SimQueries {
   val all: Seq[Q] = Seq(xAnnTopK, xAnnFiltered, xAnnIvf, xAnnIvfProbe,
     xAnnLsh, xAnnPq,
     xAnnSq8, xAnnBinary, xEmbedPool, xKmeans,
-    xSemanticDedup, xNearDupEmb, xDecontaminateSem,
+    xSemanticDedup, xNearDupEmb, xNearDupWithin, xDecontaminateSem,
     xMediaFeatures, xMediaDecode, xMediaDecodeReal, xMediaResizeReal,
     xMediaAudioReal, xMediaFrames,
     xAnnRecall, xMediaPhash, xRandProj, xClusterExemplars, xHardNegatives,

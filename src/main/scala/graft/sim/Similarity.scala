@@ -280,7 +280,8 @@ object Similarity {
   private def lshCandidates(
       emb: DataFrame, idCol: String, vecCol: String,
       planes: Int, dim: Int, probes: Int,
-      bucketCap: Int, carryCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
+      bucketCap: Int, carryCols: Seq[String] = Nil,
+      capAlso: Seq[String] = Nil): (DataFrame, DataFrame) = {
     graft.functions.DotProduct.register(emb.sparkSession)
     graft.functions.L2Squared.register(emb.sparkSession)
     val hp = hyperplanes(planes, dim)
@@ -296,8 +297,12 @@ object Similarity {
     val queries = withBucket
       .select(col("id") +: col("v") +: col("nrm") +:
         explode(probeBuckets).as("bucket") +: carryCols.map(col): _*)
+    // capAlso extends the cap key (e.g. a partition column when the
+    // bucket join itself is partition-scoped): the bound then applies
+    // per (bucket, capAlso...) cell
     val wBucket = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bucket")).orderBy(col("nrm").desc, col("id").asc)
+      .partitionBy((col("bucket") +: capAlso.map(col)): _*)
+      .orderBy(col("nrm").desc, col("id").asc)
     val corpus = withBucket
       .withColumn("__crn", row_number().over(wBucket))
       .filter(col("__crn") <= bucketCap)
@@ -491,6 +496,32 @@ object Similarity {
       .join(corpus.toDF("b", "vb", "nb", "bucket"), Seq("bucket"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
+        (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** PARTITION-SCOPED near-duplicate pairs — dedup within a language /
+    * source / shard only (cross-partition pairs are not duplicates by
+    * definition in a stratified corpus): [[lshNearDupPairs]] with the
+    * partition column PUSHED INTO the bucket join key, so cross-partition
+    * candidates never materialize at all — strictly fewer candidate pairs
+    * than post-filtering the unscoped join, and the hot-bucket cap
+    * applies per (partition, bucket). Output: (part, a < b, cos ≥
+    * threshold). */
+  def lshNearDupPairsWithin(
+      emb: DataFrame, idCol: String, vecCol: String, partCol: String,
+      threshold: Double, planes: Int = 6, dim: Int = 64, probes: Int = 1,
+      bucketCap: Int = 512): DataFrame = {
+    val (queries, corpus) = lshCandidates(
+      emb.select(col(idCol).as("__wid"), col(vecCol).as("__wvec"),
+        col(partCol).as("__wpart")),
+      "__wid", "__wvec", planes, dim, probes, bucketCap,
+      carryCols = Seq("__wpart"), capAlso = Seq("__wpart"))
+    queries.toDF("a", "va", "na", "bucket", "part")
+      .join(corpus.toDF("b", "vb", "nb", "bucket", "part"),
+        Seq("bucket", "part"))
+      .filter(col("a") < col("b"))
+      .select(col("part"), col("a"), col("b"),
         (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= threshold)
   }

@@ -257,6 +257,25 @@ class SimilaritySpec extends SparkSpec {
         s"(${lshSet.size} lsh vs ${bruteSet.size} brute)")
   }
 
+  test("lshNearDupPairsWithin: same-partition near-dups found, " +
+    "cross-partition twins excluded by the join key itself") {
+    import org.apache.spark.sql.functions.col
+    def v(hot: Int): Seq[Float] =
+      (0 until 64).map(i => if (i == hot) 1.0f else 0.0f)
+    val emb = Seq(
+      (1L, 0L, v(3)), (2L, 0L, v(3)),   // same label, identical → pair
+      (3L, 1L, v(3)),                   // twin of 1/2 but OTHER label
+      (4L, 1L, v(9)), (5L, 1L, v(9)),   // same label pair elsewhere
+      (6L, 0L, v(21))                   // singleton
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.lshNearDupPairsWithin(emb, "vec_id", "embedding",
+      "label", threshold = 0.9, planes = 4, dim = 64, probes = 1)
+      .select(col("part"), col("a"), col("b"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((0L, 1L, 2L), (1L, 4L, 5L)),
+      s"partition scoping violated: $got")
+  }
+
   test("kCenterGreedy: seed is min id; selections hit distinct planted " +
     "clusters before any revisit; radii non-increasing after round 2") {
     // 4 tight orthogonal clusters of 5 vectors each: greedy farthest-point
