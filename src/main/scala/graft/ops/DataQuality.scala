@@ -211,6 +211,60 @@ object DataQuality {
     * Output: ONE row (point_milli, ci_lo_milli, ci_hi_milli,
     * b_resamples), CI at ranks ⌈0.025·b⌉ / ⌈0.975·b⌉ of the resample
     * means. */
+  /** Neyman (variance-optimal) sample allocation across strata — the
+    * survey-sampling answer to "split an annotation/eval budget over
+    * corpus strata": stratum h gets budget · N_h·σ_h ⁄ Σ_k N_k·σ_k,
+    * which minimizes the stratified-mean variance at fixed budget
+    * (proportional allocation is the σ-uniform special case).
+    *
+    * Determinism carry: the variance NUMERATOR n·Σx² − (Σx)² is exact in
+    * DECIMAL(38,0) over integer-quantized values; σ enters as
+    * sqrt(CAST(num AS DOUBLE))⁄n — IEEE sqrt and division are
+    * CORRECTLY-rounded ops (unlike ln), so σ is bit-identical on both
+    * engines from identical exact inputs; the weight N_h·σ_h is then
+    * quantized to micro units (⌊·10⁶⌋ BIGINT) so the cross-strata total
+    * is an ORDER-FREE integer sum and every later step is integral:
+    * floor share budget·w_micro div W, largest-remainder top-up ranked
+    * by (remainder desc, stratum asc) over the strata DOMAIN (bounded —
+    * the window sits above the aggregation). Σ alloc = budget exactly
+    * (when W > 0). Single-row strata have σ = 0 and draw only
+    * remainder-rank allocation.
+    * Output: (stratum, n_rows, w_micro, alloc). */
+  def neymanAllocation(
+      df: DataFrame, strataCol: String, valueCol: String,
+      budget: Long): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val per = df.groupBy(col(strataCol).as("stratum"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(d(col(valueCol))).as("s1"),
+        sum((d(col(valueCol)) * d(col(valueCol))).cast("decimal(38,0)"))
+          .as("s2"))
+      .withColumn("var_num",
+        (col("n_rows") * col("s2") - col("s1") * col("s1"))
+          .cast("decimal(38,0)"))
+      .withColumn("sigma",
+        sqrt(col("var_num").cast("double")) / col("n_rows"))
+      .withColumn("w_micro",
+        floor(col("n_rows") * col("sigma") * 1000000).cast("long"))
+    val tot = per.agg(sum(col("w_micro")).as("w_total"))
+    val withFl = per.crossJoin(broadcast(tot))
+      .withColumn("fl", when(col("w_total") > 0,
+        expr(s"$budget * w_micro div w_total")).otherwise(0L))
+      .withColumn("rem", when(col("w_total") > 0,
+        expr(s"$budget * w_micro % w_total")).otherwise(0L))
+    val flTot = withFl.agg(sum(col("fl")).as("fl_total"))
+    val wRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("stratum").asc)
+    withFl.crossJoin(broadcast(flTot))
+      .withColumn("rr", row_number().over(wRem))
+      .select(col("stratum"), col("n_rows"), col("w_micro"),
+        // all-zero weights (every stratum constant) → Neyman is undefined;
+        // allocate NOTHING rather than spraying the budget arbitrarily
+        (col("fl") + when(col("w_total") > 0 &&
+          col("rr") <= lit(budget) - col("fl_total"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
   def bootstrapMeanCi(
       df: DataFrame, idCol: String, valueCol: String, seed: String,
       b: Int = 40): DataFrame = {

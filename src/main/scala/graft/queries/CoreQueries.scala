@@ -1166,6 +1166,42 @@ object CoreQueries {
       l = 2)
   }
 
+  /** Neyman (variance-optimal) allocation of a 1000-item annotation
+    * budget across the language strata by doc-length variability
+    * ([[graft.ops.DataQuality.neymanAllocation]]): exact DECIMAL variance
+    * numerators, correctly-rounded sqrt/÷ (IEEE — unlike ln, both
+    * engines agree bit-for-bit), micro-quantized weights so the
+    * cross-strata total is an order-free integer sum, floor shares +
+    * largest-remainder top-up (remainder desc, stratum asc). Σ alloc =
+    * budget exactly. The oracle replays every step with the SAME
+    * operation order (multiplication order affects double rounding). */
+  val xNeymanAlloc = Q(
+    "x_neyman_alloc",
+    """WITH per AS (SELECT lang AS stratum, COUNT(*) AS n_rows,
+      |    SUM(CAST(n_chars AS HUGEINT)) AS s1,
+      |    SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS s2
+      |  FROM documents GROUP BY 1),
+      |w AS (SELECT stratum, n_rows,
+      |    CAST(floor((n_rows * (sqrt(CAST(n_rows * s2 - s1 * s1 AS DOUBLE))
+      |      / n_rows)) * 1000000) AS BIGINT) AS w_micro
+      |  FROM per),
+      |t AS (SELECT SUM(w_micro) AS w_total FROM w),
+      |f AS (SELECT stratum, n_rows, w_micro, t.w_total,
+      |    CASE WHEN t.w_total > 0 THEN (1000 * w_micro) // t.w_total
+      |         ELSE 0 END AS fl,
+      |    CASE WHEN t.w_total > 0 THEN (1000 * w_micro) % t.w_total
+      |         ELSE 0 END AS rem
+      |  FROM w, t),
+      |ft AS (SELECT SUM(fl) AS fl_total FROM f)
+      |SELECT stratum, n_rows, w_micro,
+      |  CAST(fl + CASE WHEN f.w_total > 0
+      |    AND row_number() OVER (ORDER BY rem DESC, stratum)
+      |    <= 1000 - ft.fl_total THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |FROM f, ft""".stripMargin) { (s, d) =>
+    graft.ops.DataQuality.neymanAllocation(Tables.documents(s, d),
+      "lang", "n_chars", budget = 1000L)
+  }
+
   /** Poisson-bootstrap CI for the corpus mean doc length
     * ([[graft.ops.DataQuality.bootstrapMeanCi]]): 40 map-side resamples —
     * each doc contributes Poisson(1) copies per resample via inverse-CDF
@@ -1720,7 +1756,7 @@ object CoreQueries {
     q04PriorityExists, q06ForecastRevenue, erBlockedMatch, qNtile, qUnpivot,
     qWindowShare, xDataQuality, xProfile, xKAnonymity, xDriftPsi, xColCorr,
     xMad, xLDiversity, u2IntersectExcept, qPercentRank, xDpRelease,
-    xBootstrapCi,
+    xBootstrapCi, xNeymanAlloc,
     qGroupingSets,
     q13CustDistribution, q15TopSupplier, q17SmallQtyRevenue,
     q21WaitingSuppliers, q22DormantCustomers,

@@ -36,6 +36,31 @@ class DataQualitySpec extends SparkSpec {
     assert(got === (("k_unique", 2L))) // values 1 and 3
   }
 
+  test("neymanAllocation: hand-computed variance-optimal split, exact " +
+    "budget exhaustion, zero-variance stratum starved") {
+    val df = Seq(
+      ("A", 0L), ("A", 10L),            // n=2, var_num=100, σ=5 → w=10e6
+      ("B", 5L), ("B", 5L), ("B", 5L),  // σ=0 → w=0
+      ("C", 0L), ("C", 6L)              // n=2, var_num=36, σ=3 → w=6e6
+    ).toDF("lang", "v")
+    val got = DataQuality.neymanAllocation(df, "lang", "v", budget = 10L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A") === (("A", 2L, 10000000L, 6L)))
+    assert(got("B") === (("B", 3L, 0L, 0L)))
+    // C wins the largest-remainder top-up (floor 3, rem 12e6 > A's 4e6)
+    assert(got("C") === (("C", 2L, 6000000L, 4L)))
+    assert(got.values.map(_._4).sum === 10L, "budget not exhausted exactly")
+    // degenerate: every stratum zero-variance → floors 0, top-up by
+    // stratum order
+    val flat = Seq(("X", 1L), ("X", 1L), ("Y", 2L), ("Y", 2L))
+      .toDF("lang", "v")
+    val g2 = DataQuality.neymanAllocation(flat, "lang", "v", budget = 3L)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    assert(g2.values.sum === 0L,
+      "w_total = 0 must allocate nothing (no weights to honor)")
+  }
+
   test("suite over an empty table: every check passes with zero metric") {
     val empty = Seq.empty[(Option[Long], String)].toDF("fk", "status")
     val got = DataQuality.suite(Seq(
