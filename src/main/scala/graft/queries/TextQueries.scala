@@ -993,8 +993,11 @@ object TextQueries {
     * (Relevance.naiveBayesClassify): the `source` column is the class
     * label; add-one smoothing; every ln quantized to BIGINT microunits at
     * the (class, token) type level, per-doc accumulation pure integer. */
-  val xNbClassify = Q(
-    "x_nb_classify",
+  /** Shared NB CTE chain ending in `scores (doc_id, cl, actual,
+    * score_micro)` — the per-(doc, class) matrix both the argmax
+    * classifier and the label-issue detector read, factored so the model
+    * definition can never drift between them. */
+  private val nbScoresCte =
     """WITH t AS (SELECT doc_id, source AS cl,
       |    string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
       |tok AS (SELECT doc_id, cl, UNNEST(ws) AS w FROM t),
@@ -1026,14 +1029,47 @@ object TextQueries {
       |      AS score_micro
       |  FROM ntok n CROSS JOIN (SELECT cl FROM cls) c2
       |  LEFT JOIN matched m2 ON n.doc_id = m2.doc_id AND c2.cl = m2.cl
-      |  JOIN pri ON c2.cl = pri.cl JOIN defs ON c2.cl = defs.cl),
-      |win AS (SELECT doc_id, cl, actual, score_micro, row_number() OVER (
-      |    PARTITION BY doc_id ORDER BY score_micro DESC, cl ASC) AS rn
-      |  FROM scores)
-      |SELECT doc_id, cl AS predicted, score_micro, actual,
-      |  (cl = actual) AS correct
-      |FROM win WHERE rn = 1""".stripMargin) { (s, d) =>
+      |  JOIN pri ON c2.cl = pri.cl JOIN defs ON c2.cl = defs.cl)
+      |""".stripMargin
+
+  val xNbClassify = Q(
+    "x_nb_classify",
+    nbScoresCte +
+      """, win AS (SELECT doc_id, cl, actual, score_micro, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score_micro DESC, cl ASC) AS rn
+        |  FROM scores)
+        |SELECT doc_id, cl AS predicted, score_micro, actual,
+        |  (cl = actual) AS correct
+        |FROM win WHERE rn = 1""".stripMargin) { (s, d) =>
     graft.text.Relevance.naiveBayesClassify(
+      Tables.documents(s, d), "doc_id", "text", "source")
+  }
+
+  /** Confident-learning label-issue flags
+    * ([[graft.text.Relevance.nbLabelIssues]]): class thresholds are mean
+    * self-scores, a doc is flagged when its argmax class differs from
+    * the given label AND clears that class's threshold. The mean compare
+    * is division-free (score·n ≥ Σ in HUGEINT/DECIMAL — negative
+    * integer division is engine-divergent). Same scores CTE as
+    * x_nb_classify, so the model cannot drift between the two. */
+  val xLabelIssues = Q(
+    "x_label_issues",
+    nbScoresCte +
+      """, win AS (SELECT doc_id, cl, actual, score_micro, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score_micro DESC, cl ASC) AS rn
+        |  FROM scores),
+        |arg AS (SELECT doc_id, cl AS predicted, actual, score_micro
+        |        FROM win WHERE rn = 1),
+        |thr AS (SELECT cl AS predicted,
+        |    CAST(SUM(score_micro) AS HUGEINT) AS t_sum,
+        |    COUNT(*) AS t_n
+        |  FROM scores WHERE cl = actual GROUP BY 1)
+        |SELECT a.doc_id, a.actual, a.predicted,
+        |  (a.predicted <> a.actual
+        |    AND CAST(a.score_micro AS HUGEINT) * t.t_n >= t.t_sum) AS flagged
+        |FROM arg a JOIN thr t ON a.predicted = t.predicted"""
+        .stripMargin) { (s, d) =>
+    graft.text.Relevance.nbLabelIssues(
       Tables.documents(s, d), "doc_id", "text", "source")
   }
 
@@ -1221,7 +1257,8 @@ object TextQueries {
     xHeavyHitters, xFingerprint,
     xQualityBuckets,
     xImportanceWeight, xHistQuantiles, xCollocations, xBpeMerges,
-    xBpeTokenize, xHtmlStrip, xQualityClassifier, xNbClassify, xLangEval,
+    xBpeTokenize, xHtmlStrip, xQualityClassifier, xNbClassify, xLabelIssues,
+    xLangEval,
     xGopherRules, xReadability, xTokFertility, xVocabCoverage,
     xCalibrationBins, xAuc, xDatasetCard)
 }

@@ -375,6 +375,54 @@ object Relevance {
     * actual, correct). */
   def naiveBayesClassify(docs: DataFrame, idCol: String, textCol: String,
       classCol: String): DataFrame = {
+    val scores = nbScoreMatrix(docs, idCol, textCol, classCol)
+    val wArg = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("cl").asc)
+    scores.withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cl").as("predicted"), col("score_micro"),
+        col("actual"), (col("cl") === col("actual")).as("correct"))
+  }
+
+  /** Confident-learning-style label-issue detection (the Northcutt
+    * confident-joint recipe adapted to quantized NB log-scores): class
+    * j's confidence threshold is the MEAN self-score of documents
+    * labeled j; a document is flagged when its argmax class differs from
+    * its given label AND its score for that argmax class clears that
+    * class's threshold — it sits confidently inside another class's
+    * region, the signature of a mislabel. The mean comparison is
+    * DIVISION-FREE (score·n_j ≥ Σ scores_j, in DECIMAL — negative
+    * integer division truncates toward zero on Spark but floors on
+    * DuckDB, so the quotient form would diverge cross-engine; the
+    * product form is exact). Output: (doc_id, actual, predicted,
+    * flagged). */
+  def nbLabelIssues(docs: DataFrame, idCol: String, textCol: String,
+      classCol: String): DataFrame = {
+    val mat = nbScoreMatrix(docs, idCol, textCol, classCol)
+    val thr = mat.filter(col("cl") === col("actual"))
+      .groupBy(col("cl"))
+      .agg(sum(col("score_micro")).as("t_sum"), count(lit(1)).as("t_n"))
+    val wArg = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("cl").asc)
+    val arg = mat.withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cl").as("predicted"), col("actual"),
+        col("score_micro"))
+    arg.join(broadcast(thr.withColumnRenamed("cl", "predicted")),
+        Seq("predicted"))
+      .select(col("doc_id"), col("actual"), col("predicted"),
+        (col("predicted") =!= col("actual") &&
+          col("score_micro").cast("decimal(38,0)") * col("t_n") >=
+            col("t_sum").cast("decimal(38,0)")).as("flagged"))
+  }
+
+  /** The full per-(document, class) NB score matrix behind
+    * [[naiveBayesClassify]] — exposed because threshold-based analyses
+    * (confident-learning label issues, abstention) need every class's
+    * score, not just the argmax. Output: (doc_id, cl, actual,
+    * score_micro), |classes| rows per document. */
+  def nbScoreMatrix(docs: DataFrame, idCol: String, textCol: String,
+      classCol: String): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(classCol).as("cl"),
       TextFns.tokens(col(textCol)).as("ws"))
     val tok = base.select(col("doc_id"), col("cl"), explode(col("ws")).as("w"))
@@ -404,7 +452,7 @@ object Relevance {
       .groupBy(col("doc_id"), col("cl"))
       .agg(sum(col("tf") * col("lw_micro")).as("s_matched"),
         sum(col("tf")).as("n_matched"))
-    val scores = ntok.crossJoin(broadcast(cls.select(col("cl"))))
+    ntok.crossJoin(broadcast(cls.select(col("cl"))))
       .join(matched, Seq("doc_id", "cl"), "left")
       .join(broadcast(pri), Seq("cl"))
       .join(broadcast(defs), Seq("cl"))
@@ -412,12 +460,6 @@ object Relevance {
         (col("pri_micro") + coalesce(col("s_matched"), lit(0L)) +
           (col("n_tokens") - coalesce(col("n_matched"), lit(0L))) *
             col("def_micro")).as("score_micro"))
-    val wArg = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score_micro").desc, col("cl").asc)
-    scores.withColumn("rn", row_number().over(wArg))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("cl").as("predicted"), col("score_micro"),
-        col("actual"), (col("cl") === col("actual")).as("correct"))
   }
 
   /** Per-class confusion summary over (actual, predicted) rows — the

@@ -12,6 +12,26 @@ class RelevanceSpec extends SparkSpec {
     (4L, "zebra zebra zebra zebra")
   ).toDF("doc_id", "text")
 
+  test("nbLabelIssues: a doc written in the other class's vocabulary is " +
+    "flagged; consistent docs are not; flags agree with the matrix") {
+    val corpus = Seq(
+      (1L, "alpha alpha beta alpha beta", "A"),
+      (2L, "alpha beta alpha alpha", "A"),
+      (3L, "gamma delta gamma delta gamma", "B"),
+      (4L, "delta gamma delta delta", "B"),
+      (5L, "gamma delta gamma delta", "A")   // labeled A, pure B vocab
+    ).toDF("doc_id", "text", "source")
+    val got = Relevance.nbLabelIssues(corpus, "doc_id", "text", "source")
+      .as[(Long, String, String, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(5L)._4, "planted mislabel not flagged")
+    assert(got(5L)._3 === "B")
+    Seq(1L, 2L, 3L, 4L).foreach(i =>
+      assert(!got(i)._4, s"clean doc $i wrongly flagged"))
+    // flag definition honors the matrix: flagged ⇒ predicted ≠ actual
+    got.values.foreach(r => if (r._4) assert(r._3 !== r._2))
+  }
+
   test("bm25Scores: hand-computed integer BM25 on a tiny corpus " +
     "(Lucene idf, cleared k1/b fraction, exact integral division)") {
     val corpus = Seq(
