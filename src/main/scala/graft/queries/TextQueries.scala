@@ -1073,6 +1073,30 @@ object TextQueries {
       Tables.documents(s, d), "doc_id", "text", "source")
   }
 
+  /** Margin-based selective classification
+    * ([[graft.text.Relevance.nbAbstention]]): predict only when the
+    * top1−top2 NB score margin clears 2·10⁶ micro-units (~e² likelihood
+    * ratio); below it the document routes to review. Same scores CTE as
+    * the classifier — margins are exact integer differences. */
+  val xAbstention = Q(
+    "x_abstention",
+    nbScoresCte +
+      """, win AS (SELECT doc_id, cl, actual, score_micro, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score_micro DESC, cl ASC) AS rn
+        |  FROM scores),
+        |t1 AS (SELECT doc_id, actual, cl AS predicted, score_micro AS s1
+        |       FROM win WHERE rn = 1),
+        |t2 AS (SELECT doc_id, score_micro AS s2 FROM win WHERE rn = 2)
+        |SELECT t1.doc_id, t1.actual, t1.predicted,
+        |  t1.s1 - t2.s2 AS margin_micro,
+        |  COALESCE(t1.s1 - t2.s2 < 2000000, TRUE) AS abstain
+        |FROM t1 LEFT JOIN t2 ON t1.doc_id = t2.doc_id""".stripMargin) {
+    (s, d) =>
+    graft.text.Relevance.nbAbstention(
+      Tables.documents(s, d), "doc_id", "text", "source",
+      marginMicro = 2000000L)
+  }
+
   /** Per-class confusion summary (Relevance.classifierEval) over the
     * lang-ID heuristic's predictions vs the actual lang column —
     * precision/recall in integer ppm over the class dimension. */
@@ -1258,7 +1282,7 @@ object TextQueries {
     xQualityBuckets,
     xImportanceWeight, xHistQuantiles, xCollocations, xBpeMerges,
     xBpeTokenize, xHtmlStrip, xQualityClassifier, xNbClassify, xLabelIssues,
-    xLangEval,
+    xAbstention, xLangEval,
     xGopherRules, xReadability, xTokFertility, xVocabCoverage,
     xCalibrationBins, xAuc, xDatasetCard)
 }

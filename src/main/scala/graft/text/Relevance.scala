@@ -416,6 +416,33 @@ object Relevance {
             col("t_sum").cast("decimal(38,0)")).as("flagged"))
   }
 
+  /** Selective classification (abstention) over the NB score matrix: the
+    * decision margin is top1 − top2 score (integer microunits — exact),
+    * and documents whose margin falls below `marginMicro` ABSTAIN — the
+    * route-to-human-review policy a labeling pipeline runs instead of
+    * trusting low-confidence argmaxes. Output: (doc_id, actual,
+    * predicted, margin_micro, abstain). Single-class corpora have no
+    * runner-up: margin = NULL, abstain = true (nothing to be confident
+    * against). */
+  def nbAbstention(docs: DataFrame, idCol: String, textCol: String,
+      classCol: String, marginMicro: Long): DataFrame = {
+    val mat = nbScoreMatrix(docs, idCol, textCol, classCol)
+    val wArg = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("cl").asc)
+    val ranked = mat.withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") <= 2)
+    val top1 = ranked.filter(col("rn") === 1)
+      .select(col("doc_id"), col("actual"), col("cl").as("predicted"),
+        col("score_micro").as("s1"))
+    val top2 = ranked.filter(col("rn") === 2)
+      .select(col("doc_id"), col("score_micro").as("s2"))
+    top1.join(top2, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("actual"), col("predicted"),
+        (col("s1") - col("s2")).as("margin_micro"),
+        coalesce(col("s1") - col("s2") < marginMicro, lit(true))
+          .as("abstain"))
+  }
+
   /** The full per-(document, class) NB score matrix behind
     * [[naiveBayesClassify]] — exposed because threshold-based analyses
     * (confident-learning label issues, abstention) need every class's

@@ -32,6 +32,28 @@ class RelevanceSpec extends SparkSpec {
     got.values.foreach(r => if (r._4) assert(r._3 !== r._2))
   }
 
+  test("nbAbstention: clear-vocab docs predict, ambiguous docs abstain; " +
+    "single-class corpus abstains everywhere (null margin)") {
+    val corpus = Seq(
+      (1L, "alpha alpha alpha alpha alpha", "A"),
+      (2L, "gamma gamma gamma gamma gamma", "B"),
+      (3L, "alpha gamma", "A")   // one token each side → thin margin
+    ).toDF("doc_id", "text", "source")
+    val got = Relevance.nbAbstention(corpus, "doc_id", "text", "source",
+      marginMicro = 2000000L)
+      .as[(Long, String, String, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!got(1L)._5 && !got(2L)._5, "clear docs must not abstain")
+    assert(got(3L)._5, "ambiguous doc must abstain")
+    assert(got(3L)._4.get < got(1L)._4.get)
+    val single = Seq((1L, "alpha beta", "A"), (2L, "beta", "A"))
+      .toDF("doc_id", "text", "source")
+    val g2 = Relevance.nbAbstention(single, "doc_id", "text", "source", 1L)
+      .as[(Long, String, String, Option[Long], Boolean)].collect()
+    assert(g2.forall(r => r._4.isEmpty && r._5),
+      "single-class corpus must abstain with null margins")
+  }
+
   test("bm25Scores: hand-computed integer BM25 on a tiny corpus " +
     "(Lucene idf, cleared k1/b fraction, exact integral division)") {
     val corpus = Seq(
