@@ -497,6 +497,41 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Cross-snapshot banded Hamming pairs — the incremental form of
+    * [[signatureNearDupPairs]] for radii UNDER the band count (where
+    * simple banding is already complete by pigeonhole): the incoming
+    * batch's band keys join the settled corpus's persisted band table,
+    * new×old candidates only, O(batch·bands) per batch. For radii ≥ the
+    * band count use [[mankuCrossSnapshotPairs]]. Output: (new_id,
+    * old_id, hamming ≤ maxHamming). */
+  def signatureCrossSnapshotPairs(
+      corpusSig: DataFrame, batchSig: DataFrame, bits: Int = 64,
+      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    require(maxHamming < bands,
+      s"banded completeness needs maxHamming < bands " +
+        s"($maxHamming ≥ $bands — use mankuCrossSnapshotPairs)")
+    val width = bits / bands
+    def banded(sig: DataFrame): DataFrame = {
+      val bandStructs = (0 until bands).map { j =>
+        struct(lit(j).as("band"),
+          shiftright(col("sig"), j * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("key"))
+      }
+      sig.select(col("doc_id"), col("sig"),
+        explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("sig"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+    }
+    banded(batchSig).toDF("new_id", "sig_n", "band", "key")
+      .join(banded(corpusSig).toDF("old_id", "sig_o", "band", "key"),
+        Seq("band", "key"))
+      .select(col("new_id"), col("old_id"),
+        bit_count(col("sig_n").bitwiseXOR(col("sig_o"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Block layout + combination tables for the Manku-style COMPLETE
     * Hamming search ([[mankuNearDupPairs]]): the signature's `bits` are
     * partitioned into `blocks` contiguous blocks (widths differing by at

@@ -791,6 +791,39 @@ object SimQueries {
       .select(col("a").as("media_a"), col("b").as("media_b"), col("hamming"))
   }
 
+  /** Incremental perceptual-hash media dedup
+    * ([[graft.dedup.Dedup.signatureCrossSnapshotPairs]]): odd media ids
+    * play the incoming batch, even the settled corpus — the batch's
+    * pHash band keys join the corpus's persisted band table, new×old
+    * candidates only, complete at Hamming ≤ 3 (< 4 bands, pigeonhole),
+    * O(batch) per batch. The media twin of x_dedup_simhash_incr. */
+  val xMediaPhashIncr = Q(
+    "x_media_phash_incr", {
+      val bandSelects = (0 until 4).map(j =>
+        s"SELECT doc_id, phash, $j AS band, " +
+          s"(phash >> ${j * 16}) & 65535 AS key FROM h")
+        .mkString(" UNION ALL ")
+      phashCte +
+        s""", bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id,
+           |    bit_count(xor(n.phash, o.phash)) AS hamming
+           |  FROM bands n JOIN bands o
+           |    ON n.band = o.band AND n.key = o.key
+           |    AND n.doc_id % 2 = 1 AND o.doc_id % 2 = 0)
+           |SELECT new_id, old_id, CAST(hamming AS INT) AS hamming FROM cand
+           |WHERE hamming <= 3""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text")
+      .as[Multimodal.MediaRow]
+    val sig = Multimodal.extractHashes(media).toDF()
+      .select(col("media_id").as("doc_id"), col("phash").as("sig"))
+    graft.dedup.Dedup.signatureCrossSnapshotPairs(
+      sig.filter(col("doc_id") % 2 === 0),
+      sig.filter(col("doc_id") % 2 === 1),
+      bits = 64, bands = 4, maxHamming = 3)
+  }
+
   /** End-to-end media curation verdict — the multimodal twin of
     * x_curate_e2e: per media item its perceptual hash, byte size,
     * pHash-duplicate flag (non-min of its hash group) and size-bounds
@@ -1180,5 +1213,5 @@ object SimQueries {
     xAnnRecall, xMediaPhash, xRandProj, xClusterExemplars, xHardNegatives,
     xHardNegativesLsh,
     xKnnGraph, xKnnGraphLsh, xSemdedupEps, xMediaCurate, xEmbIncremental,
-    xCoresetKcenter, xMediaPhashNear)
+    xCoresetKcenter, xMediaPhashNear, xMediaPhashIncr)
 }

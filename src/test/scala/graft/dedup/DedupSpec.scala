@@ -210,6 +210,21 @@ class DedupSpec extends SparkSpec {
       "banding found every planted pair — the adversarial seed lost its bite")
   }
 
+  test("signatureCrossSnapshotPairs: ≤3-bit batch×corpus pairs found, " +
+    "batch-internal twins never pair, radius ≥ bands rejected fast") {
+    val corpus = Seq((2L, 0L), (4L, 0xFF00L)).toDF("doc_id", "sig")
+    val batch = Seq((1L, 3L), (3L, 3L)).toDF("doc_id", "sig") // ham 2 vs 0
+    val got = Dedup.signatureCrossSnapshotPairs(corpus, batch,
+      bits = 64, bands = 4, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 2L, 2), (3L, 2L, 2)), s"got $got")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.signatureCrossSnapshotPairs(corpus, batch,
+        bits = 64, bands = 4, maxHamming = 6)
+    }
+    assert(ex.getMessage.contains("mankuCrossSnapshotPairs"))
+  }
+
   test("mankuCrossSnapshotPairs: batch probes corpus only — the spread " +
     "8-bit pair is caught across snapshots, batch-internal twins never pair") {
     val spread = java.lang.Long.parseLong("11", 16) |
