@@ -8,7 +8,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * functions at session build time (config
   * `spark.sql.extensions=graft.functions.GraftExtensions`, set by
   * Verify/Bench/test sessions), so SQL text like `graft_dot(a, b)`
-  * resolves without imperative registration. */
+  * resolves without imperative registration — plus the
+  * [[NativeFoldRewrite]] optimizer rule, so the COMPOSABLE
+  * `aggregate(zip_with(...))` dot/L2 folds a user writes against the
+  * plain DataFrame API silently become the codegen'd native
+  * expressions (bit-identical by contract). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
@@ -19,5 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_l2sq"),
       new ExpressionInfo(classOf[L2Squared].getName, "graft_l2sq"),
       (exprs: Seq[Expression]) => L2Squared(exprs(0), exprs(1))))
+    e.injectOptimizerRule(_ => NativeFoldRewrite)
   }
 }

@@ -124,6 +124,51 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("NativeFoldRewrite: composable dot/L2 folds optimize into the " +
+    "native expressions; near-miss shapes are left alone") {
+    import org.apache.spark.sql.catalyst.expressions.ArrayAggregate
+    def natives(df: org.apache.spark.sql.DataFrame): (Int, Int, Int) = {
+      val es = df.queryExecution.optimizedPlan.expressions
+      (es.map(_.collect { case _: DotProduct => 1 }.size).sum,
+        es.map(_.collect { case _: L2Squared => 1 }.size).sum,
+        es.map(_.collect { case _: ArrayAggregate => 1 }.size).sum)
+    }
+    // id-dependent arrays: a literal fixture would be CONSTANT-FOLDED
+    // away before the rewrite could be observed
+    val base = spark.range(1).select(
+      array(lit(1.0), col("id").cast("double") + 2.0).as("a"),
+      array(lit(3.0), lit(4.0)).as("b"))
+    val dot = base.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+    assert(natives(dot) === ((1, 0, 0)), "dot fold not rewritten")
+    assert(dot.as[Double].head() === 11.0)
+    val l2 = base.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+    assert(natives(l2) === ((0, 1, 0)), "L2 fold not rewritten")
+    assert(l2.as[Double].head() === 8.0)
+    // near-misses stay composable: non-zero seed; a different body
+    val seeded = base.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(1.0), (acc, v) => acc + v).as("d"))
+    assert(natives(seeded)._1 === 0)
+    assert(seeded.as[Double].head() === 12.0)
+    val maxBody = base.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x + y),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+    assert(natives(maxBody) === ((0, 0, 1)), "sum-body fold must survive")
+    assert(maxBody.as[Double].head() === 10.0)
+    // and INT arrays are out of scope
+    val ints = spark.range(1).select(
+        array(lit(1L), col("id") + 2L).as("a"),
+        array(lit(3L), lit(4L)).as("b"))
+      .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("d"))
+    assert(natives(ints)._1 === 0)
+    assert(ints.as[Long].head() === 11L)
+  }
+
   test("OrderedMiddleAgg (typed Aggregator) agrees with the expression form") {
     val udafCol = udaf(OrderedMiddleAgg)
     val df = Seq(("k", 1.0), ("k", 2.0), ("k", 3.0), ("k", 4.0),
