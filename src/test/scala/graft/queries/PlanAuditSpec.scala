@@ -465,7 +465,10 @@ class PlanAuditSpec extends SparkSpec {
       "x_quantile_norm", "x_contrastive_pairs",  // one-row totals
       "ev_markov_stationary", "x_semdedup_eps",  // type-domain/one-row dims
       "ev_seasonality",                          // one-row total
-      "x_nb_classify", // one-row vocab/corpus-size + class dim broadcasts
+      // one-row vocab/corpus-size + class dim broadcasts (the shared NB
+      // score-matrix chain behind all three)
+      "x_nb_classify", "x_label_issues", "x_abstention",
+      "x_neyman_alloc", // one-row weight-total + floor-total broadcasts
       "x_kmv_setops",  // source-dimension pair frame (groups, not rows)
       "g_ktruss")      // one-row pair-volume total (sparsify threshold)
     var bnljSeen = 0
