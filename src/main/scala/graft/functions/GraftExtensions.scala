@@ -23,6 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_l2sq"),
       new ExpressionInfo(classOf[L2Squared].getName, "graft_l2sq"),
       (exprs: Seq[Expression]) => L2Squared(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_between"),
+      new ExpressionInfo(classOf[GraftBetween].getName, "graft_between"),
+      (exprs: Seq[Expression]) => GraftBetween(exprs(0), exprs(1), exprs(2))))
     e.injectOptimizerRule(_ => NativeFoldRewrite)
+    e.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }
 }

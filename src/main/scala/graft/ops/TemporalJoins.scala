@@ -112,6 +112,66 @@ object TemporalJoins {
       .drop("__bin")
   }
 
+  /** KEYED interval × point range join through the native planner path
+    * (graft.plans.RangeJoinStrategy → RangeJoinExec). The join condition
+    * is `keys equal AND graft_between(point, start, end)`; with the
+    * GraftExtensions strategy installed the planner replaces the whole
+    * join with a co-partitioned merge sweep (one shuffle per side on the
+    * keys, sorted-group active-interval heap — O((I+P)·log I + matches)
+    * per key group). WITHOUT the strategy the same plan is a correct
+    * shuffled equi-join on the keys with the between as a join filter —
+    * the marker expression evaluates the plain conjunction, so the
+    * operator degrades to a slower-but-correct plan, never a wrong one.
+    *
+    * `keys` maps interval-side column name → point-side column name; all
+    * other column names must be disjoint across the inputs (caller
+    * aliases, same contract as [[intervalOverlapJoin]]). NULL keys,
+    * bounds, or points match nothing. */
+  def nativeRangeJoin(intervals: DataFrame, points: DataFrame,
+      keys: Seq[(String, String)],
+      startCol: String, endCol: String, pointCol: String): DataFrame = {
+    val keyCond = keys.map { case (a, b) => intervals(a) === points(b) }
+      .reduce(_ && _)
+    val between = call_function("graft_between",
+      points(pointCol), intervals(startCol), intervals(endCol))
+    intervals.join(points, keyCond && between, "inner")
+  }
+
+  /** KEYED interval × interval OVERLAP join through the native merge-sweep
+    * path: every (left, right) pair sharing a key with
+    * `[ls, le] ∩ [rs, re] ≠ ∅` (inclusive ends), emitted exactly once,
+    * backwards intervals dropped. Uses the standard containment
+    * decomposition — any overlapping pair has either `rs ∈ [ls, le]`
+    * (case 1) or `rs < ls ≤ re` (case 2), never both — so the overlap join
+    * is the UNION of two [[nativeRangeJoin]] containment sweeps with the
+    * sides swapped, each planned as [[graft.plans.RangeJoinExec]]. Compared
+    * with [[intervalOverlapJoin]]'s bin-explode (input inflated by
+    * interval-length/bin), each side is scanned twice at ×1 — at 100 TB the
+    * cost is four key-clustered shuffles of un-inflated inputs and per-key
+    * linear sweeps. `keys` maps left names → right names; all other column
+    * names must be disjoint (caller aliases). NULL keys or bounds match
+    * nothing; output columns are `left ++ right` for both branches. */
+  def nativeIntervalOverlapJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[(String, String)],
+      lsCol: String, leCol: String, rsCol: String, reCol: String): DataFrame = {
+    require(keys.nonEmpty,
+      "nativeIntervalOverlapJoin needs ≥1 equi-key (keyless overlap would " +
+        "fall back to a nested-loop plan — use intervalOverlapJoin's bins)")
+    val l = left.filter(col(leCol) >= col(lsCol))
+    val r = right.filter(col(reCol) >= col(rsCol))
+    val outCols = (left.columns ++ right.columns).toSeq.map(col)
+    // case 1: the right interval STARTS inside [ls, le]
+    val c1 = nativeRangeJoin(l, r, keys, lsCol, leCol, rsCol)
+      .select(outCols: _*)
+    // case 2: the left interval starts STRICTLY inside (rs, re]. The
+    // optimizer pushes this filter into the join condition; the strategy
+    // re-hoists it as a residual FilterExec above the sweep
+    val c2 = nativeRangeJoin(r, l, keys.map(_.swap), rsCol, reCol, lsCol)
+      .filter(col(rsCol) < col(lsCol))
+      .select(outCols: _*)
+    c1.unionAll(c2)
+  }
+
   /** Interval × interval OVERLAP join on DATE columns: every (left, right)
     * pair with `[ls, le] ∩ [rs, re] ≠ ∅` (inclusive ends), emitted exactly
     * once. The generalization of [[binnedRangeJoin]] both sides need at

@@ -1,0 +1,277 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, BindReferences, EqualTo, Expression, JoinedRow, PredicateHelper, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, FilterExec, ProjectExec, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+
+import graft.functions.GraftBetween
+
+/** Planner strategy for keyed range joins (SURVEY §2.10 temporal-join
+  * family; the whole-operator rung (c) of the build rules' extension
+  * ladder: LogicalPlan-match → Strategy → custom SparkPlan).
+  *
+  * Fires on an INNER [[Join]] whose condition conjoins ≥1 cross-side
+  * equi-key, a `graft_between(p, lo, hi)` with `lo`/`hi` drawn from one
+  * child and `p` from the other, and any number of residual predicates —
+  * the shape [[graft.ops.TemporalJoins.nativeRangeJoin]] emits, plus
+  * whatever the optimizer pushed into the condition (e.g. the strictness
+  * filter of the overlap-join decomposition). Plans [[RangeJoinExec]] on
+  * the equi+between core — both sides hash-clustered on the keys and
+  * sorted (keys, lo) / (keys, p), then a per-partition merge sweep that
+  * walks each key group ONCE with an active-interval heap, O(n log n +
+  * output) per group versus the equi-join's O(intervals × points)
+  * re-filter — and evaluates the residual in a [[FilterExec]] above the
+  * sweep, the same residual treatment SortMergeJoin gives non-equi
+  * conditions. A between with bounds on the RIGHT child plans the sweep
+  * with the children swapped under a reordering [[ProjectExec]].
+  *
+  * Any other shape (outer join, keyless, between's bounds split across
+  * sides) returns Nil and falls back to Spark's default join planning,
+  * which remains correct because [[GraftBetween]] evaluates the plain
+  * conjunction `lo <= p AND p <= hi`.
+  */
+object RangeJoinStrategy extends SparkStrategy with PredicateHelper {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case Join(left, right, Inner, Some(cond), _) =>
+      def ofLeft(e: Expression) = e.references.subsetOf(left.outputSet)
+      def ofRight(e: Expression) = e.references.subsetOf(right.outputSet)
+      def sweepable(b: GraftBetween) =
+        (ofLeft(b.lo) && ofLeft(b.hi) && ofRight(b.point)) ||
+          (ofRight(b.lo) && ofRight(b.hi) && ofLeft(b.point))
+      val preds = splitConjunctivePredicates(cond)
+      val (equis, rest0) = preds.partition {
+        case EqualTo(a, c) => (ofLeft(a) && ofRight(c)) || (ofRight(a) && ofLeft(c))
+        case _ => false
+      }
+      // drive the sweep with the FIRST plannable between; every other
+      // predicate (more betweens included) becomes the residual filter
+      val (drivers, residual) = {
+        val i = rest0.indexWhere {
+          case b: GraftBetween => sweepable(b); case _ => false
+        }
+        if (i < 0) (Nil, rest0) else (Seq(rest0(i)), rest0.patch(i, Nil, 1))
+      }
+      (drivers, equis) match {
+        case (Seq(b: GraftBetween), _ :: _) =>
+          val keyPairs = equis.map {
+            case EqualTo(a, c) if ofLeft(a) => (a, c)
+            case EqualTo(a, c) => (c, a)
+          }
+          val (lk, rk) = keyPairs.unzip
+          val core: SparkPlan =
+            if (ofLeft(b.lo))
+              RangeJoinExec(lk, rk, b.lo, b.hi, b.point,
+                planLater(left), planLater(right))
+            else
+              ProjectExec(left.output ++ right.output,
+                RangeJoinExec(rk, lk, b.lo, b.hi, b.point,
+                  planLater(right), planLater(left)))
+          residual.reduceOption(And)
+            .map(FilterExec(_, core)).getOrElse(core) :: Nil
+        case _ => Nil
+      }
+    case _ => Nil
+  }
+}
+
+/** Co-partitioned merge-sweep inner range join.
+  *
+  * Left child: interval rows carrying `[lo, hi]`; right child: point rows.
+  * Required distribution is [[ClusteredDistribution]] on the equi-keys for
+  * BOTH children (EnsureRequirements co-partitions them exactly as it does
+  * for sort-merge joins, and AQE coalesces the two shuffles as one group),
+  * required ordering `(keys…, lo)` / `(keys…, point)`. Execution zips the
+  * co-partitions and, per key group, sweeps the points in ascending order
+  * against a min-heap of active intervals keyed by `hi`: each interval
+  * enters the heap once (when `lo <= p` first holds), leaves once (when
+  * `hi < p`), and every heap resident at a point emits a joined row — so
+  * per-group cost is O((I + P)·log I + matches), never the I×P re-filter
+  * of the equi-join fallback. Memory holds one key group's intervals, the
+  * same invariant as SortMergeJoin's buffered side.
+  *
+  * NULL in any key, bound, or point drops the row (inner-join predicate
+  * semantics: NULL is not a match).
+  */
+case class RangeJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    lo: Expression,
+    hi: Expression,
+    point: Expression,
+    left: SparkPlan,
+    right: SparkPlan) extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(lo, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(point, Ascending))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val lKeysB = leftKeys.map(BindReferences.bindReference(_, left.output))
+    val rKeysB = rightKeys.map(BindReferences.bindReference(_, right.output))
+    val loB = BindReferences.bindReference(lo, left.output)
+    val hiB = BindReferences.bindReference(hi, left.output)
+    val ptB = BindReferences.bindReference(point, right.output)
+    val keyOrds = leftKeys.map(e => TypeUtils.getInterpretedOrdering(e.dataType))
+    val timeOrd = TypeUtils.getInterpretedOrdering(point.dataType)
+    val out = output
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val proj = UnsafeProjection.create(out, out)
+      new RangeSweepIterator(lIt.buffered, rIt.buffered,
+        lKeysB, rKeysB, loB, hiB, ptB, keyOrds, timeOrd)
+        .map { jr => numOutputRows += 1; proj(jr) }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+
+  override def simpleString(maxFields: Int): String =
+    s"RangeJoinExec(keys=${leftKeys.mkString(",")} = ${rightKeys.mkString(",")}, " +
+      s"range=[$lo, $hi] ∋ $point)"
+}
+
+/** The per-partition merge sweep behind [[RangeJoinExec]]. Both inputs
+  * arrive sorted by (keys…, lo) / (keys…, point); key groups are matched
+  * sort-merge style, and within a matched group the points stream through
+  * an active-interval min-heap ordered by interval end. Interval rows are
+  * copied into the group buffer (sort output reuses row objects); point
+  * rows are never buffered — each is fully joined before the next is
+  * pulled, so the reused object is safe, matching SparkPlan's iterator
+  * contract (downstream copies if it buffers). */
+private[plans] final class RangeSweepIterator(
+    lBuf: BufferedIterator[InternalRow],
+    rBuf: BufferedIterator[InternalRow],
+    lKeys: Seq[Expression],
+    rKeys: Seq[Expression],
+    loE: Expression,
+    hiE: Expression,
+    ptE: Expression,
+    keyOrds: Seq[Ordering[Any]],
+    timeOrd: Ordering[Any]) extends Iterator[InternalRow] {
+
+  private val nKeys = lKeys.length
+  private var pending: Iterator[InternalRow] = Iterator.empty
+
+  /** Key values of a row, or null if any key is NULL (row can't match). */
+  private def keyOf(row: InternalRow, keys: Seq[Expression]): Array[Any] = {
+    val a = new Array[Any](nKeys)
+    var i = 0
+    while (i < nKeys) {
+      val v = keys(i).eval(row)
+      if (v == null) return null
+      a(i) = v
+      i += 1
+    }
+    a
+  }
+
+  private def cmpKeys(a: Array[Any], b: Array[Any]): Int = {
+    var i = 0
+    while (i < nKeys) {
+      val c = keyOrds(i).compare(a(i), b(i))
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
+  /** Drop leading rows whose keys contain NULL. */
+  private def skipNullKeyed(it: BufferedIterator[InternalRow], keys: Seq[Expression]): Unit =
+    while (it.hasNext && keyOf(it.head, keys) == null) it.next()
+
+  private def skipGroup(it: BufferedIterator[InternalRow], keys: Seq[Expression],
+      key: Array[Any]): Unit =
+    while (it.hasNext && {
+      val k = keyOf(it.head, keys); k != null && cmpKeys(k, key) == 0
+    }) it.next()
+
+  override def hasNext: Boolean = {
+    while (!pending.hasNext) {
+      skipNullKeyed(lBuf, lKeys)
+      skipNullKeyed(rBuf, rKeys)
+      if (!lBuf.hasNext || !rBuf.hasNext) return false
+      val lk = keyOf(lBuf.head, lKeys)
+      val rk = keyOf(rBuf.head, rKeys)
+      val c = cmpKeys(lk, rk)
+      if (c < 0) skipGroup(lBuf, lKeys, lk)
+      else if (c > 0) skipGroup(rBuf, rKeys, rk)
+      else {
+        // Buffer the left (interval) group: rows copied, NULL bounds dropped.
+        val intervals = mutable.ArrayBuffer.empty[(Any, Any, InternalRow)]
+        while (lBuf.hasNext && {
+          val k = keyOf(lBuf.head, lKeys); k != null && cmpKeys(k, lk) == 0
+        }) {
+          val row = lBuf.next()
+          val l = loE.eval(row)
+          val h = hiE.eval(row)
+          if (l != null && h != null) intervals += ((l, h, row.copy()))
+        }
+        if (intervals.isEmpty) skipGroup(rBuf, rKeys, rk)
+        else pending = new GroupSweep(intervals, rk)
+      }
+    }
+    true
+  }
+
+  override def next(): InternalRow = pending.next()
+
+  /** Sweep one matched key group: points stream from the shared rBuf until
+    * the key changes; intervals enter/leave the heap as described above. */
+  private final class GroupSweep(
+      intervals: mutable.ArrayBuffer[(Any, Any, InternalRow)],
+      groupKey: Array[Any]) extends Iterator[InternalRow] {
+
+    private var li = 0
+    private val active = mutable.PriorityQueue.empty[(Any, Any, InternalRow)](
+      Ordering.by[(Any, Any, InternalRow), Any](_._2)(timeOrd).reverse)
+    private var matches: Iterator[InternalRow] = Iterator.empty
+    private var done = false
+    private val joined = new JoinedRow
+
+    override def hasNext: Boolean = {
+      while (!matches.hasNext && !done) {
+        // Safe to touch rBuf: the previous point's matches are exhausted.
+        if (!rBuf.hasNext) done = true
+        else {
+          val k = keyOf(rBuf.head, rKeys)
+          if (k == null || cmpKeys(k, groupKey) != 0) done = true
+          else {
+            val rrow = rBuf.next()
+            val p = ptE.eval(rrow)
+            if (p != null) {
+              while (li < intervals.length && timeOrd.lteq(intervals(li)._1, p)) {
+                active.enqueue(intervals(li)); li += 1
+              }
+              while (active.nonEmpty && timeOrd.lt(active.head._2, p)) active.dequeue()
+              if (active.nonEmpty)
+                matches = active.iterator.map(t => joined(t._3, rrow))
+            }
+          }
+        }
+      }
+      matches.hasNext
+    }
+
+    override def next(): InternalRow = matches.next()
+  }
+}

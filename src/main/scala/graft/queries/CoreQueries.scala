@@ -652,6 +652,71 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_overlaps"))
   }
 
+  /** Keyed interval × point range join through the NATIVE planner path:
+    * per-user purchase follow-up windows ([ts, ts + 6..78h]) × click
+    * events, pairs counted per user. The join condition is
+    * `uid = puid AND graft_between(p, s, e)`; GraftExtensions'
+    * RangeJoinStrategy plans it as RangeJoinExec — both sides
+    * hash-clustered on the user key and merge-swept per key group with an
+    * active-interval heap (PlanAuditSpec pins the node). At 100 TB this
+    * is one shuffle per side and per-group linear sweeps; the fallback
+    * equi-join form (strategy absent) re-filters every
+    * (interval × point) pair inside each user group. */
+  val jRangeNative = Q(
+    "j_range_native",
+    """WITH a AS (SELECT user_id, ts AS s,
+      |    ts + to_hours(CAST(floor(value) AS INT) % 72 + 6) AS e
+      |  FROM events WHERE event_type = 'purchase'),
+      |b AS (SELECT user_id AS puid, ts AS p, event_id AS pev
+      |  FROM events WHERE event_type = 'click')
+      |SELECT user_id, COUNT(*) AS n_pairs, CAST(SUM(pev) AS BIGINT) AS chk
+      |FROM a JOIN b ON user_id = puid AND p BETWEEN s AND e
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    val a = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("uid"), col("ts").as("s"),
+        expr("timestampadd(HOUR, CAST(floor(value) AS INT) % 72 + 6, ts)").as("e"))
+    val b = Tables.events(s, d).filter(col("event_type") === "click")
+      .select(col("user_id").as("puid"), col("ts").as("p"),
+        col("event_id").as("pev"))
+    graft.ops.TemporalJoins.nativeRangeJoin(a, b, Seq("uid" -> "puid"), "s", "e", "p")
+      .groupBy(col("uid").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("pev")).as("chk"))
+  }
+
+  /** Keyed interval × interval OVERLAP join through TWO native merge
+    * sweeps: per-user purchase attribution windows ([ts, ts + 6..78h])
+    * overlapped against viewing windows ([ts, ts + 1..24h] from clicks),
+    * counted per user. nativeIntervalOverlapJoin decomposes overlap into
+    * `cs ∈ [s, e]` ∪ `s ∈ (cs, ce]` — two RangeJoinExec sweeps, never the
+    * bin-explode input inflation of `j_interval_overlap` and never the
+    * nested-loop plan the raw `s <= ce AND cs <= e` theta join produces.
+    * The DuckDB oracle is the RAW overlap join — green proves the
+    * decomposition emits every overlapping pair exactly once. */
+  val jOverlapNative = Q(
+    "j_overlap_native",
+    """WITH a AS (SELECT user_id, ts AS s,
+      |    ts + to_hours(CAST(floor(value) AS INT) % 72 + 6) AS e
+      |  FROM events WHERE event_type = 'purchase'),
+      |b AS (SELECT user_id AS cuid, ts AS cs,
+      |    ts + to_hours(CAST(event_id % 24 AS INT) + 1) AS ce,
+      |    event_id AS cev
+      |  FROM events WHERE event_type = 'click')
+      |SELECT user_id, COUNT(*) AS n_pairs, CAST(SUM(cev) AS BIGINT) AS chk
+      |FROM a JOIN b ON user_id = cuid AND s <= ce AND cs <= e
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    val a = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("uid"), col("ts").as("s"),
+        expr("timestampadd(HOUR, CAST(floor(value) AS INT) % 72 + 6, ts)").as("e"))
+    val b = Tables.events(s, d).filter(col("event_type") === "click")
+      .select(col("user_id").as("cuid"), col("ts").as("cs"),
+        expr("timestampadd(HOUR, CAST(event_id % 24 AS INT) + 1, ts)").as("ce"),
+        col("event_id").as("cev"))
+    graft.ops.TemporalJoins.nativeIntervalOverlapJoin(
+        a, b, Seq("uid" -> "cuid"), "s", "e", "cs", "ce")
+      .groupBy(col("uid").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("cev")).as("chk"))
+  }
+
   /** TPC-H Q3-shaped shipping-priority query: selective dimension filter →
     * two equi-joins → DECIMAL revenue aggregate → deterministic top-10.
     * Plan shape to want at 100 TB: the filtered customer dimension
@@ -1762,7 +1827,8 @@ object CoreQueries {
     q21WaitingSuppliers, q22DormantCustomers,
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,
     j1OuterMerge, j4BroadcastMap, j5FallbackChain, j6SuffixSelfJoin,
-    j7AntiJoin, jRangeBin, jIntervalOverlap, jSaltedSkew, jBloomJoin, xSkewProfile,
+    j7AntiJoin, jRangeBin, jIntervalOverlap, jRangeNative, jOverlapNative,
+    jSaltedSkew, jBloomJoin, xSkewProfile,
     a1KeepBest, a2Median3, a3OrderedMiddle,
     a4MergeSources, a6ConflictDrop, a7EffectFold, d1KeyedDedup,
     d2UndirectedDedup, u1UnionEntities, fScalarPack, f13NestedExplode,

@@ -1,0 +1,191 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+import graft.SparkSpec
+import graft.ops.TemporalJoins
+
+/** The native merge-sweep range join: strategy firing, sweep correctness
+  * against the plain-join ground truth (including adversarial interval
+  * nestings the heap must handle), NULL semantics, and the fallback path
+  * when the strategy declines the shape. */
+class RangeJoinSpec extends SparkSpec with BeforeAndAfterAll {
+  import spark.implicits._
+
+  private def intervals: DataFrame = Seq(
+    // (key, lo, hi, tag) — overlapping, nested, duplicate-lo, backwards
+    (1L, 10L, 20L, "a"),
+    (1L, 12L, 14L, "b"),   // nested inside a: evicted EARLY while a stays
+    (1L, 12L, 30L, "c"),   // duplicate lo with b, longer tail
+    (1L, 25L, 24L, "w"),   // backwards: matches nothing
+    (2L, 0L, 5L, "d"),
+    (3L, 1L, 9L, "e")      // key with no points on the other side
+  ).toDF("k", "lo", "hi", "tag")
+
+  private def points: DataFrame = Seq(
+    (1L, 13L, "p1"),  // hits a, b, c
+    (1L, 15L, "p2"),  // hits a, c (b evicted: hi=14 < 15)
+    (1L, 13L, "p1b"), // equal point values: hits a, b, c again
+    (1L, 28L, "p3"),  // hits c only (a evicted)
+    (2L, 5L, "p4"),   // inclusive upper bound
+    (2L, 6L, "p5"),   // just outside
+    (4L, 3L, "p6")    // key with no intervals
+  ).toDF("pk", "p", "ptag")
+
+  private def native(a: DataFrame, b: DataFrame): DataFrame =
+    TemporalJoins.nativeRangeJoin(a, b, Seq("k" -> "pk"), "lo", "hi", "p")
+
+  private def plain(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b, a("k") === b("pk") && b("p") >= a("lo") && b("p") <= a("hi"))
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.select("tag", "ptag").collect()
+      .map(r => s"${r.getString(0)}|${r.getString(1)}").toSeq.sorted
+
+  test("strategy plans RangeJoinExec for the marked equi+between join") {
+    val planned = native(intervals, points).queryExecution.executedPlan
+    assert(planned.toString.contains("RangeJoinExec"),
+      s"expected RangeJoinExec in:\n$planned")
+  }
+
+  test("merge sweep matches the plain-join ground truth, incl. nested/backwards intervals") {
+    val got = sortedRows(native(intervals, points))
+    val want = sortedRows(plain(intervals, points))
+    assert(want.nonEmpty && got == want)
+    // spot-check the heap semantics encoded in the fixtures
+    assert(got.contains("c|p3") && !got.contains("a|p3") && !got.contains("b|p2"))
+    assert(got.contains("d|p4") && !got.contains("d|p5"))
+    assert(!got.exists(_.startsWith("w|")))
+  }
+
+  test("NULL keys, bounds, and points match nothing (both plans agree)") {
+    val a = Seq(
+      (Option(1L), Option(0L), Option(100L), "ok"),
+      (None: Option[Long], Option(0L), Option(100L), "nullkey"),
+      (Option(1L), None: Option[Long], Option(100L), "nulllo"),
+      (Option(1L), Option(0L), None: Option[Long], "nullhi")
+    ).toDF("k", "lo", "hi", "tag")
+    val b = Seq(
+      (Option(1L), Option(50L), "pok"),
+      (None: Option[Long], Option(50L), "pnullkey"),
+      (Option(1L), None: Option[Long], "pnullp")
+    ).toDF("pk", "p", "ptag")
+    val got = sortedRows(native(a, b))
+    assert(got == Seq("ok|pok"))
+    assert(got == sortedRows(plain(a, b)))
+  }
+
+  test("single-side residual predicates get pushed below the join; strategy still fires") {
+    // the optimizer pushes `ptag != 'p3'` into the point-side scan, leaving
+    // the clean equi+between condition → RangeJoinExec plus a pre-join filter
+    val a = intervals
+    val b = points
+    val extra = a.join(b,
+      a("k") === b("pk") &&
+        call_function("graft_between", b("p"), a("lo"), a("hi")) &&
+        b("ptag") =!= "p3")
+    assert(extra.queryExecution.executedPlan.toString.contains("RangeJoinExec"))
+    val want = sortedRows(plain(intervals, points).filter(col("ptag") =!= "p3"))
+    assert(sortedRows(extra) == want && want.nonEmpty)
+  }
+
+  test("cross-side residual predicates plan as FilterExec above the sweep") {
+    // a non-equi predicate touching BOTH sides can't be pushed below the
+    // join; the strategy plans the equi+between core as the sweep and the
+    // residual as a filter above it (the SMJ residual treatment)
+    val a = intervals
+    val b = points
+    val cross = a.join(b,
+      a("k") === b("pk") &&
+        call_function("graft_between", b("p"), a("lo"), a("hi")) &&
+        a("tag") =!= b("ptag"))
+    val p = cross.queryExecution.executedPlan.toString
+    assert(p.contains("RangeJoinExec"), p.take(1200))
+    val want = sortedRows(plain(intervals, points).filter(col("tag") =!= col("ptag")))
+    assert(sortedRows(cross) == want && want.nonEmpty)
+  }
+
+  test("swapped sides (bounds on the right child) sweep under a reordering project") {
+    val a = intervals
+    val b = points
+    // b carries the point's columns; put the INTERVAL side on the right
+    val swapped = b.join(a,
+      b("pk") === a("k") &&
+        call_function("graft_between", b("p"), a("lo"), a("hi")))
+    val p = swapped.queryExecution.executedPlan.toString
+    assert(p.contains("RangeJoinExec"), p.take(1200))
+    assert(sortedRows(swapped) == sortedRows(plain(intervals, points)))
+  }
+
+  test("declined shapes (between bounds split across sides) fall back, stay correct") {
+    // lo from the interval side but hi a literal-free column of the point
+    // side: not sweepable, strategy returns Nil, GraftBetween evaluates
+    // the plain conjunction inside whatever join Spark picks
+    val a = intervals
+    val b = points.withColumn("cap", col("p") + 100L)
+    val split = a.join(b,
+      a("k") === b("pk") &&
+        call_function("graft_between", b("p"), a("lo"), b("cap")))
+    assert(!split.queryExecution.executedPlan.toString.contains("RangeJoinExec"))
+    val want = sortedRows(a.join(b,
+      a("k") === b("pk") && b("p") >= a("lo") && b("p") <= b("cap")))
+    assert(sortedRows(split) == want && want.nonEmpty)
+  }
+
+  test("many intervals per key: sweep equals ground truth under churn") {
+    val a = (0 until 400).map(i => (i % 3L, i.toLong, (i + 7L + (i % 13)), s"i$i"))
+      .toDF("k", "lo", "hi", "tag")
+    val b = (0 until 300).map(j => (j % 4L, (j * 2L) % 450, s"p$j"))
+      .toDF("pk", "p", "ptag")
+    assert(sortedRows(native(a, b)) == sortedRows(plain(a, b)))
+    assert(sortedRows(native(a, b)).nonEmpty)
+  }
+
+  test("native overlap join = raw theta ground truth, each pair exactly once") {
+    val a = (0 until 200).map(i => (i % 5L, i.toLong, i + 4L + (i % 9), s"a$i"))
+      .toDF("k", "ls", "le", "tag")
+    val b = (0 until 150).map(j => (j % 6L, (j * 3L) % 220, (j * 3L) % 220 + 2 + (j % 7), s"b$j"))
+      .toDF("pk", "rs", "re", "ptag")
+    val got = TemporalJoins.nativeIntervalOverlapJoin(
+      a, b, Seq("k" -> "pk"), "ls", "le", "rs", "re")
+    val want = a.join(b,
+      a("k") === b("pk") && a("ls") <= b("re") && b("rs") <= a("le"))
+    assert(sortedRows(got) == sortedRows(want))
+    assert(sortedRows(got).nonEmpty)
+    // exactly once: the union branches are disjoint
+    assert(sortedRows(got).distinct.size == sortedRows(got).size)
+    // both branches plan as the native sweep
+    val p = got.queryExecution.executedPlan.toString
+    assert("RangeJoinExec".r.findAllIn(p).size == 2, p.take(1200))
+  }
+
+  test("native overlap: identical bounds, touching endpoints, backwards intervals") {
+    val a = Seq(
+      (1L, 10L, 20L, "a1"),
+      (1L, 10L, 20L, "a2"),  // duplicate interval: both pair with each match
+      (1L, 30L, 25L, "aw")   // backwards: dropped
+    ).toDF("k", "ls", "le", "tag")
+    val b = Seq(
+      (1L, 20L, 40L, "b1"),  // touches a1/a2 at the endpoint: overlap
+      (1L, 10L, 20L, "b2"),  // identical bounds: case 1 only (rs ∈ [ls,le])
+      (1L, 0L, 9L, "b3"),    // just misses (re < ls)
+      (1L, 5L, 4L, "bw")     // backwards: dropped
+    ).toDF("pk", "rs", "re", "ptag")
+    val got = sortedRows(TemporalJoins.nativeIntervalOverlapJoin(
+      a, b, Seq("k" -> "pk"), "ls", "le", "rs", "re"))
+    assert(got == Seq("a1|b1", "a1|b2", "a2|b1", "a2|b2"))
+  }
+
+  test("timestamp-typed bounds work end to end (the registered query's type)") {
+    val a = Seq((1L, "2024-01-01 00:00:00", "2024-01-02 00:00:00", "t1"))
+      .toDF("k", "los", "his", "tag")
+      .select(col("k"), col("los").cast("timestamp").as("lo"),
+        col("his").cast("timestamp").as("hi"), col("tag"))
+    val b = Seq((1L, "2024-01-01 12:00:00", "in"), (1L, "2024-01-03 00:00:00", "out"))
+      .toDF("pk", "ps", "ptag")
+      .select(col("pk"), col("ps").cast("timestamp").as("p"), col("ptag"))
+    assert(sortedRows(native(a, b)) == Seq("t1|in"))
+  }
+}
