@@ -126,6 +126,45 @@ object SourceQueries {
       .select(col("record"))
   }
 
+  /** DSv2 RUNTIME filtering (SupportsRuntimeFiltering, the dynamic-
+    * partition-pruning analog for the kegg-flat source): suppliers land in
+    * four bucket files (`s_suppkey % 4`, one append job each); the scan is
+    * then equi-joined on `file` to a selective dimension — the files
+    * holding supplier 1's record. Spark evaluates the dim first and calls
+    * `Scan.filter(In("file", …))` BEFORE `planInputPartitions`, so
+    * non-qualifying files are never split, read, or even planned (the
+    * `plannedSplits` driver metric proves the pruning in
+    * KeggFlatSourceSpec; PlanAuditSpec pins `RuntimeFilters:` on the
+    * scan). Without the runtime path the join is still a correct
+    * broadcast equi-join — pruning is a planning optimization, never a
+    * semantics change. Oracle: bucket membership is deterministic
+    * (`s_suppkey % 4 = 1`), so DuckDB replays the expected rows straight
+    * from the supplier table. */
+  val s12Dsv2Runtime = Q(
+    "s12_dsv2_runtime",
+    """SELECT s_suppkey AS rec_id, s_name AS name FROM supplier
+      |WHERE s_suppkey % 4 = 1""".stripMargin) { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_kegg_rt").toString
+    (0 until 4).foreach { b =>
+      Tables.supplier(s, d)
+        .filter(pmod(col("s_suppkey"), lit(4)) === b)
+        .select(concat(
+          lit("ENTRY       "), col("s_suppkey"), lit("\n"),
+          lit("NAME        "), col("s_name"), lit("\n///")).as("value"))
+        .coalesce(1).write.mode("append").text(dir)
+    }
+    def load() = s.read.format("kegg-flat")
+      .option("path", dir).option("splitSize", "4096").load()
+    val dim = load()
+      .filter(col("record").startsWith("ENTRY       1\n"))
+      .select(col("file").as("f")).distinct()
+    load().join(broadcast(dim), col("file") === col("f"))
+      .select(
+        regexp_extract(col("record"), "^ENTRY\\s+(\\d+)", 1)
+          .cast("long").as("rec_id"),
+        regexp_extract(col("record"), "NAME\\s+(.+)", 1).as("name"))
+  }
+
   /** S3/S22: chunked-CSV sink round trip — write the nation table through
     * the chunked header-CSV sink (Neo4j escaping at the boundary, 7 rows
     * per file so chunking actually happens), read the files back, emit the
@@ -368,7 +407,7 @@ object SourceQueries {
   }
 
   val all: Seq[Q] = Seq(s12FlatRecords, s12Dsv2Scan, s12Dsv2Agg, s12Dsv2Write,
-    s3CsvRoundtrip,
+    s12Dsv2Runtime, s3CsvRoundtrip,
     fCleanupPack, p10Conform, sOrcRoundtrip, sUpsertMerge,
     sCsvPermissive, sSchemaEvolve, sBinaryFiles, sAggMaintain)
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -214,11 +214,23 @@ private[v2] class KeggFlatScanBuilder(options: CaseInsensitiveStringMap)
   }
 }
 
+/** Splits planned by the scan after static pushdown AND runtime pruning —
+  * a driver-side SQL metric (shows on the BatchScan node in the UI), the
+  * observable proof that [[SupportsRuntimeFiltering]] pruned whole files
+  * before any task launched. */
+private[v2] class PlannedSplitsMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "plannedSplits"
+  override def description(): String =
+    "byte-range splits planned (post filter/runtime pruning)"
+}
+
 private[v2] class KeggFlatScan(
     path: String, splitSize: Long, required: StructType,
     offsetLo: Long, offsetHi: Long, fileEq: Option[String],
     aggSpecs: Option[Seq[KeggAgg]] = None)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -227,6 +239,47 @@ private[v2] class KeggFlatScan(
       s"PushedOffsets=[$offsetLo,$offsetHi] PushedFile=${fileEq.getOrElse("*")}" +
       aggSpecs.map(ss => s" PushedAggregates=[${ss.mkString(",")}]")
         .getOrElse("")
+
+  /** Runtime (DPP-style) pruning on the `file` column: when this scan is
+    * equi-joined on `file` to a selective side, Spark collects that side's
+    * file values first and calls [[filter]] with an `In`/`EqualTo` before
+    * [[planInputPartitions]] — whole files drop out of planning, the V2
+    * analog of dynamic partition pruning (only metadata is touched either
+    * way; at 100 TB this is the difference between planning O(matched
+    * files) and O(directory) splits). Static pushed filters still apply —
+    * runtime pruning only ever intersects. */
+  private var runtimeFiles: Option[Set[String]] = None
+  @volatile private var plannedSplits: Long = -1L
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // advertise `file` only when it survives column pruning — Spark
+    // resolves these against the PRUNED read schema, and an unresolvable
+    // attribute fails analysis on scans that don't read `file` at all
+    if (required.fieldNames.contains("file"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("file"))
+    else Array.empty
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val sets = filters.collect {
+      case In("file", vs) => vs.collect { case v: String => v }.toSet
+      case EqualTo("file", v: String) => Set(v)
+    }
+    if (sets.nonEmpty)
+      runtimeFiles = Some(sets.reduce(_ intersect _))
+  }
+
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new PlannedSplitsMetric)
+
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    if (plannedSplits < 0) Array.empty
+    else Array(new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+      override def name(): String = "plannedSplits"
+      override def value(): Long = plannedSplits
+    })
 
   override def planInputPartitions(): Array[InputPartition] = {
     // driver-side planning touches only file METADATA (names + lengths)
@@ -240,8 +293,9 @@ private[v2] class KeggFlatScan(
             !s.getPath.getName.startsWith("."))
           .sortBy(_.getPath.getName)
       else Seq(fs.getFileStatus(root))
-    files
+    val planned = files
       .filter(st => fileEq.forall(_ == st.getPath.toString))
+      .filter(st => runtimeFiles.forall(_.contains(st.getPath.toString)))
       .flatMap { st =>
         val len = st.getLen
         if (len == 0) Nil
@@ -254,7 +308,9 @@ private[v2] class KeggFlatScan(
             KeggFlatPartition(
               st.getPath.toString, start, math.min(splitSize, len - start))
           }
-      }.toArray
+      }.toArray[InputPartition]
+    plannedSplits = planned.length.toLong
+    planned
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

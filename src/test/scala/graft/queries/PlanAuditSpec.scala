@@ -53,6 +53,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("j_range_native plans the merge-sweep RangeJoinExec, one exchange per side") {
+    val p = plan("j_range_native")
+    assert(p.contains("RangeJoinExec"),
+      "the marked equi+between join was not planned by RangeJoinStrategy")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // exactly two ENSURE_REQUIREMENTS shuffles feed the sweep (one per side);
+    // the aggregate above reuses the left clustering via outputPartitioning
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected ≤3 hash exchanges, got $exchanges:\n${p.take(2000)}")
+  }
+
+  test("s12_dsv2_runtime: the fact scan carries a runtime file filter") {
+    val p = plan("s12_dsv2_runtime")
+    assert("RuntimeFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
+      "no non-empty runtime filter on the kegg-flat scan:\n" + p.take(1500))
+  }
+
+  test("j_overlap_native: both containment branches are merge sweeps, no NLJ") {
+    val p = plan("j_overlap_native")
+    assert("RangeJoinExec".r.findAllIn(p).size == 2,
+      "overlap decomposition must plan two native sweeps:\n" + p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("ev_asof_join is one window pass, no join operator at all") {
     val p = plan("ev_asof_join")
     assert(p.contains("Window"), "union-window as-of lost its window")

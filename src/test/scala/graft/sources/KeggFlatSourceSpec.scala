@@ -249,6 +249,49 @@ class KeggFlatSourceSpec extends SparkSpec {
     assert(ex.getMessage.contains("kegg-flat write expects"), ex.getMessage)
   }
 
+  test("runtime filtering (DPP analog): a file-key join prunes whole files " +
+      "before any task launches, observable via the plannedSplits metric") {
+    val dir = Files.createTempDirectory("kegg_dsv2_runtime")
+    (0 until 4).foreach(i => writeFlat(dir, s"f$i.flat", mkRecords(6, seed = i)))
+    def load() = spark.read.format("kegg-flat")
+      .option("path", dir.toString).option("splitSize", "64").load()
+    // AQE off so the physical tree is a plain plan we can walk for the
+    // BatchScan node; v2 runtime filtering works in both modes
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // selective dim: the files whose records mention "value 10" — with
+      // seed i the NAME line carries i*seed multiples, only some files hit
+      val dim = load().filter(col("record").contains("value 10\n") ||
+          col("record").endsWith("value 10"))
+        .select(col("file").as("f")).distinct()
+      val fact = load()
+      val joined = fact.join(broadcast(dim), fact("file") === col("f"))
+        .select(col("record"))
+      val plan = joined.queryExecution.executedPlan
+      assert(plan.toString.contains("RuntimeFilters: ["),
+        "no runtime filter attached to the scan:\n" + plan.toString.take(1500))
+      val rows = joined.collect()
+      // ground truth: re-read, filter by the qualifying files, no runtime path
+      val wantFiles = load().filter(col("record").contains("value 10\n") ||
+          col("record").endsWith("value 10"))
+        .select("file").distinct().collect().map(_.getString(0)).toSet
+      assert(wantFiles.nonEmpty && wantFiles.size < 4, s"fixture degenerate: $wantFiles")
+      val want = load().collect().filter(r => wantFiles(r.getString(1))).map(_.getString(2))
+      assert(rows.map(_.getString(0)).sorted.toSeq == want.sorted.toSeq)
+      // pruning proof: the fact scan planned strictly fewer splits than the
+      // unfiltered directory (4 files × multiple 64-byte splits each)
+      val scans = plan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.runtimeFilters.nonEmpty => b
+      }
+      assert(scans.size == 1, s"expected one runtime-filtered scan, got ${scans.size}")
+      val plannedMetric = scans.head.metrics("plannedSplits").value
+      val allSplits = load().rdd.getNumPartitions
+      assert(plannedMetric > 0 && plannedMetric < allSplits,
+        s"runtime pruning did not shrink planning: $plannedMetric vs $allSplits")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("file-equality pushdown plans only the named file's splits") {
     val dir = Files.createTempDirectory("kegg_dsv2_pushfile")
     writeFlat(dir, "a.flat", mkRecords(5, seed = 1))
