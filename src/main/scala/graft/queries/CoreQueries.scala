@@ -784,6 +784,40 @@ object CoreQueries {
         col("o_totalprice").cast("double").as("total_price"), col("sum_qty"))
   }
 
+  /** Bucketed co-located join on a CORRECTNESS path: both sides are
+    * written through Scale.writeBucketed (8 buckets on the customer key,
+    * sorted within buckets), then sort-merge-joined straight off the
+    * bucketed layout — ZERO exchange under the join (the only shuffle in
+    * the plan is the final mktsegment aggregate; PlanAuditSpec pins it).
+    * This is the 100 TB amortization story: the shuffle is paid ONCE at
+    * write time and every subsequent join on the bucket key is
+    * exchange-free — the layout-level complement of the salted
+    * (`j_salted_skew`) and bloom (`j_bloom_join`) runtime forms. The
+    * oracle is the plain equi-join, so green proves bucketing is
+    * result-invariant. */
+  val jBucketedColocated = Q(
+    "j_bucketed_colocated",
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    graft.ops.Scale.writeBucketed(
+      Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+      "graft_bq_customer", Seq("c_custkey"), 8)
+    graft.ops.Scale.writeBucketed(
+      Tables.orders(s, d).select(col("o_custkey").as("c_custkey"),
+        col("o_totalprice")),
+      "graft_bq_orders", Seq("c_custkey"), 8)
+    // merge hint: the co-located sort-merge path is the point — a
+    // broadcast of the customer side would hide the bucketing
+    s.table("graft_bq_customer").hint("merge")
+      .join(s.table("graft_bq_orders"), Seq("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+          .as("revenue"))
+  }
+
   /** Skew-salted join on a CORRECTNESS path: the fact side folds onto 50
     * deliberately hot keys, the join runs through Scale.saltedJoin (salted
     * left + replicated 50-row dim spreading each hot key over 8 tasks),
@@ -1828,7 +1862,7 @@ object CoreQueries {
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,
     j1OuterMerge, j4BroadcastMap, j5FallbackChain, j6SuffixSelfJoin,
     j7AntiJoin, jRangeBin, jIntervalOverlap, jRangeNative, jOverlapNative,
-    jSaltedSkew, jBloomJoin, xSkewProfile,
+    jSaltedSkew, jBloomJoin, jBucketedColocated, xSkewProfile,
     a1KeepBest, a2Median3, a3OrderedMiddle,
     a4MergeSources, a6ConflictDrop, a7EffectFold, d1KeyedDedup,
     d2UndirectedDedup, u1UnionEntities, fScalarPack, f13NestedExplode,

@@ -1274,6 +1274,63 @@ object TextQueries {
         expr("sum(c) * 1000000 div sum(b)").as("chars_per_tok_ppm"))
   }
 
+  /** ROUGE-1/2 + BLEU-2 generation eval (GenEval.rougeBleuPairs) over
+    * deterministic candidate/reference pairs (doc i vs doc i+1). Every
+    * ratio metric is an exact-integer ppm; the one log output goes
+    * through QuantLn.lnMicro. The oracle rebuilds the n-gram clipped
+    * overlaps from scratch (lateral UNNEST(range) for bigram positions),
+    * so green proves the whole metric pipeline, not just the plumbing. */
+  val xEvalRougeBleu = Q(
+    "x_eval_rouge_bleu",
+    """WITH p AS (SELECT a.doc_id AS pair_id,
+      |    string_split_regex(trim(lower(a.text)), '\s+') AS cw,
+      |    string_split_regex(trim(lower(b.text)), '\s+') AS rw
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+      |c1 AS (SELECT pair_id, unnest(cw) AS g FROM p),
+      |r1 AS (SELECT pair_id, unnest(rw) AS g FROM p),
+      |cc1 AS (SELECT pair_id, g, COUNT(*) AS n FROM c1 GROUP BY 1, 2),
+      |rc1 AS (SELECT pair_id, g, COUNT(*) AS n FROM r1 GROUP BY 1, 2),
+      |o1 AS (SELECT cc1.pair_id, CAST(SUM(LEAST(cc1.n, rc1.n)) AS BIGINT) AS ov1
+      |  FROM cc1 JOIN rc1 ON cc1.pair_id = rc1.pair_id AND cc1.g = rc1.g
+      |  GROUP BY 1),
+      |c2 AS (SELECT pair_id, cw[pos] || ' ' || cw[pos + 1] AS g
+      |  FROM p, UNNEST(range(1, len(cw))) AS u(pos) WHERE len(cw) >= 2),
+      |r2 AS (SELECT pair_id, rw[pos] || ' ' || rw[pos + 1] AS g
+      |  FROM p, UNNEST(range(1, len(rw))) AS u(pos) WHERE len(rw) >= 2),
+      |cc2 AS (SELECT pair_id, g, COUNT(*) AS n FROM c2 GROUP BY 1, 2),
+      |rc2 AS (SELECT pair_id, g, COUNT(*) AS n FROM r2 GROUP BY 1, 2),
+      |o2 AS (SELECT cc2.pair_id, CAST(SUM(LEAST(cc2.n, rc2.n)) AS BIGINT) AS ov2
+      |  FROM cc2 JOIN rc2 ON cc2.pair_id = rc2.pair_id AND cc2.g = rc2.g
+      |  GROUP BY 1),
+      |m AS (SELECT p.pair_id, len(cw) AS c1l, len(rw) AS r1l,
+      |    GREATEST(len(cw) - 1, 0) AS c2l, GREATEST(len(rw) - 1, 0) AS r2l,
+      |    COALESCE(ov1, 0) AS ov1, COALESCE(ov2, 0) AS ov2
+      |  FROM p LEFT JOIN o1 ON p.pair_id = o1.pair_id
+      |    LEFT JOIN o2 ON p.pair_id = o2.pair_id)
+      |SELECT pair_id, c1l AS c1_len, r1l AS r1_len, ov1, ov2,
+      |  CAST(floor(ov1 * 1000000.0 / c1l) AS BIGINT) AS r1_p_ppm,
+      |  CAST(floor(ov1 * 1000000.0 / r1l) AS BIGINT) AS r1_r_ppm,
+      |  CAST(floor(ov1 * 2 * 1000000.0 / (c1l + r1l)) AS BIGINT) AS r1_f_ppm,
+      |  CASE WHEN c2l + r2l = 0 THEN 0
+      |    ELSE CAST(floor(ov2 * 2 * 1000000.0 / (c2l + r2l)) AS BIGINT)
+      |    END AS r2_f_ppm,
+      |  CASE WHEN c2l = 0 THEN NULL
+      |    ELSE CAST(floor(ov2 * 1000000.0 / c2l) AS BIGINT)
+      |    END AS bleu_p2_ppm,
+      |  CASE WHEN ov1 = 0 OR ov2 = 0 OR c2l = 0 THEN NULL
+      |    ELSE (CASE WHEN c1l >= r1l THEN 0
+      |          ELSE CAST(floor((c1l - r1l) * 2000000.0 / c1l) AS BIGINT) END)
+      |      + CAST(floor(ln((ov1 * 1.0 / c1l) * (ov2 * 1.0 / c2l))
+      |          * 1000000) AS BIGINT)
+      |    END AS bleu2_2xlog_micro
+      |FROM m""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = docs.select(col("doc_id").as("pair_id"), col("text").as("cand"))
+      .join(docs.select((col("doc_id") - 1).as("pair_id"), col("text").as("ref")),
+        Seq("pair_id"))
+    graft.text.GenEval.rougeBleuPairs(pairs, "pair_id", "cand", "ref")
+  }
+
   val all: Seq[Q] = Seq(xTextStats, xLangId, xLenQuantiles, xRepetition,
     xVocab, xCorpusStats, xDistinctKmv, xDistinctHll, xKmvSetops, xDedupExact,
     xDedupExactMembers, xDedupNorm,
@@ -1284,5 +1341,5 @@ object TextQueries {
     xBpeTokenize, xHtmlStrip, xQualityClassifier, xNbClassify, xLabelIssues,
     xAbstention, xLangEval,
     xGopherRules, xReadability, xTokFertility, xVocabCoverage,
-    xCalibrationBins, xAuc, xDatasetCard)
+    xCalibrationBins, xAuc, xDatasetCard, xEvalRougeBleu)
 }

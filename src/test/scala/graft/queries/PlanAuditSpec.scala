@@ -64,6 +64,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 3, s"expected ≤3 hash exchanges, got $exchanges:\n${p.take(2000)}")
   }
 
+  test("j_bucketed_colocated: the join runs off the bucketed layout, the " +
+      "only hash exchange is the final aggregate's") {
+    val p = plan("j_bucketed_colocated")
+    assert(p.contains("SortMergeJoin"), "expected the co-located SMJ:\n" + p.take(1200))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"bucketed join should add zero exchanges (1 = agg only), got $exchanges:\n" +
+        p.take(2000))
+  }
+
   test("s12_dsv2_runtime: the fact scan carries a runtime file filter") {
     val p = plan("s12_dsv2_runtime")
     assert("RuntimeFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
