@@ -508,6 +508,25 @@ object CoreQueries {
     }
   }
 
+  /** LATERAL correlated subquery through the ANSI front door — the SAME
+    * SQL text runs on Spark (which decorrelates the lateral aggregate
+    * into a join + aggregate; DecorrelateInnerQuery) and on DuckDB as the
+    * oracle. Proves the front door handles the lateral form a user would
+    * write, not just the pre-decorrelated join. */
+  val sqlLateral: Q = {
+    val text =
+      """SELECT n_name, t.n_cust, t.total_bal
+        |FROM nation, LATERAL (
+        |  SELECT COUNT(*) AS n_cust,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |  FROM customer WHERE c_nationkey = n_nationkey) t""".stripMargin
+    Q("sql_lateral", text) { (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql(text)
+    }
+  }
+
   /** CUBE aggregation (beyond the reference — SURVEY §2.4: "no grouping
     * sets / cube / rollup"; table stakes for an analytics engine).
     * Subtotal rows carry NULL group keys on both engines. */
@@ -816,6 +835,37 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
           .as("revenue"))
+  }
+
+  /** Incremental JOIN-view maintenance on a CORRECTNESS path: orders and
+    * customers each split into a base and an insert batch
+    * (`o_orderkey % 7` / `c_custkey % 5`), the view is maintained through
+    * ViewMaintain.maintainJoinView — previous materialization plus the
+    * three-term bilinear delta `ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB`, each term probing
+    * a DELTA side so a 100 TB base is never rescanned wholesale — and the
+    * oracle is the FULL recompute `(A∪ΔA) ⋈ (B∪ΔB)`. Green proves the
+    * delta algebra emits exactly the recompute's rows (the aggregate
+    * would expose any duplicate or dropped pair). Revenue in exact
+    * cents (the s_agg_maintain convention). */
+  val xViewMaintainJoin = Q(
+    "x_view_maintain_join",
+    """SELECT c_mktsegment, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS rev_c
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"),
+      col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    val a = o.filter(col("o_orderkey") % 7 =!= 0)
+    val da = o.filter(col("o_orderkey") % 7 === 0)
+    val b = c.filter(col("c_custkey") % 5 =!= 0)
+    val db = c.filter(col("c_custkey") % 5 === 0)
+    val view = a.join(b, Seq("c_custkey"))
+    graft.ops.ViewMaintain.maintainJoinView(view, a, da, b, db, Seq("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("rev_c"))
   }
 
   /** Skew-salted join on a CORRECTNESS path: the fact side folds onto 50
@@ -1849,7 +1899,7 @@ object CoreQueries {
   }
 
   val all: Seq[Q] = Seq(
-    sqlFrontDoor, sqlDecorrelate, qCube, qRollup, evPivot, qRunningTotal,
+    sqlFrontDoor, sqlDecorrelate, sqlLateral, qCube, qRollup, evPivot, qRunningTotal,
     q07VolumeShipping, q14PromoRevenue,
     q03ShippingPriority, q18LargeOrders, q05LocalSupplier, q10ReturnedItems,
     q04PriorityExists, q06ForecastRevenue, erBlockedMatch, qNtile, qUnpivot,
@@ -1862,7 +1912,7 @@ object CoreQueries {
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,
     j1OuterMerge, j4BroadcastMap, j5FallbackChain, j6SuffixSelfJoin,
     j7AntiJoin, jRangeBin, jIntervalOverlap, jRangeNative, jOverlapNative,
-    jSaltedSkew, jBloomJoin, jBucketedColocated, xSkewProfile,
+    jSaltedSkew, jBloomJoin, jBucketedColocated, xViewMaintainJoin, xSkewProfile,
     a1KeepBest, a2Median3, a3OrderedMiddle,
     a4MergeSources, a6ConflictDrop, a7EffectFold, d1KeyedDedup,
     d2UndirectedDedup, u1UnionEntities, fScalarPack, f13NestedExplode,

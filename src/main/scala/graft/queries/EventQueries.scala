@@ -572,10 +572,38 @@ object EventQueries {
         .as("missing"))
   }
 
+  /** Wide→long UNPIVOT (melt): per-user conditional-aggregate metric
+    * columns (clicks/purchases/views) relational-operator-unpivoted to
+    * (user, metric, n) rows via Dataset.unpivot — the inverse of
+    * `ev_pivot`, and a narrow operator at scale: one generate per row,
+    * zero additional shuffles above the aggregate. The oracle emits the
+    * same long form as three conditional aggregates UNION ALL'd. */
+  val evUnpivot = Q(
+    "ev_unpivot",
+    """WITH w AS (SELECT user_id,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+      |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views
+      |  FROM events GROUP BY 1)
+      |SELECT user_id, 'clicks' AS metric, CAST(clicks AS BIGINT) AS n FROM w
+      |UNION ALL
+      |SELECT user_id, 'purchases', CAST(purchases AS BIGINT) FROM w
+      |UNION ALL
+      |SELECT user_id, 'views', CAST(views AS BIGINT) FROM w""".stripMargin) {
+    (s, d) =>
+    Tables.events(s, d).groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"))
+      .unpivot(Array(col("user_id")),
+        Array(col("clicks"), col("purchases"), col("views")), "metric", "n")
+  }
+
   val all: Seq[Q] = Seq(evTumbling, evSliding, evSessionize, evFirstPerKey, evFunnel,
     evIntervalJoin, evAsofJoin, evRolling, evRetention, evStreaks,
     evAsofForward, evTransitions, evScd2, evAnomaly, evRfm, evOhlc, evGapStats,
     evDistinctRunning, evAsofNearest, evDecayScore, evMarkovStationary,
     evIdentityStitch, evTrigrams, evAbMetrics, evVariantExtract,
-    evCohortLtv, evSeasonality, evAttributionMulti)
+    evCohortLtv, evSeasonality, evAttributionMulti, evUnpivot)
 }
