@@ -58,3 +58,15 @@ case class GraftBetween(point: Expression, lo: Expression, hi: Expression)
 
   override def prettyName: String = "graft_between"
 }
+
+object GraftBetween {
+  /** Session-local registration for sessions built WITHOUT
+    * [[GraftExtensions]] (the L2Squared.register pattern): the function
+    * resolves everywhere, and on such sessions the join simply plans
+    * through Spark's default path — the marker evaluates the plain
+    * conjunction, so the result is identical, just not the native sweep. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_between", exprs => GraftBetween(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+}

@@ -130,6 +130,7 @@ object TemporalJoins {
   def nativeRangeJoin(intervals: DataFrame, points: DataFrame,
       keys: Seq[(String, String)],
       startCol: String, endCol: String, pointCol: String): DataFrame = {
+    graft.functions.GraftBetween.register(intervals.sparkSession)
     val keyCond = keys.map { case (a, b) => intervals(a) === points(b) }
       .reduce(_ && _)
     val between = call_function("graft_between",

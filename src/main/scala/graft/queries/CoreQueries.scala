@@ -527,6 +527,34 @@ object CoreQueries {
     }
   }
 
+  /** The native range join through the ANSI front door: a user writing
+    * `graft_between(p, s, e)` in plain SQL gets RangeJoinExec (the
+    * function is injected by GraftExtensions into the session's
+    * FunctionRegistry, the strategy into its planner; PlanAuditSpec pins
+    * the node on this query too). The oracle is the plain BETWEEN form. */
+  val sqlRangeNative = Q(
+    "sql_range_native",
+    """WITH a AS (SELECT user_id, ts AS s,
+      |    ts + to_hours(CAST(floor(value) AS INT) % 24 + 1) AS e
+      |  FROM events WHERE event_type = 'signup'),
+      |b AS (SELECT user_id AS puid, ts AS p
+      |  FROM events WHERE event_type = 'error')
+      |SELECT user_id, COUNT(*) AS n_pairs
+      |FROM a JOIN b ON user_id = puid AND p BETWEEN s AND e
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    graft.functions.GraftBetween.register(s)
+    Tables.events(s, d).createOrReplaceTempView("events")
+    s.sql(
+      """SELECT user_id, COUNT(*) AS n_pairs
+        |FROM (SELECT user_id, ts AS s,
+        |        timestampadd(HOUR, CAST(floor(value) AS INT) % 24 + 1, ts) AS e
+        |      FROM events WHERE event_type = 'signup') a
+        |JOIN (SELECT user_id AS puid, ts AS p
+        |      FROM events WHERE event_type = 'error') b
+        |  ON user_id = puid AND graft_between(p, s, e)
+        |GROUP BY user_id""".stripMargin)
+  }
+
   /** CUBE aggregation (beyond the reference — SURVEY §2.4: "no grouping
     * sets / cube / rollup"; table stakes for an analytics engine).
     * Subtotal rows carry NULL group keys on both engines. */
@@ -1899,7 +1927,7 @@ object CoreQueries {
   }
 
   val all: Seq[Q] = Seq(
-    sqlFrontDoor, sqlDecorrelate, sqlLateral, qCube, qRollup, evPivot, qRunningTotal,
+    sqlFrontDoor, sqlDecorrelate, sqlLateral, sqlRangeNative, qCube, qRollup, evPivot, qRunningTotal,
     q07VolumeShipping, q14PromoRevenue,
     q03ShippingPriority, q18LargeOrders, q05LocalSupplier, q10ReturnedItems,
     q04PriorityExists, q06ForecastRevenue, erBlockedMatch, qNtile, qUnpivot,

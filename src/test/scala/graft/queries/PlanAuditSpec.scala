@@ -74,6 +74,13 @@ class PlanAuditSpec extends SparkSpec {
         p.take(2000))
   }
 
+  test("sql_range_native: the SQL front door plans the native sweep too") {
+    val p = plan("sql_range_native")
+    assert(p.contains("RangeJoinExec"),
+      "graft_between written in SQL text did not reach RangeJoinStrategy:\n" +
+        p.take(1200))
+  }
+
   test("s12_dsv2_runtime: the fact scan carries a runtime file filter") {
     val p = plan("s12_dsv2_runtime")
     assert("RuntimeFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
