@@ -624,8 +624,68 @@ object GraphQueries {
     graft.ops.DataQuality.exactCorrelation(t, Seq("du", "dv"))
   }
 
+  /** Deterministic random-walk corpus (the DeepWalk/node2vec input stage:
+    * graph → sequence corpus for embedding training). One 4-step walk per
+    * node over the undirected graph; step t from node v moves to the
+    * neighbor at rank `(wid·1000003 + t·31 + v) mod deg(v)` in the
+    * ascending-neighbor order — a pure-integer mix both engines compute
+    * identically, so the corpus is reproducible (re-runs and the oracle
+    * agree bit-exact) without any RNG. Scale shape: the ranked-neighbor
+    * table (idx, deg via two same-partition windows — ONE shuffle) is
+    * built once; each step is an equi-join on (node, idx) whose width is
+    * the walk count, never the edge count; no dead ends possible (every
+    * node in an undirected edge list has deg ≥ 1). */
+  val gRandomWalks = Q(
+    "g_random_walks",
+    edgeCte +
+      """, und AS (SELECT DISTINCT node, other FROM (
+        |    SELECT src AS node, dst AS other FROM e
+        |    UNION ALL SELECT dst, src FROM e)),
+        |nbr AS (SELECT node, other,
+        |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY other) - 1 AS idx,
+        |    COUNT(*) OVER (PARTITION BY node) AS deg
+        |  FROM und),
+        |w0 AS (SELECT DISTINCT node AS wid, node AS v0 FROM nbr),
+        |w1 AS (SELECT wid, v0, n.other AS v1 FROM w0 JOIN nbr n
+        |  ON n.node = v0 AND n.idx = (wid * 1000003 + 1 * 31 + v0) % n.deg),
+        |w2 AS (SELECT wid, v0, v1, n.other AS v2 FROM w1 JOIN nbr n
+        |  ON n.node = v1 AND n.idx = (wid * 1000003 + 2 * 31 + v1) % n.deg),
+        |w3 AS (SELECT wid, v0, v1, v2, n.other AS v3 FROM w2 JOIN nbr n
+        |  ON n.node = v2 AND n.idx = (wid * 1000003 + 3 * 31 + v2) % n.deg),
+        |w4 AS (SELECT wid, v0, v1, v2, v3, n.other AS v4 FROM w3 JOIN nbr n
+        |  ON n.node = v3 AND n.idx = (wid * 1000003 + 4 * 31 + v3) % n.deg)
+        |SELECT wid, CAST(v0 AS VARCHAR) || '->' || CAST(v1 AS VARCHAR)
+        |  || '->' || CAST(v2 AS VARCHAR) || '->' || CAST(v3 AS VARCHAR)
+        |  || '->' || CAST(v4 AS VARCHAR) AS path
+        |FROM w4""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = edgeDf(s, d)
+    val und = e.select(col("src").as("node"), col("dst").as("other"))
+      .unionAll(e.select(col("dst").as("node"), col("src").as("other")))
+      .distinct()
+    val w = Window.partitionBy("node").orderBy("other")
+    val nbr = und
+      .withColumn("idx", (row_number().over(w) - 1).cast("long"))
+      .withColumn("deg",
+        count(lit(1)).over(Window.partitionBy("node")).cast("long"))
+    val walks0 = nbr.select(col("node").as("wid")).distinct()
+      .withColumn("v0", col("wid"))
+    val walked = (1 to 4).foldLeft(walks0) { (acc, t) =>
+      val prev = s"v${t - 1}"
+      val step = nbr.select(col("node").as("__n"), col("idx").as("__i"),
+        col("deg").as("__d"), col("other").as(s"v$t"))
+      acc.join(step,
+        col(prev) === col("__n") &&
+          col("__i") === (col("wid") * 1000003L + t * 31L + col(prev)) % col("__d"))
+        .drop("__n", "__i", "__d")
+    }
+    walked.select(col("wid"),
+      concat_ws("->", (0 to 4).map(t => col(s"v$t").cast("string")): _*)
+        .as("path"))
+  }
+
   val all: Seq[Q] = Seq(gDegree, gComponents, gScc, gAncestors, gAncestorsRel,
     gTriangles, gShortestPaths, gPagerank, gPpr, gKhop, gNeighborJaccard,
     gHits, gHarmonic, gLabelProp, gKcore, gKtruss, gAdamicAdar,
-    gSsspWeighted, gAssortativity)
+    gSsspWeighted, gAssortativity, gRandomWalks)
 }

@@ -1150,6 +1150,46 @@ object SimQueries {
     }
   }
 
+  /** Greedy MMR selection ([[Similarity.mmrSelect]]): 6 picks maximizing
+    * `rel + 0.5·dmin(v, selected)` — relevance (exact-fold squared norm)
+    * traded against diversity, the Carbonell–Goldstein selector between
+    * pure top-k and pure k-center. Oracle: the same rounds unrolled
+    * (argmax LIMIT-1 CTEs + `least` dmin updates + `<>` retirement of the
+    * picked id), the x_coreset_kcenter pattern with the relevance term. */
+  val xMmrSelect: Q = {
+    val k = 6
+    def l2(a: String, b: String) = l2Sql(a, b)
+    val sb = new StringBuilder
+    sb ++=
+      """WITH nrm AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |rel AS (SELECT vec_id, v,
+        |    list_reduce(list_transform(v, x -> x * x), (s, t) -> s + t) AS rel
+        |  FROM nrm),
+        |c1 AS (SELECT vec_id, v, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 1),
+        |""".stripMargin
+    sb ++= s"d1 AS (SELECT n.vec_id, n.v, n.rel, ${l2("n.v", "c.v")} AS dmin\n" +
+      "  FROM rel n, c1 c WHERE n.vec_id <> c.vec_id)"
+    for (i <- 2 to k) {
+      sb ++= s""",
+        |c$i AS (SELECT vec_id, v, rel, rel + 0.5 * dmin AS score
+        |  FROM d${i - 1} ORDER BY rel + 0.5 * dmin DESC, vec_id LIMIT 1)"""
+        .stripMargin
+      if (i < k)
+        sb ++= s""",
+          |d$i AS (SELECT p.vec_id, p.v, p.rel,
+          |  least(p.dmin, ${l2("p.v", "c.v")}) AS dmin
+          |  FROM d${i - 1} p, c$i c WHERE p.vec_id <> c.vec_id)""".stripMargin
+    }
+    sb ++= "\nSELECT 1 AS sel_rank, vec_id, rel AS score FROM c1"
+    for (i <- 2 to k)
+      sb ++= s"\nUNION ALL SELECT $i, vec_id, score FROM c$i"
+    Q("x_mmr_select", sb.toString) { (s, d) =>
+      Similarity.mmrSelect(Tables.embeddings(s, d), "vec_id", "embedding", k)
+    }
+  }
+
   /** Mutual-kNN-graph density clustering: edge (a,b) iff each is in the
     * other's cosine top-5; connected components over that graph are the
     * density clusters (the kNN-graph clustering a curation pipeline uses
@@ -1213,5 +1253,5 @@ object SimQueries {
     xAnnRecall, xMediaPhash, xRandProj, xClusterExemplars, xHardNegatives,
     xHardNegativesLsh,
     xKnnGraph, xKnnGraphLsh, xSemdedupEps, xMediaCurate, xEmbIncremental,
-    xCoresetKcenter, xMediaPhashNear, xMediaPhashIncr)
+    xCoresetKcenter, xMmrSelect, xMediaPhashNear, xMediaPhashIncr)
 }

@@ -819,4 +819,58 @@ object Similarity {
     }
     out.reduce(_.unionByName(_))
   }
+
+  /** Greedy MMR (maximal-marginal-relevance) selection — the
+    * relevance-AND-diversity curation selector (Carbonell & Goldstein
+    * 1998, distance flavor): round 1 picks the most RELEVANT vector,
+    * every later round the argmax of `rel + λ·dmin(v, selected)` — the
+    * relevance-weighted sibling of [[kCenterGreedy]] (λ→∞ recovers pure
+    * k-center, λ=0 pure top-k by relevance). Relevance here is the
+    * exact-fold squared norm `dot(v, v)` (a deterministic, data-dependent
+    * stand-in for a model score; callers with a real score column can
+    * pre-scale their vectors). Deterministic: exact-double folds, score
+    * ties → lowest id, λ a double literal, so both engines replay the
+    * identical selection (the x_mmr_select oracle unrolls the same
+    * rounds). Same per-round shape and persist/unpersist discipline as
+    * [[kCenterGreedy]]: one pass over the running (vec_id, v, rel, dmin)
+    * frame with a one-row broadcast per round. */
+  def mmrSelect(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, lambda: Double = 0.5): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    graft.functions.DotProduct.register(emb.sparkSession)
+    graft.functions.L2Squared.register(emb.sparkSession)
+    val base = emb.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("rel", dotD(col("v"), col("v")))
+    val seed = base.orderBy(col("rel").desc, col("vec_id").asc).limit(1)
+      .persist()
+    var out = Vector(seed.select(lit(1L).as("sel_rank"), col("vec_id"),
+      col("rel").as("score")))
+    // a selected row must LEAVE the candidate frame (unlike k-center,
+    // where dmin = 0 retires it, a high-relevance row would be re-picked
+    // forever) — one-row broadcast anti-joins, no driver collect
+    var d = base
+      .join(seed.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .crossJoin(broadcast(seed.select(col("v").as("cv"))))
+      .select(col("vec_id"), col("v"), col("rel"),
+        l2sq(col("v"), col("cv")).as("dmin"))
+      .persist()
+    for (i <- 2 to k) {
+      val score = col("rel") + lit(lambda) * col("dmin")
+      val ci = d.orderBy(score.desc, col("vec_id").asc).limit(1).persist()
+      out :+= ci.select(lit(i.toLong).as("sel_rank"), col("vec_id"),
+        score.as("score"))
+      if (i < k) {
+        val prev = d
+        d = d.join(ci.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .crossJoin(broadcast(ci.select(col("v").as("cv"))))
+          .select(col("vec_id"), col("v"), col("rel"),
+            least(col("dmin"), l2sq(col("v"), col("cv"))).as("dmin"))
+          .persist()
+        d.count()
+        prev.unpersist(blocking = false)
+      }
+    }
+    out.reduce(_.unionByName(_))
+  }
 }

@@ -304,6 +304,30 @@ class SimilaritySpec extends SparkSpec {
     assert(radii(3) < radii(2) / 100)
   }
 
+  test("mmrSelect: pick 1 is pure relevance; a near-duplicate of it loses " +
+    "pick 2 to a farther, slightly-less-relevant vector; no re-selection") {
+    // v0: the most relevant (norm² = 4); v1: its near-duplicate (norm²
+    // 3.9601) — high relevance but dmin≈0 after v0 is picked; v2:
+    // orthogonal, norm² = 1 (rel 1, dmin to v0 = 5 → score 3.5 beats
+    // v1's ≈3.96+0.0008·0.5... compute: v1 dmin=(2−1.99)²=1e-4 → score
+    // 3.9601+0.00005=3.96015; v2 score 1+0.5·5=3.5 — v1 actually WINS
+    // pick 2 on these numbers, so push v1's norm down: 1.1²=1.21 →
+    // score ≈1.21+0.5·0.81=1.615 < 3.5. Then v2 takes pick 2.
+    val emb = Seq(
+      (0L, Seq(2.0f, 0.0f)),   // rel 4 — pick 1
+      (1L, Seq(1.1f, 0.0f)),   // near-dup direction, rel 1.21, dmin (2-1.1)²=0.81
+      (2L, Seq(0.0f, 1.0f)),   // orthogonal, rel 1, dmin 4+1=5 → pick 2
+      (3L, Seq(0.1f, 0.1f))    // tiny
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(emb, "vec_id", "embedding", k = 3)
+      .orderBy("sel_rank")
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(_._2).toSeq == Seq(0L, 2L, 1L), got.toSeq.toString)
+    assert(got.head._3 === 4.0) // pick-1 score = its relevance
+    // every pick distinct (retirement works even with dominant relevance)
+    assert(got.map(_._2).distinct.length == 3)
+  }
+
   test("sq8TopK: grid-aligned vectors rank exactly; identical vectors at " +
     "distance zero; off-grid values clamp into [0,255]") {
     // components on the 0..255 grid scaled into [0,1]: quantization is
