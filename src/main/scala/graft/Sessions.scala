@@ -19,6 +19,13 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // fresh per-JVM warehouse: managed tables (the bucketed co-located
+      // join layout) otherwise land in ./spark-warehouse, and a LATER run
+      // with a fresh metastore hits LOCATION_ALREADY_EXISTS on the stale
+      // directory (saveAsTable overwrite can't fix a location the catalog
+      // doesn't own)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality verification (the Deequ/dbt-test shape): each
@@ -17,6 +18,67 @@ import org.apache.spark.sql.functions._
   * table is bounded by one scan per table + one shuffle per key check.
   */
 object DataQuality {
+
+  /** Split-conformal coverage audit (Vovk et al.; the distribution-free
+    * prediction-interval recipe): per group, the calibration half fits the
+    * trivial mean predictor, nonconformity is |value − mean| in EXACT
+    * integer units (both sides of |vq·n − Σvq| are BIGINTs from the house
+    * ⌊value·10⁶⌋ quantization — no double means, no rounding divergence),
+    * the threshold q̂ is the ⌈(n+1)(1−α)⌉-th smallest calibration score
+    * (exact order statistic via the distinct-value rank-select idiom: the
+    * cumulative window runs above a (group, score) aggregation, never raw
+    * rows), and the held-out half reports its empirical coverage at q̂ in
+    * ppm (integer division — cross-engine exact). α is passed as the
+    * rational alphaNumer/alphaDenom so the rank is pure integer math.
+    *
+    * Scale: two conditional aggregations over one scan (cal stats / test
+    * verdicts), a distinct-score aggregation, and three broadcast joins of
+    * per-group one-row frames — the group domain is bounded, the corpus
+    * never shuffles on anything but the group key. Overflow note: vq·n_cal
+    * needs |value|·10⁶·n_cal < 2⁶³; at corpus scale switch the score to
+    * |vq − Σvq div n| (one exact integer division) before the product
+    * form overflows.
+    *
+    * Output: (grp, n_cal, r, qhat, n_test, covered, coverage_ppm). Groups
+    * whose calibration half is empty, or too small for the rank
+    * (r > n_cal), drop — identically on both engines. */
+  def conformalCoverage(df: DataFrame, grp: String, value: Column,
+      calSide: Column, alphaNumer: Int = 1, alphaDenom: Int = 10): DataFrame = {
+    require(alphaNumer >= 1 && alphaNumer < alphaDenom,
+      "alpha must be a proper positive fraction")
+    val keep = alphaDenom - alphaNumer
+    val q = df.select(col(grp).as("__g"), calSide.as("__cal"),
+      floor(value * lit(1000000d)).cast("long").as("__vq"))
+    val cs = q.filter(col("__cal"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_cal"), sum(col("__vq")).as("__s"))
+    // r = ceil((n_cal+1)·keep/den), all-integer
+    val rr = cs.select(col("__g"), col("n_cal"), col("__s"),
+      expr(s"((n_cal + 1) * $keep + ${alphaDenom - 1}) div $alphaDenom")
+        .as("r"))
+    def scores(side: Column) = q.filter(side)
+      .join(broadcast(rr), Seq("__g"))
+      .withColumn("__score", abs(col("__vq") * col("n_cal") - col("__s")))
+    // distinct-value rank-select for the exact order statistic: the
+    // cumulative count runs over (group, score) AGGREGATES (policy-clean)
+    val dist = scores(col("__cal"))
+      .groupBy(col("__g"), col("__score")).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__score").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val qh = dist.withColumn("__cum", sum(col("__c")).over(w))
+      .join(broadcast(rr.select(col("__g"), col("r"))), Seq("__g"))
+      .filter(col("__cum") >= col("r"))
+      .groupBy(col("__g")).agg(min(col("__score")).as("qhat"))
+    scores(!col("__cal"))
+      .join(broadcast(qh), Seq("__g"))
+      .groupBy(col("__g"), col("n_cal"), col("r"), col("qhat"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__score") <= col("qhat"), 1L).otherwise(0L))
+          .as("covered"))
+      .select(col("__g").as(grp), col("n_cal"), col("r"), col("qhat"),
+        col("n_test"), col("covered"),
+        expr("covered * 1000000 div n_test").as("coverage_ppm"))
+  }
 
   /** Rows where `c` is null. */
   def nullCheck(df: DataFrame, name: String, c: String): DataFrame =

@@ -246,6 +246,24 @@ object Scale {
       .otherwise(r + floor((rank - lead + q - lit(1)) / q).cast("long"))
   }
 
+  /** Morton (Z-order) bit-interleave of two non-negative integer columns,
+    * `bits` bits each: bit j of `x` lands at output bit 2j, bit j of `y`
+    * at 2j+1. This is the multi-dimensional clustering key a lakehouse
+    * layout pass sorts by (Delta/Iceberg `OPTIMIZE ZORDER BY`): rows close
+    * in Z are close in BOTH dimensions, so per-file min/max ranges stay
+    * tight on both columns and either predicate prunes files — a
+    * one-dimension sort gives tight ranges on that dimension only.
+    * Pure integer shifts/masks (whole-stage codegen, zero shuffles to
+    * COMPUTE; the layout pass itself is a repartitionByRange on the
+    * result). Caller quantizes each dimension into [0, 2^bits) first. */
+  def mortonInterleave(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { j =>
+      shiftleft(shiftright(x, j).bitwiseAND(lit(1L)), 2 * j) +
+        shiftleft(shiftright(y, j).bitwiseAND(lit(1L)), 2 * j + 1)
+    }.reduce(_ + _)
+  }
+
   /** Write a table bucketed+sorted by join keys — the co-located-join
     * layout: two tables bucketed the same way join with ZERO shuffle
     * (asserted on the physical plan in ScaleSpec). */

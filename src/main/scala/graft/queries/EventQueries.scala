@@ -600,10 +600,91 @@ object EventQueries {
         Array(col("clicks"), col("purchases"), col("views")), "metric", "n")
   }
 
+  /** Z-order (Morton) data-layout audit — the lakehouse OPTIMIZE ZORDER
+    * pass expressed as a query: events quantize to an 8-bit user bucket ×
+    * 8-bit time-of-day bucket grid, interleave to a 16-bit Z key
+    * ([[graft.ops.Scale.mortonInterleave]] — pure integer shifts, codegen,
+    * zero shuffles to compute), and group into 64 "files" of 1024
+    * consecutive Z values each. Because 1024 = 2¹⁰ interleaved bits, every
+    * file covers exactly a 32×32 block of the 256×256 grid: the reported
+    * per-file min/max stay tight on BOTH dimensions (span ≤ 1024 vs up to
+    * 65536 for a layout sorted by neither), which is what lets either
+    * predicate prune files at 100 TB. The layout pass itself is a
+    * repartitionByRange on the Z key; this query audits the bound. */
+  val xZorderLayout = {
+    val mortonSql = (0 until 8).map(j =>
+      s"(((x >> $j) & 1) << ${2 * j}) + (((y >> $j) & 1) << ${2 * j + 1})")
+      .mkString(" + ")
+    Q(
+      "x_zorder_layout",
+      s"""WITH b AS (SELECT user_id % 256 AS x,
+         |    (CAST(floor(epoch(ts)) AS BIGINT) % 86400) * 256 // 86400 AS y
+         |  FROM events),
+         |z AS (SELECT x, y, $mortonSql AS z FROM b)
+         |SELECT z // 1024 AS file_id, COUNT(*) AS n,
+         |  min(x) AS min_x, max(x) AS max_x,
+         |  min(y) AS min_y, max(y) AS max_y,
+         |  (max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS span
+         |FROM z GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select((col("user_id") % 256).as("x"),
+          expr("(unix_timestamp(ts) % 86400) * 256 div 86400").as("y"))
+        .withColumn("z", graft.ops.Scale.mortonInterleave(
+          col("x"), col("y"), 8))
+        .groupBy(expr("z div 1024").as("file_id"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+          ((max(col("x")) - min(col("x")) + 1)
+            * (max(col("y")) - min(col("y")) + 1)).as("span"))
+    }
+  }
+
+  /** Split-conformal coverage audit over event values
+    * ([[graft.ops.DataQuality.conformalCoverage]]): calibration half =
+    * even event_ids, group = event_type, α = 0.1 → per type the exact
+    * ⌈(n+1)·0.9⌉-th-smallest integer nonconformity threshold and the odd
+    * half's empirical coverage at it (≈ 900000 ppm by the conformal
+    * guarantee when the halves are exchangeable — which a hash split
+    * makes them). Everything integer or ppm, so the oracle replays the
+    * order statistic and the verdicts bit-exact. */
+  val xConformal = Q(
+    "x_conformal",
+    """WITH q AS (SELECT event_type, event_id % 2 = 0 AS cal,
+      |    CAST(floor(value * 1000000) AS BIGINT) AS vq FROM events),
+      |cs AS (SELECT event_type, COUNT(*) AS n_cal,
+      |    CAST(SUM(vq) AS BIGINT) AS s FROM q WHERE cal GROUP BY 1),
+      |rr AS (SELECT event_type, n_cal, s,
+      |    ((n_cal + 1) * 9 + 9) // 10 AS r FROM cs),
+      |calsc AS (SELECT q.event_type, abs(q.vq * rr.n_cal - rr.s) AS score
+      |  FROM q JOIN rr USING (event_type) WHERE cal),
+      |d AS (SELECT event_type, score, COUNT(*) AS c FROM calsc GROUP BY 1, 2),
+      |cum AS (SELECT event_type, score,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY score
+      |      ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+      |qh AS (SELECT cum.event_type, min(score) AS qhat
+      |  FROM cum JOIN rr USING (event_type) WHERE cum >= r GROUP BY 1),
+      |tst AS (SELECT q.event_type, rr.n_cal, rr.r,
+      |    abs(q.vq * rr.n_cal - rr.s) AS score
+      |  FROM q JOIN rr USING (event_type) WHERE NOT cal)
+      |SELECT t.event_type, t.n_cal, t.r, qh.qhat,
+      |  COUNT(*) AS n_test,
+      |  CAST(SUM(CASE WHEN t.score <= qh.qhat THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS covered,
+      |  CAST(SUM(CASE WHEN t.score <= qh.qhat THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000 // COUNT(*) AS coverage_ppm
+      |FROM tst t JOIN qh ON t.event_type = qh.event_type
+      |GROUP BY 1, 2, 3, 4""".stripMargin) { (s, d) =>
+    graft.ops.DataQuality.conformalCoverage(
+      Tables.events(s, d), "event_type", col("value"),
+      col("event_id") % 2 === 0, alphaNumer = 1, alphaDenom = 10)
+  }
+
   val all: Seq[Q] = Seq(evTumbling, evSliding, evSessionize, evFirstPerKey, evFunnel,
     evIntervalJoin, evAsofJoin, evRolling, evRetention, evStreaks,
     evAsofForward, evTransitions, evScd2, evAnomaly, evRfm, evOhlc, evGapStats,
     evDistinctRunning, evAsofNearest, evDecayScore, evMarkovStationary,
     evIdentityStitch, evTrigrams, evAbMetrics, evVariantExtract,
-    evCohortLtv, evSeasonality, evAttributionMulti, evUnpivot)
+    evCohortLtv, evSeasonality, evAttributionMulti, evUnpivot,
+    xZorderLayout, xConformal)
 }

@@ -714,6 +714,58 @@ object SimQueries {
         (col("hits").cast("double") / 5).as("recall"))
   }
 
+  /** Reciprocal-rank fusion over two rankers for the sampled query set —
+    * the hybrid-retrieval combiner ([[Similarity.rrfFuse]]): cosine top-10
+    * and squared-L2 top-10 per query vector (different rankings whenever
+    * norms differ), fused by Σ 1/(60+rank), top-5 kept. Fused scores are
+    * fixed-order sums of exact small-integer divisions, so the oracle
+    * replays scores and ranking bit-exact. At 100 TB the two inputs are
+    * the registered scale paths (IVF/LSH for dense, posting-list top-k
+    * for lexical BM25) — fusion itself touches only the n·k rank lists:
+    * one output-sized hash join plus the bounded top-k aggregate. */
+  val xRrfFusion = Q(
+    "x_rrf_fusion",
+    normCte +
+      """, cp AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+        |  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
+        |    / (a.nrm * b.nrm) AS cos
+        |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id % 4 = 0),
+        |ra AS (SELECT vec_id, neighbor, rank FROM (
+        |  SELECT vec_id, neighbor,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rank
+        |  FROM cp) WHERE rank <= 10),
+        |lp AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+        |  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |    z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+        |       * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))), (s, t) -> s + t)
+        |    AS dist
+        |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id % 4 = 0),
+        |rb AS (SELECT vec_id, neighbor, rank FROM (
+        |  SELECT vec_id, neighbor,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, neighbor) AS rank
+        |  FROM lp) WHERE rank <= 10),
+        |f AS (SELECT coalesce(ra.vec_id, rb.vec_id) AS vec_id,
+        |    coalesce(ra.neighbor, rb.neighbor) AS neighbor,
+        |    coalesce(CAST(1 AS DOUBLE) / (60 + ra.rank), 0)
+        |      + coalesce(CAST(1 AS DOUBLE) / (60 + rb.rank), 0) AS rrf
+        |  FROM ra FULL JOIN rb
+        |    ON ra.vec_id = rb.vec_id AND ra.neighbor = rb.neighbor)
+        |SELECT vec_id, rank, neighbor, rrf FROM (
+        |  SELECT vec_id, neighbor, rrf,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY rrf DESC, neighbor) AS rank
+        |  FROM f) WHERE rank <= 5""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val qp = col("id") % 4 === 0
+    val cosR = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      k = 10, queryPred = qp)
+    val l2R = Similarity.bruteForceTopKL2(emb, "vec_id", "embedding",
+      k = 10, queryPred = qp)
+    Similarity.rrfFuse(cosR, l2R, k = 5)
+  }
+
   /** Perceptual-hash (dHash) media dedup groups: 32-stripe gradient
     * signature per payload through the typed batched-decode path, then
     * hash-groupBy — the image-near-dup front half of a multimodal dedup
@@ -1253,5 +1305,6 @@ object SimQueries {
     xAnnRecall, xMediaPhash, xRandProj, xClusterExemplars, xHardNegatives,
     xHardNegativesLsh,
     xKnnGraph, xKnnGraphLsh, xSemdedupEps, xMediaCurate, xEmbIncremental,
-    xCoresetKcenter, xMmrSelect, xMediaPhashNear, xMediaPhashIncr)
+    xCoresetKcenter, xMmrSelect, xMediaPhashNear, xMediaPhashIncr,
+    xRrfFusion)
 }

@@ -621,6 +621,56 @@ object Similarity {
         col("neg_label"), col("cos"))
   }
 
+  /** Brute-force squared-L2 top-k — the distance-metric sibling of
+    * [[bruteForceTopK]] (same meter discipline: `queryPred` bounds the
+    * QUERY side, corpus ranks in full; same broadcast-pair + bounded
+    * top-k aggregate shape). Distances run through the native
+    * [[graft.functions.L2Squared]] sequential fold, bit-identical to the
+    * oracle's list_reduce over the zipped difference squares.
+    * Output: (vec_id, rank, neighbor, dist), rank 1..k by dist asc with
+    * neighbor-id tie-break. */
+  def bruteForceTopKL2(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      queryPred: Column = lit(true)): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
+    graft.functions.L2Squared.register(emb.sparkSession)
+    val base = emb.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val pairs = base.filter(queryPred).toDF("vec_id", "va")
+      .join(broadcast(base.toDF("neighbor", "vb")),
+        col("vec_id") =!= col("neighbor"))
+      .select(col("vec_id"), col("neighbor"),
+        l2sq(col("va"), col("vb")).as("dist"))
+    aggBottomKFromPairs(pairs, k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) — the hybrid-
+    * retrieval staple: two rankers' top-k lists for the same query set
+    * (lexical BM25 + dense ANN in production; any (vec_id, rank, neighbor)
+    * frames here) fuse by score Σᵢ 1/(kConst + rankᵢ), missing entries
+    * contribute 0, final ranking by fused score desc with neighbor-id
+    * tie-break. Every fused score is a fixed-order sum of two exact IEEE
+    * divisions of small integers, so an independent engine replicates the
+    * scores AND the ranking bit-exact (ties are broken by id regardless).
+    *
+    * Scale: the inputs are n·k rank lists (each produced by its own scale
+    * path — IVF/LSH for dense, posting-list top-k for lexical), so fusion
+    * touches n·(kA+kB) rows total: one hash full-outer join keyed by
+    * (query, candidate) + the bounded top-k aggregate. No corpus-sized
+    * shuffle anywhere — fusion cost is output-sized by construction.
+    * Output: (vec_id, rank, neighbor, rrf), rank 1..k. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, kConst: Int = 60): DataFrame = {
+    val ar = a.select(col("vec_id"), col("neighbor"), col("rank").as("__ra"))
+    val br = b.select(col("vec_id"), col("neighbor"), col("rank").as("__rb"))
+    // full outer: a candidate ranked by either side scores; USING-column
+    // join coalesces the (vec_id, neighbor) keys
+    val fused = ar.join(br, Seq("vec_id", "neighbor"), "full_outer")
+      .select(col("vec_id"), col("neighbor"),
+        (coalesce(lit(1.0) / (lit(kConst.toLong) + col("__ra")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(kConst.toLong) + col("__rb")), lit(0.0)))
+          .as("cos"))
+    aggTopKFromPairs(fused, k).withColumnRenamed("cos", "rrf")
+  }
+
   /** {+1,−1,0} projection weight from the portable md5 family
     * (h(seed:j:k) mod 6 → 0:+1, 1:−1, else 0; density 1/3) — driver-side
     * plan constant, replicated verbatim by the SQL oracles. */

@@ -71,4 +71,32 @@ class DataQualitySpec extends SparkSpec {
     assert(got.length === 3)
     assert(got.forall(r => r._2 === 0L && r._3))
   }
+
+  test("conformalCoverage: hand-replayed order statistic, coverage " +
+    "counts, and small-group drop") {
+    // group g: 10 cal rows (even ids) with values 0.0..0.9, 5 test rows;
+    // group tiny: 1 cal row -> r = ceil(2*0.9) = 2 > 1 -> dropped
+    val rows =
+      (0L until 20L).map(i => ("g", i, (i / 2).toDouble / 10.0)) ++
+        Seq(("tiny", 100L, 1.0), ("tiny", 101L, 2.0))
+    val df = rows.toDF("grp", "id", "value")
+    val got = DataQuality.conformalCoverage(df, "grp", col("value"),
+      col("id") % 2 === 0)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet === Set("g"))
+    val (_, nCal, r, qhat, nTest, covered, ppm) = got.head
+    // driver replay: vq = floor(v*1e6), score = |vq*n - sum|
+    val calVq = (0L until 20L).filter(_ % 2 == 0)
+      .map(i => math.floor((i / 2).toDouble / 10.0 * 1000000).toLong)
+    val s = calVq.sum
+    val calScores = calVq.map(v => math.abs(v * calVq.length - s)).sorted
+    val expR = ((calVq.length + 1) * 9 + 9) / 10
+    val expQ = calScores(expR - 1)
+    assert(nCal === calVq.length && r === expR && qhat === expQ)
+    val tstVq = (0L until 20L).filter(_ % 2 == 1)
+      .map(i => math.floor((i / 2).toDouble / 10.0 * 1000000).toLong)
+    val expCov = tstVq.count(v => math.abs(v * calVq.length - s) <= expQ)
+    assert(nTest === tstVq.length && covered === expCov)
+    assert(ppm === covered * 1000000L / nTest)
+  }
 }

@@ -270,4 +270,24 @@ class ScaleSpec extends SparkSpec {
       .agg(sum(col("v"))).head().getLong(0)
     assert(q.head().getLong(0) === expected)
   }
+
+  test("mortonInterleave matches a driver-side replay and Z-blocks of " +
+    "1024 consecutive keys stay within a 32x32 tile") {
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(j =>
+        (((x >> j) & 1L) << (2 * j)) | (((y >> j) & 1L) << (2 * j + 1))).sum
+    val grid = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val got = grid.toDF("x", "y")
+      .withColumn("z", Scale.mortonInterleave(col("x"), col("y"), 8))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z === ref(x, y, 8), s"($x,$y)") }
+    // the x_zorder_layout pruning bound: every 1024-key file covers one
+    // 32x32 tile — both per-file dimension spans are at most 32
+    got.groupBy(_._3 / 1024).values.foreach { rows =>
+      val xs = rows.map(_._1); val ys = rows.map(_._2)
+      assert(xs.max - xs.min < 32 && ys.max - ys.min < 32)
+    }
+    // round-trip bijectivity on the grid: 64*64 distinct z values
+    assert(got.map(_._3).distinct.length === 64 * 64)
+  }
 }

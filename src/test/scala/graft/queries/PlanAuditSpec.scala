@@ -493,6 +493,10 @@ class PlanAuditSpec extends SparkSpec {
       // registered scale path, which must NOT appear here — its candidate
       // stage is a bucket equi-join)
       "x_ann_recall", "x_hard_negatives",
+      // sampled-query brute rankers feeding the fusion demo — the fusion
+      // itself is an output-sized hash join; at scale its inputs are the
+      // bucket-equi-join rankers (x_ann_ivf / x_ann_lsh / posting top-k)
+      "x_rrf_fusion",
       "x_kmeans", "x_cluster_exemplars", "x_semantic_dedup", // centroid sets
       "x_decontaminate_sem",                     // benchmark set
       "x_tfidf", "x_bm25", "x_importance_weight", "x_collocations", // one-row totals

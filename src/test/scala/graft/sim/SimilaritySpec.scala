@@ -578,4 +578,51 @@ class SimilaritySpec extends SparkSpec {
       .select("new_id", "old_id").as[(Long, Long)].collect().toSet
     assert(got === Set((11L, 10L), (13L, 10L)))
   }
+
+  test("rrfFuse: exact fixed-order scores, union of candidates, " +
+    "id tie-break") {
+    import org.apache.spark.sql.functions.col
+    // query 1: ranker A has {10:1, 20:2}, ranker B has {20:1, 30:2}
+    val a = Seq((1L, 1L, 10L), (1L, 2L, 20L)).toDF("vec_id", "rank", "neighbor")
+    val b = Seq((1L, 1L, 20L), (1L, 2L, 30L)).toDF("vec_id", "rank", "neighbor")
+    val got = Similarity.rrfFuse(a, b, k = 3)
+      .orderBy(col("rank"))
+      .as[(Long, Long, Long, Double)].collect()
+    // 20 scores 1/62 + 1/61 (both sides), 10 scores 1/61, 30 scores 1/62
+    assert(got.map(r => (r._2, r._3)) === Seq((1L, 20L), (2L, 10L), (3L, 30L)))
+    assert(got(0)._4 === 1.0 / 62 + 1.0 / 61)
+    assert(got(1)._4 === 1.0 / 61 + 0.0)
+    assert(got(2)._4 === 0.0 + 1.0 / 62)
+    // equal-score tie (both only-in-A at the same rank) breaks by id asc
+    val a2 = Seq((7L, 1L, 5L), (7L, 1L, 3L)).toDF("vec_id", "rank", "neighbor")
+    val b2 = Seq.empty[(Long, Long, Long)].toDF("vec_id", "rank", "neighbor")
+    val tie = Similarity.rrfFuse(a2, b2, k = 2)
+      .orderBy(col("rank")).as[(Long, Long, Long, Double)].collect()
+    assert(tie.map(_._3) === Seq(3L, 5L))
+  }
+
+  test("bruteForceTopKL2: distances ascend per query and equal a " +
+    "driver-side exact fold; queryPred bounds the query side") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf).limit(40).persist()
+    val raw = emb.as[(Long, Seq[Float], Int)].collect()
+      .map { case (id, v, _) => id -> v.map(_.toDouble) }.toMap
+    val got = Similarity.bruteForceTopKL2(emb, "vec_id", "embedding",
+      k = 3, queryPred = col("id") % 2 === 0)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).distinct.forall(_ % 2 == 0))
+    got.groupBy(_._1).values.foreach { rows =>
+      val s = rows.sortBy(_._2).map(_._4)
+      assert(s.sliding(2).forall(p => p.length < 2 || p.head <= p.last))
+    }
+    // exact sequential-fold replay for every returned pair
+    got.foreach { case (q, _, n, d) =>
+      var acc = 0.0
+      val (va, vb) = (raw(q), raw(n))
+      var i = 0
+      while (i < va.length) { val dd = va(i) - vb(i); acc += dd * dd; i += 1 }
+      assert(acc == d, s"pair ($q,$n)")
+    }
+    emb.unpersist()
+  }
 }
