@@ -80,6 +80,36 @@ object DataQuality {
         expr("covered * 1000000 div n_test").as("coverage_ppm"))
   }
 
+  /** Isotonic (PAV) fit over a bin table (bin, n, pos) via the minimax
+    * identity iso(b) = max_{i≤b} min_{j≥b} rate_ppm(i..j), where
+    * rate_ppm(i..j) = pos(i..j)·10⁶ div n(i..j) is ppm-FLOORED before
+    * the minimax — both engines select over identical integers, and the
+    * result stays monotone non-decreasing because each lattice argument
+    * is monotone in b (proven in DataQualitySpec; on exactly-divisible
+    * rates the floored minimax IS pool-adjacent-violators). Everything
+    * here runs on the bin table: prefix sums over the bin aggregate, an
+    * O(bins²) interval self-join, two grouped minimax passes — plan
+    * constants when bins are bounded (they are: a calibration curve).
+    * Output: (bin, n, pos, iso_ppm). */
+  def isotonicBinsPpm(bins: DataFrame): DataFrame = {
+    val wB = Window.orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = bins.select(col("bin"), col("n"), col("pos"),
+      sum(col("n")).over(wB).as("cn"), sum(col("pos")).over(wB).as("cp"))
+    val iv = cum.select(col("bin").as("i"),
+        (col("cn") - col("n")).as("pn"), (col("cp") - col("pos")).as("pp"))
+      .join(cum.select(col("bin").as("j"), col("cn"), col("cp")),
+        col("i") <= col("j"))
+      .select(col("i"), col("j"),
+        expr("(cp - pp) * 1000000 div (cn - pn)").as("rate_ppm"))
+    val m = iv.join(bins.select(col("bin").as("bb")),
+        col("i") <= col("bb") && col("j") >= col("bb"))
+      .groupBy(col("i"), col("bb")).agg(min(col("rate_ppm")).as("mn"))
+    val iso = m.groupBy(col("bb")).agg(max(col("mn")).as("iso_ppm"))
+    bins.join(iso, col("bin") === col("bb"))
+      .select(col("bin"), col("n"), col("pos"), col("iso_ppm"))
+  }
+
   /** Rows where `c` is null. */
   def nullCheck(df: DataFrame, name: String, c: String): DataFrame =
     df.agg(count(when(col(c).isNull, lit(1))).as("metric"))

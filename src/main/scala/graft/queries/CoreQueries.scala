@@ -1926,7 +1926,63 @@ object CoreQueries {
           / (col("sp") - col("spd")).cast("double")).as("promo_revenue_pct"))
   }
 
+  /** Sketch-based join-cardinality estimate — the planning primitive a
+    * 100 TB optimizer consults BEFORE committing to a join strategy:
+    * |orders ⋈ customer| estimated from two count-min sketches (depth 3 ×
+    * width 1024, the portable md5 hash family) as min over rows of
+    * Σ_bucket cntA·cntB — the CMS inner-product estimator (Cormode &
+    * Muthukrishnan), an upper bound on the true size by construction.
+    * Each sketch is ONE scan + a ≤3072-row aggregate (the mergeable,
+    * shippable artifact); the estimate itself joins two 3072-row tables.
+    * The exact join count rides along as the meter — at scale it is the
+    * thing this estimator exists to avoid. All integer, oracle-exact. */
+  val xJoinSizeCms = {
+    import graft.text.TextFns.portableHash
+    val depth = 3; val width = 1024
+    def sketch(df: org.apache.spark.sql.DataFrame, key: String) =
+      df.select(explode(array((0 until depth).map(dd =>
+          struct(lit(dd).as("d"),
+            (portableHash(col(key).cast("string"), lit(s"cms$dd"))
+              % width).as("b"))): _*)).as("db"))
+        .groupBy(col("db.d").as("d"), col("db.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+    def sketchSql(table: String, key: String) =
+      s"""SELECT d,
+         |    ('0x' || substr(md5('cms' || d || ':' || CAST($key AS VARCHAR)),
+         |      1, 14))::BIGINT % $width AS b, COUNT(*) AS cnt
+         |  FROM $table CROSS JOIN (SELECT unnest([0, 1, 2]) AS d)
+         |  GROUP BY 1, 2""".stripMargin
+    Q(
+      "x_join_size_cms",
+      s"""WITH ka AS (${sketchSql("orders", "o_custkey")}),
+         |kb AS (${sketchSql("customer", "c_custkey")}),
+         |rows_ AS (SELECT ka.d, CAST(SUM(ka.cnt * kb.cnt) AS BIGINT) AS s
+         |  FROM ka JOIN kb ON ka.d = kb.d AND ka.b = kb.b GROUP BY 1),
+         |est AS (SELECT min(s) AS est FROM rows_),
+         |ex AS (SELECT COUNT(*) AS exact FROM orders o
+         |  JOIN customer c ON o.o_custkey = c.c_custkey)
+         |SELECT est.est, ex.exact,
+         |  (est.est - ex.exact) * 1000000 // ex.exact AS overest_ppm
+         |FROM est, ex""".stripMargin) { (s, d) =>
+      val ska = sketch(Tables.orders(s, d), "o_custkey")
+        .toDF("d", "b", "ca")
+      val skb = sketch(Tables.customer(s, d), "c_custkey")
+        .toDF("d2", "b2", "cb")
+      val est = ska.join(skb, col("d") === col("d2") && col("b") === col("b2"))
+        .groupBy(col("d")).agg(sum(col("ca") * col("cb")).as("s"))
+        .agg(min(col("s")).as("est"))
+      val exact = Tables.orders(s, d).select(col("o_custkey"))
+        .join(Tables.customer(s, d).select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("exact"))
+      est.crossJoin(broadcast(exact))
+        .select(col("est"), col("exact"),
+          expr("(est - exact) * 1000000 div exact").as("overest_ppm"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
+    xJoinSizeCms,
     sqlFrontDoor, sqlDecorrelate, sqlLateral, sqlRangeNative, qCube, qRollup, evPivot, qRunningTotal,
     q07VolumeShipping, q14PromoRevenue,
     q03ShippingPriority, q18LargeOrders, q05LocalSupplier, q10ReturnedItems,

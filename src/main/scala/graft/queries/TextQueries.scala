@@ -929,6 +929,171 @@ object TextQueries {
         expr("u2 * 1000000 div (2 * n_pos * n_neg)").as("auc_ppm"))
   }
 
+  /** Exact average precision of the hashed quality classifier against the
+    * rule-based proxy label — the ranking-eval third of the classifier
+    * suite (x_auc is discrimination, x_calibration_bins calibration): AP =
+    * mean over positives of precision@rank, under the total order
+    * (score desc, doc_id asc). Each precision term is ppm-floored
+    * (engine-exact); the mean is one more integer division.
+    *
+    * The global rank NEVER runs a corpus-sized single-partition window
+    * (the binnedGlobalRank decomposition): rank = items-above-my-score
+    * (a prefix sum over the DISTINCT-SCORE aggregate — the x_auc
+    * discipline) + my row_number within the tie block (a window
+    * partitioned by score, corpus-cardinality key). Cumulative positives
+    * decompose the same way, so at 100 TB the only raw-row windows are
+    * score-partitioned and the partitionless prefix runs over the score
+    * domain, not rows. */
+  val xAvgPrecision = Q(
+    "x_avg_precision",
+    wsCte +
+      """, f AS (SELECT doc_id, list_concat(ws,
+        |    CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+        |      i -> ws[i] || ' ' || ws[i+1]) ELSE [] END) AS feats FROM t),
+        |sc AS (SELECT doc_id,
+        |    CAST(list_sum(list_transform(feats, w ->
+        |      ('0x' || substr(md5('qw:' || w), 1, 14))::BIGINT % 1001 - 500))
+        |      AS BIGINT) AS score
+        |  FROM f),
+        |q AS (SELECT doc_id,
+        |    least(CAST(len(text) AS DOUBLE) / 500, 1.0) * 0.4
+        |    + CAST(len(list_filter(ws,
+        |        w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |      / len(ws) * 0.4
+        |    + (1.0 - CAST(len(regexp_replace(text,
+        |        '[^.,!?;:''"()\[\]-]', '', 'g')) AS DOUBLE)
+        |      / len(text)) * 0.2 >= 0.35 AS label
+        |  FROM t),
+        |it AS (SELECT sc.doc_id, sc.score, q.label
+        |  FROM sc JOIN q USING (doc_id)),
+        |vals AS (SELECT score, COUNT(*) AS n,
+        |    COUNT(*) FILTER (WHERE label) AS np FROM it GROUP BY 1),
+        |offs AS (SELECT score,
+        |    CAST(coalesce(SUM(n) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS above,
+        |    CAST(coalesce(SUM(np) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS pos_above
+        |  FROM vals),
+        |rt AS (SELECT doc_id, score,
+        |    row_number() OVER (PARTITION BY score ORDER BY doc_id) AS rn_all
+        |  FROM it),
+        |rp AS (SELECT doc_id, score,
+        |    row_number() OVER (PARTITION BY score ORDER BY doc_id) AS rn_pos
+        |  FROM it WHERE label),
+        |terms AS (SELECT
+        |    (o.pos_above + rp.rn_pos) * 1000000 // (o.above + rt.rn_all)
+        |      AS p_ppm
+        |  FROM rp JOIN rt ON rp.doc_id = rt.doc_id
+        |  JOIN offs o ON o.score = rp.score)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+        |  CAST(SUM(p_ppm) AS BIGINT) AS sum_p_ppm,
+        |  CAST(SUM(p_ppm) AS BIGINT) // COUNT(*) AS ap_ppm
+        |FROM terms""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val it = Tables.documents(s, d)
+      .select(col("doc_id"),
+        aggregate(TextFns.classifierFeatures(col("text")), lit(0L),
+          (acc, f) => acc + TextFns.classifierWeight(f)).as("score"),
+        (TextFns.qualityScore(col("text")) >= 0.35).as("label"))
+    val vals = it.groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), count(when(col("label"), lit(1))).as("np"))
+    val wCum = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = vals.select(col("score").as("__os"),
+      coalesce(sum(col("n")).over(wCum), lit(0L)).as("above"),
+      coalesce(sum(col("np")).over(wCum), lit(0L)).as("pos_above"))
+    val wTie = Window.partitionBy(col("score")).orderBy(col("doc_id"))
+    val rtAll = it.withColumn("rn_all", row_number().over(wTie))
+      .select(col("doc_id"), col("rn_all"))
+    val rp = it.filter(col("label"))
+      .withColumn("rn_pos", row_number().over(wTie))
+    rp.join(rtAll, Seq("doc_id"))
+      .join(offs, col("score") === col("__os"))
+      .select(expr("(pos_above + rn_pos) * 1000000 div (above + rn_all)")
+        .as("p_ppm"))
+      .agg(count(lit(1)).as("n_pos"), sum(col("p_ppm")).as("sum_p_ppm"))
+      .select(col("n_pos"), col("sum_p_ppm"),
+        expr("sum_p_ppm div n_pos").as("ap_ppm"))
+  }
+
+  /** Isotonic (PAV) recalibration of the classifier's binned scores — the
+    * FIX for what x_calibration_bins only measures: the monotone
+    * non-decreasing fit to the per-bin empirical positive rate, via the
+    * minimax identity iso(b) = max_{i≤b} min_{j≥b} rate(i..j) (equal to
+    * pool-adjacent-violators on the bin sequence). Rates are ppm-floored
+    * BEFORE the minimax — both engines select over identical integers,
+    * and the max-of-min structure keeps the floored fit monotone too
+    * (each argument is monotone in b), asserted in the spec.
+    *
+    * Scale: everything after the one corpus aggregation lives on the
+    * ≤10-row bin table — the prefix sums, the O(bins²) interval frame and
+    * the two minimax groupings are broadcast-sized plan constants. This
+    * is the standard shape for isotonic at 100 TB: bin first (the
+    * calibration curve is what's wanted anyway), then PAV on bins. */
+  val xIsotonicFit = Q(
+    "x_isotonic_fit",
+    wsCte +
+      """, f AS (SELECT doc_id, list_concat(ws,
+        |    CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+        |      i -> ws[i] || ' ' || ws[i+1]) ELSE [] END) AS feats FROM t),
+        |sc AS (SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_feats,
+        |    CAST(list_sum(list_transform(feats, w ->
+        |      ('0x' || substr(md5('qw:' || w), 1, 14))::BIGINT % 1001 - 500))
+        |      AS BIGINT) AS score
+        |  FROM f),
+        |q AS (SELECT doc_id,
+        |    least(CAST(len(text) AS DOUBLE) / 500, 1.0) * 0.4
+        |    + CAST(len(list_filter(ws,
+        |        w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |      / len(ws) * 0.4
+        |    + (1.0 - CAST(len(regexp_replace(text,
+        |        '[^.,!?;:''"()\[\]-]', '', 'g')) AS DOUBLE)
+        |      / len(text)) * 0.2 >= 0.35 AS label
+        |  FROM t),
+        |b AS (SELECT sc.doc_id,
+        |    least((score + 500 * n_feats) * 1000
+        |      // greatest(n_feats, 1) // 100000, 9) AS bin,
+        |    q.label FROM sc JOIN q USING (doc_id)),
+        |bins AS (SELECT bin, COUNT(*) AS n,
+        |    COUNT(*) FILTER (WHERE label) AS pos FROM b GROUP BY 1),
+        |cum AS (SELECT bin, n, pos,
+        |    CAST(SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cn,
+        |    CAST(SUM(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cp FROM bins),
+        |iv AS (SELECT a.bin AS i, bb.bin AS j,
+        |    (bb.cp - (a.cp - a.pos)) * 1000000 // (bb.cn - (a.cn - a.n))
+        |      AS rate_ppm
+        |  FROM cum a JOIN cum bb ON a.bin <= bb.bin),
+        |m AS (SELECT iv.i, bl.bin AS bb, min(iv.rate_ppm) AS mn
+        |  FROM iv JOIN bins bl ON iv.i <= bl.bin AND iv.j >= bl.bin
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT bb AS bin, max(mn) AS iso_ppm FROM m GROUP BY 1)
+        |SELECT bins.bin, bins.n AS n_docs,
+        |  bins.pos * 1000000 // bins.n AS pos_rate_ppm, iso.iso_ppm
+        |FROM bins JOIN iso USING (bin)""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val scored = docs
+      .select(col("doc_id"),
+        TextFns.classifierFeatures(col("text")).as("__f"),
+        (TextFns.qualityScore(col("text")) >= 0.35).as("label"))
+      .select(col("doc_id"), col("label"),
+        size(col("__f")).cast("long").as("n_feats"),
+        aggregate(col("__f"), lit(0L),
+          (acc, f) => acc + TextFns.classifierWeight(f)).as("score"))
+      .withColumn("bin", least(
+        expr("(score + 500 * n_feats) * 1000 div greatest(n_feats, 1) " +
+          "div 100000"), lit(9L)))
+    val bins = scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), count(when(col("label"), lit(1))).as("pos"))
+    graft.ops.DataQuality.isotonicBinsPpm(bins)
+      .select(col("bin"), col("n").as("n_docs"),
+        expr("pos * 1000000 div n").as("pos_rate_ppm"), col("iso_ppm"))
+  }
+
   /** Dataset card — the one-row corpus summary a training-data release
     * ships: document/token/char volumes, language and source breadth,
     * exact-duplicate rate (bag-of-words fingerprint groups) and the
@@ -1341,5 +1506,6 @@ object TextQueries {
     xBpeTokenize, xHtmlStrip, xQualityClassifier, xNbClassify, xLabelIssues,
     xAbstention, xLangEval,
     xGopherRules, xReadability, xTokFertility, xVocabCoverage,
-    xCalibrationBins, xAuc, xDatasetCard, xEvalRougeBleu)
+    xCalibrationBins, xAuc, xDatasetCard, xEvalRougeBleu,
+    xAvgPrecision, xIsotonicFit)
 }

@@ -72,6 +72,30 @@ class DataQualitySpec extends SparkSpec {
     assert(got.forall(r => r._2 === 0L && r._3))
   }
 
+  test("isotonicBinsPpm: PAV pooling on a hand case, identity on a " +
+    "monotone input, global monotone output") {
+    // rates [0.2, 0.1, 0.3] with equal n: PAV pools the violating first
+    // pair to 0.15 → [150000, 150000, 300000]
+    val viol = Seq((0L, 10L, 2L), (1L, 10L, 1L), (2L, 10L, 3L))
+      .toDF("bin", "n", "pos")
+    val got = DataQuality.isotonicBinsPpm(viol)
+      .orderBy(col("bin")).as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._4).toSeq === Seq(150000L, 150000L, 300000L))
+    // already-monotone input is a fixed point
+    val mono = Seq((0L, 10L, 1L), (1L, 10L, 2L), (2L, 10L, 5L))
+      .toDF("bin", "n", "pos")
+    val got2 = DataQuality.isotonicBinsPpm(mono)
+      .orderBy(col("bin")).as[(Long, Long, Long, Long)].collect()
+    assert(got2.map(_._4).toSeq === Seq(100000L, 200000L, 500000L))
+    // a rougher profile still comes out non-decreasing
+    val rough = Seq((0L, 5L, 4L), (1L, 7L, 1L), (2L, 3L, 2L),
+      (3L, 9L, 3L), (4L, 4L, 4L)).toDF("bin", "n", "pos")
+    val iso = DataQuality.isotonicBinsPpm(rough)
+      .orderBy(col("bin")).as[(Long, Long, Long, Long)].collect().map(_._4)
+    assert(iso.sliding(2).forall(p => p.length < 2 || p.head <= p.last),
+      iso.mkString(","))
+  }
+
   test("conformalCoverage: hand-replayed order statistic, coverage " +
     "counts, and small-group drop") {
     // group g: 10 cal rows (even ids) with values 0.0..0.9, 5 test rows;

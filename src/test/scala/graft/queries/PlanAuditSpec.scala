@@ -514,6 +514,8 @@ class PlanAuditSpec extends SparkSpec {
       // score-matrix chain behind all three)
       "x_nb_classify", "x_label_issues", "x_abstention",
       "x_neyman_alloc", // one-row weight-total + floor-total broadcasts
+      "x_isotonic_fit", // bounded-bin interval self-joins (≤10-row dims)
+      "x_join_size_cms", // one-row estimate × one-row exact-count meter
       "x_kmv_setops",  // source-dimension pair frame (groups, not rows)
       "g_ktruss")      // one-row pair-volume total (sparsify threshold)
     var bnljSeen = 0

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.core.Tables
+import graft.text.TextFns
+
+/** Ranking-metric queries checked against naive driver-side definitions:
+  * the decomposed (no-global-window) average precision must equal the
+  * textbook single-sort computation, and the CMS join-size estimate must
+  * respect the count-min upper-bound guarantee. */
+class RankingMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("x_avg_precision equals the naive sort-everything AP with " +
+    "ppm-floored precision terms") {
+    // the same scored frame the query builds, replayed naively
+    val it = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        aggregate(TextFns.classifierFeatures(col("text")), lit(0L),
+          (acc, f) => acc + TextFns.classifierWeight(f)).as("score"),
+        (TextFns.qualityScore(col("text")) >= 0.35).as("label"))
+      .as[(Long, Long, Boolean)].collect()
+    val ranked = it.sortBy { case (id, s, _) => (-s, id) }
+    var pos = 0L
+    var sumP = 0L
+    ranked.zipWithIndex.foreach { case ((_, _, label), idx) =>
+      if (label) {
+        pos += 1
+        sumP += pos * 1000000L / (idx + 1)
+      }
+    }
+    val got = TextQueries.xAvgPrecision.fn(spark, sf)
+      .as[(Long, Long, Long)].collect().head
+    assert(got._1 === pos)
+    assert(got._2 === sumP)
+    assert(got._3 === sumP / pos)
+  }
+
+  test("x_join_size_cms: estimate is an upper bound on the exact join " +
+    "size (count-min guarantee) and deterministic across runs") {
+    val a = CoreQueries.xJoinSizeCms.fn(spark, sf)
+      .as[(Long, Long, Long)].collect().head
+    assert(a._1 >= a._2, s"CMS estimate ${a._1} below exact ${a._2}")
+    assert(a._3 >= 0L)
+    val b = CoreQueries.xJoinSizeCms.fn(spark, sf)
+      .as[(Long, Long, Long)].collect().head
+    assert(a === b)
+  }
+
+  test("x_isotonic_fit output is monotone non-decreasing in the bin " +
+    "and preserves bin populations") {
+    val rows = TextQueries.xIsotonicFit.fn(spark, sf)
+      .orderBy(col("bin")).as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val iso = rows.map(_._4)
+    assert(iso.sliding(2).forall(p => p.length < 2 || p.head <= p.last),
+      iso.mkString(","))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum === nDocs)
+  }
+}
