@@ -813,12 +813,18 @@ object Similarity {
     * Scale: round i is ONE pass over the running (vec_id, v, dmin) frame
     * with a one-row broadcast (the new center) folded through `least` —
     * each round computes ONE new distance per vector. The running frame
-    * is persisted per round (the GraphOps iterative-closure discipline),
-    * so round i reads round i-1's cache instead of re-executing the whole
-    * chain; k rounds = k linear passes, no pairwise joins, no windows.
-    * The argmax is a TakeOrderedAndProject (top-1 per partition, merged
-    * at the driver), never a global sort shuffle. k is a small constant
-    * (coresets are picked to fit a human or a prompt, not the corpus).
+    * and each round's argmax row are localCheckpoint'ed (the GraphOps
+    * iterative-closure discipline): the checkpoint truncates the lineage
+    * to a LogicalRDD, so the plan stays CONSTANT-sized per round — each
+    * round's frame references the argmax twice (union row + broadcast),
+    * and without truncation the logical plan grows exponentially in k,
+    * with ANALYSIS time (not execution) coming to dominate by round ~6
+    * (measured on mmrSelect: 3^k plan copies, 39 s to plan round 6's
+    * one-row argmax). k rounds = k linear passes, no pairwise joins, no
+    * windows. The argmax is a TakeOrderedAndProject (top-1 per
+    * partition, merged at the driver), never a global sort shuffle. k is
+    * a small constant (coresets are picked to fit a human or a prompt,
+    * not the corpus).
     *
     * Output: (sel_rank 1..k, vec_id, radius) — radius is the selected
     * vector's min distance at selection time (null for the seed); the
@@ -839,32 +845,26 @@ object Similarity {
     graft.functions.L2Squared.register(emb.sparkSession)
     val base = emb.select(col(idCol).as("vec_id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
-    val seed = base.orderBy(col("vec_id").asc).limit(1)
+    // eager localCheckpoint per round: truncates lineage so every round's
+    // plan is constant-sized (see scaladoc), materializes exactly once,
+    // and nothing lingers in the cache manager after return
+    val seed = base.orderBy(col("vec_id").asc).limit(1).localCheckpoint(true)
     var out = Vector(seed.select(lit(1L).as("sel_rank"), col("vec_id"),
       lit(null).cast("double").as("radius")))
     var d = base
       .crossJoin(broadcast(seed.select(col("v").as("cv"))))
       .select(col("vec_id"), col("v"), l2sq(col("v"), col("cv")).as("dmin"))
-      .persist()
+      .localCheckpoint(true)
     for (i <- 2 to k) {
-      // the argmax row is persisted (ONE row) so the final union and the
-      // next round's broadcast both read its cache instead of re-running
-      // the argmax against a round frame that has since been released
-      val ci = d.orderBy(col("dmin").desc, col("vec_id").asc).limit(1).persist()
+      val ci = d.orderBy(col("dmin").desc, col("vec_id").asc).limit(1)
+        .localCheckpoint(true)
       out :+= ci.select(lit(i.toLong).as("sel_rank"), col("vec_id"),
         col("dmin").as("radius"))
       if (i < k) {
-        val prev = d
         d = d.crossJoin(broadcast(ci.select(col("v").as("cv"))))
           .select(col("vec_id"), col("v"),
             least(col("dmin"), l2sq(col("v"), col("cv"))).as("dmin"))
-          .persist()
-        // materialize round i's frame (and ci) BEFORE releasing round
-        // i-1's cache — without this each call leaks k-1 cached
-        // corpus-sized frames; what stays cached after return is the k-1
-        // one-row argmax frames plus the final round frame
-        d.count()
-        prev.unpersist(blocking = false)
+          .localCheckpoint(true)
       }
     }
     out.reduce(_.unionByName(_))
@@ -881,9 +881,15 @@ object Similarity {
     * pre-scale their vectors). Deterministic: exact-double folds, score
     * ties → lowest id, λ a double literal, so both engines replay the
     * identical selection (the x_mmr_select oracle unrolls the same
-    * rounds). Same per-round shape and persist/unpersist discipline as
+    * rounds). Same per-round shape and plan-bounding discipline as
     * [[kCenterGreedy]]: one pass over the running (vec_id, v, rel, dmin)
-    * frame with a one-row broadcast per round. */
+    * frame with a one-row broadcast per round, each round's frame and
+    * argmax localCheckpoint'ed. The checkpoint is LOAD-BEARING here:
+    * every round references the argmax row twice and the running frame
+    * twice (anti-join + broadcast), so the un-truncated logical plan
+    * grows 3^k — measured 60,000 scan nodes and 39 s of pure ANALYSIS
+    * for round 6's one-row argmax before the fix (56 s total vs 2 s for
+    * the checkpointed form). */
   def mmrSelect(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, lambda: Double = 0.5): DataFrame = {
     require(k >= 1, "k must be >= 1")
@@ -893,32 +899,36 @@ object Similarity {
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("rel", dotD(col("v"), col("v")))
     val seed = base.orderBy(col("rel").desc, col("vec_id").asc).limit(1)
-      .persist()
+      .localCheckpoint(true)
     var out = Vector(seed.select(lit(1L).as("sel_rank"), col("vec_id"),
       col("rel").as("score")))
     // a selected row must LEAVE the candidate frame (unlike k-center,
     // where dmin = 0 retires it, a high-relevance row would be re-picked
     // forever) — one-row broadcast anti-joins, no driver collect
+    // the picked id is re-ALIASED before each anti-join: the checkpointed
+    // one-row frame shares its attribute ids with the running frame (a
+    // LogicalRDD keeps its source attrs), and an un-aliased projection
+    // would make the join's two sides expose the same attribute
     var d = base
-      .join(seed.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .join(seed.select(col("vec_id").as("__picked")),
+        col("vec_id") === col("__picked"), "left_anti")
       .crossJoin(broadcast(seed.select(col("v").as("cv"))))
       .select(col("vec_id"), col("v"), col("rel"),
         l2sq(col("v"), col("cv")).as("dmin"))
-      .persist()
+      .localCheckpoint(true)
     for (i <- 2 to k) {
       val score = col("rel") + lit(lambda) * col("dmin")
-      val ci = d.orderBy(score.desc, col("vec_id").asc).limit(1).persist()
+      val ci = d.orderBy(score.desc, col("vec_id").asc).limit(1)
+        .localCheckpoint(true)
       out :+= ci.select(lit(i.toLong).as("sel_rank"), col("vec_id"),
         score.as("score"))
       if (i < k) {
-        val prev = d
-        d = d.join(ci.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        d = d.join(ci.select(col("vec_id").as("__picked")),
+            col("vec_id") === col("__picked"), "left_anti")
           .crossJoin(broadcast(ci.select(col("v").as("cv"))))
           .select(col("vec_id"), col("v"), col("rel"),
             least(col("dmin"), l2sq(col("v"), col("cv"))).as("dmin"))
-          .persist()
-        d.count()
-        prev.unpersist(blocking = false)
+          .localCheckpoint(true)
       }
     }
     out.reduce(_.unionByName(_))

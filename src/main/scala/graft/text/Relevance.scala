@@ -374,8 +374,17 @@ object Relevance {
     * same bounded group. Output: (doc_id, predicted, score_micro,
     * actual, correct). */
   def naiveBayesClassify(docs: DataFrame, idCol: String, textCol: String,
-      classCol: String): DataFrame = {
-    val scores = nbScoreMatrix(docs, idCol, textCol, classCol)
+      classCol: String): DataFrame =
+    naiveBayesClassifyFromMatrix(
+      nbScoreMatrix(docs, idCol, textCol, classCol))
+
+  /** [[naiveBayesClassify]] over a PRECOMPUTED (doc_id, cl, actual,
+    * score_micro) matrix — the persist-and-derive entry point: the
+    * matrix is the expensive artifact (token-shuffle + model join), the
+    * argmax here is one bounded-group window over it, so the three
+    * matrix consumers (classify / label-issues / abstention) can share
+    * one materialized table instead of recomputing the shuffle each. */
+  def naiveBayesClassifyFromMatrix(scores: DataFrame): DataFrame = {
     val wArg = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_micro").desc, col("cl").asc)
     scores.withColumn("rn", row_number().over(wArg))
@@ -397,8 +406,12 @@ object Relevance {
     * product form is exact). Output: (doc_id, actual, predicted,
     * flagged). */
   def nbLabelIssues(docs: DataFrame, idCol: String, textCol: String,
-      classCol: String): DataFrame = {
-    val mat = nbScoreMatrix(docs, idCol, textCol, classCol)
+      classCol: String): DataFrame =
+    nbLabelIssuesFromMatrix(nbScoreMatrix(docs, idCol, textCol, classCol))
+
+  /** [[nbLabelIssues]] over a precomputed score matrix (see
+    * [[naiveBayesClassifyFromMatrix]]). */
+  def nbLabelIssuesFromMatrix(mat: DataFrame): DataFrame = {
     val thr = mat.filter(col("cl") === col("actual"))
       .groupBy(col("cl"))
       .agg(sum(col("score_micro")).as("t_sum"), count(lit(1)).as("t_n"))
@@ -425,8 +438,13 @@ object Relevance {
     * runner-up: margin = NULL, abstain = true (nothing to be confident
     * against). */
   def nbAbstention(docs: DataFrame, idCol: String, textCol: String,
-      classCol: String, marginMicro: Long): DataFrame = {
-    val mat = nbScoreMatrix(docs, idCol, textCol, classCol)
+      classCol: String, marginMicro: Long): DataFrame =
+    nbAbstentionFromMatrix(
+      nbScoreMatrix(docs, idCol, textCol, classCol), marginMicro)
+
+  /** [[nbAbstention]] over a precomputed score matrix (see
+    * [[naiveBayesClassifyFromMatrix]]). */
+  def nbAbstentionFromMatrix(mat: DataFrame, marginMicro: Long): DataFrame = {
     val wArg = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_micro").desc, col("cl").asc)
     val ranked = mat.withColumn("rn", row_number().over(wArg))

@@ -39,6 +39,30 @@ class RankingMetricsSpec extends SparkSpec {
     assert(got._3 === sumP / pos)
   }
 
+  test("x_ndcg equals the naive sort-everything computation and is " +
+    "at most 10^6 ppm") {
+    val it = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        aggregate(TextFns.classifierFeatures(col("text")), lit(0L),
+          (acc, f) => acc + TextFns.classifierWeight(f)).as("score"),
+        (TextFns.qualityScore(col("text")) >= 0.35).as("label"))
+      .as[(Long, Long, Boolean)].collect()
+    val ranked = it.sortBy { case (id, s, _) => (-s, id) }
+    def disc(k: Long): Long = math.floor(1000000.0 / math.log(k + 1.0)).toLong
+    var pos = 0L; var dcg = 0L; var idcg = 0L
+    ranked.zipWithIndex.foreach { case ((_, _, label), idx) =>
+      if (label) {
+        pos += 1
+        dcg += disc(idx + 1L)
+        idcg += disc(pos)
+      }
+    }
+    val got = TextQueries.xNdcg.fn(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got === ((pos, dcg, idcg, dcg * 1000000L / idcg)))
+    assert(got._4 <= 1000000L && got._4 > 0L)
+  }
+
   test("x_join_size_cms: estimate is an upper bound on the exact join " +
     "size (count-min guarantee) and deterministic across runs") {
     val a = CoreQueries.xJoinSizeCms.fn(spark, sf)
