@@ -836,15 +836,7 @@ object TextQueries {
         |  abs(CAST(SUM(p_ppm) AS BIGINT) // COUNT(*)
         |    - COUNT(*) FILTER (WHERE label) * 1000000 // COUNT(*)) AS gap_ppm
         |FROM b GROUP BY 1""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    val scored = docs
-      .select(col("doc_id"), col("text"),
-        TextFns.classifierFeatures(col("text")).as("__f"))
-      .select(col("doc_id"),
-        size(col("__f")).cast("long").as("n_feats"),
-        aggregate(col("__f"), lit(0L),
-          (acc, f) => acc + TextFns.classifierWeight(f)).as("score"),
-        (TextFns.qualityScore(col("text")) >= 0.35).as("label"))
+    val scored = scoredPersisted(s, d)
       .withColumn("p_ppm",
         expr("(score + 500 * n_feats) * 1000 div greatest(n_feats, 1)"))
       .withColumn("bin", least(expr("p_ppm div 100000"), lit(9L)))
@@ -906,11 +898,7 @@ object TextQueries {
         |    AS auc_ppm
         |FROM cum""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val scored = Tables.documents(s, d)
-      .select(col("doc_id"),
-        aggregate(TextFns.classifierFeatures(col("text")), lit(0L),
-          (acc, f) => acc + TextFns.classifierWeight(f)).as("score"),
-        (TextFns.qualityScore(col("text")) >= 0.35).as("label"))
+    val scored = scoredPersisted(s, d)
     val vals = scored.groupBy(col("score"))
       .agg(count(when(col("label"), lit(1))).as("np"),
         count(when(!col("label"), lit(1))).as("nn"))
@@ -980,16 +968,45 @@ object TextQueries {
       |  JOIN offs o ON o.score = rp.score)
       |""".stripMargin
 
+  /** Persist-and-derive for the classifier-scored frame — the five
+    * score-consuming evals (x_auc / x_calibration_bins / x_isotonic_fit /
+    * x_avg_precision / x_ndcg) share one (doc_id, score, n_feats, label)
+    * table computed once per (session, corpus): the expensive part of
+    * each is the token+bigram feature fold over the text, identical in
+    * all five. Every consumer's DuckDB oracle recomputes the fold from
+    * scratch, so each green row re-proves table-derived ≡ recomputed
+    * (the nbMatrixPersisted discipline). */
+  private val scoredMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def scoredPersisted(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val key = s.sparkContext.applicationId + "|" + d
+    val path = scoredMemo.getOrElseUpdate(key, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-scored").toString
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFns.classifierFeatures(col("text")).as("__f"),
+          (TextFns.qualityScore(col("text")) >= 0.35).as("label"))
+        .select(col("doc_id"), col("label"),
+          size(col("__f")).cast("long").as("n_feats"),
+          aggregate(col("__f"), lit(0L),
+            (acc, f) => acc + TextFns.classifierWeight(f)).as("score"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** Spark twin of [[rankedPosCtes]]: one row per positive document with
     * its global position `k` and positive-rank `cumpos`. */
   private def rankedPositives(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val it = Tables.documents(s, d)
-      .select(col("doc_id"),
-        aggregate(TextFns.classifierFeatures(col("text")), lit(0L),
-          (acc, f) => acc + TextFns.classifierWeight(f)).as("score"),
-        (TextFns.qualityScore(col("text")) >= 0.35).as("label"))
+    val it = scoredPersisted(s, d).select(col("doc_id"), col("score"),
+      col("label"))
     val vals = it.groupBy(col("score"))
       .agg(count(lit(1)).as("n"), count(when(col("label"), lit(1))).as("np"))
     val wCum = Window.orderBy(col("score").desc)
@@ -1117,16 +1134,7 @@ object TextQueries {
         |SELECT bins.bin, bins.n AS n_docs,
         |  bins.pos * 1000000 // bins.n AS pos_rate_ppm, iso.iso_ppm
         |FROM bins JOIN iso USING (bin)""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d)
-    val scored = docs
-      .select(col("doc_id"),
-        TextFns.classifierFeatures(col("text")).as("__f"),
-        (TextFns.qualityScore(col("text")) >= 0.35).as("label"))
-      .select(col("doc_id"), col("label"),
-        size(col("__f")).cast("long").as("n_feats"),
-        aggregate(col("__f"), lit(0L),
-          (acc, f) => acc + TextFns.classifierWeight(f)).as("score"))
+    val scored = scoredPersisted(s, d)
       .withColumn("bin", least(
         expr("(score + 500 * n_feats) * 1000 div greatest(n_feats, 1) " +
           "div 100000"), lit(9L)))
