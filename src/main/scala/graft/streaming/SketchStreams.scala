@@ -124,6 +124,51 @@ object SketchStreams {
       epochBefore(outDir, "agg_", Long.MaxValue)
         .getOrElse(sys.error(s"no aggregate epochs under $outDir")))
 
+  /** Incremental Naive-Bayes RETRAINING — the model-maintenance shape of
+    * the sketch streams: the NB model state is two sum-mergeable count
+    * tables ([[Relevance.nbModelCounts]] — per-(class, token) counts and
+    * per-class doc counts), so each micro-batch trains on ITSELF
+    * (O(batch)) and sum-merges into the settled model; scoring any probe
+    * set against the maintained state
+    * ([[Relevance.nbScoreMatrixFromModel]]) equals scoring against a
+    * one-shot train over everything seen (counts are additive over the
+    * disjoint epochs the replay discipline guarantees). Both tables write
+    * under one epoch id reading only strictly-older epochs, so a crashed
+    * batch replays both deterministically. At 100 TB the model tables are
+    * vocab- and class-sized — the corpus is never re-read to retrain. */
+  def streamingNbModel(
+      incoming: DataFrame, textCol: String, classCol: String,
+      outDir: String, checkpointDir: String): StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val (m, cls) = Relevance.nbModelCounts(batch.toDF(), textCol, classCol)
+        val mergedM = epochBefore(outDir, "nbm_", batchId) match {
+          case Some(dir) => graft.sources.Sinks.mergeAggState(
+            spark.read.parquet(dir), m, Seq("cl", "w"), Seq("c"))
+          case None => m
+        }
+        val mergedC = epochBefore(outDir, "nbc_", batchId) match {
+          case Some(dir) => graft.sources.Sinks.mergeAggState(
+            spark.read.parquet(dir), cls, Seq("cl"), Seq("n_docs"))
+          case None => cls
+        }
+        mergedM.write.mode("overwrite").parquet(s"$outDir/nbm_$batchId")
+        mergedC.write.mode("overwrite").parquet(s"$outDir/nbc_$batchId")
+      }
+      .start()
+
+  /** The newest committed NB model state: (token counts, class counts). */
+  def latestNbModel(spark: SparkSession, outDir: String): (DataFrame, DataFrame) = {
+    val m = epochBefore(outDir, "nbm_", Long.MaxValue)
+      .getOrElse(sys.error(s"no NB model epochs under $outDir"))
+    val c = epochBefore(outDir, "nbc_", Long.MaxValue)
+      .getOrElse(sys.error(s"no NB class epochs under $outDir"))
+    (spark.read.parquet(m), spark.read.parquet(c))
+  }
+
   /** Shared epoch-maintenance skeleton: per micro-batch, compute the
     * batch's sketch state, merge it with the newest STRICTLY-OLDER epoch,
     * overwrite `<prefix><batchId>` — so a crashed batch replays into its

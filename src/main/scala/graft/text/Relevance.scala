@@ -466,17 +466,43 @@ object Relevance {
     * (confident-learning label issues, abstention) need every class's
     * score, not just the argmax. Output: (doc_id, cl, actual,
     * score_micro), |classes| rows per document. */
-  def nbScoreMatrix(docs: DataFrame, idCol: String, textCol: String,
-      classCol: String): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"), col(classCol).as("cl"),
-      TextFns.tokens(col(textCol)).as("ws"))
-    val tok = base.select(col("doc_id"), col("cl"), explode(col("ws")).as("w"))
+  /** The NB model's SUM-MERGEABLE state: per-(class, token) counts and
+    * per-class document counts. Everything else the classifier needs
+    * (vocab size, per-class token totals, priors, smoothed log-weights)
+    * derives from these two tables, so they are what an INCREMENTAL
+    * retraining pipeline maintains (SketchStreams.streamingNbModel): a
+    * batch's counts SUM-merge into the settled state — counts are
+    * additive over disjoint corpora — and the merged state equals a
+    * one-shot train over everything seen. */
+  def nbModelCounts(docs: DataFrame, textCol: String,
+      classCol: String): (DataFrame, DataFrame) = {
+    val tok = docs.select(col(classCol).as("cl"),
+      explode(TextFns.tokens(col(textCol))).as("w"))
     val m = tok.groupBy(col("cl"), col("w")).agg(count(lit(1)).as("c"))
-    val ns = m.groupBy(col("cl")).agg(sum(col("c")).as("n_s"))
-    val vocab = tok.select(col("w")).distinct().agg(count(lit(1)).as("vocab"))
     val cls = docs.groupBy(col(classCol).as("cl"))
       .agg(count(lit(1)).as("n_docs"))
-    val tot = docs.agg(count(lit(1)).as("total_docs"))
+    (m, cls)
+  }
+
+  def nbScoreMatrix(docs: DataFrame, idCol: String, textCol: String,
+      classCol: String): DataFrame = {
+    val (m, cls) = nbModelCounts(docs, textCol, classCol)
+    nbScoreMatrixFromModel(m, cls, docs, idCol, textCol, classCol)
+  }
+
+  /** Score `docs` against a PRECOMPUTED model state (the two
+    * [[nbModelCounts]] tables — possibly maintained incrementally):
+    * identical math to [[nbScoreMatrix]] (vocab = distinct model tokens,
+    * n_s/priors/log-weights all derive from the counts), so scoring
+    * against a streamed-and-merged model equals scoring against a
+    * one-shot train (proven in SketchStreamsSpec). */
+  def nbScoreMatrixFromModel(m: DataFrame, cls: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, classCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(classCol).as("cl"),
+      TextFns.tokens(col(textCol)).as("ws"))
+    val ns = m.groupBy(col("cl")).agg(sum(col("c")).as("n_s"))
+    val vocab = m.select(col("w")).distinct().agg(count(lit(1)).as("vocab"))
+    val tot = cls.agg(sum(col("n_docs")).as("total_docs"))
     val lw = m.join(ns, Seq("cl")).crossJoin(broadcast(vocab))
       .select(col("cl"), col("w"),
         graft.core.QuantLn.lnMicro((col("c") + 1).cast("double") /
@@ -490,7 +516,8 @@ object Relevance {
       .select(col("cl"),
         graft.core.QuantLn.lnMicro(col("n_docs").cast("double") /
           col("total_docs").cast("double")).as("pri_micro"))
-    val dt = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dt = base.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val ntok = base.select(col("doc_id"), col("cl").as("actual"),
       size(col("ws")).cast("long").as("n_tokens"))
     val matched = dt.join(lw, Seq("w"))

@@ -467,4 +467,51 @@ class EdgeCasesSpec extends SparkSpec {
     assert(got(1)._3 === Some(2.0)) // orthogonal unit vectors: L2² = 2
     assert(got.drop(2).forall(_._3 === Some(0.0)))
   }
+
+  test("rrfFuse with one empty side degrades to the other ranker's " +
+    "order; both empty yields empty") {
+    val a = Seq((1L, 1L, 10L), (1L, 2L, 20L)).toDF("vec_id", "rank", "neighbor")
+    val none = Seq.empty[(Long, Long, Long)].toDF("vec_id", "rank", "neighbor")
+    val got = graft.sim.Similarity.rrfFuse(a, none, k = 5)
+      .orderBy(col("rank")).as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._3).toSeq === Seq(10L, 20L))
+    assert(graft.sim.Similarity.rrfFuse(none, none, k = 5).count() === 0)
+  }
+
+  test("conformalCoverage: all-calibration input (no test rows) and " +
+    "empty input both yield empty output") {
+    val allCal = Seq(("g", 2L, 1.0), ("g", 4L, 2.0), ("g", 6L, 3.0),
+      ("g", 8L, 1.5), ("g", 10L, 2.5), ("g", 12L, 0.5), ("g", 14L, 1.2),
+      ("g", 16L, 2.2), ("g", 18L, 3.2), ("g", 20L, 0.2))
+      .toDF("grp", "id", "value")
+    assert(DataQuality.conformalCoverage(allCal, "grp", col("value"),
+      col("id") % 2 === 0).count() === 0)
+    val empty = Seq.empty[(String, Long, Double)].toDF("grp", "id", "value")
+    assert(DataQuality.conformalCoverage(empty, "grp", col("value"),
+      col("id") % 2 === 0).count() === 0)
+  }
+
+  test("isotonicBinsPpm: single bin is its own (floored) rate; empty " +
+    "bin table stays empty") {
+    val one = Seq((0L, 3L, 2L)).toDF("bin", "n", "pos")
+    val got = DataQuality.isotonicBinsPpm(one)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((0L, 3L, 2L, 666666L)))
+    val empty = Seq.empty[(Long, Long, Long)].toDF("bin", "n", "pos")
+    assert(DataQuality.isotonicBinsPpm(empty).count() === 0)
+  }
+
+  test("mortonInterleave rejects out-of-range bit widths; bit 31 " +
+    "boundary round-trips") {
+    intercept[IllegalArgumentException] {
+      Scale.mortonInterleave(col("x"), col("y"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      Scale.mortonInterleave(col("x"), col("y"), 32)
+    }
+    val m = Seq(((1L << 30), 0L)).toDF("x", "y")
+      .select(Scale.mortonInterleave(col("x"), col("y"), 31).as("z"))
+      .as[Long].head()
+    assert(m === (1L << 60))
+  }
 }

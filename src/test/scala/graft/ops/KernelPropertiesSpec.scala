@@ -203,4 +203,37 @@ class KernelPropertiesSpec extends SparkSpec {
       (99L, new Timestamp(1000L * 100), 1L, 0.0))
     assert(s1 * 2 === s0, s"s0=$s0 s1=$s1")
   }
+
+  test("rrfFuse is symmetric in its two rankers (IEEE a+b == b+a) and " +
+    "dual-listed candidates dominate their single-list selves") {
+    val rankList = Gen.listOfN(6,
+      Gen.zip(Gen.choose(1L, 3L), Gen.choose(1L, 30L)))
+      .map(_.distinct.groupBy(_._1).toSeq.flatMap { case (q, nbs) =>
+        nbs.map(_._2).distinct.zipWithIndex.map { case (nb, i) =>
+          (q, (i + 1).toLong, nb)
+        }
+      })
+    samples(Gen.zip(rankList, rankList), n = 8).foreach { case (la, lb) =>
+      val a = la.toDF("vec_id", "rank", "neighbor")
+      val b = lb.toDF("vec_id", "rank", "neighbor")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Long, Double)].collect().toSet
+      val ab = rows(graft.sim.Similarity.rrfFuse(a, b, k = 50))
+      val ba = rows(graft.sim.Similarity.rrfFuse(b, a, k = 50))
+      assert(ab === ba)
+      // a candidate present in BOTH lists scores the sum of its two
+      // single-list contributions — strictly above either alone
+      val aOnly = rows(graft.sim.Similarity.rrfFuse(a,
+        Seq.empty[(Long, Long, Long)].toDF("vec_id", "rank", "neighbor"),
+        k = 50)).map(r => (r._1, r._3) -> r._4).toMap
+      val bOnly = rows(graft.sim.Similarity.rrfFuse(b,
+        Seq.empty[(Long, Long, Long)].toDF("vec_id", "rank", "neighbor"),
+        k = 50)).map(r => (r._1, r._3) -> r._4).toMap
+      ab.foreach { case (q, _, nb, s) =>
+        val ea = aOnly.getOrElse((q, nb), 0.0)
+        val eb = bOnly.getOrElse((q, nb), 0.0)
+        assert(s === ea + eb, s"($q,$nb)")
+      }
+    }
+  }
 }

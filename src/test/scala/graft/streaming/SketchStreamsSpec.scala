@@ -233,4 +233,54 @@ class SketchStreamsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(streamed === oneShot)
   }
+
+  test("streamed NB model maintenance over three micro-batches equals a " +
+    "one-shot train: merged counts AND the score matrix over a probe set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq((1L, "alpha beta beta", "news"), (2L, "gamma alpha", "spam"))
+    val b2 = Seq((3L, "beta beta gamma", "news"), (4L, "delta", "spam"))
+    val b3 = Seq((5L, "alpha delta delta gamma", "news"))
+    val all = b1 ++ b2 ++ b3
+
+    val out = java.nio.file.Files.createTempDirectory("graft-nbm").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nbm-c").toString
+    val ms = MemoryStream[(Long, String, String)]
+    val q = SketchStreams.streamingNbModel(
+      ms.toDF().toDF("doc_id", "text", "source"), "text", "source",
+      out, ckpt)
+    Seq(b1, b2, b3).foreach { b =>
+      ms.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    // both table families have one complete epoch per batch
+    val files = new java.io.File(out).list()
+    assert(files.count(_.startsWith("nbm_")) === 3)
+    assert(files.count(_.startsWith("nbc_")) === 3)
+
+    // merged state ≡ one-shot training counts
+    val (sm, sc) = SketchStreams.latestNbModel(spark, out)
+    val (bm, bc) = graft.text.Relevance.nbModelCounts(
+      all.toDF("doc_id", "text", "source"), "text", "source")
+    assert(sm.as[(String, String, Long)].collect().toSet ===
+      bm.as[(String, String, Long)].collect().toSet)
+    assert(sc.as[(String, Long)].collect().toSet ===
+      bc.as[(String, Long)].collect().toSet)
+
+    // scoring a probe set against the MAINTAINED model ≡ the one-shot path
+    val probe = all.toDF("doc_id", "text", "source")
+    val streamedScores = graft.text.Relevance.nbScoreMatrixFromModel(
+      sm, sc, probe, "doc_id", "text", "source")
+      .as[(Long, String, String, Long)].collect().toSet
+    val oneShot = graft.text.Relevance.nbScoreMatrix(
+      probe, "doc_id", "text", "source")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(streamedScores === oneShot)
+    // sanity: every (doc, class) cell scored
+    assert(streamedScores.size === all.size * 2)
+    assert(streamedScores.forall { case (_, cl, _, _) =>
+      Set("news", "spam")(cl) })
+  }
 }
