@@ -43,4 +43,32 @@ object EntityResolution {
       .filter(col("dist").between(1, maxDist))
       .select("name_a", "name_b", "dist", "n_a", "n_b")
   }
+
+  /** Entity clusters from the blocked fuzzy matches — the transitive-
+    * closure step between matching and survivorship: matched NAME pairs
+    * form an undirected graph, connected components give the entity, and
+    * every record attaches through its name. Names stay the unit of
+    * clustering (the distinct-name domain, not the record count); the
+    * GraphX vertex id of a name is its MIN record key — derivable by an
+    * independent engine, so the whole closure oracle-replicates as a
+    * recursive CTE over the same edges. Names with no fuzzy match are
+    * their own singleton cluster (left join + coalesce).
+    * Output: (name, cluster_id). */
+  def nameClusters(records: DataFrame, keyCol: String, nameCol: String,
+      blockKey: Column => Column, maxDist: Int = 4): DataFrame = {
+    val nids = records.groupBy(col(nameCol).as("name"))
+      .agg(min(col(keyCol)).as("nid"))
+    val edges = blockedNameMatch(records, nameCol, blockKey, maxDist)
+      .join(nids.select(col("name").as("name_a"), col("nid").as("a")),
+        Seq("name_a"))
+      .join(nids.select(col("name").as("name_b"), col("nid").as("b")),
+        Seq("name_b"))
+      .select(col("a"), col("b"))
+    val cc = graft.graph.GraphOps
+      .connectedComponents(records.sparkSession, edges)
+    nids.join(cc.select(col("node").as("nid"), col("component")),
+        Seq("nid"), "left")
+      .select(col("name"),
+        coalesce(col("component"), col("nid")).as("cluster_id"))
+  }
 }

@@ -1124,6 +1124,78 @@ object CoreQueries {
         name => element_at(split(name, " "), -1), maxDist = 4)
   }
 
+  /** Golden-record survivorship (the MDM step AFTER matching): fuzzy
+    * name clusters from [[graft.ops.EntityResolution.nameClusters]]
+    * (blocked Levenshtein pairs → GraphX connected components, name ids =
+    * min record key so the closure oracle-replicates as a recursive CTE),
+    * then per entity the survivorship rules a master-data pipeline ships:
+    * canonical name = most-frequent (ties → lexicographic min, the
+    * two-step max-count/min-name idiom — no rank window), brand = mode
+    * under the same rule, price = max in exact cents. Clustering runs on
+    * the distinct-NAME domain; records attach by one name-keyed join. */
+  val xErGolden = Q(
+    "x_er_golden",
+    """WITH RECURSIVE n AS (SELECT p_name AS name, COUNT(*) AS n,
+      |    MIN(p_partkey) AS nid FROM part GROUP BY 1),
+      |b AS (SELECT string_split(name, ' ')[-1] AS blk, name, nid FROM n),
+      |mp AS (SELECT a.nid AS u, c.nid AS v
+      |  FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+      |  WHERE levenshtein(a.name, c.name) BETWEEN 1 AND 4),
+      |und AS (SELECT u, v FROM mp UNION SELECT v, u FROM mp),
+      |reach (x, y) AS (
+      |  SELECT u, u FROM und
+      |  UNION
+      |  SELECT r.x, w.v FROM reach r JOIN und w ON r.y = w.u),
+      |comp AS (SELECT x AS nid, MIN(y) AS component FROM reach GROUP BY 1),
+      |cl AS (SELECT n.name, COALESCE(comp.component, n.nid) AS cluster_id
+      |  FROM n LEFT JOIN comp ON n.nid = comp.nid),
+      |rec AS (SELECT cl.cluster_id, p.p_name, p.p_brand,
+      |    CAST(floor(p.p_retailprice * 100) AS BIGINT) AS price_c
+      |  FROM part p JOIN cl ON p.p_name = cl.name),
+      |agg AS (SELECT cluster_id, COUNT(*) AS n_records,
+      |    COUNT(DISTINCT p_name) AS n_names,
+      |    CAST(max(price_c) AS BIGINT) AS max_price_c
+      |  FROM rec GROUP BY 1),
+      |nc AS (SELECT cluster_id, p_name, COUNT(*) AS c FROM rec GROUP BY 1, 2),
+      |nmx AS (SELECT cluster_id, max(c) AS mc FROM nc GROUP BY 1),
+      |canon AS (SELECT nc.cluster_id, min(nc.p_name) AS canonical_name
+      |  FROM nc JOIN nmx ON nc.cluster_id = nmx.cluster_id AND nc.c = nmx.mc
+      |  GROUP BY 1),
+      |bcnt AS (SELECT cluster_id, p_brand, COUNT(*) AS c FROM rec GROUP BY 1, 2),
+      |bmx AS (SELECT cluster_id, max(c) AS mc FROM bcnt GROUP BY 1),
+      |bmode AS (SELECT bcnt.cluster_id, min(bcnt.p_brand) AS brand_mode
+      |  FROM bcnt JOIN bmx ON bcnt.cluster_id = bmx.cluster_id
+      |    AND bcnt.c = bmx.mc
+      |  GROUP BY 1)
+      |SELECT agg.cluster_id, agg.n_records, agg.n_names,
+      |  canon.canonical_name, bmode.brand_mode, agg.max_price_c
+      |FROM agg JOIN canon USING (cluster_id)
+      |JOIN bmode USING (cluster_id)""".stripMargin) { (s, d) =>
+    val part = Tables.part(s, d)
+    val cl = graft.ops.EntityResolution.nameClusters(
+      part, "p_partkey", "p_name",
+      name => element_at(split(name, " "), -1), maxDist = 4)
+    val rec = part.join(cl, part("p_name") === cl("name"))
+      .select(col("cluster_id"), col("p_name"), col("p_brand"),
+        floor(col("p_retailprice") * 100).cast("long").as("price_c"))
+    val agg = rec.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_records"),
+        countDistinct(col("p_name")).as("n_names"),
+        max(col("price_c")).as("max_price_c"))
+    def mode(valCol: String, outName: String) = {
+      val cnt = rec.groupBy(col("cluster_id"), col(valCol))
+        .agg(count(lit(1)).as("__c"))
+      val mx = cnt.groupBy(col("cluster_id")).agg(max(col("__c")).as("__mc"))
+      cnt.join(mx, Seq("cluster_id"))
+        .filter(col("__c") === col("__mc"))
+        .groupBy(col("cluster_id")).agg(min(col(valCol)).as(outName))
+    }
+    agg.join(mode("p_name", "canonical_name"), Seq("cluster_id"))
+      .join(mode("p_brand", "brand_mode"), Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_records"), col("n_names"),
+        col("canonical_name"), col("brand_mode"), col("max_price_c"))
+  }
+
   /** Decile bucketing under a total order (unique-key tie-break),
     * aggregated to one row per decile. Exact ntile semantics WITHOUT the
     * one-task global window: `Scale.binnedGlobalRank` over 4096
@@ -1986,7 +2058,8 @@ object CoreQueries {
     sqlFrontDoor, sqlDecorrelate, sqlLateral, sqlRangeNative, qCube, qRollup, evPivot, qRunningTotal,
     q07VolumeShipping, q14PromoRevenue,
     q03ShippingPriority, q18LargeOrders, q05LocalSupplier, q10ReturnedItems,
-    q04PriorityExists, q06ForecastRevenue, erBlockedMatch, qNtile, qUnpivot,
+    q04PriorityExists, q06ForecastRevenue, erBlockedMatch, xErGolden,
+    qNtile, qUnpivot,
     qWindowShare, xDataQuality, xProfile, xKAnonymity, xDriftPsi, xColCorr,
     xMad, xLDiversity, u2IntersectExcept, qPercentRank, xDpRelease,
     xBootstrapCi, xNeymanAlloc,

@@ -38,4 +38,22 @@ class EntityResolutionSpec extends SparkSpec {
     assert(tight.map(r => (r._1, r._2)).toSet ===
       Set(("blue gear", "blue gears"), ("red widget", "ted widget")))
   }
+
+  test("nameClusters: transitive closure over matched names, min-key " +
+    "cluster ids, singletons keep their own id") {
+    // chain: "red widget" ~ "ted widget" ~ "tad widget" (transitive even
+    // though red~tad is dist 2 of each other via ted); "red gadget" alone
+    val keyed = Seq(
+      (10L, "red widget"), (11L, "red widget"), (20L, "ted widget"),
+      (30L, "tad widget"), (40L, "red gadget"))
+      .toDF("k", "name")
+    val got = EntityResolution.nameClusters(keyed, "k", "name", lastToken, 2)
+      .as[(String, Long)].collect().toMap
+    // cluster id = min record key across the whole component (10)
+    assert(got("red widget") === 10L)
+    assert(got("ted widget") === 10L)
+    assert(got("tad widget") === 10L)
+    // unmatched name is its own singleton cluster under its min key
+    assert(got("red gadget") === 40L)
+  }
 }
