@@ -102,6 +102,32 @@ object SourceQueries {
         min(col("offset")).as("min_offset"))
   }
 
+  /** DSv2 LIMIT pushdown over the kegg-flat source
+    * (SupportsPushDownLimit, partial by contract): each split's reader
+    * stops walking frames after the pushed count and Spark's global
+    * Limit takes the final cut — a LIMIT-k probe of a 100 TB directory
+    * parses at most k frames per split instead of every frame
+    * (KeggFlatSourceSpec pins PushedLimit on the scan and the per-split
+    * early stop). Oracle strategy: WHICH k records surface is
+    * write-order-dependent, so the query counts them — the one
+    * order-stable fact (k when ≥ k records exist). */
+  val s12Dsv2Limit = Q(
+    "s12_dsv2_limit",
+    """SELECT least(CAST(7 AS BIGINT), COUNT(*)) AS n FROM supplier""") {
+    (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_kegg_limit").toString
+      Tables.supplier(s, d).select(
+        concat(
+          lit("ENTRY       "), col("s_suppkey"), lit("\n"),
+          lit("NAME        "), col("s_name"), lit("\n///")).as("value"))
+        .write.mode("overwrite").text(dir)
+      s.read.format("kegg-flat")
+        .option("path", dir).option("splitSize", "2048").load()
+        .limit(7)
+        .agg(count(lit(1)).as("n"))
+  }
+
   /** DSv2 WRITE surface round trip (SupportsWrite + TRUNCATE on the
     * kegg-flat table): supplier-derived records go out through the V2
     * BatchWrite (task-private tmp files, all-or-nothing driver-commit
@@ -406,7 +432,8 @@ object SourceQueries {
       Seq("n_orders", "rev_c"))
   }
 
-  val all: Seq[Q] = Seq(s12FlatRecords, s12Dsv2Scan, s12Dsv2Agg, s12Dsv2Write,
+  val all: Seq[Q] = Seq(s12FlatRecords, s12Dsv2Scan, s12Dsv2Agg, s12Dsv2Limit,
+    s12Dsv2Write,
     s12Dsv2Runtime, s3CsvRoundtrip,
     fCleanupPack, p10Conform, sOrcRoundtrip, sUpsertMerge,
     sCsvPermissive, sSchemaEvolve, sBinaryFiles, sAggMaintain)

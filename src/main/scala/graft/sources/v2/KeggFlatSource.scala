@@ -124,13 +124,24 @@ private[v2] case object KeggMaxOffset extends KeggAgg
 private[v2] class KeggFlatScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var required: StructType = KeggFlatSource.schema
   private var offsetLo: Long = Long.MinValue // inclusive
   private var offsetHi: Long = Long.MaxValue // inclusive
   private var fileEq: Option[String] = None
   private var accepted: Array[Filter] = Array.empty
   private var aggSpecs: Option[Seq[KeggAgg]] = None
+  private var limit: Option[Int] = None
+
+  /** Limit pushdown — PARTIAL by contract (isPartiallyPushed defaults
+    * true): each split's reader stops walking frames after `limit`
+    * qualifying records, and Spark's global Limit above takes the final
+    * cut across splits. On a LIMIT-k probe of a 100 TB directory this is
+    * the difference between parsing every frame of every split and
+    * parsing at most k frames per split — planning still prunes splits
+    * first via the pushed offset/file filters. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
@@ -210,7 +221,7 @@ private[v2] class KeggFlatScanBuilder(options: CaseInsensitiveStringMap)
       case None => required
     }
     new KeggFlatScan(path, splitSize, readSchema, offsetLo, offsetHi, fileEq,
-      aggSpecs)
+      aggSpecs, limit)
   }
 }
 
@@ -228,7 +239,7 @@ private[v2] class PlannedSplitsMetric
 private[v2] class KeggFlatScan(
     path: String, splitSize: Long, required: StructType,
     offsetLo: Long, offsetHi: Long, fileEq: Option[String],
-    aggSpecs: Option[Seq[KeggAgg]] = None)
+    aggSpecs: Option[Seq[KeggAgg]] = None, limit: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -238,7 +249,8 @@ private[v2] class KeggFlatScan(
       s"cols=${required.fieldNames.mkString(",")} " +
       s"PushedOffsets=[$offsetLo,$offsetHi] PushedFile=${fileEq.getOrElse("*")}" +
       aggSpecs.map(ss => s" PushedAggregates=[${ss.mkString(",")}]")
-        .getOrElse("")
+        .getOrElse("") +
+      limit.map(l => s" PushedLimit=$l").getOrElse("")
 
   /** Runtime (DPP-style) pruning on the `file` column: when this scan is
     * equi-joined on `file` to a selective side, Spark collects that side's
@@ -314,7 +326,7 @@ private[v2] class KeggFlatScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KeggFlatReaderFactory(required, offsetLo, offsetHi, aggSpecs)
+    new KeggFlatReaderFactory(required, offsetLo, offsetHi, aggSpecs, limit)
 }
 
 private[v2] case class KeggFlatPartition(file: String, start: Long, length: Long)
@@ -322,7 +334,7 @@ private[v2] case class KeggFlatPartition(file: String, start: Long, length: Long
 
 private[v2] class KeggFlatReaderFactory(
     required: StructType, offsetLo: Long, offsetHi: Long,
-    aggSpecs: Option[Seq[KeggAgg]] = None)
+    aggSpecs: Option[Seq[KeggAgg]] = None, limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     aggSpecs match {
@@ -330,8 +342,10 @@ private[v2] class KeggFlatReaderFactory(
         new KeggFlatAggReader(p.asInstanceOf[KeggFlatPartition], specs,
           offsetLo, offsetHi)
       case None =>
+        // per-split limit: the reader stops walking frames after `limit`
+        // emitted records (the global cut happens in Spark's Limit above)
         new KeggFlatReader(p.asInstanceOf[KeggFlatPartition], required,
-          offsetLo, offsetHi)
+          offsetLo, offsetHi, limit.map(_.toLong).getOrElse(Long.MaxValue))
     }
 }
 
@@ -387,8 +401,12 @@ private[v2] class KeggFlatAggReader(
   */
 private[v2] class KeggFlatReader(
     part: KeggFlatPartition, required: StructType,
-    offsetLo: Long = Long.MinValue, offsetHi: Long = Long.MaxValue)
+    offsetLo: Long = Long.MinValue, offsetHi: Long = Long.MaxValue,
+    limit: Long = Long.MaxValue)
     extends PartitionReader[InternalRow] {
+
+  /** Records emitted so far — the pushed-limit budget (per split). */
+  private var emitted: Long = 0L
 
   private val needRecord = required.fieldNames.contains("record")
   private val fieldGetters: Array[(Long, String) => Any] =
@@ -442,6 +460,7 @@ private[v2] class KeggFlatReader(
   private var lineLen = 0
 
   override def next(): Boolean = {
+    if (emitted >= limit) return false
     while (pos < splitEnd && pos < fileLen) {
       val frameStart = pos
       // frames arrive in increasing offset order: past the pushed upper
@@ -475,6 +494,7 @@ private[v2] class KeggFlatReader(
           else ""
         current = InternalRow.fromSeq(
           fieldGetters.map(g => g(frameStart, rec)).toIndexedSeq)
+        emitted += 1
         return true
       }
       // all-whitespace frame: fall through and try the next frame

@@ -304,4 +304,24 @@ class KeggFlatSourceSpec extends SparkSpec {
     assert(only.select("record").collect().length === 5)
     assert(only.rdd.getNumPartitions < df.rdd.getNumPartitions)
   }
+
+  test("limit pushdown reaches the scan (PushedLimit), yields exactly k " +
+    "rows, and an over-sized limit returns everything") {
+    val dir = Files.createTempDirectory("kegg_limit")
+    writeFlat(dir, "a.flat", mkRecords(20, seed = 1))
+    val df = spark.read.format("kegg-flat")
+      .option("path", dir.toString).option("splitSize", "128").load()
+    val limited = df.limit(7)
+    val plan = limited.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit=7"), plan.take(800))
+    assert(limited.count() === 7)
+    // rows come from the same record universe (prefix of some split walk)
+    val all = df.select("record").collect().map(_.getString(0)).toSet
+    assert(limited.select("record").collect()
+      .map(_.getString(0)).forall(all))
+    // limit above the record count: partial pushdown must not lose rows
+    assert(df.limit(1000).count() === 20)
+    // and an un-limited scan stays unannotated
+    assert(!df.queryExecution.executedPlan.toString.contains("PushedLimit"))
+  }
 }
