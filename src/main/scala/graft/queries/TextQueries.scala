@@ -917,6 +917,72 @@ object TextQueries {
         expr("u2 * 1000000 div (2 * n_pos * n_neg)").as("auc_ppm"))
   }
 
+  /** Per-group (language) ROC-AUC — the stratified sibling of x_auc: the
+    * same Mann-Whitney distinct-score identity, keyed by the group, so a
+    * per-domain eval (which languages does the classifier discriminate
+    * on?) costs ONE extra join of the persisted scored table to the
+    * documents' lang column. The cumulative window partitions by lang
+    * over the (lang, score) AGGREGATE — a small-domain partition ABOVE
+    * an aggregation, the sanctioned shape. Groups with no positives or
+    * no negatives emit NULL auc_ppm (undefined discrimination), same on
+    * both engines via the 0-denominator guard. */
+  val xAucByLang = Q(
+    "x_auc_by_lang",
+    wsCte +
+      """, f AS (SELECT doc_id, list_concat(ws,
+        |    CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+        |      i -> ws[i] || ' ' || ws[i+1]) ELSE [] END) AS feats FROM t),
+        |sc AS (SELECT doc_id,
+        |    CAST(list_sum(list_transform(feats, w ->
+        |      ('0x' || substr(md5('qw:' || w), 1, 14))::BIGINT % 1001 - 500))
+        |      AS BIGINT) AS score
+        |  FROM f),
+        |q AS (SELECT doc_id,
+        |    least(CAST(len(text) AS DOUBLE) / 500, 1.0) * 0.4
+        |    + CAST(len(list_filter(ws,
+        |        w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |      / len(ws) * 0.4
+        |    + (1.0 - CAST(len(regexp_replace(text,
+        |        '[^.,!?;:''"()\[\]-]', '', 'g')) AS DOUBLE)
+        |      / len(text)) * 0.2 >= 0.35 AS label
+        |  FROM t),
+        |it AS (SELECT t.lang, sc.score, q.label
+        |  FROM sc JOIN q USING (doc_id) JOIN t USING (doc_id)),
+        |vals AS (SELECT lang, score,
+        |    COUNT(*) FILTER (WHERE label) AS np,
+        |    COUNT(*) FILTER (WHERE NOT label) AS nn
+        |  FROM it GROUP BY 1, 2),
+        |cum AS (SELECT lang, np, nn,
+        |    CAST(coalesce(SUM(nn) OVER (PARTITION BY lang ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS neg_below
+        |  FROM vals)
+        |SELECT lang, CAST(SUM(np) AS BIGINT) AS n_pos,
+        |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |  CASE WHEN SUM(np) > 0 AND SUM(nn) > 0 THEN
+        |    CAST(SUM(np * (2 * neg_below + nn)) AS BIGINT) * 1000000
+        |      // (2 * CAST(SUM(np) AS BIGINT) * CAST(SUM(nn) AS BIGINT))
+        |  END AS auc_ppm
+        |FROM cum GROUP BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val it = scoredPersisted(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+    val vals = it.groupBy(col("lang"), col("score"))
+      .agg(count(when(col("label"), lit(1))).as("np"),
+        count(when(!col("label"), lit(1))).as("nn"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    vals
+      .withColumn("neg_below", coalesce(sum(col("nn")).over(wCum), lit(0L)))
+      .groupBy(col("lang"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2) * col("neg_below") + col("nn"))).as("__u2"))
+      .select(col("lang"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("__u2 * 1000000 div (2 * n_pos * n_neg)")).as("auc_ppm"))
+  }
+
   /** Shared CTE chain for the ranking-eval pair (x_avg_precision /
     * x_ndcg): every POSITIVE's global position `k` and its position among
     * positives `cumpos`, under the total order (score desc, doc_id asc),
@@ -1581,5 +1647,5 @@ object TextQueries {
     xAbstention, xLangEval,
     xGopherRules, xReadability, xTokFertility, xVocabCoverage,
     xCalibrationBins, xAuc, xDatasetCard, xEvalRougeBleu,
-    xAvgPrecision, xIsotonicFit, xNdcg)
+    xAvgPrecision, xIsotonicFit, xNdcg, xAucByLang)
 }

@@ -74,6 +74,32 @@ class RankingMetricsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("x_auc_by_lang equals a naive per-group Mann-Whitney with " +
+    "tie-aware counting") {
+    val rows = Tables.documents(spark, sf)
+      .select(col("lang"),
+        aggregate(TextFns.classifierFeatures(col("text")), lit(0L),
+          (acc, f) => acc + TextFns.classifierWeight(f)).as("score"),
+        (TextFns.qualityScore(col("text")) >= 0.35).as("label"))
+      .as[(String, Long, Boolean)].collect()
+    val expected = rows.groupBy(_._1).map { case (lang, rs) =>
+      val pos = rs.filter(_._3).map(_._2)
+      val neg = rs.filterNot(_._3).map(_._2)
+      // u2 = Σ over (p, n) pairs of 2·[p > n] + 1·[p == n]
+      val u2 = (for (p <- pos; n <- neg) yield
+        if (p > n) 2L else if (p == n) 1L else 0L).sum
+      val auc =
+        if (pos.nonEmpty && neg.nonEmpty)
+          Some(u2 * 1000000L / (2L * pos.length * neg.length))
+        else None
+      lang -> (pos.length.toLong, neg.length.toLong, auc)
+    }
+    val got = TextQueries.xAucByLang.fn(spark, sf)
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === expected)
+  }
+
   test("x_isotonic_fit output is monotone non-decreasing in the bin " +
     "and preserves bin populations") {
     val rows = TextQueries.xIsotonicFit.fn(spark, sf)
