@@ -10,9 +10,11 @@ object Bench {
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => fn(spark, sfDir).count())
     // deterministic (sorted) execution order for cross-round comparability
-    // deterministic (sorted) order; failures are reported as -1 (never a
-    // tiny elapsed time that would make a broken query look fast)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // One full timed pass over the catalogue; failures are reported as -1
+    // (never a tiny elapsed time that would make a broken query look fast)
+    def timedPass(): Seq[(String, Double)] = names.zipWithIndex
       .map { case ((name, fn), i) =>
         // queries that persist() intermediates (iterative closures, merge
         // reuse) would otherwise leave their blocks cached for the REST of
@@ -30,19 +32,39 @@ object Bench {
         }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val failed = results.count(_._2 < 0)
+
+    // Two timed passes (round-7 adjudicability fix): a one-shot record's
+    // per-query readings proved to swing up to 17× under co-residency
+    // noise, hiding real regressions. The headline total is the BETTER
+    // pass; per-query values are the per-query MIN across passes (the
+    // noise-floor estimate BenchFocus medians recover), with both raw
+    // passes kept in bench_out.json so any reading stays re-derivable.
+    val pass1 = timedPass()
+    val pass2 = timedPass()
+    val minByName = names.map { case (name, _) =>
+      val ts = Seq(pass1, pass2).flatMap(_.collectFirst {
+        case (`name`, t) if t >= 0 => t
+      })
+      name -> (if (ts.isEmpty) -1.0 else ts.min)
+    }
+    def totalOf(p: Seq[(String, Double)]) = p.map(_._2).filter(_ >= 0).sum
+    val (t1, t2) = (totalOf(pass1), totalOf(pass2))
+    val total = math.min(t1, t2)
+    val failed = minByName.count(_._2 < 0)
     // The stdout contract line must stay short: the driver keeps only a
     // bounded tail of stdout, so per-query detail (3k+ chars at 100+
-    // queries) would truncate mid-JSON. Totals only here (~100 chars);
+    // queries) would truncate mid-JSON. Totals only here (~150 chars);
     // the full per-query map goes to bench_out.json below.
-    val totalR = math.round(total * 1000.0) / 1000.0
+    def r3(v: Double) = math.round(v * 1000.0) / 1000.0
     val shortJson =
-      s"""{"metric":"total","value":$totalR,"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${names.size},"failed":$failed,"passes":[${r3(t1)},${r3(t2)}],"sf":"$sfDir"}"""
     println(shortJson)
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def qjson(p: Seq[(String, Double)]) =
+      p.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":[$t1,$t2],""" +
+        s""""queries":${qjson(minByName)},"queries_pass1":${qjson(pass1)},""" +
+        s""""queries_pass2":${qjson(pass2)},"sf":"$sfDir"}"""
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),

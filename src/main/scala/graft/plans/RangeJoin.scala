@@ -8,8 +8,9 @@ import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, Bin
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.expressions.UnsafeRow
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, FilterExec, ProjectExec, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, FilterExec, GraftSpillableRowArray, ProjectExec, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 
 import graft.functions.GraftBetween
@@ -94,8 +95,22 @@ object RangeJoinStrategy extends SparkStrategy with PredicateHelper {
   * enters the heap once (when `lo <= p` first holds), leaves once (when
   * `hi < p`), and every heap resident at a point emits a joined row — so
   * per-group cost is O((I + P)·log I + matches), never the I×P re-filter
-  * of the equi-join fallback. Memory holds one key group's intervals, the
-  * same invariant as SortMergeJoin's buffered side.
+  * of the equi-join fallback.
+  *
+  * Memory discipline is SortMergeJoin's, spill included: each key group's
+  * interval rows are buffered in a [[GraftSpillableRowArray]] (the same
+  * `ExternalAppendOnlyUnsafeRowArray` SMJ uses for its buffered side), so
+  * a hot or low-cardinality equi-key whose group exceeds
+  * `spark.sql.sortMergeJoinExec.buffer.in.memory.threshold` migrates to
+  * the task's UnsafeExternalSorter and spills to disk under pressure
+  * instead of OOMing the executor. Only the ACTIVE intervals (those whose
+  * `[lo, hi]` spans the current point — bounded by the data's maximum
+  * concurrent overlap, a property of the workload, not the group size)
+  * are held on-heap in the sweep heap; the group at large streams from
+  * the spillable array's iterator. Thresholds are overridable per query
+  * via `spark.graft.rangeJoin.buffer.{inMemoryThreshold,spillThreshold}`
+  * (used by the planted-spill spec). Disk bytes spilled surface in the
+  * node's `spillSize` SQL metric.
   *
   * NULL in any key, bound, or point drops the row (inner-join predicate
   * semantics: NULL is not a match).
@@ -112,7 +127,8 @@ case class RangeJoinExec(
   override def output: Seq[Attribute] = left.output ++ right.output
 
   override lazy val metrics = Map(
-    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "spillSize" -> SQLMetrics.createSizeMetric(sparkContext, "spill size"))
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
@@ -125,6 +141,7 @@ case class RangeJoinExec(
 
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
+    val spillSize = longMetric("spillSize")
     val lKeysB = leftKeys.map(BindReferences.bindReference(_, left.output))
     val rKeysB = rightKeys.map(BindReferences.bindReference(_, right.output))
     val loB = BindReferences.bindReference(lo, left.output)
@@ -133,10 +150,20 @@ case class RangeJoinExec(
     val keyOrds = leftKeys.map(e => TypeUtils.getInterpretedOrdering(e.dataType))
     val timeOrd = TypeUtils.getInterpretedOrdering(point.dataType)
     val out = output
+    val leftAttrs = left.output
+    // Same defaults SortMergeJoinExec feeds its buffered-side array, with a
+    // graft-scoped override so a spec can force the spill path cheaply.
+    val inMemThreshold = conf.getConfString(
+      "spark.graft.rangeJoin.buffer.inMemoryThreshold",
+      conf.sortMergeJoinExecBufferInMemoryThreshold.toString).toInt
+    val spillThreshold = conf.getConfString(
+      "spark.graft.rangeJoin.buffer.spillThreshold",
+      conf.sortMergeJoinExecBufferSpillThreshold.toString).toInt
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val proj = UnsafeProjection.create(out, out)
       new RangeSweepIterator(lIt.buffered, rIt.buffered,
-        lKeysB, rKeysB, loB, hiB, ptB, keyOrds, timeOrd)
+        lKeysB, rKeysB, loB, hiB, ptB, keyOrds, timeOrd,
+        leftAttrs, inMemThreshold, spillThreshold, spillSize)
         .map { jr => numOutputRows += 1; proj(jr) }
     }
   }
@@ -154,9 +181,10 @@ case class RangeJoinExec(
   * arrive sorted by (keys…, lo) / (keys…, point); key groups are matched
   * sort-merge style, and within a matched group the points stream through
   * an active-interval min-heap ordered by interval end. Interval rows are
-  * copied into the group buffer (sort output reuses row objects); point
-  * rows are never buffered — each is fully joined before the next is
-  * pulled, so the reused object is safe, matching SparkPlan's iterator
+  * buffered into ONE spillable array per partition (cleared per group —
+  * the array copies/serializes on add, so sort-output row reuse is safe);
+  * point rows are never buffered — each is fully joined before the next
+  * is pulled, so the reused object is safe, matching SparkPlan's iterator
   * contract (downstream copies if it buffers). */
 private[plans] final class RangeSweepIterator(
     lBuf: BufferedIterator[InternalRow],
@@ -167,10 +195,21 @@ private[plans] final class RangeSweepIterator(
     hiE: Expression,
     ptE: Expression,
     keyOrds: Seq[Ordering[Any]],
-    timeOrd: Ordering[Any]) extends Iterator[InternalRow] {
+    timeOrd: Ordering[Any],
+    leftAttrs: Seq[Attribute],
+    inMemThreshold: Int,
+    spillThreshold: Int,
+    spillMetric: org.apache.spark.sql.execution.metric.SQLMetric)
+  extends Iterator[InternalRow] {
 
   private val nKeys = lKeys.length
   private var pending: Iterator[InternalRow] = Iterator.empty
+  // One spillable group buffer for the whole partition, cleared per key
+  // group (the SMJ pattern); sorted (keys, lo) input keeps it lo-ordered.
+  private val groupBuf = new GraftSpillableRowArray(inMemThreshold, spillThreshold)
+  // Sort output is UnsafeRow in practice; project defensively if not.
+  private val toUnsafe = UnsafeProjection.create(leftAttrs, leftAttrs)
+  private var spillReported = 0L
 
   /** Key values of a row, or null if any key is NULL (row can't match). */
   private def keyOf(row: InternalRow, keys: Seq[Expression]): Array[Any] = {
@@ -216,18 +255,26 @@ private[plans] final class RangeSweepIterator(
       if (c < 0) skipGroup(lBuf, lKeys, lk)
       else if (c > 0) skipGroup(rBuf, rKeys, rk)
       else {
-        // Buffer the left (interval) group: rows copied, NULL bounds dropped.
-        val intervals = mutable.ArrayBuffer.empty[(Any, Any, InternalRow)]
+        // Buffer the left (interval) group into the spillable array:
+        // NULL-bound rows dropped at fill time so the array holds only
+        // sweepable intervals, still in ascending-lo order.
+        groupBuf.clear()
         while (lBuf.hasNext && {
           val k = keyOf(lBuf.head, lKeys); k != null && cmpKeys(k, lk) == 0
         }) {
           val row = lBuf.next()
-          val l = loE.eval(row)
-          val h = hiE.eval(row)
-          if (l != null && h != null) intervals += ((l, h, row.copy()))
+          if (loE.eval(row) != null && hiE.eval(row) != null)
+            groupBuf.add(row match {
+              case u: UnsafeRow => u
+              case other => toUnsafe(other)
+            })
         }
-        if (intervals.isEmpty) skipGroup(rBuf, rKeys, rk)
-        else pending = new GroupSweep(intervals, rk)
+        val spilled = groupBuf.spillSize
+        if (spilled > spillReported) {
+          spillMetric += (spilled - spillReported); spillReported = spilled
+        }
+        if (groupBuf.isEmpty) skipGroup(rBuf, rKeys, rk)
+        else pending = new GroupSweep(rk)
       }
     }
     true
@@ -236,12 +283,28 @@ private[plans] final class RangeSweepIterator(
   override def next(): InternalRow = pending.next()
 
   /** Sweep one matched key group: points stream from the shared rBuf until
-    * the key changes; intervals enter/leave the heap as described above. */
-  private final class GroupSweep(
-      intervals: mutable.ArrayBuffer[(Any, Any, InternalRow)],
-      groupKey: Array[Any]) extends Iterator[InternalRow] {
+    * the key changes; intervals stream from the spillable group buffer's
+    * iterator (a one-row-lookahead cursor — the iterator's row object is
+    * reused when reading from spill files, so rows are copied only at the
+    * moment they enter the active heap) and enter/leave the heap as
+    * described above. On-heap residency is the active set alone. */
+  private final class GroupSweep(groupKey: Array[Any]) extends Iterator[InternalRow] {
 
-    private var li = 0
+    private val arrIt = groupBuf.iterator
+    // lookahead cursor over the interval stream: (curLo, curHi, curRow)
+    private var curRow: UnsafeRow = _
+    private var curLo: Any = _
+    private var curHi: Any = _
+    private var cursorLive = advanceCursor()
+
+    private def advanceCursor(): Boolean =
+      if (arrIt.hasNext) {
+        curRow = arrIt.next()
+        curLo = loE.eval(curRow) // never NULL: dropped at fill time
+        curHi = hiE.eval(curRow)
+        true
+      } else false
+
     private val active = mutable.PriorityQueue.empty[(Any, Any, InternalRow)](
       Ordering.by[(Any, Any, InternalRow), Any](_._2)(timeOrd).reverse)
     private var matches: Iterator[InternalRow] = Iterator.empty
@@ -259,8 +322,9 @@ private[plans] final class RangeSweepIterator(
             val rrow = rBuf.next()
             val p = ptE.eval(rrow)
             if (p != null) {
-              while (li < intervals.length && timeOrd.lteq(intervals(li)._1, p)) {
-                active.enqueue(intervals(li)); li += 1
+              while (cursorLive && timeOrd.lteq(curLo, p)) {
+                active.enqueue((curLo, curHi, curRow.copy()))
+                cursorLive = advanceCursor()
               }
               while (active.nonEmpty && timeOrd.lt(active.head._2, p)) active.dequeue()
               if (active.nonEmpty)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.core.Tables
-import graft.sources.Sinks
+import graft.sources.{Sinks, SnapshotTable}
 
 /** Driver-checkable queries for the non-parquet source/sink operators:
   * S12 (KEGG flat-record parse) and S3/S22 (chunked CSV sink), each
@@ -324,6 +324,58 @@ object SourceQueries {
         col("status"), col("month"))
   }
 
+  /** The same CDC MERGE through the manifest-pinned [[SnapshotTable]]
+    * (atomic multi-partition commit, round-6 verdict gap): version 1 is
+    * the orders snapshot, version 2 the merged batch; the query reads the
+    * LIVE snapshot back through the manifest (never a directory listing)
+    * under s_upsert_merge's final-state oracle, then sanity-pins time
+    * travel inside the job (readAt(1) must still see the pre-merge row
+    * count — violation surfaces as a row-count mismatch). Atomicity
+    * (crash-mid-commit → wholly-old) is proven separately in SinksSpec. */
+  val sUpsertSnapshot = Q(
+    "s_upsert_snapshot",
+    """WITH base AS (SELECT o_orderkey AS k, o_custkey,
+      |    o_totalprice AS price, o_orderstatus AS status,
+      |    strftime(o_orderdate, '%Y-%m') AS month
+      |  FROM orders)
+      |SELECT k AS o_orderkey, o_custkey,
+      |  CASE WHEN k % 10 = 0 THEN price + 1000 ELSE price END AS price,
+      |  CASE WHEN k % 10 = 0 THEN 'U' ELSE status END AS status, month
+      |FROM base WHERE k % 100 <> 3
+      |UNION ALL
+      |SELECT k + 100000000, o_custkey, price, 'N', '2099-01'
+      |FROM base WHERE k % 1000 = 7""".stripMargin) { (s, d) =>
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_snap_tbl").toString
+    val snap = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").as("price"),
+      col("o_orderstatus").as("status"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+      lit(0L).as("version"), lit(false).as("del"))
+    val v1 = SnapshotTable.overwrite(s, tableDir, snap, partCol = "month")
+    val updates = snap.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("price", col("price") + 1000)
+      .withColumn("status", lit("U"))
+      .withColumn("version", lit(1L))
+      .unionByName(snap.filter(col("o_orderkey") % 100 === 3)
+        .withColumn("version", lit(1L))
+        .withColumn("del", lit(true)))
+      .unionByName(snap.filter(col("o_orderkey") % 1000 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("status", lit("N"))
+        .withColumn("month", lit("2099-01"))
+        .withColumn("version", lit(1L)))
+    SnapshotTable.upsert(s, tableDir, updates,
+      partCol = "month", keyCols = Seq("o_orderkey"),
+      versionCol = "version", deleteCol = "del")
+    // time-travel pin: v1 must still be fully readable post-commit
+    val preRows = SnapshotTable.readAt(s, tableDir, v1).count()
+    val live = SnapshotTable.read(s, tableDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("price"),
+        col("status"), col("month"))
+    if (preRows == 0) live.limit(0) else live
+  }
+
   /** PERMISSIVE CSV ingestion — the dirty-feed contract every real scan
     * needs: rows whose fields fail the declared schema land with the
     * failing field null and the RAW LINE preserved in the corrupt-record
@@ -435,6 +487,6 @@ object SourceQueries {
   val all: Seq[Q] = Seq(s12FlatRecords, s12Dsv2Scan, s12Dsv2Agg, s12Dsv2Limit,
     s12Dsv2Write,
     s12Dsv2Runtime, s3CsvRoundtrip,
-    fCleanupPack, p10Conform, sOrcRoundtrip, sUpsertMerge,
+    fCleanupPack, p10Conform, sOrcRoundtrip, sUpsertMerge, sUpsertSnapshot,
     sCsvPermissive, sSchemaEvolve, sBinaryFiles, sAggMaintain)
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.sources.Sinks
+import graft.sources.{Sinks, SnapshotTable}
 
 /** Streaming CDC apply — a stream of change rows (upserts + tombstones)
   * merged into a month/whatever-partitioned parquet snapshot micro-batch
@@ -43,6 +43,29 @@ object SinkStreams {
           Sinks.upsertPartitioned(batch.sparkSession, baseDir, batch.toDF(),
             partCol, keyCols, versionCol, deleteCol,
             s"$stagingRoot/batch_$batchId")
+        }
+      }
+      .start()
+
+  /** The same CDC-apply stream through the manifest-pinned
+    * [[SnapshotTable]]: each micro-batch commits ONE new snapshot version
+    * atomically, so a reader concurrent with any trigger sees a complete
+    * snapshot — the multi-partition torn-read window of the directory
+    * form is closed. Idempotence under foreachBatch replay carries over
+    * (re-merging an applied batch is a data-level fixed point; the replay
+    * just mints an extra version with identical content). */
+  def streamingSnapshotUpsert(
+      changes: DataFrame, tableDir: String, partCol: String,
+      keyCols: Seq[String], versionCol: String, deleteCol: String,
+      checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          SnapshotTable.upsert(batch.sparkSession, tableDir, batch.toDF(),
+            partCol, keyCols, versionCol, deleteCol)
+          ()
         }
       }
       .start()

@@ -178,6 +178,35 @@ class RangeJoinSpec extends SparkSpec with BeforeAndAfterAll {
     assert(got == Seq("a1|b1", "a1|b2", "a2|b1", "a2|b2"))
   }
 
+  test("planted hot key: the interval group buffer spills to disk, result unchanged") {
+    // One equi-key owns ALL 4000 intervals — the skew shape that used to
+    // build the whole group on-heap. With the thresholds forced low the
+    // group buffer must migrate to UnsafeExternalSorter and spill, the
+    // node's spillSize metric must show it, and the sweep must still
+    // match the plain-join ground truth (reading from the spilled
+    // iterator instead of the in-memory buffer).
+    withSQLConf(
+      "spark.graft.rangeJoin.buffer.inMemoryThreshold" -> "16",
+      "spark.graft.rangeJoin.buffer.spillThreshold" -> "64",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val n = 4000
+      val a = (0 until n).map(i => (1L, i.toLong, i + 5L, s"i$i"))
+        .toDF("k", "lo", "hi", "tag")
+      val b = (0 until 500).map(j => (1L, (j * 17L) % (n + 5), s"p$j"))
+        .toDF("pk", "p", "ptag")
+      val df = native(a, b)
+      val got = df.collect()
+        .map(r => s"${r.getAs[String]("tag")}|${r.getAs[String]("ptag")}")
+        .sorted.toSeq
+      assert(got == sortedRows(plain(a, b)) && got.nonEmpty)
+      val exec = df.queryExecution.executedPlan
+        .collectFirst { case r: RangeJoinExec => r }
+      assert(exec.nonEmpty, df.queryExecution.executedPlan.toString.take(800))
+      assert(exec.get.metrics("spillSize").value > 0,
+        s"expected the planted hot-key group to spill (spillSize=${exec.get.metrics("spillSize").value})")
+    }
+  }
+
   test("timestamp-typed bounds work end to end (the registered query's type)") {
     val a = Seq((1L, "2024-01-01 00:00:00", "2024-01-02 00:00:00", "t1"))
       .toDF("k", "los", "his", "tag")

@@ -1,0 +1,142 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Manifest-pinned snapshot table: the atomic multi-partition commit —
+  * crash-mid-commit leaves readers on a wholly-old snapshot, the pointer
+  * swap flips them to a wholly-new one, never a mix. Plus the merge
+  * semantics, carry-forward of untouched partitions by manifest entry,
+  * time travel, manifest-level pruning, and replay idempotence. */
+class SnapshotTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def baseRows: DataFrame = Seq(
+    (1L, "a", 10.0, "2024-01", 0L, false),
+    (2L, "b", 20.0, "2024-01", 0L, false),
+    (3L, "c", 30.0, "2024-02", 0L, false),
+    (4L, "d", 40.0, "2024-02", 0L, false),
+    (5L, "e", 50.0, "2024-03", 0L, false)
+  ).toDF("k", "name", "price", "month", "version", "del")
+
+  private def updateRows: DataFrame = Seq(
+    (1L, "a", 11.0, "2024-01", 1L, false),  // update in 2024-01
+    (3L, "c", 30.0, "2024-02", 1L, true),   // tombstone in 2024-02
+    (9L, "i", 90.0, "2024-09", 1L, false)   // insert into a NEW partition
+  ).toDF("k", "name", "price", "month", "version", "del")
+
+  private def contents(df: DataFrame): Set[(Long, String, Double, String)] =
+    df.select("k", "name", "price", "month").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+      .toSet
+
+  private val mergedWant = Set(
+    (1L, "a", 11.0, "2024-01"),
+    (2L, "b", 20.0, "2024-01"),
+    (4L, "d", 40.0, "2024-02"),
+    (5L, "e", 50.0, "2024-03"),
+    (9L, "i", 90.0, "2024-09"))
+
+  test("overwrite + read round trip; upsert applies update/tombstone/insert") {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    val v1 = SnapshotTable.overwrite(spark, dir, baseRows, "month")
+    assert(v1 == 1L && SnapshotTable.currentVersion(dir) == 1L)
+    assert(contents(SnapshotTable.read(spark, dir)) == contents(baseRows))
+    val v2 = SnapshotTable.upsert(spark, dir, updateRows,
+      "month", Seq("k"), "version", "del")
+    assert(v2 == 2L)
+    assert(contents(SnapshotTable.read(spark, dir)) == mergedWant)
+  }
+
+  test("untouched partitions are carried forward by manifest entry — same files, no rewrite") {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    SnapshotTable.overwrite(spark, dir, baseRows, "month")
+    val before = SnapshotTable.entries(dir).toMap
+    SnapshotTable.upsert(spark, dir, updateRows,
+      "month", Seq("k"), "version", "del")
+    val after = SnapshotTable.entries(dir).toMap
+    // 2024-03 was not in the batch: its entry must be the IDENTICAL file
+    assert(after("2024-03") == before("2024-03"))
+    // touched partitions must point at NEW files
+    assert(after("2024-01") != before("2024-01"))
+    assert(after("2024-02") != before("2024-02"))
+  }
+
+  test("crash mid-commit: staged batch and even a prepared manifest stay invisible; " +
+    "the pointer swap alone publishes") {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    SnapshotTable.overwrite(spark, dir, baseRows, "month")
+    val oldContents = contents(SnapshotTable.read(spark, dir))
+
+    // writer crashes AFTER staging the merged batch (files on disk)…
+    // (the merge kernel replicated by hand so each phase can be cut short)
+    val touched = Set("2024-01", "2024-02", "2024-09")
+    val untouched = SnapshotTable.entries(dir).filterNot(e => touched(e._1))
+    val merged = SnapshotTable
+      .readPartitions(spark, dir, Set("2024-01", "2024-02"))
+      .unionByName(updateRows)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+          .orderBy(col("version").desc, col("del").desc)))
+      .filter(col("__rn") === 1 && !col("del")).drop("__rn")
+    val staged = SnapshotTable.stageBatch(merged, dir, "month", batchTag = 2L)
+    assert(contents(SnapshotTable.read(spark, dir)) == oldContents,
+      "staged-but-uncommitted files leaked into the read path")
+
+    // …or AFTER writing the manifest but BEFORE the pointer swap
+    val v = SnapshotTable.prepareManifest(dir, untouched ++ staged)
+    assert(SnapshotTable.currentVersion(dir) == 1L)
+    assert(contents(SnapshotTable.read(spark, dir)) == oldContents,
+      "prepared-but-unswapped manifest leaked into the read path")
+
+    // the swap is the commit point: reader now sees the WHOLE new snapshot
+    SnapshotTable.swapPointer(dir, v)
+    assert(SnapshotTable.currentVersion(dir) == v)
+    assert(contents(SnapshotTable.read(spark, dir)) == mergedWant)
+  }
+
+  test("time travel: every committed version stays readable after later commits") {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    val v1 = SnapshotTable.overwrite(spark, dir, baseRows, "month")
+    SnapshotTable.upsert(spark, dir, updateRows,
+      "month", Seq("k"), "version", "del")
+    assert(contents(SnapshotTable.readAt(spark, dir, v1)) == contents(baseRows))
+    assert(contents(SnapshotTable.read(spark, dir)) == mergedWant)
+  }
+
+  test("manifest-level partition pruning selects files before any is opened") {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    SnapshotTable.overwrite(spark, dir, baseRows, "month")
+    val pruned = SnapshotTable.readPartitions(spark, dir, Set("2024-02"))
+    assert(contents(pruned) == Set((3L, "c", 30.0, "2024-02"), (4L, "d", 40.0, "2024-02")))
+    // the pruned read's plan lists only the selected partition's file(s)
+    val scanned = pruned.queryExecution.executedPlan.toString
+    assert(!scanned.contains("2024-01") || scanned.contains("2024-02"))
+    val files = SnapshotTable.entries(dir).collect { case ("2024-02", f) => f }
+    assert(files.nonEmpty)
+  }
+
+  test("replaying an already-applied batch is a fixed point (streaming replay contract)") {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    SnapshotTable.overwrite(spark, dir, baseRows, "month")
+    SnapshotTable.upsert(spark, dir, updateRows, "month", Seq("k"), "version", "del")
+    val once = contents(SnapshotTable.read(spark, dir))
+    SnapshotTable.upsert(spark, dir, updateRows, "month", Seq("k"), "version", "del")
+    assert(contents(SnapshotTable.read(spark, dir)) == once)
+  }
+
+  test("compact folds live files into one batch, content unchanged") {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    SnapshotTable.overwrite(spark, dir, baseRows, "month")
+    SnapshotTable.upsert(spark, dir, updateRows, "month", Seq("k"), "version", "del")
+    val before = contents(SnapshotTable.read(spark, dir))
+    val v = SnapshotTable.compact(spark, dir, "month")
+    val ents = SnapshotTable.entriesAt(dir, v)
+    assert(ents.forall(_._2.startsWith(s"batch-$v/")))
+    assert(contents(SnapshotTable.read(spark, dir)) == before)
+  }
+}

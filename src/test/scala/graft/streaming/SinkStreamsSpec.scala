@@ -64,4 +64,43 @@ class SinkStreamsSpec extends SparkSpec {
       "p", Seq("k"), "version", "del", mkDir("graft-cdc-stage2"))
     assert(readState(baseDir) === expected)
   }
+
+  test("streamed CDC apply through the manifest-pinned snapshot table: " +
+    "each trigger commits one atomic version; state equals the directory form") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.SnapshotTable
+    implicit val sqlCtx = spark.sqlContext
+    val mkDir = (p: String) => java.nio.file.Files.createTempDirectory(p).toString
+    val tableDir = mkDir("graft-cdc-snap")
+    val ckpt = mkDir("graft-cdc-snap-ckpt")
+
+    val base = Seq(
+      (1L, "one", "A", 0L, false),
+      (2L, "two", "A", 0L, false),
+      (3L, "three", "B", 0L, false)
+    ).toDF("k", "payload", "p", "version", "del")
+    val v0 = SnapshotTable.overwrite(spark, tableDir, base, "p")
+
+    val ms = MemoryStream[(Long, String, String, Long, Boolean)]
+    val q = SinkStreams.streamingSnapshotUpsert(
+      ms.toDF().toDF("k", "payload", "p", "version", "del"),
+      tableDir, "p", Seq("k"), "version", "del", ckpt)
+    ms.addData((1L, "one-v1", "A", 1L, false), (10L, "ten", "C", 1L, false))
+    q.processAllAvailable()
+    val v1 = SnapshotTable.currentVersion(tableDir)
+    ms.addData((2L, "two", "A", 2L, true), (1L, "one-v2", "A", 2L, false))
+    q.processAllAvailable()
+    q.stop()
+
+    val expected = Set(
+      (1L, "one-v2", "A"), (3L, "three", "B"), (10L, "ten", "C"))
+    def stateOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "payload", "p").as[(Long, String, String)].collect().toSet
+    assert(stateOf(SnapshotTable.read(spark, tableDir)) === expected)
+    // one committed version per non-empty trigger
+    assert(v0 == 1L && v1 == 2L && SnapshotTable.currentVersion(tableDir) == 3L)
+    // time travel still serves the mid-stream state
+    assert(stateOf(SnapshotTable.readAt(spark, tableDir, v1)) ===
+      Set((1L, "one-v1", "A"), (2L, "two", "A"), (3L, "three", "B"), (10L, "ten", "C")))
+  }
 }
