@@ -563,7 +563,17 @@ object Dedup {
     * agrees EXACTLY on ≥ blocks − maxHamming of them, hence shares the
     * key of at least one (blocks − maxHamming)-subset table — no near
     * pair can escape (the pigeonhole restored by widening the table set
-    * instead of narrowing the bands).
+    * instead of narrowing the bands). The argument is width-agnostic:
+    * when `bits` isn't divisible by `blocks` the layout hands the first
+    * `bits mod blocks` blocks one extra bit (widths differ by ≤ 1), and
+    * completeness still holds because agreement is per-block EXACT
+    * equality — a differing bit falls in exactly one block whatever that
+    * block's width, so the ≤ maxHamming-touched-blocks count is
+    * unchanged. The `blocks > maxHamming` precondition is enforced by a
+    * `require` in [[mankuLayout]] (shared by this kernel, the
+    * cross-snapshot form, and the oracle generator — one guard, no
+    * drift); violating it would dissolve the pigeonhole silently, which
+    * is why it throws instead of degrading.
     *
     * Scale tuning (defaults 10 blocks / maxHamming 8 → C(10,2) = 45
     * tables of ~13-bit keys): table count C(blocks, blocks − maxHamming)

@@ -34,10 +34,12 @@ object DataQuality {
     * Scale: two conditional aggregations over one scan (cal stats / test
     * verdicts), a distinct-score aggregation, and three broadcast joins of
     * per-group one-row frames — the group domain is bounded, the corpus
-    * never shuffles on anything but the group key. Overflow note: vq·n_cal
-    * needs |value|·10⁶·n_cal < 2⁶³; at corpus scale switch the score to
-    * |vq − Σvq div n| (one exact integer division) before the product
-    * form overflows.
+    * never shuffles on anything but the group key. Overflow guard:
+    * vq·n_cal needs |value|·10⁶·n_cal < 2⁶³, and the limit is ENFORCED —
+    * each group's max(|vq|) is checked against Long.MaxValue / n_cal and
+    * a violating group raises a runtime error naming the group and the
+    * fix (switch the score to |vq − Σvq div n|, one exact integer
+    * division) rather than producing silently wrong thresholds.
     *
     * Output: (grp, n_cal, r, qhat, n_test, covered, coverage_ppm). Groups
     * whose calibration half is empty, or too small for the rank
@@ -51,9 +53,20 @@ object DataQuality {
       floor(value * lit(1000000d)).cast("long").as("__vq"))
     val cs = q.filter(col("__cal"))
       .groupBy(col("__g"))
-      .agg(count(lit(1)).as("n_cal"), sum(col("__vq")).as("__s"))
+      .agg(count(lit(1)).as("n_cal"), sum(col("__vq")).as("__s"),
+        max(abs(col("__vq"))).as("__m"))
+    // overflow guard (round-6 advice): the |vq·n_cal − Σvq| score needs
+    // |vq|·n_cal < 2⁶³ — fail LOUDLY per offending group instead of
+    // computing wrong thresholds; n_cal flows through this checked column
+    // so every downstream product is covered
+    val nCalChecked = when(
+      col("__m") <= lit(Long.MaxValue) / col("n_cal"), col("n_cal"))
+      .otherwise(raise_error(concat(
+        lit("conformalCoverage: |value|*1e6*n_cal overflows Int64 for group "),
+        col("__g").cast("string"),
+        lit(" — switch the score to the |vq - s div n| form"))))
     // r = ceil((n_cal+1)·keep/den), all-integer
-    val rr = cs.select(col("__g"), col("n_cal"), col("__s"),
+    val rr = cs.select(col("__g"), nCalChecked.as("n_cal"), col("__s"),
       expr(s"((n_cal + 1) * $keep + ${alphaDenom - 1}) div $alphaDenom")
         .as("r"))
     def scores(side: Column) = q.filter(side)

@@ -258,10 +258,101 @@ object Scale {
     * result). Caller quantizes each dimension into [0, 2^bits) first. */
   def mortonInterleave(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    // mask into [0, 2^bits) first: an out-of-contract negative input would
+    // otherwise sign-extend through shiftright and interleave garbage
+    // silently (round-6 advice) — masked, the low `bits` are interleaved
+    // and the caller's quantization contract is enforced rather than
+    // assumed
+    val xm = x.bitwiseAND(lit((1L << bits) - 1))
+    val ym = y.bitwiseAND(lit((1L << bits) - 1))
     (0 until bits).map { j =>
-      shiftleft(shiftright(x, j).bitwiseAND(lit(1L)), 2 * j) +
-        shiftleft(shiftright(y, j).bitwiseAND(lit(1L)), 2 * j + 1)
+      shiftleft(shiftright(xm, j).bitwiseAND(lit(1L)), 2 * j) +
+        shiftleft(shiftright(ym, j).bitwiseAND(lit(1L)), 2 * j + 1)
     }.reduce(_ + _)
+  }
+
+  /** Count-min sketch of a JOIN KEY column: (d, b, cnt) cells, depth ×
+    * width ≤ a few thousand rows whatever the input size — the mergeable,
+    * shippable cardinality artifact (one scan + one small aggregate).
+    * Portable md5 hash family, so any engine (and the DuckDB oracle)
+    * replicates the cells exactly. */
+  def cmsKeySketch(df: DataFrame, keyCol: String,
+      depth: Int = 3, width: Int = 1024): DataFrame = {
+    import graft.text.TextFns.portableHash
+    df.select(explode(array((0 until depth).map(dd =>
+        struct(lit(dd).as("d"),
+          (portableHash(col(keyCol).cast("string"), lit(s"cms$dd"))
+            % width).as("b"))): _*)).as("db"))
+      .groupBy(col("db.d").as("d"), col("db.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Join-cardinality estimate from two key sketches: the CMS
+    * inner-product estimator (min over depth rows of Σ_b cntA·cntB — an
+    * upper bound on the true join size by construction), plus both sides'
+    * EXACT row counts, which each sketch carries for free (one depth
+    * row's counts sum to the side's cardinality). Everything the join
+    * advisor needs from two tiny aggregates — the 100 TB point is that
+    * neither input is scanned more than once and nothing corpus-sized
+    * moves. */
+  def sketchJoinEstimate(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      depth: Int = 3, width: Int = 1024): (Long, Long, Long) = {
+    // the sketches are ≤ depth×width rows BY CONSTRUCTION — collecting
+    // them is the bounded-dimension collect the advisor exists to enable
+    // (the estimate is a driver-side planning step, like AQE's stats read)
+    def cells(df: DataFrame, key: String): Map[(Int, Long), Long] =
+      cmsKeySketch(df, key, depth, width).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val a = cells(left, leftKey)
+    val b = cells(right, rightKey)
+    val est = (0 until depth).map { dd =>
+      a.iterator.collect { case ((d, bkt), c) if d == dd =>
+        b.getOrElse((dd, bkt), 0L) * c }.sum
+    }.min
+    val lrows = a.iterator.collect { case ((0, _), c) => c }.sum
+    val rrows = b.iterator.collect { case ((0, _), c) => c }.sum
+    (est, lrows, rrows)
+  }
+
+  /** Sketch-ADVISED equi-join — the estimate becomes a PLANNING INPUT
+    * instead of a meter: two CMS key sketches are built first (tiny,
+    * bounded), then the join strategy is chosen deterministically from
+    * what they say —
+    *
+    *  - smaller side ≤ `broadcastRowBudget` rows → broadcast it (the
+    *    shuffle-free plan; at 100 TB this is the decision that saves the
+    *    full-table exchange),
+    *  - otherwise, inner-product estimate ≤ `hashOutputBudget` → a
+    *    `shuffle_hash` hint (hash beats sort-merge when the build side
+    *    fits per-partition memory and the output is modest),
+    *  - otherwise → a `merge` hint (sort-merge: the spill-safe plan for
+    *    a join that is going to be huge no matter what).
+    *
+    * The RESULT is strategy-independent — identical rows under every
+    * branch — which is exactly what lets a correctness oracle ride on the
+    * plain join while ScaleSpec pins that the estimate actually flips the
+    * physical plan. Decision thresholds are row counts, not bytes, so the
+    * choice is engine-replicable and deterministic. The sketch pass costs
+    * one extra scan of each input; at scale that is the price of not
+    * committing a 100 TB shuffle on a guess (and the sketches are
+    * persistable/mergeable artifacts where inputs are append-only). */
+  def sketchAdvisedJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      broadcastRowBudget: Long = 1000000L,
+      hashOutputBudget: Long = 1000000000L,
+      depth: Int = 3, width: Int = 1024): DataFrame = {
+    val (est, lrows, rrows) =
+      sketchJoinEstimate(left, right, leftKey, rightKey, depth, width)
+    val cond = left(leftKey) === right(rightKey)
+    if (math.min(lrows, rrows) <= broadcastRowBudget) {
+      if (rrows <= lrows) left.join(broadcast(right), cond)
+      else broadcast(left).join(right, cond)
+    } else if (est <= hashOutputBudget) {
+      left.hint("shuffle_hash").join(right, cond)
+    } else {
+      left.hint("merge").join(right, cond)
+    }
   }
 
   /** Write a table bucketed+sorted by join keys — the co-located-join

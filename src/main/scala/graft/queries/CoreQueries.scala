@@ -946,6 +946,27 @@ object CoreQueries {
         sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("qty"))
   }
 
+  /** Sketch-ADVISED join under the PLAIN join's oracle (the
+    * j_salted_skew / j_bloom_join guarantee pattern): the CMS
+    * inner-product estimate of x_join_size_cms stops being a meter and
+    * DRIVES the strategy — two tiny key sketches are read on the driver,
+    * and the join is emitted with a broadcast side or a
+    * shuffle_hash/merge hint accordingly (Scale.sketchAdvisedJoin). The
+    * result is strategy-independent, which is exactly why the plain-join
+    * oracle is the right check; ScaleSpec pins that the estimate really
+    * flips the physical plan. At sf scale customer fits the broadcast
+    * budget, so this registers the broadcast branch; at 100 TB the same
+    * code degrades to hash/merge as the sketches say so. */
+  val jSketchAdvised = Q(
+    "j_sketch_advised",
+    """SELECT o.o_orderkey, c.c_custkey, c.c_nationkey
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"""
+      .stripMargin) { (s, d) =>
+    graft.ops.Scale.sketchAdvisedJoin(
+      Tables.orders(s, d), Tables.customer(s, d), "o_custkey", "c_custkey")
+      .select(col("o_orderkey"), col("c_custkey"), col("c_nationkey"))
+  }
+
   /** Key-skew diagnostic over the events fact table: the 10 heaviest
     * user_ids with row count and corpus share — the profile that decides
     * whether a key needs salting (Scale.skewProfile; the operational
@@ -2069,7 +2090,8 @@ object CoreQueries {
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,
     j1OuterMerge, j4BroadcastMap, j5FallbackChain, j6SuffixSelfJoin,
     j7AntiJoin, jRangeBin, jIntervalOverlap, jRangeNative, jOverlapNative,
-    jSaltedSkew, jBloomJoin, jBucketedColocated, xViewMaintainJoin, xSkewProfile,
+    jSaltedSkew, jBloomJoin, jBucketedColocated, jSketchAdvised,
+    xViewMaintainJoin, xSkewProfile,
     a1KeepBest, a2Median3, a3OrderedMiddle,
     a4MergeSources, a6ConflictDrop, a7EffectFold, d1KeyedDedup,
     d2UndirectedDedup, u1UnionEntities, fScalarPack, f13NestedExplode,

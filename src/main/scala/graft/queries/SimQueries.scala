@@ -97,8 +97,8 @@ object SimQueries {
         |  SELECT vec_id, neighbor, cos,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rank
         |  FROM p) WHERE rank <= 5""".stripMargin) { (s, d) =>
-    Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-      k = 5, centroidStep = 40, cellCap = 512)
+    Similarity.ivfTopKFromAssignments(ivfAssignmentsPersisted(s, d),
+      k = 5, cellCap = 512, nprobe = 1)
   }
 
   /** IVF with multi-probe (nprobe = 2): each query searches its TWO
@@ -138,8 +138,8 @@ object SimQueries {
         |  SELECT vec_id, neighbor, cos,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rank
         |  FROM p) WHERE rank <= 5""".stripMargin) { (s, d) =>
-    Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-      k = 5, centroidStep = 40, cellCap = 512, nprobe = 2)
+    Similarity.ivfTopKFromAssignments(ivfAssignmentsPersisted(s, d),
+      k = 5, cellCap = 512, nprobe = 2)
   }
 
   /** Sequential-fold squared-L2 between two double lists (≡ Similarity.l2sq). */
@@ -311,6 +311,54 @@ object SimQueries {
     * distribution needs at corpus scale. */
   private val LshBucketCap = 512
 
+  /** Persist-and-derive for the ANN index family (the nbMatrixPersisted /
+    * scoredPersisted discipline applied to the corpus-side index
+    * artifacts): the LSH bucket table (id, v, nrm, bucket, label — planes
+    * 6, dim 64, the registered family's parameters) and the IVF
+    * assignment table (id, v, nrm, cid, ccos, arn ≤ 2 — centroidStep 40)
+    * are each computed ONCE per (session, corpus) and parqueted; every
+    * LSH/IVF consumer derives its query/corpus sides from the table while
+    * its DuckDB oracle still recomputes the index from raw embeddings —
+    * so each green row re-proves table-derived ≡ recomputed, and
+    * x_ann_index_persisted pins the tables themselves. Assumes the
+    * corpus at `d` is immutable for the session (bench/verify fixtures
+    * are); temp dirs live for the JVM lifetime by design. */
+  private val lshIdxMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def lshIndexPersisted(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val key = s.sparkContext.applicationId + "|" + d
+    val path = lshIdxMemo.getOrElseUpdate(key, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-lsh-idx").toString
+      Similarity.lshIndex(Tables.embeddings(s, d), "vec_id", "embedding",
+        planes = 6, dim = 64, carryCols = Seq("label"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  private val ivfIdxMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ivfAssignmentsPersisted(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val key = s.sparkContext.applicationId + "|" + d
+    val path = ivfIdxMemo.getOrElseUpdate(key, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-ivf-idx").toString
+      Similarity.ivfAssignments(Tables.embeddings(s, d), "vec_id",
+        "embedding", centroidStep = 40, maxRank = 2)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** Shared DuckDB replica of the multi-probe LSH machinery (Similarity
     * .lshCandidates): hyperplane ±1 literals baked in, projections as
     * sequential folds, sign-bit bucket ids, Hamming-1 probe explode, and
@@ -386,8 +434,40 @@ object SimQueries {
          |  SELECT vec_id, neighbor, cos,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rank
          |  FROM p) WHERE rank <= 5""".stripMargin) { (s, d) =>
-    Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-      k = 5, planes = 6, dim = 64, probes = 1)
+    Similarity.lshTopKFromIndex(lshIndexPersisted(s, d),
+      k = 5, planes = 6, probes = 1)
+  }
+
+  /** The persist-and-derive PIN for the ANN index family: emits the
+    * persisted LSH bucket table (vec_id, bucket, nrm) joined with the
+    * persisted IVF home-cell assignment (cid, ccos) — while the oracle
+    * recomputes BOTH indexes from the raw embeddings (hyperplane folds +
+    * sign buckets; centroid cross-product + rank-1 assignment). A green
+    * row therefore proves table-derived ≡ recomputed bit-for-bit, the
+    * same contract the NB score matrix carries. */
+  val xAnnIndexPersisted = Q(
+    "x_ann_index_persisted",
+    lshCteSql(6, 64) +
+      """, cent AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+        |           FROM nrm WHERE vec_id % 40 = 0),
+        |ac AS (SELECT n.vec_id, n.nrm, c.cid,
+        |    list_reduce(list_transform(list_zip(n.embedding, c.cv),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
+        |      / (n.nrm * c.cnrm) AS ccos
+        |  FROM nrm n CROSS JOIN cent c),
+        |assigned AS (
+        |  SELECT vec_id, cid, ccos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cid) AS arn
+        |    FROM ac) WHERE arn = 1)
+        |SELECT b.vec_id, b.bucket, b.nrm, a.cid, a.ccos
+        |FROM bk0 b JOIN assigned a ON a.vec_id = b.vec_id""".stripMargin) {
+    (s, d) =>
+    lshIndexPersisted(s, d)
+      .select(col("id").as("vec_id"), col("bucket"), col("nrm"))
+      .join(ivfAssignmentsPersisted(s, d).filter(col("arn") === 1)
+          .select(col("id").as("vec_id"), col("cid"), col("ccos")),
+        Seq("vec_id"))
   }
 
   /** Embedding-cosine near-duplicate pairs on LSH candidates — the
@@ -403,8 +483,8 @@ object SimQueries {
          |  $dotPairSql AS cos
          |  FROM q JOIN bk c ON q.bucket = c.bucket AND q.vec_id < c.vec_id)
          |SELECT a, b, cos FROM p WHERE cos >= 0.4""".stripMargin) { (s, d) =>
-    graft.dedup.Dedup.embeddingNearDupPairs(Tables.embeddings(s, d),
-      "vec_id", "embedding", threshold = 0.4, planes = 6, dim = 64, probes = 1)
+    Similarity.lshNearDupPairsFromIndex(lshIndexPersisted(s, d),
+      threshold = 0.4, planes = 6, probes = 1)
   }
 
   /** PARTITION-SCOPED embedding near-dups
@@ -430,9 +510,8 @@ object SimQueries {
          |    AND q.label = c.label AND q.vec_id < c.vec_id)
          |SELECT part, a, b, cos FROM p WHERE cos >= 0.35""".stripMargin) {
     (s, d) =>
-    Similarity.lshNearDupPairsWithin(Tables.embeddings(s, d),
-      "vec_id", "embedding", "label", threshold = 0.35,
-      planes = 6, dim = 64, probes = 1)
+    Similarity.lshNearDupPairsWithinFromIndex(lshIndexPersisted(s, d),
+      "label", threshold = 0.35, planes = 6, probes = 1)
   }
 
   /** Cross-snapshot embedding near-dups
@@ -456,12 +535,11 @@ object SimQueries {
         |  FROM qn JOIN bko c ON qn.bucket = c.bucket)
         |SELECT new_id, old_id, cos FROM p WHERE cos >= 0.4"""
         .stripMargin) { (s, d) =>
-    val emb = Tables.embeddings(s, d)
-    Similarity.crossSnapshotEmbNearDups(
-      emb.filter(col("vec_id") % 2 === 0),
-      emb.filter(col("vec_id") % 2 === 1),
-      "vec_id", "embedding", threshold = 0.4, planes = 6, dim = 64,
-      probes = 1)
+    val idx = lshIndexPersisted(s, d)
+    Similarity.crossSnapshotEmbNearDupsFromIndex(
+      idx.filter(col("id") % 2 === 0),
+      idx.filter(col("id") % 2 === 1),
+      threshold = 0.4, planes = 6, probes = 1)
   }
 
   /** Multimodal plumbing: synthesized binary payloads through the batched
@@ -702,8 +780,8 @@ object SimQueries {
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5,
         queryPred = col("id") % 4 === 0)
       .select(col("vec_id"), col("neighbor"))
-    val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
-        k = 5, centroidStep = 40, cellCap = 512)
+    val approx = Similarity.ivfTopKFromAssignments(
+        ivfAssignmentsPersisted(s, d), k = 5, cellCap = 512, nprobe = 1)
       .select(col("vec_id").as("a_vec"), col("neighbor").as("a_nb"))
     exact.join(approx,
         col("vec_id") === col("a_vec") && col("neighbor") === col("a_nb"),
@@ -1118,9 +1196,8 @@ object SimQueries {
          |      ORDER BY p.cos DESC, p.neighbor) AS rank
          |  FROM p JOIN embeddings e ON e.vec_id = p.neighbor)
          |WHERE rank <= 5""".stripMargin) { (s, d) =>
-    Similarity.hardNegativesLsh(Tables.embeddings(s, d),
-      "vec_id", "embedding", "label", k = 5, planes = 6, dim = 64,
-      probes = 1)
+    Similarity.hardNegativesLshFromIndex(lshIndexPersisted(s, d),
+      "label", k = 5, planes = 6, probes = 1)
   }
 
   /** Shared SQL tail of the mutual-kNN clustering oracles: top-5 rank
@@ -1289,15 +1366,14 @@ object SimQueries {
          |  $dotPairSql AS cos
          |  FROM q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)"""
         .stripMargin + knnMutualCcSql()) { (s, d) =>
-    val knn = Similarity.lshTopK(
-      Tables.embeddings(s, d), "vec_id", "embedding",
-      k = 5, planes = 6, dim = 64, probes = 1)
+    val knn = Similarity.lshTopKFromIndex(lshIndexPersisted(s, d),
+      k = 5, planes = 6, probes = 1)
       .select(col("vec_id").as("a"), col("neighbor").as("b"))
     mutualKnnClusters(s, knn, Tables.embeddings(s, d).select(col("vec_id")))
   }
 
   val all: Seq[Q] = Seq(xAnnTopK, xAnnFiltered, xAnnIvf, xAnnIvfProbe,
-    xAnnLsh, xAnnPq,
+    xAnnLsh, xAnnIndexPersisted, xAnnPq,
     xAnnSq8, xAnnBinary, xEmbedPool, xKmeans,
     xSemanticDedup, xNearDupEmb, xNearDupWithin, xDecontaminateSem,
     xMediaFeatures, xMediaDecode, xMediaDecodeReal, xMediaResizeReal,

@@ -1041,7 +1041,12 @@ object TextQueries {
     * each is the token+bigram feature fold over the text, identical in
     * all five. Every consumer's DuckDB oracle recomputes the fold from
     * scratch, so each green row re-proves table-derived ≡ recomputed
-    * (the nbMatrixPersisted discipline). */
+    * (the nbMatrixPersisted discipline). ASSUMES the documents table at
+    * `d` is immutable for the session (bench/verify fixtures are — a
+    * mutated corpus at the same path would be served the stale snapshot);
+    * the temp dirs live for the JVM lifetime by design (one per (app,
+    * corpus), reclaimed with the container/tmpfs — not a leak that grows
+    * per query). */
   private val scoredMemo =
     scala.collection.concurrent.TrieMap.empty[String, String]
 

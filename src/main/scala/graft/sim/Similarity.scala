@@ -213,6 +213,21 @@ object Similarity {
       centroidStep: Long = 40, cellCap: Int = 512,
       nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
+    ivfTopKFromAssignments(
+      ivfAssignments(emb, idCol, vecCol, centroidStep, maxRank = nprobe),
+      k, cellCap, nprobe)
+  }
+
+  /** The persistable IVF ASSIGNMENT table: one row per (vector, centroid
+    * rank ≤ `maxRank`) with the vector, its norm, the centroid id and the
+    * assignment cosine — rank 1 is corpus membership, ranks 1..nprobe the
+    * probe set. The corpus×centroid broadcast product is THE expensive
+    * step of every IVF query; computed once per (session, corpus) and
+    * parqueted, all nprobe ≤ `maxRank` consumers derive from the table
+    * (doubles round-trip parquet bit-exact — pinned with the LSH index by
+    * x_ann_index_persisted). Schema: (id, v, nrm, cid, ccos, arn). */
+  def ivfAssignments(emb: DataFrame, idCol: String, vecCol: String,
+      centroidStep: Long = 40, maxRank: Int = 2): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
     graft.functions.L2Squared.register(emb.sparkSession)
     val base = emb.select(col(idCol).as("id"),
@@ -224,18 +239,27 @@ object Similarity {
     // is the home cell (corpus membership), ranks 1..nprobe the probe set
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
-    val ranked = base.join(broadcast(centroids), lit(true))
+    base.join(broadcast(centroids), lit(true))
       .select(col("id"), col("v"), col("nrm"), col("cid"),
         (dotD(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
       .withColumn("arn", row_number().over(wAssign))
-    val assigned = ranked.filter(col("arn") === 1)
+      .filter(col("arn") <= maxRank)
+  }
+
+  /** [[ivfTopK]] over a prebuilt (persisted) [[ivfAssignments]] table —
+    * the table must have been built with maxRank ≥ `nprobe`. */
+  def ivfTopKFromAssignments(assignments: DataFrame, k: Int,
+      cellCap: Int = 512, nprobe: Int = 1): DataFrame = {
+    graft.functions.DotProduct.register(assignments.sparkSession)
+    graft.functions.L2Squared.register(assignments.sparkSession)
+    val assigned = assignments.filter(col("arn") === 1)
       .select(col("id"), col("v"), col("nrm"), col("cid"), col("ccos"))
     val wCell = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cid")).orderBy(col("ccos").desc, col("id").asc)
     val capped = assigned.withColumn("crn", row_number().over(wCell))
       .filter(col("crn") <= cellCap)
       .select(col("id"), col("v"), col("nrm"), col("cid"))
-    val probes = ranked.filter(col("arn") <= nprobe)
+    val probes = assignments.filter(col("arn") <= nprobe)
       .select(col("id"), col("v"), col("nrm"), col("cid"))
     val pairs = probes
       .toDF("vec_id", "va", "na", "cell")
@@ -277,24 +301,42 @@ object Similarity {
     * label, a language, a shard) joins zero extra tables into the pair
     * stream instead of shuffling the probe-exploded frame against a
     * dimension. */
-  private def lshCandidates(
-      emb: DataFrame, idCol: String, vecCol: String,
-      planes: Int, dim: Int, probes: Int,
-      bucketCap: Int, carryCols: Seq[String] = Nil,
-      capAlso: Seq[String] = Nil): (DataFrame, DataFrame) = {
+  /** The persistable LSH INDEX of a corpus: one row per vector with its
+    * normalized double vector `v`, norm `nrm`, sign-bit `bucket`, and any
+    * `carryCols` appended — everything the candidate machinery derives
+    * per row, and nothing query-dependent. This is the corpus-side
+    * artifact worth computing ONCE per (session, corpus) and parqueting
+    * (the persist-and-derive discipline): every LSH consumer then derives
+    * its probe-exploded query side and hot-bucket-capped corpus side from
+    * the table instead of re-projecting the raw embeddings. Doubles and
+    * longs round-trip parquet bit-exact, so table-derived results are
+    * bit-identical to recomputed ones (pinned by x_ann_index_persisted). */
+  def lshIndex(emb: DataFrame, idCol: String, vecCol: String,
+      planes: Int, dim: Int, carryCols: Seq[String] = Nil): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
     graft.functions.L2Squared.register(emb.sparkSession)
     val hp = hyperplanes(planes, dim)
-    val withBucket = emb.select(col(idCol).as("id") +:
+    emb.select(col(idCol).as("id") +:
         transform(col(vecCol), x => x.cast("double")).as("v") +:
         carryCols.map(col): _*)
       .withColumn("nrm", norm(col("v")))
       .withColumn("bucket", bucketOf(col("v"), hp))
+      .select(col("id") +: col("v") +: col("nrm") +: col("bucket") +:
+        carryCols.map(col): _*)
+  }
+
+  /** Candidate sides derived from a prebuilt [[lshIndex]] frame. */
+  private def lshCandidatesFromIndex(
+      indexed: DataFrame, planes: Int, probes: Int,
+      bucketCap: Int, carryCols: Seq[String] = Nil,
+      capAlso: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    graft.functions.DotProduct.register(indexed.sparkSession)
+    graft.functions.L2Squared.register(indexed.sparkSession)
     val probeBuckets =
       if (probes <= 0) array(col("bucket"))
       else array(col("bucket") +:
         (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)
-    val queries = withBucket
+    val queries = indexed
       .select(col("id") +: col("v") +: col("nrm") +:
         explode(probeBuckets).as("bucket") +: carryCols.map(col): _*)
     // capAlso extends the cap key (e.g. a partition column when the
@@ -303,7 +345,7 @@ object Similarity {
     val wBucket = org.apache.spark.sql.expressions.Window
       .partitionBy((col("bucket") +: capAlso.map(col)): _*)
       .orderBy(col("nrm").desc, col("id").asc)
-    val corpus = withBucket
+    val corpus = indexed
       .withColumn("__crn", row_number().over(wBucket))
       .filter(col("__crn") <= bucketCap)
       .select(col("id") +: col("v") +: col("nrm") +: col("bucket") +:
@@ -311,12 +353,27 @@ object Similarity {
     (queries, corpus)
   }
 
+  private def lshCandidates(
+      emb: DataFrame, idCol: String, vecCol: String,
+      planes: Int, dim: Int, probes: Int,
+      bucketCap: Int, carryCols: Seq[String] = Nil,
+      capAlso: Seq[String] = Nil): (DataFrame, DataFrame) =
+    lshCandidatesFromIndex(
+      lshIndex(emb, idCol, vecCol, planes, dim, carryCols),
+      planes, probes, bucketCap, carryCols, capAlso)
+
   def lshTopK(
       emb: DataFrame, idCol: String, vecCol: String, k: Int,
       planes: Int = 6, dim: Int = 64, probes: Int = 0,
-      bucketCap: Int = 512): DataFrame = {
+      bucketCap: Int = 512): DataFrame =
+    lshTopKFromIndex(lshIndex(emb, idCol, vecCol, planes, dim),
+      k, planes, probes, bucketCap)
+
+  /** [[lshTopK]] over a prebuilt (persisted) [[lshIndex]] frame. */
+  def lshTopKFromIndex(indexed: DataFrame, k: Int, planes: Int,
+      probes: Int = 0, bucketCap: Int = 512): DataFrame = {
     val (queries, corpus) =
-      lshCandidates(emb, idCol, vecCol, planes, dim, probes, bucketCap)
+      lshCandidatesFromIndex(indexed, planes, probes, bucketCap)
     val pairs = queries.toDF("vec_id", "va", "na", "bucket")
       .join(corpus.toDF("neighbor", "vb", "nb", "bucket"), Seq("bucket"))
       .filter(col("vec_id") =!= col("neighbor"))
@@ -489,9 +546,15 @@ object Similarity {
   def lshNearDupPairs(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
       planes: Int = 6, dim: Int = 64, probes: Int = 1,
-      bucketCap: Int = 512): DataFrame = {
+      bucketCap: Int = 512): DataFrame =
+    lshNearDupPairsFromIndex(lshIndex(emb, idCol, vecCol, planes, dim),
+      threshold, planes, probes, bucketCap)
+
+  /** [[lshNearDupPairs]] over a prebuilt (persisted) [[lshIndex]] frame. */
+  def lshNearDupPairsFromIndex(indexed: DataFrame, threshold: Double,
+      planes: Int, probes: Int = 1, bucketCap: Int = 512): DataFrame = {
     val (queries, corpus) =
-      lshCandidates(emb, idCol, vecCol, planes, dim, probes, bucketCap)
+      lshCandidatesFromIndex(indexed, planes, probes, bucketCap)
     queries.toDF("a", "va", "na", "bucket")
       .join(corpus.toDF("b", "vb", "nb", "bucket"), Seq("bucket"))
       .filter(col("a") < col("b"))
@@ -511,11 +574,22 @@ object Similarity {
   def lshNearDupPairsWithin(
       emb: DataFrame, idCol: String, vecCol: String, partCol: String,
       threshold: Double, planes: Int = 6, dim: Int = 64, probes: Int = 1,
+      bucketCap: Int = 512): DataFrame =
+    lshNearDupPairsWithinFromIndex(
+      lshIndex(emb.select(col(idCol).as("__wid"), col(vecCol).as("__wvec"),
+          col(partCol).as("__wpart")),
+        "__wid", "__wvec", planes, dim, carryCols = Seq("__wpart")),
+      "__wpart", threshold, planes, probes, bucketCap)
+
+  /** [[lshNearDupPairsWithin]] over a prebuilt [[lshIndex]] frame that
+    * carries the partition column (name it via `partCol`). */
+  def lshNearDupPairsWithinFromIndex(indexed: DataFrame, partCol: String,
+      threshold: Double, planes: Int, probes: Int = 1,
       bucketCap: Int = 512): DataFrame = {
-    val (queries, corpus) = lshCandidates(
-      emb.select(col(idCol).as("__wid"), col(vecCol).as("__wvec"),
+    val (queries, corpus) = lshCandidatesFromIndex(
+      indexed.select(col("id"), col("v"), col("nrm"), col("bucket"),
         col(partCol).as("__wpart")),
-      "__wid", "__wvec", planes, dim, probes, bucketCap,
+      planes, probes, bucketCap,
       carryCols = Seq("__wpart"), capAlso = Seq("__wpart"))
     queries.toDF("a", "va", "na", "bucket", "part")
       .join(corpus.toDF("b", "vb", "nb", "bucket", "part"),
@@ -538,11 +612,25 @@ object Similarity {
   def crossSnapshotEmbNearDups(corpus: DataFrame, batch: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
       planes: Int = 6, dim: Int = 64, probes: Int = 1,
-      bucketCap: Int = 512): DataFrame = {
+      bucketCap: Int = 512): DataFrame =
+    crossSnapshotEmbNearDupsFromIndex(
+      lshIndex(corpus, idCol, vecCol, planes, dim),
+      lshIndex(batch, idCol, vecCol, planes, dim),
+      threshold, planes, probes, bucketCap)
+
+  /** [[crossSnapshotEmbNearDups]] over prebuilt [[lshIndex]] frames — the
+    * settled corpus's index is exactly the artifact a persisted table
+    * serves across batches (compute once, probe forever); the batch index
+    * is one batch's worth of projection work. The hot-bucket cap applies
+    * to the corpus index AS GIVEN, so slice before passing when the
+    * persisted table is a superset. */
+  def crossSnapshotEmbNearDupsFromIndex(corpusIdx: DataFrame,
+      batchIdx: DataFrame, threshold: Double, planes: Int,
+      probes: Int = 1, bucketCap: Int = 512): DataFrame = {
     val (queries, _) =
-      lshCandidates(batch, idCol, vecCol, planes, dim, probes, bucketCap)
+      lshCandidatesFromIndex(batchIdx, planes, probes, bucketCap)
     val (_, corpusBk) =
-      lshCandidates(corpus, idCol, vecCol, planes, dim, 0, bucketCap)
+      lshCandidatesFromIndex(corpusIdx, planes, 0, bucketCap)
     queries.toDF("new_id", "va", "na", "bucket")
       .join(corpusBk.toDF("old_id", "vb", "nb", "bucket"), Seq("bucket"))
       .select(col("new_id"), col("old_id"),
@@ -598,16 +686,26 @@ object Similarity {
   def hardNegativesLsh(
       emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
       k: Int, planes: Int = 6, dim: Int = 64, probes: Int = 1,
+      bucketCap: Int = 512): DataFrame =
+    hardNegativesLshFromIndex(
+      lshIndex(emb.select(col(idCol).as("__hid"), col(vecCol).as("__hvec"),
+          col(labelCol).as("__hlbl")),
+        "__hid", "__hvec", planes, dim, carryCols = Seq("__hlbl")),
+      "__hlbl", k, planes, probes, bucketCap)
+
+  /** [[hardNegativesLsh]] over a prebuilt [[lshIndex]] frame that carries
+    * the label column (name it via `labelCol`). */
+  def hardNegativesLshFromIndex(indexed: DataFrame, labelCol: String,
+      k: Int, planes: Int, probes: Int = 1,
       bucketCap: Int = 512): DataFrame = {
-    val labels = emb.select(col(idCol).as("id"), col(labelCol).as("lbl"))
+    val labels = indexed.select(col("id"), col(labelCol).as("lbl"))
     // the label RIDES THROUGH the candidate machinery (carryCols), so the
     // pair stream needs no label-dimension joins at all; only the final
     // neg_label attach touches the n·k OUTPUT
-    val (queries, corpus) = lshCandidates(
-      emb.select(col(idCol).as("__hid"), col(vecCol).as("__hvec"),
+    val (queries, corpus) = lshCandidatesFromIndex(
+      indexed.select(col("id"), col("v"), col("nrm"), col("bucket"),
         col(labelCol).as("__hlbl")),
-      "__hid", "__hvec", planes, dim, probes, bucketCap,
-      carryCols = Seq("__hlbl"))
+      planes, probes, bucketCap, carryCols = Seq("__hlbl"))
     val q = queries.toDF("vec_id", "va", "na", "bucket", "la")
     val c = corpus.toDF("neighbor", "vb", "nb", "bucket", "lb")
     val pairs = q.join(c, Seq("bucket"))
@@ -825,6 +923,17 @@ object Similarity {
     * partition, merged at the driver), never a global sort shuffle. k is
     * a small constant (coresets are picked to fit a human or a prompt,
     * not the corpus).
+    *
+    * Fault-tolerance tradeoff (round-6 advice, accepted deliberately):
+    * localCheckpoint is NON-RELIABLE — blocks live on executor storage,
+    * so on a multi-executor cluster an executor loss mid-selection fails
+    * the job instead of recomputing from lineage (which was truncated on
+    * purpose). That is the right trade here: the alternative costs are a
+    * reliable `checkpoint()` to a checkpoint dir (per-round distributed
+    * FS writes for a frame that is rebuilt in seconds) or the 3^k plan
+    * blow-up. If these selectors ever run as a long job on a preemptible
+    * cluster, set a checkpoint dir and swap `localCheckpoint(true)` for
+    * `checkpoint(true)` — the semantics are otherwise identical.
     *
     * Output: (sel_rank 1..k, vec_id, radius) — radius is the selected
     * vector's min distance at selection time (null for the seed); the

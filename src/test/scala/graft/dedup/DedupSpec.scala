@@ -170,6 +170,18 @@ class DedupSpec extends SparkSpec {
     val sigs3 = Seq((1L, 0L), (2L, nine)).toDF("doc_id", "sig")
     assert(Dedup.mankuNearDupPairs(sigs3, bits = 64, blocks = 10,
       maxHamming = 8).count() === 0)
+    // the pigeonhole precondition is ENFORCED, not assumed: maxHamming ≥
+    // blocks would dissolve completeness silently, so it throws
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.mankuNearDupPairs(sigs, bits = 64, blocks = 8, maxHamming = 8)
+    }
+    assert(ex.getMessage.contains("blocks > maxHamming"))
+    // uneven widths (64 bits / 10 blocks → six 6-bit + four 7-bit blocks)
+    // are the DEFAULT layout above — completeness held throughout; pin
+    // the layout contract explicitly
+    val (layout, _) = Dedup.mankuLayout(64, 10, 8)
+    assert(layout.map(_._2).sum === 64)
+    assert(layout.map(_._2).toSet === Set(6, 7))
   }
 
   test("mankuNearDupPairs completeness property: EVERY random ≤8-bit " +

@@ -290,4 +290,57 @@ class ScaleSpec extends SparkSpec {
     // round-trip bijectivity on the grid: 64*64 distinct z values
     assert(got.map(_._3).distinct.length === 64 * 64)
   }
+
+  test("mortonInterleave masks out-of-contract inputs instead of " +
+    "sign-extending them into the interleave") {
+    // a negative input violates the caller's quantization contract; the
+    // mask makes it behave as its low `bits` bits rather than polluting
+    // every odd/even position via arithmetic shift sign-extension
+    val got = Seq((-1L, 0L)).toDF("x", "y")
+      .withColumn("z", Scale.mortonInterleave(col("x"), col("y"), 4))
+      .select("z").as[Long].head()
+    // low 4 bits of -1 = 0b1111 → interleaved at even positions = 0b01010101
+    assert(got === 0x55L)
+  }
+
+  test("sketchJoinEstimate: side row counts exact, inner-product estimate " +
+    "upper-bounds the true join size") {
+    val left = (0 until 300).map(i => (i.toLong % 50, s"l$i")).toDF("k", "pl")
+    val right = (0 until 40).map(i => (i.toLong, s"r$i")).toDF("j", "pr")
+    val (est, lrows, rrows) = Scale.sketchJoinEstimate(left, right, "k", "j")
+    assert(lrows === 300L && rrows === 40L)
+    val exact = left.join(right, col("k") === col("j")).count()
+    assert(est >= exact, s"CMS inner product $est must upper-bound $exact")
+  }
+
+  test("sketchAdvisedJoin: the estimate flips the physical strategy — " +
+    "broadcast under budget, shuffle_hash then merge as budgets shrink — " +
+    "with identical results in every branch") {
+    val left = (0 until 400).map(i => (i.toLong % 80, s"l$i")).toDF("k", "pl")
+    val right = (0 until 60).map(i => (i.toLong, s"r$i")).toDF("j", "pr")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("pl", "pr").as[(String, String)].collect().toSeq.sorted
+    val want = rows(left.join(right, col("k") === col("j")))
+
+    // right side (60 rows) under the broadcast budget → BroadcastHashJoin
+    val bc = Scale.sketchAdvisedJoin(left, right, "k", "j",
+      broadcastRowBudget = 100L)
+    assert(bc.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      bc.queryExecution.executedPlan.toString.take(600))
+    assert(rows(bc) === want)
+
+    // broadcast budget 0, output estimate under the hash budget → hash
+    val sh = Scale.sketchAdvisedJoin(left, right, "k", "j",
+      broadcastRowBudget = 0L, hashOutputBudget = 1000000L)
+    assert(sh.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+      sh.queryExecution.executedPlan.toString.take(600))
+    assert(rows(sh) === want)
+
+    // both budgets 0 → the spill-safe sort-merge plan
+    val sm = Scale.sketchAdvisedJoin(left, right, "k", "j",
+      broadcastRowBudget = 0L, hashOutputBudget = 0L)
+    assert(sm.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+      sm.queryExecution.executedPlan.toString.take(600))
+    assert(rows(sm) === want)
+  }
 }
