@@ -376,6 +376,60 @@ object SourceQueries {
     if (preRows == 0) live.limit(0) else live
   }
 
+  /** Change-data-feed off the snapshot table ([[SnapshotTable.diff]]):
+    * the row-level insert/update/delete stream between version 1 (the
+    * orders snapshot) and version 2 (the merged CDC batch) — what an
+    * incremental downstream replays instead of re-reading the table.
+    * The oracle states the three change classes directly from the
+    * update-batch formulas: keys ≡ 0 (mod 10) update (post-image),
+    * keys ≡ 3 (mod 100) delete (pre-image), +10⁸ keys insert. The
+    * manifest diff scopes the scan to changed partitions only
+    * (carry-forward partitions are provably unchanged — never opened). */
+  val sSnapshotChanges = Q(
+    "s_snapshot_changes",
+    """WITH old AS (SELECT o_orderkey AS k, o_custkey,
+      |    o_totalprice AS price, o_orderstatus AS status,
+      |    strftime(o_orderdate, '%Y-%m') AS month
+      |  FROM orders)
+      |SELECT 'update' AS change_type, k AS o_orderkey, o_custkey,
+      |  price + 1000 AS price, 'U' AS status, month,
+      |  CAST(1 AS BIGINT) AS version, FALSE AS del
+      |FROM old WHERE k % 10 = 0
+      |UNION ALL
+      |SELECT 'delete', k, o_custkey, price, status, month, 0, FALSE
+      |FROM old WHERE k % 100 = 3
+      |UNION ALL
+      |SELECT 'insert', k + 100000000, o_custkey, price, 'N', '2099-01',
+      |  1, FALSE
+      |FROM old WHERE k % 1000 = 7""".stripMargin) { (s, d) =>
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_snap_cdf").toString
+    val snap = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").as("price"),
+      col("o_orderstatus").as("status"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+      lit(0L).as("version"), lit(false).as("del"))
+    val v1 = SnapshotTable.overwrite(s, tableDir, snap, partCol = "month")
+    val updates = snap.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("price", col("price") + 1000)
+      .withColumn("status", lit("U"))
+      .withColumn("version", lit(1L))
+      .unionByName(snap.filter(col("o_orderkey") % 100 === 3)
+        .withColumn("version", lit(1L))
+        .withColumn("del", lit(true)))
+      .unionByName(snap.filter(col("o_orderkey") % 1000 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("status", lit("N"))
+        .withColumn("month", lit("2099-01"))
+        .withColumn("version", lit(1L)))
+    val v2 = SnapshotTable.upsert(s, tableDir, updates,
+      partCol = "month", keyCols = Seq("o_orderkey"),
+      versionCol = "version", deleteCol = "del")
+    SnapshotTable.diff(s, tableDir, v1, v2, keyCols = Seq("o_orderkey"))
+      .select(col("change_type"), col("o_orderkey"), col("o_custkey"),
+        col("price"), col("status"), col("month"), col("version"), col("del"))
+  }
+
   /** PERMISSIVE CSV ingestion — the dirty-feed contract every real scan
     * needs: rows whose fields fail the declared schema land with the
     * failing field null and the RAW LINE preserved in the corrupt-record
@@ -488,5 +542,6 @@ object SourceQueries {
     s12Dsv2Write,
     s12Dsv2Runtime, s3CsvRoundtrip,
     fCleanupPack, p10Conform, sOrcRoundtrip, sUpsertMerge, sUpsertSnapshot,
+    sSnapshotChanges,
     sCsvPermissive, sSchemaEvolve, sBinaryFiles, sAggMaintain)
 }

@@ -186,10 +186,46 @@ object SnapshotTable {
 
   /** Fold every live file into one fresh batch and commit — the
     * small-files/orphan-batch compaction. Old batches stay on disk for
-    * time travel; physical deletion of unreferenced batches is a separate
-    * retention decision. */
+    * time travel; physical deletion of unreferenced batches is
+    * [[vacuum]]'s retention decision. */
   def compact(spark: SparkSession, tableDir: String, partCol: String): Long =
     overwrite(spark, tableDir, read(spark, tableDir), partCol)
+
+  /** Retention: physically delete every data file not referenced by the
+    * last `keepVersions` manifests (current included), then drop the
+    * older manifests themselves. The deletion order is the safe one —
+    * manifests first would strand readers mid-resolve; files referenced
+    * by ANY kept manifest are never touched, so time travel within the
+    * retention window survives. Concurrency contract (same as the open
+    * table formats'): don't vacuum below a version a long-running reader
+    * may still be resolving — `keepVersions` IS that grace window.
+    * Returns the number of files deleted. */
+  def vacuum(tableDir: String, keepVersions: Int = 2): Int = {
+    require(keepVersions >= 1, "must keep at least the current version")
+    val cur = currentVersion(tableDir)
+    val keptFrom = math.max(1L, cur - keepVersions + 1)
+    val live = (keptFrom to cur)
+      .flatMap(v => entriesAt(tableDir, v).map(_._2)).toSet
+    val dataRoot = new File(Paths.get(tableDir, "data").toString)
+    var deleted = 0
+    if (dataRoot.isDirectory) {
+      for (batch <- dataRoot.listFiles(); part <- Option(batch.listFiles())
+          .getOrElse(Array.empty); f <- Option(part.listFiles())
+          .getOrElse(Array.empty)) {
+        val rel = s"${batch.getName}/${part.getName}/${f.getName}"
+        if (!live(rel) && f.isFile && Files.deleteIfExists(f.toPath)) deleted += 1
+      }
+      // prune now-empty partition/batch directories (cosmetic, best-effort)
+      for (batch <- dataRoot.listFiles(); part <- Option(batch.listFiles())
+          .getOrElse(Array.empty) if part.isDirectory)
+        if (part.listFiles().isEmpty) Files.deleteIfExists(part.toPath)
+      for (batch <- dataRoot.listFiles() if batch.isDirectory)
+        if (batch.listFiles().isEmpty) Files.deleteIfExists(batch.toPath)
+    }
+    for (v <- 1L until keptFrom)
+      Files.deleteIfExists(Paths.get(tableDir, manifestName(v)))
+    deleted
+  }
 
   // ----------------------------------------------------------------- read
 
@@ -214,4 +250,55 @@ object SnapshotTable {
       parts: Set[String]): DataFrame =
     readFiles(spark, tableDir,
       entries(tableDir).collect { case (p, f) if parts(p) => f })
+
+  /** Change-data-feed between two committed versions — the row-level diff
+    * a downstream incremental consumer replays instead of re-reading the
+    * snapshot: one row per inserted / deleted / updated key, update rows
+    * carrying the post-image, delete rows the pre-image.
+    *
+    * The manifests make this O(changed partitions), not O(table): a
+    * partition whose (version `from`, version `to`) file sets are
+    * IDENTICAL — the carry-forward case — is provably unchanged (batches
+    * are immutable), so neither side's files are opened at all; only
+    * partitions whose entries differ are read from both versions and
+    * full-outer-joined on `keyCols` (`<=>`-free: key columns are non-null
+    * by the upsert contract). Rows identical across versions (possible
+    * within a rewritten partition) emit nothing.
+    *
+    * Output: `change_type` ('insert' | 'update' | 'delete') followed by
+    * the table columns. */
+  def diff(spark: SparkSession, tableDir: String, from: Long, to: Long,
+      keyCols: Seq[String]): DataFrame = {
+    val ea = entriesAt(tableDir, from)
+    val eb = entriesAt(tableDir, to)
+    def byPart(e: Seq[(String, String)]) =
+      e.groupBy(_._1).map { case (p, fs) => p -> fs.map(_._2).toSet }
+    val (pa, pb) = (byPart(ea), byPart(eb))
+    val changed = (pa.keySet ++ pb.keySet)
+      .filter(p => pa.getOrElse(p, Set.empty) != pb.getOrElse(p, Set.empty))
+    def side(e: Seq[(String, String)], all: Seq[(String, String)]): DataFrame = {
+      val files = e.collect { case (p, f) if changed(p) => f }
+      if (files.nonEmpty) readFiles(spark, tableDir, files)
+      // a side with no changed files still needs the SCHEMA for the join
+      else readFiles(spark, tableDir, all.map(_._2).take(1)).limit(0)
+    }
+    val o = side(ea, ea ++ eb)
+    val n = side(eb, eb ++ ea)
+    val valCols = o.columns.filterNot(keyCols.contains).toSeq
+    val oldS = o.select(keyCols.map(col) :+
+      struct(valCols.map(col): _*).as("__old"): _*)
+    val newS = n.select(keyCols.map(col) :+
+      struct(valCols.map(col): _*).as("__new"): _*)
+    val image = (f: String) =>
+      when(col("__new").isNull, col("__old").getField(f))
+        .otherwise(col("__new").getField(f)).as(f)
+    oldS.join(newS, keyCols, "full_outer")
+      .select(
+        when(col("__old").isNull, lit("insert"))
+          .when(col("__new").isNull, lit("delete"))
+          .when(!(col("__old") <=> col("__new")), lit("update"))
+          .as("change_type") +:
+        (keyCols.map(col) ++ valCols.map(image)): _*)
+      .filter(col("change_type").isNotNull)
+  }
 }

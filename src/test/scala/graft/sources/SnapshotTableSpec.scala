@@ -129,6 +129,53 @@ class SnapshotTableSpec extends SparkSpec {
     assert(contents(SnapshotTable.read(spark, dir)) == once)
   }
 
+  test("vacuum deletes only files outside the retention window; kept " +
+    "versions stay readable, vacuumed ones are gone") {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    SnapshotTable.overwrite(spark, dir, baseRows, "month")                  // v1
+    SnapshotTable.upsert(spark, dir, updateRows,
+      "month", Seq("k"), "version", "del")                                  // v2
+    val v3 = SnapshotTable.compact(spark, dir, "month")                     // v3
+    val liveBefore = contents(SnapshotTable.read(spark, dir))
+    // keep v2..v3: v1-only files (the original 2024-01/2024-02 batches)
+    // must be deleted, everything v2/v3 reference must survive
+    val deleted = SnapshotTable.vacuum(dir, keepVersions = 2)
+    assert(deleted > 0, "expected v1-only files to be reclaimed")
+    assert(contents(SnapshotTable.read(spark, dir)) == liveBefore)
+    assert(contents(SnapshotTable.readAt(spark, dir, 2L)) == mergedWant)
+    // v1 is outside the window: its manifest is gone
+    assert(SnapshotTable.entriesAt(dir, 1L).isEmpty)
+    assert(SnapshotTable.currentVersion(dir) == v3)
+    // idempotent: nothing left to reclaim
+    assert(SnapshotTable.vacuum(dir, keepVersions = 2) == 0)
+  }
+
+  test("diff classifies inserts/updates/deletes between versions and " +
+    "never opens carry-forward partitions") {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    val v1 = SnapshotTable.overwrite(spark, dir, baseRows, "month")
+    val v2 = SnapshotTable.upsert(spark, dir, updateRows,
+      "month", Seq("k"), "version", "del")
+    val d = SnapshotTable.diff(spark, dir, v1, v2, Seq("k"))
+    val got = d.select("change_type", "k", "name", "price", "month")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getString(4))).toSet
+    assert(got == Set(
+      ("update", 1L, "a", 11.0, "2024-01"),  // post-image
+      ("delete", 3L, "c", 30.0, "2024-02"),  // pre-image
+      ("insert", 9L, "i", 90.0, "2024-09")))
+    // k=2 (same partition, unchanged row) and k=4/5 emit nothing — k=5's
+    // partition (2024-03) was carried forward by manifest entry, so its
+    // file is not even in the diff's scan
+    val scannedFiles = d.queryExecution.executedPlan.toString
+    val carried = SnapshotTable.entries(dir)
+      .collect { case ("2024-03", f) => f.split('/').last }
+    assert(carried.nonEmpty && carried.forall(f => !scannedFiles.contains(f)))
+    // empty diff between identical versions
+    assert(SnapshotTable.diff(spark, dir, v2, v2, Seq("k")).count() === 0)
+  }
+
   test("compact folds live files into one batch, content unchanged") {
     val dir = Files.createTempDirectory("graft-snap").toString
     SnapshotTable.overwrite(spark, dir, baseRows, "month")
