@@ -430,6 +430,73 @@ object SourceQueries {
         col("price"), col("status"), col("month"), col("version"), col("del"))
   }
 
+  /** Incremental materialized view over the snapshot CDF — the retraction
+    * fold a warehouse uses instead of rescanning the table: the per-month
+    * (count, revenue) view at version 1 is refreshed to version 2 by
+    * folding [[SnapshotTable.changeDeltas]]' signed rows (−1 pre-image
+    * for deletes/update-olds, +1 post-image for inserts/update-news)
+    * through the mergeable-aggregate kernel — refresh cost O(|view| +
+    * |changes|), snapshot never rescanned. The ORACLE is the direct
+    * recompute over the version-2 final state, so the green row IS the
+    * incremental ≡ full-recompute equality (exact: counts are integers,
+    * revenue is decimal-carried to one final double cast). */
+  val sSnapshotViewIncr = Q(
+    "s_snapshot_view_incr",
+    """WITH base AS (SELECT o_orderkey AS k, o_custkey,
+      |    o_totalprice AS price, o_orderstatus AS status,
+      |    strftime(o_orderdate, '%Y-%m') AS month
+      |  FROM orders),
+      |fin AS (
+      |  SELECT k, CASE WHEN k % 10 = 0 THEN price + 1000 ELSE price END AS price,
+      |    month
+      |  FROM base WHERE k % 100 <> 3
+      |  UNION ALL
+      |  SELECT k + 100000000, price, '2099-01' FROM base WHERE k % 1000 = 7)
+      |SELECT month, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM fin GROUP BY 1""".stripMargin) { (s, d) =>
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_snap_mv").toString
+    val snap = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").as("price"),
+      col("o_orderstatus").as("status"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+      lit(0L).as("version"), lit(false).as("del"))
+    val v1 = SnapshotTable.overwrite(s, tableDir, snap, partCol = "month")
+    val updates = snap.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("price", col("price") + 1000)
+      .withColumn("status", lit("U"))
+      .withColumn("version", lit(1L))
+      .unionByName(snap.filter(col("o_orderkey") % 100 === 3)
+        .withColumn("version", lit(1L))
+        .withColumn("del", lit(true)))
+      .unionByName(snap.filter(col("o_orderkey") % 1000 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("status", lit("N"))
+        .withColumn("month", lit("2099-01"))
+        .withColumn("version", lit(1L)))
+    val v2 = SnapshotTable.upsert(s, tableDir, updates,
+      partCol = "month", keyCols = Seq("o_orderkey"),
+      versionCol = "version", deleteCol = "del")
+    // the view at v1 (the only full-table aggregate — computed ONCE)
+    val state1 = SnapshotTable.readAt(s, tableDir, v1)
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price").cast("decimal(18,4)"))
+          .cast("decimal(28,4)").as("revenue"))
+    // the O(changes) refresh: signed delta aggregate + mergeable fold
+    val deltaAgg = SnapshotTable
+      .changeDeltas(s, tableDir, v1, v2, keyCols = Seq("o_orderkey"))
+      .groupBy(col("month"))
+      .agg(sum(col("__w").cast("long")).as("n"),
+        sum(col("__w") * col("price").cast("decimal(18,4)"))
+          .cast("decimal(28,4)").as("revenue"))
+    Sinks.mergeAggState(state1, deltaAgg, Seq("month"), Seq("n", "revenue"))
+      .filter(col("n") > 0) // a fully-deleted group leaves the view
+      .select(col("month"), col("n"),
+        col("revenue").cast("double").as("revenue"))
+  }
+
   /** PERMISSIVE CSV ingestion — the dirty-feed contract every real scan
     * needs: rows whose fields fail the declared schema land with the
     * failing field null and the RAW LINE preserved in the corrupt-record
@@ -542,6 +609,6 @@ object SourceQueries {
     s12Dsv2Write,
     s12Dsv2Runtime, s3CsvRoundtrip,
     fCleanupPack, p10Conform, sOrcRoundtrip, sUpsertMerge, sUpsertSnapshot,
-    sSnapshotChanges,
+    sSnapshotChanges, sSnapshotViewIncr,
     sCsvPermissive, sSchemaEvolve, sBinaryFiles, sAggMaintain)
 }

@@ -251,24 +251,33 @@ object SnapshotTable {
     readFiles(spark, tableDir,
       entries(tableDir).collect { case (p, f) if parts(p) => f })
 
-  /** Change-data-feed between two committed versions — the row-level diff
-    * a downstream incremental consumer replays instead of re-reading the
-    * snapshot: one row per inserted / deleted / updated key, update rows
-    * carrying the post-image, delete rows the pre-image.
-    *
-    * The manifests make this O(changed partitions), not O(table): a
-    * partition whose (version `from`, version `to`) file sets are
-    * IDENTICAL — the carry-forward case — is provably unchanged (batches
-    * are immutable), so neither side's files are opened at all; only
-    * partitions whose entries differ are read from both versions and
-    * full-outer-joined on `keyCols` (`<=>`-free: key columns are non-null
-    * by the upsert contract). Rows identical across versions (possible
-    * within a rewritten partition) emit nothing.
-    *
-    * Output: `change_type` ('insert' | 'update' | 'delete') followed by
-    * the table columns. */
-  def diff(spark: SparkSession, tableDir: String, from: Long, to: Long,
-      keyCols: Seq[String]): DataFrame = {
+  /** The RETRACTION form of [[diff]] — one signed row per change
+    * contribution (`__w` = −1 retracts a pre-image, +1 asserts a
+    * post-image; an update emits both), which is exactly what an
+    * incremental materialized view folds: for any SUM-mergeable view
+    * `Σ f(row) GROUP BY g`, `view(to) = view(from) ⊎ Σ __w·f(row)` — the
+    * delta is O(changes), the view refresh O(|view| + |changes|), and the
+    * snapshot is never rescanned ([[Sinks.mergeAggState]] does the fold;
+    * s_snapshot_view_incr rides the equality as its oracle). Same
+    * changed-partition scoping as [[diff]]. */
+  def changeDeltas(spark: SparkSession, tableDir: String, from: Long,
+      to: Long, keyCols: Seq[String]): DataFrame = {
+    val d = diffImages(spark, tableDir, from, to, keyCols)
+    val valFields = d.schema("__old").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    def sideRows(img: String, types: Seq[String], w: Int) = d
+      .filter(col("change_type").isin(types: _*))
+      .select(lit(w).as("__w") +: (keyCols.map(col) ++
+        valFields.map(f => col(img).getField(f).as(f))): _*)
+    sideRows("__old", Seq("delete", "update"), -1)
+      .unionByName(sideRows("__new", Seq("insert", "update"), 1))
+  }
+
+  /** [[diff]] with both images kept as structs — the core shared with
+    * [[changeDeltas]]. Output: (change_type, keys…, __old, __new); an
+    * insert's `__old` and a delete's `__new` are NULL. */
+  def diffImages(spark: SparkSession, tableDir: String, from: Long,
+      to: Long, keyCols: Seq[String]): DataFrame = {
     val ea = entriesAt(tableDir, from)
     val eb = entriesAt(tableDir, to)
     def byPart(e: Seq[(String, String)]) =
@@ -289,16 +298,41 @@ object SnapshotTable {
       struct(valCols.map(col): _*).as("__old"): _*)
     val newS = n.select(keyCols.map(col) :+
       struct(valCols.map(col): _*).as("__new"): _*)
-    val image = (f: String) =>
-      when(col("__new").isNull, col("__old").getField(f))
-        .otherwise(col("__new").getField(f)).as(f)
     oldS.join(newS, keyCols, "full_outer")
       .select(
         when(col("__old").isNull, lit("insert"))
           .when(col("__new").isNull, lit("delete"))
           .when(!(col("__old") <=> col("__new")), lit("update"))
           .as("change_type") +:
-        (keyCols.map(col) ++ valCols.map(image)): _*)
+        (keyCols.map(col) :+ col("__old") :+ col("__new")): _*)
       .filter(col("change_type").isNotNull)
+  }
+
+  /** Change-data-feed between two committed versions — the row-level diff
+    * a downstream incremental consumer replays instead of re-reading the
+    * snapshot: one row per inserted / deleted / updated key, update rows
+    * carrying the post-image, delete rows the pre-image.
+    *
+    * The manifests make this O(changed partitions), not O(table): a
+    * partition whose (version `from`, version `to`) file sets are
+    * IDENTICAL — the carry-forward case — is provably unchanged (batches
+    * are immutable), so neither side's files are opened at all; only
+    * partitions whose entries differ are read from both versions and
+    * full-outer-joined on `keyCols` (`<=>`-free: key columns are non-null
+    * by the upsert contract). Rows identical across versions (possible
+    * within a rewritten partition) emit nothing.
+    *
+    * Output: `change_type` ('insert' | 'update' | 'delete') followed by
+    * the table columns. */
+  def diff(spark: SparkSession, tableDir: String, from: Long, to: Long,
+      keyCols: Seq[String]): DataFrame = {
+    val d = diffImages(spark, tableDir, from, to, keyCols)
+    val valFields = d.schema("__old").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    val image = (f: String) =>
+      when(col("__new").isNull, col("__old").getField(f))
+        .otherwise(col("__new").getField(f)).as(f)
+    d.select(col("change_type") +:
+      (keyCols.map(col) ++ valFields.map(image)): _*)
   }
 }

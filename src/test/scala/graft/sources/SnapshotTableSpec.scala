@@ -176,6 +176,42 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.diff(spark, dir, v2, v2, Seq("k")).count() === 0)
   }
 
+  test("changeDeltas retraction fold: incremental view refresh equals the " +
+    "full recompute, including a group emptied by deletes") {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    val v1 = SnapshotTable.overwrite(spark, dir, baseRows, "month")
+    // tombstone BOTH 2024-02 rows (group must leave the view), update k=1,
+    // insert k=9 into a new month
+    val changes = Seq(
+      (1L, "a", 11.0, "2024-01", 1L, false),
+      (3L, "c", 30.0, "2024-02", 1L, true),
+      (4L, "d", 40.0, "2024-02", 1L, true),
+      (9L, "i", 90.0, "2024-09", 1L, false)
+    ).toDF("k", "name", "price", "month", "version", "del")
+    val v2 = SnapshotTable.upsert(spark, dir, changes,
+      "month", Seq("k"), "version", "del")
+    def view(df: org.apache.spark.sql.DataFrame) = df.groupBy("month")
+      .agg(count(lit(1)).as("n"),
+        sum(col("price").cast("decimal(18,4)")).cast("decimal(28,4)").as("rev"))
+    val state1 = view(SnapshotTable.readAt(spark, dir, v1))
+    val deltaAgg = SnapshotTable.changeDeltas(spark, dir, v1, v2, Seq("k"))
+      .groupBy("month")
+      .agg(sum(col("__w").cast("long")).as("n"),
+        sum(col("__w") * col("price").cast("decimal(18,4)"))
+          .cast("decimal(28,4)").as("rev"))
+    val incr = Sinks.mergeAggState(state1, deltaAgg, Seq("month"), Seq("n", "rev"))
+      .filter(col("n") > 0)
+      .select(col("month"), col("n"), col("rev").cast("double").as("rev"))
+    val full = view(SnapshotTable.read(spark, dir))
+      .select(col("month"), col("n"), col("rev").cast("double").as("rev"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Double)].collect().toSet
+    assert(rows(incr) == rows(full))
+    // 2024-02 emptied: absent from BOTH (the n > 0 drop did its job)
+    assert(!rows(incr).exists(_._1 == "2024-02"))
+    assert(rows(incr).exists(_._1 == "2024-09"))
+  }
+
   test("compact folds live files into one batch, content unchanged") {
     val dir = Files.createTempDirectory("graft-snap").toString
     SnapshotTable.overwrite(spark, dir, baseRows, "month")
