@@ -135,16 +135,59 @@ object SnapshotTable {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Serialize the commit critical section on an atomically-created lock
+    * file. The bounded wait turns a crashed writer's stale lock into a
+    * loud error instead of an indefinite hang; `maxWaitMs = 0` fails
+    * immediately (try-lock). */
+  private def withCommitLock[A](tableDir: String, maxWaitMs: Long = 60000L)(
+      body: => A): A = {
+    val lock = Paths.get(tableDir, "_commit.lock")
+    var waited = 0L
+    var acquired = false
+    while (!acquired) {
+      try { Files.createFile(lock); acquired = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          if (waited >= maxWaitMs) throw new IllegalStateException(
+            s"$tableDir/_commit.lock held past ${maxWaitMs}ms — another " +
+              "writer is committing, or a crashed one left a stale lock " +
+              "(delete it after confirming the writer is gone)")
+          Thread.sleep(50); waited += 50
+      }
+    }
+    try body finally Files.deleteIfExists(lock)
+  }
+
+  /** Optimistic-concurrency commit (the Iceberg/Delta CAS shape): publish
+    * `newEntries` as the next version ONLY if the table is still at
+    * `basedOnVersion` — the version the writer's merge actually read. A
+    * concurrent writer that committed in between makes this throw
+    * [[java.util.ConcurrentModificationException]] instead of silently
+    * overwriting its changes (the lost-update anomaly); the caller
+    * re-reads the new current version, re-merges, and retries. The check
+    * and the pointer swap sit inside the commit lock, so two CAS commits
+    * can never interleave between check and swap. */
+  def casCommit(tableDir: String, basedOnVersion: Long,
+      newEntries: Seq[(String, String)]): Long =
+    withCommitLock(tableDir) {
+      val cur = currentVersion(tableDir)
+      if (cur != basedOnVersion)
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot advanced to v$cur while this writer merged against " +
+            s"v$basedOnVersion — re-read and retry the merge")
+      val v = prepareManifest(tableDir, newEntries)
+      swapPointer(tableDir, v)
+      v
+    }
+
   /** Full-table overwrite commit: stage every row, commit a manifest
     * listing only the new batch. Returns the committed version. */
   def overwrite(spark: SparkSession, tableDir: String, df: DataFrame,
       partCol: String): Long = {
     Files.createDirectories(Paths.get(tableDir))
-    val v = currentVersion(tableDir) + 1
-    val staged = stageBatch(df, tableDir, partCol, v)
-    val committed = prepareManifest(tableDir, staged)
-    swapPointer(tableDir, committed)
-    committed
+    val basedOn = currentVersion(tableDir)
+    val staged = stageBatch(df, tableDir, partCol, basedOn + 1)
+    casCommit(tableDir, basedOn, staged)
   }
 
   /** CDC MERGE with an atomic multi-partition commit: same merge kernel
@@ -159,9 +202,10 @@ object SnapshotTable {
   def upsert(spark: SparkSession, tableDir: String, updates: DataFrame,
       partCol: String, keyCols: Seq[String], versionCol: String,
       deleteCol: String): Long = {
+    val basedOn = currentVersion(tableDir)
     val touched = updates.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
-    val old = entries(tableDir)
+    val old = entriesAt(tableDir, basedOn)
     val (touchedOld, untouched) = old.partition { case (p, _) => touched(p) }
     val merged = {
       val batchCols = updates.columns
@@ -177,11 +221,10 @@ object SnapshotTable {
         .filter(col("__rn") === 1 && !col(deleteCol))
         .drop("__rn")
     }
-    val v = currentVersion(tableDir) + 1
-    val staged = stageBatch(merged, tableDir, partCol, v)
-    val committed = prepareManifest(tableDir, untouched ++ staged)
-    swapPointer(tableDir, committed)
-    committed
+    val staged = stageBatch(merged, tableDir, partCol, basedOn + 1)
+    // CAS against the version this merge actually read: a concurrent
+    // commit in the meantime throws instead of losing that writer's rows
+    casCommit(tableDir, basedOn, untouched ++ staged)
   }
 
   /** Fold every live file into one fresh batch and commit — the

@@ -212,6 +212,30 @@ class SnapshotTableSpec extends SparkSpec {
     assert(rows(incr).exists(_._1 == "2024-09"))
   }
 
+  test("optimistic concurrency: a commit based on a stale version throws " +
+    "instead of losing the interleaved writer's update") {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    val v1 = SnapshotTable.overwrite(spark, dir, baseRows, "month")
+    // writer A reads v1... writer B commits v2 in the meantime
+    val v2 = SnapshotTable.upsert(spark, dir, updateRows,
+      "month", Seq("k"), "version", "del")
+    assert(v2 == v1 + 1)
+    // ...writer A now tries to publish a manifest merged against v1
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.casCommit(dir, basedOnVersion = v1,
+        SnapshotTable.entries(dir))
+    }
+    assert(ex.getMessage.contains("re-read and retry"))
+    // the failed CAS released the lock and published nothing
+    assert(SnapshotTable.currentVersion(dir) == v2)
+    assert(contents(SnapshotTable.read(spark, dir)) == mergedWant)
+    // the retry (re-read against the REAL current version) succeeds
+    val v3 = SnapshotTable.casCommit(dir, basedOnVersion = v2,
+      SnapshotTable.entries(dir))
+    assert(v3 == v2 + 1 && SnapshotTable.currentVersion(dir) == v3)
+    assert(contents(SnapshotTable.read(spark, dir)) == mergedWant)
+  }
+
   test("compact folds live files into one batch, content unchanged") {
     val dir = Files.createTempDirectory("graft-snap").toString
     SnapshotTable.overwrite(spark, dir, baseRows, "month")
