@@ -497,6 +497,33 @@ object SourceQueries {
         col("revenue").cast("double").as("revenue"))
   }
 
+  /** Manifest-stats data skipping ([[SnapshotTable.readRange]] over a
+    * [[SnapshotTable.overwriteClustered]] layout): the snapshot is
+    * staged range-clustered on o_orderkey with per-FILE min/max lifted
+    * into the manifest, and the key-band read prunes files from the
+    * manifest alone — no footer of a skipped file is ever opened (the
+    * Iceberg column-stats design; at 100 TB the difference between
+    * opening 10⁶ footers to skip them and skipping them for free). The
+    * exact predicate still applies on top, so the oracle is the plain
+    * filtered select whatever the stats prune. */
+  val sSnapshotSkip = Q(
+    "s_snapshot_skip",
+    """SELECT o_orderkey, o_custkey, o_totalprice AS price,
+      |  strftime(o_orderdate, '%Y-%m') AS month
+      |FROM orders WHERE o_orderkey BETWEEN 100 AND 2000""".stripMargin) {
+    (s, d) =>
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_snap_skip").toString
+    val snap = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").as("price"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+    SnapshotTable.overwriteClustered(s, tableDir, snap, partCol = "month",
+      statsCols = Seq("o_orderkey"), rangeFiles = 8)
+    SnapshotTable.readRange(s, tableDir, "o_orderkey", 100L, 2000L)
+      .filter(col("o_orderkey").between(100L, 2000L))
+      .select(col("o_orderkey"), col("o_custkey"), col("price"), col("month"))
+  }
+
   /** PERMISSIVE CSV ingestion — the dirty-feed contract every real scan
     * needs: rows whose fields fail the declared schema land with the
     * failing field null and the RAW LINE preserved in the corrupt-record
@@ -609,6 +636,6 @@ object SourceQueries {
     s12Dsv2Write,
     s12Dsv2Runtime, s3CsvRoundtrip,
     fCleanupPack, p10Conform, sOrcRoundtrip, sUpsertMerge, sUpsertSnapshot,
-    sSnapshotChanges, sSnapshotViewIncr,
+    sSnapshotChanges, sSnapshotViewIncr, sSnapshotSkip,
     sCsvPermissive, sSchemaEvolve, sBinaryFiles, sAggMaintain)
 }

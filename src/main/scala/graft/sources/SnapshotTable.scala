@@ -69,16 +69,38 @@ object SnapshotTable {
     else 0L
   }
 
-  /** Live (partitionValue, relativePath) entries of snapshot `v`. */
+  /** Live (partitionValue, relativePath) entries of snapshot `v`.
+    * Manifest lines are `part \t path [\t col=min:max;…]` — the optional
+    * third field carries per-FILE column min/max stats (see
+    * [[statsAt]]); this view ignores it. */
   def entriesAt(tableDir: String, v: Long): Seq[(String, String)] = {
     val mf = Paths.get(tableDir, manifestName(v))
     if (!Files.exists(mf)) Seq.empty
     else new String(Files.readAllBytes(mf), StandardCharsets.UTF_8)
       .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
       .map { line =>
-        val i = line.indexOf('\t')
-        (line.substring(0, i), line.substring(i + 1))
+        val f = line.split('\t')
+        (f(0), f(1))
       }.toSeq
+  }
+
+  /** Per-file column min/max stats of snapshot `v`:
+    * relativePath → (col → (min, max)). Only files whose manifest line
+    * carries a stats field appear; LONG-typed stat columns only (ids,
+    * epochs, bucketed values — the clustering keys worth skipping on). */
+  def statsAt(tableDir: String, v: Long): Map[String, Map[String, (Long, Long)]] = {
+    val mf = Paths.get(tableDir, manifestName(v))
+    if (!Files.exists(mf)) Map.empty
+    else new String(Files.readAllBytes(mf), StandardCharsets.UTF_8)
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .map(_.split('\t')).filter(_.length >= 3)
+      .map { f =>
+        f(1) -> f(2).split(';').iterator.filter(_.nonEmpty).map { kv =>
+          val Array(c, mm) = kv.split("=", 2)
+          val Array(lo, hi) = mm.split(":", 2)
+          c -> (lo.toLong, hi.toLong)
+        }.toMap
+      }.toMap
   }
 
   /** Live entries of the current snapshot (empty for an empty table). */
@@ -111,13 +133,68 @@ object SnapshotTable {
       }
   }
 
-  /** Write the next manifest file (version current+1) with `entries`.
-    * The manifest exists on disk after this call but is NOT live until
-    * [[swapPointer]] — a crash between the two leaves readers on the old
-    * snapshot. Returns the prepared version. */
-  def prepareManifest(tableDir: String, newEntries: Seq[(String, String)]): Long = {
+  /** Range-clustered staging WITH file statistics — the data-skipping
+    * layout: rows are range-partitioned on `statsCols.head` into
+    * `rangeFiles` tasks before the per-partition split, so each output
+    * file covers a narrow slice of the clustering key WITHIN its
+    * partition, and one distributed pass over the staged batch records
+    * every file's per-column min/max for the manifest. The stats lift
+    * parquet's footer min/max to the MANIFEST level (Iceberg's
+    * column-stats design): [[readRange]] prunes files from the file list
+    * alone — zero footers opened for skipped files, the difference
+    * between "open 10⁶ footers to skip them" and "skip them for free" at
+    * 100 TB. Stat columns must be LONG-typed. */
+  def stageBatchClustered(df: DataFrame, tableDir: String, partCol: String,
+      batchTag: Long, statsCols: Seq[String], rangeFiles: Int)
+      : (Seq[(String, String)], Map[String, Map[String, (Long, Long)]]) = {
+    require(statsCols.nonEmpty, "statsCols must name at least one column")
+    val batchRel = s"batch-$batchTag"
+    val batchDir = Paths.get(tableDir, "data", batchRel).toString
+    df.repartitionByRange(rangeFiles, col(statsCols.head))
+      .withColumn("__p", col(partCol))
+      .write.mode("overwrite").partitionBy("__p").parquet(batchDir)
+    val root = new File(batchDir)
+    val staged = root.listFiles().toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith("__p="))
+      .flatMap { d =>
+        val part = d.getName.stripPrefix("__p=")
+        d.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+          .map(f => part -> s"$batchRel/${d.getName}/${f.getName}")
+      }
+    // one scan of the NEW BATCH only (never the table) for per-file stats
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+    val stats = df.sparkSession.read.parquet(batchDir)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .flatMap { r =>
+        // file URI → manifest-relative path
+        val rel = r.getString(0).split("/data/").last
+        val m = statsCols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(1 + 2 * i)) None // all-null file: no stats → always read
+          else Some(c -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
+        }.toMap
+        if (m.isEmpty) None else Some(rel -> m)
+      }.toMap
+    (staged, stats)
+  }
+
+  /** Write the next manifest file (version current+1) with `entries`
+    * (and, per file, any column stats). The manifest exists on disk
+    * after this call but is NOT live until [[swapPointer]] — a crash
+    * between the two leaves readers on the old snapshot. Returns the
+    * prepared version. */
+  def prepareManifest(tableDir: String, newEntries: Seq[(String, String)],
+      stats: Map[String, Map[String, (Long, Long)]] = Map.empty): Long = {
     val v = currentVersion(tableDir) + 1
-    val body = newEntries.map { case (p, f) => s"$p\t$f" }.mkString("", "\n", "\n")
+    val body = newEntries.map { case (p, f) =>
+      val st = stats.get(f).filter(_.nonEmpty)
+        .map(m => "\t" + m.toSeq.sortBy(_._1)
+          .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(";"))
+        .getOrElse("")
+      s"$p\t$f$st"
+    }.mkString("", "\n", "\n")
     val tmp = Paths.get(tableDir, s".${manifestName(v)}.tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(tableDir, manifestName(v)),
@@ -168,14 +245,15 @@ object SnapshotTable {
     * and the pointer swap sit inside the commit lock, so two CAS commits
     * can never interleave between check and swap. */
   def casCommit(tableDir: String, basedOnVersion: Long,
-      newEntries: Seq[(String, String)]): Long =
+      newEntries: Seq[(String, String)],
+      stats: Map[String, Map[String, (Long, Long)]] = Map.empty): Long =
     withCommitLock(tableDir) {
       val cur = currentVersion(tableDir)
       if (cur != basedOnVersion)
         throw new java.util.ConcurrentModificationException(
           s"snapshot advanced to v$cur while this writer merged against " +
             s"v$basedOnVersion — re-read and retry the merge")
-      val v = prepareManifest(tableDir, newEntries)
+      val v = prepareManifest(tableDir, newEntries, stats)
       swapPointer(tableDir, v)
       v
     }
@@ -188,6 +266,20 @@ object SnapshotTable {
     val basedOn = currentVersion(tableDir)
     val staged = stageBatch(df, tableDir, partCol, basedOn + 1)
     casCommit(tableDir, basedOn, staged)
+  }
+
+  /** Full-table overwrite through the range-clustered, stats-carrying
+    * staging path ([[stageBatchClustered]]): the committed manifest
+    * carries per-file min/max for `statsCols`, so [[readRange]] skips
+    * files by predicate without opening them. */
+  def overwriteClustered(spark: SparkSession, tableDir: String,
+      df: DataFrame, partCol: String, statsCols: Seq[String],
+      rangeFiles: Int): Long = {
+    Files.createDirectories(Paths.get(tableDir))
+    val basedOn = currentVersion(tableDir)
+    val (staged, stats) = stageBatchClustered(
+      df, tableDir, partCol, basedOn + 1, statsCols, rangeFiles)
+    casCommit(tableDir, basedOn, staged, stats)
   }
 
   /** CDC MERGE with an atomic multi-partition commit: same merge kernel
@@ -222,9 +314,14 @@ object SnapshotTable {
         .drop("__rn")
     }
     val staged = stageBatch(merged, tableDir, partCol, basedOn + 1)
+    // carry untouched files' stats forward with their entries; the new
+    // batch's files get none (the plain staging path) and are always read
+    val untouchedFiles = untouched.map(_._2).toSet
+    val carriedStats = statsAt(tableDir, basedOn)
+      .filter { case (f, _) => untouchedFiles(f) }
     // CAS against the version this merge actually read: a concurrent
     // commit in the meantime throws instead of losing that writer's rows
-    casCommit(tableDir, basedOn, untouched ++ staged)
+    casCommit(tableDir, basedOn, untouched ++ staged, carriedStats)
   }
 
   /** Fold every live file into one fresh batch and commit — the
@@ -293,6 +390,27 @@ object SnapshotTable {
       parts: Set[String]): DataFrame =
     readFiles(spark, tableDir,
       entries(tableDir).collect { case (p, f) if parts(p) => f })
+
+  /** Manifest-stats file skipping: read only files whose recorded
+    * `statCol` [min, max] overlaps `[lo, hi]` — files without stats are
+    * conservatively read (correctness never depends on stats; they only
+    * SHRINK the file list). The caller still applies the exact row
+    * predicate on top: stats prune FILES, not rows. Returns the pruned
+    * frame (schema-preserving even when everything is skipped). */
+  def readRange(spark: SparkSession, tableDir: String, statCol: String,
+      lo: Long, hi: Long): DataFrame = {
+    val v = currentVersion(tableDir)
+    val st = statsAt(tableDir, v)
+    val all = entriesAt(tableDir, v).map(_._2)
+    val kept = all.filter { f =>
+      st.get(f).flatMap(_.get(statCol)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+    if (kept.nonEmpty) readFiles(spark, tableDir, kept)
+    else readFiles(spark, tableDir, all.take(1)).limit(0)
+  }
 
   /** The RETRACTION form of [[diff]] — one signed row per change
     * contribution (`__w` = −1 retracts a pre-image, +1 asserts a

@@ -236,6 +236,43 @@ class SnapshotTableSpec extends SparkSpec {
     assert(contents(SnapshotTable.read(spark, dir)) == mergedWant)
   }
 
+  test("manifest file stats: range read prunes files without opening them; " +
+    "result equals the exact filter; stats carry forward on upsert") {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    val rows = (0L until 1000L)
+      .map(k => (k, s"n$k", k.toDouble, "p" + (k % 4), 0L, false))
+      .toDF("k", "name", "price", "part", "version", "del")
+    SnapshotTable.overwriteClustered(spark, dir, rows, "part",
+      statsCols = Seq("k"), rangeFiles = 4)
+    val v = SnapshotTable.currentVersion(dir)
+    val all = SnapshotTable.entriesAt(dir, v).map(_._2)
+    val st = SnapshotTable.statsAt(dir, v)
+    assert(all.nonEmpty && all.forall(st.contains), "every file needs stats")
+    // the band [100, 199] hits one range slice: most files prune by stats
+    def keptFor(lo: Long, hi: Long) = all.count { f =>
+      val (mn, mx) = st(f)("k"); mx >= lo && mn <= hi
+    }
+    assert(keptFor(100L, 199L) < all.size)
+    val got = SnapshotTable.readRange(spark, dir, "k", 100L, 199L)
+      .filter(col("k").between(100L, 199L))
+      .select("k").as[Long].collect().toSet
+    assert(got == (100L until 200L).toSet)
+    // all-skip band: schema-preserving empty frame
+    assert(keptFor(5000L, 6000L) == 0)
+    val empty = SnapshotTable.readRange(spark, dir, "k", 5000L, 6000L)
+    assert(empty.count() == 0 && empty.columns.contains("name"))
+    // upsert carries untouched files' stats forward with their entries
+    val upd = Seq((100L, "N", 1.5, "p0", 1L, false))
+      .toDF("k", "name", "price", "part", "version", "del")
+    val v2 = SnapshotTable.upsert(spark, dir, upd, "part", Seq("k"),
+      "version", "del")
+    val st2 = SnapshotTable.statsAt(dir, v2)
+    val untouchedStillStatted = SnapshotTable.entriesAt(dir, v2)
+      .filter(_._1 != "p0").map(_._2)
+    assert(untouchedStillStatted.nonEmpty &&
+      untouchedStillStatted.forall(st2.contains))
+  }
+
   test("compact folds live files into one batch, content unchanged") {
     val dir = Files.createTempDirectory("graft-snap").toString
     SnapshotTable.overwrite(spark, dir, baseRows, "month")
