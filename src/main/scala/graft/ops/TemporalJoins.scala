@@ -138,6 +138,24 @@ object TemporalJoins {
     intervals.join(points, keyCond && between, "inner")
   }
 
+  /** LEFT OUTER [[nativeRangeJoin]]: every interval row is preserved —
+    * one joined row per contained point, or one null-extended row when no
+    * point falls inside (incl. NULL-keyed and NULL-bounded intervals, the
+    * outer-join contract). Plans as the same merge sweep with unmatched
+    * intervals emitted at eviction/group-end; shapes the strategy
+    * declines (bounds on the point side, residual predicates) fall back
+    * to default outer planning with identical rows. */
+  def nativeRangeJoinLeftOuter(intervals: DataFrame, points: DataFrame,
+      keys: Seq[(String, String)],
+      startCol: String, endCol: String, pointCol: String): DataFrame = {
+    graft.functions.GraftBetween.register(intervals.sparkSession)
+    val keyCond = keys.map { case (a, b) => intervals(a) === points(b) }
+      .reduce(_ && _)
+    val between = call_function("graft_between",
+      points(pointCol), intervals(startCol), intervals(endCol))
+    intervals.join(points, keyCond && between, "left_outer")
+  }
+
   /** KEYED interval × interval OVERLAP join through the native merge-sweep
     * path: every (left, right) pair sharing a key with
     * `[ls, le] ∩ [rs, re] ≠ ∅` (inclusive ends), emitted exactly once,

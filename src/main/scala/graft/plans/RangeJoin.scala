@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, BindReferences, EqualTo, Expression, JoinedRow, PredicateHelper, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.expressions.UnsafeRow
@@ -41,7 +41,7 @@ import graft.functions.GraftBetween
   */
 object RangeJoinStrategy extends SparkStrategy with PredicateHelper {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case Join(left, right, Inner, Some(cond), _) =>
+    case Join(left, right, jt, Some(cond), _) if jt == Inner || jt == LeftOuter =>
       def ofLeft(e: Expression) = e.references.subsetOf(left.outputSet)
       def ofRight(e: Expression) = e.references.subsetOf(right.outputSet)
       def sweepable(b: GraftBetween) =
@@ -61,7 +61,14 @@ object RangeJoinStrategy extends SparkStrategy with PredicateHelper {
         if (i < 0) (Nil, rest0) else (Seq(rest0(i)), rest0.patch(i, Nil, 1))
       }
       (drivers, equis) match {
-        case (Seq(b: GraftBetween), _ :: _) =>
+        case (Seq(b: GraftBetween), _ :: _)
+            // LEFT OUTER plans only the orientation whose PRESERVED side
+            // is the interval (buffered) side, and only the bare
+            // equi+between shape: a residual above an outer join, or a
+            // swap that would preserve the point side, changes semantics
+            // — those shapes decline to default planning (correct via the
+            // marker's plain-conjunction eval)
+            if jt == Inner || (ofLeft(b.lo) && residual.isEmpty) =>
           val keyPairs = equis.map {
             case EqualTo(a, c) if ofLeft(a) => (a, c)
             case EqualTo(a, c) => (c, a)
@@ -70,11 +77,11 @@ object RangeJoinStrategy extends SparkStrategy with PredicateHelper {
           val core: SparkPlan =
             if (ofLeft(b.lo))
               RangeJoinExec(lk, rk, b.lo, b.hi, b.point,
-                planLater(left), planLater(right))
+                planLater(left), planLater(right), jt)
             else
               ProjectExec(left.output ++ right.output,
                 RangeJoinExec(rk, lk, b.lo, b.hi, b.point,
-                  planLater(right), planLater(left)))
+                  planLater(right), planLater(left), Inner))
           residual.reduceOption(And)
             .map(FilterExec(_, core)).getOrElse(core) :: Nil
         case _ => Nil
@@ -112,8 +119,14 @@ object RangeJoinStrategy extends SparkStrategy with PredicateHelper {
   * (used by the planted-spill spec). Disk bytes spilled surface in the
   * node's `spillSize` SQL metric.
   *
-  * NULL in any key, bound, or point drops the row (inner-join predicate
-  * semantics: NULL is not a match).
+  * NULL in any key, bound, or point drops the row under INNER semantics
+  * (NULL is not a match). Under LEFT OUTER (`joinType = LeftOuter`) every
+  * interval row is PRESERVED: matched intervals emit one row per
+  * contained point, unmatched ones (no point, NULL key, NULL bound) emit
+  * once with the point side null-extended — unmatched emission happens at
+  * heap EVICTION or group end, so the sweep stays single-pass and the
+  * spill discipline is unchanged (NULL-bounded rows buffer in a second
+  * spillable array).
   */
 case class RangeJoinExec(
     leftKeys: Seq[Expression],
@@ -122,9 +135,13 @@ case class RangeJoinExec(
     hi: Expression,
     point: Expression,
     left: SparkPlan,
-    right: SparkPlan) extends SparkPlan with BinaryExecNode {
+    right: SparkPlan,
+    joinType: JoinType = Inner) extends SparkPlan with BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (joinType == LeftOuter)
+      left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
@@ -159,11 +176,14 @@ case class RangeJoinExec(
     val spillThreshold = conf.getConfString(
       "spark.graft.rangeJoin.buffer.spillThreshold",
       conf.sortMergeJoinExecBufferSpillThreshold.toString).toInt
+    val preserveLeft = joinType == LeftOuter
+    val rightWidth = right.output.size
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val proj = UnsafeProjection.create(out, out)
       new RangeSweepIterator(lIt.buffered, rIt.buffered,
         lKeysB, rKeysB, loB, hiB, ptB, keyOrds, timeOrd,
-        leftAttrs, inMemThreshold, spillThreshold, spillSize)
+        leftAttrs, inMemThreshold, spillThreshold, spillSize,
+        preserveLeft, rightWidth)
         .map { jr => numOutputRows += 1; proj(jr) }
     }
   }
@@ -173,7 +193,7 @@ case class RangeJoinExec(
     copy(left = newLeft, right = newRight)
 
   override def simpleString(maxFields: Int): String =
-    s"RangeJoinExec(keys=${leftKeys.mkString(",")} = ${rightKeys.mkString(",")}, " +
+    s"RangeJoinExec($joinType, keys=${leftKeys.mkString(",")} = ${rightKeys.mkString(",")}, " +
       s"range=[$lo, $hi] ∋ $point)"
 }
 
@@ -199,7 +219,9 @@ private[plans] final class RangeSweepIterator(
     leftAttrs: Seq[Attribute],
     inMemThreshold: Int,
     spillThreshold: Int,
-    spillMetric: org.apache.spark.sql.execution.metric.SQLMetric)
+    spillMetric: org.apache.spark.sql.execution.metric.SQLMetric,
+    preserveLeft: Boolean,
+    rightWidth: Int)
   extends Iterator[InternalRow] {
 
   private val nKeys = lKeys.length
@@ -207,9 +229,26 @@ private[plans] final class RangeSweepIterator(
   // One spillable group buffer for the whole partition, cleared per key
   // group (the SMJ pattern); sorted (keys, lo) input keeps it lo-ordered.
   private val groupBuf = new GraftSpillableRowArray(inMemThreshold, spillThreshold)
+  // LEFT OUTER only: a matched group's NULL-BOUND rows (preserved, but
+  // never sweepable) buffer here, same spill discipline.
+  private lazy val nullBoundBuf =
+    new GraftSpillableRowArray(inMemThreshold, spillThreshold)
   // Sort output is UnsafeRow in practice; project defensively if not.
   private val toUnsafe = UnsafeProjection.create(leftAttrs, leftAttrs)
   private var spillReported = 0L
+  private val nullRight =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rightWidth)
+  // Dedicated JoinedRow for null-extended emissions OUTSIDE GroupSweep
+  // (consumers copy per element, so the reuse is safe).
+  private val joinedNull = new JoinedRow
+
+  /** Lazily drain left rows while `keep` holds, null-extending each —
+    * the LEFT OUTER emission for unmatched groups / null keys / tails. */
+  private def nullDrain(keep: () => Boolean): Iterator[InternalRow] =
+    new Iterator[InternalRow] {
+      override def hasNext: Boolean = keep()
+      override def next(): InternalRow = joinedNull(lBuf.next(), nullRight)
+    }
 
   /** Key values of a row, or null if any key is NULL (row can't match). */
   private def keyOf(row: InternalRow, keys: Seq[Expression]): Array[Any] = {
@@ -246,35 +285,65 @@ private[plans] final class RangeSweepIterator(
 
   override def hasNext: Boolean = {
     while (!pending.hasNext) {
-      skipNullKeyed(lBuf, lKeys)
-      skipNullKeyed(rBuf, rKeys)
-      if (!lBuf.hasNext || !rBuf.hasNext) return false
-      val lk = keyOf(lBuf.head, lKeys)
-      val rk = keyOf(rBuf.head, rKeys)
-      val c = cmpKeys(lk, rk)
-      if (c < 0) skipGroup(lBuf, lKeys, lk)
-      else if (c > 0) skipGroup(rBuf, rKeys, rk)
-      else {
-        // Buffer the left (interval) group into the spillable array:
-        // NULL-bound rows dropped at fill time so the array holds only
-        // sweepable intervals, still in ascending-lo order.
-        groupBuf.clear()
-        while (lBuf.hasNext && {
-          val k = keyOf(lBuf.head, lKeys); k != null && cmpKeys(k, lk) == 0
-        }) {
-          val row = lBuf.next()
-          if (loE.eval(row) != null && hiE.eval(row) != null)
-            groupBuf.add(row match {
-              case u: UnsafeRow => u
-              case other => toUnsafe(other)
+      if (preserveLeft && lBuf.hasNext && keyOf(lBuf.head, lKeys) == null) {
+        // LEFT OUTER preserves NULL-keyed interval rows (they sort first)
+        pending = nullDrain(() =>
+          lBuf.hasNext && keyOf(lBuf.head, lKeys) == null)
+      } else {
+        if (!preserveLeft) skipNullKeyed(lBuf, lKeys)
+        skipNullKeyed(rBuf, rKeys)
+        if (!lBuf.hasNext) return false
+        if (!rBuf.hasNext) {
+          if (!preserveLeft) return false
+          // points exhausted: every remaining interval row is unmatched
+          pending = nullDrain(() => lBuf.hasNext)
+        } else {
+          val lk = keyOf(lBuf.head, lKeys)
+          val rk = keyOf(rBuf.head, rKeys)
+          val c = cmpKeys(lk, rk)
+          if (c < 0) {
+            if (preserveLeft) pending = nullDrain(() => lBuf.hasNext && {
+              val k = keyOf(lBuf.head, lKeys); k != null && cmpKeys(k, lk) == 0
             })
+            else skipGroup(lBuf, lKeys, lk)
+          }
+          else if (c > 0) skipGroup(rBuf, rKeys, rk)
+          else {
+            // Buffer the left (interval) group into the spillable array:
+            // NULL-bound rows drop at fill time under INNER (the array
+            // holds only sweepable intervals, still in ascending-lo
+            // order); under LEFT OUTER they buffer separately and emit
+            // null-extended.
+            groupBuf.clear()
+            if (preserveLeft) nullBoundBuf.clear()
+            while (lBuf.hasNext && {
+              val k = keyOf(lBuf.head, lKeys); k != null && cmpKeys(k, lk) == 0
+            }) {
+              val row = lBuf.next()
+              val u = row match {
+                case u0: UnsafeRow => u0
+                case other => toUnsafe(other)
+              }
+              if (loE.eval(row) != null && hiE.eval(row) != null)
+                groupBuf.add(u)
+              else if (preserveLeft) nullBoundBuf.add(u)
+            }
+            val spilled = groupBuf.spillSize +
+              (if (preserveLeft) nullBoundBuf.spillSize else 0L)
+            if (spilled > spillReported) {
+              spillMetric += (spilled - spillReported); spillReported = spilled
+            }
+            val nullBoundOut =
+              if (preserveLeft && !nullBoundBuf.isEmpty)
+                nullBoundBuf.iterator.map(r => joinedNull(r, nullRight))
+              else Iterator.empty
+            if (groupBuf.isEmpty) {
+              skipGroup(rBuf, rKeys, rk)
+              pending = nullBoundOut
+            }
+            else pending = nullBoundOut ++ new GroupSweep(rk)
+          }
         }
-        val spilled = groupBuf.spillSize
-        if (spilled > spillReported) {
-          spillMetric += (spilled - spillReported); spillReported = spilled
-        }
-        if (groupBuf.isEmpty) skipGroup(rBuf, rKeys, rk)
-        else pending = new GroupSweep(rk)
       }
     }
     true
@@ -282,12 +351,23 @@ private[plans] final class RangeSweepIterator(
 
   override def next(): InternalRow = pending.next()
 
+  /** A heap-resident interval: bounds, the (copied) row, and — LEFT OUTER
+    * only — whether any point ever matched it. */
+  private final class IntervalEntry(val lo: Any, val hi: Any, val row: InternalRow) {
+    var matched = false
+  }
+
   /** Sweep one matched key group: points stream from the shared rBuf until
     * the key changes; intervals stream from the spillable group buffer's
     * iterator (a one-row-lookahead cursor — the iterator's row object is
     * reused when reading from spill files, so rows are copied only at the
     * moment they enter the active heap) and enter/leave the heap as
-    * described above. On-heap residency is the active set alone. */
+    * described above. On-heap residency is the active set alone.
+    *
+    * LEFT OUTER: an interval evicted from the heap without ever matching
+    * emits one null-extended row AT EVICTION; at group end the remaining
+    * heap residents and the never-activated cursor tail drain the same
+    * way — single pass, no second scan of the group. */
   private final class GroupSweep(groupKey: Array[Any]) extends Iterator[InternalRow] {
 
     private val arrIt = groupBuf.iterator
@@ -305,17 +385,35 @@ private[plans] final class RangeSweepIterator(
         true
       } else false
 
-    private val active = mutable.PriorityQueue.empty[(Any, Any, InternalRow)](
-      Ordering.by[(Any, Any, InternalRow), Any](_._2)(timeOrd).reverse)
+    private val active = mutable.PriorityQueue.empty[IntervalEntry](
+      Ordering.by[IntervalEntry, Any](_.hi)(timeOrd).reverse)
     private var matches: Iterator[InternalRow] = Iterator.empty
     private var done = false
+    private var tailDrained = false
     private val joined = new JoinedRow
 
     override def hasNext: Boolean = {
-      while (!matches.hasNext && !done) {
-        // Safe to touch rBuf: the previous point's matches are exhausted.
-        if (!rBuf.hasNext) done = true
+      while (!matches.hasNext) {
+        if (done) {
+          if (!preserveLeft || tailDrained) return false
+          // group end: drain unmatched heap residents, then the cursor
+          // tail (intervals whose lo exceeded every point — never active)
+          tailDrained = true
+          val leftoverHeap = active.dequeueAll.iterator
+            .filter(!_.matched).map(e => joined(e.row, nullRight))
+          val cursorTail = new Iterator[InternalRow] {
+            override def hasNext: Boolean = cursorLive
+            override def next(): InternalRow = {
+              // copy: advanceCursor may refill the reused row object
+              val out = joined(curRow.copy(), nullRight)
+              cursorLive = advanceCursor()
+              out
+            }
+          }
+          matches = leftoverHeap ++ cursorTail
+        } else if (!rBuf.hasNext) done = true
         else {
+          // Safe to touch rBuf: the previous point's matches are exhausted.
           val k = keyOf(rBuf.head, rKeys)
           if (k == null || cmpKeys(k, groupKey) != 0) done = true
           else {
@@ -323,17 +421,28 @@ private[plans] final class RangeSweepIterator(
             val p = ptE.eval(rrow)
             if (p != null) {
               while (cursorLive && timeOrd.lteq(curLo, p)) {
-                active.enqueue((curLo, curHi, curRow.copy()))
+                active.enqueue(new IntervalEntry(curLo, curHi, curRow.copy()))
                 cursorLive = advanceCursor()
               }
-              while (active.nonEmpty && timeOrd.lt(active.head._2, p)) active.dequeue()
-              if (active.nonEmpty)
-                matches = active.iterator.map(t => joined(t._3, rrow))
+              var evicted: List[InternalRow] = Nil
+              while (active.nonEmpty && timeOrd.lt(active.head.hi, p)) {
+                val e = active.dequeue()
+                if (preserveLeft && !e.matched) evicted = e.row :: evicted
+              }
+              val evictedOut =
+                if (evicted.isEmpty) Iterator.empty
+                else evicted.iterator.map(r => joined(r, nullRight))
+              val matchedOut =
+                if (active.isEmpty) Iterator.empty
+                else active.iterator.map { e =>
+                  e.matched = true; joined(e.row, rrow)
+                }
+              matches = evictedOut ++ matchedOut
             }
           }
         }
       }
-      matches.hasNext
+      true
     }
 
     override def next(): InternalRow = matches.next()

@@ -730,6 +730,42 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_pairs"), sum(col("pev")).as("chk"))
   }
 
+  /** LEFT OUTER keyed range join through the native sweep: every
+    * purchase window is preserved — one row per in-window click, a
+    * null-extended row when none landed (the "purchases with NO follow-up
+    * activity" shape an attribution pipeline needs as much as the
+    * matches). Unmatched emission happens at heap eviction/group end, so
+    * the plan is STILL one sweep per key group — never the
+    * scan-plus-anti-join double pass the composable form costs. The
+    * oracle is DuckDB's plain LEFT JOIN; per-user aggregates count
+    * matched pairs and windows that matched nothing. */
+  val jRangeNativeOuter = Q(
+    "j_range_native_outer",
+    """WITH a AS (SELECT user_id, event_id AS aev, ts AS s,
+      |    ts + to_hours(CAST(floor(value) AS INT) % 8 + 1) AS e
+      |  FROM events WHERE event_type = 'purchase'),
+      |b AS (SELECT user_id AS puid, ts AS p, event_id AS pev
+      |  FROM events WHERE event_type = 'click')
+      |SELECT user_id, COUNT(pev) AS n_pairs,
+      |  CAST(COUNT(CASE WHEN pev IS NULL THEN 1 END) AS BIGINT) AS n_lonely,
+      |  CAST(COALESCE(SUM(pev), 0) AS BIGINT) AS chk
+      |FROM a LEFT JOIN b ON user_id = puid AND p BETWEEN s AND e
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    val a = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("uid"), col("event_id").as("aev"),
+        col("ts").as("s"),
+        expr("timestampadd(HOUR, CAST(floor(value) AS INT) % 8 + 1, ts)").as("e"))
+    val b = Tables.events(s, d).filter(col("event_type") === "click")
+      .select(col("user_id").as("puid"), col("ts").as("p"),
+        col("event_id").as("pev"))
+    graft.ops.TemporalJoins
+      .nativeRangeJoinLeftOuter(a, b, Seq("uid" -> "puid"), "s", "e", "p")
+      .groupBy(col("uid").as("user_id"))
+      .agg(count(col("pev")).as("n_pairs"),
+        count(when(col("pev").isNull, lit(1))).as("n_lonely"),
+        coalesce(sum(col("pev")), lit(0L)).as("chk"))
+  }
+
   /** Keyed interval × interval OVERLAP join through TWO native merge
     * sweeps: per-user purchase attribution windows ([ts, ts + 6..78h])
     * overlapped against viewing windows ([ts, ts + 1..24h] from clicks),
@@ -2089,7 +2125,8 @@ object CoreQueries {
     q21WaitingSuppliers, q22DormantCustomers,
     q01PricingSummary, s2GroupFold, p3SemiFilter, p4Predicates,
     j1OuterMerge, j4BroadcastMap, j5FallbackChain, j6SuffixSelfJoin,
-    j7AntiJoin, jRangeBin, jIntervalOverlap, jRangeNative, jOverlapNative,
+    j7AntiJoin, jRangeBin, jIntervalOverlap, jRangeNative, jRangeNativeOuter,
+    jOverlapNative,
     jSaltedSkew, jBloomJoin, jBucketedColocated, jSketchAdvised,
     xViewMaintainJoin, xSkewProfile,
     a1KeepBest, a2Median3, a3OrderedMiddle,

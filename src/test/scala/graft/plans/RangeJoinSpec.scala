@@ -207,6 +207,111 @@ class RangeJoinSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  private def nativeOuter(a: DataFrame, b: DataFrame): DataFrame =
+    TemporalJoins.nativeRangeJoinLeftOuter(a, b, Seq("k" -> "pk"), "lo", "hi", "p")
+
+  private def plainOuter(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b, a("k") === b("pk") && b("p") >= a("lo") && b("p") <= a("hi"),
+      "left_outer")
+
+  private def sortedOuterRows(df: DataFrame): Seq[String] =
+    df.select("tag", "ptag").collect()
+      .map(r => s"${r.getString(0)}|${Option(r.getString(1)).getOrElse("∅")}")
+      .toSeq.sorted
+
+  test("LEFT OUTER native range join: unmatched intervals (no point, " +
+    "backwards, keyless group) emit null-extended; plan is the sweep") {
+    val df = nativeOuter(intervals, points)
+    assert(df.queryExecution.executedPlan.toString.contains("RangeJoinExec"),
+      df.queryExecution.executedPlan.toString.take(800))
+    val got = sortedOuterRows(df)
+    assert(got == sortedOuterRows(plainOuter(intervals, points)) && got.nonEmpty)
+    // the outer-only rows: e (key with no points), w (backwards interval)
+    assert(got.contains("e|∅") && got.contains("w|∅"))
+    // matched intervals do NOT also emit a null row
+    assert(!got.contains("a|∅") && !got.contains("c|∅"))
+  }
+
+  test("LEFT OUTER preserves NULL-keyed and NULL-bounded interval rows") {
+    val a = Seq(
+      (Option(1L), Option(0L), Option(100L), "ok"),
+      (None: Option[Long], Option(0L), Option(100L), "nullkey"),
+      (Option(1L), None: Option[Long], Option(100L), "nulllo"),
+      (Option(1L), Option(0L), None: Option[Long], "nullhi"),
+      (Option(7L), Option(0L), Option(9L), "lonely")
+    ).toDF("k", "lo", "hi", "tag")
+    val b = Seq(
+      (Option(1L), Option(50L), "pok"),
+      (None: Option[Long], Option(50L), "pnullkey"),
+      (Option(1L), None: Option[Long], "pnullp")
+    ).toDF("pk", "p", "ptag")
+    val df = nativeOuter(a, b)
+    assert(df.queryExecution.executedPlan.toString.contains("RangeJoinExec"))
+    val got = sortedOuterRows(df)
+    assert(got == sortedOuterRows(plainOuter(a, b)))
+    assert(got == Seq("lonely|∅", "nullhi|∅", "nullkey|∅", "nulllo|∅", "ok|pok"))
+  }
+
+  test("LEFT OUTER declined shapes (residual predicate; bounds on the " +
+    "right child) fall back and stay correct") {
+    val a = intervals
+    val b = points
+    // residual above an outer join changes semantics → strategy declines
+    val withResidual = a.join(b,
+      a("k") === b("pk") &&
+        call_function("graft_between", b("p"), a("lo"), a("hi")) &&
+        a("tag") =!= b("ptag"), "left_outer")
+    assert(!withResidual.queryExecution.executedPlan.toString.contains("RangeJoinExec"))
+    val wantRes = sortedOuterRows(a.join(b,
+      a("k") === b("pk") && b("p") >= a("lo") && b("p") <= a("hi") &&
+        a("tag") =!= b("ptag"), "left_outer"))
+    assert(sortedOuterRows(withResidual) == wantRes && wantRes.nonEmpty)
+    // preserved side = point side (bounds on the right child) → declines
+    val swapped = b.join(a,
+      b("pk") === a("k") &&
+        call_function("graft_between", b("p"), a("lo"), a("hi")), "left_outer")
+    assert(!swapped.queryExecution.executedPlan.toString.contains("RangeJoinExec"))
+    val wantSw = b.join(a,
+      b("pk") === a("k") && b("p") >= a("lo") && b("p") <= a("hi"),
+      "left_outer")
+    assert(swapped.count() == wantSw.count() && swapped.count() >= b.count())
+  }
+
+  test("LEFT OUTER under churn equals the plain outer ground truth") {
+    val a = (0 until 400).map(i => (i % 5L, i.toLong, (i + 7L + (i % 13)), s"i$i"))
+      .toDF("k", "lo", "hi", "tag")
+    val b = (0 until 300).map(j => (j % 4L, (j * 2L) % 450, s"p$j"))
+      .toDF("pk", "p", "ptag")
+    val got = sortedOuterRows(nativeOuter(a, b))
+    assert(got == sortedOuterRows(plainOuter(a, b)) && got.nonEmpty)
+    // keys 4 (no point side) must appear null-extended
+    assert(got.exists(_.endsWith("|∅")))
+  }
+
+  test("LEFT OUTER planted hot key spills and still preserves unmatched intervals") {
+    withSQLConf(
+      "spark.graft.rangeJoin.buffer.inMemoryThreshold" -> "16",
+      "spark.graft.rangeJoin.buffer.spillThreshold" -> "64",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val n = 3000
+      val a = (0 until n).map(i => (1L, i.toLong * 10, i.toLong * 10 + 5, s"i$i"))
+        .toDF("k", "lo", "hi", "tag")
+      // points hit only every 4th interval's range
+      val b = (0 until n / 4).map(j => (1L, j.toLong * 40 + 2, s"p$j"))
+        .toDF("pk", "p", "ptag")
+      val df = nativeOuter(a, b)
+      val got = df.collect()
+        .map(r => s"${r.getAs[String]("tag")}|${Option(r.getAs[String]("ptag")).getOrElse("∅")}")
+        .sorted.toSeq
+      assert(got == sortedOuterRows(plainOuter(a, b)))
+      val exec = df.queryExecution.executedPlan
+        .collectFirst { case r: RangeJoinExec => r }
+      assert(exec.nonEmpty && exec.get.metrics("spillSize").value > 0)
+      // 3/4 of the intervals are unmatched and must survive the spill path
+      assert(got.count(_.endsWith("|∅")) == n - n / 4)
+    }
+  }
+
   test("timestamp-typed bounds work end to end (the registered query's type)") {
     val a = Seq((1L, "2024-01-01 00:00:00", "2024-01-02 00:00:00", "t1"))
       .toDF("k", "los", "his", "tag")

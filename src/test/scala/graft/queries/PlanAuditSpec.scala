@@ -64,6 +64,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 3, s"expected ≤3 hash exchanges, got $exchanges:\n${p.take(2000)}")
   }
 
+  test("j_range_native_outer plans the LEFT OUTER merge sweep — one pass, " +
+    "no anti-join double scan") {
+    val p = plan("j_range_native_outer")
+    assert(p.contains("RangeJoinExec(LeftOuter"),
+      s"expected the LeftOuter sweep in:\n${p.take(1200)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the preserved side never needs a second scan: exactly one sweep node
+    assert("RangeJoinExec".r.findAllIn(p).size == 1)
+  }
+
   test("j_bucketed_colocated: the join runs off the bucketed layout, the " +
       "only hash exchange is the final aggregate's") {
     val p = plan("j_bucketed_colocated")
