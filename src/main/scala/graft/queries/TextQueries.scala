@@ -1104,6 +1104,65 @@ object TextQueries {
     * ([[rankedPosCtes]] — no corpus-sized single-partition window at any
     * sf). Each precision term is ppm-floored (engine-exact); the mean is
     * one more integer division. */
+  /** Inter-annotator agreement (Cohen's kappa) between the two raters the
+    * engine already carries: rater A = the rule-based quality label,
+    * rater B = the hashed linear classifier's sign — the labeling-QA
+    * measure a training-data pipeline runs before trusting either rater.
+    * All-integer emission: n, raw agreement, ppm-floored observed
+    * agreement, and kappa as an exact (numerator, denominator) BIGINT
+    * pair — kappa = (n·agree − Σ marginal products) / (n² − Σ marginal
+    * products); the pair form avoids a signed integer division whose
+    * floor/trunc semantics differ across engines. Reads the persisted
+    * scored frame; the oracle recomputes both raters from raw text. */
+  val xAnnotatorKappa = Q(
+    "x_annotator_kappa",
+    wsCte +
+      """, f AS (SELECT doc_id, list_concat(ws,
+        |    CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+        |      i -> ws[i] || ' ' || ws[i+1]) ELSE [] END) AS feats FROM t),
+        |sc AS (SELECT doc_id,
+        |    CAST(list_sum(list_transform(feats, w ->
+        |      ('0x' || substr(md5('qw:' || w), 1, 14))::BIGINT % 1001 - 500))
+        |      AS BIGINT) AS score
+        |  FROM f),
+        |q AS (SELECT doc_id,
+        |    least(CAST(len(text) AS DOUBLE) / 500, 1.0) * 0.4
+        |    + CAST(len(list_filter(ws,
+        |        w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |      / len(ws) * 0.4
+        |    + (1.0 - CAST(len(regexp_replace(text,
+        |        '[^.,!?;:''"()\[\]-]', '', 'g')) AS DOUBLE)
+        |      / len(text)) * 0.2 >= 0.35 AS label
+        |  FROM t),
+        |it AS (SELECT sc.doc_id, sc.score, q.label
+        |  FROM sc JOIN q USING (doc_id)),
+        |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(*) FILTER (WHERE label AND score > 0) AS BIGINT) AS n11,
+        |    CAST(COUNT(*) FILTER (WHERE NOT label AND score <= 0) AS BIGINT) AS n00,
+        |    CAST(COUNT(*) FILTER (WHERE label) AS BIGINT) AS a1,
+        |    CAST(COUNT(*) FILTER (WHERE score > 0) AS BIGINT) AS b1
+        |  FROM it)
+        |SELECT n, n11 + n00 AS agree,
+        |  (n11 + n00) * 1000000 // n AS po_ppm,
+        |  n * (n11 + n00) - (a1 * b1 + (n - a1) * (n - b1)) AS kappa_num,
+        |  n * n - (a1 * b1 + (n - a1) * (n - b1)) AS kappa_den
+        |FROM cnt""".stripMargin) { (s, d) =>
+    scoredPersisted(s, d).agg(
+        count(lit(1)).as("n"),
+        count(when(col("label") && col("score") > 0, lit(1))).as("n11"),
+        count(when(!col("label") && col("score") <= 0, lit(1))).as("n00"),
+        count(when(col("label"), lit(1))).as("a1"),
+        count(when(col("score") > 0, lit(1))).as("b1"))
+      .select(col("n"), (col("n11") + col("n00")).as("agree"),
+        expr("(n11 + n00) * 1000000 div n").as("po_ppm"),
+        (col("n") * (col("n11") + col("n00")) -
+          (col("a1") * col("b1") +
+            (col("n") - col("a1")) * (col("n") - col("b1")))).as("kappa_num"),
+        (col("n") * col("n") -
+          (col("a1") * col("b1") +
+            (col("n") - col("a1")) * (col("n") - col("b1")))).as("kappa_den"))
+  }
+
   val xAvgPrecision = Q(
     "x_avg_precision",
     wsCte + rankedPosCtes +
@@ -1652,5 +1711,5 @@ object TextQueries {
     xAbstention, xLangEval,
     xGopherRules, xReadability, xTokFertility, xVocabCoverage,
     xCalibrationBins, xAuc, xDatasetCard, xEvalRougeBleu,
-    xAvgPrecision, xIsotonicFit, xNdcg, xAucByLang)
+    xAvgPrecision, xIsotonicFit, xNdcg, xAucByLang, xAnnotatorKappa)
 }
