@@ -35,22 +35,32 @@ object Bench {
 
     // Two timed passes (round-7 adjudicability fix): a one-shot record's
     // per-query readings proved to swing up to 17× under co-residency
-    // noise, hiding real regressions. The headline total is the BETTER
-    // pass; per-query values are the per-query MIN across passes (the
-    // noise-floor estimate BenchFocus medians recover), with both raw
-    // passes kept in bench_out.json so any reading stays re-derivable.
+    // noise, hiding real regressions. Round 8: the headline and every
+    // reported total are computed over ONE query set — queries that
+    // succeeded in BOTH passes — so a query that fails in exactly one
+    // pass can never LOWER a total by being excluded from it (it counts
+    // as failed instead). Headline = per-query MEDIAN-sum (with two
+    // passes the median is the midpoint — minima flatter systematically);
+    // per-query minima stay alongside for noise-floor comparisons, and
+    // both raw passes stay re-derivable in bench_out.json.
     val pass1 = timedPass()
     val pass2 = timedPass()
-    val minByName = names.map { case (name, _) =>
-      val ts = Seq(pass1, pass2).flatMap(_.collectFirst {
-        case (`name`, t) if t >= 0 => t
-      })
-      name -> (if (ts.isEmpty) -1.0 else ts.min)
+    def timeIn(p: Seq[(String, Double)], name: String): Option[Double] =
+      p.collectFirst { case (`name`, t) if t >= 0 => t }
+    val bothOk: Set[String] = names.map(_._1)
+      .filter(n => timeIn(pass1, n).isDefined && timeIn(pass2, n).isDefined)
+      .toSet
+    def perQuery(f: (Double, Double) => Double) = names.map { case (name, _) =>
+      name -> (if (bothOk(name))
+        f(timeIn(pass1, name).get, timeIn(pass2, name).get) else -1.0)
     }
-    def totalOf(p: Seq[(String, Double)]) = p.map(_._2).filter(_ >= 0).sum
+    val minByName = perQuery(math.min)
+    val medByName = perQuery((a, b) => (a + b) / 2.0)
+    def totalOf(p: Seq[(String, Double)]) =
+      p.collect { case (n, t) if t >= 0 && bothOk(n) => t }.sum
     val (t1, t2) = (totalOf(pass1), totalOf(pass2))
-    val total = math.min(t1, t2)
-    val failed = minByName.count(_._2 < 0)
+    val total = medByName.map(_._2).filter(_ >= 0).sum
+    val failed = names.size - bothOk.size
     // The stdout contract line must stay short: the driver keeps only a
     // bounded tail of stdout, so per-query detail (3k+ chars at 100+
     // queries) would truncate mid-JSON. Totals only here (~150 chars);
@@ -63,7 +73,8 @@ object Bench {
       p.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","passes":[$t1,$t2],""" +
-        s""""queries":${qjson(minByName)},"queries_pass1":${qjson(pass1)},""" +
+        s""""queries":${qjson(medByName)},"queries_min":${qjson(minByName)},""" +
+        s""""queries_pass1":${qjson(pass1)},""" +
         s""""queries_pass2":${qjson(pass2)},"sf":"$sfDir"}"""
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

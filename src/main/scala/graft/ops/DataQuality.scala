@@ -59,8 +59,11 @@ object DataQuality {
     // |vq|·n_cal < 2⁶³ — fail LOUDLY per offending group instead of
     // computing wrong thresholds; n_cal flows through this checked column
     // so every downstream product is covered
+    // exact integer threshold: `div` (not `/`, which is DOUBLE division —
+    // Long.MaxValue has no double representation, so values within ~1024
+    // of the limit could pass the check and still overflow)
     val nCalChecked = when(
-      col("__m") <= lit(Long.MaxValue) / col("n_cal"), col("n_cal"))
+      col("__m") <= expr(s"${Long.MaxValue}L div n_cal"), col("n_cal"))
       .otherwise(raise_error(concat(
         lit("conformalCoverage: |value|*1e6*n_cal overflows Int64 for group "),
         col("__g").cast("string"),
