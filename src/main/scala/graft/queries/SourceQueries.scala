@@ -511,6 +511,45 @@ object SourceQueries {
       .select(col("o_orderkey"), col("o_custkey"), col("price"), col("month"))
   }
 
+  /** Snapshot-table SCHEMA EVOLUTION (round-7 verdict gap #1): version 1
+    * commits a narrow orders snapshot; version 2's upsert batch ADDS a
+    * `src` column the table has never seen. The manifest records each
+    * version's schema, so the live read carries the new column table-wide
+    * (old rows null-filled — parquet files staged before the add are
+    * projected through the recorded schema) while readAt(v1) projects to
+    * v1's columns, `src` absent. Both contracts are pinned INSIDE the
+    * job: if the old version leaks the new column, or the new version
+    * loses a pre-add row's data, the emitted frame empties/misses and the
+    * oracle hash catches it. */
+  val sSnapshotEvolve = Q(
+    "s_snapshot_evolve",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 14 = 0
+      |       THEN o_totalprice + 500 ELSE o_totalprice END AS price,
+      |  strftime(o_orderdate, '%Y-%m') AS month,
+      |  CASE WHEN o_orderkey % 14 = 0 THEN 'cdc' END AS src
+      |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin) { (s, d) =>
+    val tableDir =
+      java.nio.file.Files.createTempDirectory("graft_snap_evolve").toString
+    val snap = Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_totalprice").as("price"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        lit(0L).as("version"), lit(false).as("del"))
+    SnapshotTable.overwrite(s, tableDir, snap, partCol = "month") // v1
+    val evolved = snap.filter(col("o_orderkey") % 14 === 0)       // adds src
+      .withColumn("price", col("price") + 500)
+      .withColumn("version", lit(1L))
+      .withColumn("src", lit("cdc"))
+    SnapshotTable.upsert(s, tableDir, evolved, partCol = "month",  // v2
+      keyCols = Seq("o_orderkey"), versionCol = "version", deleteCol = "del")
+    // old-reader pin: v1 must project to v1's schema (no src column)
+    val oldLeaks = SnapshotTable.readAt(s, tableDir, 1L)
+      .columns.contains("src")
+    val live = SnapshotTable.read(s, tableDir)
+      .select(col("o_orderkey"), col("price"), col("month"), col("src"))
+    if (oldLeaks) live.limit(0) else live
+  }
+
   /** PERMISSIVE CSV ingestion — the dirty-feed contract every real scan
     * needs: rows whose fields fail the declared schema land with the
     * failing field null and the RAW LINE preserved in the corrupt-record
@@ -623,6 +662,6 @@ object SourceQueries {
     s12Dsv2Write,
     s12Dsv2Runtime, s3CsvRoundtrip,
     fCleanupPack, p10Conform, sOrcRoundtrip, sUpsertMerge, sUpsertSnapshot,
-    sSnapshotChanges, sSnapshotViewIncr, sSnapshotSkip,
+    sSnapshotChanges, sSnapshotViewIncr, sSnapshotSkip, sSnapshotEvolve,
     sCsvPermissive, sSchemaEvolve, sBinaryFiles, sAggMaintain)
 }

@@ -4,8 +4,9 @@ import java.io.File
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Manifest-pinned snapshot table — the atomic multi-partition commit the
   * plain dynamic-partition-overwrite upsert ([[Sinks.upsertPartitioned]])
@@ -72,16 +73,36 @@ object SnapshotTable {
   /** Live (partitionValue, relativePath) entries of snapshot `v`.
     * Manifest lines are `part \t path [\t col=min:max;…]` — the optional
     * third field carries per-FILE column min/max stats (see
-    * [[statsAt]]); this view ignores it. */
+    * [[statsAt]]); this view ignores it, as well as `#`-prefixed header
+    * lines (the version's schema, see [[schemaAt]]). */
   def entriesAt(tableDir: String, v: Long): Seq[(String, String)] = {
     val mf = Paths.get(tableDir, manifestName(v))
     if (!Files.exists(mf)) Seq.empty
     else new String(Files.readAllBytes(mf), StandardCharsets.UTF_8)
-      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .split("\n").iterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { line =>
         val f = line.split('\t')
         (f(0), f(1))
       }.toSeq
+  }
+
+  /** Schema recorded in version `v`'s manifest header (`#schema\t<json>`),
+    * if the manifest carries one — schema-per-version is what gives the
+    * table format an evolution contract: [[readAt]] of an old version
+    * projects to THAT version's columns, [[read]] after an add-column
+    * upsert null-fills the new column for files staged before it existed.
+    * Manifests from before this header (or hand-built ones) return None
+    * and read with parquet's own file schema, the pre-evolution
+    * behavior. */
+  def schemaAt(tableDir: String, v: Long): Option[StructType] = {
+    val mf = Paths.get(tableDir, manifestName(v))
+    if (!Files.exists(mf)) None
+    else new String(Files.readAllBytes(mf), StandardCharsets.UTF_8)
+      .split("\n").iterator.map(_.trim)
+      .find(_.startsWith("#schema\t"))
+      .map(l => DataType.fromJson(l.stripPrefix("#schema\t"))
+        .asInstanceOf[StructType])
   }
 
   /** Per-file column min/max stats of snapshot `v`:
@@ -92,7 +113,8 @@ object SnapshotTable {
     val mf = Paths.get(tableDir, manifestName(v))
     if (!Files.exists(mf)) Map.empty
     else new String(Files.readAllBytes(mf), StandardCharsets.UTF_8)
-      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .split("\n").iterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
       .map(_.split('\t')).filter(_.length >= 3)
       .map { f =>
         f(1) -> f(2).split(';').iterator.filter(_.nonEmpty).map { kv =>
@@ -109,12 +131,25 @@ object SnapshotTable {
 
   // ---------------------------------------------------------------- write
 
+  /** Collision-free staging tag for the write that will (on success)
+    * commit version `v`: the random suffix means two writers racing on
+    * the SAME base version stage into DIFFERENT directories, so the CAS
+    * loser's `overwrite`-mode staging can never delete or replace files
+    * the winner's committed manifest already references — the pointer
+    * CAS protects the pointer, this protects the staging path. The
+    * leading version number keeps [[vacuum]] able to recognize
+    * newer-than-current (still-staging) batches and leave them alone. */
+  def newBatchTag(v: Long): String =
+    s"$v-${java.util.UUID.randomUUID().toString.take(8)}"
+
   /** Stage `df` as a new immutable batch directory and return its
     * (partitionValue, relativePath) entries. NOT visible to readers until
     * a manifest referencing the entries is committed — stage-then-commit
-    * is the crash-safety contract, and the spec exercises the gap. */
+    * is the crash-safety contract, and the spec exercises the gap.
+    * `batchTag` should come from [[newBatchTag]] so concurrent writers
+    * never share a staging directory. */
   def stageBatch(df: DataFrame, tableDir: String, partCol: String,
-      batchTag: Long): Seq[(String, String)] = {
+      batchTag: String): Seq[(String, String)] = {
     val batchRel = s"batch-$batchTag"
     val batchDir = Paths.get(tableDir, "data", batchRel).toString
     // one file per partition (not one per task × partition), and the
@@ -145,7 +180,7 @@ object SnapshotTable {
     * between "open 10⁶ footers to skip them" and "skip them for free" at
     * 100 TB. Stat columns must be LONG-typed. */
   def stageBatchClustered(df: DataFrame, tableDir: String, partCol: String,
-      batchTag: Long, statsCols: Seq[String], rangeFiles: Int)
+      batchTag: String, statsCols: Seq[String], rangeFiles: Int)
       : (Seq[(String, String)], Map[String, Map[String, (Long, Long)]]) = {
     require(statsCols.nonEmpty, "statsCols must name at least one column")
     val batchRel = s"batch-$batchTag"
@@ -186,9 +221,11 @@ object SnapshotTable {
     * between the two leaves readers on the old snapshot. Returns the
     * prepared version. */
   def prepareManifest(tableDir: String, newEntries: Seq[(String, String)],
-      stats: Map[String, Map[String, (Long, Long)]] = Map.empty): Long = {
+      stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      schema: Option[StructType] = None): Long = {
     val v = currentVersion(tableDir) + 1
-    val body = newEntries.map { case (p, f) =>
+    val header = schema.map(s => s"#schema\t${s.json}\n").getOrElse("")
+    val body = header + newEntries.map { case (p, f) =>
       val st = stats.get(f).filter(_.nonEmpty)
         .map(m => "\t" + m.toSeq.sortBy(_._1)
           .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(";"))
@@ -246,14 +283,15 @@ object SnapshotTable {
     * can never interleave between check and swap. */
   def casCommit(tableDir: String, basedOnVersion: Long,
       newEntries: Seq[(String, String)],
-      stats: Map[String, Map[String, (Long, Long)]] = Map.empty): Long =
+      stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      schema: Option[StructType] = None): Long =
     withCommitLock(tableDir) {
       val cur = currentVersion(tableDir)
       if (cur != basedOnVersion)
         throw new java.util.ConcurrentModificationException(
           s"snapshot advanced to v$cur while this writer merged against " +
             s"v$basedOnVersion — re-read and retry the merge")
-      val v = prepareManifest(tableDir, newEntries, stats)
+      val v = prepareManifest(tableDir, newEntries, stats, schema)
       swapPointer(tableDir, v)
       v
     }
@@ -264,8 +302,8 @@ object SnapshotTable {
       partCol: String): Long = {
     Files.createDirectories(Paths.get(tableDir))
     val basedOn = currentVersion(tableDir)
-    val staged = stageBatch(df, tableDir, partCol, basedOn + 1)
-    casCommit(tableDir, basedOn, staged)
+    val staged = stageBatch(df, tableDir, partCol, newBatchTag(basedOn + 1))
+    casCommit(tableDir, basedOn, staged, schema = Some(df.schema))
   }
 
   /** Full-table overwrite through the range-clustered, stats-carrying
@@ -278,8 +316,8 @@ object SnapshotTable {
     Files.createDirectories(Paths.get(tableDir))
     val basedOn = currentVersion(tableDir)
     val (staged, stats) = stageBatchClustered(
-      df, tableDir, partCol, basedOn + 1, statsCols, rangeFiles)
-    casCommit(tableDir, basedOn, staged, stats)
+      df, tableDir, partCol, newBatchTag(basedOn + 1), statsCols, rangeFiles)
+    casCommit(tableDir, basedOn, staged, stats, Some(df.schema))
   }
 
   /** CDC MERGE with an atomic multi-partition commit: same merge kernel
@@ -300,20 +338,25 @@ object SnapshotTable {
     val old = entriesAt(tableDir, basedOn)
     val (touchedOld, untouched) = old.partition { case (p, _) => touched(p) }
     val merged = {
-      val batchCols = updates.columns
+      // schema evolution (add-only): the touched base reads with the
+      // TABLE's recorded schema (covers files staged before any later
+      // add), and the two-sided unionByName null-fills whichever side
+      // lacks a column — a batch that ADDS a column upserts cleanly, old
+      // rows carrying NULL; a batch missing a table column leaves that
+      // column NULL only on its own rows (never drops it table-wide)
       val base =
         if (touchedOld.isEmpty) updates.limit(0)
-        else readFiles(spark, tableDir, touchedOld.map(_._2))
-          .select(batchCols.map(col): _*)
+        else readFiles(spark, tableDir, touchedOld.map(_._2),
+          schemaAt(tableDir, basedOn))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keyCols.map(col): _*)
         .orderBy(col(versionCol).desc, col(deleteCol).desc)
-      base.unionByName(updates)
+      base.unionByName(updates, allowMissingColumns = true)
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1 && !col(deleteCol))
         .drop("__rn")
     }
-    val staged = stageBatch(merged, tableDir, partCol, basedOn + 1)
+    val staged = stageBatch(merged, tableDir, partCol, newBatchTag(basedOn + 1))
     // carry untouched files' stats forward with their entries; the new
     // batch's files get none (the plain staging path) and are always read
     val untouchedFiles = untouched.map(_._2).toSet
@@ -321,7 +364,8 @@ object SnapshotTable {
       .filter { case (f, _) => untouchedFiles(f) }
     // CAS against the version this merge actually read: a concurrent
     // commit in the meantime throws instead of losing that writer's rows
-    casCommit(tableDir, basedOn, untouched ++ staged, carriedStats)
+    casCommit(tableDir, basedOn, untouched ++ staged, carriedStats,
+      Some(merged.schema))
   }
 
   /** Fold every live file into one fresh batch and commit — the
@@ -342,54 +386,106 @@ object SnapshotTable {
     * Returns the number of files deleted. */
   def vacuum(tableDir: String, keepVersions: Int = 2): Int = {
     require(keepVersions >= 1, "must keep at least the current version")
-    val cur = currentVersion(tableDir)
-    val keptFrom = math.max(1L, cur - keepVersions + 1)
-    val live = (keptFrom to cur)
-      .flatMap(v => entriesAt(tableDir, v).map(_._2)).toSet
-    val dataRoot = new File(Paths.get(tableDir, "data").toString)
-    var deleted = 0
-    if (dataRoot.isDirectory) {
-      for (batch <- dataRoot.listFiles(); part <- Option(batch.listFiles())
-          .getOrElse(Array.empty); f <- Option(part.listFiles())
-          .getOrElse(Array.empty)) {
-        val rel = s"${batch.getName}/${part.getName}/${f.getName}"
-        if (!live(rel) && f.isFile && Files.deleteIfExists(f.toPath)) deleted += 1
+    // the live-set computation and the deletion scan run INSIDE the
+    // commit lock: a commit can't land between the currentVersion read
+    // and the deletes (which would shift the retention window mid-scan)
+    withCommitLock(tableDir) {
+      val cur = currentVersion(tableDir)
+      val keptFrom = math.max(1L, cur - keepVersions + 1)
+      val live = (keptFrom to cur)
+        .flatMap(v => entriesAt(tableDir, v).map(_._2)).toSet
+      // a batch directory staged FOR a version newer than cur belongs to
+      // an in-flight writer (staging happens outside the lock by design —
+      // it's the long part); its files are in no manifest yet but are NOT
+      // orphans. The leading version number in the batch tag identifies it.
+      def inFlight(batchDirName: String): Boolean = {
+        val lead = batchDirName.stripPrefix("batch-").takeWhile(_.isDigit)
+        lead.nonEmpty && lead.toLong > cur
       }
-      // prune now-empty partition/batch directories (cosmetic, best-effort)
-      for (batch <- dataRoot.listFiles(); part <- Option(batch.listFiles())
-          .getOrElse(Array.empty) if part.isDirectory)
-        if (part.listFiles().isEmpty) Files.deleteIfExists(part.toPath)
-      for (batch <- dataRoot.listFiles() if batch.isDirectory)
-        if (batch.listFiles().isEmpty) Files.deleteIfExists(batch.toPath)
+      val dataRoot = new File(Paths.get(tableDir, "data").toString)
+      var deleted = 0
+      if (dataRoot.isDirectory) {
+        val settled = dataRoot.listFiles().filterNot(b => inFlight(b.getName))
+        for (batch <- settled; part <- Option(batch.listFiles())
+            .getOrElse(Array.empty); f <- Option(part.listFiles())
+            .getOrElse(Array.empty)) {
+          val rel = s"${batch.getName}/${part.getName}/${f.getName}"
+          if (!live(rel) && f.isFile && Files.deleteIfExists(f.toPath)) deleted += 1
+        }
+        // prune now-empty partition/batch directories (cosmetic, best-effort)
+        for (batch <- settled; part <- Option(batch.listFiles())
+            .getOrElse(Array.empty) if part.isDirectory)
+          if (part.listFiles().isEmpty) Files.deleteIfExists(part.toPath)
+        for (batch <- settled if batch.isDirectory)
+          if (batch.listFiles().isEmpty) Files.deleteIfExists(batch.toPath)
+      }
+      for (v <- 1L until keptFrom)
+        Files.deleteIfExists(Paths.get(tableDir, manifestName(v)))
+      deleted
     }
-    for (v <- 1L until keptFrom)
-      Files.deleteIfExists(Paths.get(tableDir, manifestName(v)))
-    deleted
   }
 
   // ----------------------------------------------------------------- read
 
   private def readFiles(spark: SparkSession, tableDir: String,
-      relPaths: Seq[String]): DataFrame =
-    spark.read.parquet(
+      relPaths: Seq[String], schema: Option[StructType] = None): DataFrame = {
+    val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+    reader.parquet(
       relPaths.map(r => Paths.get(tableDir, "data", r).toString): _*)
+  }
+
+  /** Read `files` of version `v` projected to that version's recorded
+    * schema (files staged before a column was added null-fill it).
+    * Degrades gracefully at the edges instead of throwing parquet's
+    * unable-to-infer-schema error: an empty selection returns an empty
+    * frame with the version's schema; a version with NO entries at all
+    * (a never-committed table, or a committed empty frame) returns the
+    * schema'd empty frame too, or a zero-column empty frame when the
+    * manifest predates schema recording. */
+  private def readOrEmpty(spark: SparkSession, tableDir: String,
+      files: Seq[String], v: Long): DataFrame = {
+    val sch = schemaAt(tableDir, v)
+    if (files.nonEmpty) readFiles(spark, tableDir, files, sch)
+    else sch match {
+      case Some(s) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+      case None =>
+        val all = entriesAt(tableDir, v).map(_._2)
+        if (all.nonEmpty) readFiles(spark, tableDir, all.take(1)).limit(0)
+        else spark.emptyDataFrame
+    }
+  }
 
   /** Read the live snapshot (one pointer resolve, then only the manifest's
-    * files — never a directory listing of `data/`). */
-  def read(spark: SparkSession, tableDir: String): DataFrame =
-    readFiles(spark, tableDir, entries(tableDir).map(_._2))
+    * files — never a directory listing of `data/`). A never-committed
+    * table reads as an empty zero-column frame. */
+  def read(spark: SparkSession, tableDir: String): DataFrame = {
+    val v = currentVersion(tableDir)
+    if (v == 0L) spark.emptyDataFrame
+    else readOrEmpty(spark, tableDir, entriesAt(tableDir, v).map(_._2), v)
+  }
 
-  /** Time travel: read a previously committed version. */
-  def readAt(spark: SparkSession, tableDir: String, v: Long): DataFrame =
-    readFiles(spark, tableDir, entriesAt(tableDir, v).map(_._2))
+  /** Time travel: read a previously committed version, projected to THAT
+    * version's schema. Requires the version's manifest to still exist —
+    * asking for a never-committed or vacuumed-away version throws
+    * [[IllegalArgumentException]] (the pinned contract: time travel below
+    * the retention window is an error, never a silently empty frame). */
+  def readAt(spark: SparkSession, tableDir: String, v: Long): DataFrame = {
+    require(Files.exists(Paths.get(tableDir, manifestName(v))),
+      s"version $v of $tableDir is unreadable — never committed, or " +
+        "vacuumed past the retention window (keepVersions)")
+    readOrEmpty(spark, tableDir, entriesAt(tableDir, v).map(_._2), v)
+  }
 
   /** Manifest-level partition pruning: only files whose manifest entry
     * matches `parts` are opened — the predicate never touches the others'
     * footers, let alone their bytes. */
   def readPartitions(spark: SparkSession, tableDir: String,
-      parts: Set[String]): DataFrame =
-    readFiles(spark, tableDir,
-      entries(tableDir).collect { case (p, f) if parts(p) => f })
+      parts: Set[String]): DataFrame = {
+    val v = currentVersion(tableDir)
+    readOrEmpty(spark, tableDir,
+      entriesAt(tableDir, v).collect { case (p, f) if parts(p) => f }, v)
+  }
 
   /** Manifest-stats file skipping: read only files whose recorded
     * `statCol` [min, max] overlaps `[lo, hi]` — files without stats are
@@ -408,8 +504,7 @@ object SnapshotTable {
         case None => true
       }
     }
-    if (kept.nonEmpty) readFiles(spark, tableDir, kept)
-    else readFiles(spark, tableDir, all.take(1)).limit(0)
+    readOrEmpty(spark, tableDir, kept, v)
   }
 
   /** The RETRACTION form of [[diff]] — one signed row per change
@@ -446,11 +541,20 @@ object SnapshotTable {
     val (pa, pb) = (byPart(ea), byPart(eb))
     val changed = (pa.keySet ++ pb.keySet)
       .filter(p => pa.getOrElse(p, Set.empty) != pb.getOrElse(p, Set.empty))
+    // Both sides read with the LATER version's schema (add-only evolution
+    // makes it the superset): the full-outer join below needs one struct
+    // shape, and a column added between `from` and `to` null-fills on the
+    // old side — its arrival surfaces as 'update' rows, which is the CDC
+    // truth. Pre-schema-header manifests fall back to file schemas.
+    val sideSchema = schemaAt(tableDir, math.max(from, to))
     def side(e: Seq[(String, String)], all: Seq[(String, String)]): DataFrame = {
       val files = e.collect { case (p, f) if changed(p) => f }
-      if (files.nonEmpty) readFiles(spark, tableDir, files)
-      // a side with no changed files still needs the SCHEMA for the join
-      else readFiles(spark, tableDir, all.map(_._2).take(1)).limit(0)
+      if (files.nonEmpty) readFiles(spark, tableDir, files, sideSchema)
+      else sideSchema match {
+        case Some(s) => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+        // a side with no changed files still needs the SCHEMA for the join
+        case None => readFiles(spark, tableDir, all.map(_._2).take(1)).limit(0)
+      }
     }
     val o = side(ea, ea ++ eb)
     val n = side(eb, eb ++ ea)

@@ -83,7 +83,8 @@ class SnapshotTableSpec extends SparkSpec {
         org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
           .orderBy(col("version").desc, col("del").desc)))
       .filter(col("__rn") === 1 && !col("del")).drop("__rn")
-    val staged = SnapshotTable.stageBatch(merged, dir, "month", batchTag = 2L)
+    val staged = SnapshotTable.stageBatch(merged, dir, "month",
+      batchTag = SnapshotTable.newBatchTag(2L))
     assert(contents(SnapshotTable.read(spark, dir)) == oldContents,
       "staged-but-uncommitted files leaked into the read path")
 
@@ -273,6 +274,149 @@ class SnapshotTableSpec extends SparkSpec {
       untouchedStillStatted.forall(st2.contains))
   }
 
+  test("schema evolution: an add-column upsert null-fills old rows; " +
+    "time travel projects each version to ITS schema") {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    val v1 = SnapshotTable.overwrite(spark, dir, baseRows, "month")
+    // the batch ADDS a `source` column the table has never seen
+    val evolved = Seq(
+      (1L, "a", 11.0, "2024-01", 1L, false, "api"),
+      (9L, "i", 90.0, "2024-09", 1L, false, "feed")
+    ).toDF("k", "name", "price", "month", "version", "del", "source")
+    val v2 = SnapshotTable.upsert(spark, dir, evolved,
+      "month", Seq("k"), "version", "del")
+    // new reader: the column exists table-wide, NULL for pre-add rows
+    val live = SnapshotTable.read(spark, dir)
+    assert(live.columns.contains("source"))
+    val src = live.select("k", "source").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(src(1L) == Some("api") && src(9L) == Some("feed"))
+    assert(src(2L).isEmpty && src(5L).isEmpty, "pre-add rows must null-fill")
+    // old rows' data survived the evolution
+    assert(contents(live) == Set(
+      (1L, "a", 11.0, "2024-01"), (2L, "b", 20.0, "2024-01"),
+      (3L, "c", 30.0, "2024-02"), (4L, "d", 40.0, "2024-02"),
+      (5L, "e", 50.0, "2024-03"), (9L, "i", 90.0, "2024-09")))
+    // old-version reader: v1 projects to v1's columns — no `source`
+    val old = SnapshotTable.readAt(spark, dir, v1)
+    assert(!old.columns.contains("source"))
+    assert(contents(old) == contents(baseRows))
+    // the recorded schemas drive both projections
+    assert(SnapshotTable.schemaAt(dir, v1).exists(!_.fieldNames.contains("source")))
+    assert(SnapshotTable.schemaAt(dir, v2).exists(_.fieldNames.contains("source")))
+    // a later upsert WITHOUT the new column keeps it table-wide (add-only
+    // evolution: a narrow batch never drops a column)
+    val narrow = Seq((2L, "b", 21.0, "2024-01", 2L, false))
+      .toDF("k", "name", "price", "month", "version", "del")
+    SnapshotTable.upsert(spark, dir, narrow, "month", Seq("k"), "version", "del")
+    val after = SnapshotTable.read(spark, dir)
+    assert(after.columns.contains("source"))
+    val src2 = after.select("k", "source").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(src2(1L) == Some("api"), "evolved row must keep its value")
+    assert(src2(2L).isEmpty)
+  }
+
+  test("schema evolution flows through diff: the old side null-fills and " +
+    "the added column's arrival reads as updates") {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    val v1 = SnapshotTable.overwrite(spark, dir, baseRows, "month")
+    val evolved = Seq((1L, "a", 11.0, "2024-01", 1L, false, "api"))
+      .toDF("k", "name", "price", "month", "version", "del", "source")
+    val v2 = SnapshotTable.upsert(spark, dir, evolved,
+      "month", Seq("k"), "version", "del")
+    val d = SnapshotTable.diff(spark, dir, v1, v2, Seq("k"))
+    val got = d.select("change_type", "k", "source").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(got == Set(("update", 1L, Some("api"))))
+  }
+
+  test("two LIVE racing CAS writers: exactly one wins each version, the " +
+    "loser's retry lands, final state equals serial application") {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    SnapshotTable.overwrite(spark, dir, baseRows, "month")
+    // two threads each upsert a DISJOINT key into a DISJOINT partition,
+    // retrying on CAS conflict exactly as the contract prescribes
+    def batchFor(k: Long, month: String) =
+      Seq((k, s"w$k", k.toDouble, month, 1L, false))
+        .toDF("k", "name", "price", "month", "version", "del")
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(6L -> "2024-06", 7L -> "2024-07").map { case (k, m) =>
+      new Thread(() => {
+        try {
+          var committed = -1L
+          var attempts = 0
+          while (committed < 0 && attempts < 10) {
+            attempts += 1
+            try committed = SnapshotTable.upsert(spark, dir, batchFor(k, m),
+              "month", Seq("k"), "version", "del")
+            catch { case _: java.util.ConcurrentModificationException => () }
+          }
+          if (committed < 0) errors.add(new IllegalStateException(
+            s"writer $k never committed in $attempts attempts"))
+          else results.add(committed)
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"writer failed: ${errors.peek()}")
+    // exactly one winner per version: both committed, versions distinct
+    val vs = results.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSet
+    assert(vs == Set(2L, 3L), s"expected versions {2,3}, got $vs")
+    // both writers' rows landed — the race lost no update
+    val fin = contents(SnapshotTable.read(spark, dir))
+    assert(fin == contents(baseRows) ++ Set(
+      (6L, "w6", 6.0, "2024-06"), (7L, "w7", 7.0, "2024-07")))
+    // and the racing stage paths never collided: every live entry resolves
+    assert(SnapshotTable.read(spark, dir).count() == 7)
+  }
+
+  test("readAt of a vacuumed (or never-committed) version throws the " +
+    "pinned error; empty-table reads degrade gracefully") {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    // never-committed table: read() is an empty frame, readAt(1) throws
+    assert(SnapshotTable.read(spark, dir).count() == 0)
+    val exNever = intercept[IllegalArgumentException] {
+      SnapshotTable.readAt(spark, dir, 1L)
+    }
+    assert(exNever.getMessage.contains("never committed"))
+    SnapshotTable.overwrite(spark, dir, baseRows, "month")
+    SnapshotTable.upsert(spark, dir, updateRows, "month", Seq("k"), "version", "del")
+    SnapshotTable.compact(spark, dir, "month")
+    SnapshotTable.vacuum(dir, keepVersions = 2)
+    // v1 fell out of the retention window
+    val exGone = intercept[IllegalArgumentException] {
+      SnapshotTable.readAt(spark, dir, 1L)
+    }
+    assert(exGone.getMessage.contains("vacuumed"))
+    // kept versions still read
+    assert(contents(SnapshotTable.readAt(spark, dir, 2L)) == mergedWant)
+    // a committed EMPTY table reads as an empty frame with the schema
+    val dir2 = Files.createTempDirectory("graft-snap").toString
+    SnapshotTable.overwrite(spark, dir2, baseRows.limit(0), "month")
+    val empty = SnapshotTable.read(spark, dir2)
+    assert(empty.count() == 0 && empty.columns.contains("price"))
+  }
+
+  test("vacuum leaves a staged-but-uncommitted future batch alone") {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    SnapshotTable.overwrite(spark, dir, baseRows, "month")
+    SnapshotTable.upsert(spark, dir, updateRows, "month", Seq("k"), "version", "del")
+    SnapshotTable.compact(spark, dir, "month")
+    // an in-flight writer staged for v4 but has not committed yet
+    val staged = SnapshotTable.stageBatch(
+      Seq((42L, "x", 1.0, "2024-12", 3L, false))
+        .toDF("k", "name", "price", "month", "version", "del"),
+      dir, "month", SnapshotTable.newBatchTag(4L))
+    SnapshotTable.vacuum(dir, keepVersions = 2)
+    // its files survived the vacuum and the commit still succeeds
+    val v4 = SnapshotTable.casCommit(dir, 3L,
+      SnapshotTable.entries(dir) ++ staged)
+    assert(SnapshotTable.read(spark, dir).filter(col("k") === 42L).count() == 1)
+    assert(v4 == 4L)
+  }
+
   test("compact folds live files into one batch, content unchanged") {
     val dir = Files.createTempDirectory("graft-snap").toString
     SnapshotTable.overwrite(spark, dir, baseRows, "month")
@@ -280,7 +424,7 @@ class SnapshotTableSpec extends SparkSpec {
     val before = contents(SnapshotTable.read(spark, dir))
     val v = SnapshotTable.compact(spark, dir, "month")
     val ents = SnapshotTable.entriesAt(dir, v)
-    assert(ents.forall(_._2.startsWith(s"batch-$v/")))
+    assert(ents.forall(_._2.startsWith(s"batch-$v-")))
     assert(contents(SnapshotTable.read(spark, dir)) == before)
   }
 }
