@@ -47,24 +47,48 @@ object Similarity {
         col("neighbor"), col("cos"))
   }
 
+  /** Fixed-COUNT meter query set: the `s` ids with the smallest
+    * md5(CAST(id AS STRING)) (hex compares lexicographically; id
+    * tie-break for the astronomically-unlikely collision). A meter that
+    * samples a fixed FRACTION (id % 4) is still quadratic — O(n²/4) at
+    * 100× data is 2500× the pairs; a fixed COUNT keeps every brute meter
+    * at O(s·n) with CONSTANT s forever. The selection itself is one
+    * TakeOrderedAndProject over the (id, hash) projection — a per-
+    * partition top-s then a driver merge of s·tasks rows, never a global
+    * sort — and both the hash (md5 of the decimal string) and the
+    * ordering replicate verbatim in the DuckDB oracle:
+    * `ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT s`.
+    * Output: one `qid` column. */
+  def meterQueryIds(emb: DataFrame, idCol: String, s: Int = 256): DataFrame =
+    emb.select(col(idCol).as("qid"),
+        md5(col(idCol).cast("string").cast("binary")).as("__h"))
+      .orderBy(col("__h").asc, col("qid").asc)
+      .limit(s)
+      .select(col("qid"))
+
   /** Brute-force cosine top-k neighbors per vector.
     * Output: (vec_id, rank, neighbor, cos), rank 1..k by cos desc with
     * neighbor-id tie-break.
     * The float→double cast happens once per vector BEFORE the O(n²) pair
     * join (same values as casting inside the product, so the oracle still
     * matches bit-exact), leaving only mul/add in the hot loop.
-    * `queryPred` restricts the QUERY side only (the corpus side always
+    * `queryIds` restricts the QUERY side only (the corpus side always
     * ranks in full) — the recall-meter discipline: exact answers for a
-    * deterministic sampled query set cost O(sample·corpus), not
-    * O(corpus²). */
+    * FIXED-COUNT deterministic query set ([[meterQueryIds]], broadcast
+    * semi-join) cost O(s·corpus) with constant s, never O(corpus²) nor
+    * the still-quadratic fixed fraction. `queryPred` remains for
+    * predicate-shaped restrictions (spec ground truths). */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      queryPred: Column = lit(true)): DataFrame = {
+      queryPred: Column = lit(true),
+      queryIds: Option[DataFrame] = None): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
     graft.functions.L2Squared.register(emb.sparkSession)
     val withNorm = emb.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val pairs = withNorm.filter(queryPred).toDF("vec_id", "va", "na")
+    val queries = queryIds.foldLeft(withNorm.filter(queryPred))((df, q) =>
+      df.join(broadcast(q), col("id") === col("qid"), "left_semi"))
+    val pairs = queries.toDF("vec_id", "va", "na")
       .join(broadcast(withNorm.toDF("neighbor", "vb", "nb")),
         col("vec_id") =!= col("neighbor"))
       .select(col("vec_id"), col("neighbor"),
@@ -505,35 +529,87 @@ object Similarity {
     * reduces through the bounded top-k aggregate, never a window).
     * Output: (vec_id, rank, neighbor, dist), rank 1..k by dist asc,
     * neighbor-id tie-break. */
-  def sq8TopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    graft.functions.DotProduct.register(emb.sparkSession)
-    graft.functions.L2Squared.register(emb.sparkSession)
+  /** The SQ8 code table: one global [gmin, gmax] grid, codes as exact
+    * small integers carried in a DOUBLE array so the per-pair fold runs
+    * through the native DotProduct primitive loop (the interpreted
+    * zip_with/aggregate form measured 9x slower); Σ(Δc)² = Σa² + Σb² −
+    * 2Σab — every term an exact integer < 2^53, so the distance value is
+    * bit-identical to the direct BIGINT fold the oracle runs. */
+  private def sq8Coded(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
     val v = emb.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
+    // the [gmin, gmax] grid is a ONE-ROW reduction — folded driver-side
+    // (the bounded-metadata pattern sketchAdvisedJoin set) and planted as
+    // plan literals, so the coded table needs no one-row cross join at
+    // all: the registered SQ8 plan stays BNLJ-free end to end (the plan
+    // audit pins that), and the literal doubles are the same exact values
+    // the oracle's aggregate computes.
     val grid = v.select(explode(col("v")).as("x"))
-      .agg(min(col("x")).as("gmin"), max(col("x")).as("gmax"))
-    // codes as exact small integers carried in a DOUBLE array so the
-    // per-pair fold runs through the native DotProduct primitive loop
-    // (the interpreted zip_with/aggregate form measured 9x slower);
-    // Σ(Δc)² = Σa² + Σb² − 2Σab — every term an exact integer < 2^53,
-    // so the distance value is bit-identical to the direct BIGINT fold
-    // the oracle runs.
-    val coded = v.crossJoin(broadcast(grid))
-      .select(col("id"),
+      .agg(min(col("x")).as("gmin"), max(col("x")).as("gmax")).head()
+    val (gmin, gmax) = (grid.getDouble(0), grid.getDouble(1))
+    v.select(col("id"),
         transform(col("v"), x =>
           least(lit(255L), greatest(lit(0L),
-            floor((x - col("gmin")) * lit(255.0) / (col("gmax") - col("gmin")))
+            floor((x - lit(gmin)) * lit(255.0) / (lit(gmax) - lit(gmin)))
               .cast("long"))).cast("double")).as("c"),
-        col("gmin"), col("gmax"))
+        lit(gmin).as("gmin"), lit(gmax).as("gmax"))
       .withColumn("s2", dotD(col("c"), col("c")))
+  }
+
+  /** SQ8 pair distances (polarization identity, fixed operand order). */
+  private def sq8Dist(sa: Column, sb: Column, ca: Column, cb: Column,
+      gmin: Column, gmax: Column): Column =
+    (sa + sb - lit(2.0) * dotD(ca, cb)) *
+      ((gmax - gmin) / lit(255.0)) * ((gmax - gmin) / lit(255.0))
+
+  /** Two-stage SQ8 top-k — retrieve-then-rerank (round-7 verdict: the
+    * previous all-pairs broadcast NLJ was correct at test SF and dead at
+    * 100×): stage 1 shortlists each query's `oversample`·k Hamming-
+    * nearest 1-bit sign codes through the BANDED bucket join
+    * ([[hammingShortlist]] — the same candidate generator binaryTopK
+    * runs; both quantizations estimate the same angular distance, so the
+    * sign-code shortlist is the natural coarse filter for the finer SQ8
+    * grid), stage 2 computes SQ8 distances on the shortlist ONLY. Every
+    * stage is integer-or-fixed-order-float, so codes, shortlist and
+    * distances replicate bit-exact on the oracle. Cost: one banded
+    * bucket join + O(n·oversample·k) SQ8 folds — never n² pairs, and no
+    * whole-corpus broadcast. Output: (vec_id, rank, neighbor, dist). */
+  def sq8TopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      oversample: Int = 4, inDim: Int = 64, bits: Int = 63,
+      bands: Int = 9, seed: String = "graft-bq"): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
+    graft.functions.L2Squared.register(emb.sparkSession)
+    val codes = binaryCodes(emb, idCol, vecCol, inDim, bits, seed)
+    val shortlist = hammingShortlist(codes, oversample * k, bits, bands)
+    val coded = sq8Coded(emb, idCol, vecCol)
+    val pairs = shortlist
+      .join(coded.toDF("vec_id", "ca", "gmin", "gmax", "sa"), Seq("vec_id"))
+      .join(coded.select(col("id").as("neighbor"), col("c").as("cb"),
+        col("s2").as("sb")), Seq("neighbor"))
+      .select(col("vec_id"), col("neighbor"),
+        sq8Dist(col("sa"), col("sb"), col("ca"), col("cb"),
+          col("gmin"), col("gmax")).as("dist"))
+    aggBottomKFromPairs(pairs, k)
+  }
+
+  /** The EXACT all-pairs SQ8 ranking — O(n²) with a whole-corpus
+    * broadcast, so it is NOT registered as a query: it exists as the
+    * ground truth [[sq8TopK]]'s recall is asserted against in
+    * SimilaritySpec (the bruteForceTopK ↔ lshTopK pairing applied to the
+    * quantized family). */
+  def sq8TopKExact(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
+    graft.functions.L2Squared.register(emb.sparkSession)
+    val coded = sq8Coded(emb, idCol, vecCol)
     val pairs = coded.toDF("vec_id", "ca", "gmin", "gmax", "sa")
       .join(broadcast(coded.select(col("id").as("neighbor"),
         col("c").as("cb"), col("s2").as("sb"))),
         col("vec_id") =!= col("neighbor"))
       .select(col("vec_id"), col("neighbor"),
-        ((col("sa") + col("sb") - lit(2.0) * dotD(col("ca"), col("cb")))
-          * ((col("gmax") - col("gmin")) / lit(255.0))
-          * ((col("gmax") - col("gmin")) / lit(255.0))).as("dist"))
+        sq8Dist(col("sa"), col("sb"), col("ca"), col("cb"),
+          col("gmin"), col("gmax")).as("dist"))
     aggBottomKFromPairs(pairs, k)
   }
 
@@ -653,13 +729,16 @@ object Similarity {
     * `queries` to a deterministic sample when metering a large corpus. */
   def hardNegatives(
       emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
-      k: Int, queryPred: Column = lit(true)): DataFrame = {
+      k: Int, queryPred: Column = lit(true),
+      queryIds: Option[DataFrame] = None): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
     graft.functions.L2Squared.register(emb.sparkSession)
     val base = emb.select(col(idCol).as("id"), col(labelCol).as("lbl"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val pairs = base.filter(queryPred).toDF("vec_id", "la", "va", "na")
+    val queries = queryIds.foldLeft(base.filter(queryPred))((df, q) =>
+      df.join(broadcast(q), col("id") === col("qid"), "left_semi"))
+    val pairs = queries.toDF("vec_id", "la", "va", "na")
       .join(broadcast(base.toDF("neighbor", "lb", "vb", "nb")),
         col("la") =!= col("lb"))
       .select(col("vec_id"), col("neighbor"),
@@ -728,12 +807,15 @@ object Similarity {
     * Output: (vec_id, rank, neighbor, dist), rank 1..k by dist asc with
     * neighbor-id tie-break. */
   def bruteForceTopKL2(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      queryPred: Column = lit(true)): DataFrame = {
+      queryPred: Column = lit(true),
+      queryIds: Option[DataFrame] = None): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
     graft.functions.L2Squared.register(emb.sparkSession)
     val base = emb.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
-    val pairs = base.filter(queryPred).toDF("vec_id", "va")
+    val queries = queryIds.foldLeft(base.filter(queryPred))((df, q) =>
+      df.join(broadcast(q), col("id") === col("qid"), "left_semi"))
+    val pairs = queries.toDF("vec_id", "va")
       .join(broadcast(base.toDF("neighbor", "vb")),
         col("vec_id") =!= col("neighbor"))
       .select(col("vec_id"), col("neighbor"),
@@ -830,21 +912,70 @@ object Similarity {
         expr("shiftleft(CAST(1 AS BIGINT), k)")).otherwise(0L)).as("code"))
   }
 
+  /** Banded Hamming CANDIDATE pairs over a 64-bit code table `(id, code)`
+    * — the directed-ANN twin of [[graft.dedup.Dedup.signatureNearDupPairs]]'
+    * banding (same pigeonhole: a pair at Hamming < bands must agree
+    * exactly on ≥1 of the `bands` contiguous bit slices, so the bucket
+    * equi-join on (band, key) sees agreeing slices only, NEVER the
+    * all-pairs table). Directed (both (a,b) and (b,a) emitted — top-k
+    * needs every query's view), deduped across bands, Hamming distance
+    * attached as `dist`. Candidate volume is Σ_bucket |bucket|² per band
+    * — n²/2^width in the uniform case, linear-ish for sign codes of a
+    * clustered corpus — versus the previous stage-1's unconditional n².
+    * Recall contract: pairs at Hamming ≥ bands MAY be missed (standard
+    * banded-LSH recall dial: more bands = wider radius = more
+    * candidates); the shortlist consumer reranks exactly, so misses cost
+    * recall, never wrong scores. */
+  /** Default band count for a code width: the most bands whose keys stay
+    * ≥ 4 bits (more bands = wider recall radius; wider keys = fewer
+    * chance collisions) — 9×7-bit bands at the registered 63 bits. */
+  def defaultBands(bits: Int): Int =
+    (1 to bits).filter(b => bits % b == 0 && bits / b >= 4)
+      .maxOption.getOrElse(1)
+
+  def hammingBandCandidates(codes: DataFrame, bits: Int,
+      bands: Int): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    val width = bits / bands
+    val bandStructs = (0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("code"), j * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("key"))
+    }
+    val banded = codes.select(col("id"), col("code"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("code"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.toDF("vec_id", "ca", "band", "key")
+      .join(banded.toDF("neighbor", "cb", "band", "key"), Seq("band", "key"))
+      .filter(col("vec_id") =!= col("neighbor"))
+      .select(col("vec_id"), col("neighbor"),
+        bit_count(col("ca").bitwiseXOR(col("cb"))).cast("double").as("dist"))
+      .distinct()
+  }
+
+  /** Stage-1 shortlist shared by [[binaryTopK]] and [[sq8TopK]]: the
+    * `n` Hamming-nearest BANDED candidates per query (distance asc,
+    * neighbor-id tie-break through the bounded top-k aggregate) —
+    * retrieve-then-rerank's retrieve, costed by the bucket join, not n². */
+  def hammingShortlist(codes: DataFrame, n: Int, bits: Int,
+      bands: Int): DataFrame =
+    aggBottomKFromPairs(hammingBandCandidates(codes, bits, bands), n)
+      .select(col("vec_id"), col("neighbor"))
+
   def binaryTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       oversample: Int = 4, inDim: Int = 64, bits: Int = 64,
-      seed: String = "graft-bq"): DataFrame = {
+      seed: String = "graft-bq", bands: Int = 0): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
     graft.functions.L2Squared.register(emb.sparkSession)
     // computed once, probed from both sides of the pair join — the code
-    // table is the artifact a vector store persists
+    // table is the artifact a vector store persists. Stage 1 generates
+    // candidates through the BANDED bucket join (round-7 verdict: the
+    // all-pairs popcount was the one quadratic left in the family), so
+    // the pair stream is bucket-local; stage 2 reranks exactly.
+    val nBands = if (bands > 0) bands else defaultBands(bits)
     val codes = binaryCodes(emb, idCol, vecCol, inDim, bits, seed).persist()
-    val cand = codes.toDF("vec_id", "ca")
-      .join(broadcast(codes.toDF("neighbor", "cb")),
-        col("vec_id") =!= col("neighbor"))
-      .select(col("vec_id"), col("neighbor"),
-        bit_count(col("ca").bitwiseXOR(col("cb"))).cast("double").as("dist"))
-    val shortlist = aggBottomKFromPairs(cand, oversample * k)
-      .select(col("vec_id"), col("neighbor"))
+    val shortlist = hammingShortlist(codes, oversample * k, bits, nBands)
     val withNorm = emb.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", norm(col("v")))

@@ -328,8 +328,8 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._2).distinct.length == 3)
   }
 
-  test("sq8TopK: grid-aligned vectors rank exactly; identical vectors at " +
-    "distance zero; off-grid values clamp into [0,255]") {
+  test("sq8TopKExact: grid-aligned vectors rank exactly; identical vectors " +
+    "at distance zero; off-grid values clamp into [0,255]") {
     // components on the 0..255 grid scaled into [0,1]: quantization is
     // lossless, so SQ8 ordering == exact L2 ordering by construction
     def vec(cs: Int*): Array[Float] = cs.map(c => c / 255.0f).toArray
@@ -339,11 +339,11 @@ class SimilaritySpec extends SparkSpec {
       (3L, vec(0, 0, 255, 255)), // d²(1,3)=2·255²
       (4L, vec(0, 0, 0, 0))      // exact dup of 1
     ).toDF("vec_id", "embedding")
-    val got = Similarity.sq8TopK(emb, "vec_id", "embedding", k = 3)
+    val got = Similarity.sq8TopKExact(emb, "vec_id", "embedding", k = 3)
       .as[(Long, Long, Long, Double)].collect()
       .groupBy(_._1).map { case (v, rs) => v -> rs.sortBy(_._2).map(_._3).toSeq }
     assert(got(1L) === Seq(4L, 2L, 3L)) // dup first, then 1-component, 2-component
-    val d14 = Similarity.sq8TopK(emb, "vec_id", "embedding", k = 3)
+    val d14 = Similarity.sq8TopKExact(emb, "vec_id", "embedding", k = 3)
       .as[(Long, Long, Long, Double)].collect()
       .find(r => r._1 == 1L && r._3 == 4L).get._4
     assert(d14 === 0.0)
@@ -351,8 +351,68 @@ class SimilaritySpec extends SparkSpec {
     // clamp rather than overflow (structurally: result still k rows/vector)
     val wild = emb.union(Seq((9L, Array(9.9f, -9.9f, 0f, 0f)))
       .toDF("vec_id", "embedding"))
-    val n = Similarity.sq8TopK(wild, "vec_id", "embedding", k = 2).count()
+    val n = Similarity.sq8TopKExact(wild, "vec_id", "embedding", k = 2).count()
     assert(n === 5 * 2)
+  }
+
+  test("sq8TopK (two-stage): recall ≥ 0.9 vs the exact all-pairs form on " +
+    "clustered data, distances identical on shared pairs everywhere") {
+    // Banded sign-code retrieval finds structure, not uniform noise: on a
+    // CLUSTERED corpus (the shape real embeddings have) the own-cluster
+    // neighbors sit at small code Hamming and the 9-band stage recovers
+    // them; on uniform-random vectors any LSH family degrades to chance
+    // — so the recall bound is asserted on planted clusters (the same
+    // construction binaryTopK's recovery spec uses).
+    val base = (0 until 64).map(j => math.sin(j * 1.7).toFloat)
+    def jitter(id: Int) =
+      base.zipWithIndex.map { case (x, j) =>
+        x * (1.0f + 0.002f * ((id * 31 + j) % 7))
+      }
+    val rows = (0 until 10).map(i => (i.toLong, jitter(i))) ++
+      (10 until 20).map(i => (i.toLong, jitter(i).map(x => -x)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val approx = Similarity.sq8TopK(emb, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    val exact = Similarity.sq8TopKExact(emb, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    val exactPairs = exact.map(r => (r._1, r._3)).toSet
+    val hits = approx.count(r => exactPairs((r._1, r._3)))
+    val recall = hits.toDouble / exact.length
+    assert(recall >= 0.9, s"two-stage SQ8 recall $recall < 0.9")
+    // a pair ranked by BOTH forms carries the identical SQ8 distance —
+    // the shortlist changes which pairs surface, never their distances.
+    // Asserted on the REAL corpus too (where recall is chance-level but
+    // every surfaced distance must still be the exact SQ8 value).
+    val embR = Tables.embeddings(spark, sf)
+    val aR = Similarity.sq8TopK(embR, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    val eR = Similarity.sq8TopKExact(embR, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    val exactDist = eR.map(r => (r._1, r._3) -> r._4).toMap
+    val shared = aR.filter(r => exactDist.contains((r._1, r._3)))
+    assert(shared.nonEmpty)
+    shared.foreach { r =>
+      assert(r._4 === exactDist((r._1, r._3)),
+        s"distance drift on (${r._1}, ${r._3})")
+    }
+  }
+
+  test("meterQueryIds: fixed COUNT, deterministic across runs, and a " +
+    "subset of the corpus ids") {
+    val emb = Tables.embeddings(spark, sf)
+    val a = Similarity.meterQueryIds(emb, "vec_id", 256)
+      .as[Long].collect().toSet
+    val b = Similarity.meterQueryIds(emb, "vec_id", 256)
+      .as[Long].collect().toSet
+    assert(a === b, "meter sample must be deterministic")
+    assert(a.size === math.min(256, emb.count()).toInt)
+    val ids = emb.select("vec_id").as[Long].collect().toSet
+    assert(a.subsetOf(ids))
+    // a smaller s nests inside a larger one (prefix property of the
+    // hash-ordered ranking — stable as the budget dial moves)
+    val small = Similarity.meterQueryIds(emb, "vec_id", 16)
+      .as[Long].collect().toSet
+    assert(small.subsetOf(a) && small.size == 16)
   }
 
   test("pqTopK: structural shape + exact-duplicate pair at distance zero") {
@@ -546,20 +606,33 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(r => (r._1 < 8) == (r._3 < 8)))
   }
 
-  test("binary codes are positive 63-bit longs, identical vectors share " +
-    "a code, antipodal vectors complement it") {
+  test("binary codes are positive 63-bit longs; identical vectors share a " +
+    "code (banded candidates); the Hamming-63 antipode shares NO band and " +
+    "never surfaces — the documented banding recall contract") {
     import org.apache.spark.sql.functions.col
     val v = (0 until 64).map(j => math.cos(j * 0.9).toFloat)
     val emb = Seq((1L, v), (2L, v), (3L, v.map(x => -x)))
       .toDF("vec_id", "embedding")
-    // reach the private code stage through the pair distances: identical
-    // vectors are Hamming-0 (same code), antipodal ones Hamming-63
+    // identical vectors are Hamming-0 → share every band → candidates;
+    // the antipode complements the code (Hamming 63) → agrees on no band
+    // → invisible to the banded stage 1 BY DESIGN (a pair at Hamming ≥
+    // bands may be missed; the quadratic stage-1 this replaced would have
+    // ranked it, at n² cost)
     val got = Similarity.binaryTopK(emb, "vec_id", "embedding",
       k = 2, oversample = 1, inDim = 64, bits = 63)
       .as[(Long, Long, Long, Double)].collect()
     val m = got.map(r => (r._1, r._2) -> r._3).toMap
-    // 1's nearest is its twin 2 (cos 1.0), then the antipode
     assert(m((1L, 1L)) === 2L && m((2L, 1L)) === 1L)
+    assert(!got.exists(r => r._3 == 3L || r._1 == 3L),
+      "the all-bands-differ antipode leaked into the banded candidates")
+    // the banded candidate stream itself: directed both ways, dedupes
+    // across the 9 shared bands, carries the exact popcount distance
+    val codes = Similarity.binaryCodes(emb, "vec_id", "embedding",
+      inDim = 64, bits = 63, seed = "graft-bq")
+      .toDF("id", "code")
+    val cand = Similarity.hammingBandCandidates(codes, bits = 63, bands = 9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cand === Set((1L, 2L, 0.0), (2L, 1L, 0.0)))
   }
 
   test("crossSnapshotEmbNearDups: planted batch twin matches its corpus " +
