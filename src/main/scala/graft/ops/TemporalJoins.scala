@@ -156,6 +156,37 @@ object TemporalJoins {
     intervals.join(points, keyCond && between, "left_outer")
   }
 
+  /** RIGHT OUTER [[nativeRangeJoin]]: every POINT row is preserved — one
+    * joined row per spanning interval, or one null-extended row when none
+    * spans it (incl. NULL-keyed and NULL-point rows). Plans as the same
+    * merge sweep (unmatched points emit at their sweep position —
+    * single-pass); round-7 verdict: this shape previously declined to
+    * Catalyst's nested-loop BETWEEN theta join. */
+  def nativeRangeJoinRightOuter(intervals: DataFrame, points: DataFrame,
+      keys: Seq[(String, String)],
+      startCol: String, endCol: String, pointCol: String): DataFrame = {
+    graft.functions.GraftBetween.register(intervals.sparkSession)
+    val keyCond = keys.map { case (a, b) => intervals(a) === points(b) }
+      .reduce(_ && _)
+    val between = call_function("graft_between",
+      points(pointCol), intervals(startCol), intervals(endCol))
+    intervals.join(points, keyCond && between, "right_outer")
+  }
+
+  /** FULL OUTER [[nativeRangeJoin]]: both sides preserved in ONE sweep —
+    * unmatched intervals null-extend at heap eviction/group end,
+    * unmatched points at their sweep position. */
+  def nativeRangeJoinFullOuter(intervals: DataFrame, points: DataFrame,
+      keys: Seq[(String, String)],
+      startCol: String, endCol: String, pointCol: String): DataFrame = {
+    graft.functions.GraftBetween.register(intervals.sparkSession)
+    val keyCond = keys.map { case (a, b) => intervals(a) === points(b) }
+      .reduce(_ && _)
+    val between = call_function("graft_between",
+      points(pointCol), intervals(startCol), intervals(endCol))
+    intervals.join(points, keyCond && between, "full_outer")
+  }
+
   /** KEYED interval × interval OVERLAP join through the native merge-sweep
     * path: every (left, right) pair sharing a key with
     * `[ls, le] ∩ [rs, re] ≠ ∅` (inclusive ends), emitted exactly once,

@@ -5,9 +5,9 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, BindReferences, EqualTo, Expression, JoinedRow, PredicateHelper, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.catalyst.expressions.UnsafeRow
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, FilterExec, GraftSpillableRowArray, ProjectExec, SparkPlan, SparkStrategy}
@@ -34,14 +34,15 @@ import graft.functions.GraftBetween
   * conditions. A between with bounds on the RIGHT child plans the sweep
   * with the children swapped under a reordering [[ProjectExec]].
   *
-  * Any other shape (outer join, keyless, between's bounds split across
-  * sides) returns Nil and falls back to Spark's default join planning,
-  * which remains correct because [[GraftBetween]] evaluates the plain
-  * conjunction `lo <= p AND p <= hi`.
+  * Any other shape (keyless, between's bounds split across sides, a
+  * residual above an outer join) returns Nil and falls back to Spark's
+  * default join planning, which remains correct because [[GraftBetween]]
+  * evaluates the plain conjunction `lo <= p AND p <= hi`.
   */
 object RangeJoinStrategy extends SparkStrategy with PredicateHelper {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case Join(left, right, jt, Some(cond), _) if jt == Inner || jt == LeftOuter =>
+    case Join(left, right, jt, Some(cond), _)
+        if jt == Inner || jt == LeftOuter || jt == RightOuter || jt == FullOuter =>
       def ofLeft(e: Expression) = e.references.subsetOf(left.outputSet)
       def ofRight(e: Expression) = e.references.subsetOf(right.outputSet)
       def sweepable(b: GraftBetween) =
@@ -62,13 +63,13 @@ object RangeJoinStrategy extends SparkStrategy with PredicateHelper {
       }
       (drivers, equis) match {
         case (Seq(b: GraftBetween), _ :: _)
-            // LEFT OUTER plans only the orientation whose PRESERVED side
-            // is the interval (buffered) side, and only the bare
-            // equi+between shape: a residual above an outer join, or a
-            // swap that would preserve the point side, changes semantics
-            // — those shapes decline to default planning (correct via the
-            // marker's plain-conjunction eval)
-            if jt == Inner || (ofLeft(b.lo) && residual.isEmpty) =>
+            // OUTER joins (either or both sides preserved — round-7
+            // verdict: the declined shapes fell back to Catalyst's
+            // nested loop) plan only the bare equi+between shape: a
+            // residual above an outer join filters null-extended rows
+            // and so changes semantics — that shape declines to default
+            // planning (correct via the marker's plain-conjunction eval)
+            if jt == Inner || residual.isEmpty =>
           val keyPairs = equis.map {
             case EqualTo(a, c) if ofLeft(a) => (a, c)
             case EqualTo(a, c) => (c, a)
@@ -78,10 +79,25 @@ object RangeJoinStrategy extends SparkStrategy with PredicateHelper {
             if (ofLeft(b.lo))
               RangeJoinExec(lk, rk, b.lo, b.hi, b.point,
                 planLater(left), planLater(right), jt)
-            else
-              ProjectExec(left.output ++ right.output,
-                RangeJoinExec(rk, lk, b.lo, b.hi, b.point,
-                  planLater(right), planLater(left), Inner))
+            else {
+              // bounds on the RIGHT child: swap children so the sweep
+              // buffers the interval side, FLIPPING the preserved side
+              // with them (LeftOuter ↔ RightOuter; Inner and FullOuter
+              // are symmetric), and re-order the output back under a
+              // Project that references the EXEC's attributes (same
+              // exprIds, outer-adjusted nullability) so null-extension
+              // survives the reorder
+              val flipped = jt match {
+                case LeftOuter => RightOuter
+                case RightOuter => LeftOuter
+                case other => other
+              }
+              val swapped = RangeJoinExec(rk, lk, b.lo, b.hi, b.point,
+                planLater(right), planLater(left), flipped)
+              val reordered = (left.output ++ right.output).map(a =>
+                swapped.output.find(_.exprId == a.exprId).get)
+              ProjectExec(reordered, swapped)
+            }
           residual.reduceOption(And)
             .map(FilterExec(_, core)).getOrElse(core) :: Nil
         case _ => Nil
@@ -126,7 +142,12 @@ object RangeJoinStrategy extends SparkStrategy with PredicateHelper {
   * once with the point side null-extended — unmatched emission happens at
   * heap EVICTION or group end, so the sweep stays single-pass and the
   * spill discipline is unchanged (NULL-bounded rows buffer in a second
-  * spillable array).
+  * spillable array). Under RIGHT OUTER every POINT row is preserved: a
+  * point no active interval spans (or with a NULL key/point, or whose
+  * key group has no sweepable interval) emits once with the interval
+  * side null-extended — decided AT the point's sweep position, so this
+  * too is single-pass. FULL OUTER composes both preservations in the
+  * same sweep. All three outer forms buffer exactly what INNER buffers.
   */
 case class RangeJoinExec(
     leftKeys: Seq[Expression],
@@ -138,10 +159,16 @@ case class RangeJoinExec(
     right: SparkPlan,
     joinType: JoinType = Inner) extends SparkPlan with BinaryExecNode {
 
-  override def output: Seq[Attribute] =
-    if (joinType == LeftOuter)
+  override def output: Seq[Attribute] = joinType match {
+    case LeftOuter =>
       left.output ++ right.output.map(_.withNullability(true))
-    else left.output ++ right.output
+    case RightOuter =>
+      left.output.map(_.withNullability(true)) ++ right.output
+    case FullOuter =>
+      left.output.map(_.withNullability(true)) ++
+        right.output.map(_.withNullability(true))
+    case _ => left.output ++ right.output
+  }
 
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
@@ -154,7 +181,14 @@ case class RangeJoinExec(
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(lo, Ascending),
     rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(point, Ascending))
 
-  override def outputPartitioning: Partitioning = left.outputPartitioning
+  // SortMergeJoin's contract: the preserved side's clustering survives;
+  // FULL OUTER preserves neither claim (null-extended rows from each side
+  // carry nulls in the other side's keys)
+  override def outputPartitioning: Partitioning = joinType match {
+    case RightOuter => right.outputPartitioning
+    case FullOuter => UnknownPartitioning(left.outputPartitioning.numPartitions)
+    case _ => left.outputPartitioning
+  }
 
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
@@ -176,14 +210,16 @@ case class RangeJoinExec(
     val spillThreshold = conf.getConfString(
       "spark.graft.rangeJoin.buffer.spillThreshold",
       conf.sortMergeJoinExecBufferSpillThreshold.toString).toInt
-    val preserveLeft = joinType == LeftOuter
+    val preserveLeft = joinType == LeftOuter || joinType == FullOuter
+    val preserveRight = joinType == RightOuter || joinType == FullOuter
     val rightWidth = right.output.size
+    val leftWidth = left.output.size
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val proj = UnsafeProjection.create(out, out)
       new RangeSweepIterator(lIt.buffered, rIt.buffered,
         lKeysB, rKeysB, loB, hiB, ptB, keyOrds, timeOrd,
         leftAttrs, inMemThreshold, spillThreshold, spillSize,
-        preserveLeft, rightWidth)
+        preserveLeft, rightWidth, preserveRight, leftWidth)
         .map { jr => numOutputRows += 1; proj(jr) }
     }
   }
@@ -221,7 +257,9 @@ private[plans] final class RangeSweepIterator(
     spillThreshold: Int,
     spillMetric: org.apache.spark.sql.execution.metric.SQLMetric,
     preserveLeft: Boolean,
-    rightWidth: Int)
+    rightWidth: Int,
+    preserveRight: Boolean = false,
+    leftWidth: Int = 0)
   extends Iterator[InternalRow] {
 
   private val nKeys = lKeys.length
@@ -238,9 +276,12 @@ private[plans] final class RangeSweepIterator(
   private var spillReported = 0L
   private val nullRight =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rightWidth)
-  // Dedicated JoinedRow for null-extended emissions OUTSIDE GroupSweep
+  private val nullLeft =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(leftWidth)
+  // Dedicated JoinedRows for null-extended emissions OUTSIDE GroupSweep
   // (consumers copy per element, so the reuse is safe).
   private val joinedNull = new JoinedRow
+  private val joinedNullL = new JoinedRow
 
   /** Lazily drain left rows while `keep` holds, null-extending each —
     * the LEFT OUTER emission for unmatched groups / null keys / tails. */
@@ -248,6 +289,14 @@ private[plans] final class RangeSweepIterator(
     new Iterator[InternalRow] {
       override def hasNext: Boolean = keep()
       override def next(): InternalRow = joinedNull(lBuf.next(), nullRight)
+    }
+
+  /** The RIGHT-preserved twin: drain point rows while `keep` holds, each
+    * emitted once with the interval side null-extended. */
+  private def nullDrainRight(keep: () => Boolean): Iterator[InternalRow] =
+    new Iterator[InternalRow] {
+      override def hasNext: Boolean = keep()
+      override def next(): InternalRow = joinedNullL(nullLeft, rBuf.next())
     }
 
   /** Key values of a row, or null if any key is NULL (row can't match). */
@@ -286,14 +335,22 @@ private[plans] final class RangeSweepIterator(
   override def hasNext: Boolean = {
     while (!pending.hasNext) {
       if (preserveLeft && lBuf.hasNext && keyOf(lBuf.head, lKeys) == null) {
-        // LEFT OUTER preserves NULL-keyed interval rows (they sort first)
+        // LEFT/FULL OUTER preserves NULL-keyed interval rows (they sort first)
         pending = nullDrain(() =>
           lBuf.hasNext && keyOf(lBuf.head, lKeys) == null)
+      } else if (preserveRight && rBuf.hasNext &&
+          keyOf(rBuf.head, rKeys) == null) {
+        // RIGHT/FULL OUTER preserves NULL-keyed point rows the same way
+        pending = nullDrainRight(() =>
+          rBuf.hasNext && keyOf(rBuf.head, rKeys) == null)
       } else {
         if (!preserveLeft) skipNullKeyed(lBuf, lKeys)
-        skipNullKeyed(rBuf, rKeys)
-        if (!lBuf.hasNext) return false
-        if (!rBuf.hasNext) {
+        if (!preserveRight) skipNullKeyed(rBuf, rKeys)
+        if (!lBuf.hasNext) {
+          if (!preserveRight || !rBuf.hasNext) return false
+          // intervals exhausted: every remaining point row is unmatched
+          pending = nullDrainRight(() => rBuf.hasNext)
+        } else if (!rBuf.hasNext) {
           if (!preserveLeft) return false
           // points exhausted: every remaining interval row is unmatched
           pending = nullDrain(() => lBuf.hasNext)
@@ -307,7 +364,12 @@ private[plans] final class RangeSweepIterator(
             })
             else skipGroup(lBuf, lKeys, lk)
           }
-          else if (c > 0) skipGroup(rBuf, rKeys, rk)
+          else if (c > 0) {
+            if (preserveRight) pending = nullDrainRight(() => rBuf.hasNext && {
+              val k = keyOf(rBuf.head, rKeys); k != null && cmpKeys(k, rk) == 0
+            })
+            else skipGroup(rBuf, rKeys, rk)
+          }
           else {
             // Buffer the left (interval) group into the spillable array:
             // NULL-bound rows drop at fill time under INNER (the array
@@ -338,8 +400,19 @@ private[plans] final class RangeSweepIterator(
                 nullBoundBuf.iterator.map(r => joinedNull(r, nullRight))
               else Iterator.empty
             if (groupBuf.isEmpty) {
-              skipGroup(rBuf, rKeys, rk)
-              pending = nullBoundOut
+              // no sweepable interval in the group: the matched points
+              // are all unmatched — preserved under RIGHT/FULL OUTER
+              if (preserveRight) {
+                val rkKey = rk
+                pending = nullBoundOut ++
+                  nullDrainRight(() => rBuf.hasNext && {
+                    val k = keyOf(rBuf.head, rKeys)
+                    k != null && cmpKeys(k, rkKey) == 0
+                  })
+              } else {
+                skipGroup(rBuf, rKeys, rk)
+                pending = nullBoundOut
+              }
             }
             else pending = nullBoundOut ++ new GroupSweep(rk)
           }
@@ -391,6 +464,23 @@ private[plans] final class RangeSweepIterator(
     private var done = false
     private var tailDrained = false
     private val joined = new JoinedRow
+    // separate JoinedRow for right-preserved emissions: `joined` backs the
+    // LAZY evictedOut iterator, so an eager joined(nullLeft, rrow) would
+    // be re-mutated by evictions consumed after it (emitting the last
+    // evicted interval twice and losing the point)
+    private val joinedR = new JoinedRow
+
+    /** One lazily-built null-extended row for the current point (rrow
+      * stays valid until the next point is pulled, which can't happen
+      * before this iterator is drained). */
+    private def lonePoint(rrow: InternalRow): Iterator[InternalRow] =
+      new Iterator[InternalRow] {
+        private var emitted = false
+        override def hasNext: Boolean = !emitted
+        override def next(): InternalRow = {
+          emitted = true; joinedR(nullLeft, rrow)
+        }
+      }
 
     override def hasNext: Boolean = {
       while (!matches.hasNext) {
@@ -433,11 +523,19 @@ private[plans] final class RangeSweepIterator(
                 if (evicted.isEmpty) Iterator.empty
                 else evicted.iterator.map(r => joined(r, nullRight))
               val matchedOut =
-                if (active.isEmpty) Iterator.empty
+                if (active.isEmpty) {
+                  // no interval spans this point: preserved under
+                  // RIGHT/FULL OUTER (emitted before the next point is
+                  // pulled, so the reused row object is safe)
+                  if (preserveRight) lonePoint(rrow) else Iterator.empty
+                }
                 else active.iterator.map { e =>
                   e.matched = true; joined(e.row, rrow)
                 }
               matches = evictedOut ++ matchedOut
+            } else if (preserveRight) {
+              // NULL point matches nothing but IS preserved
+              matches = lonePoint(rrow)
             }
           }
         }

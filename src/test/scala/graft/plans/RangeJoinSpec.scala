@@ -252,8 +252,8 @@ class RangeJoinSpec extends SparkSpec with BeforeAndAfterAll {
     assert(got == Seq("lonely|∅", "nullhi|∅", "nullkey|∅", "nulllo|∅", "ok|pok"))
   }
 
-  test("LEFT OUTER declined shapes (residual predicate; bounds on the " +
-    "right child) fall back and stay correct") {
+  test("outer residual predicates still decline (they filter null-extended " +
+    "rows); fallback stays correct") {
     val a = intervals
     val b = points
     // residual above an outer join changes semantics → strategy declines
@@ -266,15 +266,139 @@ class RangeJoinSpec extends SparkSpec with BeforeAndAfterAll {
       a("k") === b("pk") && b("p") >= a("lo") && b("p") <= a("hi") &&
         a("tag") =!= b("ptag"), "left_outer"))
     assert(sortedOuterRows(withResidual) == wantRes && wantRes.nonEmpty)
-    // preserved side = point side (bounds on the right child) → declines
+  }
+
+  test("LEFT OUTER with bounds on the RIGHT child plans the flipped sweep " +
+    "under a reordering project (round-7: this fell back to a nested loop)") {
+    val a = intervals
+    val b = points
+    // preserved side = point side; swap flips it to the RightOuter sweep
     val swapped = b.join(a,
       b("pk") === a("k") &&
         call_function("graft_between", b("p"), a("lo"), a("hi")), "left_outer")
-    assert(!swapped.queryExecution.executedPlan.toString.contains("RangeJoinExec"))
-    val wantSw = b.join(a,
+    val p = swapped.queryExecution.executedPlan.toString
+    assert(p.contains("RangeJoinExec(RightOuter"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    val want = b.join(a,
       b("pk") === a("k") && b("p") >= a("lo") && b("p") <= a("hi"),
       "left_outer")
-    assert(swapped.count() == wantSw.count() && swapped.count() >= b.count())
+    def rows(df: DataFrame) = df.select("ptag", "tag").collect()
+      .map(r => s"${r.getString(0)}|${Option(r.getString(1)).getOrElse("∅")}")
+      .toSeq.sorted
+    val got = rows(swapped)
+    assert(got == rows(want) && got.nonEmpty)
+    // p5 (just outside), p6 (keyless) preserved null-extended
+    assert(got.contains("p5|∅") && got.contains("p6|∅"))
+  }
+
+  private def nativeRight(a: DataFrame, b: DataFrame): DataFrame =
+    TemporalJoins.nativeRangeJoinRightOuter(a, b, Seq("k" -> "pk"), "lo", "hi", "p")
+
+  private def plainRight(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b, a("k") === b("pk") && b("p") >= a("lo") && b("p") <= a("hi"),
+      "right_outer")
+
+  private def sortedRightRows(df: DataFrame): Seq[String] =
+    df.select("tag", "ptag").collect()
+      .map(r => s"${Option(r.getString(0)).getOrElse("∅")}|${r.getString(1)}")
+      .toSeq.sorted
+
+  test("RIGHT OUTER native range join: unmatched points (outside every " +
+    "interval, keyless group, NULL key/point) emit null-extended from the " +
+    "same single sweep") {
+    val df = nativeRight(intervals, points)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("RangeJoinExec(RightOuter"), p.take(1200))
+    assert("RangeJoinExec".r.findAllIn(p).size == 1)
+    val got = sortedRightRows(df)
+    assert(got == sortedRightRows(plainRight(intervals, points)) && got.nonEmpty)
+    // p5 lies just outside d; p6's key has no intervals — both preserved
+    assert(got.contains("∅|p5") && got.contains("∅|p6"))
+    // matched points do NOT also emit a null row
+    assert(!got.contains("∅|p1") && !got.contains("∅|p4"))
+  }
+
+  test("RIGHT OUTER preserves NULL-keyed and NULL-valued point rows") {
+    val a = Seq(
+      (Option(1L), Option(0L), Option(100L), "ok"),
+      (Option(1L), None: Option[Long], Option(100L), "nulllo")
+    ).toDF("k", "lo", "hi", "tag")
+    val b = Seq(
+      (Option(1L), Option(50L), "pok"),
+      (Option(1L), Option(500L), "pout"),
+      (None: Option[Long], Option(50L), "pnullkey"),
+      (Option(1L), None: Option[Long], "pnullp"),
+      (Option(9L), Option(1L), "plonely")
+    ).toDF("pk", "p", "ptag")
+    val got = sortedRightRows(nativeRight(a, b))
+    assert(got == sortedRightRows(plainRight(a, b)))
+    assert(got == Seq("ok|pok", "∅|plonely", "∅|pnullkey", "∅|pnullp", "∅|pout"))
+  }
+
+  private def nativeFull(a: DataFrame, b: DataFrame): DataFrame =
+    TemporalJoins.nativeRangeJoinFullOuter(a, b, Seq("k" -> "pk"), "lo", "hi", "p")
+
+  private def plainFull(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b, a("k") === b("pk") && b("p") >= a("lo") && b("p") <= a("hi"),
+      "full_outer")
+
+  private def sortedFullRows(df: DataFrame): Seq[String] =
+    df.select("tag", "ptag").collect()
+      .map(r => s"${Option(r.getString(0)).getOrElse("∅")}|" +
+        s"${Option(r.getString(1)).getOrElse("∅")}")
+      .toSeq.sorted
+
+  test("FULL OUTER native range join: BOTH sides' unmatched rows null-" +
+    "extend from ONE sweep node; ground truth equality") {
+    val df = nativeFull(intervals, points)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("RangeJoinExec(FullOuter"), p.take(1200))
+    assert("RangeJoinExec".r.findAllIn(p).size == 1,
+      "full outer must be ONE sweep, not a union of two scans")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    val got = sortedFullRows(df)
+    assert(got == sortedFullRows(plainFull(intervals, points)) && got.nonEmpty)
+    // interval side: e (no points), w (backwards); point side: p5, p6
+    assert(got.contains("e|∅") && got.contains("w|∅"))
+    assert(got.contains("∅|p5") && got.contains("∅|p6"))
+  }
+
+  test("FULL OUTER under churn equals the plain outer ground truth, " +
+    "including disjoint key universes") {
+    val a = (0 until 400).map(i => (i % 5L, i.toLong, (i + 7L + (i % 13)), s"i$i"))
+      .toDF("k", "lo", "hi", "tag")
+    val b = (0 until 300).map(j => (j % 7L, (j * 2L) % 450, s"p$j"))
+      .toDF("pk", "p", "ptag")
+    val got = sortedFullRows(nativeFull(a, b))
+    assert(got == sortedFullRows(plainFull(a, b)) && got.nonEmpty)
+    // keys 5, 6 exist only on the point side; all their points preserved
+    assert(got.exists(_.startsWith("∅|")) && got.exists(_.endsWith("|∅")))
+  }
+
+  test("FULL OUTER planted hot key spills and still preserves both sides") {
+    withSQLConf(
+      "spark.graft.rangeJoin.buffer.inMemoryThreshold" -> "16",
+      "spark.graft.rangeJoin.buffer.spillThreshold" -> "64",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val n = 3000
+      val a = (0 until n).map(i => (1L, i.toLong * 10, i.toLong * 10 + 5, s"i$i"))
+        .toDF("k", "lo", "hi", "tag")
+      // every 4th interval hit; half the points fall in inter-interval gaps
+      val b = (0 until n / 2).map { j =>
+        val p = if (j % 2 == 0) j.toLong * 80 + 2 else j.toLong * 80 + 47
+        (1L, p, s"p$j")
+      }.toDF("pk", "p", "ptag")
+      val df = nativeFull(a, b)
+      val got = df.collect()
+        .map(r => s"${Option(r.getAs[String]("tag")).getOrElse("∅")}|" +
+          s"${Option(r.getAs[String]("ptag")).getOrElse("∅")}")
+        .sorted.toSeq
+      assert(got == sortedFullRows(plainFull(a, b)))
+      val exec = df.queryExecution.executedPlan
+        .collectFirst { case r: RangeJoinExec => r }
+      assert(exec.nonEmpty && exec.get.metrics("spillSize").value > 0)
+      assert(got.exists(_.startsWith("∅|")) && got.exists(_.endsWith("|∅")))
+    }
   }
 
   test("LEFT OUTER under churn equals the plain outer ground truth") {
