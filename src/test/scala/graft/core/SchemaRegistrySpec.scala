@@ -57,4 +57,41 @@ class SchemaRegistrySpec extends SparkSpec {
     assert(out.schema("score").dataType === DoubleType)
     assert(out.schema("pubmeds").dataType === ArrayType(StringType))
   }
+
+  test("YAML front door round-trips the registry exactly") {
+    val yaml = SchemaYaml.render(SchemaRegistry.nodes, SchemaRegistry.edges)
+    val (n, e) = SchemaYaml.parse(yaml)
+    assert(n === SchemaRegistry.nodes)
+    assert(e === SchemaRegistry.edges)
+    // property ORDER (the struct field order) survives, not just the sets
+    assert(n("uniprot_protein").props === SchemaRegistry.nodes("uniprot_protein").props)
+    assert(e("Interacts_With").props === SchemaRegistry.edges("Interacts_With").props)
+  }
+
+  test("checked-in conf/schema_config.yaml ≡ the Scala registry (golden)") {
+    val path = "conf/schema_config.yaml"
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
+      s"missing $path — regenerate: Files.write(path, SchemaYaml.render(...))")
+    val (n, e) = SchemaYaml.load(path)
+    assert(n === SchemaRegistry.nodes,
+      "conf/schema_config.yaml drifted from SchemaRegistry.nodes")
+    assert(e === SchemaRegistry.edges,
+      "conf/schema_config.yaml drifted from SchemaRegistry.edges")
+  }
+
+  test("YAML parser fails loudly on typos instead of dropping properties") {
+    intercept[IllegalArgumentException] {
+      SchemaYaml.parse("nodes:\n  x:\n    p: sting\n")
+    }
+    intercept[IllegalArgumentException] {
+      SchemaYaml.parse("nodes:\n      overindented: str\n")
+    }
+    intercept[IllegalArgumentException] {
+      SchemaYaml.parse("labels:\n  x: {}\n")
+    }
+    // comments, blank lines, empty labels all parse
+    val (n, _) = SchemaYaml.parse(
+      "# c\nnodes:\n\n  a: {}\n  b:\n    p: int[] # inline\nedges:\n")
+    assert(n("a").props.isEmpty && n("b").props === Seq("p" -> SchemaRegistry.PIntArr))
+  }
 }
