@@ -70,11 +70,37 @@ a hot bucket under a skewed embedding distribution degrades recall
 instead of going quadratic; the cap's row_number+filter shape gets the
 WindowGroupLimit pushdown (map-side per-partition truncation). Brute-force
 meters (x_ann_topk, x_ann_recall's exact side, x_hard_negatives,
-x_knn_graph) run on deterministic samples — O(sample·corpus), never
-O(corpus²); the full corpus belongs to the bucketed twins.
+x_knn_graph, x_rrf_fusion's rankers) run on the FIXED-COUNT deterministic
+query set (round 8: the 256 smallest md5(vec_id) — a fixed fraction was
+still quadratic) — O(s·corpus) with constant s, never O(corpus²); the
+full corpus belongs to the bucketed twins. The quantized ANN paths
+(x_ann_binary, x_ann_sq8) retrieve through the BANDED 63-bit-code bucket
+join (9×7-bit bands, shared shortlist CTE) and rerank exactly — both are
+OFF the BNLJ whitelist since round 8.
 
-| query | scans | pushed | BHJ | SMJ | BNLJ | exchange | window | rank-pushdown |
-|---|---|---|---|---|---|---|---|---|""")
+The `win∅part` column counts each query's EMPTY-partition Window nodes
+(round-7 verdict item 8): every non-zero entry must be one of the
+whitelisted bounded-domain prefix-sums above aggregations; growth in the
+column without a matching policy entry is drift.
+
+| query | scans | pushed | BHJ | SMJ | BNLJ | exchange | window | win∅part | rank-pushdown |
+|---|---|---|---|---|---|---|---|---|---|""")
+
+
+def top_level_groups(args_line):
+    """Count top-level [...] groups in a Window node's Arguments line:
+    3 = [exprs], [partitionSpec], [orderSpec]; 2 = partitionless."""
+    depth, groups = 0, 0
+    for ch in args_line:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+    return groups
+
+
 for name, plan in sorted(pairs):
     # formatted explain prints each node twice (tree line + "(N) Node"
     # detail header) — count only the numbered detail headers
@@ -88,5 +114,12 @@ for name, plan in sorted(pairs):
     exch = n("Exchange")
     win = n("Window\\b")
     wgl = n("WindowGroupLimit")
+    # per-query count of EMPTY-PARTITION Window nodes (round-7 verdict
+    # item 8): the whitelisted bounded-domain prefix-sums are visible here
+    # per query, so population drift is reviewable, not just suite-pass
+    win_empty = sum(
+        1 for m in re.finditer(
+            r"\(\d+\) Window\b[^\n]*\nInput[^\n]*\nArguments: ([^\n]*)", plan)
+        if top_level_groups(m.group(1)) == 2)
     print(f"| {name} | {scans} | {pushed} | {bhj} | {smj} | {bnlj} "
-          f"| {exch} | {win} | {wgl} |")
+          f"| {exch} | {win} | {win_empty} | {wgl} |")

@@ -74,6 +74,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("RangeJoinExec".r.findAllIn(p).size == 1)
   }
 
+  test("j_range_native_full plans ONE FullOuter merge sweep — both sides' " +
+    "null-extension from a single pass, no nested loop") {
+    val p = plan("j_range_native_full")
+    assert(p.contains("RangeJoinExec(FullOuter"),
+      s"expected the FullOuter sweep in:\n${p.take(1200)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert("RangeJoinExec".r.findAllIn(p).size == 1)
+  }
+
   test("j_bucketed_colocated: the join runs off the bucketed layout, the " +
       "only hash exchange is the final aggregate's") {
     val p = plan("j_bucketed_colocated")
@@ -496,8 +505,10 @@ class PlanAuditSpec extends SparkSpec {
       "ev_rfm", "q_ntile",                       // one-row bin-offset dims
       "q11_important_parts", "q22_dormant_customers", // global-scalar HAVING
       "x_ann_topk", "x_ann_filtered", "x_ann_ivf", "x_ann_ivf_probe",
-      "x_ann_pq", "x_ann_sq8",
-      "x_ann_binary",                            // broadcast 8-byte codes
+      "x_ann_pq",
+      // x_ann_sq8 / x_ann_binary left this list in round 8: their stage 1
+      // is now the BANDED code bucket join (plan-pinned below), so a BNLJ
+      // reappearing in either is a regression
       // broadcast ANN corpus — METER-ONLY members: x_hard_negatives is
       // the sampled-query recall meter of x_hard_negatives_lsh (the
       // registered scale path, which must NOT appear here — its candidate
@@ -547,6 +558,19 @@ class PlanAuditSpec extends SparkSpec {
         "bounded dim, or add an equi-key): " + offenders.mkString("; "))
   }
 
+  test("x_ann_sq8 and x_ann_binary stage 1 is the banded bucket EQUI-join: " +
+    "no nested loop, no cartesian, anywhere in either plan") {
+    for (name <- Seq("x_ann_sq8", "x_ann_binary")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name regressed to an all-pairs code join:\n${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"), name)
+      // the candidate stage joins the banded code table against itself on
+      // (band, key) — an equi-join some hash/merge strategy must carry
+      assert(p.contains("band"), s"$name lost the band-key join:\n${p.take(1500)}")
+    }
+  }
+
   test("ev_rfm and q_ntile rank via partitioned in-bin windows") {
     for (name <- Seq("ev_rfm", "q_ntile")) {
       val p = plan(name)
@@ -572,7 +596,9 @@ class PlanAuditSpec extends SparkSpec {
   test("x_ann_sq8 ranks through the bounded top-k aggregate, no window") {
     val p = plan("x_ann_sq8")
     assert(!p.contains("Window"), s"sq8 should not plan a window:\n$p")
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // round 8: the grid folds driver-side and stage 1 is the banded
+    // bucket join — the NLJ the old pin documented must be GONE
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("x_intra_dedup: every exchange is doc-keyed (no corpus-wide state)") {
