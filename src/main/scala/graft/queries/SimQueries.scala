@@ -197,7 +197,7 @@ object SimQueries {
     * candidates (DISTINCT across bands) → per-query 20-nearest by
     * (Hamming, neighbor). Expects `embeddings` in scope; emits
     * `shortlist (vec_id, neighbor)`. */
-  private val codeShortlistCte =
+  private val codesCte =
     """qq AS (SELECT vec_id, r.j,
       |    CAST(floor(CAST(embedding[r.j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
       |  FROM embeddings, range(0, 64) r(j)),
@@ -211,14 +211,28 @@ object SimQueries {
       |codes AS (SELECT vec_id,
       |    CAST(SUM(CASE WHEN proj >= 0 THEN (1::BIGINT << k) ELSE 0 END)
       |      AS BIGINT) AS code
-      |  FROM pj GROUP BY 1),
-      |banded AS (SELECT vec_id, code, r.b AS band,
+      |  FROM pj GROUP BY 1)
+      |""".stripMargin
+
+  /** DuckDB replica of Similarity's emit-on-FIRST-matching-band rule (the
+    * per-row expression that replaces a candidate-stream DISTINCT): band
+    * must be the lowest index on which the two codes' 7-bit slices agree. */
+  private def firstBandSql(a: String, b: String): String = {
+    val eqs = (0 until 9).map(j =>
+      s"(($a.code >> ${j * 7}) & 127) = (($b.code >> ${j * 7}) & 127)")
+      .mkString(", ")
+    s"$a.band = list_position([$eqs], true) - 1"
+  }
+
+  private val codeShortlistCte = codesCte +
+    s""", banded AS (SELECT vec_id, code, r.b AS band,
       |    (code >> (r.b * 7)) & 127 AS key
       |  FROM codes, range(0, 9) r(b)),
-      |cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS neighbor,
+      |cand AS (SELECT a.vec_id, b.vec_id AS neighbor,
       |    bit_count(xor(a.code, b.code)) AS ham
       |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
-      |    AND a.vec_id <> b.vec_id),
+      |    AND a.vec_id <> b.vec_id
+      |  WHERE ${firstBandSql("a", "b")}),
       |shortlist AS (SELECT vec_id, neighbor FROM (
       |  SELECT vec_id, neighbor,
       |    row_number() OVER (PARTITION BY vec_id ORDER BY ham, neighbor) AS rn
@@ -250,6 +264,49 @@ object SimQueries {
         |  FROM rr) WHERE rank <= 5""".stripMargin) { (s, d) =>
     Similarity.binaryTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       k = 5, oversample = 4, inDim = 64, bits = 63)
+  }
+
+  /** INCREMENTAL binary-quantized ANN ([[Similarity.binaryTopKIncremental]])
+    * — the maintenance form of x_ann_binary: vectors ≡ 0 (mod 10) play an
+    * incoming batch searched against the settled corpus (the rest), so
+    * candidates pair new→old through the cross-snapshot banded join and
+    * per-batch cost is O(batch·bands) + the bucket join — the corpus band
+    * table is the persistable artifact, never recomputed per batch.
+    * Codes, band keys, shortlist and rerank floats all replicate on the
+    * oracle. */
+  val xAnnBinaryIncremental = Q(
+    "x_ann_binary_incremental",
+    normCte + ", " + codesCte +
+      """, bn AS (SELECT vec_id, code, r.b AS band,
+        |    (code >> (r.b * 7)) & 127 AS key
+        |  FROM codes, range(0, 9) r(b) WHERE vec_id % 10 = 0),
+        |bo AS (SELECT vec_id, code, r.b AS band,
+        |    (code >> (r.b * 7)) & 127 AS key
+        |  FROM codes, range(0, 9) r(b) WHERE vec_id % 10 <> 0),
+        |cand AS (SELECT n.vec_id, o.vec_id AS neighbor,
+        |    bit_count(xor(n.code, o.code)) AS ham
+        |  FROM bn n JOIN bo o ON n.band = o.band AND n.key = o.key
+        |  WHERE """.stripMargin + firstBandSql("n", "o") + """),
+        |shortlist AS (SELECT vec_id, neighbor FROM (
+        |  SELECT vec_id, neighbor,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY ham, neighbor) AS rn
+        |  FROM cand) WHERE rn <= 20),
+        |rr AS (SELECT s.vec_id, s.neighbor,
+        |    list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, t) -> x + t)
+        |      / (a.nrm * b.nrm) AS cos
+        |  FROM shortlist s
+        |  JOIN nrm a ON a.vec_id = s.vec_id
+        |  JOIN nrm b ON b.vec_id = s.neighbor)
+        |SELECT vec_id, rank, neighbor, cos FROM (
+        |  SELECT vec_id, neighbor, cos,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rank
+        |  FROM rr) WHERE rank <= 5""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.binaryTopKIncremental(
+      emb.filter(col("vec_id") % 10 =!= 0),
+      emb.filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", k = 5, oversample = 4, inDim = 64, bits = 63)
   }
 
   /** SQ8 scalar-quantized ANN — the per-tensor int8 grid beside PQ's
@@ -476,6 +533,35 @@ object SimQueries {
          |  FROM p) WHERE rank <= 5""".stripMargin) { (s, d) =>
     Similarity.lshTopKFromIndex(lshIndexPersisted(s, d),
       k = 5, planes = 6, probes = 1)
+  }
+
+  /** Filtered vector search at SCALE
+    * ([[Similarity.filteredTopKLshFromIndex]]) — the bucket-join twin of
+    * x_ann_filtered (which rides the brute broadcast baseline as its
+    * meter): the label predicate restricts the CORPUS side BEFORE the
+    * hot-bucket cap (cap budget spent on qualifying vectors only),
+    * queries stay unfiltered, candidates come from the persisted index's
+    * multi-probe bucket join — never an all-pairs join against the
+    * filtered corpus. Oracle: the full bucket replica with the label
+    * filter applied before a re-cap. */
+  val xAnnFilteredLsh = Q(
+    "x_ann_filtered_lsh",
+    lshCteSql(6, 64) +
+      s""", bkf AS (SELECT vec_id, embedding, nrm, bucket FROM (
+         |  SELECT b.vec_id, b.embedding, b.nrm, b.bucket,
+         |    row_number() OVER (PARTITION BY b.bucket
+         |      ORDER BY b.nrm DESC, b.vec_id) AS frn
+         |  FROM bk0 b JOIN embeddings e
+         |    ON e.vec_id = b.vec_id AND e.label = 1) WHERE frn <= 512),
+         |p AS (SELECT q.vec_id AS vec_id, c.vec_id AS neighbor,
+         |  $dotPairSql AS cos
+         |  FROM q JOIN bkf c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+         |SELECT vec_id, rank, neighbor, cos FROM (
+         |  SELECT vec_id, neighbor, cos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rank
+         |  FROM p) WHERE rank <= 5""".stripMargin) { (s, d) =>
+    Similarity.filteredTopKLshFromIndex(lshIndexPersisted(s, d),
+      col("label") === 1, k = 5, planes = 6, probes = 1)
   }
 
   /** The persist-and-derive PIN for the ANN index family: emits the
@@ -1421,9 +1507,10 @@ object SimQueries {
     mutualKnnClusters(s, knn, Tables.embeddings(s, d).select(col("vec_id")))
   }
 
-  val all: Seq[Q] = Seq(xAnnTopK, xAnnFiltered, xAnnIvf, xAnnIvfProbe,
+  val all: Seq[Q] = Seq(xAnnTopK, xAnnFiltered, xAnnFilteredLsh,
+    xAnnIvf, xAnnIvfProbe,
     xAnnLsh, xAnnIndexPersisted, xAnnPq,
-    xAnnSq8, xAnnBinary, xEmbedPool, xKmeans,
+    xAnnSq8, xAnnBinary, xAnnBinaryIncremental, xEmbedPool, xKmeans,
     xSemanticDedup, xNearDupEmb, xNearDupWithin, xDecontaminateSem,
     xMediaFeatures, xMediaDecode, xMediaDecodeReal, xMediaResizeReal,
     xMediaAudioReal, xMediaFrames,

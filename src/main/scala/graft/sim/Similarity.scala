@@ -933,7 +933,8 @@ object Similarity {
     (1 to bits).filter(b => bits % b == 0 && bits / b >= 4)
       .maxOption.getOrElse(1)
 
-  def hammingBandCandidates(codes: DataFrame, bits: Int,
+  /** One (band, key) row per (code, band) — the shared banding step. */
+  private def bandedCodes(codes: DataFrame, bits: Int,
       bands: Int): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     val width = bits / bands
@@ -942,17 +943,58 @@ object Similarity {
         shiftright(col("code"), j * width)
           .bitwiseAND(lit((1L << width) - 1)).as("key"))
     }
-    val banded = codes.select(col("id"), col("code"),
+    codes.select(col("id"), col("code"),
       explode(array(bandStructs: _*)).as("bk"))
       .select(col("id"), col("code"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** First-matching-band predicate: TRUE iff `band` is the LOWEST band
+    * index on which the two codes agree — the classic LSH emit-once rule.
+    * A pair sharing m bands meets in the join m times; this per-row
+    * expression keeps exactly the first meeting, replacing the DISTINCT
+    * that would otherwise SHUFFLE the whole candidate stream (the largest
+    * intermediate of the banded family — at corpus scale, removing that
+    * exchange means candidates flow join → filter → partial top-k without
+    * ever being rehashed). Replicated verbatim by the oracles'
+    * list_position form. */
+  private def firstMatchingBand(ca: Column, cb: Column, band: Column,
+      bits: Int, bands: Int): Column = {
+    val width = bits / bands
+    val eqs = array((0 until bands).map { j =>
+      shiftright(ca, j * width).bitwiseAND(lit((1L << width) - 1)) ===
+        shiftright(cb, j * width).bitwiseAND(lit((1L << width) - 1))
+    }: _*)
+    band === (array_position(eqs, lit(true)) - 1)
+  }
+
+  def hammingBandCandidates(codes: DataFrame, bits: Int,
+      bands: Int): DataFrame = {
+    val banded = bandedCodes(codes, bits, bands)
     banded.toDF("vec_id", "ca", "band", "key")
       .join(banded.toDF("neighbor", "cb", "band", "key"), Seq("band", "key"))
       .filter(col("vec_id") =!= col("neighbor"))
+      .filter(firstMatchingBand(col("ca"), col("cb"), col("band"), bits, bands))
       .select(col("vec_id"), col("neighbor"),
         bit_count(col("ca").bitwiseXOR(col("cb"))).cast("double").as("dist"))
-      .distinct()
   }
+
+  /** Cross-snapshot banded Hamming candidates — the INCREMENTAL form of
+    * [[hammingBandCandidates]] (the embedding-code twin of
+    * [[graft.dedup.Dedup.signatureCrossSnapshotPairs]]): the incoming
+    * batch's band keys join the settled corpus's persisted band table,
+    * new→old candidates only, so per-batch cost is O(batch·bands) plus
+    * the bucketed join — never corpus². The corpus band table (id, code,
+    * band, key — bands·|corpus| small rows) is the persistable artifact
+    * at scale, appended as batches settle. */
+  def hammingBandCandidatesCross(batchCodes: DataFrame,
+      corpusCodes: DataFrame, bits: Int, bands: Int): DataFrame =
+    bandedCodes(batchCodes, bits, bands).toDF("vec_id", "ca", "band", "key")
+      .join(bandedCodes(corpusCodes, bits, bands)
+        .toDF("neighbor", "cb", "band", "key"), Seq("band", "key"))
+      .filter(firstMatchingBand(col("ca"), col("cb"), col("band"), bits, bands))
+      .select(col("vec_id"), col("neighbor"),
+        bit_count(col("ca").bitwiseXOR(col("cb"))).cast("double").as("dist"))
 
   /** Stage-1 shortlist shared by [[binaryTopK]] and [[sq8TopK]]: the
     * `n` Hamming-nearest BANDED candidates per query (distance asc,
@@ -985,6 +1027,67 @@ object Similarity {
       .select(col("vec_id"), col("neighbor"),
         (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
     aggTopKFromPairs(rerank, k)
+  }
+
+  /** INCREMENTAL binary-quantized ANN — search an incoming batch against
+    * the settled corpus only (the maintenance query a vector store runs
+    * as data arrives, so the index never recomputes over corpus²):
+    * stage 1 = cross-snapshot banded candidates
+    * ([[hammingBandCandidatesCross]] — batch band keys join the
+    * persisted corpus band table, new→old pairs only), stage 2 = exact
+    * cosine rerank of each batch vector's `oversample`·k Hamming-nearest
+    * corpus codes. Deterministic end to end, so codes, candidates and
+    * rerank floats all oracle-replicate. Output: (vec_id, rank,
+    * neighbor, cos) with vec_id from the batch, neighbor from the
+    * corpus. */
+  def binaryTopKIncremental(corpus: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, k: Int, oversample: Int = 4,
+      inDim: Int = 64, bits: Int = 63, seed: String = "graft-bq",
+      bands: Int = 0): DataFrame = {
+    graft.functions.DotProduct.register(corpus.sparkSession)
+    graft.functions.L2Squared.register(corpus.sparkSession)
+    val nBands = if (bands > 0) bands else defaultBands(bits)
+    val corpusCodes = binaryCodes(corpus, idCol, vecCol, inDim, bits, seed)
+    val batchCodes = binaryCodes(batch, idCol, vecCol, inDim, bits, seed)
+    val shortlist = aggBottomKFromPairs(
+      hammingBandCandidatesCross(batchCodes, corpusCodes, bits, nBands),
+      oversample * k)
+      .select(col("vec_id"), col("neighbor"))
+    def withNorm(df: DataFrame) = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val rerank = shortlist
+      .join(withNorm(batch).toDF("vec_id", "va", "na"), Seq("vec_id"))
+      .join(withNorm(corpus).toDF("neighbor", "vb", "nb"), Seq("neighbor"))
+      .select(col("vec_id"), col("neighbor"),
+        (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+    aggTopKFromPairs(rerank, k)
+  }
+
+  /** Filtered vector search at SCALE — the bucket-join twin of
+    * [[filteredTopK]] (which rides the broadcast brute baseline): the
+    * metadata predicate restricts the CORPUS side BEFORE the hot-bucket
+    * cap (so the cap budget is spent on qualifying vectors and a query
+    * still gets its full k when ≥k qualifying neighbors share its probe
+    * set), queries stay unfiltered, candidates come from the multi-probe
+    * bucket equi-join, scores are exact cosines on candidates only —
+    * never an all-pairs join against the filtered corpus. */
+  def filteredTopKLshFromIndex(indexed: DataFrame, predicate: Column,
+      k: Int, planes: Int, probes: Int = 1,
+      bucketCap: Int = 512): DataFrame = {
+    val (queries, _) =
+      lshCandidatesFromIndex(indexed, planes, probes, bucketCap)
+    val (_, corpus) = lshCandidatesFromIndex(
+      indexed.filter(predicate), planes, probes, bucketCap)
+    val pairs = queries
+      .select(col("id").as("vec_id"), col("v").as("va"),
+        col("nrm").as("na"), col("bucket"))
+      .join(corpus.select(col("id").as("neighbor"), col("v").as("vb"),
+        col("nrm").as("nb"), col("bucket")), Seq("bucket"))
+      .filter(col("vec_id") =!= col("neighbor"))
+      .select(col("vec_id"), col("neighbor"),
+        (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+    aggTopKFromPairs(pairs, k)
   }
 
   /** Sparse random projection (Achlioptas-style) for embedding

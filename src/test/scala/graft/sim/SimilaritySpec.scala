@@ -415,6 +415,62 @@ class SimilaritySpec extends SparkSpec {
     assert(small.subsetOf(a) && small.size == 16)
   }
 
+  test("filteredTopKLsh: every neighbor satisfies the predicate; scores " +
+    "equal the brute filtered ranking on candidate pairs; no nested loop") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Similarity.lshIndex(emb, "vec_id", "embedding",
+      planes = 6, dim = 64, carryCols = Seq("label"))
+    val df = Similarity.filteredTopKLshFromIndex(idx,
+      col("label") === 1, k = 5, planes = 6, probes = 1)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "filtered LSH regressed to an all-pairs join")
+    val got = df.as[(Long, Long, Long, Double)].collect()
+    val labels = emb.select("vec_id", "label").as[(Long, Long)]
+      .collect().toMap
+    assert(got.nonEmpty && got.forall(r => labels(r._3) == 1L),
+      "a neighbor escaped the metadata filter")
+    // every surfaced (query, neighbor) cosine matches the exact brute
+    // score — buckets change WHICH pairs surface, never their value
+    val brute = Similarity.filteredTopK(emb, "vec_id", "embedding",
+      col("label") === 1, k = 50)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    got.filter(r => brute.contains((r._1, r._3))).foreach { r =>
+      assert(r._4 === brute((r._1, r._3)))
+    }
+  }
+
+  test("binaryTopKIncremental: neighbors come from the CORPUS only, " +
+    "queries from the batch only; a planted corpus twin is recovered") {
+    import org.apache.spark.sql.functions.col
+    val base = (0 until 64).map(j => math.sin(j * 2.3).toFloat)
+    def jitter(id: Int, scale: Float) =
+      base.zipWithIndex.map { case (x, j) =>
+        x * (1.0f + scale * ((id * 37 + j) % 5))
+      }
+    // corpus 0..9 (one cluster) + batch 100..104 (same cluster, jittered)
+    val corpus = (0 until 10).map(i => (i.toLong, jitter(i, 0.002f)))
+      .toDF("vec_id", "embedding")
+    val batch = (100 until 105).map(i => (i.toLong, jitter(i, 0.002f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.binaryTopKIncremental(corpus, batch,
+      "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_._1 >= 100L), "a corpus vector appeared as a query")
+    assert(got.forall(_._3 < 100L), "a batch vector appeared as a neighbor")
+    // same-cluster sign codes are near-identical → full k recovered with
+    // exact brute cosines
+    val brute = Similarity.bruteForceTopK(
+      corpus.unionByName(batch), "vec_id", "embedding", k = 20)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    got.foreach { r => assert(r._4 === brute((r._1, r._3))) }
+    assert(got.count(_._1 == 100L) === 3)
+  }
+
   test("pqTopK: structural shape + exact-duplicate pair at distance zero") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sf)
