@@ -368,12 +368,50 @@ object SnapshotTable {
       Some(merged.schema))
   }
 
+  /** [[upsert]] with the optimistic-concurrency retry loop built in —
+    * what a writer actually runs against a shared table: on a CAS
+    * conflict (another writer committed between this merge's read and
+    * its commit) the merge re-reads the NEW current version and re-runs,
+    * up to `maxAttempts` times. Each retry re-merges against fresh state,
+    * so the final table equals some serial order of the concurrent
+    * batches (the race spec pins this with two live writers). Throws the
+    * last [[java.util.ConcurrentModificationException]] when attempts
+    * run out — livelock surfaces loudly instead of spinning forever. */
+  def upsertRetrying(spark: SparkSession, tableDir: String,
+      updates: DataFrame, partCol: String, keyCols: Seq[String],
+      versionCol: String, deleteCol: String, maxAttempts: Int = 5): Long = {
+    require(maxAttempts >= 1, "need at least one attempt")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return upsert(spark, tableDir, updates, partCol, keyCols,
+        versionCol, deleteCol)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Fold every live file into one fresh batch and commit — the
     * small-files/orphan-batch compaction. Old batches stay on disk for
     * time travel; physical deletion of unreferenced batches is
     * [[vacuum]]'s retention decision. */
   def compact(spark: SparkSession, tableDir: String, partCol: String): Long =
     overwrite(spark, tableDir, read(spark, tableDir), partCol)
+
+  /** [[compact]] through the range-clustered, stats-carrying staging path:
+    * plain compact folds files but LOSES the manifest column stats (its
+    * staged files carry none), silently turning [[readRange]] back into a
+    * read-everything scan — this form re-clusters the fold on
+    * `statsCols.head` and records fresh per-file min/max, so compaction
+    * IMPROVES skipping (upsert-scattered key ranges re-sort into narrow
+    * slices) instead of destroying it. */
+  def compactClustered(spark: SparkSession, tableDir: String,
+      partCol: String, statsCols: Seq[String], rangeFiles: Int): Long =
+    overwriteClustered(spark, tableDir, read(spark, tableDir), partCol,
+      statsCols, rangeFiles)
 
   /** Retention: physically delete every data file not referenced by the
     * last `keepVersions` manifests (current included), then drop the
@@ -571,6 +609,36 @@ object SnapshotTable {
           .as("change_type") +:
         (keyCols.map(col) :+ col("__old") :+ col("__new")): _*)
       .filter(col("change_type").isNotNull)
+  }
+
+  /** The polling change-feed a downstream incremental consumer tails:
+    * every row-level change committed AFTER `fromVersion`, as the union
+    * of the per-version diffs with a `change_version` column — the
+    * consumer checkpoints the last version it folded and asks again (the
+    * Delta CDF "readChangeFeed startingVersion" shape without a streaming
+    * source). Cost: O(changed partitions) per version step, zero for
+    * carry-forward versions; an up-to-date consumer (fromVersion =
+    * current) gets an empty frame. Requires the window's manifests to
+    * still exist — vacuum's `keepVersions` IS the consumer's grace
+    * period, and a consumer below it fails loudly via [[readAt]]'s
+    * contract rather than silently skipping changes. */
+  def changesSince(spark: SparkSession, tableDir: String, fromVersion: Long,
+      keyCols: Seq[String]): DataFrame = {
+    val cur = currentVersion(tableDir)
+    require(fromVersion <= cur,
+      s"fromVersion $fromVersion is ahead of current v$cur")
+    require(fromVersion >= 1 &&
+      Files.exists(Paths.get(tableDir, manifestName(fromVersion))),
+      s"version $fromVersion of $tableDir is unreadable — vacuumed past " +
+        "the retention window; the consumer missed its grace period")
+    val steps = (fromVersion until cur).map { v =>
+      diff(spark, tableDir, v, v + 1, keyCols)
+        .withColumn("change_version", lit(v + 1))
+    }
+    steps.reduceOption(_ unionByName (_, allowMissingColumns = true))
+      .getOrElse(
+        diff(spark, tableDir, cur, cur, keyCols)
+          .withColumn("change_version", lit(cur)).limit(0))
   }
 
   /** Change-data-feed between two committed versions — the row-level diff

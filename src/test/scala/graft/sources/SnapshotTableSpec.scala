@@ -344,19 +344,10 @@ class SnapshotTableSpec extends SparkSpec {
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = Seq(6L -> "2024-06", 7L -> "2024-07").map { case (k, m) =>
       new Thread(() => {
-        try {
-          var committed = -1L
-          var attempts = 0
-          while (committed < 0 && attempts < 10) {
-            attempts += 1
-            try committed = SnapshotTable.upsert(spark, dir, batchFor(k, m),
-              "month", Seq("k"), "version", "del")
-            catch { case _: java.util.ConcurrentModificationException => () }
-          }
-          if (committed < 0) errors.add(new IllegalStateException(
-            s"writer $k never committed in $attempts attempts"))
-          else results.add(committed)
-        } catch { case t: Throwable => errors.add(t) }
+        try results.add(SnapshotTable.upsertRetrying(spark, dir,
+          batchFor(k, m), "month", Seq("k"), "version", "del",
+          maxAttempts = 10))
+        catch { case t: Throwable => errors.add(t) }
       })
     }
     threads.foreach(_.start()); threads.foreach(_.join(120000))
@@ -415,6 +406,89 @@ class SnapshotTableSpec extends SparkSpec {
       SnapshotTable.entries(dir) ++ staged)
     assert(SnapshotTable.read(spark, dir).filter(col("k") === 42L).count() == 1)
     assert(v4 == 4L)
+  }
+
+  test("compactClustered restores manifest stats that plain compact loses; " +
+    "content unchanged, skipping improves after scattered upserts") {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    val rows = (0L until 1000L)
+      .map(k => (k, s"n$k", k.toDouble, "p" + (k % 4), 0L, false))
+      .toDF("k", "name", "price", "part", "version", "del")
+    SnapshotTable.overwriteClustered(spark, dir, rows, "part",
+      statsCols = Seq("k"), rangeFiles = 4)
+    // scattered upsert: new-batch files carry NO stats
+    val upd = Seq((5L, "N", 1.5, "p1", 1L, false),
+      (900L, "M", 2.5, "p0", 1L, false))
+      .toDF("k", "name", "price", "part", "version", "del")
+    SnapshotTable.upsert(spark, dir, upd, "part", Seq("k"), "version", "del")
+    val before = SnapshotTable.read(spark, dir)
+      .select("k", "name").as[(Long, String)].collect().toSet
+    // plain compact: content survives, stats are GONE (the documented gap)
+    SnapshotTable.compact(spark, dir, "part")
+    assert(SnapshotTable.statsAt(dir, SnapshotTable.currentVersion(dir)).isEmpty)
+    // clustered compact: content identical AND every file statted again
+    val v = SnapshotTable.compactClustered(spark, dir, "part",
+      statsCols = Seq("k"), rangeFiles = 4)
+    val after = SnapshotTable.read(spark, dir)
+      .select("k", "name").as[(Long, String)].collect().toSet
+    assert(after == before)
+    val st = SnapshotTable.statsAt(dir, v)
+    val files = SnapshotTable.entriesAt(dir, v).map(_._2)
+    assert(files.nonEmpty && files.forall(st.contains))
+    // the band read prunes again
+    val kept = files.count { f =>
+      val (mn, mx) = st(f)("k"); mx >= 100L && mn <= 199L
+    }
+    assert(kept < files.size)
+    val got = SnapshotTable.readRange(spark, dir, "k", 100L, 199L)
+      .filter(col("k").between(100L, 199L)).count()
+    assert(got == 100L)
+  }
+
+  test("changesSince: the polling change feed replays every version step; " +
+    "an up-to-date consumer gets an empty frame; below the retention " +
+    "window it fails loudly") {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    val v1 = SnapshotTable.overwrite(spark, dir, baseRows, "month")
+    SnapshotTable.upsert(spark, dir, updateRows,
+      "month", Seq("k"), "version", "del")                          // v2
+    val more = Seq((9L, "i", 95.0, "2024-09", 2L, false),           // update
+      (2L, "b", 20.0, "2024-01", 2L, true))                         // delete
+      .toDF("k", "name", "price", "month", "version", "del")
+    SnapshotTable.upsert(spark, dir, more, "month", Seq("k"), "version", "del") // v3
+    val feed = SnapshotTable.changesSince(spark, dir, v1, Seq("k"))
+    val got = feed.select("change_version", "change_type", "k")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (2L, "update", 1L), (2L, "delete", 3L), (2L, "insert", 9L),
+      (3L, "update", 9L), (3L, "delete", 2L)))
+    // folding the feed over the v1 state reaches the live state: apply
+    // each key's LAST change (insert/update images, deletes drop)
+    val lastChange = feed
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+          .orderBy(col("change_version").desc)))
+      .filter(col("__rn") === 1)
+    val replayed = SnapshotTable.readAt(spark, dir, v1)
+      .join(lastChange.select("k"), Seq("k"), "left_anti")
+      .select("k", "name", "price", "month")
+      .unionByName(lastChange.filter(col("change_type") =!= "delete")
+        .select("k", "name", "price", "month"))
+    assert(contents(replayed) == contents(SnapshotTable.read(spark, dir)))
+    val live = contents(SnapshotTable.read(spark, dir))
+    assert(live == Set((1L, "a", 11.0, "2024-01"), (4L, "d", 40.0, "2024-02"),
+      (5L, "e", 50.0, "2024-03"), (9L, "i", 95.0, "2024-09")))
+    // up-to-date consumer: empty frame, schema intact
+    val upToDate = SnapshotTable.changesSince(spark, dir, 3L, Seq("k"))
+    assert(upToDate.count() == 0 && upToDate.columns.contains("change_version"))
+    // vacuumed-away start version: loud failure
+    SnapshotTable.compact(spark, dir, "month")                      // v4
+    SnapshotTable.compact(spark, dir, "month")                      // v5
+    SnapshotTable.vacuum(dir, keepVersions = 2)
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.changesSince(spark, dir, 1L, Seq("k"))
+    }
+    assert(ex.getMessage.contains("grace period"))
   }
 
   test("compact folds live files into one batch, content unchanged") {

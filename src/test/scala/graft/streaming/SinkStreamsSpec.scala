@@ -103,4 +103,32 @@ class SinkStreamsSpec extends SparkSpec {
     assert(stateOf(SnapshotTable.readAt(spark, tableDir, v1)) ===
       Set((1L, "one-v1", "A"), (2L, "two", "A"), (3L, "three", "B"), (10L, "ten", "C")))
   }
+
+  test("a restarted stream with an ADDED column evolves the snapshot table: " +
+    "new column table-wide (old rows null), pre-evolution versions keep " +
+    "their own schema") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.SnapshotTable
+    implicit val sqlCtx = spark.sqlContext
+    val mkDir = (p: String) => java.nio.file.Files.createTempDirectory(p).toString
+    val tableDir = mkDir("graft-cdc-evo")
+    val base = Seq((1L, "one", "A", 0L, false), (2L, "two", "B", 0L, false))
+      .toDF("k", "payload", "p", "version", "del")
+    val v1 = SnapshotTable.overwrite(spark, tableDir, base, "p")
+    // the redeployed pipeline's stream carries a NEW `src` column
+    val ms = MemoryStream[(Long, String, String, Long, Boolean, String)]
+    val q = SinkStreams.streamingSnapshotUpsert(
+      ms.toDF().toDF("k", "payload", "p", "version", "del", "src"),
+      tableDir, "p", Seq("k"), "version", "del", mkDir("graft-cdc-evo-ckpt"))
+    ms.addData((1L, "one-v1", "A", 1L, false, "cdc"))
+    q.processAllAvailable()
+    q.stop()
+    val live = SnapshotTable.read(spark, tableDir)
+    assert(live.columns.contains("src"))
+    val src = live.select("k", "src").as[(Long, Option[String])]
+      .collect().toMap
+    assert(src(1L) === Some("cdc") && src(2L).isEmpty)
+    // the pre-evolution version still reads with ITS columns
+    assert(!SnapshotTable.readAt(spark, tableDir, v1).columns.contains("src"))
+  }
 }
