@@ -504,6 +504,8 @@ class PlanAuditSpec extends SparkSpec {
     val bnljWhitelist = Set(
       "ev_rfm", "q_ntile",                       // one-row bin-offset dims
       "q11_important_parts", "q22_dormant_customers", // global-scalar HAVING
+      // x_ann_filtered is the brute meter of x_ann_filtered_lsh (the
+      // registered bucket-join scale path, which must NOT appear here)
       "x_ann_topk", "x_ann_filtered", "x_ann_ivf", "x_ann_ivf_probe",
       "x_ann_pq",
       // x_ann_sq8 / x_ann_binary left this list in round 8: their stage 1
