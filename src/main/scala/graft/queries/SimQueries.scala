@@ -156,6 +156,63 @@ object SimQueries {
       k = 5, cellCap = 512, nprobe = 2)
   }
 
+  /** INCREMENTAL IVF ANN ([[Similarity.ivfTopKIncremental]]) — the
+    * maintenance twin of x_ann_ivf, completing the incremental family
+    * (binary ANN, LSH near-dup and SimHash all have theirs): vectors ≡ 3
+    * (mod 10) play an incoming batch searched against the settled
+    * corpus's PERSISTED assignment table — corpus membership never
+    * recomputes, the batch pays one broadcast product against the
+    * centroid dimension (derived from the table itself) and probes its
+    * two nearest cells. Centroids (ids ≡ 0 mod 40) are corpus members by
+    * construction since 40 ≡ 0 (mod 10) ≠ 3. Assignment, cap, probes and
+    * rerank floats all replicate on the oracle. */
+  val xAnnIvfIncremental = Q(
+    "x_ann_ivf_incremental",
+    normCte +
+      """, cent AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+        |           FROM nrm WHERE vec_id % 40 = 0),
+        |co AS (SELECT * FROM nrm WHERE vec_id % 10 <> 3),
+        |ac AS (SELECT n.vec_id, n.embedding, n.nrm, c.cid,
+        |    list_reduce(list_transform(list_zip(n.embedding, c.cv),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
+        |      / (n.nrm * c.cnrm) AS ccos
+        |  FROM co n CROSS JOIN cent c),
+        |assigned AS (
+        |  SELECT vec_id, embedding, nrm, cid, ccos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cid) AS arn
+        |    FROM ac) WHERE arn = 1),
+        |cand AS (
+        |  SELECT vec_id, embedding, nrm, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cid
+        |      ORDER BY ccos DESC, vec_id) AS crn
+        |    FROM assigned) WHERE crn <= 512),
+        |bq AS (SELECT * FROM nrm WHERE vec_id % 10 = 3),
+        |bac AS (SELECT b.vec_id, b.embedding, b.nrm, c.cid,
+        |    list_reduce(list_transform(list_zip(b.embedding, c.cv),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
+        |      / (b.nrm * c.cnrm) AS ccos
+        |  FROM bq b CROSS JOIN cent c),
+        |probes AS (SELECT vec_id, embedding, nrm, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cid) AS arn
+        |    FROM bac) WHERE arn <= 2),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+        |  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (s, t) -> s + t)
+        |    / (a.nrm * b.nrm) AS cos
+        |  FROM probes a JOIN cand b ON a.cid = b.cid)
+        |SELECT vec_id, rank, neighbor, cos FROM (
+        |  SELECT vec_id, neighbor, cos,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rank
+        |  FROM p) WHERE rank <= 5""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopKIncremental(
+      ivfCorpusAssignmentsPersisted(s, d),
+      emb.filter(col("vec_id") % 10 === 3),
+      "vec_id", "embedding", k = 5, cellCap = 512, nprobe = 2)
+  }
+
   /** Sequential-fold squared-L2 between two double lists (≡ Similarity.l2sq). */
   private def l2Sql(a: String, b: String): String =
     s"""list_reduce(list_transform(list_zip($a, $b),
@@ -450,6 +507,29 @@ object SimQueries {
         .createTempDirectory("graft-ivf-idx").toString
       Similarity.ivfAssignments(Tables.embeddings(s, d), "vec_id",
         "embedding", centroidStep = 40, maxRank = 2)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** The settled-corpus (vectors ≢ 3 mod 10) assignment table for the
+    * incremental IVF query — membership only (maxRank 1: probe ranks
+    * come from the BATCH side), persisted once per (session, corpus)
+    * like the full-corpus table above. */
+  private val ivfCorpusIdxMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ivfCorpusAssignmentsPersisted(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val key = s.sparkContext.applicationId + "|" + d
+    val path = ivfCorpusIdxMemo.getOrElseUpdate(key, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-ivf-corpus-idx").toString
+      Similarity.ivfAssignments(
+        Tables.embeddings(s, d).filter(col("vec_id") % 10 =!= 3),
+        "vec_id", "embedding", centroidStep = 40, maxRank = 1)
         .write.mode("overwrite").parquet(p)
       p
     })
@@ -1508,7 +1588,7 @@ object SimQueries {
   }
 
   val all: Seq[Q] = Seq(xAnnTopK, xAnnFiltered, xAnnFilteredLsh,
-    xAnnIvf, xAnnIvfProbe,
+    xAnnIvf, xAnnIvfProbe, xAnnIvfIncremental,
     xAnnLsh, xAnnIndexPersisted, xAnnPq,
     xAnnSq8, xAnnBinary, xAnnBinaryIncremental, xEmbedPool, xKmeans,
     xSemanticDedup, xNearDupEmb, xNearDupWithin, xDecontaminateSem,

@@ -550,6 +550,99 @@ object SourceQueries {
     if (oldLeaks) live.limit(0) else live
   }
 
+  /** Persist-and-derive for the row-level-DML FIXTURE: s_snapshot_delete
+    * and s_snapshot_update read different versions of the SAME table
+    * (v1 = clustered orders snapshot, v2 = predicate DELETE, v3 =
+    * predicate UPDATE), so it is built once per (session, corpus). Both
+    * DML commits are stats-pruned copy-on-write rewrites: the predicates
+    * are key-band-scoped, so only the clustered files overlapping the
+    * band restage — every other file carries forward by manifest entry
+    * (the spec pins the mechanism; the queries pin the visible result). */
+  private val dmlTableMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long, Long)]
+
+  /** Key bands sized to exist at EVERY SF (o_orderkey starts at 0; the
+    * smallest corpus tops out under 1500). */
+  private def dmlSnapshotTable(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Long, Long) =
+    dmlTableMemo.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+      val tableDir =
+        java.nio.file.Files.createTempDirectory("graft_snap_dml").toString
+      val snap = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").as("price"),
+        col("o_orderstatus").as("status"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      SnapshotTable.overwriteClustered(s, tableDir, snap,            // v1
+        partCol = "month", statsCols = Seq("o_orderkey"), rangeFiles = 8)
+      val vDel = SnapshotTable.deleteWhere(s, tableDir,
+        col("o_orderkey").between(100L, 300L) && col("o_orderkey") % 3 === 0,
+        partCol = "month", pruneRange = Some(("o_orderkey", 100L, 300L)))
+      val vUpd = SnapshotTable.updateWhere(s, tableDir,
+        col("o_orderkey").between(500L, 700L),
+        assignments = Seq(
+          "price" -> (col("price") + 50), "status" -> lit("X")),
+        partCol = "month", pruneRange = Some(("o_orderkey", 500L, 700L)))
+      (tableDir, vDel, vUpd)
+    })
+
+  /** Predicate DELETE on the snapshot table
+    * ([[SnapshotTable.deleteWhere]]) — the row-level DML the tombstone
+    * upsert cannot express (no key list, a predicate): copy-on-write
+    * rewrite of ONLY the files whose manifest stats overlap the key band,
+    * everything else carried forward untouched. The query reads the
+    * post-delete version (v2 — time travel, since the fixture has
+    * already committed v3's update on top) under the plain NOT-filter
+    * oracle; two contracts are pinned inside the job: v1 must still see
+    * every pre-delete row (time travel through DML), and at least one v1
+    * file must carry forward INTO v2's manifest by identical path (the
+    * copy-on-write scoping — a full rewrite would break it). */
+  val sSnapshotDelete = Q(
+    "s_snapshot_delete",
+    """SELECT o_orderkey, o_custkey, o_totalprice AS price,
+      |  o_orderstatus AS status, strftime(o_orderdate, '%Y-%m') AS month
+      |FROM orders
+      |WHERE NOT (o_orderkey BETWEEN 100 AND 300 AND o_orderkey % 3 = 0)"""
+      .stripMargin) { (s, d) =>
+    val (tableDir, vDel, _) = dmlSnapshotTable(s, d)
+    val fullRows = Tables.orders(s, d).count()
+    val v1Intact = SnapshotTable.readAt(s, tableDir, 1L).count() == fullRows
+    val carried = SnapshotTable.entriesAt(tableDir, 1L).map(_._2).toSet
+      .intersect(SnapshotTable.entriesAt(tableDir, vDel).map(_._2).toSet)
+    val out = SnapshotTable.readAt(s, tableDir, vDel)
+      .select(col("o_orderkey"), col("o_custkey"), col("price"),
+        col("status"), col("month"))
+    if (v1Intact && carried.nonEmpty) out else out.limit(0)
+  }
+
+  /** Predicate UPDATE on the snapshot table
+    * ([[SnapshotTable.updateWhere]]): rows in the key band get `price`
+    * bumped and `status` rewritten, every other row — including the
+    * post-delete survivors outside the band — passes through
+    * bit-unchanged; same stats-pruned copy-on-write scoping as the
+    * delete. The live read composes delete + update, which is exactly
+    * what the oracle states; the in-job pin requires the update to have
+    * carried at least one of v2's files forward by identical path. */
+  val sSnapshotUpdate = Q(
+    "s_snapshot_update",
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey BETWEEN 500 AND 700
+      |       THEN o_totalprice + 50 ELSE o_totalprice END AS price,
+      |  CASE WHEN o_orderkey BETWEEN 500 AND 700
+      |       THEN 'X' ELSE o_orderstatus END AS status,
+      |  strftime(o_orderdate, '%Y-%m') AS month
+      |FROM orders
+      |WHERE NOT (o_orderkey BETWEEN 100 AND 300 AND o_orderkey % 3 = 0)"""
+      .stripMargin) { (s, d) =>
+    val (tableDir, vDel, vUpd) = dmlSnapshotTable(s, d)
+    val carried = SnapshotTable.entriesAt(tableDir, vDel).map(_._2).toSet
+      .intersect(SnapshotTable.entriesAt(tableDir, vUpd).map(_._2).toSet)
+    val out = SnapshotTable.read(s, tableDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("price"),
+        col("status"), col("month"))
+    if (carried.nonEmpty) out else out.limit(0)
+  }
+
   /** PERMISSIVE CSV ingestion — the dirty-feed contract every real scan
     * needs: rows whose fields fail the declared schema land with the
     * failing field null and the RAW LINE preserved in the corrupt-record
@@ -663,5 +756,6 @@ object SourceQueries {
     s12Dsv2Runtime, s3CsvRoundtrip,
     fCleanupPack, p10Conform, sOrcRoundtrip, sUpsertMerge, sUpsertSnapshot,
     sSnapshotChanges, sSnapshotViewIncr, sSnapshotSkip, sSnapshotEvolve,
+    sSnapshotDelete, sSnapshotUpdate,
     sCsvPermissive, sSchemaEvolve, sBinaryFiles, sAggMaintain)
 }

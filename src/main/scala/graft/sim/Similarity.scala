@@ -294,6 +294,62 @@ object Similarity {
     aggTopKFromPairs(pairs, k)
   }
 
+  /** INCREMENTAL IVF ANN — the maintenance twin of
+    * [[ivfTopKFromAssignments]] (the [[binaryTopKIncremental]] discipline
+    * applied to the coarse-quantizer index): an incoming batch searches
+    * the SETTLED corpus's persisted assignment table, never re-assigning
+    * the corpus. The centroid dimension is DERIVED from the table itself
+    * (each distinct `cid` is a corpus member, so its vector/norm row is
+    * already there — zero recompute, no centroidStep parameter to drift
+    * out of sync with the index), each batch vector ranks against the
+    * broadcast centroids for its `nprobe` probe cells, and candidates
+    * pair batch-probe × cellCap'd corpus members through the cell hash
+    * join. Per-batch cost: O(batch × centroids) for assignment (the
+    * irreducible coarse-quantizer product — centroids stay a broadcast
+    * dimension, ~√n of the corpus) + the bucket-local rerank; the corpus
+    * is never rescanned. Batch and corpus ids must be disjoint (sides of
+    * a snapshot split). Output: (vec_id, rank, neighbor, cos), vec_id
+    * from the batch, neighbor from the corpus. */
+  def ivfTopKIncremental(corpusAssignments: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, k: Int, cellCap: Int = 512,
+      nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    graft.functions.DotProduct.register(batch.sparkSession)
+    graft.functions.L2Squared.register(batch.sparkSession)
+    // centroid vectors out of the assignment table: a centroid id is a
+    // corpus id, so its (v, nrm) sits in the table's arn=1 row
+    val cids = corpusAssignments.select(col("cid")).distinct()
+    val centroids = corpusAssignments.filter(col("arn") === 1)
+      .select(col("id"), col("v"), col("nrm"))
+      .join(broadcast(cids), col("id") === col("cid"))
+      .select(col("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val b = batch.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
+    val probes = b.join(broadcast(centroids), lit(true))
+      .select(col("id"), col("v"), col("nrm"), col("cid"),
+        (dotD(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") <= nprobe)
+      .select(col("id"), col("v"), col("nrm"), col("cid"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("ccos").desc, col("id").asc)
+    val capped = corpusAssignments.filter(col("arn") === 1)
+      .withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") <= cellCap)
+      .select(col("id"), col("v"), col("nrm"), col("cid"))
+    // sides are disjoint snapshots, so no self-pair filter is needed and
+    // a (batch, corpus) pair surfaces once per distinct probe cell —
+    // probe cells are distinct by construction
+    val pairs = probes.toDF("vec_id", "va", "na", "cell")
+      .join(capped.toDF("neighbor", "vb", "nb", "cell"), Seq("cell"))
+      .select(col("vec_id"), col("neighbor"),
+        (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+    aggTopKFromPairs(pairs, k)
+  }
+
   /** Approximate top-k: exact cosine ranking restricted to bucket-local
     * candidates. `probes = 0` joins only the home bucket; `probes = 1`
     * additionally probes every bucket at Hamming distance 1 (flip each

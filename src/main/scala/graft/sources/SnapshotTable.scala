@@ -394,6 +394,100 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  /** Copy-on-write rewrite of the files a predicate MAY touch — the
+    * shared kernel of [[deleteWhere]] and [[updateWhere]] (the Delta/
+    * Iceberg row-level-DML shape): candidate files are selected from the
+    * MANIFEST stats alone (`pruneRange` on a recorded stat column — a
+    * file whose [min,max] misses the range provably contains no matching
+    * row and is carried forward BY ENTRY, bytes never read), candidates
+    * are read with the version's schema, transformed, and restaged as one
+    * fresh batch; untouched files keep their manifest lines AND their
+    * stats. Cost: O(files that can match), not O(table) — at 100 TB a
+    * DELETE of one key band rewrites a handful of clustered files while
+    * millions carry forward for free. When `pruneRange` names a stat
+    * column, the rewritten batch restages range-clustered on it with
+    * fresh per-file min/max, so DML never degrades data skipping.
+    * Without `pruneRange` every file is a candidate (correct, full
+    * rewrite — the caller's explicit choice). Commits via [[casCommit]]
+    * against the version the rewrite read; returns the committed
+    * version, or the current version unchanged when nothing can match
+    * (a provably-empty candidate set commits no spurious version). */
+  private def rewriteWhere(spark: SparkSession, tableDir: String,
+      partCol: String, pruneRange: Option[(String, Long, Long)])(
+      transform: DataFrame => DataFrame): Long = {
+    val basedOn = currentVersion(tableDir)
+    val all = entriesAt(tableDir, basedOn)
+    val st = statsAt(tableDir, basedOn)
+    val overlaps = (f: String) => pruneRange match {
+      case Some((c, lo, hi)) => st.get(f).flatMap(_.get(c)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true // no stats: conservatively a candidate
+      }
+      case None => true
+    }
+    val (touched, carried) = all.partition { case (_, f) => overlaps(f) }
+    if (touched.isEmpty) return basedOn
+    val sch = schemaAt(tableDir, basedOn)
+    val rewritten = transform(readFiles(spark, tableDir, touched.map(_._2), sch))
+    val tag = newBatchTag(basedOn + 1)
+    val (staged, newStats) = pruneRange match {
+      case Some((c, _, _)) =>
+        stageBatchClustered(rewritten, tableDir, partCol, tag, Seq(c),
+          rangeFiles = math.max(1, touched.size))
+      case None =>
+        (stageBatch(rewritten, tableDir, partCol, tag),
+          Map.empty[String, Map[String, (Long, Long)]])
+    }
+    val carriedFiles = carried.map(_._2).toSet
+    val carriedStats = st.filter { case (f, _) => carriedFiles(f) }
+    casCommit(tableDir, basedOn, carried ++ staged, carriedStats ++ newStats,
+      sch.orElse(Some(rewritten.schema)))
+  }
+
+  /** Predicate DELETE: remove every row where `predicate` is TRUE (NULL
+    * and FALSE rows are kept — SQL DELETE semantics). Copy-on-write via
+    * [[rewriteWhere]]: only files whose manifest stats overlap
+    * `pruneRange` are rewritten, the rest carry forward untouched, and
+    * the change surfaces in [[diff]]/[[changesSince]] as ordinary
+    * `delete` rows. Time travel to the pre-delete version still sees the
+    * rows (GDPR-style PHYSICAL erasure additionally needs [[vacuum]] past
+    * that version — the same two-step contract as the open table
+    * formats). */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column, partCol: String,
+      pruneRange: Option[(String, Long, Long)] = None): Long =
+    rewriteWhere(spark, tableDir, partCol, pruneRange)(
+      _.filter(!coalesce(predicate, lit(false))))
+
+  /** Predicate UPDATE: rows where `predicate` is TRUE get each column in
+    * `assignments` replaced by its expression (evaluated against the OLD
+    * row — the standard UPDATE contract; all other rows, including
+    * NULL-predicate rows, pass through bit-unchanged). Same copy-on-write
+    * file scoping as [[deleteWhere]]; an assignment may change `partCol`,
+    * in which case moved rows restage into their new partition. */
+  def updateWhere(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      partCol: String,
+      pruneRange: Option[(String, Long, Long)] = None): Long = {
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    rewriteWhere(spark, tableDir, partCol, pruneRange) { df =>
+      val hit = coalesce(predicate, lit(false))
+      // all assignments read the OLD row: build the projection in one
+      // select so no assignment sees another's output
+      val outCols = df.columns.toSeq.map { c =>
+        assignments.collectFirst { case (`c`, e) => e } match {
+          case Some(e) => when(hit, e).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }
+      require(assignments.forall { case (c, _) => df.columns.contains(c) },
+        "UPDATE assignment names a column the table does not have: " +
+          assignments.map(_._1).filterNot(df.columns.contains).mkString(", "))
+      df.select(outCols: _*)
+    }
+  }
+
   /** Fold every live file into one fresh batch and commit — the
     * small-files/orphan-batch compaction. Old batches stay on disk for
     * time travel; physical deletion of unreferenced batches is

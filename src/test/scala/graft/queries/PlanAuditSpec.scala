@@ -508,6 +508,11 @@ class PlanAuditSpec extends SparkSpec {
       // registered bucket-join scale path, which must NOT appear here)
       "x_ann_topk", "x_ann_filtered", "x_ann_ivf", "x_ann_ivf_probe",
       "x_ann_pq",
+      // incremental IVF: the one BNLJ is batch × the ~√n centroid
+      // dimension (the irreducible coarse-quantizer assignment product —
+      // FAISS's add-time cost); corpus candidates come from the persisted
+      // assignment table through a cell equi-join, never a pair NLJ
+      "x_ann_ivf_incremental",
       // x_ann_sq8 / x_ann_binary left this list in round 8: their stage 1
       // is now the BANDED code bucket join (plan-pinned below), so a BNLJ
       // reappearing in either is a regression

@@ -535,6 +535,45 @@ class SimilaritySpec extends SparkSpec {
       "fixture has no cell-boundary neighbors, pick another sf")
   }
 
+  test("ivfTopKIncremental: batch searches the settled corpus only — " +
+    "planted twins recovered at rank 1, neighbors never from the batch, " +
+    "centroids derived from the assignment table alone") {
+    // corpus ids 0..399 (centroids: % 40 == 0), batch ids 1000..1019 each
+    // an exact copy of corpus vector (id-1000)*20 — the twin lands in the
+    // same cell by determinism, so nprobe=1 must find it at cos ~ 1
+    // j=0 carries the id so no two corpus vectors are identical (an exact
+    // duplicate elsewhere would legitimately win the twin's rank-1 tie)
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(64)(j =>
+        if (j == 0) (i + 13).toFloat
+        else (((i * 7 + j * 3) % 23) - 11).toFloat)
+    val corpus = (0L until 400L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val batch = (0L until 20L).map(i => (1000L + i, vec(i * 20)))
+      .toDF("vec_id", "embedding")
+    val assign = Similarity.ivfAssignments(corpus, "vec_id", "embedding",
+      centroidStep = 40, maxRank = 1)
+    val got = Similarity.ivfTopKIncremental(assign, batch,
+      "vec_id", "embedding", k = 3, cellCap = 512, nprobe = 1)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 < 1000L), "a neighbor came from the batch side")
+    assert(got.forall(r => r._1 >= 1000L))
+    val rank1 = got.filter(_._2 == 1L).map(r => r._1 -> (r._3, r._4)).toMap
+    (0L until 20L).foreach { i =>
+      val (nb, cos) = rank1(1000L + i)
+      assert(nb == i * 20 && cos > 0.999999,
+        s"batch ${1000 + i}: expected twin ${i * 20} at rank 1, got $nb ($cos)")
+    }
+    // nprobe=2 widens the candidate pool per query, never shrinks it
+    val got2 = Similarity.ivfTopKIncremental(assign, batch,
+      "vec_id", "embedding", k = 3, cellCap = 512, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    val c1 = got.groupBy(_._1).view.mapValues(_.length).toMap
+    val c2 = got2.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(c1.forall { case (q, n) => c2.getOrElse(q, 0) >= n })
+  }
+
   test("pqTopK cellCap bounds a planted hot cell; dim mismatch fails fast") {
     val emb = (0L until 60L).map(i =>
       (i, Array.tabulate(64)(j => ((i * 11 + j) % 17 - 8).toFloat)))

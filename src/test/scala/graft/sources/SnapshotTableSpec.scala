@@ -501,4 +501,101 @@ class SnapshotTableSpec extends SparkSpec {
     assert(ents.forall(_._2.startsWith(s"batch-$v-")))
     assert(contents(SnapshotTable.read(spark, dir)) == before)
   }
+
+  // ------------------------------------------------- row-level DML (CoW)
+
+  /** 100 keys clustered on k across two month partitions, stats in the
+    * manifest — the layout the stats-pruned DML scoping needs. */
+  private def dmlFixture(): String = {
+    val dir = Files.createTempDirectory("graft-snap-dml").toString
+    val rows = (1L to 100L).map(k =>
+      (k, s"n$k", k * 1.0, if (k % 2 == 0) "2024-01" else "2024-02"))
+      .toDF("k", "name", "price", "month")
+    SnapshotTable.overwriteClustered(spark, dir, rows, "month",
+      statsCols = Seq("k"), rangeFiles = 10)
+    dir
+  }
+
+  test("deleteWhere removes TRUE rows only (SQL semantics: NULL/FALSE " +
+      "kept), time travel still sees them, diff reports them as deletes") {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    val rows = Seq(
+      (1L, Some(5L), "2024-01"), (2L, None, "2024-01"),
+      (3L, Some(50L), "2024-02"), (4L, Some(7L), "2024-02"))
+      .toDF("k", "score", "month")
+    SnapshotTable.overwrite(spark, dir, rows, "month")
+    val v2 = SnapshotTable.deleteWhere(spark, dir, col("score") > 10, "month")
+    assert(v2 == 2L)
+    // k=3 (TRUE) gone; k=2 (NULL predicate) and the FALSE rows kept
+    assert(SnapshotTable.read(spark, dir).select("k").as[Long]
+      .collect().toSet == Set(1L, 2L, 4L))
+    assert(SnapshotTable.readAt(spark, dir, 1L).count() == 4)
+    val d = SnapshotTable.diff(spark, dir, 1L, 2L, Seq("k"))
+    assert(d.filter(col("change_type") === "delete").select("k").as[Long]
+      .collect().toSet == Set(3L))
+    assert(d.count() == 1) // rewritten survivors are NOT spurious changes
+  }
+
+  test("deleteWhere with pruneRange rewrites only stat-overlapping files; " +
+      "the rest carry forward by identical path with their stats") {
+    val dir = dmlFixture()
+    val before = SnapshotTable.entriesAt(dir, 1L).map(_._2).toSet
+    val v2 = SnapshotTable.deleteWhere(spark, dir,
+      col("k").between(10L, 20L), "month",
+      pruneRange = Some(("k", 10L, 20L)))
+    assert(v2 == 2L)
+    val after = SnapshotTable.entriesAt(dir, 2L).map(_._2).toSet
+    val carried = before.intersect(after)
+    assert(carried.nonEmpty, "stats pruning must carry some files forward")
+    assert(before.diff(after).nonEmpty, "the overlapping files must restage")
+    // carried files keep their manifest stats; restaged files get FRESH
+    // stats (clustered rewrite), so range skipping still works end-to-end
+    val st2 = SnapshotTable.statsAt(dir, 2L)
+    assert(carried.forall(st2.contains))
+    assert(after.diff(before).forall(st2.contains))
+    assert(SnapshotTable.readRange(spark, dir, "k", 10L, 20L).count() == 0)
+    assert(SnapshotTable.read(spark, dir).count() == 89)
+  }
+
+  test("deleteWhere whose pruneRange misses every file is a no-op: no " +
+      "new version, table bit-unchanged") {
+    val dir = dmlFixture()
+    val v = SnapshotTable.deleteWhere(spark, dir,
+      col("k").between(5000L, 6000L), "month",
+      pruneRange = Some(("k", 5000L, 6000L)))
+    assert(v == 1L && SnapshotTable.currentVersion(dir) == 1L)
+    assert(SnapshotTable.read(spark, dir).count() == 100)
+  }
+
+  test("updateWhere: every assignment reads the OLD row, non-matching " +
+      "rows pass through unchanged, unknown column fails loudly") {
+    val dir = dmlFixture()
+    // name is rewritten FROM price while price changes in the same update:
+    // if assignments chained, name would see the new price (wrong)
+    SnapshotTable.updateWhere(spark, dir, col("k") <= 3,
+      assignments = Seq(
+        "price" -> (col("price") + 100),
+        "name" -> concat(lit("was-"), col("price").cast("long"))),
+      partCol = "month")
+    val got = SnapshotTable.read(spark, dir)
+      .filter(col("k") <= 4).orderBy("k")
+      .select("k", "name", "price").as[(Long, String, Double)].collect()
+    assert(got.toSeq == Seq(
+      (1L, "was-1", 101.0), (2L, "was-2", 102.0),
+      (3L, "was-3", 103.0), (4L, "n4", 4.0)))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.updateWhere(spark, dir, col("k") === 1,
+        Seq("nope" -> lit(1)), "month")
+    }
+  }
+
+  test("updateWhere may move rows across partitions (assignment on the " +
+      "partition column restages them into the new partition)") {
+    val dir = dmlFixture()
+    SnapshotTable.updateWhere(spark, dir, col("k") === 7,
+      Seq("month" -> lit("2024-09")), "month")
+    val moved = SnapshotTable.readPartitions(spark, dir, Set("2024-09"))
+    assert(moved.select("k").as[Long].collect().toSeq == Seq(7L))
+    assert(SnapshotTable.read(spark, dir).count() == 100)
+  }
 }
