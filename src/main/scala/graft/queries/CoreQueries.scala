@@ -527,6 +527,33 @@ object CoreQueries {
     }
   }
 
+  /** RECURSIVE CTE through the ANSI front door (Spark 4's WITH RECURSIVE
+    * — the UnionLoop iterative plan): the ancestor chain of every 7th
+    * order key under the ⌊k/10⌋ parent function, the transitive-closure
+    * shape g_ancestors builds with a Pregel fold, here as the SQL a
+    * warehouse user actually writes. The SAME text runs on DuckDB as the
+    * oracle. Division is written floor(x/10) because `/` is float
+    * division on BOTH engines (Spark `div` and DuckDB `//` don't share a
+    * spelling); keys < 2^53 keep the floor exact. Each iteration is one
+    * bounded step over the frontier (depth ≤ ~6 at any SF — log₁₀ of the
+    * key domain), so the loop's cost is O(rows · depth), never quadratic. */
+  val sqlRecursiveCte: Q = {
+    val text =
+      """WITH RECURSIVE anc(k, ancestor, depth) AS (
+        |  SELECT o_orderkey, CAST(floor(o_orderkey / 10) AS BIGINT),
+        |    CAST(1 AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT k, CAST(floor(ancestor / 10) AS BIGINT), depth + 1
+        |  FROM anc WHERE ancestor > 0
+        |)
+        |SELECT k, ancestor, depth FROM anc""".stripMargin
+    Q("sql_recursive_cte", text) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(text)
+    }
+  }
+
   /** The native range join through the ANSI front door: a user writing
     * `graft_between(p, s, e)` in plain SQL gets RangeJoinExec (the
     * function is injected by GraftExtensions into the session's
@@ -2157,7 +2184,7 @@ object CoreQueries {
 
   val all: Seq[Q] = Seq(
     xJoinSizeCms,
-    sqlFrontDoor, sqlDecorrelate, sqlLateral, sqlRangeNative, qCube, qRollup, evPivot, qRunningTotal,
+    sqlFrontDoor, sqlDecorrelate, sqlLateral, sqlRecursiveCte, sqlRangeNative, qCube, qRollup, evPivot, qRunningTotal,
     q07VolumeShipping, q14PromoRevenue,
     q03ShippingPriority, q18LargeOrders, q05LocalSupplier, q10ReturnedItems,
     q04PriorityExists, q06ForecastRevenue, erBlockedMatch, xErGolden,

@@ -568,21 +568,26 @@ object SourceQueries {
     dmlTableMemo.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
       val tableDir =
         java.nio.file.Files.createTempDirectory("graft_snap_dml").toString
+      // partitioned by YEAR (≈7 partitions), month kept as a data
+      // column: range slices split per partition at stage time, so a
+      // finer partCol would multiply file count (8 slices × ~80 months
+      // = 640 files) for zero extra skipping in these queries
       val snap = Tables.orders(s, d).select(
         col("o_orderkey"), col("o_custkey"),
         col("o_totalprice").as("price"),
         col("o_orderstatus").as("status"),
-        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        date_format(col("o_orderdate"), "yyyy").as("yr"))
       SnapshotTable.overwriteClustered(s, tableDir, snap,            // v1
-        partCol = "month", statsCols = Seq("o_orderkey"), rangeFiles = 8)
+        partCol = "yr", statsCols = Seq("o_orderkey"), rangeFiles = 8)
       val vDel = SnapshotTable.deleteWhere(s, tableDir,
         col("o_orderkey").between(100L, 300L) && col("o_orderkey") % 3 === 0,
-        partCol = "month", pruneRange = Some(("o_orderkey", 100L, 300L)))
+        partCol = "yr", pruneRange = Some(("o_orderkey", 100L, 300L)))
       val vUpd = SnapshotTable.updateWhere(s, tableDir,
         col("o_orderkey").between(500L, 700L),
         assignments = Seq(
           "price" -> (col("price") + 50), "status" -> lit("X")),
-        partCol = "month", pruneRange = Some(("o_orderkey", 500L, 700L)))
+        partCol = "yr", pruneRange = Some(("o_orderkey", 500L, 700L)))
       (tableDir, vDel, vUpd)
     })
 

@@ -432,8 +432,17 @@ object SnapshotTable {
     val tag = newBatchTag(basedOn + 1)
     val (staged, newStats) = pruneRange match {
       case Some((c, _, _)) =>
+        // staging splits range slices BY PARTITION (files = slices ×
+        // partitions), so size the slice count per touched partition —
+        // the rewrite emits about as many files as it consumed.
+        // touched.size slices here would emit touched.size² files: the
+        // small-file explosion that turns one band delete into a
+        // thousand-file table.
+        val partsTouched = math.max(1, touched.map(_._1).distinct.size)
+        val rangeFiles = math.max(1,
+          (touched.size + partsTouched - 1) / partsTouched)
         stageBatchClustered(rewritten, tableDir, partCol, tag, Seq(c),
-          rangeFiles = math.max(1, touched.size))
+          rangeFiles)
       case None =>
         (stageBatch(rewritten, tableDir, partCol, tag),
           Map.empty[String, Map[String, (Long, Long)]])
