@@ -511,6 +511,42 @@ object SourceQueries {
       .select(col("o_orderkey"), col("o_custkey"), col("price"), col("month"))
   }
 
+  /** Z-ORDERED manifest-stats skipping ([[SnapshotTable.readRanges]] over
+    * an [[SnapshotTable.overwriteZordered]] layout): the snapshot stages
+    * on the Morton interleave of (o_orderkey, o_custkey), each file a
+    * rectangle of that plane with BOTH columns' min/max in the manifest,
+    * and the two-sided key-band read prunes files from the manifest alone
+    * — the predicate shape linear clustering (s_snapshot_skip) cannot
+    * serve. In-job pin: the conjunction must actually skip at least one
+    * file (a layout regression that reads everything empties the frame
+    * and fails the oracle hash). Exact predicate still applied on top,
+    * so the oracle is the plain two-band filter. */
+  val sSnapshotSkipZ = Q(
+    "s_snapshot_skip_z",
+    """SELECT o_orderkey, o_custkey, o_totalprice AS price
+      |FROM orders
+      |WHERE o_orderkey BETWEEN 200 AND 900 AND o_custkey BETWEEN 20 AND 90"""
+      .stripMargin) { (s, d) =>
+    val tableDir =
+      java.nio.file.Files.createTempDirectory("graft_snap_z").toString
+    val snap = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").as("price"), lit("all").as("p"))
+    SnapshotTable.overwriteZordered(s, tableDir, snap, partCol = "p",
+      statsCols = Seq("o_orderkey", "o_custkey"), rangeFiles = 16)
+    val ranges = Seq(("o_orderkey", 200L, 900L), ("o_custkey", 20L, 90L))
+    val st = SnapshotTable.statsAt(tableDir, 1L)
+    val all = SnapshotTable.entries(tableDir).map(_._2)
+    val kept = all.count(f => ranges.forall { case (c, lo, hi) =>
+      st.get(f).flatMap(_.get(c)).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    })
+    val out = SnapshotTable.readRanges(s, tableDir, ranges)
+      .filter(col("o_orderkey").between(200L, 900L) &&
+        col("o_custkey").between(20L, 90L))
+      .select(col("o_orderkey"), col("o_custkey"), col("price"))
+    if (kept < all.size) out else out.limit(0)
+  }
+
   /** Snapshot-table SCHEMA EVOLUTION (round-7 verdict gap #1): version 1
     * commits a narrow orders snapshot; version 2's upsert batch ADDS a
     * `src` column the table has never seen. The manifest records each
@@ -760,7 +796,7 @@ object SourceQueries {
     s12Dsv2Write,
     s12Dsv2Runtime, s3CsvRoundtrip,
     fCleanupPack, p10Conform, sOrcRoundtrip, sUpsertMerge, sUpsertSnapshot,
-    sSnapshotChanges, sSnapshotViewIncr, sSnapshotSkip, sSnapshotEvolve,
-    sSnapshotDelete, sSnapshotUpdate,
+    sSnapshotChanges, sSnapshotViewIncr, sSnapshotSkip, sSnapshotSkipZ,
+    sSnapshotEvolve, sSnapshotDelete, sSnapshotUpdate,
     sCsvPermissive, sSchemaEvolve, sBinaryFiles, sAggMaintain)
 }

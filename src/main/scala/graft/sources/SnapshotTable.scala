@@ -181,11 +181,34 @@ object SnapshotTable {
     * 100 TB. Stat columns must be LONG-typed. */
   def stageBatchClustered(df: DataFrame, tableDir: String, partCol: String,
       batchTag: String, statsCols: Seq[String], rangeFiles: Int)
+      : (Seq[(String, String)], Map[String, Map[String, (Long, Long)]]) =
+    stageBatchOrdered(df, tableDir, partCol, batchTag, statsCols,
+      rangeFiles, col(statsCols.head))
+
+  /** Z-ORDERED, stats-carrying staging: files split on the Morton
+    * bit-interleave of the first TWO stat columns, so each file covers a
+    * small rectangle of the (c1, c2) plane and the manifest min/max prune
+    * files for range predicates on EITHER column — linear clustering
+    * ([[stageBatchClustered]]) only skips on the leading key; this is the
+    * Delta/Iceberg OPTIMIZE ZORDER trade (slightly wider per-column
+    * ranges per file, bought for two prunable dimensions). Both columns
+    * must be non-negative LONGs (ids/ranks/bucketed values). */
+  def stageBatchZordered(df: DataFrame, tableDir: String, partCol: String,
+      batchTag: String, statsCols: Seq[String], rangeFiles: Int)
+      : (Seq[(String, String)], Map[String, Map[String, (Long, Long)]]) = {
+    require(statsCols.size >= 2, "Z-order staging needs two stat columns")
+    stageBatchOrdered(df, tableDir, partCol, batchTag, statsCols, rangeFiles,
+      Sinks.zValue(col(statsCols.head), col(statsCols(1))))
+  }
+
+  private def stageBatchOrdered(df: DataFrame, tableDir: String,
+      partCol: String, batchTag: String, statsCols: Seq[String],
+      rangeFiles: Int, orderCol: org.apache.spark.sql.Column)
       : (Seq[(String, String)], Map[String, Map[String, (Long, Long)]]) = {
     require(statsCols.nonEmpty, "statsCols must name at least one column")
     val batchRel = s"batch-$batchTag"
     val batchDir = Paths.get(tableDir, "data", batchRel).toString
-    df.repartitionByRange(rangeFiles, col(statsCols.head))
+    df.repartitionByRange(rangeFiles, orderCol)
       .withColumn("__p", col(partCol))
       .write.mode("overwrite").partitionBy("__p").parquet(batchDir)
     val root = new File(batchDir)
@@ -316,6 +339,20 @@ object SnapshotTable {
     Files.createDirectories(Paths.get(tableDir))
     val basedOn = currentVersion(tableDir)
     val (staged, stats) = stageBatchClustered(
+      df, tableDir, partCol, newBatchTag(basedOn + 1), statsCols, rangeFiles)
+    casCommit(tableDir, basedOn, staged, stats, Some(df.schema))
+  }
+
+  /** [[overwriteClustered]] through the Z-ORDERED staging path
+    * ([[stageBatchZordered]]): the manifest carries per-file min/max for
+    * BOTH interleaved columns, so [[readRanges]] prunes files on either
+    * one (or their conjunction) from the manifest alone. */
+  def overwriteZordered(spark: SparkSession, tableDir: String,
+      df: DataFrame, partCol: String, statsCols: Seq[String],
+      rangeFiles: Int): Long = {
+    Files.createDirectories(Paths.get(tableDir))
+    val basedOn = currentVersion(tableDir)
+    val (staged, stats) = stageBatchZordered(
       df, tableDir, partCol, newBatchTag(basedOn + 1), statsCols, rangeFiles)
     casCommit(tableDir, basedOn, staged, stats, Some(df.schema))
   }
@@ -643,6 +680,30 @@ object SnapshotTable {
       st.get(f).flatMap(_.get(statCol)) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None => true
+      }
+    }
+    readOrEmpty(spark, tableDir, kept, v)
+  }
+
+  /** Conjunctive manifest-stats skipping — [[readRange]] over several
+    * columns at once: only files whose recorded [min, max] overlaps EVERY
+    * range are opened (a file missing stats for any named column is
+    * conservatively read). With a Z-ordered layout
+    * ([[overwriteZordered]]) each file is a rectangle in the interleaved
+    * plane, so a two-sided predicate prunes multiplicatively — the case
+    * linear clustering cannot serve. The caller still applies the exact
+    * row predicate on top. */
+  def readRanges(spark: SparkSession, tableDir: String,
+      ranges: Seq[(String, Long, Long)]): DataFrame = {
+    require(ranges.nonEmpty, "need at least one (column, lo, hi) range")
+    val v = currentVersion(tableDir)
+    val st = statsAt(tableDir, v)
+    val kept = entriesAt(tableDir, v).map(_._2).filter { f =>
+      ranges.forall { case (c, lo, hi) =>
+        st.get(f).flatMap(_.get(c)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
       }
     }
     readOrEmpty(spark, tableDir, kept, v)

@@ -516,6 +516,40 @@ class SnapshotTableSpec extends SparkSpec {
     dir
   }
 
+  test("overwriteZordered: manifest stats prune files on EITHER " +
+      "interleaved column (linear clustering only prunes the leading " +
+      "one); conjunction prunes hardest; content identical") {
+    val dir = Files.createTempDirectory("graft-snap-z").toString
+    // a 64×64 grid: k1 = row, k2 = column — range predicates on either
+    // axis are narrow stripes of the plane
+    val rows = (0 until 4096).map(i =>
+      (i.toLong, (i / 64).toLong, (i % 64).toLong, "all"))
+      .toDF("id", "k1", "k2", "p")
+    SnapshotTable.overwriteZordered(spark, dir, rows, "p",
+      statsCols = Seq("k1", "k2"), rangeFiles = 16)
+    val st = SnapshotTable.statsAt(dir, 1L)
+    val all = SnapshotTable.entries(dir).map(_._2)
+    assert(all.size >= 8 && all.forall(st.contains))
+    def keptFor(ranges: Seq[(String, Long, Long)]): Int =
+      all.count(f => ranges.forall { case (c, lo, hi) =>
+        val (mn, mx) = st(f)(c); mx >= lo && mn <= hi
+      })
+    val k1Only = keptFor(Seq(("k1", 0L, 7L)))
+    val k2Only = keptFor(Seq(("k2", 0L, 7L)))
+    val both = keptFor(Seq(("k1", 0L, 7L), ("k2", 0L, 7L)))
+    assert(k1Only < all.size, s"no pruning on k1 ($k1Only/${all.size})")
+    assert(k2Only < all.size, s"no pruning on k2 ($k2Only/${all.size})")
+    assert(both <= math.min(k1Only, k2Only))
+    // correctness: the pruned read + exact filter equals the plain filter
+    val got = SnapshotTable.readRanges(spark, dir,
+      Seq(("k1", 0L, 7L), ("k2", 0L, 7L)))
+      .filter(col("k1").between(0, 7) && col("k2").between(0, 7))
+      .select("id").as[Long].collect().toSet
+    val want = rows.filter(col("k1").between(0, 7) && col("k2").between(0, 7))
+      .select("id").as[Long].collect().toSet
+    assert(got == want)
+  }
+
   test("deleteWhere removes TRUE rows only (SQL semantics: NULL/FALSE " +
       "kept), time travel still sees them, diff reports them as deletes") {
     val dir = Files.createTempDirectory("graft-snap").toString
