@@ -29,6 +29,50 @@ object GraphOps {
       .map { case (v, c) => (v, c) }.toDF("node", "component")
   }
 
+  /** INCREMENTAL connected components — fold a batch of NEW edges into an
+    * existing labeling without re-running CC over the settled edge set
+    * (the maintenance form a growing graph needs: settled edges at 100 TB
+    * are never rescanned). Soundness rides the label convention: a
+    * settled component's label IS its min vertex id, so contracting every
+    * settled component to its label and running CC over (contracted new
+    * edges) yields, per merged group, the min of the constituent mins =
+    * the min vertex id of the UNION component — exactly what full CC over
+    * settled ∪ new would emit. Cost: O(|new edges| + touched components),
+    * the contracted graph having one vertex per touched component or
+    * brand-new node. Endpoints the prior labeling has never seen label
+    * themselves (they are their own components until merged). Output:
+    * (node, component) covering settled nodes ∪ new-edge endpoints —
+    * bit-equal to a full recompute. */
+  def connectedComponentsIncremental(spark: SparkSession,
+      priorLabels: DataFrame, newEdges: DataFrame): DataFrame = {
+    val pl = priorLabels.toDF("node", "component")
+    val e = newEdges.select(
+      col(newEdges.columns(0)).cast("long").as("src"),
+      col(newEdges.columns(1)).cast("long").as("dst"))
+    val contracted = e
+      .join(pl.toDF("src", "ls"), Seq("src"), "left")
+      .join(pl.toDF("dst", "ld"), Seq("dst"), "left")
+      .select(coalesce(col("ls"), col("src")).as("a"),
+        coalesce(col("ld"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    // CC over the contracted graph only — (old label → merged label);
+    // labels not in any contracted edge are absent and keep themselves
+    val merged = connectedComponents(spark, contracted)
+      .toDF("old_label", "new_label")
+    val settled = pl.join(merged, pl("component") === merged("old_label"),
+        "left")
+      .select(pl("node"),
+        coalesce(col("new_label"), pl("component")).as("component"))
+    val newNodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .join(pl.select(col("node")), Seq("node"), "left_anti")
+    val newLabeled = newNodes
+      .join(merged, newNodes("node") === merged("old_label"), "left")
+      .select(newNodes("node"),
+        coalesce(col("new_label"), newNodes("node")).as("component"))
+    settled.unionByName(newLabeled)
+  }
+
   /** Strongly connected components over a DIRECTED edge list of Long
     * vertex ids — the communicating-classes decomposition connected
     * components cannot see (an edge u→v with no path back leaves u and v

@@ -93,6 +93,30 @@ object GraphQueries {
     GraphOps.connectedComponents(s, edgeDf(s, d))
   }
 
+  /** INCREMENTAL connected components
+    * ([[GraphOps.connectedComponentsIncremental]]): edges with
+    * (src + dst) ≡ 0 (mod 5) play the incoming batch, the rest the
+    * settled graph whose labeling already exists — the batch folds in
+    * through the CONTRACTED graph (one vertex per touched component or
+    * new node, O(batch) work), the settled edge set never rescanned. The
+    * oracle is the full-graph min-reachability over ALL edges: the green
+    * row IS the incremental ≡ full-recompute equality. */
+  val gComponentsIncremental = Q(
+    "g_components_incremental",
+    edgeCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, und AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+        |reach (n, m) AS (
+        |  SELECT u, u FROM und
+        |  UNION
+        |  SELECT r.n, w.v FROM reach r JOIN und w ON r.m = w.u)
+        |SELECT n AS node, MIN(m) AS component FROM reach GROUP BY n""".stripMargin) { (s, d) =>
+    val all = edgeDf(s, d)
+    val settled = all.filter((col("src") + col("dst")) % 5 =!= 0)
+    val batch = all.filter((col("src") + col("dst")) % 5 === 0)
+    GraphOps.connectedComponentsIncremental(s,
+      GraphOps.connectedComponents(s, settled), batch)
+  }
+
   /** Transitive ancestor closure of the ship-date hierarchy via Pregel
     * (GO/MONDO ancestors analog, SURVEY §7.3 risk 6); oracle = fixed-depth
     * join expansion (the hierarchy has depth 3). */
@@ -684,7 +708,8 @@ object GraphQueries {
         .as("path"))
   }
 
-  val all: Seq[Q] = Seq(gDegree, gComponents, gScc, gAncestors, gAncestorsRel,
+  val all: Seq[Q] = Seq(gDegree, gComponents, gComponentsIncremental,
+    gScc, gAncestors, gAncestorsRel,
     gTriangles, gShortestPaths, gPagerank, gPpr, gKhop, gNeighborJaccard,
     gHits, gHarmonic, gLabelProp, gKcore, gKtruss, gAdamicAdar,
     gSsspWeighted, gAssortativity, gRandomWalks)

@@ -12,6 +12,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponentsIncremental ≡ full recompute: merges two " +
+      "settled components, attaches new nodes, leaves untouched " +
+      "components alone") {
+    // settled: {1,2,3} (label 1), {10,11} (label 10), {20,21} (label 20)
+    val settled = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("src", "dst")
+    // batch: bridge 3–10 (merges two components), chain 11–30–31 (two
+    // NEW nodes through a settled one), isolated new pair 40–41;
+    // {20,21} untouched
+    val batch = Seq((3L, 10L), (11L, 30L), (30L, 31L), (40L, 41L))
+      .toDF("src", "dst")
+    val prior = GraphOps.connectedComponents(spark, settled)
+    val got = GraphOps
+      .connectedComponentsIncremental(spark, prior, batch)
+      .as[(Long, Long)].collect().toMap
+    val full = GraphOps
+      .connectedComponents(spark, settled.unionByName(batch))
+      .as[(Long, Long)].collect().toMap
+    assert(got === full)
+    assert(got(31L) == 1L && got(10L) == 1L) // merged through the bridge
+    assert(got(20L) == 20L && got(21L) == 20L) // untouched stays put
+    assert(got(40L) == 40L && got(41L) == 40L) // brand-new component
+  }
+
   test("stronglyConnectedComponents: cycles collapse to their min id, " +
     "DAG edges and tails stay singletons (what undirected CC cannot see)") {
     // 3-cycle {1,2,3} → 2-cycle {4,5}; 6 is a tail into the first cycle
