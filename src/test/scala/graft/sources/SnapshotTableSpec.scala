@@ -623,6 +623,31 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("GDPR two-step: deleteWhere is logical (time travel still serves " +
+      "the rows) until vacuum past the pre-delete version — then the only " +
+      "bytes on disk are the live manifest's files") {
+    val dir = dmlFixture()
+    SnapshotTable.deleteWhere(spark, dir, col("k").between(10L, 20L),
+      "month", pruneRange = Some(("k", 10L, 20L)))
+    assert(SnapshotTable.readAt(spark, dir, 1L).count() == 100) // logical only
+    val removed = SnapshotTable.vacuum(dir, keepVersions = 1)
+    assert(removed > 0, "vacuum must physically drop the pre-delete files")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readAt(spark, dir, 1L)
+    }
+    // physical erasure: every parquet file still on disk is referenced by
+    // the live manifest — no orphan holds the deleted rows' bytes
+    val live = SnapshotTable.entries(dir).map(_._2).toSet
+    val dataRoot = new java.io.File(s"$dir/data")
+    val onDisk = (for {
+      b <- dataRoot.listFiles().toSeq if b.isDirectory
+      p <- b.listFiles().toSeq if p.isDirectory
+      f <- p.listFiles().toSeq if f.getName.endsWith(".parquet")
+    } yield s"${b.getName}/${p.getName}/${f.getName}").toSet
+    assert(onDisk == live, s"orphan files survive vacuum: ${onDisk.diff(live)}")
+    assert(SnapshotTable.read(spark, dir).count() == 89)
+  }
+
   test("updateWhere may move rows across partitions (assignment on the " +
       "partition column restages them into the new partition)") {
     val dir = dmlFixture()
