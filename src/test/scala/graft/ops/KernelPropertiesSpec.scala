@@ -236,4 +236,44 @@ class KernelPropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("snapshot DML ≡ relational baseline for random bands and moduli: " +
+      "deleteWhere is the NOT-filter, updateWhere the CASE projection, " +
+      "whatever the stats pruning decides to rewrite") {
+    import graft.sources.SnapshotTable
+    val rows = (0L until 100L).map(k =>
+      (k, k * 1.5, if (k % 2 == 0) "a" else "b")).toDF("k", "price", "p")
+    val bands = samples(for {
+      lo <- Gen.choose(0L, 80L); w <- Gen.choose(0L, 40L)
+      m <- Gen.choose(2L, 5L); r <- Gen.choose(0L, 1L)
+    } yield (lo, lo + w, m, r), n = 6)
+    bands.foreach { case (lo, hi, m, r) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-dml-prop").toString
+      SnapshotTable.overwriteClustered(spark, dir, rows, "p",
+        statsCols = Seq("k"), rangeFiles = 8)
+      // the predicate's support is INSIDE the declared band — the caller
+      // contract pruneRange requires
+      val pred = col("k").between(lo, hi) && col("k") % m === r
+      SnapshotTable.deleteWhere(spark, dir, pred, "p",
+        pruneRange = Some(("k", lo, hi)))
+      val gotDel = SnapshotTable.read(spark, dir)
+        .select("k").as[Long].collect().toSet
+      val wantDel = rows.filter(!(col("k").between(lo, hi) && col("k") % m === r))
+        .select("k").as[Long].collect().toSet
+      assert(gotDel == wantDel, s"delete band [$lo,$hi] % $m == $r")
+      SnapshotTable.updateWhere(spark, dir, col("k").between(lo, hi),
+        Seq("price" -> (col("price") + 1000)), "p",
+        pruneRange = Some(("k", lo, hi)))
+      val gotUpd = SnapshotTable.read(spark, dir)
+        .select("k", "price").as[(Long, Double)].collect().toMap
+      val wantUpd = rows
+        .filter(!(col("k").between(lo, hi) && col("k") % m === r))
+        .select(col("k"),
+          when(col("k").between(lo, hi), col("price") + 1000)
+            .otherwise(col("price")).as("price"))
+        .as[(Long, Double)].collect().toMap
+      assert(gotUpd == wantUpd, s"update band [$lo,$hi]")
+    }
+  }
 }
