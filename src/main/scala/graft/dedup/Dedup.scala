@@ -230,13 +230,50 @@ object Dedup {
 
   def minhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame =
+    minhashCandidatesFromSignatures(
+      minhashSignatures(docs, idCol, textCol, n, numHashes), numHashes, bands)
+
+  /** [[minhashCandidates]] over a PREBUILT signature frame — the
+    * persist-and-derive entry (the lshIndex/ivfAssignments discipline
+    * applied to text dedup): at corpus scale the (doc_id, s0..s{n−1})
+    * table is computed once and parqueted (longs round-trip bit-exact);
+    * every LSH consumer then pays only the banding projection and the
+    * bucket join, never the shingle → md5 → min-aggregate pass again —
+    * which is the dominant cost of every minhash query. */
+  def minhashCandidatesFromSignatures(sig: DataFrame,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val banded = bandedKeys(sig, numHashes, bands)
     banded.toDF("a", "band", "key")
       .join(banded.toDF("b", "band", "key"), Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
+  }
+
+  /** [[minhashLshPairs]] over prebuilt signature + shingle artifacts
+    * (`sh` = the persisted (doc_id, shingle) table the exact-Jaccard
+    * verification reads; only candidate docs' shingles are joined). */
+  def minhashLshPairsFromArtifacts(sig: DataFrame, sh: DataFrame,
+      numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame =
+    jaccardOfPairs(sh,
+      Some(minhashCandidatesFromSignatures(sig, numHashes, bands)), threshold)
+
+  /** [[crossSnapshotNearDups]] over prebuilt artifacts: both sides'
+    * signatures are SLICES of the persisted signature table (signatures
+    * are per-document, so a corpus/batch split of the table IS each
+    * side's signature set), and the shared shingle table serves the
+    * verification. Candidates pair new→old only. */
+  def crossSnapshotNearDupsFromArtifacts(sigCorpus: DataFrame,
+      sigBatch: DataFrame, sh: DataFrame, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val candNew = bandedKeys(sigBatch, numHashes, bands)
+    val candOld = bandedKeys(sigCorpus, numHashes, bands)
+    val cand = candNew.toDF("a", "band", "key")
+      .join(candOld.toDF("b", "band", "key"), Seq("band", "key"))
+      .select(col("a"), col("b")).distinct()
+    jaccardOfPairs(sh, Some(cand), threshold)
+      .select(col("a").as("new_id"), col("b").as("old_id"), col("jaccard"))
   }
 
   /** Incremental (cross-snapshot) near-dup detection: near-duplicates of
@@ -291,16 +328,21 @@ object Dedup {
     * single division is engine-portable. */
   def minhashEstimates(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val cand = minhashCandidates(docs, idCol, textCol, n, numHashes, bands)
-    val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame =
+    minhashEstimatesFromArtifacts(
+      minhashSignatures(docs, idCol, textCol, n, numHashes),
+      shingles(docs, idCol, textCol, n), numHashes, bands)
+
+  /** [[minhashEstimates]] over prebuilt signature + shingle artifacts. */
+  def minhashEstimatesFromArtifacts(sig: DataFrame, sh: DataFrame,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val cand = minhashCandidatesFromSignatures(sig, numHashes, bands)
     val sigA = sig.toDF("a" +: (0 until numHashes).map(i => s"a_s$i"): _*)
     val sigB = sig.toDF("b" +: (0 until numHashes).map(i => s"b_s$i"): _*)
     val nMatch = (0 until numHashes)
       .map(i => when(col(s"a_s$i") === col(s"b_s$i"), 1).otherwise(0))
       .reduce(_ + _)
-    val exact = jaccardOfPairs(shingles(docs, idCol, textCol, n),
-      Some(cand), threshold = 0.0)
+    val exact = jaccardOfPairs(sh, Some(cand), threshold = 0.0)
     cand.join(sigA, Seq("a")).join(sigB, Seq("b"))
       .select(col("a"), col("b"), nMatch.cast("long").as("n_match"))
       .join(exact, Seq("a", "b"), "left")
@@ -959,9 +1001,17 @@ object Dedup {
   def contrastiveTriplets(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      posThreshold: Double = 0.5): DataFrame = {
-    val pairs = minhashLshPairs(docs, idCol, textCol, n, numHashes, bands,
-      posThreshold)
+      posThreshold: Double = 0.5): DataFrame =
+    contrastiveTripletsFromPairs(docs, idCol,
+      minhashLshPairs(docs, idCol, textCol, n, numHashes, bands,
+        posThreshold))
+
+  /** [[contrastiveTriplets]] over a prebuilt verified near-dup pair frame
+    * (a, b, …) — the persist-and-derive entry: the pairs are the LSH
+    * chain's output, so a caller holding the persisted minhash artifacts
+    * never recomputes signatures for triplet mining. */
+  def contrastiveTripletsFromPairs(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
     val und = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
     val pos = und.groupBy(col("a")).agg(min(col("b")).as("positive"))

@@ -65,16 +65,53 @@ object DedupQueries {
     * are doc- or cluster-keyed joins over its output.
     * `x_dedup_clusters_persisted` pins table-derived ≡ recomputed under
     * the same recursive-CTE oracle as `x_dedup_clusters`. */
+  /** PERSIST-AND-DERIVE for the minhash ARTIFACTS themselves (the
+    * lshIndex/ivfAssignments discipline applied to text dedup): the
+    * signature table (doc_id, s0..s31) and the shingle table
+    * (doc_id, shingle) are computed ONCE per (application, corpus) and
+    * parqueted — the shingle → md5 → min-aggregate pass is the dominant
+    * cost of EVERY minhash query, and longs/strings round-trip parquet
+    * bit-exact, so all LSH consumers (pairs, cross-snapshot, estimates,
+    * clusters, keep-best, contrastive) derive from the tables while their
+    * oracles still recompute from raw text — every green row re-proves
+    * table-derived ≡ recomputed. Signatures are per-document, so a
+    * corpus/batch SLICE of the signature table is that side's signature
+    * set (the incremental queries ride this). */
+  private val minhashArtMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private def minhashArtifacts(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val key = s.sparkContext.applicationId + "|" + d
+    val (sigP, shP) = minhashArtMemo.getOrElseUpdate(key, {
+      val docs = Tables.documents(s, d)
+      val sp = java.nio.file.Files
+        .createTempDirectory("graft-minhash-sig").toString
+      val hp = java.nio.file.Files
+        .createTempDirectory("graft-minhash-sh").toString
+      Dedup.minhashSignatures(docs, "doc_id", "text", n = 3,
+        numHashes = NumHashes).write.mode("overwrite").parquet(sp)
+      Dedup.shingles(docs, "doc_id", "text", n = 3)
+        .write.mode("overwrite").parquet(hp)
+      (sp, hp)
+    })
+    (s.read.parquet(sigP), s.read.parquet(shP))
+  }
+
   private val clusterTableMemo =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Cluster table over the docs whose ids satisfy `docPred` (lit(true)
+    * for the full corpus) — pairs derive from the persisted artifacts. */
   private def persistClusters(
       s: org.apache.spark.sql.SparkSession, d: String, tag: String,
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      docPred: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
     val key = s.sparkContext.applicationId + "|" + d + "|" + tag
     val path = clusterTableMemo.getOrElseUpdate(key, {
-      val pairs = Dedup.minhashLshPairs(docs, "doc_id",
-        "text", n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5)
+      val (sig, sh) = minhashArtifacts(s, d)
+      val pairs = Dedup.minhashLshPairsFromArtifacts(sig.filter(docPred),
+        sh, numHashes = NumHashes, bands = Bands, threshold = 0.5)
       val cl = graft.graph.GraphOps
         .connectedComponents(s, pairs.select("a", "b"))
         .select(col("node").as("doc_id"), col("component").as("cluster_id"))
@@ -89,7 +126,7 @@ object DedupQueries {
   private def lshClustersPersisted(
       s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    persistClusters(s, d, "full", Tables.documents(s, d))
+    persistClusters(s, d, "full", lit(true))
 
   /** DuckDB replica of portableHash(x, salt=i). */
   private def sqlHash(salt: String, x: String) =
@@ -151,21 +188,22 @@ object DedupQueries {
     minhashCteChain +
       """SELECT jacc.a, jacc.b, jaccard FROM cand JOIN jacc USING (a, b)
         |WHERE jaccard >= 0.5""".stripMargin) { (s, d) =>
-    Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
-      n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5)
+    val (sig, sh) = minhashArtifacts(s, d)
+    Dedup.minhashLshPairsFromArtifacts(sig, sh,
+      numHashes = NumHashes, bands = Bands, threshold = 0.5)
   }
 
   /** Incremental (cross-snapshot) near-dup dedup: odd-id documents play
     * the incoming batch, even-id documents the settled corpus; matches
-    * are new→old ONLY (Dedup.crossSnapshotNearDups — candidate join never
-    * pairs new×new or old×old, so cost scales with the batch). */
+    * are new→old ONLY (candidate join never pairs new×new or old×old, so
+    * cost scales with the batch). Both sides' signatures are SLICES of
+    * the persisted signature table. */
   val xDedupIncremental = Q("x_dedup_incremental", crossSnapshotSql) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    Dedup.crossSnapshotNearDups(
-      docs.filter(col("doc_id") % 2 === 0),
-      docs.filter(col("doc_id") % 2 === 1),
-      "doc_id", "text", n = 3, numHashes = NumHashes, bands = Bands,
-      threshold = 0.5)
+    val (sig, sh) = minhashArtifacts(s, d)
+    Dedup.crossSnapshotNearDupsFromArtifacts(
+      sig.filter(col("doc_id") % 2 === 0),
+      sig.filter(col("doc_id") % 2 === 1),
+      sh, numHashes = NumHashes, bands = Bands, threshold = 0.5)
   }
 
   /** Recursive-CTE transitive closure over the LSH near-dup pairs, ending
@@ -193,8 +231,9 @@ object DedupQueries {
   val xDedupClusters = Q(
     "x_dedup_clusters",
     clusterCtes + "SELECT doc_id, cluster_id FROM clusters") { (s, d) =>
-    val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
-      n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5)
+    val (sig, sh) = minhashArtifacts(s, d)
+    val pairs = Dedup.minhashLshPairsFromArtifacts(sig, sh,
+      numHashes = NumHashes, bands = Bands, threshold = 0.5)
     graft.graph.GraphOps.connectedComponents(s, pairs.select("a", "b"))
       .select(col("node").as("doc_id"), col("component").as("cluster_id"))
   }
@@ -226,8 +265,9 @@ object DedupQueries {
         |SELECT cluster_id, doc_id AS keep_id, n_docs, quality AS best_quality
         |FROM ranked WHERE rn = 1""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-      n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5)
+    val (sig, sh) = minhashArtifacts(s, d)
+    val pairs = Dedup.minhashLshPairsFromArtifacts(sig, sh,
+      numHashes = NumHashes, bands = Bands, threshold = 0.5)
     val clusters = graft.graph.GraphOps
       .connectedComponents(s, pairs.select("a", "b"))
       .select(col("node").as("doc_id"), col("component").as("cluster_id"))
@@ -403,8 +443,9 @@ object DedupQueries {
            |FROM est LEFT JOIN jacc ON est.a = jacc.a AND est.b = jacc.b"""
           .stripMargin
     }) { (s, d) =>
-    Dedup.minhashEstimates(Tables.documents(s, d), "doc_id", "text",
-      n = 3, numHashes = NumHashes, bands = Bands)
+    val (sig, sh) = minhashArtifacts(s, d)
+    Dedup.minhashEstimatesFromArtifacts(sig, sh,
+      numHashes = NumHashes, bands = Bands)
   }
 
   /** Asymmetric shingle containment (df-capped inverted index): catches a
@@ -744,8 +785,10 @@ object DedupQueries {
         |  FROM valid)
         |SELECT a AS anchor, positive, cand_neg AS negative
         |FROM pick WHERE rn = 1""".stripMargin) { (s, d) =>
-    Dedup.contrastiveTriplets(Tables.documents(s, d), "doc_id", "text",
-      n = 3, numHashes = NumHashes, bands = Bands, posThreshold = 0.5)
+    val (sig, sh) = minhashArtifacts(s, d)
+    Dedup.contrastiveTripletsFromPairs(Tables.documents(s, d), "doc_id",
+      Dedup.minhashLshPairsFromArtifacts(sig, sh,
+        numHashes = NumHashes, bands = Bands, threshold = 0.5))
   }
 
   /** Duplicate-cluster size distribution — the curation report a dedup
@@ -795,17 +838,18 @@ object DedupQueries {
   val xDedupClustersIncremental = Q(
     "x_dedup_clusters_incremental",
     clusterCtes + "SELECT doc_id, cluster_id FROM clusters") { (s, d) =>
-    val docs = Tables.documents(s, d)
-    val corpus = docs.filter(col("doc_id") % 2 === 0)
-    val batch = docs.filter(col("doc_id") % 2 === 1)
-    val star = persistClusters(s, d, "settled-even", corpus)
+    val (sig, sh) = minhashArtifacts(s, d)
+    val star = persistClusters(s, d, "settled-even", col("doc_id") % 2 === 0)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("a"), col("cluster_id").as("b"))
-    val newNew = Dedup.minhashLshPairs(batch, "doc_id", "text",
-      n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5)
+    val newNew = Dedup.minhashLshPairsFromArtifacts(
+      sig.filter(col("doc_id") % 2 === 1), sh,
+      numHashes = NumHashes, bands = Bands, threshold = 0.5)
       .select(col("a"), col("b"))
-    val newOld = Dedup.crossSnapshotNearDups(corpus, batch, "doc_id", "text",
-      n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5)
+    val newOld = Dedup.crossSnapshotNearDupsFromArtifacts(
+      sig.filter(col("doc_id") % 2 === 0),
+      sig.filter(col("doc_id") % 2 === 1), sh,
+      numHashes = NumHashes, bands = Bands, threshold = 0.5)
       .select(col("new_id").as("a"), col("old_id").as("b"))
     graft.graph.GraphOps.connectedComponents(s,
         star.unionByName(newNew).unionByName(newOld))
