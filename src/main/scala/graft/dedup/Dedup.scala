@@ -148,8 +148,16 @@ object Dedup {
     * bounded at Σ_{df≤cap} df² instead of Σ df². */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5, maxShingleDf: Int = 0): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
+      n: Int = 3, threshold: Double = 0.5, maxShingleDf: Int = 0): DataFrame =
+    ngramJaccardPairsFromShingles(shingles(docs, idCol, textCol, n),
+      threshold, maxShingleDf)
+
+  /** [[ngramJaccardPairs]] over a PREBUILT (doc_id, shingle) table — the
+    * persisted-artifact entry shared with the minhash family: the shingle
+    * explode is the scan-heavy step of every shingle consumer, computed
+    * once per corpus. */
+  def ngramJaccardPairsFromShingles(sh: DataFrame, threshold: Double = 0.5,
+      maxShingleDf: Int = 0): DataFrame = {
     val capped = if (maxShingleDf <= 0) sh else capShingles(sh, maxShingleDf)
     jaccardOfPairs(capped, None, threshold)
   }
@@ -689,8 +697,14 @@ object Dedup {
     * [[ngramJaccardPairs]]; the single double division is engine-portable. */
   def containmentPairs(
       docs: DataFrame, idCol: String, textCol: String, n: Int,
-      threshold: Double, maxDf: Int = 12): DataFrame = {
-    val sh = capShingles(shingles(docs, idCol, textCol, n), maxDf)
+      threshold: Double, maxDf: Int = 12): DataFrame =
+    containmentPairsFromShingles(shingles(docs, idCol, textCol, n),
+      threshold, maxDf)
+
+  /** [[containmentPairs]] over a prebuilt (doc_id, shingle) table. */
+  def containmentPairsFromShingles(shRaw: DataFrame, threshold: Double,
+      maxDf: Int = 12): DataFrame = {
+    val sh = capShingles(shRaw, maxDf)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     sh.toDF("a", "shingle")
       .join(sh.toDF("b", "shingle"), Seq("shingle"))
@@ -837,10 +851,15 @@ object Dedup {
     * construction at any corpus size. Output: (src_a, src_b, n_shared,
     * containment). */
   def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
-      sourceCol: String, n: Int = 3): DataFrame = {
-    val srcSh = shingles(docs, idCol, textCol, n)
-      .join(docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source")),
-        Seq("doc_id"))
+      sourceCol: String, n: Int = 3): DataFrame =
+    sourceOverlapFromShingles(shingles(docs, idCol, textCol, n),
+      docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source")))
+
+  /** [[sourceOverlap]] over a prebuilt (doc_id, shingle) table plus the
+    * (doc_id, source) dimension. */
+  def sourceOverlapFromShingles(sh: DataFrame,
+      docSource: DataFrame): DataFrame = {
+    val srcSh = sh.join(docSource, Seq("doc_id"))
       .select(col("source"), col("shingle")).distinct()
     val counts = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     srcSh.toDF("a", "shingle")

@@ -45,8 +45,9 @@ object DedupQueries {
   val xDedupNgram = Q(
     "x_dedup_ngram",
     cappedShingleCte + "SELECT a, b, jaccard FROM jacc WHERE jaccard >= 0.5") { (s, d) =>
-    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-      n = 3, threshold = 0.5, maxShingleDf = 12)
+    val (_, sh) = minhashArtifacts(s, d)
+    Dedup.ngramJaccardPairsFromShingles(sh, threshold = 0.5,
+      maxShingleDf = 12)
   }
 
   private val NumHashes = 32
@@ -339,10 +340,31 @@ object DedupQueries {
        |""".stripMargin
   }
 
+  /** Persisted SimHash signature table (the minhash-artifact discipline
+    * for the Hamming family): one (doc_id, sig) parquet per (application,
+    * corpus); the sig query emits it and the pairs/incremental queries
+    * derive their combination tables from it — the per-word hash votes
+    * never recompute. */
+  private val simhashSigMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def simhashSigPersisted(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val key = s.sparkContext.applicationId + "|" + d
+    val path = simhashSigMemo.getOrElseUpdate(key, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-simhash-sig").toString
+      Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text",
+        bits = SimBits).write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   val xDedupSimhashSig = Q(
     "x_dedup_simhash_sig",
     simhashCte + "SELECT doc_id, sig FROM sig") { (s, d) =>
-    Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text", bits = SimBits)
+    simhashSigPersisted(s, d)
   }
 
   private val SimBlocks = 10
@@ -382,7 +404,7 @@ object DedupQueries {
          |    ON x.t = y.t AND x.key = y.key AND x.doc_id < y.doc_id)
          |SELECT a, b, CAST(hamming AS INT) AS hamming FROM cand
          |WHERE hamming <= $SimMaxHamming""".stripMargin) { (s, d) =>
-    Dedup.simhashNearDupPairsComplete(Tables.documents(s, d), "doc_id", "text",
+    Dedup.mankuNearDupPairs(simhashSigPersisted(s, d),
       bits = SimBits, blocks = SimBlocks, maxHamming = SimMaxHamming)
   }
 
@@ -402,8 +424,7 @@ object DedupQueries {
          |    AND n.doc_id % 2 = 1 AND o.doc_id % 2 = 0)
          |SELECT new_id, old_id, CAST(hamming AS INT) AS hamming FROM cand
          |WHERE hamming <= $SimMaxHamming""".stripMargin) { (s, d) =>
-    val sig = Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text",
-      bits = SimBits)
+    val sig = simhashSigPersisted(s, d)
     Dedup.mankuCrossSnapshotPairs(
       sig.filter(col("doc_id") % 2 === 0),
       sig.filter(col("doc_id") % 2 === 1),
@@ -459,8 +480,8 @@ object DedupQueries {
         |FROM pairs JOIN cnt ca ON a = ca.doc_id JOIN cnt cb ON b = cb.doc_id
         |WHERE CAST(inter AS DOUBLE) / least(ca.n_sh, cb.n_sh) >= 0.8"""
         .stripMargin) { (s, d) =>
-    Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
-      n = 3, threshold = 0.8, maxDf = 12)
+    val (_, sh) = minhashArtifacts(s, d)
+    Dedup.containmentPairsFromShingles(sh, threshold = 0.8, maxDf = 12)
   }
 
   /** Bloom-filter incremental-dedup probe: staged corpus = even doc_ids,
@@ -531,7 +552,9 @@ object DedupQueries {
       |  CAST(n_shared AS DOUBLE) / least(ca.n_sh, cb.n_sh) AS containment
       |FROM p JOIN cnt ca ON src_a = ca.source
       |       JOIN cnt cb ON src_b = cb.source""".stripMargin) { (s, d) =>
-    Dedup.sourceOverlap(Tables.documents(s, d), "doc_id", "text", "source")
+    val (_, sh) = minhashArtifacts(s, d)
+    Dedup.sourceOverlapFromShingles(sh, Tables.documents(s, d)
+      .select(col("doc_id"), col("source")))
   }
 
   /** Within-document repeated-segment removal (the "remove duplicate
