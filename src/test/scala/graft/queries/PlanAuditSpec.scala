@@ -46,6 +46,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("sql_recursive_cte plans the iterative UnionLoop (bounded frontier " +
+      "steps), never a cartesian/NLJ rewrite") {
+    val p = plan("sql_recursive_cte")
+    assert(p.contains("UnionLoop"),
+      "WITH RECURSIVE did not plan Spark's iterative UnionLoop node")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("j_range_bin is an equi-join on bins: no nested-loop, no cartesian") {
     val p = plan("j_range_bin")
     assert(!p.contains("BroadcastNestedLoopJoin"),
