@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.core.Tables
-import graft.sources.{Sinks, SnapshotTable}
+import graft.sources.{Sinks, SnapshotSql, SnapshotTable}
 
 /** Driver-checkable queries for the non-parquet source/sink operators:
   * S12 (KEGG flat-record parse) and S3/S22 (chunked CSV sink), each
@@ -797,11 +797,81 @@ object SourceQueries {
       Seq("n_orders", "rev_c"))
   }
 
+  /** SQL FRONT DOOR for snapshot DML + time travel ([[SnapshotSql]] —
+    * round-8 verdict item 3): the same final-state contract as the Scala
+    * DML queries, but every mutation arrives as STATEMENT TEXT —
+    * `DELETE FROM snap(…) WHERE …` (the leading BETWEEN conjunct
+    * auto-derives the stats-prune hint), `UPDATE snap(…) SET … WHERE …`,
+    * `MERGE INTO snap(…) USING (SELECT …) KEY … VERSION … TOMBSTONE …`,
+    * and the final read is `SELECT … FROM snap(…)` with a
+    * `VERSION AS OF 1` time-travel pin proving the pre-DML snapshot
+    * still serves through the same door. Predicates/assignments are
+    * parsed by Spark itself — the front door is a statement router, not
+    * a second SQL dialect. */
+  val sqlSnapshotDml = Q(
+    "sql_snapshot_dml",
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 11 = 0 AND o_orderkey BETWEEN 800 AND 1200
+      |       THEN o_totalprice + 1000
+      |       WHEN o_orderkey BETWEEN 500 AND 700 THEN o_totalprice + 50
+      |       ELSE o_totalprice END AS price,
+      |  CASE WHEN o_orderkey % 11 = 0 AND o_orderkey BETWEEN 800 AND 1200
+      |       THEN 'M'
+      |       WHEN o_orderkey BETWEEN 500 AND 700 THEN 'X'
+      |       ELSE o_orderstatus END AS status,
+      |  strftime(o_orderdate, '%Y-%m') AS month
+      |FROM orders
+      |WHERE NOT (o_orderkey BETWEEN 100 AND 300 AND o_orderkey % 3 = 0)
+      |  AND NOT (o_orderkey % 11 = 0 AND o_orderkey BETWEEN 800 AND 1200
+      |           AND o_orderkey % 2 = 0)""".stripMargin) { (s, d) =>
+    val tableDir =
+      java.nio.file.Files.createTempDirectory("graft_snap_sql").toString
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").as("price"),
+      col("o_orderstatus").as("status"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+      date_format(col("o_orderdate"), "yyyy").as("yr"),
+      lit(0L).as("version"), lit(false).as("del"))
+    SnapshotTable.overwriteClustered(s, tableDir, base, partCol = "yr",
+      statsCols = Seq("o_orderkey"), rangeFiles = 8)                  // v1
+    SnapshotSql.exec(s, s"DELETE FROM snap('$tableDir') " +
+      "WHERE o_orderkey BETWEEN 100 AND 300 AND o_orderkey % 3 = 0")  // v2
+    SnapshotSql.exec(s, s"UPDATE snap('$tableDir') " +
+      "SET price = price + 50, status = 'X' " +
+      "WHERE o_orderkey BETWEEN 500 AND 700")                         // v3
+    base.filter(col("o_orderkey") % 11 === 0 &&
+        col("o_orderkey").between(800L, 1200L))
+      .withColumn("price", col("price") + 1000)
+      .withColumn("status", lit("M"))
+      .withColumn("version", lit(1L))
+      .withColumn("del", col("o_orderkey") % 2 === 0)
+      .createOrReplaceTempView("sql_dml_cdc")
+    SnapshotSql.exec(s, s"MERGE INTO snap('$tableDir') " +
+      "USING (SELECT * FROM sql_dml_cdc) " +
+      "KEY (o_orderkey) VERSION version TOMBSTONE del")               // v4
+    // time-travel pin through the same front door: v1 is the pre-DML table
+    val v1Rows = SnapshotSql.exec(s,
+      s"SELECT count(*) AS n FROM snap('$tableDir') VERSION AS OF 1") match {
+      case SnapshotSql.Rows(df) => df.collect().head.getLong(0)
+      case _ => -1L
+    }
+    val fullRows = Tables.orders(s, d).count()
+    val out = SnapshotSql.exec(s,
+      s"SELECT o_orderkey, o_custkey, price, status, month " +
+        s"FROM snap('$tableDir')") match {
+      case SnapshotSql.Rows(df) => df
+      case _ => base.limit(0).select(col("o_orderkey"), col("o_custkey"),
+        col("price"), col("status"), col("month"))
+    }
+    if (v1Rows == fullRows) out else out.limit(0)
+  }
+
   val all: Seq[Q] = Seq(s12FlatRecords, s12Dsv2Scan, s12Dsv2Agg, s12Dsv2Limit,
     s12Dsv2Write,
     s12Dsv2Runtime, s3CsvRoundtrip,
     fCleanupPack, p10Conform, sOrcRoundtrip, sUpsertMerge, sUpsertSnapshot,
     sSnapshotChanges, sSnapshotViewIncr, sSnapshotSkip, sSnapshotSkipZ,
-    sSnapshotEvolve, sSnapshotDelete, sSnapshotUpdate,
+    sSnapshotEvolve, sSnapshotDelete, sSnapshotUpdate, sqlSnapshotDml,
     sCsvPermissive, sSchemaEvolve, sBinaryFiles, sAggMaintain)
 }

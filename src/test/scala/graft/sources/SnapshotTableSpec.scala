@@ -657,4 +657,151 @@ class SnapshotTableSpec extends SparkSpec {
     assert(moved.select("k").as[Long].collect().toSeq == Seq(7L))
     assert(SnapshotTable.read(spark, dir).count() == 100)
   }
+
+  // ------------------------------------------- Hadoop FileSystem contract
+
+  test("the whole table lifecycle runs against an explicit file: URI — " +
+      "the control plane is Hadoop FileSystem, not java.nio (a nio " +
+      "Paths.get over a URI string would mangle every path)") {
+    val dir = "file:" + Files.createTempDirectory("graft-snap-uri").toString
+    val v1 = SnapshotTable.overwrite(spark, dir, baseRows, "month")
+    assert(v1 == 1L && SnapshotTable.currentVersion(dir) == 1L)
+    assert(contents(SnapshotTable.read(spark, dir)) == contents(baseRows))
+    val v2 = SnapshotTable.upsert(spark, dir, updateRows,
+      "month", Seq("k"), "version", "del")
+    assert(contents(SnapshotTable.read(spark, dir)) == mergedWant)
+    assert(contents(SnapshotTable.readAt(spark, dir, v1)) == contents(baseRows))
+    // DML, diff, change feed, compaction and vacuum all through the URI
+    SnapshotTable.deleteWhere(spark, dir, col("k") === 2L, "month")
+    assert(SnapshotTable.read(spark, dir).filter(col("k") === 2L).count() == 0)
+    val d = SnapshotTable.diff(spark, dir, v1, v2, Seq("k"))
+    assert(d.filter(col("change_type") === "insert").count() == 1)
+    assert(SnapshotTable.changesSince(spark, dir, v2, Seq("k"))
+      .filter(col("change_type") === "delete").count() == 1)
+    SnapshotTable.compact(spark, dir, "month")
+    assert(SnapshotTable.vacuum(dir, keepVersions = 1) > 0)
+    assert(SnapshotTable.read(spark, dir).count() == 4)
+  }
+
+  test("source discipline: SnapshotTable's control plane has no java.nio/" +
+      "java.io.File path operations — every metadata touch is Hadoop " +
+      "FileSystem (the 100 TB requirement: hdfs:/s3a: table roots)") {
+    val src = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      "src/main/scala/graft/sources/SnapshotTable.scala")))
+    // java.nio.file.FileAlreadyExistsException in a catch is fine (some
+    // Hadoop local-fs builds throw the nio type); path manipulation is not
+    val banned = Seq("java.nio.file.Files", "java.nio.file.Paths",
+      "Paths.get", "java.io.File(", "new File(", "import java.io.File",
+      "StandardCopyOption", ".toPath", "listFiles(")
+    val hits = banned.filter(src.contains)
+    assert(hits.isEmpty, s"java.nio/java.io leaked back in: $hits")
+    assert(src.contains("org.apache.hadoop.fs.{FileContext, FileSystem"),
+      "the Hadoop FileSystem import must carry the control plane")
+  }
+
+  test("stageBatch splits a hot partition across multiple files " +
+      "(rows/targetRowsPerFile sizing) and reads back byte-identical; " +
+      "small partitions still stage one file each") {
+    val dir = Files.createTempDirectory("graft-snap-skew").toString
+    // planted skew: 'hot' has 900 of 1000 rows, 'cold' has 100
+    val rows = (0L until 1000L).map(k =>
+      (k, s"n$k", if (k < 900) "hot" else "cold"))
+      .toDF("k", "name", "part")
+    val staged = SnapshotTable.stageBatch(rows, dir, "part",
+      SnapshotTable.newBatchTag(1L), targetRowsPerFile = 200L)
+    val byPart = staged.groupBy(_._1).map { case (p, fs) => p -> fs.size }
+    assert(byPart("hot") > 1,
+      s"hot partition must split across tasks, got ${byPart("hot")} file(s)")
+    assert(byPart("cold") == 1,
+      s"cold partition must stay one file, got ${byPart("cold")}")
+    SnapshotTable.casCommit(dir, 0L, staged, schema = Some(rows.schema))
+    val got = SnapshotTable.read(spark, dir)
+      .select("k", "name", "part").as[(Long, String, String)].collect().toSet
+    val want = rows.as[(Long, String, String)].collect().toSet
+    assert(got == want, "skew-split staging must read back byte-identical")
+  }
+
+  test("changesSinceOrRebase: within the window it IS changesSince; past " +
+      "vacuum's grace it re-baselines with the full snapshot as inserts " +
+      "and flags the consumer to replace its state") {
+    val dir = Files.createTempDirectory("graft-snap-rebase").toString
+    val v1 = SnapshotTable.overwrite(spark, dir, baseRows, "month")
+    SnapshotTable.upsert(spark, dir, updateRows, "month", Seq("k"),
+      "version", "del")                                              // v2
+    val (feed1, ckpt1, rebased1) =
+      SnapshotTable.changesSinceOrRebase(spark, dir, v1, Seq("k"))
+    assert(!rebased1 && ckpt1 == 2L)
+    assert(feed1.select("change_type", "k").as[(String, Long)].collect().toSet
+      == Set(("update", 1L), ("delete", 3L), ("insert", 9L)))
+    // consumer sleeps; table advances and vacuums past its checkpoint
+    SnapshotTable.compact(spark, dir, "month")                       // v3
+    SnapshotTable.compact(spark, dir, "month")                       // v4
+    SnapshotTable.vacuum(dir, keepVersions = 1)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.changesSince(spark, dir, 2L, Seq("k"))
+    }
+    val (feed2, ckpt2, rebased2) =
+      SnapshotTable.changesSinceOrRebase(spark, dir, 2L, Seq("k"))
+    assert(rebased2 && ckpt2 == 4L)
+    assert(feed2.select("change_type").distinct()
+      .as[String].collect().toSeq == Seq("insert"))
+    // replacing state with the baseline reaches the live table exactly
+    assert(contents(feed2.select("k", "name", "price", "month"))
+      == contents(SnapshotTable.read(spark, dir)))
+    // a never-synced consumer (fromVersion 0) re-baselines the same way
+    val (_, ckpt0, rebased0) =
+      SnapshotTable.changesSinceOrRebase(spark, dir, 0L, Seq("k"))
+    assert(rebased0 && ckpt0 == 4L)
+  }
+
+  test("DML against a Z-ordered table restages with the FULL stat-column " +
+      "set: the second dimension keeps its min/max on rewritten files, so " +
+      "two-sided skipping survives row-level deletes") {
+    val dir = Files.createTempDirectory("graft-snap-zdml").toString
+    val rows = (0 until 4096).map(i =>
+      (i.toLong, (i / 64).toLong, (i % 64).toLong, "all"))
+      .toDF("id", "k1", "k2", "p")
+    SnapshotTable.overwriteZordered(spark, dir, rows, "p",
+      statsCols = Seq("k1", "k2"), rangeFiles = 16)
+    val v2 = SnapshotTable.deleteWhere(spark, dir,
+      col("k1").between(0L, 3L) && col("k2") % 2 === 0, "p",
+      pruneRange = Some(("k1", 0L, 3L)))
+    val st = SnapshotTable.statsAt(dir, v2)
+    val before = SnapshotTable.entriesAt(dir, 1L).map(_._2).toSet
+    val restaged = SnapshotTable.entriesAt(dir, v2).map(_._2)
+      .filterNot(before)
+    assert(restaged.nonEmpty, "the delete must rewrite overlapping files")
+    assert(restaged.forall(f => st.get(f).exists(m =>
+      m.contains("k1") && m.contains("k2"))),
+      "rewritten files must carry min/max for BOTH stat columns")
+    // and k2-side pruning still works against the post-DML manifest
+    val all2 = SnapshotTable.entriesAt(dir, v2).map(_._2)
+    val keptK2 = all2.count(f => st.get(f).flatMap(_.get("k2"))
+      .forall { case (mn, mx) => mx >= 0L && mn <= 7L })
+    assert(keptK2 < all2.size, "k2 pruning must survive the rewrite")
+  }
+
+  test("updateWhere naming an unknown column fails loudly even when " +
+      "pruning leaves zero candidate files (no silent no-op)") {
+    val dir = dmlFixture()
+    intercept[IllegalArgumentException] {
+      SnapshotTable.updateWhere(spark, dir, col("k") === 1,
+        Seq("nope" -> lit(1)), "month",
+        pruneRange = Some(("k", 5000L, 6000L))) // prunes every file
+    }
+    assert(SnapshotTable.currentVersion(dir) == 1L, "no version committed")
+  }
+
+  test("manifests record the partition column as table metadata " +
+      "(#partcol header) and carry it across commits") {
+    val dir = Files.createTempDirectory("graft-snap-pc").toString
+    SnapshotTable.overwrite(spark, dir, baseRows, "month")
+    assert(SnapshotTable.partColAt(dir, 1L) == Some("month"))
+    val v2 = SnapshotTable.upsert(spark, dir, updateRows, "month",
+      Seq("k"), "version", "del")
+    assert(SnapshotTable.partColAt(dir, v2) == Some("month"))
+    // a bare casCommit without partCol inherits the table's recorded one
+    val v3 = SnapshotTable.casCommit(dir, v2, SnapshotTable.entries(dir))
+    assert(SnapshotTable.partColAt(dir, v3) == Some("month"))
+  }
 }
