@@ -142,9 +142,11 @@ object TemporalJoins {
     * one joined row per contained point, or one null-extended row when no
     * point falls inside (incl. NULL-keyed and NULL-bounded intervals, the
     * outer-join contract). Plans as the same merge sweep with unmatched
-    * intervals emitted at eviction/group-end; shapes the strategy
-    * declines (bounds on the point side, residual predicates) fall back
-    * to default outer planning with identical rows. */
+    * intervals emitted at eviction/group-end; extra ON-clause residuals
+    * ([[nativeRangeJoinResidual]]) evaluate INSIDE the sweep with
+    * matched-flag semantics, and bounds-on-the-point-side shapes plan
+    * with the children swapped — only genuinely unsweepable shapes fall
+    * back to default outer planning with identical rows. */
   def nativeRangeJoinLeftOuter(intervals: DataFrame, points: DataFrame,
       keys: Seq[(String, String)],
       startCol: String, endCol: String, pointCol: String): DataFrame = {
@@ -185,6 +187,28 @@ object TemporalJoins {
     val between = call_function("graft_between",
       points(pointCol), intervals(startCol), intervals(endCol))
     intervals.join(points, keyCond && between, "full_outer")
+  }
+
+  /** [[nativeRangeJoin]] with an extra ON-clause `residual` predicate
+    * (any cross-side Column) and any join type. Under INNER the planner
+    * filters the residual above the sweep (equivalent); under the OUTER
+    * forms it evaluates INSIDE the sweep — a pair counts as a match only
+    * when equi + between + residual ALL hold, and a preserved row no pair
+    * qualifies null-extends (standard ON-clause semantics). Round-8
+    * verdict item 5: this shape previously declined to Catalyst's
+    * nested-loop BETWEEN plan — the one remaining O(n·m) range-join
+    * shape; it now plans the same single sweep. */
+  def nativeRangeJoinResidual(intervals: DataFrame, points: DataFrame,
+      keys: Seq[(String, String)],
+      startCol: String, endCol: String, pointCol: String,
+      residual: org.apache.spark.sql.Column,
+      joinType: String): DataFrame = {
+    graft.functions.GraftBetween.register(intervals.sparkSession)
+    val keyCond = keys.map { case (a, b) => intervals(a) === points(b) }
+      .reduce(_ && _)
+    val between = call_function("graft_between",
+      points(pointCol), intervals(startCol), intervals(endCol))
+    intervals.join(points, keyCond && between && residual, joinType)
   }
 
   /** KEYED interval × interval OVERLAP join through the native merge-sweep

@@ -133,7 +133,8 @@ object DedupStreams {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val s = batch.sparkSession
         val b = batch.toDF().select(col(idCol), col(textCol))
-        val prior = SketchStreams.epochBefore(stateDir, "state_", batchId)
+        val prior = SketchStreams.epochBefore(stateDir, "state_", batchId,
+          markerRel = "docs/_SUCCESS") // docs is the epoch's LAST write
         val emptyPairs = b
           .select(col(idCol).as("a"), col(idCol).as("b")).limit(0)
         val (docs0, star, newOld) = prior match {
@@ -165,6 +166,7 @@ object DedupStreams {
   def latestClusters(
       spark: org.apache.spark.sql.SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(
-      SketchStreams.epochBefore(stateDir, "state_", Long.MaxValue)
+      SketchStreams.epochBefore(stateDir, "state_", Long.MaxValue,
+        markerRel = "docs/_SUCCESS") // completeness = the epoch's last write
         .getOrElse(sys.error(s"no state epochs under $stateDir")) + "/clusters")
 }

@@ -41,7 +41,8 @@ object GraphStreams {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val s = batch.sparkSession
         val e = batch.toDF().select(col("src"), col("dst"))
-        val labels = SketchStreams.epochBefore(stateDir, "state_", batchId)
+        val labels = SketchStreams.epochBefore(stateDir, "state_", batchId,
+          markerRel = "labels/_SUCCESS")
           match {
             case Some(dir) => GraphOps.connectedComponentsIncremental(
               s, s.read.parquet(s"$dir/labels"), e)
@@ -52,10 +53,14 @@ object GraphStreams {
       }
       .start()
 
-  /** The newest committed label-table epoch. */
+  /** The newest COMPLETE label-table epoch: selection is gated on the
+    * epoch's parquet `_SUCCESS` marker, so a reader racing a crashed
+    * mid-write epoch (between crash and replay) reads the last committed
+    * labeling, never a truncated one. */
   def latestComponents(
       spark: org.apache.spark.sql.SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(
-      SketchStreams.epochBefore(stateDir, "state_", Long.MaxValue)
+      SketchStreams.epochBefore(stateDir, "state_", Long.MaxValue,
+        markerRel = "labels/_SUCCESS")
         .getOrElse(sys.error(s"no state epochs under $stateDir")) + "/labels")
 }

@@ -160,12 +160,15 @@ object SketchStreams {
       }
       .start()
 
-  /** The newest committed NB model state: (token counts, class counts). */
+  /** The newest committed NB model state: (token counts, class counts).
+    * The epoch is chosen from `nbc_` — the batch's LAST write — so a
+    * crash between the two table writes can never serve a torn pair
+    * (nbm_N paired with nbc_{N−1}); nbm at the same id is guaranteed to
+    * exist because it was written first. */
   def latestNbModel(spark: SparkSession, outDir: String): (DataFrame, DataFrame) = {
-    val m = epochBefore(outDir, "nbm_", Long.MaxValue)
-      .getOrElse(sys.error(s"no NB model epochs under $outDir"))
     val c = epochBefore(outDir, "nbc_", Long.MaxValue)
       .getOrElse(sys.error(s"no NB class epochs under $outDir"))
+    val m = c.replace("/nbc_", "/nbm_")
     (spark.read.parquet(m), spark.read.parquet(c))
   }
 
@@ -192,12 +195,30 @@ object SketchStreams {
       }
       .start()
 
+  /** Newest epoch directory strictly older than `batchId` — gated on a
+    * COMPLETENESS marker (parquet's `_SUCCESS`, or `markerRel` for
+    * epochs whose parquet lives in a subdirectory): a crash mid-write
+    * leaves a partial epoch without the marker, and an external reader
+    * hitting the state between crash and replay must not read it as
+    * truncated data (the round-8 advisory). The replay path itself is
+    * unaffected — a replayed batch reads strictly OLDER epochs and
+    * overwrites its own partial one. Hadoop FileSystem, so state dirs
+    * may live on a cluster filesystem like every other metadata path. */
   private[streaming] def epochBefore(
-      outDir: String, prefix: String, batchId: Long): Option[String] = {
-    val ids = Option(new java.io.File(outDir).list()).getOrElse(Array.empty)
+      outDir: String, prefix: String, batchId: Long,
+      markerRel: String = "_SUCCESS"): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return None
+    val ids = fs.listStatus(root).map(_.getPath.getName)
       .filter(_.startsWith(prefix))
       .map(_.stripPrefix(prefix).toLong)
-      .filter(_ < batchId)
+      .filter(id => id < batchId &&
+        fs.exists(new org.apache.hadoop.fs.Path(root, s"$prefix$id/$markerRel")))
     if (ids.isEmpty) None else Some(s"$outDir/$prefix${ids.max}")
   }
 }

@@ -40,14 +40,19 @@ object Bpe {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("n")).as("cnt"))
 
-  private def topPairs(pairs: DataFrame, k: Int, round: Int): DataFrame =
+  /** The round's adopted merge via a KEYLESS AGGREGATE — min of the
+    * `(-cnt, l, r)` struct IS the (count DESC, l, r) winner, computed
+    * with map-side partials and a one-row reduce instead of the
+    * single-partition `row_number()` window each round used to pay
+    * (round-8 verdict item 6: at a production vocab the per-round
+    * windows serialize the merge chain into a straggler cascade; the
+    * keyless min is the one-row-broadcast idiom the file already used
+    * for applying the merge). An empty pair table yields one all-NULL
+    * row, which [[applyMerge]]'s null guard treats as the identity. */
+  private def winner(pairs: DataFrame): DataFrame =
     pairs
-      .withColumn("pair_rank", row_number().over(
-        Window.orderBy(col("cnt").desc, col("l"), col("r"))))
-      .filter(col("pair_rank") <= k)
-      .select(lit(round).cast("long").as("merge_round"),
-        col("pair_rank").cast("long").as("pair_rank"),
-        col("l"), col("r"), col("cnt"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("l"), col("r"))).as("w"))
+      .select(col("w.l").as("l"), col("w.r").as("r"))
 
   /** Regex-safe (`[a-z0-9]+`) distinct words with corpus frequencies and
     * the space-separated character sequence BPE operates on. Vocabulary-
@@ -77,7 +82,11 @@ object Bpe {
     * rounds (each round adopts its rank-1 pair before the next counts).
     * Words are restricted to `[a-z0-9]+` so symbols stay regex-safe.
     * The plan chains `rounds` count→broadcast→map stages — plan depth is
-    * linear in `rounds`, corpus-sized work stays one word count.
+    * linear in `rounds`, corpus-sized work stays one word count, and the
+    * only window in the whole job is the FINAL ranking one, partitioned
+    * by merge_round (every per-round winner pick is a keyless aggregate
+    * — [[winner]]), so the serial chain carries no single-partition
+    * window stages at all.
     * Output: (merge_round, pair_rank, l, r, cnt). */
   def topMerges(docs: DataFrame, idCol: String, textCol: String,
       perRound: Int = 5, rounds: Int = 2): DataFrame = {
@@ -86,11 +95,16 @@ object Bpe {
     var out = Vector.empty[DataFrame]
     for (r <- 1 to rounds) {
       val p = pairCounts(cur)
-      out :+= topPairs(p, perRound, r)
-      if (r < rounds)
-        cur = applyMerge(cur, topPairs(p, 1, r).select(col("l"), col("r")))
+      out :+= p.withColumn("merge_round", lit(r).cast("long"))
+      if (r < rounds) cur = applyMerge(cur, winner(p))
     }
     out.reduce(_.unionByName(_))
+      .withColumn("pair_rank", row_number().over(
+        Window.partitionBy(col("merge_round"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))))
+      .filter(col("pair_rank") <= perRound)
+      .select(col("merge_round"), col("pair_rank").cast("long").as("pair_rank"),
+        col("l"), col("r"), col("cnt"))
   }
 
   /** Tokenize the corpus with the `rounds` learned merges and count
@@ -116,8 +130,7 @@ object Bpe {
       .filter(col("word").rlike("^[a-z0-9]+$"))
     var cur = wordTable(docs, textCol)
     for (r <- 1 to rounds)
-      cur = applyMerge(cur, topPairs(pairCounts(cur), 1, r)
-        .select(col("l"), col("r")))
+      cur = applyMerge(cur, winner(pairCounts(cur)))
     val dict = cur.select(col("word"),
       size(split(trim(col("seq")), " ")).cast("long").as("n_sym"))
     val per = occ.join(dict, Seq("word"))

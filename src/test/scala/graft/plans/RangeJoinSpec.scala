@@ -252,20 +252,108 @@ class RangeJoinSpec extends SparkSpec with BeforeAndAfterAll {
     assert(got == Seq("lonely|∅", "nullhi|∅", "nullkey|∅", "nulllo|∅", "ok|pok"))
   }
 
-  test("outer residual predicates still decline (they filter null-extended " +
-    "rows); fallback stays correct") {
+  test("LEFT OUTER residual plans INSIDE the sweep (round-8 item 5: this " +
+    "declined to default planning): pairs failing the residual don't " +
+    "count as matches, their intervals null-extend") {
     val a = intervals
     val b = points
-    // residual above an outer join changes semantics → strategy declines
+    // cross-side residual in the ON clause: can't be pushed to either side
     val withResidual = a.join(b,
       a("k") === b("pk") &&
         call_function("graft_between", b("p"), a("lo"), a("hi")) &&
         a("tag") =!= b("ptag"), "left_outer")
-    assert(!withResidual.queryExecution.executedPlan.toString.contains("RangeJoinExec"))
+    val plan = withResidual.queryExecution.executedPlan.toString
+    assert(plan.contains("RangeJoinExec") && plan.contains("residual="),
+      s"expected a residual-carrying sweep in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"))
     val wantRes = sortedOuterRows(a.join(b,
       a("k") === b("pk") && b("p") >= a("lo") && b("p") <= a("hi") &&
         a("tag") =!= b("ptag"), "left_outer"))
     assert(sortedOuterRows(withResidual) == wantRes && wantRes.nonEmpty)
+  }
+
+  test("residual that kills EVERY pair of one interval null-extends that " +
+    "interval (matched-flag semantics, not a filter above the join)") {
+    val a = intervals
+    val b = points
+    // 'a' (k=1, [10,20]) matches p1/p2/p1b; the residual bans tag 'a'
+    // entirely — under ON-clause semantics the interval must COME BACK
+    // null-extended; a filter above the join would delete it
+    val got = a.join(b,
+      a("k") === b("pk") &&
+        call_function("graft_between", b("p"), a("lo"), a("hi")) &&
+        (a("tag") =!= "a"), "left_outer")
+    assert(got.queryExecution.executedPlan.toString.contains("residual="))
+    val gotRows = sortedOuterRows(got)
+    val want = sortedOuterRows(a.join(b,
+      a("k") === b("pk") && b("p") >= a("lo") && b("p") <= a("hi") &&
+        (a("tag") =!= "a"), "left_outer"))
+    assert(gotRows == want)
+    assert(gotRows.contains("a|∅"), "interval 'a' must null-extend")
+    assert(!gotRows.exists(r => r.startsWith("a|") && r != "a|∅"))
+  }
+
+  test("RIGHT and FULL OUTER residuals: unmatched points (every spanning " +
+    "interval failed the residual) null-extend at their sweep position") {
+    val a = intervals
+    val b = points
+    for (jt <- Seq("right_outer", "full_outer")) {
+      val got = a.join(b,
+        a("k") === b("pk") &&
+          call_function("graft_between", b("p"), a("lo"), a("hi")) &&
+          a("tag") =!= b("ptag"), jt)
+      assert(got.queryExecution.executedPlan.toString.contains("residual="),
+        s"$jt must plan the residual sweep")
+      val want = a.join(b,
+        a("k") === b("pk") && b("p") >= a("lo") && b("p") <= a("hi") &&
+          a("tag") =!= b("ptag"), jt)
+      assert(sortedOuterRows(got) == sortedOuterRows(want))
+    }
+    // a residual nobody passes: RIGHT OUTER returns every point unmatched
+    val nobody = a.join(b,
+      a("k") === b("pk") &&
+        call_function("graft_between", b("p"), a("lo"), a("hi")) &&
+        lit(false), "right_outer")
+    assert(nobody.count() == points.count())
+    assert(nobody.filter(col("tag").isNotNull).count() == 0)
+  }
+
+  test("LEFT OUTER residual with bounds on the RIGHT child: the residual " +
+    "rides the child swap (binds by exprId) and still matches ground truth") {
+    val a = intervals
+    val b = points
+    val got = b.join(a,
+      b("pk") === a("k") &&
+        call_function("graft_between", b("p"), a("lo"), a("hi")) &&
+        b("ptag") =!= a("tag"), "right_outer") // preserved = interval side
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("RangeJoinExec") && plan.contains("residual="))
+    val want = b.join(a,
+      b("pk") === a("k") && b("p") >= a("lo") && b("p") <= a("hi") &&
+        b("ptag") =!= a("tag"), "right_outer")
+    def rows(df: DataFrame): Seq[String] =
+      df.select(coalesce(col("tag"), lit("∅")),
+        coalesce(col("ptag"), lit("∅"))).collect()
+        .map(r => s"${r.getString(0)}|${r.getString(1)}").toSeq.sorted
+    assert(rows(got) == rows(want) && rows(want).nonEmpty)
+  }
+
+  test("outer residual under churn equals the plain outer ground truth") {
+    val n = 3000
+    val ivs = (0 until n).map(i =>
+      (i % 7L, (i % 50).toLong, (i % 50 + i % 13).toLong, s"t$i"))
+      .toDF("k", "lo", "hi", "tag")
+    val pts = (0 until n).map(i => (i % 7L, (i % 60).toLong, s"q$i"))
+      .toDF("pk", "p", "ptag")
+    val got = ivs.join(pts,
+      ivs("k") === pts("pk") &&
+        call_function("graft_between", pts("p"), ivs("lo"), ivs("hi")) &&
+        (ivs("hi") + pts("p")) % 3 =!= 0, "full_outer")
+    assert(got.queryExecution.executedPlan.toString.contains("residual="))
+    val want = ivs.join(pts,
+      ivs("k") === pts("pk") && pts("p") >= ivs("lo") && pts("p") <= ivs("hi") &&
+        (ivs("hi") + pts("p")) % 3 =!= 0, "full_outer")
+    assert(sortedOuterRows(got) == sortedOuterRows(want))
   }
 
   test("LEFT OUTER with bounds on the RIGHT child plans the flipped sweep " +

@@ -91,6 +91,19 @@ class PlanAuditSpec extends SparkSpec {
     assert("RangeJoinExec".r.findAllIn(p).size == 1)
   }
 
+  test("j_range_native_outer_residual plans ONE residual-carrying LeftOuter " +
+    "sweep — never the nested-loop fallback this shape used to take") {
+    val p = plan("j_range_native_outer_residual")
+    assert(p.contains("RangeJoinExec(LeftOuter") && p.contains("residual="),
+      s"expected the residual LeftOuter sweep in:\n${p.take(1200)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert("RangeJoinExec".r.findAllIn(p).size == 1)
+    // no FilterExec between the aggregate and the sweep: the residual
+    // lives inside the join, not above it (above = wrong under OUTER)
+    assert(!p.matches("(?s).*Filter.*RangeJoinExec.*") ||
+      p.indexOf("RangeJoinExec") < p.indexOf("Filter") || !p.contains("Filter"))
+  }
+
   test("j_bucketed_colocated: the join runs off the bucketed layout, the " +
       "only hash exchange is the final aggregate's") {
     val p = plan("j_bucketed_colocated")

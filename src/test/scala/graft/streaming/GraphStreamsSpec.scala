@@ -48,5 +48,19 @@ class GraphStreamsSpec extends SparkSpec {
         spark, prior, b3.toDF("src", "dst"))
       .as[(Long, Long)].collect().toMap
     assert(replay === streamed)
+
+    // crash-mid-write epoch: a state_ directory WITHOUT the parquet
+    // _SUCCESS marker (what a killed writer leaves) must be invisible to
+    // readers — latestComponents serves the last COMPLETE epoch instead
+    // of failing on (or trusting) truncated data
+    val partial = new java.io.File(s"$state/state_9/labels")
+    partial.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(partial.toString, "part-00000.parquet"),
+      Array[Byte](1, 2, 3)) // garbage bytes, no _SUCCESS
+    val afterCrash = GraphStreams.latestComponents(spark, state)
+      .as[(Long, Long)].collect().toMap
+    assert(afterCrash === streamed,
+      "reader must skip the incomplete epoch and serve the last complete one")
   }
 }
