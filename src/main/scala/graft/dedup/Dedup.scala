@@ -590,6 +590,30 @@ object Dedup {
     * exact-match table. Returned as ((offset, width) per block, subsets)
     * — shared by the Spark kernel and the DuckDB oracle generator so the
     * two can never drift. */
+  /** Manku block count DERIVED from corpus cardinality — the companion of
+    * [[graft.sim.Similarity.planesFor]] for the complete-Hamming tables
+    * (round-8 verdict item 4's second half: the 10-block constant was a
+    * fixture parameter whose growth policy lived in prose). Each
+    * combination table keys on `blocks − maxHamming` blocks, i.e.
+    * `bits·(blocks − maxHamming)/blocks` key bits; for the per-table
+    * candidate volume to stay ~n²/2^keybits ≈ n, the key needs
+    * ≥ log2(n) bits, giving the smallest complete block count
+    * `blocks ≥ bits·maxHamming / (bits − log2(n))` (Manku/Jain/Sarma's
+    * table-sizing argument). Clamped to [maxHamming+1, maxBlocks]:
+    * the lower bound is the completeness precondition, the upper bounds
+    * table count (C(blocks, blocks−maxHamming) multiplies banded-row
+    * volume). Integer arithmetic throughout so a SQL float replica
+    * (`ceil(bits·k / (bits − ceil(log2(n))))`) agrees for every n —
+    * same exactness argument as planesFor. */
+  def blocksFor(n: Long, bits: Int = 64, maxHamming: Int = 8,
+      maxBlocks: Int = 12): Int = {
+    val d = if (n <= 1L) 1
+      else 64 - java.lang.Long.numberOfLeadingZeros(n - 1) // ceil(log2 n)
+    val dd = math.min(d, bits - 1)
+    val raw = (bits * maxHamming + (bits - dd) - 1) / (bits - dd)
+    math.max(maxHamming + 1, math.min(maxBlocks, raw))
+  }
+
   def mankuLayout(bits: Int, blocks: Int,
       maxHamming: Int): (Seq[(Int, Int)], Seq[Seq[Int]]) = {
     require(blocks > maxHamming,

@@ -496,4 +496,29 @@ class DedupSpec extends SparkSpec {
     assert(inc(11L) === inc(10L) && inc(13L) === inc(10L))
     assert(!inc.contains(30L), "loner stays out of the pair graph")
   }
+
+  test("blocksFor: corpus-derived Manku block count — clamps, monotone " +
+      "growth, and exact agreement with the SQL float replica") {
+    import math.{ceil, log}
+    // tiny corpora clamp to the completeness floor (maxHamming + 1)
+    assert(Dedup.blocksFor(1L) == 9 && Dedup.blocksFor(100L) == 9)
+    // the three fixture scales: the parameter is LIVE across SFs
+    assert(Dedup.blocksFor(500L) == 10)
+    assert(Dedup.blocksFor(5000L) == 11)
+    // monotone nondecreasing in n, capped at maxBlocks
+    val ns = Seq(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L,
+      1000000000L, 1000000000000L)
+    val bs = ns.map(Dedup.blocksFor(_))
+    assert(bs == bs.sorted && bs.last == 12)
+    // integer form == float ceil(512 / (64 - ceil(log2 n))) for a sweep,
+    // including exact powers of two (the SQL replica's risk points)
+    for (n <- (1L to 4096L) ++ Seq(1L << 13, 1L << 20, (1L << 20) + 1)) {
+      val d = if (n <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+      val fl = math.max(9, math.min(12,
+        ceil(512.0 / (64 - math.min(d, 63))).toInt))
+      assert(Dedup.blocksFor(n) == fl, s"n=$n")
+    }
+    // every derived count satisfies the completeness precondition
+    ns.foreach(n => Dedup.mankuLayout(64, Dedup.blocksFor(n), 8))
+  }
 }

@@ -793,4 +793,17 @@ class SimilaritySpec extends SparkSpec {
     }
     emb.unpersist()
   }
+
+  test("planesFor: corpus-derived LSH plane count — clamps at [4, 16], " +
+      "monotone, and the fixture corpora derive DIFFERENT values") {
+    assert(Similarity.planesFor(1L, targetBucket = 32) == 4)
+    assert(Similarity.planesFor(500L, targetBucket = 32) == 4)
+    assert(Similarity.planesFor(2000L, targetBucket = 32) == 6)
+    val ns = Seq(1L, 100L, 10000L, 1000000L, 100000000L, 1L << 40)
+    val ps = ns.map(Similarity.planesFor(_, targetBucket = 32))
+    assert(ps == ps.sorted && ps.last == 16)
+    // exact power-of-two boundaries: 2^p buckets of exactly targetBucket
+    assert(Similarity.planesFor(32L * 32L, targetBucket = 32) == 5)
+    assert(Similarity.planesFor(32L * 32L + 1, targetBucket = 32) == 6)
+  }
 }
