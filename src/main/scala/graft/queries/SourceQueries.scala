@@ -797,6 +797,45 @@ object SourceQueries {
       Seq("n_orders", "rev_c"))
   }
 
+  /** SPARK-NATIVE format read of the snapshot table
+    * ([[graft.sources.v2.SnapshotSource]]): the DML fixture's LIVE
+    * version read through `spark.read.format("graft-snapshot")` with a
+    * key-band filter — listing comes from the manifest FileIndex (no
+    * directory walk) and the pushed band predicate prunes files from the
+    * manifest stats AUTOMATICALLY (where the Scala API needs an explicit
+    * readRange call). Two in-job pins: the index must actually skip
+    * files for the band (pruned < total), and the format read must
+    * bit-equal the Scala-API read before filtering. The oracle restates
+    * delete + update + band over raw orders. */
+  val sSnapshotDsv2 = Q(
+    "s_snapshot_dsv2",
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey BETWEEN 500 AND 700
+      |       THEN o_totalprice + 50 ELSE o_totalprice END AS price,
+      |  CASE WHEN o_orderkey BETWEEN 500 AND 700
+      |       THEN 'X' ELSE o_orderstatus END AS status,
+      |  strftime(o_orderdate, '%Y-%m') AS month
+      |FROM orders
+      |WHERE NOT (o_orderkey BETWEEN 100 AND 300 AND o_orderkey % 3 = 0)
+      |  AND o_orderkey BETWEEN 400 AND 800""".stripMargin) { (s, d) =>
+    val (tableDir, _, _) = dmlSnapshotTable(s, d)
+    val idx = new graft.sources.v2.SnapshotFileIndex(
+      s, tableDir, SnapshotTable.currentVersion(tableDir))
+    val k = org.apache.spark.sql.catalyst.expressions
+      .AttributeReference("o_orderkey",
+        org.apache.spark.sql.types.LongType)()
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, LessThanOrEqual, Literal}
+    val kept = idx.prune(Seq(
+      GreaterThanOrEqual(k, Literal(400L)), LessThanOrEqual(k, Literal(800L))))
+    val skips = kept.size < idx.prune(Nil).size
+    val full = s.read.format("graft-snapshot").load(tableDir)
+    val matchesApi = full.count() == SnapshotTable.read(s, tableDir).count()
+    val out = full.filter(col("o_orderkey").between(400L, 800L))
+      .select(col("o_orderkey"), col("o_custkey"), col("price"),
+        col("status"), col("month"))
+    if (skips && matchesApi) out else out.limit(0)
+  }
+
   /** SQL FRONT DOOR for snapshot DML + time travel ([[SnapshotSql]] —
     * round-8 verdict item 3): the same final-state contract as the Scala
     * DML queries, but every mutation arrives as STATEMENT TEXT —
@@ -873,5 +912,6 @@ object SourceQueries {
     fCleanupPack, p10Conform, sOrcRoundtrip, sUpsertMerge, sUpsertSnapshot,
     sSnapshotChanges, sSnapshotViewIncr, sSnapshotSkip, sSnapshotSkipZ,
     sSnapshotEvolve, sSnapshotDelete, sSnapshotUpdate, sqlSnapshotDml,
+    sSnapshotDsv2,
     sCsvPermissive, sSchemaEvolve, sBinaryFiles, sAggMaintain)
 }

@@ -70,20 +70,31 @@ object SnapshotSql {
   // ------------------------------------------------------------- SELECT
 
   /** Rewrite every `snap('<dir>') [VERSION AS OF <v>]` reference to a
-    * temp view backed by [[SnapshotTable.read]]/[[SnapshotTable.readAt]],
-    * then delegate the WHOLE statement to Spark SQL — arbitrary SELECT
-    * shapes (joins, aggregates, CTEs, several snapshot refs at different
-    * versions) work because Spark's parser does the work. */
+    * temp view, then delegate the WHOLE statement to Spark SQL —
+    * arbitrary SELECT shapes (joins, aggregates, CTEs, several snapshot
+    * refs at different versions) work because Spark's parser does the
+    * work. References back onto the `graft-snapshot` format
+    * ([[graft.sources.v2.SnapshotSource]]) when the version carries a
+    * schema header, so a WHERE over a statted column skips files from
+    * the manifest automatically; pre-header tables fall back to the
+    * explicit-file-list Scala read (same rows, no stats skipping). */
   private def select(spark: SparkSession, s: String): DataFrame = {
     val versioned =
       """(?is)snap\s*\(\s*'([^']+)'\s*\)(\s+VERSION\s+AS\s+OF\s+(\d+))?""".r
     var i = 0
     val rewritten = versioned.replaceAllIn(s, m => {
       val dir = m.group(1)
-      val df = Option(m.group(3)) match {
-        case Some(v) => SnapshotTable.readAt(spark, dir, v.toLong)
-        case None => SnapshotTable.read(spark, dir)
-      }
+      val vOpt = Option(m.group(3)).map(_.toLong)
+      val v = vOpt.getOrElse(SnapshotTable.currentVersion(dir))
+      val df =
+        if (SnapshotTable.schemaAt(dir, v).isDefined) {
+          val r = spark.read.format("graft-snapshot")
+          vOpt.foreach(x => r.option("versionAsOf", x.toString))
+          r.load(dir)
+        } else vOpt match {
+          case Some(x) => SnapshotTable.readAt(spark, dir, x)
+          case None => SnapshotTable.read(spark, dir)
+        }
       i += 1
       val view = s"__snap_ref_$i"
       df.createOrReplaceTempView(view)

@@ -1,0 +1,199 @@
+package graft.sources.v2
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+
+import org.apache.spark.sql.{SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.SnapshotTable
+
+/** Spark-native READ integration for the snapshot table format —
+  * `spark.read.format("graft-snapshot").load(tableDir)` (options:
+  * `versionAsOf` for time travel) — the Delta/Iceberg integration shape:
+  * a [[HadoopFsRelation]] whose [[FileIndex]] is the MANIFEST, so
+  *
+  *  - file listing never touches the directory tree (one pointer resolve
+  *    + one manifest read, exactly [[SnapshotTable.read]]'s contract),
+  *  - Catalyst's pushed-down data filters reach
+  *    [[SnapshotFileIndex.listFiles]], where partition-column equality
+  *    prunes by manifest ENTRY and range predicates on recorded stat
+  *    columns prune by manifest MIN/MAX — automatic file skipping for a
+  *    plain `.filter(...)`/SQL WHERE, where the Scala API needed the
+  *    caller to invoke [[SnapshotTable.readRange]] by hand,
+  *  - everything below the listing is Spark's own parquet scan: column
+  *    pruning, row-group predicate pushdown, vectorized reading and
+  *    whole-stage codegen all apply unchanged.
+  *
+  * Pruning is sound by construction: a file is skipped only when a
+  * pushed conjunct is provably FALSE for every row the file can contain
+  * (its recorded [min, max] misses the predicate's range, or its
+  * manifest partition value misses an equality/IN set); files without
+  * stats for a referenced column are always read, and Spark re-applies
+  * the exact predicate on rows, so stats only ever SHRINK the file list.
+  *
+  * Writes stay on the transactional Scala API ([[SnapshotTable.upsert]]
+  * etc.) / the [[graft.sources.SnapshotSql]] DML front door — a
+  * format-level write path would bypass the manifest commit protocol.
+  * Reads require the manifest schema header (every table committed by
+  * this writer has one); pre-header tables read via the Scala API. */
+class SnapshotSource extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "graft-snapshot"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-snapshot: 'path' (the table directory) is required"))
+    val v = parameters.get("versionAsOf") match {
+      case Some(txt) =>
+        val ver = txt.toLong
+        require(SnapshotTable.manifestExists(dir, ver),
+          s"version $ver of $dir is unreadable — never committed, or " +
+            "vacuumed past the retention window (keepVersions)")
+        ver
+      case None => SnapshotTable.currentVersion(dir)
+    }
+    val schema = SnapshotTable.schemaAt(dir, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"table $dir (v$v) records no schema header — it predates the " +
+          "#schema manifest header; recommit it through the current " +
+          "writer, or read via the Scala API"))
+    HadoopFsRelation(
+      location = new SnapshotFileIndex(spark, dir, v),
+      partitionSchema = StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+  }
+}
+
+/** The manifest AS a Spark [[FileIndex]]: listing resolves version `v`'s
+  * entries once (never a directory walk), and [[listFiles]] prunes them
+  * against the pushed data filters — partition-value equality/IN on the
+  * table's recorded partition column, [lo, hi] overlap on any column the
+  * manifest carries min/max stats for. The data files store the
+  * partition column as an ordinary column, so `partitionSchema` is empty
+  * and every filter arrives as a data filter.
+  *
+  * File sizes come from one `getFileStatus` per live entry at index
+  * construction — the same O(files) metadata cost parquet's own
+  * InMemoryFileIndex pays to list; a production evolution would record
+  * sizes in the manifest line (Delta's approach) and make this zero-RPC.
+  * The index is an immutable snapshot of version `v`: `refresh` is a
+  * no-op by design (re-load the source to see later commits). */
+class SnapshotFileIndex(spark: SparkSession, tableDir: String,
+    version: Long) extends FileIndex {
+
+  private val entries = SnapshotTable.entriesAt(tableDir, version)
+  private val stats = SnapshotTable.statsAt(tableDir, version)
+  private val partCol = SnapshotTable.partColAt(tableDir, version)
+
+  private val dataRoot = {
+    val raw = new Path(tableDir)
+    val fs = raw.getFileSystem(spark.sessionState.newHadoopConf())
+    new Path(fs.makeQualified(raw), "data")
+  }
+
+  private val statusOf: Map[String, FileStatus] = {
+    val fs = dataRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    entries.map { case (_, rel) =>
+      rel -> fs.getFileStatus(new Path(dataRoot, rel))
+    }.toMap
+  }
+
+  override def rootPaths: Seq[Path] = Seq(dataRoot)
+
+  override def partitionSchema: StructType = StructType(Nil)
+
+  override def sizeInBytes: Long = statusOf.valuesIterator.map(_.getLen).sum
+
+  override def inputFiles: Array[String] =
+    entries.map { case (_, rel) => new Path(dataRoot, rel).toString }.toArray
+
+  override def refresh(): Unit = () // immutable snapshot of one version
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val keep = prune(dataFilters)
+    Seq(PartitionDirectory(InternalRow.empty,
+      keep.map { case (_, rel) => statusOf(rel) }.toArray))
+  }
+
+  /** Entries surviving the pushed filters — public so specs and the
+    * registered query pin the pruning decisions directly. */
+  def prune(dataFilters: Seq[Expression]): Seq[(String, String)] = {
+    // per-column [lo, hi] bounds and partition-value sets from the
+    // provable conjuncts; anything unrecognized keeps every file
+    var lo = Map.empty[String, Long].withDefaultValue(Long.MinValue)
+    var hi = Map.empty[String, Long].withDefaultValue(Long.MaxValue)
+    var parts: Option[Set[String]] = None
+    def longOf(e: Expression): Option[Long] = e match {
+      case Literal(x: Long, LongType) => Some(x)
+      case Literal(x: Int, IntegerType) => Some(x.toLong)
+      case _ => None
+    }
+    def strOf(e: Expression): Option[String] = e match {
+      case Literal(u: UTF8String, StringType) => Some(u.toString)
+      case _ => None
+    }
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def narrowPart(vs: Set[String]): Unit =
+      parts = Some(parts.map(_.intersect(vs)).getOrElse(vs))
+    def visit(e: Expression): Unit = e match {
+      case And(l, r) => visit(l); visit(r)
+      case EqualTo(c, v) if nameOf(c).isDefined && longOf(v).isDefined =>
+        val (n, x) = (nameOf(c).get, longOf(v).get)
+        lo += n -> math.max(lo(n), x); hi += n -> math.min(hi(n), x)
+      case EqualTo(v, c) if nameOf(c).isDefined && longOf(v).isDefined =>
+        val (n, x) = (nameOf(c).get, longOf(v).get)
+        lo += n -> math.max(lo(n), x); hi += n -> math.min(hi(n), x)
+      case GreaterThan(c, v) if nameOf(c).isDefined && longOf(v).isDefined =>
+        val n = nameOf(c).get; lo += n -> math.max(lo(n), longOf(v).get + 1)
+      case GreaterThanOrEqual(c, v) if nameOf(c).isDefined && longOf(v).isDefined =>
+        val n = nameOf(c).get; lo += n -> math.max(lo(n), longOf(v).get)
+      case LessThan(c, v) if nameOf(c).isDefined && longOf(v).isDefined =>
+        val n = nameOf(c).get; hi += n -> math.min(hi(n), longOf(v).get - 1)
+      case LessThanOrEqual(c, v) if nameOf(c).isDefined && longOf(v).isDefined =>
+        val n = nameOf(c).get; hi += n -> math.min(hi(n), longOf(v).get)
+      // flipped comparisons (literal on the left)
+      case GreaterThan(v, c) if nameOf(c).isDefined && longOf(v).isDefined =>
+        val n = nameOf(c).get; hi += n -> math.min(hi(n), longOf(v).get - 1)
+      case GreaterThanOrEqual(v, c) if nameOf(c).isDefined && longOf(v).isDefined =>
+        val n = nameOf(c).get; hi += n -> math.min(hi(n), longOf(v).get)
+      case LessThan(v, c) if nameOf(c).isDefined && longOf(v).isDefined =>
+        val n = nameOf(c).get; lo += n -> math.max(lo(n), longOf(v).get + 1)
+      case LessThanOrEqual(v, c) if nameOf(c).isDefined && longOf(v).isDefined =>
+        val n = nameOf(c).get; lo += n -> math.max(lo(n), longOf(v).get)
+      case EqualTo(c, v) if partCol.exists(nameOf(c).contains) &&
+          strOf(v).isDefined => narrowPart(Set(strOf(v).get))
+      case EqualTo(v, c) if partCol.exists(nameOf(c).contains) &&
+          strOf(v).isDefined => narrowPart(Set(strOf(v).get))
+      case In(c, vs) if partCol.exists(nameOf(c).contains) &&
+          vs.forall(strOf(_).isDefined) =>
+        narrowPart(vs.flatMap(strOf).toSet)
+      case _ => () // not provable at the file level: prune nothing
+    }
+    dataFilters.foreach(visit)
+    entries.filter { case (p, f) =>
+      parts.forall(_.contains(p)) && {
+        val st = stats.getOrElse(f, Map.empty)
+        (lo.keySet ++ hi.keySet).forall { c =>
+          st.get(c) match {
+            case Some((mn, mx)) => mx >= lo(c) && mn <= hi(c)
+            case None => true // no stats for this column: must read
+          }
+        }
+      }
+    }
+  }
+}
