@@ -100,15 +100,33 @@ object SnapshotTable {
     (fs, fs.makeQualified(raw))
   }
 
+  /** Read a metadata file whole. Retries transient
+    * [[org.apache.hadoop.fs.ChecksumException]]s: on CHECKSUMMED local
+    * filesystems the `.crc` sidecar is a second file, so a reader racing
+    * the pointer-swap rename can momentarily pair old data with the new
+    * checksum (or vice versa) — the data rename itself is atomic, the
+    * sidecar isn't. A bounded re-read lands on a consistent pair; HDFS
+    * has no sidecar (checksums are inline) so never retries. */
   private def readText(fs: FileSystem, p: Path): String = {
-    val in = fs.open(p)
-    try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](8192)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      new String(buf.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
+    var attempt = 0
+    while (true) {
+      try {
+        val in = fs.open(p)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          return new String(buf.toByteArray, StandardCharsets.UTF_8)
+        } finally in.close()
+      } catch {
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          attempt += 1
+          if (attempt >= 50) throw e
+          Thread.sleep(10)
+      }
+    }
+    "" // unreachable
   }
 
   private def writeText(fs: FileSystem, p: Path, body: String): Unit = {
@@ -974,21 +992,30 @@ object SnapshotTable {
     * contract rather than silently skipping changes ([[changesSinceOrRebase]]
     * is the recovering form). */
   def changesSince(spark: SparkSession, tableDir: String, fromVersion: Long,
-      keyCols: Seq[String]): DataFrame = {
-    val cur = currentVersion(tableDir)
-    require(fromVersion <= cur,
-      s"fromVersion $fromVersion is ahead of current v$cur")
+      keyCols: Seq[String]): DataFrame =
+    changesBetween(spark, tableDir, fromVersion, currentVersion(tableDir),
+      keyCols)
+
+  /** [[changesSince]] with an explicit UPPER bound — the micro-batch form
+    * a streaming source needs (each trigger's batch is the half-open
+    * version window `(fromVersion, toVersion]`, pinned at offer time so a
+    * commit landing mid-trigger waits for the next batch). Same manifest
+    * existence contract on `fromVersion`. */
+  def changesBetween(spark: SparkSession, tableDir: String,
+      fromVersion: Long, toVersion: Long, keyCols: Seq[String]): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion is ahead of toVersion $toVersion")
     require(fromVersion >= 1 && manifestExists(tableDir, fromVersion),
       s"version $fromVersion of $tableDir is unreadable — vacuumed past " +
         "the retention window; the consumer missed its grace period")
-    val steps = (fromVersion until cur).map { v =>
+    val steps = (fromVersion until toVersion).map { v =>
       diff(spark, tableDir, v, v + 1, keyCols)
         .withColumn("change_version", lit(v + 1))
     }
     steps.reduceOption(_ unionByName (_, allowMissingColumns = true))
       .getOrElse(
-        diff(spark, tableDir, cur, cur, keyCols)
-          .withColumn("change_version", lit(cur)).limit(0))
+        diff(spark, tableDir, toVersion, toVersion, keyCols)
+          .withColumn("change_version", lit(toVersion)).limit(0))
   }
 
   /** The RECOVERING change feed — what a consumer that slept past

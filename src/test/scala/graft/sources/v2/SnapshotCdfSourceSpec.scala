@@ -1,0 +1,165 @@
+package graft.sources.v2
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.SnapshotTable
+
+/** The snapshot change-feed streaming source: versions as offsets, each
+  * micro-batch = one changesBetween window, baseline-then-incremental
+  * semantics, exactly-once across a checkpointed restart, loud failure
+  * past vacuum's retention. */
+class SnapshotCdfSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def baseRows = Seq(
+    (1L, "a", 10.0, "2024-01", 0L, false),
+    (2L, "b", 20.0, "2024-01", 0L, false),
+    (3L, "c", 30.0, "2024-02", 0L, false)
+  ).toDF("k", "name", "price", "month", "version", "del")
+
+  private def upd(k: Long, name: String, price: Double, month: String,
+      v: Long, del: Boolean = false) =
+    Seq((k, name, price, month, v, del))
+      .toDF("k", "name", "price", "month", "version", "del")
+
+  private def startFeed(dir: String, ckpt: String, sinkName: String,
+      extra: Map[String, String] = Map.empty) = {
+    val r = spark.readStream.format("graft-snapshot-cdf")
+      .option("path", dir).option("keyCols", "k")
+    extra.foreach { case (k, v) => r.option(k, v) }
+    r.load().writeStream.format("memory").queryName(sinkName)
+      .option("checkpointLocation", ckpt).start()
+  }
+
+  private def sinkRows(name: String): Set[(Long, String, Long, Double)] =
+    spark.table(name).select("change_version", "change_type", "k", "price")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+  test("baseline + incremental: the first batch is the snapshot as " +
+      "inserts, later commits arrive as per-version change windows") {
+    val dir = Files.createTempDirectory("graft-cdf").toString
+    val ckpt = Files.createTempDirectory("graft-cdf-ck").toString
+    SnapshotTable.overwrite(spark, dir, baseRows, "month")          // v1
+    val q = startFeed(dir, ckpt, "cdf_sink1")
+    q.processAllAvailable()
+    assert(sinkRows("cdf_sink1") == Set(
+      (1L, "insert", 1L, 10.0), (1L, "insert", 2L, 20.0),
+      (1L, "insert", 3L, 30.0)))
+    // two commits between triggers: both versions arrive, each stamped
+    SnapshotTable.upsert(spark, dir, upd(1L, "a", 11.0, "2024-01", 1L),
+      "month", Seq("k"), "version", "del")                          // v2
+    SnapshotTable.upsert(spark, dir, upd(3L, "c", 30.0, "2024-02", 1L,
+      del = true), "month", Seq("k"), "version", "del")             // v3
+    q.processAllAvailable()
+    q.stop()
+    assert(sinkRows("cdf_sink1") == Set(
+      (1L, "insert", 1L, 10.0), (1L, "insert", 2L, 20.0),
+      (1L, "insert", 3L, 30.0),
+      (2L, "update", 1L, 11.0),
+      (3L, "delete", 3L, 30.0)))
+  }
+
+  /** Checkpoint-recovering runner (the memory sink refuses recovery, so
+    * the restart cases collect through foreachBatch). */
+  private def startCollecting(dir: String, ckpt: String,
+      into: java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long, Double)]) =
+    spark.readStream.format("graft-snapshot-cdf")
+      .option("path", dir).option("keyCols", "k").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.select("change_version", "change_type", "k", "price")
+            .collect().foreach(r => into.add(
+              (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))))
+      }
+      .start()
+
+  test("restart from the checkpoint resumes at the committed version — " +
+      "no replayed baseline, no duplicated window") {
+    val dir = Files.createTempDirectory("graft-cdf").toString
+    val ckpt = Files.createTempDirectory("graft-cdf-ck").toString
+    SnapshotTable.overwrite(spark, dir, baseRows, "month")          // v1
+    val got =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long, Double)]()
+    val q1 = startCollecting(dir, ckpt, got)
+    q1.processAllAvailable(); q1.stop()
+    assert(got.size == 3, "baseline must deliver the 3-row snapshot")
+    got.clear()
+    SnapshotTable.upsert(spark, dir, upd(2L, "b", 22.0, "2024-01", 1L),
+      "month", Seq("k"), "version", "del")                          // v2
+    // a FRESH query on the same checkpoint: only v2's window may arrive
+    val q2 = startCollecting(dir, ckpt, got)
+    q2.processAllAvailable(); q2.stop()
+    assert(got.toArray.toSet == Set((2L, "update", 2L, 22.0)),
+      "restart must deliver exactly the unseen version window")
+  }
+
+  test("startingVersion skips the baseline: the first batch is the " +
+      "changes after that version") {
+    val dir = Files.createTempDirectory("graft-cdf").toString
+    val ckpt = Files.createTempDirectory("graft-cdf-ck").toString
+    SnapshotTable.overwrite(spark, dir, baseRows, "month")          // v1
+    SnapshotTable.upsert(spark, dir, upd(1L, "a", 12.0, "2024-01", 1L),
+      "month", Seq("k"), "version", "del")                          // v2
+    val q = startFeed(dir, ckpt, "cdf_sink3",
+      Map("startingVersion" -> "1"))
+    q.processAllAvailable(); q.stop()
+    assert(sinkRows("cdf_sink3") == Set((2L, "update", 1L, 12.0)))
+  }
+
+  test("the streamed feed equals the batch changesSince over the same " +
+      "window (streamed ≡ batch, the house streaming contract)") {
+    val dir = Files.createTempDirectory("graft-cdf").toString
+    val ckpt = Files.createTempDirectory("graft-cdf-ck").toString
+    SnapshotTable.overwrite(spark, dir, baseRows, "month")          // v1
+    val q = startFeed(dir, ckpt, "cdf_sink4",
+      Map("startingVersion" -> "1"))
+    for (i <- 2 to 4) {
+      SnapshotTable.upsert(spark, dir,
+        upd(10L + i, s"x$i", i.toDouble, "2024-03", i.toLong),
+        "month", Seq("k"), "version", "del")
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = sinkRows("cdf_sink4")
+    val batch = SnapshotTable.changesSince(spark, dir, 1L, Seq("k"))
+      .select("change_version", "change_type", "k", "price")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch && streamed.size == 3)
+  }
+
+  test("guardrails: missing keyCols refuses; vacuum past the checkpoint " +
+      "fails the stream loudly (retention is the downtime budget)") {
+    val dir = Files.createTempDirectory("graft-cdf").toString
+    SnapshotTable.overwrite(spark, dir, baseRows, "month")
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-snapshot-cdf")
+        .option("path", dir).load()
+    }
+    // checkpointed at v1, then the table advances and vacuums past it
+    val ckpt = Files.createTempDirectory("graft-cdf-ck").toString
+    val got =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long, Double)]()
+    val q = startCollecting(dir, ckpt, got)
+    q.processAllAvailable(); q.stop()
+    SnapshotTable.compact(spark, dir, "month")                      // v2
+    SnapshotTable.compact(spark, dir, "month")                      // v3
+    SnapshotTable.vacuum(dir, keepVersions = 1)
+    val q2 = startCollecting(dir, ckpt, got)
+    val ex = intercept[Exception] { q2.processAllAvailable() }
+    // either retention message is the pinned loud failure: the replayed
+    // baseline hits readAt's contract, an incremental window hits
+    // changesBetween's grace-period contract
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(m => m.contains("grace period") ||
+        m.contains("vacuumed past the retention window")) ||
+        mentions(t.getCause))
+    assert(mentions(ex), s"expected the retention error, got: $ex")
+    q2.stop()
+  }
+}
