@@ -797,6 +797,52 @@ object SourceQueries {
       Seq("n_orders", "rev_c"))
   }
 
+  /** MAINTENANCE statements through the SQL front door — RESTORE (a
+    * forward commit equal to an old version), OPTIMIZE (selective
+    * small-file bin-packing, [[SnapshotTable.compactSmall]]) and
+    * DESCRIBE HISTORY (the recorded per-commit operation trail), all as
+    * text: a bad DELETE lands at v2, RESTORE TO VERSION AS OF 1 undoes
+    * it as v3 (zero data movement — the manifest re-points at v1's
+    * immutable batches), OPTIMIZE folds the clustered slices into
+    * per-partition files at v4, and the emitted result is the history
+    * itself — fully deterministic (version, operation, part_col), so the
+    * oracle is a VALUES literal. In-job pins: the restored table must
+    * count the full corpus, and OPTIMIZE must have shrunk the live file
+    * list while preserving every row. */
+  val sqlSnapshotMaintenance = Q(
+    "sql_snapshot_maintenance",
+    """SELECT * FROM (VALUES
+      |  (CAST(4 AS BIGINT), 'optimize', 'yr'),
+      |  (CAST(3 AS BIGINT), 'restore', 'yr'),
+      |  (CAST(2 AS BIGINT), 'delete', 'yr'),
+      |  (CAST(1 AS BIGINT), 'overwrite', 'yr'))
+      |t(version, operation, part_col)""".stripMargin) { (s, d) =>
+    val tableDir =
+      java.nio.file.Files.createTempDirectory("graft_snap_maint").toString
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_totalprice").as("price"),
+      date_format(col("o_orderdate"), "yyyy").as("yr"))
+    SnapshotTable.overwriteClustered(s, tableDir, base, partCol = "yr",
+      statsCols = Seq("o_orderkey"), rangeFiles = 8)                // v1
+    SnapshotSql.exec(s,
+      s"DELETE FROM snap('$tableDir') WHERE o_orderkey BETWEEN 0 AND 500")
+    SnapshotSql.exec(s,
+      s"RESTORE snap('$tableDir') TO VERSION AS OF 1")              // v3
+    val filesBefore = SnapshotTable.entries(tableDir).size
+    SnapshotSql.exec(s,
+      s"OPTIMIZE snap('$tableDir') MINBYTES ${1L << 20}")           // v4
+    val filesAfter = SnapshotTable.entries(tableDir).size
+    val restoredOk =
+      SnapshotTable.read(s, tableDir).count() == Tables.orders(s, d).count()
+    val out = SnapshotSql.exec(s,
+      s"DESCRIBE HISTORY snap('$tableDir')") match {
+      case SnapshotSql.Rows(df) =>
+        df.select(col("version"), col("operation"), col("part_col"))
+      case _ => sys.error("DESCRIBE HISTORY must return rows")
+    }
+    if (restoredOk && filesAfter < filesBefore) out else out.limit(0)
+  }
+
   /** SPARK-NATIVE format read of the snapshot table
     * ([[graft.sources.v2.SnapshotSource]]): the DML fixture's LIVE
     * version read through `spark.read.format("graft-snapshot")` with a
@@ -980,6 +1026,6 @@ object SourceQueries {
     fCleanupPack, p10Conform, sOrcRoundtrip, sUpsertMerge, sUpsertSnapshot,
     sSnapshotChanges, sSnapshotViewIncr, sSnapshotSkip, sSnapshotSkipZ,
     sSnapshotEvolve, sSnapshotDelete, sSnapshotUpdate, sqlSnapshotDml,
-    sSnapshotDsv2, sSnapshotCdfStream,
+    sSnapshotDsv2, sSnapshotCdfStream, sqlSnapshotMaintenance,
     sCsvPermissive, sSchemaEvolve, sBinaryFiles, sAggMaintain)
 }

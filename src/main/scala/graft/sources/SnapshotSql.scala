@@ -53,6 +53,10 @@ object SnapshotSql {
     *   UPDATE snap('<dir>') SET c1 = <expr>[, c2 = <expr>…] WHERE <pred>
     *   MERGE INTO snap('<dir>') USING (<select…>)
     *     KEY (k1[, k2…]) VERSION <col> TOMBSTONE <col>
+    *   RESTORE snap('<dir>') TO VERSION AS OF <v>
+    *   OPTIMIZE snap('<dir>') [MINBYTES <n>]
+    *   VACUUM snap('<dir>') [KEEP <n>]
+    *   DESCRIBE HISTORY snap('<dir>')
     * }}} */
   def exec(spark: SparkSession, statement: String): Result = {
     val s = statement.trim.stripSuffix(";").trim
@@ -62,9 +66,57 @@ object SnapshotSql {
       case "DELETE" => Committed(delete(spark, s))
       case "UPDATE" => Committed(update(spark, s))
       case "MERGE" => Committed(merge(spark, s))
+      case "RESTORE" => Committed(restore(spark, s))
+      case "OPTIMIZE" => Committed(optimize(spark, s))
+      case "VACUUM" => Committed(vacuumStmt(s))
+      case "DESCRIBE" => Rows(describe(spark, s))
       case other => throw new IllegalArgumentException(
         s"unsupported snapshot statement verb: $other")
     }
+  }
+
+  // ------------------------------------------------------- maintenance
+
+  /** `RESTORE snap('<dir>') TO VERSION AS OF <v>` →
+    * [[SnapshotTable.restore]] (a forward commit equal to version v). */
+  private def restore(spark: SparkSession, s: String): Long = {
+    val dir = tableRef(s, "RESTORE")
+    val vRe = """(?is)\bTO\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+    val v = vRe.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(
+      throw new IllegalArgumentException(
+        "RESTORE requires TO VERSION AS OF <v>"))
+    SnapshotTable.restore(spark, dir, v)
+  }
+
+  /** `OPTIMIZE snap('<dir>') [MINBYTES <n>]` →
+    * [[SnapshotTable.compactSmall]] (default threshold 64 MiB — files
+    * already larger are never rewritten). */
+  private def optimize(spark: SparkSession, s: String): Long = {
+    val dir = tableRef(s, "OPTIMIZE")
+    val mRe = """(?is)\bMINBYTES\s+(\d+)""".r
+    val minBytes = mRe.findFirstMatchIn(s).map(_.group(1).toLong)
+      .getOrElse(64L << 20)
+    SnapshotTable.compactSmall(spark, dir,
+      recordedPartCol(dir), minBytes)
+  }
+
+  /** `VACUUM snap('<dir>') [KEEP <n>]` → [[SnapshotTable.vacuum]];
+    * returns the still-current version (vacuum never commits one). */
+  private def vacuumStmt(s: String): Long = {
+    val dir = tableRef(s, "VACUUM")
+    val kRe = """(?is)\bKEEP\s+(\d+)""".r
+    val keep = kRe.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(2)
+    SnapshotTable.vacuum(dir, keep)
+    SnapshotTable.currentVersion(dir)
+  }
+
+  /** `DESCRIBE HISTORY snap('<dir>')` → [[SnapshotTable.history]]
+    * (version, operation, live_files, part_col; newest first,
+    * vacuumed versions absent). */
+  private def describe(spark: SparkSession, s: String): DataFrame = {
+    require("""(?is)^DESCRIBE\s+HISTORY\b""".r.findFirstIn(s).isDefined,
+      "only DESCRIBE HISTORY is supported")
+    SnapshotTable.history(spark, tableRef(s, "DESCRIBE HISTORY"))
   }
 
   // ------------------------------------------------------------- SELECT

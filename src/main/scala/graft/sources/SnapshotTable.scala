@@ -204,6 +204,41 @@ object SnapshotTable {
         .map(_.stripPrefix("#partcol\t").trim)
     }
 
+  /** Operation recorded in version `v`'s manifest header (`#op\t<name>`
+    * — overwrite/upsert/delete/update/compact/optimize/restore/commit):
+    * the audit column [[history]] surfaces, Delta's DESCRIBE HISTORY
+    * `operation` field. Manifests from before this header return None. */
+  def opAt(tableDir: String, v: Long): Option[String] =
+    manifestText(tableDir, v).flatMap {
+      _.split("\n").iterator.map(_.trim)
+        .find(_.startsWith("#op\t"))
+        .map(_.stripPrefix("#op\t").trim)
+    }
+
+  /** Commit history of the still-retained versions, newest first:
+    * (version, operation, liveFiles, partitionColumn) — the DESCRIBE
+    * HISTORY surface. Vacuumed versions are absent (their manifests are
+    * gone); pre-`#op` manifests report operation "unknown". */
+  def history(spark: SparkSession, tableDir: String): DataFrame = {
+    val cur = currentVersion(tableDir)
+    val rows = (1L to cur).reverse.flatMap { v =>
+      if (!manifestExists(tableDir, v)) None
+      else Some(org.apache.spark.sql.Row(
+        v, opAt(tableDir, v).getOrElse("unknown"),
+        entriesAt(tableDir, v).size.toLong,
+        partColAt(tableDir, v).orNull))
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("operation", StringType, nullable = false),
+        StructField("live_files", LongType, nullable = false),
+        StructField("part_col", StringType))))
+  }
+
   /** Per-file column min/max stats of snapshot `v`:
     * relativePath → (col → (min, max)). Only files whose manifest line
     * carries a stats field appear; LONG-typed stat columns only (ids,
@@ -392,11 +427,13 @@ object SnapshotTable {
   def prepareManifest(tableDir: String, newEntries: Seq[(String, String)],
       stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
       schema: Option[StructType] = None,
-      partCol: Option[String] = None): Long = {
+      partCol: Option[String] = None,
+      op: Option[String] = None): Long = {
     val (fs, root) = fsRoot(tableDir)
     val v = currentVersion(tableDir) + 1
     val header = schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
-      partCol.map(c => s"#partcol\t$c\n").getOrElse("")
+      partCol.map(c => s"#partcol\t$c\n").getOrElse("") +
+      op.map(o => s"#op\t$o\n").getOrElse("")
     val body = header + newEntries.map { case (p, f) =>
       val st = stats.get(f).filter(_.nonEmpty)
         .map(m => "\t" + m.toSeq.sortBy(_._1)
@@ -477,7 +514,8 @@ object SnapshotTable {
       newEntries: Seq[(String, String)],
       stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
       schema: Option[StructType] = None,
-      partCol: Option[String] = None): Long =
+      partCol: Option[String] = None,
+      op: String = "commit"): Long =
     withCommitLock(tableDir) {
       val cur = currentVersion(tableDir)
       if (cur != basedOnVersion)
@@ -485,7 +523,8 @@ object SnapshotTable {
           s"snapshot advanced to v$cur while this writer merged against " +
             s"v$basedOnVersion — re-read and retry the merge")
       val keepPartCol = partCol.orElse(partColAt(tableDir, cur))
-      val v = prepareManifest(tableDir, newEntries, stats, schema, keepPartCol)
+      val v = prepareManifest(tableDir, newEntries, stats, schema,
+        keepPartCol, Some(op))
       swapPointer(tableDir, v)
       v
     }
@@ -493,13 +532,13 @@ object SnapshotTable {
   /** Full-table overwrite commit: stage every row, commit a manifest
     * listing only the new batch. Returns the committed version. */
   def overwrite(spark: SparkSession, tableDir: String, df: DataFrame,
-      partCol: String): Long = {
+      partCol: String, op: String = "overwrite"): Long = {
     val (fs, root) = fsRoot(tableDir)
     fs.mkdirs(root)
     val basedOn = currentVersion(tableDir)
     val staged = stageBatch(df, tableDir, partCol, newBatchTag(basedOn + 1))
     casCommit(tableDir, basedOn, staged, schema = Some(df.schema),
-      partCol = Some(partCol))
+      partCol = Some(partCol), op = op)
   }
 
   /** Full-table overwrite through the range-clustered, stats-carrying
@@ -508,14 +547,14 @@ object SnapshotTable {
     * files by predicate without opening them. */
   def overwriteClustered(spark: SparkSession, tableDir: String,
       df: DataFrame, partCol: String, statsCols: Seq[String],
-      rangeFiles: Int): Long = {
+      rangeFiles: Int, op: String = "overwrite"): Long = {
     val (fs, root) = fsRoot(tableDir)
     fs.mkdirs(root)
     val basedOn = currentVersion(tableDir)
     val (staged, stats) = stageBatchClustered(
       df, tableDir, partCol, newBatchTag(basedOn + 1), statsCols, rangeFiles)
     casCommit(tableDir, basedOn, staged, stats, Some(df.schema),
-      Some(partCol))
+      Some(partCol), op)
   }
 
   /** [[overwriteClustered]] through the Z-ORDERED staging path
@@ -579,7 +618,7 @@ object SnapshotTable {
     // CAS against the version this merge actually read: a concurrent
     // commit in the meantime throws instead of losing that writer's rows
     casCommit(tableDir, basedOn, untouched ++ staged, carriedStats,
-      Some(merged.schema), Some(partCol))
+      Some(merged.schema), Some(partCol), op = "upsert")
   }
 
   /** [[upsert]] with the optimistic-concurrency retry loop built in —
@@ -630,7 +669,8 @@ object SnapshotTable {
     * can match (a provably-empty candidate set commits no spurious
     * version). */
   private def rewriteWhere(spark: SparkSession, tableDir: String,
-      partCol: String, pruneRange: Option[(String, Long, Long)])(
+      partCol: String, pruneRange: Option[(String, Long, Long)],
+      op: String)(
       transform: DataFrame => DataFrame): Long = {
     val basedOn = currentVersion(tableDir)
     val all = entriesAt(tableDir, basedOn)
@@ -674,7 +714,7 @@ object SnapshotTable {
     val carriedFiles = carried.map(_._2).toSet
     val carriedStats = st.filter { case (f, _) => carriedFiles(f) }
     casCommit(tableDir, basedOn, carried ++ staged, carriedStats ++ newStats,
-      sch.orElse(Some(rewritten.schema)), Some(partCol))
+      sch.orElse(Some(rewritten.schema)), Some(partCol), op = op)
   }
 
   /** Predicate DELETE: remove every row where `predicate` is TRUE (NULL
@@ -689,7 +729,7 @@ object SnapshotTable {
   def deleteWhere(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column, partCol: String,
       pruneRange: Option[(String, Long, Long)] = None): Long =
-    rewriteWhere(spark, tableDir, partCol, pruneRange)(
+    rewriteWhere(spark, tableDir, partCol, pruneRange, op = "delete")(
       _.filter(!coalesce(predicate, lit(false))))
 
   /** Predicate UPDATE: rows where `predicate` is TRUE get each column in
@@ -714,7 +754,7 @@ object SnapshotTable {
         "UPDATE assignment names a column the table does not have: " +
           missing.mkString(", "))
     }
-    rewriteWhere(spark, tableDir, partCol, pruneRange) { df =>
+    rewriteWhere(spark, tableDir, partCol, pruneRange, op = "update") { df =>
       val hit = coalesce(predicate, lit(false))
       // all assignments read the OLD row: build the projection in one
       // select so no assignment sees another's output
@@ -736,7 +776,8 @@ object SnapshotTable {
     * time travel; physical deletion of unreferenced batches is
     * [[vacuum]]'s retention decision. */
   def compact(spark: SparkSession, tableDir: String, partCol: String): Long =
-    overwrite(spark, tableDir, read(spark, tableDir), partCol)
+    overwrite(spark, tableDir, read(spark, tableDir), partCol,
+      op = "compact")
 
   /** [[compact]] through the range-clustered, stats-carrying staging path:
     * plain compact folds files but LOSES the manifest column stats (its
@@ -748,7 +789,75 @@ object SnapshotTable {
   def compactClustered(spark: SparkSession, tableDir: String,
       partCol: String, statsCols: Seq[String], rangeFiles: Int): Long =
     overwriteClustered(spark, tableDir, read(spark, tableDir), partCol,
-      statsCols, rangeFiles)
+      statsCols, rangeFiles, op = "compact")
+
+  /** SELECTIVE small-file compaction — the Delta/Iceberg OPTIMIZE
+    * bin-packing shape that [[compact]]'s whole-table fold cannot give at
+    * scale (rewriting a 100 TB table to fold a few stragglers is the
+    * wrong cost model): only partitions holding ≥ 2 live files SMALLER
+    * than `minBytes` rewrite, folding just those small files into one
+    * fresh file per partition; every already-well-sized file carries
+    * forward BY MANIFEST ENTRY with its stats, bytes untouched. When the
+    * based-on version records column stats, the folded files restage
+    * range-clustered with fresh min/max (the [[rewriteWhere]] lesson:
+    * maintenance must never degrade data skipping). File sizes come from
+    * the filesystem (one `getFileStatus` per live file — O(files)
+    * metadata, zero data reads for the decision). Returns the committed
+    * version, or the current version unchanged when nothing qualifies. */
+  def compactSmall(spark: SparkSession, tableDir: String, partCol: String,
+      minBytes: Long): Long = {
+    val basedOn = currentVersion(tableDir)
+    val all = entriesAt(tableDir, basedOn)
+    if (all.isEmpty) return basedOn
+    val (fs, root) = fsRoot(tableDir)
+    val dataRoot = new Path(root, "data")
+    val sizes = all.map { case (_, f) =>
+      f -> fs.getFileStatus(new Path(dataRoot, f)).getLen
+    }.toMap
+    val smallByPart = all.groupBy(_._1).map { case (p, es) =>
+      p -> es.filter { case (_, f) => sizes(f) < minBytes }
+    }.filter(_._2.size >= 2) // folding one file buys nothing
+    if (smallByPart.isEmpty) return basedOn
+    val foldFiles = smallByPart.valuesIterator.flatten.map(_._2).toSet
+    val (folded, carried) = all.partition { case (_, f) => foldFiles(f) }
+    val sch = schemaAt(tableDir, basedOn)
+    val rewritten = readFiles(spark, tableDir, folded.map(_._2), sch)
+    val st = statsAt(tableDir, basedOn)
+    val statCols = st.valuesIterator.flatMap(_.keysIterator).toSet
+      .toSeq.sorted.filter(c => sch.forall(_.fieldNames.contains(c)))
+    val tag = newBatchTag(basedOn + 1)
+    val (staged, newStats) =
+      if (statCols.nonEmpty)
+        stageBatchClustered(rewritten, tableDir, partCol, tag, statCols,
+          rangeFiles = math.max(1, smallByPart.size))
+      else (stageBatch(rewritten, tableDir, partCol, tag, 1L << 40),
+        Map.empty[String, Map[String, (Long, Long)]])
+    val carriedFiles = carried.map(_._2).toSet
+    val carriedStats = st.filter { case (f, _) => carriedFiles(f) }
+    casCommit(tableDir, basedOn, carried ++ staged,
+      carriedStats ++ newStats, sch, partColAt(tableDir, basedOn),
+      op = "optimize")
+  }
+
+  /** RESTORE the table to a previously committed version — a NEW commit
+    * whose entries/stats/schema are version `v`'s (Delta RESTORE): the
+    * bad commits stay in history (auditable, still time-travelable until
+    * vacuum), the live pointer moves FORWARD to a snapshot that equals
+    * the old one, and downstream change feeds see the restoration as
+    * ordinary diff rows rather than a version rollback they'd have to
+    * special-case. Zero data movement — batches are immutable, so
+    * restoring is a manifest copy. Requires `v`'s manifest to still
+    * exist (same retention contract as [[readAt]]). */
+  def restore(spark: SparkSession, tableDir: String, v: Long): Long = {
+    val basedOn = currentVersion(tableDir)
+    require(manifestExists(tableDir, v),
+      s"version $v of $tableDir is unreadable — never committed, or " +
+        "vacuumed past the retention window (keepVersions)")
+    casCommit(tableDir, basedOn, entriesAt(tableDir, v),
+      statsAt(tableDir, v), schemaAt(tableDir, v),
+      partColAt(tableDir, v).orElse(partColAt(tableDir, basedOn)),
+      op = "restore")
+  }
 
   /** Retention: physically delete every data file not referenced by the
     * last `keepVersions` manifests (current included), then drop the

@@ -136,6 +136,37 @@ class SnapshotSqlSpec extends SparkSpec {
       .collect().toSet == (10L to 20L).toSet)
   }
 
+  test("maintenance verbs: RESTORE TO VERSION AS OF, OPTIMIZE MINBYTES, " +
+      "VACUUM KEEP and DESCRIBE HISTORY route onto the table API") {
+    val dir = fixture()
+    SnapshotSql.exec(spark, s"DELETE FROM snap('$dir') WHERE k <= 50")
+    assert(SnapshotTable.read(spark, dir).count() == 50)
+    val r = SnapshotSql.exec(spark,
+      s"RESTORE snap('$dir') TO VERSION AS OF 1")
+    assert(r == SnapshotSql.Committed(3L))
+    assert(SnapshotTable.read(spark, dir).count() == 100)
+    SnapshotSql.exec(spark, s"OPTIMIZE snap('$dir') MINBYTES ${1L << 20}")
+    assert(SnapshotTable.read(spark, dir).count() == 100)
+    val hist = SnapshotSql.exec(spark,
+      s"DESCRIBE HISTORY snap('$dir')") match {
+      case SnapshotSql.Rows(df) =>
+        df.select("version", "operation").collect()
+          .map(r0 => (r0.getLong(0), r0.getString(1))).toSeq
+      case other => fail(s"expected rows, got $other")
+    }
+    assert(hist == Seq((4L, "optimize"), (3L, "restore"), (2L, "delete"),
+      (1L, "overwrite")))
+    SnapshotSql.exec(spark, s"VACUUM snap('$dir') KEEP 1")
+    val hist2 = SnapshotSql.exec(spark,
+      s"DESCRIBE HISTORY snap('$dir')") match {
+      case SnapshotSql.Rows(df) => df.select("version")
+        .collect().map(_.getLong(0)).toSeq
+      case other => fail(s"expected rows, got $other")
+    }
+    assert(hist2 == Seq(4L))
+    assert(SnapshotTable.read(spark, dir).count() == 100)
+  }
+
   test("guardrails: DELETE without WHERE refuses; unknown verb refuses; " +
       "a pre-#partcol table demands the Scala API") {
     val dir = fixture()

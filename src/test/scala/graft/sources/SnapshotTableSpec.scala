@@ -792,6 +792,91 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.currentVersion(dir) == 1L, "no version committed")
   }
 
+  test("restore commits a FORWARD version equal to the old snapshot: " +
+      "bad commits stay in history, zero data movement, diff sees the " +
+      "restoration as ordinary change rows") {
+    val dir = Files.createTempDirectory("graft-snap-restore").toString
+    SnapshotTable.overwrite(spark, dir, baseRows, "month")          // v1
+    SnapshotTable.deleteWhere(spark, dir, col("k") <= 2, "month")   // v2 (bad)
+    assert(SnapshotTable.read(spark, dir).count() == 3)
+    val v3 = SnapshotTable.restore(spark, dir, 1L)
+    assert(v3 == 3L && SnapshotTable.currentVersion(dir) == 3L)
+    assert(contents(SnapshotTable.read(spark, dir)) == contents(baseRows))
+    // zero data movement: v3's entries ARE v1's
+    assert(SnapshotTable.entriesAt(dir, 3L).toSet ==
+      SnapshotTable.entriesAt(dir, 1L).toSet)
+    // the bad version remains auditable
+    assert(SnapshotTable.readAt(spark, dir, 2L).count() == 3)
+    // downstream feeds see re-inserts, not a rollback special case
+    val d = SnapshotTable.diff(spark, dir, 2L, 3L, Seq("k"))
+    assert(d.filter(col("change_type") === "insert").select("k")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    assert(SnapshotTable.opAt(dir, 3L) == Some("restore"))
+    // vacuum after restore keeps the restored files (they're referenced
+    // by the live manifest) even once v1 falls out of retention
+    SnapshotTable.vacuum(dir, keepVersions = 1)
+    assert(contents(SnapshotTable.read(spark, dir)) == contents(baseRows))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.restore(spark, dir, 1L) // vacuumed away
+    }
+  }
+
+  test("compactSmall folds ONLY partitions with several sub-threshold " +
+      "files, carries well-sized files by entry, and restores stats on " +
+      "the folded output") {
+    val dir = Files.createTempDirectory("graft-snap-opt").toString
+    val rows = (0L until 400L).map(k =>
+      (k, s"n$k", k.toDouble, "p" + (k % 2), 0L, false))
+      .toDF("k", "name", "price", "part", "version", "del")
+    SnapshotTable.overwriteClustered(spark, dir, rows, "part",
+      statsCols = Seq("k"), rangeFiles = 4)
+    // five trickle upserts: p0 accumulates small files
+    for (i <- 1 to 5) {
+      SnapshotTable.upsert(spark, dir,
+        Seq((1000L + i, s"t$i", i.toDouble, "p0", i.toLong, false))
+          .toDF("k", "name", "price", "part", "version", "del"),
+        "part", Seq("k"), "version", "del")
+    }
+    val before = SnapshotTable.entries(dir)
+    val beforeContent = SnapshotTable.read(spark, dir)
+      .select("k", "name").as[(Long, String)].collect().toSet
+    val v = SnapshotTable.compactSmall(spark, dir, "part",
+      minBytes = 1L << 20) // everything at this scale is "small"
+    assert(v > 0 && SnapshotTable.opAt(dir, v) == Some("optimize"))
+    val after = SnapshotTable.entriesAt(dir, v)
+    assert(after.size < before.size,
+      s"optimize must shrink the file count (${before.size} -> ${after.size})")
+    val afterContent = SnapshotTable.read(spark, dir)
+      .select("k", "name").as[(Long, String)].collect().toSet
+    assert(afterContent == beforeContent)
+    // folded files carry fresh stats (k was a recorded stat column)
+    val st = SnapshotTable.statsAt(dir, v)
+    val newFiles = after.map(_._2).filterNot(before.map(_._2).toSet)
+    assert(newFiles.nonEmpty && newFiles.forall(f =>
+      st.get(f).exists(_.contains("k"))))
+    // a table whose files all exceed the threshold is untouched
+    val v2 = SnapshotTable.compactSmall(spark, dir, "part", minBytes = 1L)
+    assert(v2 == v, "no sub-threshold pair: no spurious commit")
+  }
+
+  test("history surfaces the retained commit trail newest-first with " +
+      "recorded operations; vacuumed versions drop out") {
+    val dir = Files.createTempDirectory("graft-snap-hist").toString
+    SnapshotTable.overwrite(spark, dir, baseRows, "month")          // v1
+    SnapshotTable.upsert(spark, dir, updateRows, "month", Seq("k"),
+      "version", "del")                                             // v2
+    SnapshotTable.deleteWhere(spark, dir, col("k") === 9L, "month") // v3
+    SnapshotTable.compact(spark, dir, "month")                      // v4
+    val h = SnapshotTable.history(spark, dir)
+      .select("version", "operation").as[(Long, String)].collect().toSeq
+    assert(h == Seq((4L, "compact"), (3L, "delete"), (2L, "upsert"),
+      (1L, "overwrite")))
+    SnapshotTable.vacuum(dir, keepVersions = 2)
+    val h2 = SnapshotTable.history(spark, dir)
+      .select("version").as[Long].collect().toSeq
+    assert(h2 == Seq(4L, 3L))
+  }
+
   test("manifests record the partition column as table metadata " +
       "(#partcol header) and carry it across commits") {
     val dir = Files.createTempDirectory("graft-snap-pc").toString
