@@ -162,7 +162,9 @@ object SimQueries {
     * (mod 10) play an incoming batch searched against the settled
     * corpus's PERSISTED assignment table — corpus membership never
     * recomputes, the batch pays one broadcast product against the
-    * centroid dimension (derived from the table itself) and probes its
+    * centroid dimension (the same id % 40 rule the index was built
+    * with — centroid VECTORS read off the table, the SET comes from the
+    * rule so a zero-assignment centroid can't drop out) and probes its
     * two nearest cells. Centroids (ids ≡ 0 mod 40) are corpus members by
     * construction since 40 ≡ 0 (mod 10) ≠ 3. Assignment, cap, probes and
     * rerank floats all replicate on the oracle. */

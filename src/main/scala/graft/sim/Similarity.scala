@@ -337,6 +337,10 @@ object Similarity {
   def ivfTopKIncremental(corpusAssignments: DataFrame, batch: DataFrame,
       idCol: String, vecCol: String, k: Int, cellCap: Int = 512,
       nprobe: Int = 1, centroidStep: Long = 40): DataFrame = {
+    // centroidStep MUST equal the value the assignment table was built
+    // with ([[ivfAssignments]]) — a mismatched step filters a wrong
+    // centroid set and silently skews every probe ranking
+
     require(nprobe >= 1, "nprobe must be >= 1")
     graft.functions.DotProduct.register(batch.sparkSession)
     graft.functions.L2Squared.register(batch.sparkSession)

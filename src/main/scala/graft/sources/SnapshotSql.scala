@@ -134,6 +134,7 @@ object SnapshotSql {
     val versioned =
       """(?is)snap\s*\(\s*'([^']+)'\s*\)(\s+VERSION\s+AS\s+OF\s+(\d+))?""".r
     var i = 0
+    val views = scala.collection.mutable.Buffer.empty[String]
     val rewritten = versioned.replaceAllIn(s, m => {
       val dir = m.group(1)
       val vOpt = Option(m.group(3)).map(_.toLong)
@@ -148,11 +149,19 @@ object SnapshotSql {
           case None => SnapshotTable.read(spark, dir)
         }
       i += 1
-      val view = s"__snap_ref_$i"
+      // unique per statement: two concurrent front-door SELECTs must not
+      // clobber each other's view registrations
+      val view =
+        s"__snap_ref_${i}_${java.util.UUID.randomUUID().toString.take(8)}"
       df.createOrReplaceTempView(view)
+      views += view
       java.util.regex.Matcher.quoteReplacement(view)
     })
-    spark.sql(rewritten)
+    // spark.sql analyzes eagerly, so the returned frame no longer needs
+    // the views — drop them or a long-lived session leaks one catalog
+    // entry (pinning a FileIndex's status map) per statement
+    try spark.sql(rewritten)
+    finally views.foreach(spark.catalog.dropTempView(_))
   }
 
   // ---------------------------------------------------------------- DML
@@ -229,6 +238,13 @@ object SnapshotSql {
       : Option[(String, Long, Long)] = {
     val band =
       """(?is)^\s*(\w+)\s+BETWEEN\s+(\d+)\s+AND\s+(\d+)\s*(?:AND\s.*)?$""".r
+    // a TOP-LEVEL OR anywhere makes the clause a disjunction under SQL
+    // precedence (AND binds tighter), so matched rows can escape the
+    // leading band — `k BETWEEN 1 AND 5 AND a = 1 OR b = 2` parses as
+    // `(band AND a=1) OR b=2`; pruning on the band would silently skip
+    // b=2 rows in carried-forward files. Parenthesized ORs inside a
+    // conjunct are fine (still a conjunction) and survive the check.
+    if (topLevelIndexOf(where, "OR") >= 0) return None
     where match {
       case band(c, lo, hi) =>
         val st = SnapshotTable.statsAt(dir, SnapshotTable.currentVersion(dir))

@@ -221,12 +221,18 @@ object SnapshotTable {
     * gone); pre-`#op` manifests report operation "unknown". */
   def history(spark: SparkSession, tableDir: String): DataFrame = {
     val cur = currentVersion(tableDir)
+    // ONE manifest read per version (op/partcol/entry-count parsed from
+    // the same text): DESCRIBE HISTORY on a remote filesystem must not
+    // pay four metadata round trips per retained version
     val rows = (1L to cur).reverse.flatMap { v =>
-      if (!manifestExists(tableDir, v)) None
-      else Some(org.apache.spark.sql.Row(
-        v, opAt(tableDir, v).getOrElse("unknown"),
-        entriesAt(tableDir, v).size.toLong,
-        partColAt(tableDir, v).orNull))
+      manifestText(tableDir, v).map { txt =>
+        val lines = txt.split("\n").iterator.map(_.trim).toSeq
+        def header(tag: String): Option[String] =
+          lines.find(_.startsWith(s"#$tag\t")).map(_.split('\t')(1).trim)
+        val files = lines.count(l => l.nonEmpty && !l.startsWith("#"))
+        org.apache.spark.sql.Row(v, header("op").getOrElse("unknown"),
+          files.toLong, header("partcol").orNull)
+      }
     }
     import org.apache.spark.sql.types._
     spark.createDataFrame(
@@ -316,6 +322,9 @@ object SnapshotTable {
     try {
       val slicesOf = input
         .groupBy(col(partCol).cast("string").as("__pk")).count().collect()
+        .filter(!_.isNullAt(0)) // NULL can't be a map-literal key; null-
+                                // part rows stage one file (the coalesce
+                                // default below), hive-default dir as ever
         .map(r => r.getString(0) ->
           math.max(1L, (r.getLong(1) + targetRowsPerFile - 1) / targetRowsPerFile))
         .toMap
@@ -362,7 +371,7 @@ object SnapshotTable {
       batchTag: String, statsCols: Seq[String], rangeFiles: Int)
       : (Seq[(String, String)], Map[String, Map[String, (Long, Long)]]) =
     stageBatchOrdered(df, tableDir, partCol, batchTag, statsCols,
-      rangeFiles, col(statsCols.head))
+      rangeFiles, Seq(col(statsCols.head)))
 
   /** Z-ORDERED, stats-carrying staging: files split on the Morton
     * bit-interleave of the first TWO stat columns, so each file covers a
@@ -377,18 +386,18 @@ object SnapshotTable {
       : (Seq[(String, String)], Map[String, Map[String, (Long, Long)]]) = {
     require(statsCols.size >= 2, "Z-order staging needs two stat columns")
     stageBatchOrdered(df, tableDir, partCol, batchTag, statsCols, rangeFiles,
-      Sinks.zValue(col(statsCols.head), col(statsCols(1))))
+      Seq(Sinks.zValue(col(statsCols.head), col(statsCols(1)))))
   }
 
   private def stageBatchOrdered(df: DataFrame, tableDir: String,
       partCol: String, batchTag: String, statsCols: Seq[String],
-      rangeFiles: Int, orderCol: org.apache.spark.sql.Column)
+      rangeFiles: Int, orderCols: Seq[org.apache.spark.sql.Column])
       : (Seq[(String, String)], Map[String, Map[String, (Long, Long)]]) = {
     require(statsCols.nonEmpty, "statsCols must name at least one column")
     val batchRel = s"batch-$batchTag"
     val (_, root) = fsRoot(tableDir)
     val batchDir = new Path(new Path(root, "data"), batchRel).toString
-    df.repartitionByRange(rangeFiles, orderCol)
+    df.repartitionByRange(rangeFiles, orderCols: _*)
       .withColumn("__p", col(partCol))
       .write.mode("overwrite").partitionBy("__p").parquet(batchDir)
     val staged = listStaged(tableDir, batchRel)
@@ -828,8 +837,14 @@ object SnapshotTable {
     val tag = newBatchTag(basedOn + 1)
     val (staged, newStats) =
       if (statCols.nonEmpty)
-        stageBatchClustered(rewritten, tableDir, partCol, tag, statCols,
-          rangeFiles = math.max(1, smallByPart.size))
+        // range-split on (partition, clustering key) so slices ALIGN with
+        // partition boundaries — one fresh file per touched partition;
+        // range-splitting on the key alone would emit slices x partitions
+        // files when the key is uncorrelated with the partition (an
+        // OPTIMIZE that inflates the file count)
+        stageBatchOrdered(rewritten, tableDir, partCol, tag, statCols,
+          rangeFiles = math.max(1, smallByPart.size),
+          orderCols = Seq(col(partCol), col(statCols.head)))
       else (stageBatch(rewritten, tableDir, partCol, tag, 1L << 40),
         Map.empty[String, Map[String, (Long, Long)]])
     val carriedFiles = carried.map(_._2).toSet

@@ -168,7 +168,10 @@ object SketchStreams {
   def latestNbModel(spark: SparkSession, outDir: String): (DataFrame, DataFrame) = {
     val c = epochBefore(outDir, "nbc_", Long.MaxValue)
       .getOrElse(sys.error(s"no NB class epochs under $outDir"))
-    val m = c.replace("/nbc_", "/nbm_")
+    // rebuild from the epoch id — a replace over the full path would also
+    // rewrite any "/nbc_" appearing inside outDir itself
+    val id = c.substring(c.lastIndexOf("/nbc_") + "/nbc_".length)
+    val m = s"$outDir/nbm_$id"
     (spark.read.parquet(m), spark.read.parquet(c))
   }
 

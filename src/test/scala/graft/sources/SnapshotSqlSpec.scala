@@ -124,11 +124,30 @@ class SnapshotSqlSpec extends SparkSpec {
     // column without manifest stats: pruning buys nothing
     assert(SnapshotSql.derivePruneRange(dir,
       "price BETWEEN 10 AND 20").isEmpty)
+    // a top-level OR ANYWHERE in the tail: SQL precedence makes the whole
+    // clause a disjunction — matched rows escape the band, so pruning
+    // would let a carried-forward file keep rows the DELETE must remove
+    assert(SnapshotSql.derivePruneRange(dir,
+      "k BETWEEN 10 AND 20 AND name = 'n1' OR name = 'n99'").isEmpty)
+    // ...but a PARENTHESIZED or inside a conjunct stays a conjunction
+    assert(SnapshotSql.derivePruneRange(dir,
+      "k BETWEEN 10 AND 20 AND (name = 'n1' OR name = 'n2')")
+      == Some(("k", 10L, 20L)))
     // the safe shapes derive
     assert(SnapshotSql.derivePruneRange(dir,
       "k BETWEEN 10 AND 20") == Some(("k", 10L, 20L)))
     assert(SnapshotSql.derivePruneRange(dir,
       "k BETWEEN 10 AND 20 AND name <> 'n12'") == Some(("k", 10L, 20L)))
+    // end-to-end: the disjunctive DELETE removes the out-of-band match
+    // (a band-derived pruneRange would have silently kept it)
+    val dirOr = fixture()
+    SnapshotSql.exec(spark, s"DELETE FROM snap('$dirOr') " +
+      "WHERE k BETWEEN 10 AND 20 AND name = 'n10' OR name = 'n99'")
+    val left = SnapshotTable.read(spark, dirOr).select("k").as[Long]
+      .collect().toSet
+    assert(!left.contains(10L) && !left.contains(99L),
+      "both disjuncts must delete — in-band AND-match and out-of-band OR-match")
+    assert(left.size == 98)
     // and the NOT shape still deletes CORRECTLY (everything outside)
     SnapshotSql.exec(spark,
       s"DELETE FROM snap('$dir') WHERE NOT (k BETWEEN 10 AND 20)")

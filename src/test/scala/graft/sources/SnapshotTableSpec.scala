@@ -721,6 +721,22 @@ class SnapshotTableSpec extends SparkSpec {
     assert(got == want, "skew-split staging must read back byte-identical")
   }
 
+  test("stageBatch with NULL partition values: null-part rows stage into " +
+      "the hive default directory and never break the slice map") {
+    val dir = Files.createTempDirectory("graft-snap-nullp").toString
+    val rows = (0L until 600L).map(k =>
+      (k, s"n$k", if (k % 3 == 0) null else "p" + (k % 2)))
+      .toDF("k", "name", "part")
+    // hot partition forces the slicing branch; null keys must not reach
+    // the map literal
+    val staged = SnapshotTable.stageBatch(rows, dir, "part",
+      SnapshotTable.newBatchTag(1L), targetRowsPerFile = 100L)
+    assert(staged.exists(_._1 == "__HIVE_DEFAULT_PARTITION__"),
+      "null-part rows must stage under the hive default directory")
+    SnapshotTable.casCommit(dir, 0L, staged, schema = Some(rows.schema))
+    assert(SnapshotTable.read(spark, dir).count() == 600)
+  }
+
   test("changesSinceOrRebase: within the window it IS changesSince; past " +
       "vacuum's grace it re-baselines with the full snapshot as inserts " +
       "and flags the consumer to replace its state") {
@@ -849,6 +865,14 @@ class SnapshotTableSpec extends SparkSpec {
     val afterContent = SnapshotTable.read(spark, dir)
       .select("k", "name").as[(Long, String)].collect().toSet
     assert(afterContent == beforeContent)
+    // the fold lands ~one file per touched partition — the (partition,
+    // key) range split must not multiply slices against partitions when
+    // the clustering key is uncorrelated with the partition (k alternates
+    // between p0/p1 here)
+    val foldedOut = after.map(_._2).filterNot(before.map(_._2).toSet)
+    val partsTouched = after.map(_._1).distinct.size
+    assert(foldedOut.size <= partsTouched + 1,
+      s"fold must emit ~1 file/partition, got ${foldedOut.size}")
     // folded files carry fresh stats (k was a recorded stat column)
     val st = SnapshotTable.statsAt(dir, v)
     val newFiles = after.map(_._2).filterNot(before.map(_._2).toSet)
