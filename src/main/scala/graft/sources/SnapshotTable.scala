@@ -134,20 +134,48 @@ object SnapshotTable {
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
-  /** Atomic replacing rename (the pointer swap needs replace semantics,
-    * which [[FileSystem.rename]] lacks): [[FileContext]]'s
-    * `Rename.OVERWRITE` — atomic on HDFS and the local fs, the
-    * documented object-store caveat elsewhere. */
+  /** Replacing rename (the pointer swap needs replace semantics, which
+    * [[FileSystem.rename]] lacks): [[FileContext]]'s `Rename.OVERWRITE`.
+    * Atomic on HDFS (server-side rename2); on the LOCAL filesystem the
+    * default AbstractFileSystem implementation is delete-then-rename, so
+    * there is a microsecond window with NO `_current` at all —
+    * [[currentVersion]] absorbs it with a bounded retry (a reader must
+    * never mistake a mid-swap table for a never-committed one). Object
+    * stores: the documented copy+delete caveat in the class doc. */
   private def renameOverwrite(fs: FileSystem, src: Path, dst: Path): Unit = {
     val fc = FileContext.getFileContext(fs.getUri, fs.getConf)
     fc.rename(src, dst, Options.Rename.OVERWRITE)
   }
 
-  /** Version of the live snapshot, 0 if the table has never committed. */
+  /** Version of the live snapshot, 0 if the table has never committed.
+    * Resilient to the local-FS pointer-swap window ([[renameOverwrite]]):
+    * a missing `_current` on a table that HAS manifests means a swap is
+    * in flight (or a writer crashed mid-swap) — retry briefly, then fail
+    * loudly rather than serving a phantom empty table; the exists→open
+    * race (pointer deleted between the two calls) retries the same
+    * way. */
   def currentVersion(tableDir: String): Long = {
     val (fs, root) = fsRoot(tableDir)
     val cur = new Path(root, "_current")
-    if (fs.exists(cur)) versionOf(readText(fs, cur).trim) else 0L
+    def anyManifest: Boolean =
+      try fs.listStatus(root)
+        .exists(_.getPath.getName.startsWith("manifest-"))
+      catch { case _: java.io.FileNotFoundException => false }
+    var attempt = 0
+    while (true) {
+      try {
+        if (fs.exists(cur)) return versionOf(readText(fs, cur).trim)
+        if (!anyManifest) return 0L // genuinely never committed
+      } catch { case _: java.io.FileNotFoundException => () }
+      attempt += 1
+      if (attempt >= 200) throw new IllegalStateException(
+        s"$tableDir has manifests but no _current pointer — a writer " +
+          "crashed mid-swap on a non-atomic-rename filesystem; complete " +
+          "or remove the dangling ._current.tmp after confirming the " +
+          "writer is gone")
+      Thread.sleep(5)
+    }
+    0L // unreachable
   }
 
   private def manifestText(tableDir: String, v: Long): Option[String] = {

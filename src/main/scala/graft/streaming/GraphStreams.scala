@@ -53,6 +53,33 @@ object GraphStreams {
       }
       .start()
 
+  /** [[streamingComponentMaintenance]] fed by a SNAPSHOT TABLE's change
+    * feed instead of a raw edge stream — the end-to-end 100 TB
+    * composition: the edge corpus lives in the transactional table
+    * (upserts/DML land atomically), the `graft-snapshot-cdf` source
+    * streams each commit's row-level changes exactly-once (versions as
+    * offsets), and only `insert` rows fold into the labeling — so graph
+    * maintenance costs O(changed edges) per table commit and the settled
+    * corpus is never rescanned by either layer. Edge DELETEs are ignored
+    * by design (connected components is not decremental — a deletion
+    * would need a recompute of the touched component; callers needing
+    * that run [[GraphOps.connectedComponents]] over the table's live
+    * snapshot, which the table makes cheap to scope). `srcCol`/`dstCol`
+    * name the edge endpoints in the table's schema; `keyCols` is the
+    * table's CDC key set. */
+  def componentMaintenanceFromTable(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, keyCols: Seq[String], srcCol: String, dstCol: String,
+      stateDir: String, checkpointDir: String): StreamingQuery = {
+    val feed = spark.readStream.format("graft-snapshot-cdf")
+      .option("path", tableDir)
+      .option("keyCols", keyCols.mkString(","))
+      .load()
+    streamingComponentMaintenance(
+      feed.filter(col("change_type") === "insert")
+        .select(col(srcCol).as("src"), col(dstCol).as("dst")),
+      stateDir, checkpointDir)
+  }
+
   /** The newest COMPLETE label-table epoch: selection is gated on the
     * epoch's parquet `_SUCCESS` marker, so a reader racing a crashed
     * mid-write epoch (between crash and replay) reads the last committed

@@ -901,6 +901,39 @@ class SnapshotTableSpec extends SparkSpec {
     assert(h2 == Seq(4L, 3L))
   }
 
+  test("a reader looping against LIVE commits always sees a consistent " +
+      "whole snapshot — never a mix, never a transient metadata failure " +
+      "(the checksum-sidecar race is retried away)") {
+    val dir = Files.createTempDirectory("graft-snap-race").toString
+    SnapshotTable.overwrite(spark, dir, baseRows, "month")
+    // valid counts: each commit i inserts one NEW key, so a consistent
+    // snapshot at any moment counts 5 + i for some 0 <= i <= 12
+    val valid = (0 to 12).map(i => 5L + i).toSet
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    @volatile var writing = true
+    val reader = new Thread(() => {
+      try {
+        while (writing) {
+          val n = SnapshotTable.read(spark, dir).count()
+          if (!valid(n)) bad.add(n)
+        }
+      } catch { case t: Throwable => errors.add(t) }
+    })
+    reader.start()
+    for (i <- 1 to 12) {
+      SnapshotTable.upsert(spark, dir,
+        Seq((100L + i, s"w$i", i.toDouble, "2024-0" + (i % 9 + 1), 1L, false))
+          .toDF("k", "name", "price", "month", "version", "del"),
+        "month", Seq("k"), "version", "del")
+    }
+    writing = false
+    reader.join(120000)
+    assert(errors.isEmpty, s"reader failed mid-commit: ${errors.peek()}")
+    assert(bad.isEmpty, s"reader saw a torn snapshot: counts ${bad.peek()}")
+    assert(SnapshotTable.read(spark, dir).count() == 17)
+  }
+
   test("manifests record the partition column as table metadata " +
       "(#partcol header) and carry it across commits") {
     val dir = Files.createTempDirectory("graft-snap-pc").toString

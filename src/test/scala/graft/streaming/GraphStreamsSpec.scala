@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.graph.GraphOps
 
@@ -62,5 +63,43 @@ class GraphStreamsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(afterCrash === streamed,
       "reader must skip the incomplete epoch and serve the last complete one")
+  }
+
+  test("table -> change feed -> incremental components: edges land in the " +
+      "snapshot table by upsert, the CDF stream folds each commit's " +
+      "inserts, and the labeling equals the one-shot CC over the live table") {
+    import graft.sources.SnapshotTable
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft-gcdf-table").toString
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-gcdf-state").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-gcdf-ck").toString
+    def edges(rows: Seq[(Long, Long)], v: Long) = rows
+      .toDF("src", "dst")
+      .withColumn("eid", col("src") * 1000 + col("dst"))
+      .withColumn("p", lit("all"))
+      .withColumn("version", lit(v))
+      .withColumn("del", lit(false))
+    SnapshotTable.overwrite(spark, tableDir,
+      edges(Seq((1L, 2L), (10L, 11L)), 0L), "p")                    // v1
+    val q = GraphStreams.componentMaintenanceFromTable(spark, tableDir,
+      keyCols = Seq("eid"), srcCol = "src", dstCol = "dst", state, ckpt)
+    q.processAllAvailable()                                         // baseline
+    // two more commits: attach + the cross-component bridge
+    for ((rows, v) <- Seq(Seq((2L, 3L), (11L, 12L)) -> 1L,
+        Seq((3L, 12L), (40L, 41L)) -> 2L)) {
+      SnapshotTable.upsert(spark, tableDir, edges(rows, v), "p",
+        Seq("eid"), "version", "del")
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = GraphStreams.latestComponents(spark, state)
+      .as[(Long, Long)].collect().toMap
+    val oneShot = graft.graph.GraphOps.connectedComponents(spark,
+        SnapshotTable.read(spark, tableDir).select("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(streamed === oneShot)
+    assert(streamed(12L) == 1L && streamed(41L) == 40L)
   }
 }
