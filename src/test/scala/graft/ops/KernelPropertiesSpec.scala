@@ -276,4 +276,36 @@ class KernelPropertiesSpec extends SparkSpec {
       assert(gotUpd == wantUpd, s"update band [$lo,$hi]")
     }
   }
+
+  test("SQL DELETE ≡ Spark-filter baseline over a random predicate " +
+      "grammar — whatever pruneRange the front door derives (band-led " +
+      "conjunctions prune, disjunctions and NOTs must not corrupt)") {
+    import graft.sources.{SnapshotSql, SnapshotTable}
+    val rows = (0L until 100L).map(k =>
+      (k, k * 1.5, if (k % 2 == 0) "a" else "b")).toDF("k", "price", "p")
+    // grammar: k BETWEEN lo AND hi [<glue> <extra>] where glue ∈
+    // {AND, OR} and extra ∈ {k % m = r, NOT (k % m = r), price > c}
+    val cases = samples(for {
+      lo <- Gen.choose(0L, 80L); w <- Gen.choose(0L, 40L)
+      glue <- Gen.oneOf("", "AND", "OR")
+      m <- Gen.choose(2L, 5L); r <- Gen.choose(0L, 1L)
+      extra <- Gen.oneOf(s"k % $m = $r", s"NOT (k % $m = $r)",
+        s"price > ${lo * 1.5}")
+    } yield (lo, lo + w, glue, extra), n = 10)
+    cases.foreach { case (lo, hi, glue, extra) =>
+      val where = s"k BETWEEN $lo AND $hi" +
+        (if (glue.isEmpty) "" else s" $glue $extra")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sqldel-prop").toString
+      SnapshotTable.overwriteClustered(spark, dir, rows, "p",
+        statsCols = Seq("k"), rangeFiles = 8)
+      SnapshotSql.exec(spark, s"DELETE FROM snap('$dir') WHERE $where")
+      val got = SnapshotTable.read(spark, dir)
+        .select("k").as[Long].collect().toSet
+      val want = rows.filter(!coalesce(expr(where), lit(false)))
+        .select("k").as[Long].collect().toSet
+      assert(got == want,
+        s"WHERE $where")
+    }
+  }
 }
