@@ -1020,12 +1020,54 @@ object SourceQueries {
     if (v1Rows == fullRows) out else out.limit(0)
   }
 
+  /** `INSERT INTO snap(…) SELECT …` through the SQL front door
+    * ([[SnapshotTable.append]] — the round-9 verdict's missing-route
+    * gap #4): v1 holds the orders below the key split, the INSERT
+    * appends the band above it (column order scrambled on purpose —
+    * names are the contract), and the final read comes back through the
+    * same door. In-job pins: the append must CARRY every v1 file by
+    * manifest entry (an INSERT that rewrites the table is the wrong cost
+    * model — zero data movement on the old 99%), and the commit must
+    * record op=insert. The oracle restates the union over raw orders. */
+  val sqlSnapshotInsert = Q(
+    "sql_snapshot_insert",
+    """SELECT o_orderkey, o_custkey, o_totalprice AS price,
+      |  strftime(o_orderdate, '%Y') AS yr
+      |FROM orders
+      |WHERE o_orderkey <= 1000 OR o_orderkey BETWEEN 1200 AND 1400"""
+      .stripMargin) { (s, d) =>
+    val tableDir =
+      java.nio.file.Files.createTempDirectory("graft_snap_ins").toString
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").as("price"),
+      date_format(col("o_orderdate"), "yyyy").as("yr"))
+    SnapshotTable.overwriteClustered(s, tableDir,
+      base.filter(col("o_orderkey") <= 1000L), "yr",
+      statsCols = Seq("o_orderkey"), rangeFiles = 4)                 // v1
+    base.filter(col("o_orderkey").between(1200L, 1400L))
+      .createOrReplaceTempView("sql_ins_batch")
+    SnapshotSql.exec(s, s"INSERT INTO snap('$tableDir') " +
+      "SELECT yr, price, o_custkey, o_orderkey FROM sql_ins_batch")  // v2
+    val v1Files = SnapshotTable.entriesAt(tableDir, 1L).map(_._2).toSet
+    val v2Files = SnapshotTable.entriesAt(tableDir, 2L).map(_._2).toSet
+    val carried = v1Files.subsetOf(v2Files) && v2Files.size > v1Files.size
+    val opOk = SnapshotTable.opAt(tableDir, 2L).contains("insert")
+    val out = SnapshotSql.exec(s,
+      s"SELECT o_orderkey, o_custkey, price, yr FROM snap('$tableDir')") match {
+      case SnapshotSql.Rows(df) => df
+      case _ => base.limit(0)
+    }
+    if (carried && opOk) out else out.limit(0)
+  }
+
   val all: Seq[Q] = Seq(s12FlatRecords, s12Dsv2Scan, s12Dsv2Agg, s12Dsv2Limit,
     s12Dsv2Write,
     s12Dsv2Runtime, s3CsvRoundtrip,
     fCleanupPack, p10Conform, sOrcRoundtrip, sUpsertMerge, sUpsertSnapshot,
     sSnapshotChanges, sSnapshotViewIncr, sSnapshotSkip, sSnapshotSkipZ,
     sSnapshotEvolve, sSnapshotDelete, sSnapshotUpdate, sqlSnapshotDml,
+    sqlSnapshotInsert,
     sSnapshotDsv2, sSnapshotCdfStream, sqlSnapshotMaintenance,
     sCsvPermissive, sSchemaEvolve, sBinaryFiles, sAggMaintain)
 }

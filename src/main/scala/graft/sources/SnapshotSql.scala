@@ -49,6 +49,7 @@ object SnapshotSql {
   /** Execute one statement. Supported forms (case-insensitive keywords):
     * {{{
     *   SELECT ... FROM snap('<dir>') [VERSION AS OF <v>] ...
+    *   INSERT INTO snap('<dir>') SELECT ...
     *   DELETE FROM snap('<dir>') WHERE <predicate>
     *   UPDATE snap('<dir>') SET c1 = <expr>[, c2 = <expr>…] WHERE <pred>
     *   MERGE INTO snap('<dir>') USING (<select…>)
@@ -63,6 +64,7 @@ object SnapshotSql {
     val verb = s.takeWhile(!_.isWhitespace).toUpperCase
     verb match {
       case "SELECT" | "WITH" => Rows(select(spark, s))
+      case "INSERT" => Committed(insert(spark, s))
       case "DELETE" => Committed(delete(spark, s))
       case "UPDATE" => Committed(update(spark, s))
       case "MERGE" => Committed(merge(spark, s))
@@ -133,34 +135,56 @@ object SnapshotSql {
   private def select(spark: SparkSession, s: String): DataFrame = {
     val versioned =
       """(?is)snap\s*\(\s*'([^']+)'\s*\)(\s+VERSION\s+AS\s+OF\s+(\d+))?""".r
+    // quote map: a snap('…') occurrence INSIDE a string literal is query
+    // text, not a table reference — rewriting it would corrupt the
+    // statement handed to spark.sql (same scanner discipline as
+    // topLevelIndexOf, which already ignores quoted keywords)
+    val inQuote = {
+      val q = new Array[Boolean](s.length)
+      var in = false
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '\'') in = !in
+        q(i) = in
+        i += 1
+      }
+      q
+    }
     var i = 0
     val views = scala.collection.mutable.Buffer.empty[String]
-    val rewritten = versioned.replaceAllIn(s, m => {
-      val dir = m.group(1)
-      val vOpt = Option(m.group(3)).map(_.toLong)
-      val v = vOpt.getOrElse(SnapshotTable.currentVersion(dir))
-      val df =
-        if (SnapshotTable.schemaAt(dir, v).isDefined) {
-          val r = spark.read.format("graft-snapshot")
-          vOpt.foreach(x => r.option("versionAsOf", x.toString))
-          r.load(dir)
-        } else vOpt match {
-          case Some(x) => SnapshotTable.readAt(spark, dir, x)
-          case None => SnapshotTable.read(spark, dir)
-        }
-      i += 1
-      // unique per statement: two concurrent front-door SELECTs must not
-      // clobber each other's view registrations
-      val view =
-        s"__snap_ref_${i}_${java.util.UUID.randomUUID().toString.take(8)}"
-      df.createOrReplaceTempView(view)
-      views += view
-      java.util.regex.Matcher.quoteReplacement(view)
-    })
+    val out = new StringBuilder
+    var last = 0
+    versioned.findAllMatchIn(s).foreach { m =>
+      if (m.start >= last && !inQuote(m.start)) {
+        out.append(s.substring(last, m.start))
+        val dir = m.group(1)
+        val vOpt = Option(m.group(3)).map(_.toLong)
+        val v = vOpt.getOrElse(SnapshotTable.currentVersion(dir))
+        val df =
+          if (SnapshotTable.schemaAt(dir, v).isDefined) {
+            val r = spark.read.format("graft-snapshot")
+            vOpt.foreach(x => r.option("versionAsOf", x.toString))
+            r.load(dir)
+          } else vOpt match {
+            case Some(x) => SnapshotTable.readAt(spark, dir, x)
+            case None => SnapshotTable.read(spark, dir)
+          }
+        i += 1
+        // unique per statement: two concurrent front-door SELECTs must
+        // not clobber each other's view registrations
+        val view =
+          s"__snap_ref_${i}_${java.util.UUID.randomUUID().toString.take(8)}"
+        df.createOrReplaceTempView(view)
+        views += view
+        out.append(view)
+        last = m.end
+      }
+    }
+    out.append(s.substring(last))
     // spark.sql analyzes eagerly, so the returned frame no longer needs
     // the views — drop them or a long-lived session leaks one catalog
     // entry (pinning a FileIndex's status map) per statement
-    try spark.sql(rewritten)
+    try spark.sql(out.toString)
     finally views.foreach(spark.catalog.dropTempView(_))
   }
 
@@ -253,6 +277,23 @@ object SnapshotSql {
         else None
       case _ => None
     }
+  }
+
+  /** `INSERT INTO snap('<dir>') SELECT …` — an APPEND commit
+    * ([[SnapshotTable.append]]): the SELECT body (any Spark SQL,
+    * including `snap(…)` references) produces the rows; they must carry
+    * exactly the table's recorded columns (any order — names are the
+    * contract, types cast to the table's), and land as one staged batch
+    * unioned onto the current entries. No merge keys or tombstone
+    * columns — the MERGE front door is for CDC batches, this is the
+    * plain append. Schema mismatch is rejected loudly. */
+  private def insert(spark: SparkSession, s: String): Long = {
+    val dir = tableRef(s, "INSERT INTO")
+    require("""(?is)^INSERT\s+INTO\b""".r.findFirstIn(s).isDefined,
+      "only INSERT INTO is supported")
+    val si = topLevelIndexOf(s, "SELECT")
+    require(si >= 0, "INSERT INTO requires a SELECT body")
+    SnapshotTable.append(spark, dir, select(spark, s.substring(si)))
   }
 
   /** `DELETE FROM snap('<dir>') WHERE <predicate>` */

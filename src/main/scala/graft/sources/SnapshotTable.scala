@@ -189,11 +189,13 @@ object SnapshotTable {
     manifestText(tableDir, v).isDefined
 
   /** Live (partitionValue, relativePath) entries of snapshot `v`.
-    * Manifest lines are `part \t path [\t col=min:max;…]` — the optional
-    * third field carries per-FILE column min/max stats (see
-    * [[statsAt]]); this view ignores it, as well as `#`-prefixed header
-    * lines (the version's schema and partition column, see [[schemaAt]]
-    * / [[partColAt]]). */
+    * Manifest lines are `part \t path [\t col=min:max;… [\t bytes:rows]]`
+    * — the optional third field carries per-FILE column min/max stats
+    * (see [[statsAt]]; empty when the file has none but a later field
+    * follows), the optional fourth the file's LENGTH and row count (see
+    * [[fileMetaAt]]; −1 = unknown). This view ignores both, as well as
+    * `#`-prefixed header lines (the version's schema and partition
+    * column, see [[schemaAt]] / [[partColAt]]). */
   def entriesAt(tableDir: String, v: Long): Seq[(String, String)] =
     manifestText(tableDir, v).map {
       _.split("\n").iterator.map(_.trim)
@@ -273,22 +275,115 @@ object SnapshotTable {
         StructField("part_col", StringType))))
   }
 
-  /** Per-file column min/max stats of snapshot `v`:
-    * relativePath → (col → (min, max)). Only files whose manifest line
-    * carries a stats field appear; LONG-typed stat columns only (ids,
-    * epochs, bucketed values — the clustering keys worth skipping on). */
+  /** The LONG view of the per-file column stats of snapshot `v`:
+    * relativePath → (col → (min, max)) for LONG-typed stat columns only
+    * (ids, epochs, bucketed values — the fast prune path). STRING stats
+    * are invisible here; use [[typedStatsAt]] for the full picture. Only
+    * files carrying at least one long stat appear. */
   def statsAt(tableDir: String, v: Long): Map[String, Map[String, (Long, Long)]] =
+    typedStatsAt(tableDir, v).iterator.map { case (f, m) =>
+      f -> m.collect { case (c, LongStat(lo, hi)) => c -> (lo, hi) }
+    }.filter(_._2.nonEmpty).toMap
+
+  /** A per-file column statistic the manifest can carry: LONG min/max
+    * (ids, epochs, bucketed values — the original stat type and the fast
+    * prune path) or STRING min/max in Spark's binary collation order
+    * (month codes, category keys — the most common real prune column).
+    * String bounds are compared as UNSIGNED UTF-8 BYTES ([[ColStat
+    * .utf8Cmp]]) because that is exactly how Spark's min/max ordered them
+    * at stat time — a JVM String.compareTo (UTF-16 code units) disagrees
+    * above the BMP, which would make pruning unsound. */
+  sealed trait ColStat
+  final case class LongStat(lo: Long, hi: Long) extends ColStat
+  final case class StrStat(lo: String, hi: String) extends ColStat
+  object ColStat {
+    /** Unsigned-UTF-8-byte comparison — UTF8String (Spark binary
+      * collation) order, the order string min/max stats were computed
+      * under. */
+    def utf8Cmp(a: String, b: String): Int = {
+      val x = a.getBytes(StandardCharsets.UTF_8)
+      val y = b.getBytes(StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    }
+    /** Does `[lo, hi]` (inclusive, either side open when None) overlap the
+      * stat's recorded range? Type-mismatched probes conservatively say
+      * yes (the file must be read — stats only ever SHRINK file lists). */
+    def overlapsLong(st: ColStat, lo: Long, hi: Long): Boolean = st match {
+      case LongStat(mn, mx) => mx >= lo && mn <= hi
+      case _ => true
+    }
+    def overlapsStr(st: ColStat, lo: Option[String], hi: Option[String]): Boolean =
+      st match {
+        case StrStat(mn, mx) =>
+          lo.forall(l => utf8Cmp(mx, l) >= 0) &&
+            hi.forall(h => utf8Cmp(mn, h) <= 0)
+        case _ => true
+      }
+  }
+
+  /** Base64 (URL-safe, unpadded) for string stat bounds — the manifest is
+    * tab/semicolon/colon-delimited text, so bounds must never collide
+    * with a delimiter whatever the user's values contain. */
+  private def encStr(s: String): String =
+    java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  private def decStr(s: String): String =
+    new String(java.util.Base64.getUrlDecoder.decode(s), StandardCharsets.UTF_8)
+
+  /** TYPED per-file column stats of snapshot `v`: relativePath → (col →
+    * [[ColStat]]). Stat-field grammar per column: `col=lo:hi` (LONG — the
+    * legacy and fast form) or `col=s:b64lo:b64hi` (STRING, bounds
+    * base64-coded). Unparseable entries are skipped, never fatal — stats
+    * are an optimization layer, and a reader older or newer than the
+    * writer must still read every row correctly. */
+  def typedStatsAt(tableDir: String, v: Long): Map[String, Map[String, ColStat]] =
     manifestText(tableDir, v).map {
       _.split("\n").iterator.map(_.trim)
         .filter(l => l.nonEmpty && !l.startsWith("#"))
         .map(_.split('\t')).filter(_.length >= 3)
         .map { f =>
-          f(1) -> f(2).split(';').iterator.filter(_.nonEmpty).map { kv =>
+          f(1) -> f(2).split(';').iterator.filter(_.nonEmpty).flatMap { kv =>
             val Array(c, mm) = kv.split("=", 2)
-            val Array(lo, hi) = mm.split(":", 2)
-            c -> (lo.toLong, hi.toLong)
+            val parts = mm.split(":", -1)
+            if (parts.length == 3 && parts(0) == "s")
+              Some(c -> (StrStat(decStr(parts(1)), decStr(parts(2))): ColStat))
+            else if (parts.length == 2)
+              try Some(c -> (LongStat(parts(0).toLong, parts(1).toLong): ColStat))
+              catch { case _: NumberFormatException => None }
+            else None
           }.toMap
-        }.toMap
+        }.filter(_._2.nonEmpty).toMap
+    }.getOrElse(Map.empty)
+
+  /** Per-file (bytes, rows) of snapshot `v` from the manifest's fourth
+    * field — what makes a format read ZERO-RPC: the [[graft.sources.v2
+    * .SnapshotFileIndex]] synthesizes every FileStatus from this map
+    * instead of paying one `getFileStatus` round trip per live file (10⁶
+    * files = 10⁶ NameNode/S3 calls per read without it — the reason the
+    * open table formats record length in the log entry). Rows may be −1
+    * (unknown — the plain staging path doesn't count them); files whose
+    * lines predate the field are absent, and readers fall back to the
+    * filesystem for those only. */
+  def fileMetaAt(tableDir: String, v: Long): Map[String, (Long, Long)] =
+    manifestText(tableDir, v).map {
+      _.split("\n").iterator.map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(_.split('\t')).filter(_.length >= 4)
+        .flatMap { f =>
+          f(3).split(":", 2) match {
+            case Array(b, r) =>
+              try Some(f(1) -> (b.toLong, r.toLong))
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        }.filter(_._2._1 >= 0L).toMap
     }.getOrElse(Map.empty)
 
   /** Live entries of the current snapshot (empty for an empty table). */
@@ -309,7 +404,18 @@ object SnapshotTable {
     s"$v-${java.util.UUID.randomUUID().toString.take(8)}"
 
   /** List a staged batch directory's parquet files as
-    * (partitionValue, relativePath) manifest entries. */
+    * (partitionValue, relativePath) manifest entries.
+    *
+    * The directory-name suffix is Hive-ESCAPED by Spark's partitioned
+    * write (':' → '%3A', '%' → '%25', …), so the recorded partition value
+    * UNESCAPES it back to the raw value — the manifest speaks the user's
+    * value domain, never the directory encoding. Anything comparing
+    * manifest values to user-supplied ones ([[readPartitions]], the
+    * upsert's touched-partition split, the DSv2 index's partition
+    * pruning) would otherwise silently miss every partition whose value
+    * contains an escaped character (pruned files are never read, so
+    * Spark's row-level re-filter cannot recover the loss). Relative PATHS
+    * keep the escaped directory names — they address real directories. */
   private def listStaged(tableDir: String, batchRel: String)
       : Seq[(String, String)] = {
     val (fs, root) = fsRoot(tableDir)
@@ -317,13 +423,34 @@ object SnapshotTable {
     fs.listStatus(batchDir).toSeq
       .filter(d => d.isDirectory && d.getPath.getName.startsWith("__p="))
       .flatMap { d =>
-        val part = d.getPath.getName.stripPrefix("__p=")
-        fs.listStatus(d.getPath).toSeq
+        val part = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(d.getPath.getName.stripPrefix("__p="))
+        val sz = fs.listStatus(d.getPath).toSeq
           .filter(_.getPath.getName.endsWith(".parquet"))
-          .map(f =>
-            part -> s"$batchRel/${d.getPath.getName}/${f.getPath.getName}")
+          .map { f =>
+            val rel = s"$batchRel/${d.getPath.getName}/${f.getPath.getName}"
+            stagedSizes.put(rel, f.getLen)
+            part -> rel
+          }
+        sz
       }
   }
+
+  /** Sizes of files this JVM staged, by manifest-relative path — filled by
+    * [[listStaged]] (the listing already holds the FileStatus, so the
+    * bytes are free) and consumed by [[prepareManifest]] so every NEW
+    * manifest line records its file's length without a second metadata
+    * round trip. Bounded: entries are dropped once a manifest records
+    * them (prepareManifest removes what it consumed). */
+  private val stagedSizes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Row counts of files this JVM staged — filled by the stats scan of
+    * [[stageBatchOrdered]] (one extra COUNT in an aggregation that runs
+    * anyway; the plain staging path records −1 = unknown). Same
+    * consume-on-commit lifecycle as [[stagedSizes]]. */
+  private val stagedRows =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Stage `df` as a new immutable batch directory and return its
     * (partitionValue, relativePath) entries. NOT visible to readers until
@@ -348,38 +475,63 @@ object SnapshotTable {
     val input = df.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val slicesOf = input
-        .groupBy(col(partCol).cast("string").as("__pk")).count().collect()
-        .filter(!_.isNullAt(0)) // NULL can't be a map-literal key; null-
-                                // part rows stage one file (the coalesce
-                                // default below), hive-default dir as ever
-        .map(r => r.getString(0) ->
-          math.max(1L, (r.getLong(1) + targetRowsPerFile - 1) / targetRowsPerFile))
-        .toMap
+      // HOT partitions only (count > targetRowsPerFile) ever reach the
+      // driver — a 100 TB table's million cold partitions never build a
+      // driver-side map or a million-node expression tree; the hot set is
+      // bounded by totalRows / targetRowsPerFile
+      val hotCounts = input
+        .groupBy(col(partCol).cast("string").as("__pk")).count()
+        .filter(col("count") > targetRowsPerFile)
+        .filter(col("__pk").isNotNull) // null-part rows stage one file (the
+                                       // coalesce default below), hive-
+                                       // default dir as ever
+        .select(col("__pk"),
+          (ceil(col("count").cast("double") / targetRowsPerFile))
+            .cast("long").as("__nsl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hotAgg = hotCounts
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("__nsl")), lit(0L)).as("s"))
+        .collect().head
+      val (hotParts, totalSlices) = (hotAgg.getLong(0), hotAgg.getLong(1))
       val out =
-        if (slicesOf.valuesIterator.forall(_ <= 1L))
+        if (hotParts == 0L)
           // every partition fits one file: one task per partition value
           input.repartition(col(partCol))
         else {
           // deterministic content-hash salt (task retries redistribute
           // nothing), bounded per partition by its own slice count
-          val sliceMap = map(slicesOf.toSeq.flatMap { case (p, n) =>
-            Seq(lit(p), lit(n)) }: _*)
-          val slices = coalesce(
-            element_at(sliceMap, col(partCol).cast("string")), lit(1L))
+          val maxLiteralParts = 200L
+          val withSlices =
+            if (hotParts <= maxLiteralParts) {
+              // few hot partitions: an in-plan map literal, zero joins
+              val slicesOf = hotCounts.collect()
+                .map(r => r.getString(0) -> r.getLong(1)).toMap
+              val sliceMap = map(slicesOf.toSeq.flatMap { case (p, n) =>
+                Seq(lit(p), lit(n)) }: _*)
+              input.withColumn("__nsl", coalesce(
+                element_at(sliceMap, col(partCol).cast("string")), lit(1L)))
+            } else
+              // many hot partitions: broadcast-join the slice counts — the
+              // hot set never materializes on the driver and the plan's
+              // expression tree stays O(1) in partition cardinality
+              input.join(broadcast(hotCounts),
+                  input(partCol).cast("string") === hotCounts("__pk"), "left")
+                .drop("__pk")
+                .withColumn("__nsl", coalesce(col("__nsl"), lit(1L)))
           val hashCols = input.schema.fields.toSeq
             .filterNot(_.dataType.isInstanceOf[MapType]) // maps not hashable
             .map(f => col(f.name))
-          val totalSlices = slicesOf.valuesIterator.sum
           val tasks = math.max(
             input.sparkSession.sessionState.conf.numShufflePartitions,
             math.min(totalSlices, 4096L).toInt)
-          input.withColumn("__slice", pmod(xxhash64(hashCols: _*), slices))
+          withSlices
+            .withColumn("__slice", pmod(xxhash64(hashCols: _*), col("__nsl")))
             .repartition(tasks, col(partCol), col("__slice"))
-            .drop("__slice")
+            .drop("__slice", "__nsl")
         }
-      out.withColumn("__p", col(partCol))
+      try out.withColumn("__p", col(partCol))
         .write.mode("overwrite").partitionBy("__p").parquet(batchDir)
+      finally hotCounts.unpersist()
     } finally input.unpersist()
     listStaged(tableDir, batchRel)
   }
@@ -397,7 +549,7 @@ object SnapshotTable {
     * 100 TB. Stat columns must be LONG-typed. */
   def stageBatchClustered(df: DataFrame, tableDir: String, partCol: String,
       batchTag: String, statsCols: Seq[String], rangeFiles: Int)
-      : (Seq[(String, String)], Map[String, Map[String, (Long, Long)]]) =
+      : (Seq[(String, String)], Map[String, Map[String, ColStat]]) =
     stageBatchOrdered(df, tableDir, partCol, batchTag, statsCols,
       rangeFiles, Seq(col(statsCols.head)))
 
@@ -411,7 +563,7 @@ object SnapshotTable {
     * must be non-negative LONGs (ids/ranks/bucketed values). */
   def stageBatchZordered(df: DataFrame, tableDir: String, partCol: String,
       batchTag: String, statsCols: Seq[String], rangeFiles: Int)
-      : (Seq[(String, String)], Map[String, Map[String, (Long, Long)]]) = {
+      : (Seq[(String, String)], Map[String, Map[String, ColStat]]) = {
     require(statsCols.size >= 2, "Z-order staging needs two stat columns")
     stageBatchOrdered(df, tableDir, partCol, batchTag, statsCols, rangeFiles,
       Seq(Sinks.zValue(col(statsCols.head), col(statsCols(1)))))
@@ -420,8 +572,15 @@ object SnapshotTable {
   private def stageBatchOrdered(df: DataFrame, tableDir: String,
       partCol: String, batchTag: String, statsCols: Seq[String],
       rangeFiles: Int, orderCols: Seq[org.apache.spark.sql.Column])
-      : (Seq[(String, String)], Map[String, Map[String, (Long, Long)]]) = {
+      : (Seq[(String, String)], Map[String, Map[String, ColStat]]) = {
     require(statsCols.nonEmpty, "statsCols must name at least one column")
+    val statTypes = statsCols.map(c => c -> df.schema(c).dataType).toMap
+    statTypes.foreach { case (c, t) =>
+      require(t == org.apache.spark.sql.types.LongType ||
+          t == org.apache.spark.sql.types.StringType,
+        s"stat column $c is $t — manifest stats carry LONG and STRING " +
+          "min/max only (cast ids/epochs to LONG, codes to STRING)")
+    }
     val batchRel = s"batch-$batchTag"
     val (_, root) = fsRoot(tableDir)
     val batchDir = new Path(new Path(root, "data"), batchRel).toString
@@ -433,9 +592,11 @@ object SnapshotTable {
     // zero files — nothing to stat, and the stats scan below would choke
     // on the file-less directory
     if (staged.isEmpty)
-      return (staged, Map.empty[String, Map[String, (Long, Long)]])
+      return (staged, Map.empty[String, Map[String, ColStat]])
     // one scan of the NEW BATCH only (never the table) for per-file stats
-    val aggs = statsCols.flatMap(c =>
+    // and row counts (the count rides the same aggregation for free —
+    // prepareManifest records it in the bytes:rows field)
+    val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
     val stats = df.sparkSession.read.parquet(batchDir)
       .groupBy(input_file_name().as("__f"))
@@ -444,9 +605,17 @@ object SnapshotTable {
       .flatMap { r =>
         // file URI → manifest-relative path
         val rel = r.getString(0).split("/data/").last
+        stagedRows.put(rel, r.getLong(1))
         val m = statsCols.zipWithIndex.flatMap { case (c, i) =>
-          if (r.isNullAt(1 + 2 * i)) None // all-null file: no stats → always read
-          else Some(c -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
+          if (r.isNullAt(2 + 2 * i)) None // all-null file: no stats → always read
+          else statTypes(c) match {
+            case org.apache.spark.sql.types.StringType =>
+              Some(c -> (StrStat(r.getString(2 + 2 * i),
+                r.getString(3 + 2 * i)): ColStat))
+            case _ =>
+              Some(c -> (LongStat(r.getLong(2 + 2 * i),
+                r.getLong(3 + 2 * i)): ColStat))
+          }
         }.toMap
         if (m.isEmpty) None else Some(rel -> m)
       }.toMap
@@ -454,36 +623,63 @@ object SnapshotTable {
   }
 
   /** Write the next manifest file (version current+1) with `entries`
-    * (and, per file, any column stats). The manifest exists on disk
-    * after this call but is NOT live until [[swapPointer]] — a crash
-    * between the two leaves readers on the old snapshot. The rename from
-    * the temp name is NO-replace ([[FileSystem.rename]] — atomic
-    * put-if-absent on HDFS), so two writers racing the same version
-    * number cannot silently clobber each other's manifest. Returns the
-    * prepared version. */
+    * (and, per file, any column stats plus its length and row count —
+    * every line carries `bytes:rows` so reads never pay a per-file
+    * metadata round trip; see [[fileMetaAt]]). Lengths come, in order,
+    * from the PREVIOUS manifest (carried-forward files), this JVM's
+    * staging listing ([[stagedSizes]] — free bytes from the stage-time
+    * listStatus), then one fallback `getFileStatus` (foreign entries a
+    * test hand-builds; −1 when even that misses). The manifest exists on
+    * disk after this call but is NOT live until [[swapPointer]] — a
+    * crash between the two leaves readers on the old snapshot.
+    *
+    * The rename from the temp name is NO-replace: atomic put-if-absent
+    * on HDFS ([[FileSystem.rename]] fails on an existing destination);
+    * on the LOCAL filesystem `File.renameTo` silently REPLACES, so a
+    * pre-rename existence check closes the common cross-process race
+    * best-effort there — same-process writers are fully serialized by
+    * [[withCommitLock]]'s mutex, which is the actual local-mode
+    * guarantee. Returns the prepared version. */
   def prepareManifest(tableDir: String, newEntries: Seq[(String, String)],
-      stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      stats: Map[String, Map[String, ColStat]] = Map.empty,
       schema: Option[StructType] = None,
       partCol: Option[String] = None,
       op: Option[String] = None): Long = {
     val (fs, root) = fsRoot(tableDir)
     val v = currentVersion(tableDir) + 1
+    val prevMeta =
+      if (v > 1L) fileMetaAt(tableDir, v - 1) else Map.empty[String, (Long, Long)]
+    val dataRoot = new Path(root, "data")
+    def metaOf(f: String): (Long, Long) = prevMeta.getOrElse(f, {
+      val rows = Option(stagedRows.get(f)).map(_.longValue).getOrElse(-1L)
+      Option(stagedSizes.get(f)).map(b => (b.longValue, rows)).getOrElse {
+        try (fs.getFileStatus(new Path(dataRoot, f)).getLen, rows)
+        catch { case _: java.io.FileNotFoundException => (-1L, rows) }
+      }
+    })
     val header = schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
       partCol.map(c => s"#partcol\t$c\n").getOrElse("") +
       op.map(o => s"#op\t$o\n").getOrElse("")
     val body = header + newEntries.map { case (p, f) =>
       val st = stats.get(f).filter(_.nonEmpty)
-        .map(m => "\t" + m.toSeq.sortBy(_._1)
-          .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(";"))
+        .map(_.toSeq.sortBy(_._1).map {
+          case (c, LongStat(lo, hi)) => s"$c=$lo:$hi"
+          case (c, StrStat(lo, hi)) => s"$c=s:${encStr(lo)}:${encStr(hi)}"
+        }.mkString(";"))
         .getOrElse("")
-      s"$p\t$f$st"
+      val (bytes, rows) = metaOf(f)
+      s"$p\t$f\t$st\t$bytes:$rows"
     }.mkString("", "\n", "\n")
     val tmp = new Path(root, s".${manifestName(v)}.tmp")
     writeText(fs, tmp, body)
-    if (!fs.rename(tmp, new Path(root, manifestName(v))))
+    val dst = new Path(root, manifestName(v))
+    if (fs.exists(dst) || !fs.rename(tmp, dst))
       throw new IllegalStateException(
         s"manifest v$v of $tableDir already exists — a racing writer " +
           "prepared the same version; re-read and retry")
+    newEntries.foreach { case (_, f) =>
+      stagedSizes.remove(f); stagedRows.remove(f)
+    }
     v
   }
 
@@ -549,7 +745,7 @@ object SnapshotTable {
     * can never interleave between check and swap. */
   def casCommit(tableDir: String, basedOnVersion: Long,
       newEntries: Seq[(String, String)],
-      stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      stats: Map[String, Map[String, ColStat]] = Map.empty,
       schema: Option[StructType] = None,
       partCol: Option[String] = None,
       op: String = "commit"): Long =
@@ -650,7 +846,7 @@ object SnapshotTable {
     // carry untouched files' stats forward with their entries; the new
     // batch's files get none (the plain staging path) and are always read
     val untouchedFiles = untouched.map(_._2).toSet
-    val carriedStats = statsAt(tableDir, basedOn)
+    val carriedStats = typedStatsAt(tableDir, basedOn)
       .filter { case (f, _) => untouchedFiles(f) }
     // CAS against the version this merge actually read: a concurrent
     // commit in the meantime throws instead of losing that writer's rows
@@ -676,6 +872,53 @@ object SnapshotTable {
       attempt += 1
       try return upsert(spark, tableDir, updates, partCol, keyCols,
         versionCol, deleteCol)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** APPEND commit — the plain `INSERT INTO` shape: stage `rows` as one
+    * new batch and commit old entries ∪ new entries; no merge keys, no
+    * tombstones, untouched files carried by manifest line with their
+    * stats and lengths. The incoming frame must carry exactly the
+    * table's recorded columns (any order; types are cast to the table's
+    * — a frame missing or inventing columns is REJECTED loudly, never
+    * null-filled: an append is not schema evolution). CAS-retried like
+    * [[upsertRetrying]] so concurrent appenders serialize instead of
+    * losing rows. Returns the committed version. */
+  def append(spark: SparkSession, tableDir: String, rows: DataFrame,
+      maxAttempts: Int = 5): Long = {
+    require(maxAttempts >= 1, "need at least one attempt")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val basedOn = currentVersion(tableDir)
+      require(basedOn >= 1, s"$tableDir has no committed version — " +
+        "appending to a never-created table is a create, not an INSERT; " +
+        "use overwrite")
+      val sch = schemaAt(tableDir, basedOn).getOrElse(
+        throw new IllegalArgumentException(
+          s"table $tableDir (v$basedOn) records no schema header — " +
+            "recommit it through the current writer before INSERTing"))
+      val pc = partColAt(tableDir, basedOn).getOrElse(
+        throw new IllegalArgumentException(
+          s"table $tableDir (v$basedOn) records no partition column — " +
+            "recommit it through the current writer before INSERTing"))
+      val missing = sch.fieldNames.filterNot(rows.columns.contains)
+      val extra = rows.columns.filterNot(sch.fieldNames.contains)
+      require(missing.isEmpty && extra.isEmpty,
+        s"INSERT schema mismatch against $tableDir v$basedOn — " +
+          (if (missing.nonEmpty) s"missing: ${missing.mkString(", ")}; " else "") +
+          (if (extra.nonEmpty) s"unexpected: ${extra.mkString(", ")}" else ""))
+      val conformed = rows.select(
+        sch.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      val staged = stageBatch(conformed, tableDir, pc, newBatchTag(basedOn + 1))
+      val old = entriesAt(tableDir, basedOn)
+      try return casCommit(tableDir, basedOn, old ++ staged,
+        typedStatsAt(tableDir, basedOn), Some(sch), Some(pc), op = "insert")
       catch {
         case e: java.util.ConcurrentModificationException =>
           if (attempt >= maxAttempts) throw e
@@ -711,10 +954,10 @@ object SnapshotTable {
       transform: DataFrame => DataFrame): Long = {
     val basedOn = currentVersion(tableDir)
     val all = entriesAt(tableDir, basedOn)
-    val st = statsAt(tableDir, basedOn)
+    val st = typedStatsAt(tableDir, basedOn)
     val overlaps = (f: String) => pruneRange match {
       case Some((c, lo, hi)) => st.get(f).flatMap(_.get(c)) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case Some(cs) => ColStat.overlapsLong(cs, lo, hi)
         case None => true // no stats: conservatively a candidate
       }
       case None => true
@@ -746,7 +989,7 @@ object SnapshotTable {
           rangeFiles)
       case None =>
         (stageBatch(rewritten, tableDir, partCol, tag),
-          Map.empty[String, Map[String, (Long, Long)]])
+          Map.empty[String, Map[String, ColStat]])
     }
     val carriedFiles = carried.map(_._2).toSet
     val carriedStats = st.filter { case (f, _) => carriedFiles(f) }
@@ -848,8 +1091,12 @@ object SnapshotTable {
     if (all.isEmpty) return basedOn
     val (fs, root) = fsRoot(tableDir)
     val dataRoot = new Path(root, "data")
+    // file lengths from the MANIFEST (fileMetaAt — zero RPCs); only
+    // entries written before the bytes:rows field pay a getFileStatus
+    val meta = fileMetaAt(tableDir, basedOn)
     val sizes = all.map { case (_, f) =>
-      f -> fs.getFileStatus(new Path(dataRoot, f)).getLen
+      f -> meta.get(f).map(_._1).getOrElse(
+        fs.getFileStatus(new Path(dataRoot, f)).getLen)
     }.toMap
     val smallByPart = all.groupBy(_._1).map { case (p, es) =>
       p -> es.filter { case (_, f) => sizes(f) < minBytes }
@@ -859,7 +1106,7 @@ object SnapshotTable {
     val (folded, carried) = all.partition { case (_, f) => foldFiles(f) }
     val sch = schemaAt(tableDir, basedOn)
     val rewritten = readFiles(spark, tableDir, folded.map(_._2), sch)
-    val st = statsAt(tableDir, basedOn)
+    val st = typedStatsAt(tableDir, basedOn)
     val statCols = st.valuesIterator.flatMap(_.keysIterator).toSet
       .toSeq.sorted.filter(c => sch.forall(_.fieldNames.contains(c)))
     val tag = newBatchTag(basedOn + 1)
@@ -874,7 +1121,7 @@ object SnapshotTable {
           rangeFiles = math.max(1, smallByPart.size),
           orderCols = Seq(col(partCol), col(statCols.head)))
       else (stageBatch(rewritten, tableDir, partCol, tag, 1L << 40),
-        Map.empty[String, Map[String, (Long, Long)]])
+        Map.empty[String, Map[String, ColStat]])
     val carriedFiles = carried.map(_._2).toSet
     val carriedStats = st.filter { case (f, _) => carriedFiles(f) }
     casCommit(tableDir, basedOn, carried ++ staged,
@@ -897,7 +1144,7 @@ object SnapshotTable {
       s"version $v of $tableDir is unreadable — never committed, or " +
         "vacuumed past the retention window (keepVersions)")
     casCommit(tableDir, basedOn, entriesAt(tableDir, v),
-      statsAt(tableDir, v), schemaAt(tableDir, v),
+      typedStatsAt(tableDir, v), schemaAt(tableDir, v),
       partColAt(tableDir, v).orElse(partColAt(tableDir, basedOn)),
       op = "restore")
   }
@@ -1060,6 +1307,27 @@ object SnapshotTable {
           case Some((mn, mx)) => mx >= lo && mn <= hi
           case None => true
         }
+      }
+    }
+    readOrEmpty(spark, tableDir, kept, v)
+  }
+
+  /** STRING-stats file skipping — [[readRange]] for a string-typed stat
+    * column (the `month >= '1997-01'` class, the most common real prune):
+    * only files whose recorded [min, max] overlaps `[lo, hi]` in UNSIGNED
+    * UTF-8 BYTE order (exactly the order Spark's min/max computed them
+    * under — [[ColStat.utf8Cmp]]) are opened; either bound may be open
+    * (None). Files without a string stat for the column are
+    * conservatively read, and the caller still applies the exact row
+    * predicate on top — stats prune FILES, not rows. */
+  def readRangeStr(spark: SparkSession, tableDir: String, statCol: String,
+      lo: Option[String], hi: Option[String]): DataFrame = {
+    val v = currentVersion(tableDir)
+    val st = typedStatsAt(tableDir, v)
+    val kept = entriesAt(tableDir, v).map(_._2).filter { f =>
+      st.get(f).flatMap(_.get(statCol)) match {
+        case Some(cs) => ColStat.overlapsStr(cs, lo, hi)
+        case None => true
       }
     }
     readOrEmpty(spark, tableDir, kept, v)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
 
 import graft.sources.SnapshotTable
 
@@ -30,7 +30,13 @@ import graft.sources.SnapshotTable
   * v's state). Vacuum past a checkpointed version fails the stream
   * LOUDLY through [[SnapshotTable.changesBetween]]'s manifest check —
   * retention (`keepVersions`) is the stream's downtime budget, the same
-  * contract as the open table formats'.
+  * contract as the open table formats'. A consumer that can REPLACE its
+  * derived state opts into recovery instead with
+  * `onVacuumedCheckpoint=rebase`: the feed gains a `rebased` boolean
+  * column (false on every incremental batch), and the first batch after
+  * a lost retention window is the full current snapshot as `insert`
+  * rows with `rebased = true` — the streaming form of
+  * [[SnapshotTable.changesSinceOrRebase]]'s batch contract.
   *
   * V1 [[Source]] rather than a DSv2 MicroBatchStream because the batch
   * is COMPUTED (per-version diffs are joins over manifest-selected
@@ -41,7 +47,8 @@ import graft.sources.SnapshotTable
 class SnapshotCdfSource extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-snapshot-cdf"
 
-  private def feedSchema(dir: String, keyCols: Seq[String]): StructType = {
+  private def feedSchema(dir: String, keyCols: Seq[String],
+      rebase: Boolean): StructType = {
     val v = SnapshotTable.currentVersion(dir)
     val table = SnapshotTable.schemaAt(dir, v).getOrElse(
       throw new IllegalArgumentException(
@@ -52,11 +59,15 @@ class SnapshotCdfSource extends StreamSourceProvider with DataSourceRegister {
       s"keyCols name columns the table does not have: ${missing.mkString(", ")}")
     val keys = keyCols.map(k => table(k))
     val vals = table.fields.filterNot(f => keyCols.contains(f.name)).toSeq
-    StructType((StructField("change_type", StringType) +: (keys ++ vals)) :+
-      StructField("change_version", LongType, nullable = false))
+    val base = (StructField("change_type", StringType) +: (keys ++ vals)) :+
+      StructField("change_version", LongType, nullable = false)
+    StructType(
+      if (rebase) base :+ StructField("rebased", BooleanType, nullable = false)
+      else base)
   }
 
-  private def params(parameters: Map[String, String]): (String, Seq[String]) = {
+  private def params(parameters: Map[String, String])
+      : (String, Seq[String], Boolean) = {
     val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-snapshot-cdf: 'path' (the table directory) is required"))
     val keys = parameters.getOrElse("keycols",
@@ -64,30 +75,37 @@ class SnapshotCdfSource extends StreamSourceProvider with DataSourceRegister {
         "graft-snapshot-cdf: 'keyCols' (comma-separated key columns) is " +
           "required — the change feed diffs on them")))
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    (dir, keys)
+    val rebase = parameters.get("onvacuumedcheckpoint")
+      .orElse(parameters.get("onVacuumedCheckpoint")) match {
+      case None | Some("fail") => false
+      case Some("rebase") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"onVacuumedCheckpoint must be 'fail' (default) or 'rebase', got $other")
+    }
+    (dir, keys, rebase)
   }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    val (dir, keys) = params(parameters)
-    (shortName(), feedSchema(dir, keys))
+    val (dir, keys, rebase) = params(parameters)
+    (shortName(), feedSchema(dir, keys, rebase))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
-    val (dir, keys) = params(parameters)
+    val (dir, keys, rebase) = params(parameters)
     val starting = parameters.get("startingversion")
       .orElse(parameters.get("startingVersion")).map(_.toLong)
     new SnapshotCdfStream(sqlContext.sparkSession, dir, keys,
-      feedSchema(dir, keys), starting)
+      feedSchema(dir, keys, rebase), starting, rebase)
   }
 }
 
 private[v2] class SnapshotCdfStream(spark: SparkSession, tableDir: String,
     keyCols: Seq[String], feedSchema: StructType,
-    startingVersion: Option[Long]) extends Source {
+    startingVersion: Option[Long], rebaseOnVacuum: Boolean) extends Source {
 
   override def schema: StructType = feedSchema
 
@@ -102,25 +120,71 @@ private[v2] class SnapshotCdfStream(spark: SparkSession, tableDir: String,
   }
 
   /** Column order pinned to [[schema]]; change_version stamped per step
-    * by changesBetween, per-row lit for the baseline batch. */
-  private def ordered(df: DataFrame): DataFrame =
-    df.select(feedSchema.fieldNames.map(col).toSeq: _*)
+    * by changesBetween, per-row lit for the baseline batch. Feed columns
+    * ABSENT from the batch are null-filled with the pinned type — a
+    * getBatch window spanning versions written under an older schema
+    * (startingVersion / restart after an add-column evolution) otherwise
+    * crashes the stream on an AnalysisException over a valid window. */
+  private def ordered(df: DataFrame): DataFrame = {
+    val present = df.columns.toSet
+    val filled = feedSchema.fields.foldLeft(df) { (d, f) =>
+      if (present(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    filled.select(feedSchema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** The full snapshot AT version `v` as insert rows — the first batch of
+    * an unanchored stream, and the RE-BASELINE batch after a lost
+    * retention window (rebased = true there: the consumer must REPLACE
+    * its derived state, not fold into it — anything absent from the
+    * baseline was deleted inside the lost window). */
+  private def baseline(v: Long, rebased: Boolean): DataFrame = {
+    val full = SnapshotTable.readAt(spark, tableDir, v)
+      .withColumn("change_type", lit("insert"))
+      .withColumn("change_version", lit(v))
+    ordered(
+      if (rebaseOnVacuum) full.withColumn("rebased", lit(rebased)) else full)
+  }
+
+  private def incremental(from: Long, to: Long): DataFrame = {
+    val d = SnapshotTable.changesBetween(spark, tableDir, from, to, keyCols)
+    ordered(
+      if (rebaseOnVacuum) d.withColumn("rebased", lit(false)) else d)
+  }
+
+  /** Rebase recovery target: the requested version when its manifest
+    * still exists, else the CURRENT version (retention always keeps it).
+    * A restart can replay a window BELOW the lost history twice — batch
+    * reconstruction plus the live batch — so the rebase batch may arrive
+    * more than once with the same snapshot: idempotent under the
+    * consumer's REPLACE-state contract, which is why rebase is opt-in. */
+  private def readableOr(to: Long): Long =
+    if (SnapshotTable.manifestExists(tableDir, to)) to
+    else SnapshotTable.currentVersion(tableDir)
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = versionOf(end)
     val batch = start.map(versionOf).orElse(startingVersion) match {
-      case Some(from) if from >= to =>
+      case Some(from) if from >= to && SnapshotTable.manifestExists(tableDir, to) =>
         // replay edge: nothing new in the window
-        ordered(SnapshotTable.changesBetween(spark, tableDir, to, to, keyCols))
-          .limit(0)
+        incremental(to, to).limit(0)
+      case Some(from) if from >= 1 && SnapshotTable.manifestExists(tableDir, from) =>
+        incremental(from, to)
+      case Some(_) if rebaseOnVacuum =>
+        // the checkpointed version was vacuumed past — the incremental
+        // history is GONE; re-baseline instead of failing the stream
+        // (opt-in: the consumer declared it can replace derived state)
+        baseline(readableOr(to), rebased = true)
       case Some(from) =>
-        ordered(SnapshotTable.changesBetween(spark, tableDir, from, to, keyCols))
+        // loud-failure default: retention is the stream's downtime budget
+        incremental(from, to)
+      case None if rebaseOnVacuum && !SnapshotTable.manifestExists(tableDir, to) =>
+        // an unanchored baseline whose version was vacuumed between the
+        // offset write and this (re)construction — same recovery shape
+        baseline(readableOr(to), rebased = true)
       case None =>
-        // baseline: the full snapshot AT the offered version as inserts
-        val full = SnapshotTable.readAt(spark, tableDir, to)
-        ordered(full
-          .withColumn("change_type", lit("insert"))
-          .withColumn("change_version", lit(to)))
+        baseline(to, rebased = false)
     }
     GraftStreamingBridge.asStreaming(spark, batch)
   }

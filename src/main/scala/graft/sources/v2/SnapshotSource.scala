@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 
 import org.apache.spark.sql.{SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
@@ -12,6 +12,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.sources.SnapshotTable
+import graft.sources.SnapshotTable.ColStat
 
 /** Spark-native READ integration for the snapshot table format —
   * `spark.read.format("graft-snapshot").load(tableDir)` (options:
@@ -23,19 +24,22 @@ import graft.sources.SnapshotTable
   *  - Catalyst's pushed-down data filters reach
   *    [[SnapshotFileIndex.listFiles]], where partition-column equality
   *    prunes by manifest ENTRY and range predicates on recorded stat
-  *    columns prune by manifest MIN/MAX — automatic file skipping for a
-  *    plain `.filter(...)`/SQL WHERE, where the Scala API needed the
-  *    caller to invoke [[SnapshotTable.readRange]] by hand,
+  *    columns (LONG or STRING min/max) prune by manifest stats —
+  *    automatic file skipping for a plain `.filter(...)`/SQL WHERE,
+  *    where the Scala API needed the caller to invoke
+  *    [[SnapshotTable.readRange]] / `readRangeStr` by hand,
   *  - everything below the listing is Spark's own parquet scan: column
   *    pruning, row-group predicate pushdown, vectorized reading and
   *    whole-stage codegen all apply unchanged.
   *
   * Pruning is sound by construction: a file is skipped only when a
   * pushed conjunct is provably FALSE for every row the file can contain
-  * (its recorded [min, max] misses the predicate's range, or its
-  * manifest partition value misses an equality/IN set); files without
-  * stats for a referenced column are always read, and Spark re-applies
-  * the exact predicate on rows, so stats only ever SHRINK the file list.
+  * (its recorded [min, max] misses the predicate's range — string bounds
+  * compared in unsigned-UTF-8-byte order, the order Spark computed them
+  * under — or its manifest partition value misses an equality/IN set);
+  * files without stats for a referenced column are always read, and
+  * Spark re-applies the exact predicate on rows, so stats only ever
+  * SHRINK the file list.
   *
   * Writes stay on the transactional Scala API ([[SnapshotTable.upsert]]
   * etc.) / the [[graft.sources.SnapshotSql]] DML front door — a
@@ -78,21 +82,25 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
   * entries once (never a directory walk), and [[listFiles]] prunes them
   * against the pushed data filters — partition-value equality/IN on the
   * table's recorded partition column, [lo, hi] overlap on any column the
-  * manifest carries min/max stats for. The data files store the
-  * partition column as an ordinary column, so `partitionSchema` is empty
-  * and every filter arrives as a data filter.
+  * manifest carries min/max stats for (LONG and STRING). The data files
+  * store the partition column as an ordinary column, so `partitionSchema`
+  * is empty and every filter arrives as a data filter.
   *
-  * File sizes come from one `getFileStatus` per live entry at index
-  * construction — the same O(files) metadata cost parquet's own
-  * InMemoryFileIndex pays to list; a production evolution would record
-  * sizes in the manifest line (Delta's approach) and make this zero-RPC.
-  * The index is an immutable snapshot of version `v`: `refresh` is a
-  * no-op by design (re-load the source to see later commits). */
+  * ZERO-RPC listing: every FileStatus is synthesized from the manifest's
+  * recorded `bytes:rows` field ([[SnapshotTable.fileMetaAt]]) — index
+  * construction performs NO per-file metadata calls, the property that
+  * separates an open table format from a directory listing at 10⁶ live
+  * files. Only entries written before the field existed fall back to one
+  * `getFileStatus` each ([[fallbackStatCalls]] counts them — the spec
+  * pins the count at zero for current-writer tables). `sizeInBytes`
+  * (join-strategy input) sums the same recorded lengths. The index is an
+  * immutable snapshot of version `v`: `refresh` is a no-op by design
+  * (re-load the source to see later commits). */
 class SnapshotFileIndex(spark: SparkSession, tableDir: String,
     version: Long) extends FileIndex {
 
   private val entries = SnapshotTable.entriesAt(tableDir, version)
-  private val stats = SnapshotTable.statsAt(tableDir, version)
+  private val stats = SnapshotTable.typedStatsAt(tableDir, version)
   private val partCol = SnapshotTable.partColAt(tableDir, version)
 
   private val dataRoot = {
@@ -101,10 +109,22 @@ class SnapshotFileIndex(spark: SparkSession, tableDir: String,
     new Path(fs.makeQualified(raw), "data")
   }
 
+  /** Per-file getFileStatus round trips paid at construction — 0 for any
+    * table whose manifest records lengths (every current-writer commit);
+    * exposed so the zero-RPC contract is PINNED, not assumed. */
+  @volatile var fallbackStatCalls: Int = 0
+
   private val statusOf: Map[String, FileStatus] = {
-    val fs = dataRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    val meta = SnapshotTable.fileMetaAt(tableDir, version)
+    lazy val fs = dataRoot.getFileSystem(spark.sessionState.newHadoopConf())
     entries.map { case (_, rel) =>
-      rel -> fs.getFileStatus(new Path(dataRoot, rel))
+      val p = new Path(dataRoot, rel)
+      rel -> meta.get(rel).map { case (bytes, _) =>
+        new FileStatus(bytes, false, 1, 128L << 20, 0L, p)
+      }.getOrElse {
+        fallbackStatCalls += 1
+        fs.getFileStatus(p)
+      }
     }.toMap
   }
 
@@ -129,10 +149,13 @@ class SnapshotFileIndex(spark: SparkSession, tableDir: String,
   /** Entries surviving the pushed filters — public so specs and the
     * registered query pin the pruning decisions directly. */
   def prune(dataFilters: Seq[Expression]): Seq[(String, String)] = {
-    // per-column [lo, hi] bounds and partition-value sets from the
-    // provable conjuncts; anything unrecognized keeps every file
+    // per-column [lo, hi] bounds (LONG exact, STRING inclusive) and
+    // partition-value sets from the provable conjuncts; anything
+    // unrecognized keeps every file
     var lo = Map.empty[String, Long].withDefaultValue(Long.MinValue)
     var hi = Map.empty[String, Long].withDefaultValue(Long.MaxValue)
+    var sLo = Map.empty[String, String]
+    var sHi = Map.empty[String, String]
     var parts: Option[Set[String]] = None
     def longOf(e: Expression): Option[Long] = e match {
       case Literal(x: Long, LongType) => Some(x)
@@ -149,6 +172,16 @@ class SnapshotFileIndex(spark: SparkSession, tableDir: String,
     }
     def narrowPart(vs: Set[String]): Unit =
       parts = Some(parts.map(_.intersect(vs)).getOrElse(vs))
+    // STRING bounds are tracked INCLUSIVE even for strict comparisons
+    // (sound: a file whose max equals a strict lower bound is read and
+    // re-filtered to nothing) — string successor/predecessor games are
+    // where pruning bugs live
+    def tightenSLo(n: String, v: String): Unit =
+      sLo += n -> sLo.get(n)
+        .map(x => if (ColStat.utf8Cmp(v, x) > 0) v else x).getOrElse(v)
+    def tightenSHi(n: String, v: String): Unit =
+      sHi += n -> sHi.get(n)
+        .map(x => if (ColStat.utf8Cmp(v, x) < 0) v else x).getOrElse(v)
     def visit(e: Expression): Unit = e match {
       case And(l, r) => visit(l); visit(r)
       case EqualTo(c, v) if nameOf(c).isDefined && longOf(v).isDefined =>
@@ -174,10 +207,32 @@ class SnapshotFileIndex(spark: SparkSession, tableDir: String,
         val n = nameOf(c).get; lo += n -> math.max(lo(n), longOf(v).get + 1)
       case LessThanOrEqual(v, c) if nameOf(c).isDefined && longOf(v).isDefined =>
         val n = nameOf(c).get; lo += n -> math.max(lo(n), longOf(v).get)
-      case EqualTo(c, v) if partCol.exists(nameOf(c).contains) &&
-          strOf(v).isDefined => narrowPart(Set(strOf(v).get))
-      case EqualTo(v, c) if partCol.exists(nameOf(c).contains) &&
-          strOf(v).isDefined => narrowPart(Set(strOf(v).get))
+      // string predicates: partition-entry pruning on the recorded
+      // partition column, stats-range pruning on ANY string-statted column
+      case EqualTo(c, v) if nameOf(c).isDefined && strOf(v).isDefined =>
+        val (n, x) = (nameOf(c).get, strOf(v).get)
+        if (partCol.contains(n)) narrowPart(Set(x))
+        tightenSLo(n, x); tightenSHi(n, x)
+      case EqualTo(v, c) if nameOf(c).isDefined && strOf(v).isDefined =>
+        val (n, x) = (nameOf(c).get, strOf(v).get)
+        if (partCol.contains(n)) narrowPart(Set(x))
+        tightenSLo(n, x); tightenSHi(n, x)
+      case GreaterThan(c, v) if nameOf(c).isDefined && strOf(v).isDefined =>
+        tightenSLo(nameOf(c).get, strOf(v).get)
+      case GreaterThanOrEqual(c, v) if nameOf(c).isDefined && strOf(v).isDefined =>
+        tightenSLo(nameOf(c).get, strOf(v).get)
+      case LessThan(c, v) if nameOf(c).isDefined && strOf(v).isDefined =>
+        tightenSHi(nameOf(c).get, strOf(v).get)
+      case LessThanOrEqual(c, v) if nameOf(c).isDefined && strOf(v).isDefined =>
+        tightenSHi(nameOf(c).get, strOf(v).get)
+      case GreaterThan(v, c) if nameOf(c).isDefined && strOf(v).isDefined =>
+        tightenSHi(nameOf(c).get, strOf(v).get)
+      case GreaterThanOrEqual(v, c) if nameOf(c).isDefined && strOf(v).isDefined =>
+        tightenSHi(nameOf(c).get, strOf(v).get)
+      case LessThan(v, c) if nameOf(c).isDefined && strOf(v).isDefined =>
+        tightenSLo(nameOf(c).get, strOf(v).get)
+      case LessThanOrEqual(v, c) if nameOf(c).isDefined && strOf(v).isDefined =>
+        tightenSLo(nameOf(c).get, strOf(v).get)
       case In(c, vs) if partCol.exists(nameOf(c).contains) &&
           vs.forall(strOf(_).isDefined) =>
         narrowPart(vs.flatMap(strOf).toSet)
@@ -189,8 +244,14 @@ class SnapshotFileIndex(spark: SparkSession, tableDir: String,
         val st = stats.getOrElse(f, Map.empty)
         (lo.keySet ++ hi.keySet).forall { c =>
           st.get(c) match {
-            case Some((mn, mx)) => mx >= lo(c) && mn <= hi(c)
+            case Some(cs) => ColStat.overlapsLong(cs, lo(c), hi(c))
             case None => true // no stats for this column: must read
+          }
+        } &&
+        (sLo.keySet ++ sHi.keySet).forall { c =>
+          st.get(c) match {
+            case Some(cs) => ColStat.overlapsStr(cs, sLo.get(c), sHi.get(c))
+            case None => true
           }
         }
       }

@@ -186,6 +186,75 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, dir).count() == 100)
   }
 
+  test("INSERT INTO … SELECT appends: old files carried by entry with " +
+      "their stats, column order conformed, schema mismatch rejected") {
+    val dir = fixture()
+    val before = SnapshotTable.entriesAt(dir, 1L).map(_._2).toSet
+    val statsBefore = SnapshotTable.typedStatsAt(dir, 1L)
+    (101L to 120L).map(k => (k, s"n$k", k * 1.0, "2024-03"))
+      .toDF("k", "name", "price", "month")
+      .createOrReplaceTempView("ins_batch")
+    // column order scrambled on purpose — names are the contract
+    val r = SnapshotSql.exec(spark, s"INSERT INTO snap('$dir') " +
+      "SELECT month, price, name, k FROM ins_batch")
+    assert(r == SnapshotSql.Committed(2L))
+    assert(SnapshotTable.read(spark, dir).count() == 120)
+    assert(rowsOf(SnapshotTable.read(spark, dir).filter(col("k") > 100L))
+      == (101L to 120L).map(k => (k, s"n$k", k * 1.0, "2024-03")).toSet)
+    // append NEVER rewrites: every old file carried, stats intact
+    val after = SnapshotTable.entriesAt(dir, 2L).map(_._2).toSet
+    assert(before.subsetOf(after))
+    before.foreach(f =>
+      assert(SnapshotTable.typedStatsAt(dir, 2L).get(f) == statsBefore.get(f)))
+    assert(SnapshotTable.opAt(dir, 2L).contains("insert"))
+    // a SELECT from another snapshot table works as the source
+    SnapshotSql.exec(spark, s"INSERT INTO snap('$dir') " +
+      s"SELECT k + 1000 AS k, name, price, month FROM snap('$dir') " +
+      "VERSION AS OF 1 WHERE k <= 5")
+    assert(SnapshotTable.read(spark, dir).count() == 125)
+    // schema mismatch: missing and invented columns are rejected loudly
+    val exMissing = intercept[IllegalArgumentException] {
+      SnapshotSql.exec(spark, s"INSERT INTO snap('$dir') " +
+        "SELECT k, name, price FROM ins_batch")
+    }
+    assert(exMissing.getMessage.contains("missing: month"))
+    val exExtra = intercept[IllegalArgumentException] {
+      SnapshotSql.exec(spark, s"INSERT INTO snap('$dir') " +
+        "SELECT k, name, price, month, 1 AS bogus FROM ins_batch")
+    }
+    assert(exExtra.getMessage.contains("unexpected: bogus"))
+    // INSERT into a never-created table is a create, not an append
+    val empty = Files.createTempDirectory("graft-snapsql-empty").toString
+    val exEmpty = intercept[IllegalArgumentException] {
+      SnapshotSql.exec(spark, s"INSERT INTO snap('$empty') " +
+        "SELECT k, name, price, month FROM ins_batch")
+    }
+    assert(exEmpty.getMessage.contains("no committed version"))
+  }
+
+  test("snap('…') inside a string LITERAL is query text, not a table " +
+      "reference — the rewrite is quote-aware") {
+    val dir = fixture()
+    // the literal's content must survive verbatim; a quote-blind rewrite
+    // would splice a temp-view name into the middle of the string
+    val got = SnapshotSql.exec(spark,
+      s"SELECT concat(name, ' likes snap(', 'x', ')') AS t " +
+        s"FROM snap('$dir') WHERE k = 1") match {
+      case SnapshotSql.Rows(df) => df.as[String].head()
+      case other => fail(s"expected rows, got $other")
+    }
+    assert(got == "n1 likes snap(x)")
+    // the ADVICE shape: a cross-literal false match `snap(' … ')` formed
+    // by two adjacent literals must not be rewritten either
+    val got2 = SnapshotSql.exec(spark,
+      s"SELECT count(*) AS n FROM snap('$dir') " +
+        "WHERE name = 'snap(' OR name = ')'") match {
+      case SnapshotSql.Rows(df) => df.as[Long].head()
+      case other => fail(s"expected rows, got $other")
+    }
+    assert(got2 == 0L)
+  }
+
   test("guardrails: DELETE without WHERE refuses; unknown verb refuses; " +
       "a pre-#partcol table demands the Scala API") {
     val dir = fixture()

@@ -946,4 +946,96 @@ class SnapshotTableSpec extends SparkSpec {
     val v3 = SnapshotTable.casCommit(dir, v2, SnapshotTable.entries(dir))
     assert(SnapshotTable.partColAt(dir, v3) == Some("month"))
   }
+
+  test("manifests record bytes:rows per file (fileMetaAt): lengths match " +
+      "the filesystem, clustered staging counts rows, carried entries " +
+      "keep their meta across commits") {
+    val dir = Files.createTempDirectory("graft-snap-meta").toString
+    SnapshotTable.overwrite(spark, dir, baseRows, "month")
+    val meta1 = SnapshotTable.fileMetaAt(dir, 1L)
+    val entries1 = SnapshotTable.entries(dir)
+    assert(meta1.keySet == entries1.map(_._2).toSet,
+      "every manifest line must carry its file's length")
+    meta1.foreach { case (f, (bytes, rows)) =>
+      assert(bytes == new java.io.File(s"$dir/data/$f").length,
+        s"recorded length of $f must be the real one")
+      assert(rows == -1L, "plain staging does not count rows")
+    }
+    // clustered staging rides a stats scan — rows are free there
+    val dir2 = Files.createTempDirectory("graft-snap-meta2").toString
+    SnapshotTable.overwriteClustered(spark, dir2,
+      baseRows.withColumn("k2", col("k")), "month",
+      statsCols = Seq("k2"), rangeFiles = 2)
+    val meta2 = SnapshotTable.fileMetaAt(dir2, 1L)
+    assert(meta2.valuesIterator.map(_._2).sum == baseRows.count(),
+      "clustered staging must record exact per-file row counts")
+    // an upsert carries untouched files' meta forward by manifest line
+    val v2 = SnapshotTable.upsert(spark, dir, updateRows, "month",
+      Seq("k"), "version", "del")
+    val meta2b = SnapshotTable.fileMetaAt(dir, v2)
+    val untouched = SnapshotTable.entriesAt(dir, v2).map(_._2)
+      .filter(meta1.contains)
+    assert(untouched.nonEmpty &&
+      untouched.forall(f => meta2b(f) == meta1(f)))
+  }
+
+  test("STRING manifest stats: readRangeStr prunes files lexicographically " +
+      "(UTF-8 byte order) and row-level DML preserves typed stats on " +
+      "restaged files") {
+    val dir = Files.createTempDirectory("graft-snap-str").toString
+    // month correlates with k (50 keys per month) so the k-range
+    // clustering also bands months — the layout string stats can skip on
+    val rows = (0L until 600L).map(k =>
+      (k, f"2024-${k / 50 + 1}%02d", "p" + (k % 2)))
+      .toSeq.toDF("k", "month", "part")
+    SnapshotTable.overwriteClustered(spark, dir, rows, "part",
+      statsCols = Seq("k", "month"), rangeFiles = 12)
+    val st1 = SnapshotTable.typedStatsAt(dir, 1L)
+    assert(st1.valuesIterator.exists(_.get("month").exists(
+      _.isInstanceOf[SnapshotTable.StrStat])), "month must carry StrStat")
+    assert(st1.valuesIterator.exists(_.get("k").exists(
+      _.isInstanceOf[SnapshotTable.LongStat])), "k must carry LongStat")
+    // the long view hides the string stat but keeps the long one
+    assert(SnapshotTable.statsAt(dir, 1L)
+      .valuesIterator.forall(m => m.contains("k") && !m.contains("month")))
+    // string-range read: prunes to fewer files, rows exact
+    val all = SnapshotTable.entries(dir).map(_._2)
+    val kept = all.count { f =>
+      st1.get(f).flatMap(_.get("month")) match {
+        case Some(cs) => SnapshotTable.ColStat.overlapsStr(
+          cs, Some("2024-10"), None)
+        case None => true
+      }
+    }
+    assert(kept < all.size, s"month >= 2024-10 must skip files ($kept/${all.size})")
+    val got = SnapshotTable.readRangeStr(spark, dir, "month",
+      Some("2024-10"), None)
+      .filter(col("month") >= "2024-10").count()
+    val want = rows.filter(col("month") >= "2024-10").count()
+    assert(got == want)
+    // DELETE restages candidates with the FULL stat-column set — the
+    // string stat must survive on rewritten files (maintenance never
+    // degrades skipping)
+    // the band only PARTIALLY covers its candidate files (file bands are
+    // 50 keys wide), so survivors restage — a full-file band would just
+    // drop entries with nothing left to restage
+    val vDel = SnapshotTable.deleteWhere(spark, dir,
+      col("k").between(120L, 179L), "part",
+      pruneRange = Some(("k", 120L, 179L)))
+    val st2 = SnapshotTable.typedStatsAt(dir, vDel)
+    val newFiles = SnapshotTable.entriesAt(dir, vDel).map(_._2)
+      .filterNot(all.toSet)
+    assert(newFiles.nonEmpty, "the delete must have restaged files")
+    assert(newFiles.forall(f => st2.get(f).exists(m =>
+      m.get("month").exists(_.isInstanceOf[SnapshotTable.StrStat]) &&
+        m.get("k").exists(_.isInstanceOf[SnapshotTable.LongStat]))),
+      "restaged files must carry BOTH typed stats")
+    // non-BMP ordering: the bounds comparator is UTF-8 bytes, not UTF-16
+    // code units — '￿' (3 UTF-8 bytes) sorts BELOW U+10000 (4 bytes),
+    // while Java String.compareTo says the opposite
+    val hi = new String(Character.toChars(0x10000))
+    assert(SnapshotTable.ColStat.utf8Cmp("￿", hi) < 0 &&
+      "￿".compareTo(hi) > 0,
+      "utf8Cmp must follow Spark's binary collation above the BMP")
+  }
 }

@@ -133,6 +133,105 @@ class SnapshotCdfSourceSpec extends SparkSpec {
     assert(streamed == batch && streamed.size == 3)
   }
 
+  test("onVacuumedCheckpoint=rebase: a checkpoint below retention " +
+      "RE-BASELINES (full snapshot as inserts, rebased=true) instead of " +
+      "failing; incremental batches carry rebased=false") {
+    val dir = Files.createTempDirectory("graft-cdf").toString
+    val ckpt = Files.createTempDirectory("graft-cdf-ck").toString
+    SnapshotTable.overwrite(spark, dir, baseRows, "month")          // v1
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, String, Long, Double, Boolean)]()
+    def run() = spark.readStream.format("graft-snapshot-cdf")
+      .option("path", dir).option("keyCols", "k")
+      .option("onVacuumedCheckpoint", "rebase").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.select("change_version", "change_type", "k", "price", "rebased")
+            .collect().foreach(r => got.add((r.getLong(0), r.getString(1),
+              r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      }.start()
+    val q1 = run()
+    q1.processAllAvailable(); q1.stop()
+    assert(got.size == 3 && got.toArray(Array.empty[
+      (Long, String, Long, Double, Boolean)]).forall(!_._5),
+      "the ordinary first baseline is NOT a rebase")
+    got.clear()
+    // the table advances and vacuums past the checkpointed version
+    SnapshotTable.upsert(spark, dir, upd(1L, "a", 99.0, "2024-01", 1L),
+      "month", Seq("k"), "version", "del")                          // v2
+    SnapshotTable.compact(spark, dir, "month")                      // v3
+    SnapshotTable.vacuum(dir, keepVersions = 1)
+    assert(!SnapshotTable.manifestExists(dir, 1L), "fixture: v1 must be gone")
+    val q2 = run()
+    q2.processAllAvailable(); q2.stop()
+    val rows = got.toArray(Array.empty[(Long, String, Long, Double, Boolean)])
+    assert(rows.toSet == Set(
+      (3L, "insert", 1L, 99.0, true), (3L, "insert", 2L, 20.0, true),
+      (3L, "insert", 3L, 30.0, true)),
+      s"the recovery batch must be the FULL current snapshot with " +
+        s"rebased=true, got ${rows.toSet}")
+    got.clear()
+    // after the rebase the stream is anchored again: plain increments
+    SnapshotTable.upsert(spark, dir, upd(2L, "b", 21.0, "2024-01", 2L),
+      "month", Seq("k"), "version", "del")                          // v4
+    val q3 = run()
+    q3.processAllAvailable(); q3.stop()
+    assert(got.toArray(Array.empty[(Long, String, Long, Double, Boolean)])
+      .toSet == Set((4L, "update", 2L, 21.0, false)))
+  }
+
+  test("schema-evolution replay: a crash-replayed PRE-evolution window " +
+      "under a POST-evolution pinned schema null-fills the new column " +
+      "instead of crashing the stream") {
+    val dir = Files.createTempDirectory("graft-cdf").toString
+    val ckpt = Files.createTempDirectory("graft-cdf-ck").toString
+    SnapshotTable.overwrite(spark, dir, baseRows, "month")          // v1
+    SnapshotTable.upsert(spark, dir, upd(1L, "a", 15.0, "2024-01", 1L),
+      "month", Seq("k"), "version", "del")                          // v2 (old schema)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, String, Long, Double, Option[String])]()
+    def run() = spark.readStream.format("graft-snapshot-cdf")
+      .option("path", dir).option("keyCols", "k")
+      .option("startingVersion", "1").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val cols = b.columns.toSet
+          val sel = if (cols("src"))
+            b.select(col("change_version"), col("change_type"), col("k"),
+              col("price"), col("src"))
+          else
+            b.select(col("change_version"), col("change_type"), col("k"),
+              col("price"), lit(null).cast("string").as("src"))
+          sel.collect().foreach(r => got.add((r.getLong(0), r.getString(1),
+            r.getLong(2), r.getDouble(3), Option(r.getString(4)))))
+      }.start()
+    val q1 = run()
+    q1.processAllAvailable(); q1.stop()                 // committed (1,2]
+    assert(got.size == 1)
+    got.clear()
+    // crash simulation: the offset log kept window (1,2] but its commit
+    // record is gone — a restart must REPLAY that window
+    val commits = new java.io.File(s"$ckpt/commits").listFiles
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty && commits.last.delete())
+    new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc").delete()
+    // the table evolves BEFORE the restart: the replayed window's
+    // versions were all written under the pre-src schema
+    SnapshotTable.upsert(spark, dir,
+      upd(2L, "b", 25.0, "2024-01", 1L).withColumn("src", lit("s1")),
+      "month", Seq("k"), "version", "del")              // v3 adds src
+    val q2 = run()
+    q2.processAllAvailable(); q2.stop()
+    val rows = got.toArray(
+      Array.empty[(Long, String, Long, Double, Option[String])]).toSet
+    assert(rows == Set(
+      (2L, "update", 1L, 15.0, None),         // replayed pre-src window
+      (3L, "update", 2L, 25.0, Some("s1"))),  // fresh post-evolution window
+      s"got $rows")
+  }
+
   test("guardrails: missing keyCols refuses; vacuum past the checkpoint " +
       "fails the stream loudly (retention is the downtime budget)") {
     val dir = Files.createTempDirectory("graft-cdf").toString

@@ -112,6 +112,108 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(load(dir).filter(col("part") === "p1").count() == 250)
   }
 
+  test("ZERO-RPC listing: every FileStatus is synthesized from the " +
+      "manifest's bytes:rows field — no per-file getFileStatus; legacy " +
+      "manifests without the field fall back (counted)") {
+    val dir = clusteredFixture()
+    val idx = new SnapshotFileIndex(spark, dir, 1L)
+    val total = idx.prune(Nil).size
+    assert(idx.sizeInBytes > 0L) // forces status construction
+    assert(idx.fallbackStatCalls == 0,
+      s"a current-writer table paid ${idx.fallbackStatCalls} getFileStatus " +
+        "RPCs — the manifest must carry every length")
+    // the synthesized sizes must be the REAL lengths (sizeInBytes feeds
+    // join strategy): compare against the filesystem's answer
+    val fsSum = SnapshotTable.entries(dir).map { case (_, rel) =>
+      new java.io.File(s"$dir/data/$rel").length
+    }.sum
+    assert(idx.sizeInBytes == fsSum)
+    // strip the bytes:rows field → a legacy manifest: reads still work,
+    // each entry paying exactly one fallback stat call
+    val cur = java.nio.file.Paths.get(dir, "_current")
+    val mf = java.nio.file.Paths.get(dir,
+      new String(java.nio.file.Files.readAllBytes(cur)).trim)
+    val legacy = new String(java.nio.file.Files.readAllBytes(mf)).split("\n")
+      .map { l =>
+        if (l.startsWith("#")) l
+        else l.split('\t').take(3).mkString("\t")
+      }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(mf, legacy.getBytes)
+    // the raw rewrite bypassed Hadoop's ChecksumFileSystem — drop the
+    // stale .crc sidecar or every read of the edited manifest fails
+    java.nio.file.Files.deleteIfExists(
+      mf.getParent.resolve("." + mf.getFileName.toString + ".crc"))
+    val idx2 = new SnapshotFileIndex(spark, dir, 1L)
+    assert(idx2.sizeInBytes == fsSum)
+    assert(idx2.fallbackStatCalls == total,
+      "legacy entries must fall back once each")
+    assert(load(dir).count() == 1000)
+  }
+
+  test("STRING stats prune files for range/equality predicates on a " +
+      "string-statted column (the month >= '…' class); results exact") {
+    val dir = Files.createTempDirectory("graft-snapsrc-str").toString
+    val rows = (0L until 1200L).map(k =>
+      (k, f"2024-${k % 12 + 1}%02d", "p" + (k % 2)))
+      .toDF("k", "month", "part")
+    SnapshotTable.overwriteClustered(spark, dir, rows, "part",
+      statsCols = Seq("month"), rangeFiles = 12)
+    val idx = new SnapshotFileIndex(spark, dir, 1L)
+    val m = AttributeReference("month",
+      org.apache.spark.sql.types.StringType)()
+    def s(v: String) =
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString(v),
+        org.apache.spark.sql.types.StringType)
+    val total = idx.prune(Nil).size
+    val kept = idx.prune(Seq(GreaterThanOrEqual(m, s("2024-10")))).size
+    assert(kept < total, s"month >= '2024-10' must skip files ($kept/$total)")
+    assert(idx.prune(Seq(GreaterThanOrEqual(m, s("2025-01")))).isEmpty,
+      "all-miss string band skips every file")
+    val eq = idx.prune(Seq(EqualTo(m, s("2024-03")))).size
+    assert(eq < total)
+    // end-to-end: pruned format reads equal ground truth exactly
+    val got = load(dir).filter(col("month") >= "2024-10")
+      .select("k").as[Long].collect().toSet
+    val want = rows.filter(col("month") >= "2024-10")
+      .select("k").as[Long].collect().toSet
+    assert(got == want)
+    assert(load(dir).filter(col("month") === "2024-03").count() == 100)
+  }
+
+  test("escaped partition values (':' etc.) prune and read correctly — " +
+      "manifest speaks raw values, not directory encoding") {
+    val dir = Files.createTempDirectory("graft-snapsrc-esc").toString
+    val rows = (0L until 300L).map(k =>
+      (k, s"n$k", "t:" + (k % 3), 0L, false)) // ':' Hive-escapes to %3A
+      .toDF("k", "name", "part", "version", "del")
+    SnapshotTable.overwriteClustered(spark, dir, rows, "part",
+      statsCols = Seq("k"), rangeFiles = 3)
+    // the manifest must record the RAW value
+    assert(SnapshotTable.entries(dir).map(_._1).toSet == Set("t:0", "t:1", "t:2"))
+    val idx = new SnapshotFileIndex(spark, dir, 1L)
+    val part = AttributeReference("part",
+      org.apache.spark.sql.types.StringType)()
+    val total = idx.prune(Nil).size
+    val one = idx.prune(Seq(EqualTo(part,
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString("t:1"),
+        org.apache.spark.sql.types.StringType))))
+    assert(one.nonEmpty && one.size < total,
+      "equality on an escaped-char partition value must keep ITS files " +
+        "and only them — empty means the silent wrong-result bug is back")
+    assert(load(dir).filter(col("part") === "t:1").count() == 100)
+    // the Scala API sides of the same contract
+    assert(SnapshotTable.readPartitions(spark, dir, Set("t:1")).count() == 100)
+    val up = Seq((0L, "N0", "t:0", 1L, false))
+      .toDF("k", "name", "part", "version", "del")
+    SnapshotTable.upsert(spark, dir,
+      up, "part", Seq("k"), "version", "del")
+    val after = SnapshotTable.read(spark, dir)
+    assert(after.count() == 300, "upsert on an escaped partition must " +
+      "MERGE, not duplicate the partition")
+    assert(after.filter(col("k") === 0L).select("name")
+      .as[String].collect().toSeq == Seq("N0"))
+  }
+
   test("pre-schema-header tables refuse the format read with a pointed " +
       "error; a missing versionAsOf manifest fails loudly") {
     val dir = Files.createTempDirectory("graft-snapsrc-old").toString
