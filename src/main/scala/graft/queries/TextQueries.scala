@@ -541,13 +541,26 @@ object TextQueries {
       |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY avg_p_ppm DESC, doc_id)
       |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
       |FROM lm JOIN documents USING (doc_id)""".stripMargin) { (s, d) =>
+    // DE-STRAGGLED round 10 (the tightened small-domain window rule
+    // caught this): `ntile(3) OVER (PARTITION BY lang ORDER BY …)` was a
+    // RAW-ROW rank window — ~corpus/|langs| rows per task. The exact
+    // per-lang rank now comes from Scale.binnedGroupRank (avg_p_ppm is
+    // ppm-bounded [0, 10⁶]: div 256 → ≤ 4096 bins by construction), and
+    // ntile's bucket is ARITHMETIC on (rank, per-lang count): with
+    // n = q·3 + r rows, the first r tiles take q+1 rows — the standard
+    // SQL ntile split, bit-equal to the oracle's window form.
     val docs = Tables.documents(s, d)
     val lm = graft.text.Relevance.bigramLmScore(docs, "doc_id", "text")
       .select(col("doc_id"), col("avg_p_ppm"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("avg_p_ppm").desc, col("doc_id"))
-    lm.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .withColumn("__t", ntile(3).over(w))
+    val joined = lm.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val ranked = graft.ops.Scale.binnedGroupRank(
+      joined, group = Seq(col("lang")), bin = expr("avg_p_ppm div 256"),
+      ordInBin = Seq(col("avg_p_ppm").desc, col("doc_id").asc),
+      binAsc = false, rankCol = "__rk")
+    val counts = joined.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
+    ranked.join(broadcast(counts), Seq("lang"))
+      .withColumn("__t",
+        graft.ops.Scale.ntileFromRank(col("__rk"), col("__n"), 3))
       .select(col("doc_id"), col("lang"), col("avg_p_ppm"),
         when(col("__t") === 1, "head").when(col("__t") === 2, "middle")
           .otherwise("tail").as("bucket"))
@@ -964,17 +977,26 @@ object TextQueries {
         |      // (2 * CAST(SUM(np) AS BIGINT) * CAST(SUM(nn) AS BIGINT))
         |  END AS auc_ppm
         |FROM cum GROUP BY 1""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
+    // DE-STRAGGLED round 10: the per-lang cumulative used to window the
+    // (lang, score) DISTINCT-SCORE aggregate partitioned by lang alone —
+    // distinct classifier scores grow with the corpus (the x_mad hole).
+    // binnedGroupRunningSum decomposes it: bin offsets over the bounded
+    // (lang × score-bin) aggregate, in-bin cumulatives on (lang, bin);
+    // neg_below = inclusive running nn minus the row's own nn (rows are
+    // distinct (lang, score), so exclusive = inclusive − self). Scores
+    // are value-domain-bounded (per-token hash ∈ [−500, 500] × the
+    // corpus's document-length cap), so score div 1024 is a bounded bin.
     val it = scoredPersisted(s, d)
       .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
         Seq("doc_id"))
     val vals = it.groupBy(col("lang"), col("score"))
       .agg(count(when(col("label"), lit(1))).as("np"),
         count(when(!col("label"), lit(1))).as("nn"))
-    val wCum = Window.partitionBy(col("lang")).orderBy(col("score"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    vals
-      .withColumn("neg_below", coalesce(sum(col("nn")).over(wCum), lit(0L)))
+    graft.ops.Scale.binnedGroupRunningSum(
+        vals, group = Seq(col("lang")), bin = expr("score div 1024"),
+        ordInBin = Seq(col("score").asc), value = col("nn"),
+        binAsc = true, outCol = "__cum_incl")
+      .withColumn("neg_below", col("__cum_incl") - col("nn"))
       .groupBy(col("lang"))
       .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
         sum(col("np") * (lit(2) * col("neg_below") + col("nn"))).as("__u2"))

@@ -521,4 +521,47 @@ class DedupSpec extends SparkSpec {
     // every derived count satisfies the completeness precondition
     ns.foreach(n => Dedup.mankuLayout(64, Dedup.blocksFor(n), 8))
   }
+
+  test("mankuParamsFor: the table-count CEILING binds — C(blocks, k) ≤ 512 " +
+      "at EVERY corpus size, the guaranteed radius degrades as n grows " +
+      "(never the table count exploding), and small-n agrees with the " +
+      "uncapped derivation") {
+    // at the three fixture scales the ceiling never binds: full radius 8,
+    // blocks identical to the uncapped law (the registered queries'
+    // results are unchanged by the cap)
+    assert(Dedup.mankuParamsFor(50L) == (9, 8))
+    assert(Dedup.mankuParamsFor(500L) == (10, 8))
+    assert(Dedup.mankuParamsFor(5000L) == (11, 8))
+    for (n <- Seq(50L, 500L, 5000L))
+      assert(Dedup.mankuParamsFor(n)._1 == Dedup.blocksFor(n, maxBlocks = 64))
+    // the documented large-n trade: radius 8 → 5 at 10⁹ docs with 252
+    // tables — NOT the uncapped law's C(16,8) = 12,870-table family
+    assert(Dedup.mankuParamsFor(1000000000L) == (10, 5))
+    assert(Dedup.binom(10, 5) == 252L)
+    // invariants over a 2^x sweep to absurd corpus sizes: ceiling holds,
+    // completeness precondition holds, key width keeps per-table
+    // candidate volume ~n (the original sizing argument), radius is
+    // monotone NON-INCREASING in n
+    val sweep = (1 to 60).map(x => 1L << x)
+    val params = sweep.map(Dedup.mankuParamsFor(_))
+    params.foreach { case (b, k) =>
+      assert(Dedup.binom(b, k) <= 512L, s"ceiling violated at ($b, $k)")
+      Dedup.mankuLayout(64, b, k) // throws if blocks ≤ maxHamming
+    }
+    sweep.zip(params).foreach { case (n, (b, k)) =>
+      val d = if (n <= 1L) 1
+        else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+      val dd = math.min(d, 63)
+      val needed = (64 * k + (64 - dd) - 1) / (64 - dd)
+      assert(b >= needed,
+        s"key-width sizing violated at n=$n: ($b, $k) wants ≥ $needed blocks")
+    }
+    val radii = params.map(_._2)
+    assert(radii.zip(radii.tail).forall { case (a, c) => c <= a },
+      "guaranteed radius must degrade monotonically with n")
+    // binom exactness spot checks (the SQL replica computes these via
+    // float list products and rounds — they must be unambiguous)
+    assert(Dedup.binom(16, 8) == 12870L && Dedup.binom(12, 4) == 495L &&
+      Dedup.binom(11, 8) == 165L && Dedup.binom(64, 1) == 64L)
+  }
 }

@@ -460,27 +460,56 @@ class PlanAuditSpec extends SparkSpec {
   // event_type) carries ~corpus/|domain| rows per window task — the
   // low-cardinality variant of the partitionless straggler above, which
   // the empty-partitionSpec rule cannot see because the window IS
-  // partitioned. Structural rule: such a window must either sit above an
-  // aggregation (the distinct-VALUE rank-select idiom) or have a
-  // WindowGroupLimit pushdown bounding its per-partition input (top-k
-  // per group).
-  test("windows partitioned ONLY by small-domain columns run above an " +
-    "aggregation or under a WindowGroupLimit pushdown") {
+  // partitioned. Structural rule (TIGHTENED in round 10 — the x_mad
+  // hole): such a window must either have a WindowGroupLimit pushdown
+  // bounding its per-partition input (top-k per group), or sit above an
+  // aggregation whose grouping REFERENCES A DECLARED BOUNDED-DOMAIN
+  // COLUMN. "Above an aggregation" alone is NOT enough: x_mad's old
+  // plan aggregated on (grp, price_cents) — a grouping whose domain
+  // grows with the corpus — and sailed through, running ~n/3 rows per
+  // window task. The declaration set below IS the policy: every name on
+  // it carries the argument for why its domain cannot grow with the
+  // data, and a new window whose aggregation groups by anything else
+  // fails here, not in a 100× bench.
+  test("windows partitioned ONLY by small-domain columns run above a " +
+    "BOUNDED-DOMAIN aggregation or under a WindowGroupLimit pushdown") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec, SortAggregateExec}
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
     // columns whose value domain stays bounded as the corpus grows
     val smallDomains = Set("lang", "source", "stratum", "split",
-      "event_type", "media_type", "label", "predicted", "snap", "side")
+      "event_type", "media_type", "label", "predicted", "snap", "side",
+      "grp")
+    // grouping columns that PROVABLY bound an aggregation's output as the
+    // corpus grows, with the bounding argument:
+    //  - __bin / bin / bucket / qbin: equal-width or quantile bin ids,
+    //    ≤ a compile-time bin count by construction
+    //  - merge_round / round: loop indices, ≤ the configured round count
+    //  - len / n_tokens / tok_len: per-document counts under the corpus's
+    //    hard document-length cap — the domain is the cap, not the corpus
+    //  - score_bin / conf_bin: quantized scores, fixed quantization width
+    val boundedDomains = Set("__bin", "bin", "bucket", "qbin",
+      "merge_round", "round", "len", "n_tokens", "tok_len",
+      "score_bin", "conf_bin")
     def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => a +: flatten(a.inputPlan)
       case _ => p +: p.children.flatMap(flatten)
     }
-    def hasAgg(p: SparkPlan): Boolean = flatten(p).exists {
-      case _: BaseAggregateExec => true
-      case _: SortAggregateExec => true
-      case _ => false
+    def baseName(n: String) = n.takeWhile(_ != '#')
+    // an aggregation bounds the domain when its grouping names a declared
+    // bounded column, or groups ONLY by small-domain columns (a pure
+    // small-domain groupBy is itself bounded)
+    def boundedAgg(p: SparkPlan): Boolean = {
+      val groupings = flatten(p).collect {
+        case a: BaseAggregateExec => a.groupingExpressions
+        case a: SortAggregateExec => a.groupingExpressions
+      }
+      groupings.exists { g =>
+        val names = g.flatMap(_.references.toSeq).map(a => baseName(a.name))
+        g.nonEmpty &&
+          (names.exists(boundedDomains) || names.forall(smallDomains))
+      }
     }
     def hasGroupLimit(p: SparkPlan): Boolean =
       flatten(p).exists(_.isInstanceOf[WindowGroupLimitExec])
@@ -490,21 +519,22 @@ class PlanAuditSpec extends SparkSpec {
       flatten(plan).collect {
         case w: WindowExec if w.partitionSpec.nonEmpty &&
             w.partitionSpec.flatMap(_.references.toSeq).map(_.name)
-              .forall(n => smallDomains(n.takeWhile(_ != '#'))) =>
+              .forall(n => smallDomains(baseName(n))) =>
           seen += 1
-          if (hasAgg(w.child) || hasGroupLimit(w.child)) None
+          if (boundedAgg(w.child) || hasGroupLimit(w.child)) None
           else Some(s"${q.name}: Window(partition=" +
             w.partitionSpec.map(_.sql).mkString(",") + ")")
       }.flatten
     }
     // detector sanity: the legitimate small-domain windows (per-lang
-    // distinct-value prefix sums, per-source top-k pushdowns) must be
-    // visible to the walk
+    // distinct-value prefix sums, per-source top-k pushdowns, x_mad's
+    // binned medians) must be visible to the walk
     assert(seen > 0, "small-domain window detector saw nothing — broken?")
     assert(offenders.isEmpty,
-      "rank window over raw rows with a small-domain partition key " +
-        "(aggregate to the distinct-value domain first, or bound with a " +
-        "rank filter the optimizer can push): " + offenders.mkString("; "))
+      "rank window over raw rows with a small-domain partition key and " +
+        "no bounded-domain aggregation below it (bin the values first — " +
+        "the x_mad two-phase shape — or bound with a rank filter the " +
+        "optimizer can push): " + offenders.mkString("; "))
   }
 
   // ---- theta-join regression guard -------------------------------------

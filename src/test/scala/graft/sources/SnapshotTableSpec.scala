@@ -947,6 +947,29 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.partColAt(dir, v3) == Some("month"))
   }
 
+  test("changesBetween folds wide version windows in bounded union groups " +
+      "— a consumer far behind gets the same feed without an " +
+      "O(versions)-wide plan") {
+    val dir = Files.createTempDirectory("graft-snap-wide").toString
+    SnapshotTable.overwrite(spark, dir, baseRows, "month")          // v1
+    for (i <- 1 to 6)
+      SnapshotTable.upsert(spark, dir,
+        upd6(100L + i, s"w$i", i.toDouble, "2024-0" + i, i.toLong),
+        "month", Seq("k"), "version", "del")                        // v2..v7
+    def feed(width: Int) = SnapshotTable
+      .changesBetween(spark, dir, 1L, 7L, Seq("k"), maxUnionWidth = width)
+      .select("change_version", "change_type", "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // equality across fold widths, including width 1 (every group cut)
+    val wide = feed(64)
+    assert(feed(2) == wide && feed(1) == wide && wide.size == 6)
+  }
+
+  private def upd6(k: Long, name: String, price: Double, month: String,
+      v: Long): DataFrame =
+    Seq((k, name, price, month, v, false))
+      .toDF("k", "name", "price", "month", "version", "del")
+
   test("manifests record bytes:rows per file (fileMetaAt): lengths match " +
       "the filesystem, clustered staging counts rows, carried entries " +
       "keep their meta across commits") {

@@ -73,4 +73,45 @@ class BpeSpec extends SparkSpec {
     // whole vocabulary is single-symbol → round 2 has nothing to count
     assert(got === Set((1L, 1L, "b", "b", 1L)))
   }
+
+  test("checkpointed rounds: 32 merge rounds with a 4-round lineage cut " +
+    "are bit-identical to the uncut chain, and the cut actually bounds " +
+    "plan depth (production-vocab round counts stay plannable)") {
+    // enough structure that 32 rounds keep finding real merges
+    val docs = (1L to 8L).map(i =>
+      (i, ("abcdefgh" * i.toInt) + " " + ("aabbccdd" * ((i % 4) + 1).toInt) +
+        " " + ("xyzw" * ((i % 3) + 1).toInt)))
+      .toDF("doc_id", "text")
+    def merges(rounds: Int, every: Int) =
+      Bpe.topMerges(docs, "doc_id", "text", perRound = 2,
+        rounds = rounds, checkpointEvery = every)
+        .as[(Long, Long, String, String, Long)].collect().toSet
+    // cut ≡ uncut at a depth the uncut plan can still ANALYZE (rounds=8;
+    // the uncut 32-round plan takes Catalyst minutes just to optimize —
+    // measured, and exactly why the cut exists)
+    assert(merges(8, 3) === merges(8, 0),
+      "the lineage cut must not change a single merge")
+    // at 32 rounds two different cut cadences must agree (both equal the
+    // true chain; any cut-placement bug desynchronizes them)
+    assert(merges(32, 4) === merges(32, 8))
+    val tokCut = Bpe.tokenCounts(docs, "doc_id", "text", rounds = 32,
+      checkpointEvery = 4).as[(Long, Long, Long)].collect().toSet
+    val tokUncut = Bpe.tokenCounts(docs, "doc_id", "text", rounds = 32,
+      checkpointEvery = 8).as[(Long, Long, Long)].collect().toSet
+    assert(tokCut === tokUncut)
+    assert(Bpe.tokenCounts(docs, "doc_id", "text", rounds = 8,
+        checkpointEvery = 3).as[(Long, Long, Long)].collect().toSet ===
+      Bpe.tokenCounts(docs, "doc_id", "text", rounds = 8,
+        checkpointEvery = 0).as[(Long, Long, Long)].collect().toSet)
+    // depth pin: the checkpointed word-table chain ends in a LogicalRDD
+    // within the last cut window — its plan never mentions more than
+    // checkpointEvery generations of regexp_replace
+    val plan = Bpe.tokenCounts(docs, "doc_id", "text", rounds = 32,
+      checkpointEvery = 4).queryExecution.optimizedPlan.toString
+    val depth = "regexp_replace".r.findAllIn(plan).length
+    assert(depth <= 4 * 2,
+      s"lineage cut failed: $depth regexp_replace generations in the plan")
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
+      "expected a checkpoint boundary in the optimized plan")
+  }
 }
