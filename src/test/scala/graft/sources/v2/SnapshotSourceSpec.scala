@@ -150,6 +150,18 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(load(dir).count() == 1000)
   }
 
+  test("manifest-recorded sizeInBytes drives join strategy: a small " +
+      "snapshot table auto-broadcasts against a large probe side") {
+    val dir = clusteredFixture()
+    val small = load(dir).select(col("k"), col("name"))
+    val big = spark.range(0L, 200000L).toDF("k")
+      .withColumn("payload", col("k") * 2)
+    val plan = big.join(small, Seq("k")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "a KB-sized snapshot table must broadcast — sizeInBytes from the " +
+        s"manifest is the planner's input:\n${plan.take(600)}")
+  }
+
   test("STRING stats prune files for range/equality predicates on a " +
       "string-statted column (the month >= '…' class); results exact") {
     val dir = Files.createTempDirectory("graft-snapsrc-str").toString
