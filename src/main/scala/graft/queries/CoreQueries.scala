@@ -1935,10 +1935,18 @@ object CoreQueries {
       col("l_returnflag").as("grp"),
       (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
         .as("v"))
-    val med = upperMedianBinned(pc, "med")
+    // the 3-row med/mad results are each REUSED by later stages — eager
+    // localCheckpoint cuts their subtrees out of every consumer (without
+    // it the med tree re-embeds in dv, dv in the mad pass and the
+    // outlier count: ~50 lineitem scans in one plan)
+    val med = upperMedianBinned(pc, "med").localCheckpoint(true)
+    // dv (2 narrow columns) feeds the mad pass 3× and the outlier count —
+    // materialize it once instead of rescanning lineitem each time
     val dv = pc.join(broadcast(med.select(col("grp"), col("med"))), Seq("grp"))
       .select(col("grp"), abs(col("v") - col("med")).as("v"))
+      .localCheckpoint(true)
     val mad = upperMedianBinned(dv, "mad").select(col("grp"), col("mad"))
+      .localCheckpoint(true)
     val outl = dv.join(broadcast(mad), Seq("grp"))
       .groupBy(col("grp"))
       .agg(count(when(col("v") > lit(3) * col("mad"), lit(1)))

@@ -552,7 +552,11 @@ object TextQueries {
     val docs = Tables.documents(s, d)
     val lm = graft.text.Relevance.bigramLmScore(docs, "doc_id", "text")
       .select(col("doc_id"), col("avg_p_ppm"))
+    // (doc_id, ppm, lang) is reused by the rank decomposition (twice) and
+    // the per-lang counts — checkpoint it once or the bigram-LM chain
+    // re-embeds three times
     val joined = lm.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .localCheckpoint(true)
     val ranked = graft.ops.Scale.binnedGroupRank(
       joined, group = Seq(col("lang")), bin = expr("avg_p_ppm div 256"),
       ordInBin = Seq(col("avg_p_ppm").desc, col("doc_id").asc),
