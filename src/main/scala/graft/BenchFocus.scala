@@ -19,11 +19,11 @@ object BenchFocus {
     val times = picked.map { n =>
       val fn = SparkEntry.queries(n)
       val ts = (1 to reps).map { r =>
-        // queries that persist() intermediates (iterative closures, ppi
-        // merge reuse) would otherwise serve later reps from the cache
-        // manager's plan-matched entries — the driver bench runs each
-        // query once with nothing pre-cached, so reps must too
-        spark.catalog.clearCache()
+        // queries that persist()/localCheckpoint() intermediates would
+        // otherwise serve later reps from cached entries (or leak
+        // checkpoint blocks rep over rep) — the driver bench drains both
+        // storage layers per query, so reps must too
+        graft.core.StorageHygiene.drainAll(spark)
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9

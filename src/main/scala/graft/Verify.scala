@@ -16,6 +16,9 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try {
+        // same per-query storage drain as Bench: 343 queries' checkpoint
+        // blocks would otherwise accumulate across the whole dump
+        graft.core.StorageHygiene.drainAll(spark)
         val df = fn(spark, sfDir)
         // The driver sorts result frames with pandas before hashing; array
         // cells crash that sort. Fail loudly here, not opaquely there.

@@ -169,7 +169,13 @@ private[v2] class SnapshotCdfStream(spark: SparkSession, tableDir: String,
       case Some(from) if from >= to && SnapshotTable.manifestExists(tableDir, to) =>
         // replay edge: nothing new in the window
         incremental(to, to).limit(0)
-      case Some(from) if from >= 1 && SnapshotTable.manifestExists(tableDir, from) =>
+      // `from <= to` keeps this branch strictly incremental: a replay
+      // where start >= end but END's manifest is vacuumed (start's still
+      // existing) would otherwise match here and throw changesBetween's
+      // fromVersion-ahead error — in rebase mode that inconsistency must
+      // fall through to the recovery branch below instead
+      case Some(from) if from >= 1 && from <= to &&
+          SnapshotTable.manifestExists(tableDir, from) =>
         incremental(from, to)
       case Some(_) if rebaseOnVacuum =>
         // the checkpointed version was vacuumed past — the incremental

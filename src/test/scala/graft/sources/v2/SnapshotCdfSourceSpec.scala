@@ -261,4 +261,36 @@ class SnapshotCdfSourceSpec extends SparkSpec {
     assert(mentions(ex), s"expected the retention error, got: $ex")
     q2.stop()
   }
+
+  test("rebase covers the inverted replay window too: start ahead of a " +
+      "vacuumed end re-baselines instead of throwing fromVersion-ahead; " +
+      "the loud default still throws") {
+    val dir = Files.createTempDirectory("graft-cdf-inv").toString
+    SnapshotTable.overwrite(spark, dir, baseRows, "month")          // v1
+    SnapshotTable.compact(spark, dir, "month")                      // v2
+    SnapshotTable.compact(spark, dir, "month")                      // v3
+    SnapshotTable.vacuum(dir, keepVersions = 1) // only v3 survives
+    assert(!SnapshotTable.manifestExists(dir, 2L) &&
+      SnapshotTable.manifestExists(dir, 3L))
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    def stream(rebase: Boolean) = {
+      val opts = Map("path" -> dir, "keyCols" -> "k") ++
+        (if (rebase) Map("onVacuumedCheckpoint" -> "rebase") else Map.empty)
+      new SnapshotCdfSource().createSource(spark.sqlContext,
+        Files.createTempDirectory("graft-cdf-md").toString, None,
+        "graft-snapshot-cdf", opts)
+    }
+    // the inconsistent window (from=3 exists, to=2 vacuumed, from > to):
+    // pre-fix this matched the incremental guard and threw changesBetween's
+    // fromVersion-ahead error even in rebase mode
+    val batch = stream(rebase = true)
+      .getBatch(Some(LongOffset(3L)), LongOffset(2L))
+    assert(batch.columns.contains("rebased"),
+      "rebase mode must produce the recovery-shaped batch")
+    // without the opt-in the same window stays a loud failure
+    val ex = intercept[IllegalArgumentException] {
+      stream(rebase = false).getBatch(Some(LongOffset(3L)), LongOffset(2L))
+    }
+    assert(ex.getMessage.contains("ahead of"))
+  }
 }
