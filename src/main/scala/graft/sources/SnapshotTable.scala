@@ -64,9 +64,15 @@ import org.apache.spark.sql.types.{DataType, MapType, StructType}
   * file→partition mapping at stage time), so reading an explicit file
   * list needs no basePath reconstruction.
   *
-  * Scale: the manifest is O(live files) text — partitions × files per
-  * partition, kilobytes per thousand files; reads are O(manifest) + the
-  * selected files; an upsert is O(batch + touched partitions) like the
+  * Scale: a CHECKPOINT manifest is O(live files) text — partitions ×
+  * files per partition, kilobytes per thousand files — but only every
+  * [[checkpointEvery]]-th commit writes one; the commits in between
+  * write DELTAS (`#delta` manifests listing just that commit's
+  * add/replace/remove records), so per-commit metadata I/O is
+  * O(touched + live/N) amortized and a read resolves at most N−1 small
+  * deltas plus one checkpoint (the Delta-log/Iceberg-checkpoint shape).
+  * Reads are O(resolved manifest) + the selected files; an upsert is
+  * O(batch + touched partitions) like the
   * non-transactional operator, plus one manifest rewrite. Each upsert
   * adds one batch directory; untouched partitions keep pointing at the
   * batch that last wrote them, so batch-directory count grows with
@@ -188,6 +194,91 @@ object SnapshotTable {
   def manifestExists(tableDir: String, v: Long): Boolean =
     manifestText(tableDir, v).isDefined
 
+  // -------------------------------------- delta manifests + checkpoints
+
+  /** Commits between full-manifest CHECKPOINTS (round-10 missing #1: a
+    * full live-file list per version makes every small commit O(table) —
+    * ~100 MB of manifest rewrite per append at 10⁶ live files, parsed
+    * single-threaded on the driver per read). In between, a version's
+    * manifest is a DELTA against its predecessor (`#delta\t<base>`
+    * header; `+\t<v2 line>` adds/replaces a file entry, `-\t<path>`
+    * removes one), so commit cost is O(touched files + live/N) amortized
+    * and a read resolves ≤ N−1 small deltas + one checkpoint — the
+    * Delta-log/Iceberg-checkpoint shape on the same line grammar.
+    * Overridable for tests via the system property; [[prepareManifest]]
+    * additionally writes a checkpoint whenever the delta body would not
+    * be smaller than the full body (an overwrite's delta is the whole
+    * table — no point chaining it). */
+  private def checkpointEvery: Int =
+    sys.props.get("graft.snapshot.checkpointEvery").map(_.toInt)
+      .filter(_ >= 1).getOrElse(10)
+
+  private def dataLinesOf(txt: String): Seq[String] =
+    txt.split("\n").iterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+
+  /** The delta base version recorded in a manifest's `#delta` header —
+    * None marks a FULL (checkpoint or legacy) manifest. */
+  private def deltaBaseOf(txt: String): Option[Long] =
+    txt.split("\n").iterator.map(_.trim)
+      .find(_.startsWith("#delta\t"))
+      .flatMap(l => l.stripPrefix("#delta\t").trim.toLongOption)
+
+  /** Manifest-relative file path of a v2 data line (field 1). */
+  private def pathOf(line: String): String = {
+    val f = line.split('\t')
+    if (f.length >= 2) f(1) else line
+  }
+
+  /** Resolve version `v`'s EFFECTIVE full data-line list: walk the delta
+    * chain back to the nearest checkpoint (≤ [[checkpointEvery]]−1 hops
+    * by construction), then apply each delta oldest-first — removes drop
+    * by path, adds put-by-path (so a replaced entry keeps one line).
+    * Every public per-version accessor ([[entriesAt]], [[typedStatsAt]],
+    * [[fileMetaAt]], [[history]]) goes through this, so delta manifests
+    * are invisible above this seam. A broken chain (base checkpoint
+    * deleted out-of-band — [[vacuum]] never does this: it materializes
+    * the retention cutoff as a checkpoint before deleting below it)
+    * fails LOUDLY rather than returning a partial file list. */
+  private def resolvedDataLines(tableDir: String, v: Long): Option[Seq[String]] =
+    manifestText(tableDir, v).map { txt =>
+      deltaBaseOf(txt) match {
+        case None => dataLinesOf(txt)
+        case Some(base0) =>
+          // texts oldest-first: [checkpoint, delta, …, delta(v)]
+          var texts: List[String] = List(txt)
+          var b = base0
+          var full = false
+          while (!full) {
+            val t = manifestText(tableDir, b).getOrElse(
+              throw new IllegalStateException(
+                s"manifest chain of $tableDir v$v is broken at v$b — the " +
+                  "base checkpoint was deleted out-of-band (vacuum always " +
+                  "materializes the retention cutoff first)"))
+            texts = t :: texts
+            deltaBaseOf(t) match {
+              case None => full = true
+              case Some(bb) => b = bb
+            }
+          }
+          val acc = new java.util.LinkedHashMap[String, String]()
+          dataLinesOf(texts.head).foreach(l => acc.put(pathOf(l), l))
+          texts.tail.foreach { d =>
+            dataLinesOf(d).foreach { l =>
+              if (l.startsWith("-\t")) acc.remove(l.stripPrefix("-\t").trim)
+              else if (l.startsWith("+\t")) {
+                val line = l.stripPrefix("+\t")
+                acc.put(pathOf(line), line)
+              }
+              // any other shape in a delta is a foreign/hand edit: skip,
+              // matching the stats layer's skip-not-fail contract
+            }
+          }
+          scala.jdk.CollectionConverters.CollectionHasAsScala(acc.values)
+            .asScala.toSeq
+      }
+    }
+
   /** Live (partitionValue, relativePath) entries of snapshot `v`.
     * Manifest lines are `part \t path [\t col=min:max;… [\t bytes:rows]]`
     * — the optional third field carries per-FILE column min/max stats
@@ -195,15 +286,14 @@ object SnapshotTable {
     * follows), the optional fourth the file's LENGTH and row count (see
     * [[fileMetaAt]]; −1 = unknown). This view ignores both, as well as
     * `#`-prefixed header lines (the version's schema and partition
-    * column, see [[schemaAt]] / [[partColAt]]). */
+    * column, see [[schemaAt]] / [[partColAt]]). Delta manifests resolve
+    * through [[resolvedDataLines]] first. */
   def entriesAt(tableDir: String, v: Long): Seq[(String, String)] =
-    manifestText(tableDir, v).map {
-      _.split("\n").iterator.map(_.trim)
-        .filter(l => l.nonEmpty && !l.startsWith("#"))
-        .map { line =>
-          val f = line.split('\t')
-          (f(0), f(1))
-        }.toSeq
+    resolvedDataLines(tableDir, v).map {
+      _.map { line =>
+        val f = line.split('\t')
+        (f(0), f(1))
+      }
     }.getOrElse(Seq.empty)
 
   /** Schema recorded in version `v`'s manifest header (`#schema\t<json>`),
@@ -259,7 +349,12 @@ object SnapshotTable {
         val lines = txt.split("\n").iterator.map(_.trim).toSeq
         def header(tag: String): Option[String] =
           lines.find(_.startsWith(s"#$tag\t")).map(_.split('\t')(1).trim)
-        val files = lines.count(l => l.nonEmpty && !l.startsWith("#"))
+        // a delta manifest's own lines are add/remove records, not the
+        // live set — live_files must come from the resolved view
+        val files =
+          if (deltaBaseOf(txt).isDefined)
+            resolvedDataLines(tableDir, v).map(_.size).getOrElse(0)
+          else lines.count(l => l.nonEmpty && !l.startsWith("#"))
         org.apache.spark.sql.Row(v, header("op").getOrElse("unknown"),
           files.toLong, header("partcol").orNull)
       }
@@ -296,6 +391,32 @@ object SnapshotTable {
   sealed trait ColStat
   final case class LongStat(lo: Long, hi: Long) extends ColStat
   final case class StrStat(lo: String, hi: String) extends ColStat
+
+  /** DOUBLE min/max (scores, prices, weights — round-10 missing #3: a
+    * filter on a double column could never prune). Bounds are exactly
+    * what Spark's min/max computed under ITS ordering, where NaN sorts
+    * ABOVE every double (so a file containing any NaN records hi = NaN):
+    * this is load-bearing for soundness — Spark evaluates `NaN >= x` as
+    * TRUE for every x, so a one-sided `score >= lo` predicate MATCHES NaN
+    * rows, and a NaN-masked bound would prune files whose NaN rows the
+    * row filter then never gets to recover (pruned files are never read).
+    * Overlap tests therefore compare with [[java.lang.Double.compare]]
+    * (IEEE total order with NaN greatest — Spark's ordering), never
+    * primitive `<`/`>=` (always false against NaN, in the WRONG
+    * direction). Serialized via `Double.toString`, which round-trips
+    * bit-exactly through `parseDouble` ("NaN"/"Infinity" included). */
+  final case class DblStat(lo: Double, hi: Double) extends ColStat
+
+  /** DECIMAL min/max (money/quantity columns where exactness is the
+    * point — the other half of "scores/prices never prune"). Bounds are
+    * [[java.math.BigDecimal]], compared with `compareTo` (numeric order,
+    * scale-insensitive: 2.50 == 2.5) — approximating through double
+    * would be unsound above 2⁵³ significand precision, exactly the
+    * values DECIMAL exists for. Serialized via `toPlainString` (no
+    * exponent, so the round trip is scale-preserving and the manifest
+    * grammar's ':' delimiter can never appear). */
+  final case class DecStat(lo: java.math.BigDecimal,
+      hi: java.math.BigDecimal) extends ColStat
   object ColStat {
     /** Unsigned-UTF-8-byte comparison — UTF8String (Spark binary
       * collation) order, the order string min/max stats were computed
@@ -326,6 +447,29 @@ object SnapshotTable {
             hi.forall(h => utf8Cmp(mn, h) <= 0)
         case _ => true
       }
+    /** Double-range overlap under SPARK's ordering ([[DblStat]] doc):
+      * `Double.compare` puts NaN above +∞ — exactly where Spark's filter
+      * semantics put it — so a NaN-bounded file (it contains NaN rows)
+      * correctly survives every `>= lo` probe. ±0.0 normalizes to 0.0 on
+      * both sides first: Spark comparisons treat them as equal, while
+      * `Double.compare(-0.0, 0.0) < 0` would prune a file holding only
+      * -0.0 against a [0.0, …] probe. */
+    def overlapsDbl(st: ColStat, lo: Double, hi: Double): Boolean = st match {
+      case DblStat(mn, mx) =>
+        def n(d: Double) = if (d == 0.0) 0.0 else d
+        java.lang.Double.compare(n(mx), n(lo)) >= 0 &&
+          java.lang.Double.compare(n(mn), n(hi)) <= 0
+      case _ => true
+    }
+    /** Decimal-range overlap — exact numeric comparison (`compareTo`);
+      * `None` bounds are unbounded on that side. */
+    def overlapsDec(st: ColStat, lo: Option[java.math.BigDecimal],
+        hi: Option[java.math.BigDecimal]): Boolean = st match {
+      case DecStat(mn, mx) =>
+        lo.forall(l => mx.compareTo(l) >= 0) &&
+          hi.forall(h => mn.compareTo(h) <= 0)
+      case _ => true
+    }
   }
 
   /** Base64 (URL-safe, unpadded) for string stat bounds — the manifest is
@@ -344,20 +488,33 @@ object SnapshotTable {
     * are an optimization layer, and a reader older or newer than the
     * writer must still read every row correctly. */
   def typedStatsAt(tableDir: String, v: Long): Map[String, Map[String, ColStat]] =
-    manifestText(tableDir, v).map {
-      _.split("\n").iterator.map(_.trim)
-        .filter(l => l.nonEmpty && !l.startsWith("#"))
+    resolvedDataLines(tableDir, v).map {
+      _.iterator
         .map(_.split('\t')).filter(_.length >= 3)
         .map { f =>
           f(1) -> f(2).split(';').iterator.filter(_.nonEmpty).flatMap { kv =>
-            val Array(c, mm) = kv.split("=", 2)
-            val parts = mm.split(":", -1)
-            if (parts.length == 3 && parts(0) == "s")
-              Some(c -> (StrStat(decStr(parts(1)), decStr(parts(2))): ColStat))
-            else if (parts.length == 2)
-              try Some(c -> (LongStat(parts(0).toLong, parts(1).toLong): ColStat))
-              catch { case _: NumberFormatException => None }
-            else None
+            // pattern-matched, never destructured: a stats token without
+            // '=' (hand-built/foreign manifest) must SKIP per the
+            // documented contract, not MatchError the whole read path
+            kv.split("=", 2) match {
+              case Array(c, mm) =>
+                val parts = mm.split(":", -1)
+                if (parts.length == 3 && parts(0) == "s")
+                  Some(c -> (StrStat(decStr(parts(1)), decStr(parts(2))): ColStat))
+                else if (parts.length == 3 && parts(0) == "d")
+                  try Some(c -> (DblStat(java.lang.Double.parseDouble(parts(1)),
+                    java.lang.Double.parseDouble(parts(2))): ColStat))
+                  catch { case _: NumberFormatException => None }
+                else if (parts.length == 3 && parts(0) == "c")
+                  try Some(c -> (DecStat(new java.math.BigDecimal(parts(1)),
+                    new java.math.BigDecimal(parts(2))): ColStat))
+                  catch { case _: NumberFormatException => None }
+                else if (parts.length == 2)
+                  try Some(c -> (LongStat(parts(0).toLong, parts(1).toLong): ColStat))
+                  catch { case _: NumberFormatException => None }
+                else None
+              case _ => None
+            }
           }.toMap
         }.filter(_._2.nonEmpty).toMap
     }.getOrElse(Map.empty)
@@ -372,9 +529,8 @@ object SnapshotTable {
     * lines predate the field are absent, and readers fall back to the
     * filesystem for those only. */
   def fileMetaAt(tableDir: String, v: Long): Map[String, (Long, Long)] =
-    manifestText(tableDir, v).map {
-      _.split("\n").iterator.map(_.trim)
-        .filter(l => l.nonEmpty && !l.startsWith("#"))
+    resolvedDataLines(tableDir, v).map {
+      _.iterator
         .map(_.split('\t')).filter(_.length >= 4)
         .flatMap { f =>
           f(3).split(":", 2) match {
@@ -425,6 +581,18 @@ object SnapshotTable {
       .flatMap { d =>
         val part = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .unescapePathName(d.getPath.getName.stripPrefix("__p="))
+        // the manifest is tab/line-delimited text and records the RAW
+        // value — a value containing \t/\n/\r would shift or split its
+        // own line (and every parser indexes fields positionally), so
+        // such values are rejected LOUDLY at stage time (before any
+        // manifest references the batch: crash-safety leaves only an
+        // orphan staging dir). This hardens the documented
+        // "directory-safe strings" contract instead of silently
+        // corrupting metadata.
+        require(!part.exists(c => c == '\t' || c == '\n' || c == '\r'),
+          s"partition value ${part.replaceAll("[\\t\\n\\r]", "?")} contains " +
+            "a tab/newline/CR — manifest lines are tab/line-delimited; " +
+            "sanitize the partition column before staging")
         val sz = fs.listStatus(d.getPath).toSeq
           .filter(_.getPath.getName.endsWith(".parquet"))
           .map { f =>
@@ -451,6 +619,32 @@ object SnapshotTable {
     * consume-on-commit lifecycle as [[stagedSizes]]. */
   private val stagedRows =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Drop a staged batch's size/row entries — the FAILED-commit half of
+    * the consume-on-commit lifecycle: a successful [[prepareManifest]]
+    * removes what it recorded, but a CAS loser's (or any aborted commit's)
+    * staged batch is abandoned with its map entries stranded, and every
+    * retry stages a FRESH batch — unbounded growth in a long-lived driver
+    * JVM without this. Keyed by the batch-relative prefix, so only the
+    * abandoned batch's entries go. */
+  private def discardStaged(batchTag: String): Unit = {
+    val prefix = s"batch-$batchTag/"
+    stagedSizes.keySet.removeIf(_.startsWith(prefix))
+    stagedRows.keySet.removeIf(_.startsWith(prefix))
+  }
+
+  /** Run `commit` and on ANY failure drop the staged batch's metadata
+    * entries before rethrowing — the shared guard of every
+    * stage-then-CAS call site. */
+  private def commitOrDiscard(batchTag: String)(commit: => Long): Long =
+    try commit catch {
+      case e: Throwable => discardStaged(batchTag); throw e
+    }
+
+  /** Test hook: current staged-metadata entry count across both maps —
+    * the spec pins that failed/retried commits leave nothing behind. */
+  private[sources] def stagedMetaCount: Int =
+    stagedSizes.size + stagedRows.size
 
   /** Stage `df` as a new immutable batch directory and return its
     * (partitionValue, relativePath) entries. NOT visible to readers until
@@ -577,9 +771,12 @@ object SnapshotTable {
     val statTypes = statsCols.map(c => c -> df.schema(c).dataType).toMap
     statTypes.foreach { case (c, t) =>
       require(t == org.apache.spark.sql.types.LongType ||
-          t == org.apache.spark.sql.types.StringType,
-        s"stat column $c is $t — manifest stats carry LONG and STRING " +
-          "min/max only (cast ids/epochs to LONG, codes to STRING)")
+          t == org.apache.spark.sql.types.StringType ||
+          t == org.apache.spark.sql.types.DoubleType ||
+          t.isInstanceOf[org.apache.spark.sql.types.DecimalType],
+        s"stat column $c is $t — manifest stats carry LONG, STRING, " +
+          "DOUBLE and DECIMAL min/max only (cast ids/epochs to LONG, " +
+          "codes to STRING, scores to DOUBLE, money to DECIMAL)")
     }
     val batchRel = s"batch-$batchTag"
     val (_, root) = fsRoot(tableDir)
@@ -596,6 +793,11 @@ object SnapshotTable {
     // one scan of the NEW BATCH only (never the table) for per-file stats
     // and row counts (the count rides the same aggregation for free —
     // prepareManifest records it in the bytes:rows field)
+    // double bounds are recorded EXACTLY as Spark's min/max computed them
+    // — including hi = NaN for a NaN-carrying file (NaN sorts above every
+    // double in Spark, and `NaN >= x` is TRUE there, so a one-sided probe
+    // matches NaN rows; masking NaN out of the bound would prune files
+    // whose matching rows the filter can never recover — DblStat scaladoc)
     val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
     val stats = df.sparkSession.read.parquet(batchDir)
@@ -612,6 +814,12 @@ object SnapshotTable {
             case org.apache.spark.sql.types.StringType =>
               Some(c -> (StrStat(r.getString(2 + 2 * i),
                 r.getString(3 + 2 * i)): ColStat))
+            case org.apache.spark.sql.types.DoubleType =>
+              Some(c -> (DblStat(r.getDouble(2 + 2 * i),
+                r.getDouble(3 + 2 * i)): ColStat))
+            case _: org.apache.spark.sql.types.DecimalType =>
+              Some(c -> (DecStat(r.getDecimal(2 + 2 * i),
+                r.getDecimal(3 + 2 * i)): ColStat))
             case _ =>
               Some(c -> (LongStat(r.getLong(2 + 2 * i),
                 r.getLong(3 + 2 * i)): ColStat))
@@ -639,7 +847,14 @@ object SnapshotTable {
     * pre-rename existence check closes the common cross-process race
     * best-effort there — same-process writers are fully serialized by
     * [[withCommitLock]]'s mutex, which is the actual local-mode
-    * guarantee. Returns the prepared version. */
+    * guarantee.
+    *
+    * WHAT the file contains is the delta/checkpoint decision documented
+    * at [[checkpointEvery]]: a full live list every N versions (and
+    * whenever the delta wouldn't be smaller), else only this commit's
+    * add/replace/remove records against version−1 — commit I/O is
+    * O(touched + live/N) amortized, never O(live) per commit. Returns
+    * the prepared version. */
   def prepareManifest(tableDir: String, newEntries: Seq[(String, String)],
       stats: Map[String, Map[String, ColStat]] = Map.empty,
       schema: Option[StructType] = None,
@@ -647,8 +862,21 @@ object SnapshotTable {
       op: Option[String] = None): Long = {
     val (fs, root) = fsRoot(tableDir)
     val v = currentVersion(tableDir) + 1
-    val prevMeta =
-      if (v > 1L) fileMetaAt(tableDir, v - 1) else Map.empty[String, (Long, Long)]
+    // ONE resolve of the predecessor feeds both the carried-forward
+    // bytes:rows lookup and the delta diff below
+    val prevLines: Seq[String] =
+      if (v > 1L) resolvedDataLines(tableDir, v - 1).getOrElse(Seq.empty)
+      else Seq.empty
+    val prevMeta: Map[String, (Long, Long)] = prevLines.iterator
+      .map(_.split('\t')).filter(_.length >= 4)
+      .flatMap { f =>
+        f(3).split(":", 2) match {
+          case Array(b, r) =>
+            try Some(f(1) -> (b.toLong, r.toLong))
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+      }.filter(_._2._1 >= 0L).toMap
     val dataRoot = new Path(root, "data")
     def metaOf(f: String): (Long, Long) = prevMeta.getOrElse(f, {
       val rows = Option(stagedRows.get(f)).map(_.longValue).getOrElse(-1L)
@@ -657,19 +885,50 @@ object SnapshotTable {
         catch { case _: java.io.FileNotFoundException => (-1L, rows) }
       }
     })
-    val header = schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
-      partCol.map(c => s"#partcol\t$c\n").getOrElse("") +
+    // headers are written on EVERY manifest, deltas included — schema/
+    // partcol inherit from the predecessor when the caller passes none,
+    // so header reads ([[schemaAt]]/[[partColAt]]) stay single-file and
+    // never walk the delta chain
+    val schEff = schema.orElse(
+      if (v > 1L) schemaAt(tableDir, v - 1) else None)
+    val pcEff = partCol.orElse(
+      if (v > 1L) partColAt(tableDir, v - 1) else None)
+    val header = schEff.map(s => s"#schema\t${s.json}\n").getOrElse("") +
+      pcEff.map(c => s"#partcol\t$c\n").getOrElse("") +
       op.map(o => s"#op\t$o\n").getOrElse("")
-    val body = header + newEntries.map { case (p, f) =>
+    val fullLines = newEntries.map { case (p, f) =>
       val st = stats.get(f).filter(_.nonEmpty)
         .map(_.toSeq.sortBy(_._1).map {
           case (c, LongStat(lo, hi)) => s"$c=$lo:$hi"
           case (c, StrStat(lo, hi)) => s"$c=s:${encStr(lo)}:${encStr(hi)}"
+          case (c, DblStat(lo, hi)) => s"$c=d:$lo:$hi"
+          case (c, DecStat(lo, hi)) =>
+            s"$c=c:${lo.toPlainString}:${hi.toPlainString}"
         }.mkString(";"))
         .getOrElse("")
       val (bytes, rows) = metaOf(f)
       s"$p\t$f\t$st\t$bytes:$rows"
-    }.mkString("", "\n", "\n")
+    }
+    val fullBody = header + fullLines.mkString("", "\n", "\n")
+    // delta-vs-checkpoint decision: a checkpoint every [[checkpointEvery]]
+    // versions bounds every read's resolve chain; between checkpoints the
+    // manifest carries only this commit's add/replace/remove records —
+    // O(touched), not O(live files). The size comparison forces a
+    // checkpoint whenever the delta wouldn't actually be smaller (an
+    // overwrite removes + re-adds everything), so chains never cost more
+    // than the full list they replace.
+    val body = if (v == 1L || v % checkpointEvery == 0L || prevLines.isEmpty)
+      fullBody
+    else {
+      val prevByPath = prevLines.iterator.map(l => pathOf(l) -> l).toMap
+      val newPaths = fullLines.iterator.map(pathOf).toSet
+      val adds = fullLines.filter(l => !prevByPath.get(pathOf(l)).contains(l))
+      val removes = prevLines.iterator.map(pathOf).filterNot(newPaths).toSeq
+      val deltaBody = header + s"#delta\t${v - 1}\n" +
+        (removes.map(p => s"-\t$p") ++ adds.map(l => s"+\t$l"))
+          .mkString("", "\n", "\n")
+      if (deltaBody.length < fullBody.length) deltaBody else fullBody
+    }
     val tmp = new Path(root, s".${manifestName(v)}.tmp")
     writeText(fs, tmp, body)
     val dst = new Path(root, manifestName(v))
@@ -769,9 +1028,10 @@ object SnapshotTable {
     val (fs, root) = fsRoot(tableDir)
     fs.mkdirs(root)
     val basedOn = currentVersion(tableDir)
-    val staged = stageBatch(df, tableDir, partCol, newBatchTag(basedOn + 1))
-    casCommit(tableDir, basedOn, staged, schema = Some(df.schema),
-      partCol = Some(partCol), op = op)
+    val tag = newBatchTag(basedOn + 1)
+    val staged = stageBatch(df, tableDir, partCol, tag)
+    commitOrDiscard(tag)(casCommit(tableDir, basedOn, staged,
+      schema = Some(df.schema), partCol = Some(partCol), op = op))
   }
 
   /** Full-table overwrite through the range-clustered, stats-carrying
@@ -784,10 +1044,11 @@ object SnapshotTable {
     val (fs, root) = fsRoot(tableDir)
     fs.mkdirs(root)
     val basedOn = currentVersion(tableDir)
+    val tag = newBatchTag(basedOn + 1)
     val (staged, stats) = stageBatchClustered(
-      df, tableDir, partCol, newBatchTag(basedOn + 1), statsCols, rangeFiles)
-    casCommit(tableDir, basedOn, staged, stats, Some(df.schema),
-      Some(partCol), op)
+      df, tableDir, partCol, tag, statsCols, rangeFiles)
+    commitOrDiscard(tag)(casCommit(tableDir, basedOn, staged, stats,
+      Some(df.schema), Some(partCol), op))
   }
 
   /** [[overwriteClustered]] through the Z-ORDERED staging path
@@ -800,10 +1061,11 @@ object SnapshotTable {
     val (fs, root) = fsRoot(tableDir)
     fs.mkdirs(root)
     val basedOn = currentVersion(tableDir)
+    val tag = newBatchTag(basedOn + 1)
     val (staged, stats) = stageBatchZordered(
-      df, tableDir, partCol, newBatchTag(basedOn + 1), statsCols, rangeFiles)
-    casCommit(tableDir, basedOn, staged, stats, Some(df.schema),
-      Some(partCol))
+      df, tableDir, partCol, tag, statsCols, rangeFiles)
+    commitOrDiscard(tag)(casCommit(tableDir, basedOn, staged, stats,
+      Some(df.schema), Some(partCol)))
   }
 
   /** CDC MERGE with an atomic multi-partition commit: same merge kernel
@@ -842,7 +1104,8 @@ object SnapshotTable {
         .filter(col("__rn") === 1 && !col(deleteCol))
         .drop("__rn")
     }
-    val staged = stageBatch(merged, tableDir, partCol, newBatchTag(basedOn + 1))
+    val tag = newBatchTag(basedOn + 1)
+    val staged = stageBatch(merged, tableDir, partCol, tag)
     // carry untouched files' stats forward with their entries; the new
     // batch's files get none (the plain staging path) and are always read
     val untouchedFiles = untouched.map(_._2).toSet
@@ -850,8 +1113,8 @@ object SnapshotTable {
       .filter { case (f, _) => untouchedFiles(f) }
     // CAS against the version this merge actually read: a concurrent
     // commit in the meantime throws instead of losing that writer's rows
-    casCommit(tableDir, basedOn, untouched ++ staged, carriedStats,
-      Some(merged.schema), Some(partCol), op = "upsert")
+    commitOrDiscard(tag)(casCommit(tableDir, basedOn, untouched ++ staged,
+      carriedStats, Some(merged.schema), Some(partCol), op = "upsert"))
   }
 
   /** [[upsert]] with the optimistic-concurrency retry loop built in —
@@ -915,10 +1178,12 @@ object SnapshotTable {
           (if (extra.nonEmpty) s"unexpected: ${extra.mkString(", ")}" else ""))
       val conformed = rows.select(
         sch.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-      val staged = stageBatch(conformed, tableDir, pc, newBatchTag(basedOn + 1))
+      val tag = newBatchTag(basedOn + 1)
+      val staged = stageBatch(conformed, tableDir, pc, tag)
       val old = entriesAt(tableDir, basedOn)
-      try return casCommit(tableDir, basedOn, old ++ staged,
-        typedStatsAt(tableDir, basedOn), Some(sch), Some(pc), op = "insert")
+      try return commitOrDiscard(tag)(casCommit(tableDir, basedOn,
+        old ++ staged, typedStatsAt(tableDir, basedOn), Some(sch), Some(pc),
+        op = "insert"))
       catch {
         case e: java.util.ConcurrentModificationException =>
           if (attempt >= maxAttempts) throw e
@@ -993,8 +1258,9 @@ object SnapshotTable {
     }
     val carriedFiles = carried.map(_._2).toSet
     val carriedStats = st.filter { case (f, _) => carriedFiles(f) }
-    casCommit(tableDir, basedOn, carried ++ staged, carriedStats ++ newStats,
-      sch.orElse(Some(rewritten.schema)), Some(partCol), op = op)
+    commitOrDiscard(tag)(casCommit(tableDir, basedOn, carried ++ staged,
+      carriedStats ++ newStats, sch.orElse(Some(rewritten.schema)),
+      Some(partCol), op = op))
   }
 
   /** Predicate DELETE: remove every row where `predicate` is TRUE (NULL
@@ -1124,9 +1390,9 @@ object SnapshotTable {
         Map.empty[String, Map[String, ColStat]])
     val carriedFiles = carried.map(_._2).toSet
     val carriedStats = st.filter { case (f, _) => carriedFiles(f) }
-    casCommit(tableDir, basedOn, carried ++ staged,
+    commitOrDiscard(tag)(casCommit(tableDir, basedOn, carried ++ staged,
       carriedStats ++ newStats, sch, partColAt(tableDir, basedOn),
-      op = "optimize")
+      op = "optimize"))
   }
 
   /** RESTORE the table to a previously committed version — a NEW commit
@@ -1167,6 +1433,24 @@ object SnapshotTable {
       val (fs, root) = fsRoot(tableDir)
       val cur = currentVersion(tableDir)
       val keptFrom = math.max(1L, cur - keepVersions + 1)
+      // materialize the retention cutoff as a FULL checkpoint before any
+      // manifest below it is deleted: a delta at keptFrom resolves
+      // through bases that are about to be vacuumed (delta bases are
+      // always v−1, so consecutive retained versions above keptFrom can
+      // only chain down TO keptFrom, never past it once it's full). The
+      // rewrite is content-equivalent — same version, same resolved
+      // entries — so racing readers see the same snapshot either way.
+      manifestText(tableDir, keptFrom)
+        .filter(t => deltaBaseOf(t).isDefined).foreach { txt =>
+          val lines = resolvedDataLines(tableDir, keptFrom)
+            .getOrElse(Seq.empty)
+          val headers = txt.split("\n").iterator.map(_.trim)
+            .filter(l => l.startsWith("#") && !l.startsWith("#delta\t"))
+            .toSeq
+          val tmp = new Path(root, s".${manifestName(keptFrom)}.ckpt.tmp")
+          writeText(fs, tmp, (headers ++ lines).mkString("", "\n", "\n"))
+          renameOverwrite(fs, tmp, new Path(root, manifestName(keptFrom)))
+        }
       val live = (keptFrom to cur)
         .flatMap(v => entriesAt(tableDir, v).map(_._2)).toSet
       // a batch directory staged FOR a version newer than cur belongs to
@@ -1327,6 +1611,51 @@ object SnapshotTable {
     val kept = entriesAt(tableDir, v).map(_._2).filter { f =>
       st.get(f).flatMap(_.get(statCol)) match {
         case Some(cs) => ColStat.overlapsStr(cs, lo, hi)
+        case None => true
+      }
+    }
+    readOrEmpty(spark, tableDir, kept, v)
+  }
+
+  /** DOUBLE-stats file skipping — [[readRange]] for a double-typed stat
+    * column (score/price/weight bands): only files whose recorded
+    * [min, max] overlaps `[lo, hi]` under Spark's NaN-greatest ordering
+    * ([[ColStat.overlapsDbl]]) are opened — a NaN-carrying file records
+    * hi = NaN and survives every lower-bounded probe, matching Spark's
+    * `NaN >= x` = TRUE filter truth. `[lo, hi]` lives in the SAME total
+    * order: pass `hi = Double.NaN` (the order's TOP) for "no upper
+    * bound" — a +∞/MaxValue ceiling would wrongly prune an all-NaN file
+    * (min = max = NaN) whose rows a lower-bounded row predicate matches.
+    * Files without a double stat for the column are conservatively read;
+    * the caller still applies the exact row predicate on top — stats
+    * prune FILES, not rows. */
+  def readRangeDbl(spark: SparkSession, tableDir: String, statCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    val v = currentVersion(tableDir)
+    val st = typedStatsAt(tableDir, v)
+    val kept = entriesAt(tableDir, v).map(_._2).filter { f =>
+      st.get(f).flatMap(_.get(statCol)) match {
+        case Some(cs) => ColStat.overlapsDbl(cs, lo, hi)
+        case None => true
+      }
+    }
+    readOrEmpty(spark, tableDir, kept, v)
+  }
+
+  /** DECIMAL-stats file skipping — [[readRangeDbl]]'s exact-numeric
+    * sibling for money/quantity columns: only files whose recorded
+    * [min, max] overlaps the probe under `BigDecimal.compareTo` are
+    * opened; `None` bounds are unbounded on that side (no NaN games —
+    * DECIMAL has no NaN). Files without a decimal stat for the column
+    * are conservatively read; the exact row predicate applies on top. */
+  def readRangeDec(spark: SparkSession, tableDir: String, statCol: String,
+      lo: Option[java.math.BigDecimal],
+      hi: Option[java.math.BigDecimal]): DataFrame = {
+    val v = currentVersion(tableDir)
+    val st = typedStatsAt(tableDir, v)
+    val kept = entriesAt(tableDir, v).map(_._2).filter { f =>
+      st.get(f).flatMap(_.get(statCol)) match {
+        case Some(cs) => ColStat.overlapsDec(cs, lo, hi)
         case None => true
       }
     }

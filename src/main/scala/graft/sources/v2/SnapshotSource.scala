@@ -4,11 +4,12 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 
 import org.apache.spark.sql.{SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types.{Decimal, DecimalType, DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.sources.SnapshotTable
@@ -41,12 +42,28 @@ import graft.sources.SnapshotTable.ColStat
   * Spark re-applies the exact predicate on rows, so stats only ever
   * SHRINK the file list.
   *
-  * Writes stay on the transactional Scala API ([[SnapshotTable.upsert]]
-  * etc.) / the [[graft.sources.SnapshotSql]] DML front door — a
-  * format-level write path would bypass the manifest commit protocol.
+  * WRITES go through the same transactional commit protocol as the
+  * Scala API — [[CreatableRelationProvider.createRelation]] delegates
+  * straight to [[SnapshotTable.append]]/`overwrite(Clustered)`, so
+  * `df.write.format("graft-snapshot").mode("append").save(dir)` stages a
+  * batch and CAS-commits a manifest exactly like `SnapshotTable.append`
+  * (schema-mismatch rejection and the concurrent-writer retry loop
+  * included), never a bare parquet dump (round-10 missing #2: vanilla
+  * Spark code could read the format but not produce it). Because the
+  * provider is DSv1, the same class serves the SESSION-CATALOG surface
+  * for free: `df.write.format("graft-snapshot").option("partCol", …)
+  * .saveAsTable("t")` registers `t` as a catalog table over this
+  * provider and `spark.table("t")` / SQL `FROM t` resolve back through
+  * [[RelationProvider.createRelation]] — snapshot tables addressable by
+  * IDENTIFIER, not just path (round-10 missing #4). Write options:
+  * `partCol` (required when creating), `statsCols` (comma-separated —
+  * routes the overwrite through the range-clustered, stats-carrying
+  * staging path), `rangeFiles` (cluster width, default 32).
+  *
   * Reads require the manifest schema header (every table committed by
   * this writer has one); pre-header tables read via the Scala API. */
-class SnapshotSource extends RelationProvider with DataSourceRegister {
+class SnapshotSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft-snapshot"
 
   override def createRelation(sqlContext: SQLContext,
@@ -75,6 +92,49 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
+  }
+
+  /** The writer side (`df.write.format("graft-snapshot")`): every mode
+    * maps onto a TRANSACTIONAL SnapshotTable commit — append =
+    * [[SnapshotTable.append]] (exact-schema INSERT, CAS-retried against
+    * concurrent writers), overwrite/create = `overwrite` or (with
+    * `statsCols`) `overwriteClustered`. A first-ever write in any mode
+    * is a create and needs `partCol`; appends and overwrites of an
+    * existing table default to its recorded partition column. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-snapshot: 'path' (the table directory) is required"))
+    val exists = SnapshotTable.currentVersion(dir) >= 1L
+    def pc: String = parameters.get("partCol")
+      .orElse(if (exists)
+        SnapshotTable.partColAt(dir, SnapshotTable.currentVersion(dir))
+      else None)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-snapshot write: 'partCol' is required when creating a " +
+          "table (existing tables default to their recorded partition " +
+          "column)"))
+    val statsCols = parameters.get("statsCols")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    def write(): Unit =
+      if (statsCols.nonEmpty)
+        SnapshotTable.overwriteClustered(spark, dir, data, pc, statsCols,
+          rangeFiles = parameters.get("rangeFiles").map(_.toInt)
+            .getOrElse(32))
+      else SnapshotTable.overwrite(spark, dir, data, pc)
+    mode match {
+      case SaveMode.Append =>
+        if (exists) SnapshotTable.append(spark, dir, data) else write()
+      case SaveMode.Overwrite => write()
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"snapshot table $dir already exists (SaveMode.ErrorIfExists)")
+        write()
+      case SaveMode.Ignore => if (!exists) write()
+    }
+    createRelation(sqlContext, parameters)
   }
 }
 
@@ -156,12 +216,73 @@ class SnapshotFileIndex(spark: SparkSession, tableDir: String,
     var hi = Map.empty[String, Long].withDefaultValue(Long.MaxValue)
     var sLo = Map.empty[String, String]
     var sHi = Map.empty[String, String]
+    // DOUBLE bounds tracked INCLUSIVE even for strict comparisons (the
+    // string-bounds discipline: a file whose max equals a strict lower
+    // bound is read and re-filtered to nothing — soundness over one
+    // extra file). Bounds live in SPARK's total order, where NaN is the
+    // TOP (above +∞): "no upper bound" is therefore NaN, not +∞ — a
+    // lower-bounded-only predicate (`score >= x`) MATCHES NaN rows in
+    // Spark (`NaN >= x` is TRUE), so an all-NaN file (min = max = NaN)
+    // must survive it, which a +∞ ceiling would wrongly prune. The
+    // tighten steps compare with Double.compare for the same reason —
+    // math.min(v, NaN) returns NaN, which would LOOSEN a ceiling.
+    var dLo = Map.empty[String, Double]
+    var dHi = Map.empty[String, Double]
     var parts: Option[Set[String]] = None
     def longOf(e: Expression): Option[Long] = e match {
       case Literal(x: Long, LongType) => Some(x)
       case Literal(x: Int, IntegerType) => Some(x.toLong)
       case _ => None
     }
+    def dblOf(e: Expression): Option[Double] = e match {
+      case Literal(x: Double, DoubleType) if !x.isNaN => Some(x)
+      case _ => None
+    }
+    def tightenDLo(n: String, v: Double): Unit =
+      dLo += n -> dLo.get(n)
+        .map(x => if (java.lang.Double.compare(v, x) > 0) v else x)
+        .getOrElse(v)
+    def tightenDHi(n: String, v: Double): Unit =
+      dHi += n -> dHi.get(n)
+        .map(x => if (java.lang.Double.compare(v, x) < 0) v else x)
+        .getOrElse(v)
+    // DECIMAL bounds: exact numeric order (BigDecimal.compareTo), no
+    // NaN games — DECIMAL has none. Inclusive for strict comparisons,
+    // same soundness discipline as the other types.
+    var cLo = Map.empty[String, java.math.BigDecimal]
+    var cHi = Map.empty[String, java.math.BigDecimal]
+    def decOf(e: Expression): Option[java.math.BigDecimal] = e match {
+      case Literal(d: Decimal, _: DecimalType) => Some(d.toJavaBigDecimal)
+      case _ => None
+    }
+    // a decimal comparison usually arrives with the COLUMN wrapped in a
+    // widening cast (decimal(12,2) literal 400.00 is decimal(5,2): Spark
+    // promotes both sides to a common type) — unwrap it ONLY when the
+    // cast is value-preserving (target holds every source value: no
+    // fewer integer digits, no smaller scale), where pruning on the
+    // source column's recorded bounds stays sound because
+    // BigDecimal.compareTo is scale-insensitive. Any other cast shape
+    // declines — soundness over coverage.
+    def decNameOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference if a.dataType.isInstanceOf[DecimalType] =>
+        Some(a.name)
+      case c: Cast => (c.child, c.dataType) match {
+        case (a: AttributeReference, dt: DecimalType) => a.dataType match {
+          case src: DecimalType
+              if dt.precision - dt.scale >= src.precision - src.scale &&
+                dt.scale >= src.scale => Some(a.name)
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+    def tightenCLo(n: String, v: java.math.BigDecimal): Unit =
+      cLo += n -> cLo.get(n).map(x => if (v.compareTo(x) > 0) v else x)
+        .getOrElse(v)
+    def tightenCHi(n: String, v: java.math.BigDecimal): Unit =
+      cHi += n -> cHi.get(n).map(x => if (v.compareTo(x) < 0) v else x)
+        .getOrElse(v)
     def strOf(e: Expression): Option[String] = e match {
       case Literal(u: UTF8String, StringType) => Some(u.toString)
       case _ => None
@@ -236,6 +357,53 @@ class SnapshotFileIndex(spark: SparkSession, tableDir: String,
       case In(c, vs) if partCol.exists(nameOf(c).contains) &&
           vs.forall(strOf(_).isDefined) =>
         narrowPart(vs.flatMap(strOf).toSet)
+      // double predicates: stats-range pruning on any double-statted
+      // column (scores/prices — round-10 missing #3, format-read side)
+      case EqualTo(c, v) if nameOf(c).isDefined && dblOf(v).isDefined =>
+        tightenDLo(nameOf(c).get, dblOf(v).get)
+        tightenDHi(nameOf(c).get, dblOf(v).get)
+      case EqualTo(v, c) if nameOf(c).isDefined && dblOf(v).isDefined =>
+        tightenDLo(nameOf(c).get, dblOf(v).get)
+        tightenDHi(nameOf(c).get, dblOf(v).get)
+      case GreaterThan(c, v) if nameOf(c).isDefined && dblOf(v).isDefined =>
+        tightenDLo(nameOf(c).get, dblOf(v).get)
+      case GreaterThanOrEqual(c, v) if nameOf(c).isDefined && dblOf(v).isDefined =>
+        tightenDLo(nameOf(c).get, dblOf(v).get)
+      case LessThan(c, v) if nameOf(c).isDefined && dblOf(v).isDefined =>
+        tightenDHi(nameOf(c).get, dblOf(v).get)
+      case LessThanOrEqual(c, v) if nameOf(c).isDefined && dblOf(v).isDefined =>
+        tightenDHi(nameOf(c).get, dblOf(v).get)
+      case GreaterThan(v, c) if nameOf(c).isDefined && dblOf(v).isDefined =>
+        tightenDHi(nameOf(c).get, dblOf(v).get)
+      case GreaterThanOrEqual(v, c) if nameOf(c).isDefined && dblOf(v).isDefined =>
+        tightenDHi(nameOf(c).get, dblOf(v).get)
+      case LessThan(v, c) if nameOf(c).isDefined && dblOf(v).isDefined =>
+        tightenDLo(nameOf(c).get, dblOf(v).get)
+      case LessThanOrEqual(v, c) if nameOf(c).isDefined && dblOf(v).isDefined =>
+        tightenDLo(nameOf(c).get, dblOf(v).get)
+      // decimal predicates: exact-numeric stats pruning (money columns)
+      case EqualTo(c, v) if decNameOf(c).isDefined && decOf(v).isDefined =>
+        tightenCLo(decNameOf(c).get, decOf(v).get)
+        tightenCHi(decNameOf(c).get, decOf(v).get)
+      case EqualTo(v, c) if decNameOf(c).isDefined && decOf(v).isDefined =>
+        tightenCLo(decNameOf(c).get, decOf(v).get)
+        tightenCHi(decNameOf(c).get, decOf(v).get)
+      case GreaterThan(c, v) if decNameOf(c).isDefined && decOf(v).isDefined =>
+        tightenCLo(decNameOf(c).get, decOf(v).get)
+      case GreaterThanOrEqual(c, v) if decNameOf(c).isDefined && decOf(v).isDefined =>
+        tightenCLo(decNameOf(c).get, decOf(v).get)
+      case LessThan(c, v) if decNameOf(c).isDefined && decOf(v).isDefined =>
+        tightenCHi(decNameOf(c).get, decOf(v).get)
+      case LessThanOrEqual(c, v) if decNameOf(c).isDefined && decOf(v).isDefined =>
+        tightenCHi(decNameOf(c).get, decOf(v).get)
+      case GreaterThan(v, c) if decNameOf(c).isDefined && decOf(v).isDefined =>
+        tightenCHi(decNameOf(c).get, decOf(v).get)
+      case GreaterThanOrEqual(v, c) if decNameOf(c).isDefined && decOf(v).isDefined =>
+        tightenCHi(decNameOf(c).get, decOf(v).get)
+      case LessThan(v, c) if decNameOf(c).isDefined && decOf(v).isDefined =>
+        tightenCLo(decNameOf(c).get, decOf(v).get)
+      case LessThanOrEqual(v, c) if decNameOf(c).isDefined && decOf(v).isDefined =>
+        tightenCLo(decNameOf(c).get, decOf(v).get)
       case _ => () // not provable at the file level: prune nothing
     }
     dataFilters.foreach(visit)
@@ -251,6 +419,22 @@ class SnapshotFileIndex(spark: SparkSession, tableDir: String,
         (sLo.keySet ++ sHi.keySet).forall { c =>
           st.get(c) match {
             case Some(cs) => ColStat.overlapsStr(cs, sLo.get(c), sHi.get(c))
+            case None => true
+          }
+        } &&
+        (dLo.keySet ++ dHi.keySet).forall { c =>
+          st.get(c) match {
+            case Some(cs) => ColStat.overlapsDbl(cs,
+              dLo.getOrElse(c, Double.NegativeInfinity),
+              // no ceiling = NaN, the TOP of Spark's double order — an
+              // all-NaN file must survive a lower-bounded-only probe
+              dHi.getOrElse(c, Double.NaN))
+            case None => true
+          }
+        } &&
+        (cLo.keySet ++ cHi.keySet).forall { c =>
+          st.get(c) match {
+            case Some(cs) => ColStat.overlapsDec(cs, cLo.get(c), cHi.get(c))
             case None => true
           }
         }

@@ -1061,4 +1061,270 @@ class SnapshotTableSpec extends SparkSpec {
       "￿".compareTo(hi) > 0,
       "utf8Cmp must follow Spark's binary collation above the BMP")
   }
+
+  test("DOUBLE manifest stats: readRangeDbl prunes files from bounds " +
+      "alone, NaN rows never poison the bounds, and row-level DML " +
+      "preserves the double stat on restaged files") {
+    val dir = Files.createTempDirectory("graft-snap-dbl").toString
+    // score tracks k (the clustering key) so range slices band scores;
+    // every 97th row is NaN — the stats scan must mask it out of min/max
+    val rows = (0L until 600L).map { k =>
+      val score = if (k % 97L == 0L) Double.NaN else k.toDouble / 2.0
+      (k, score, "p" + (k % 2))
+    }.toSeq.toDF("k", "score", "part")
+    SnapshotTable.overwriteClustered(spark, dir, rows, "part",
+      statsCols = Seq("k", "score"), rangeFiles = 12)
+    val st1 = SnapshotTable.typedStatsAt(dir, 1L)
+    val dblBounds = st1.valuesIterator.flatMap(_.get("score")).collect {
+      case SnapshotTable.DblStat(lo, hi) => (lo, hi)
+    }.toSeq
+    assert(dblBounds.nonEmpty, "score must carry DblStat")
+    // Spark orders NaN ABOVE every double and `NaN >= x` filters TRUE, so
+    // a NaN-carrying file must record hi = NaN (round-tripped through the
+    // manifest text) and survive every lower-bounded probe — a NaN-masked
+    // bound would prune files whose NaN rows match the row predicate
+    assert(dblBounds.exists(_._2.isNaN),
+      "NaN-carrying files must record hi = NaN")
+    assert(dblBounds.forall(b => !b._1.isNaN),
+      "min never records NaN while finite values exist")
+    // pruning: files whose [min,max] misses the >= 200 probe are
+    // skipped; "no upper bound" is NaN (the top of Spark's double total
+    // order) so an all-NaN file — whose rows DO match score >= 200 under
+    // Spark's NaN-greatest semantics — can never be pruned by mistake
+    val all = SnapshotTable.entries(dir).map(_._2)
+    val kept = all.count { f =>
+      st1.get(f).flatMap(_.get("score")) match {
+        case Some(cs) =>
+          SnapshotTable.ColStat.overlapsDbl(cs, 200.0, Double.NaN)
+        case None => true
+      }
+    }
+    assert(kept < all.size,
+      s"score >= 200 must skip files ($kept/${all.size})")
+    // an all-NaN synthetic stat survives the lower-bounded probe — the
+    // NaN-as-top convention that a +∞ ceiling would violate
+    assert(SnapshotTable.ColStat.overlapsDbl(
+      SnapshotTable.DblStat(Double.NaN, Double.NaN), 200.0, Double.NaN),
+      "an all-NaN file must survive a lower-bounded-only probe")
+    val got = SnapshotTable.readRangeDbl(spark, dir, "score",
+      200.0, Double.NaN).filter(col("score") >= 200.0).count()
+    val want = rows.filter(col("score") >= 200.0).count()
+    assert(got == want, "pruned read must return exactly the matching rows")
+    // DML restaging keeps the double stat (maintenance never degrades
+    // skipping — the rewriteWhere contract, now for DblStat too)
+    val vDel = SnapshotTable.deleteWhere(spark, dir,
+      col("k").between(120L, 179L), "part",
+      pruneRange = Some(("k", 120L, 179L)))
+    val st2 = SnapshotTable.typedStatsAt(dir, vDel)
+    val newFiles = SnapshotTable.entriesAt(dir, vDel).map(_._2)
+      .filterNot(all.toSet)
+    assert(newFiles.nonEmpty, "the delete must have restaged files")
+    assert(newFiles.forall(f => st2.get(f).exists(
+      _.get("score").exists(_.isInstanceOf[SnapshotTable.DblStat]))),
+      "restaged files must carry the double stat")
+  }
+
+  test("DECIMAL manifest stats: exact-numeric pruning (scale-insensitive " +
+      "compare), plain-string round trip, DML restaging preserves them") {
+    val dir = Files.createTempDirectory("graft-snap-dec").toString
+    val rows = (0L until 600L).map(k => (k, "p" + (k % 2))).toSeq
+      .toDF("k", "part")
+      .withColumn("amount",
+        (col("k") * 25).cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+    SnapshotTable.overwriteClustered(spark, dir, rows, "part",
+      statsCols = Seq("k", "amount"), rangeFiles = 12)
+    val st1 = SnapshotTable.typedStatsAt(dir, 1L)
+    val decBounds = st1.valuesIterator.flatMap(_.get("amount")).collect {
+      case SnapshotTable.DecStat(lo, hi) => (lo, hi)
+    }.toSeq
+    assert(decBounds.nonEmpty, "amount must carry DecStat")
+    assert(decBounds.forall { case (lo, hi) =>
+      lo.scale == 2 && hi.scale == 2 },
+      "toPlainString round trip must preserve the recorded scale")
+    // pruning: the >= 10000 probe must skip low-band files; compareTo is
+    // scale-insensitive, so a probe written as 10000 (scale 0) works
+    // against scale-2 bounds
+    val probeLo = Some(new java.math.BigDecimal("10000"))
+    val all = SnapshotTable.entries(dir).map(_._2)
+    val kept = all.count { f =>
+      st1.get(f).flatMap(_.get("amount")).forall(
+        SnapshotTable.ColStat.overlapsDec(_, probeLo, None))
+    }
+    assert(kept < all.size,
+      s"amount >= 10000 must skip files ($kept/${all.size})")
+    val got = SnapshotTable.readRangeDec(spark, dir, "amount", probeLo, None)
+      .filter(col("amount") >= 10000).count()
+    assert(got == rows.filter(col("amount") >= 10000).count())
+    // DML restaging keeps the decimal stat
+    val vDel = SnapshotTable.deleteWhere(spark, dir,
+      col("k").between(40L, 79L), "part",
+      pruneRange = Some(("k", 40L, 79L)))
+    val st2 = SnapshotTable.typedStatsAt(dir, vDel)
+    val newFiles = SnapshotTable.entriesAt(dir, vDel).map(_._2)
+      .filterNot(all.toSet)
+    assert(newFiles.nonEmpty && newFiles.forall(f => st2.get(f).exists(
+      _.get("amount").exists(_.isInstanceOf[SnapshotTable.DecStat]))),
+      "restaged files must carry the decimal stat")
+  }
+
+  test("a partition value containing tab/newline/CR is rejected LOUDLY at " +
+      "stage time — never written into the line-delimited manifest") {
+    val dir = Files.createTempDirectory("graft-snap-ctl").toString
+    val bad = Seq((1L, "a\tb"), (2L, "ok")).toDF("k", "part")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.overwrite(spark, dir, bad, "part")
+    }
+    assert(e.getMessage.contains("tab/newline/CR"))
+    // nothing committed: the table is still empty and consistent
+    assert(SnapshotTable.currentVersion(dir) == 0L)
+  }
+
+  test("a malformed stats token (no '=') skips per the documented " +
+      "contract instead of failing the whole read path") {
+    val dir = Files.createTempDirectory("graft-snap-badstat").toString
+    SnapshotTable.overwrite(spark, dir,
+      Seq((1L, "p0")).toDF("k", "part"), "part")
+    // hand-corrupt the stats field of the live manifest: a foreign writer
+    // (or a human) produced a token without '='. Rewrite through the
+    // Hadoop FS so the local checksum sidecar stays consistent.
+    val (_, f) = SnapshotTable.entries(dir).head
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val mf = new org.apache.hadoop.fs.Path(dir, "manifest-00000000001.txt")
+    val in = fs.open(mf)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = txt.split("\n").map { l =>
+        if (l.startsWith("#") || l.trim.isEmpty) l
+        else { val p = l.split('\t'); s"${p(0)}\t${p(1)}\tgarbage;k=1:2\t${p(3)}" }
+      }.mkString("\n")
+    val out = fs.create(mf, true)
+    try out.write(lines.getBytes("UTF-8")) finally out.close()
+    val st = SnapshotTable.typedStatsAt(dir, 1L)
+    assert(st(f) == Map("k" -> SnapshotTable.LongStat(1L, 2L)),
+      "the parseable token must survive, the malformed one must skip")
+    assert(SnapshotTable.read(spark, dir).count() == 1L)
+  }
+
+  // --- delta manifests + checkpoints (round-10 missing #1) ---
+
+  private def manifestBytes(dir: String, v: Long): Long =
+    new java.io.File(dir, f"manifest-$v%011d.txt").length()
+  private def manifestRaw(dir: String, v: Long): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, f"manifest-$v%011d.txt")), "UTF-8")
+
+  test("commits between checkpoints write O(touched) delta manifests, " +
+      "every version resolves exactly, and the Nth commit checkpoints — " +
+      "bytes per commit is O(touched + live/N), never O(live)") {
+    val dir = Files.createTempDirectory("graft-snap-delta").toString
+    // a wide v1 (many live files) makes the O(live)-vs-O(touched)
+    // difference visible in manifest byte counts
+    val wide = (0L until 400L).map(k => (k, "p" + (k % 40))).toSeq
+      .toDF("k", "part").repartition(40, col("part"))
+    SnapshotTable.overwrite(spark, dir, wide, "part")            // v1 ckpt
+    val liveFiles = SnapshotTable.entries(dir).size
+    assert(liveFiles >= 30, s"need a wide table, got $liveFiles files")
+    // nine single-partition appends → v2..v10 (v10 = checkpoint at N=10)
+    (2L to 10L).foreach { v =>
+      SnapshotTable.append(spark, dir,
+        Seq((1000L + v, "pNEW" + v)).toDF("k", "part"))
+      assert(SnapshotTable.currentVersion(dir) == v)
+    }
+    // the in-between commits are deltas: tiny (one added file, zero
+    // removes) while the v1 checkpoint carries the whole live list
+    (2L to 9L).foreach { v =>
+      val raw = manifestRaw(dir, v)
+      assert(raw.contains("#delta\t" + (v - 1)),
+        s"v$v must be a delta on v${v - 1}")
+      assert(!raw.contains("-\t"), "an append removes nothing")
+      assert(manifestBytes(dir, v) < manifestBytes(dir, 1L) / 4,
+        s"delta v$v (${manifestBytes(dir, v)}B) must be far smaller " +
+          s"than the checkpoint (${manifestBytes(dir, 1L)}B)")
+    }
+    assert(!manifestRaw(dir, 10L).contains("#delta"),
+      "every 10th version is a full checkpoint")
+    // deltas inherit schema/partcol headers so header reads stay
+    // single-file (no chain walk for schemaAt/partColAt)
+    assert(manifestRaw(dir, 5L).contains("#schema\t") &&
+      manifestRaw(dir, 5L).contains("#partcol\tpart"))
+    // every version resolves to exactly its cumulative live set, and
+    // time travel across the delta chain stays bit-correct
+    (1L to 10L).foreach { v =>
+      assert(SnapshotTable.entriesAt(dir, v).size == liveFiles + (v - 1),
+        s"v$v resolved entry count")
+      assert(SnapshotTable.readAt(spark, dir, v).count() == 400L + (v - 1))
+    }
+    // fileMetaAt carries through the chain: the zero-RPC contract holds
+    // for delta-committed files too
+    val meta = SnapshotTable.fileMetaAt(dir, 9L)
+    assert(SnapshotTable.entriesAt(dir, 9L).forall(e => meta.contains(e._2)),
+      "every live file must keep its recorded bytes:rows through deltas")
+  }
+
+  test("row-level DML through deltas records removes AND adds; stats " +
+      "survive the chain; an overwrite-sized change falls back to a " +
+      "full manifest even off-cadence") {
+    val dir = Files.createTempDirectory("graft-snap-dml-delta").toString
+    val rows = (0L until 300L).map(k => (k, "p" + (k % 3))).toSeq
+      .toDF("k", "part")
+    SnapshotTable.overwriteClustered(spark, dir, rows, "part",
+      statsCols = Seq("k"), rangeFiles = 9)                      // v1
+    SnapshotTable.append(spark, dir, Seq((900L, "p0")).toDF("k", "part"))
+    val v3 = SnapshotTable.deleteWhere(spark, dir, col("k") === 5L, "part",
+      pruneRange = Some(("k", 5L, 5L)))                          // v3 delta
+    val raw3 = manifestRaw(dir, v3)
+    assert(raw3.contains("#delta\t2") && raw3.contains("-\t") &&
+      raw3.contains("+\t"), "a rewrite delta has both removes and adds")
+    assert(SnapshotTable.readAt(spark, dir, v3).count() == 300L)
+    // restaged files keep typed stats through the delta view
+    val st = SnapshotTable.typedStatsAt(dir, v3)
+    assert(st.nonEmpty && st.valuesIterator.exists(_.contains("k")))
+    // a full overwrite at v4 (off the 10-cadence) still writes a FULL
+    // manifest — its delta would remove + re-add everything, so the
+    // size fallback picks the checkpoint form
+    SnapshotTable.overwrite(spark, dir, rows, "part")            // v4
+    assert(!manifestRaw(dir, 4L).contains("#delta"),
+      "an overwrite's manifest must be a checkpoint, not a same-size delta")
+  }
+
+  test("vacuum materializes the retention cutoff as a checkpoint before " +
+      "deleting below it — delta chains never dangle past retention") {
+    val dir = Files.createTempDirectory("graft-snap-vac-delta").toString
+    SnapshotTable.overwrite(spark, dir, baseRows, "month")       // v1 ckpt
+    (2L to 6L).foreach { v =>
+      SnapshotTable.append(spark, dir,
+        Seq((100L + v, "x" + v, 1.0, "2024-0" + (v % 9), 0L, false))
+          .toDF("k", "name", "price", "month", "version", "del"))
+    }
+    assert(manifestRaw(dir, 5L).contains("#delta"),
+      "precondition: the future cutoff is a delta")
+    SnapshotTable.vacuum(dir, keepVersions = 2)                  // keep 5,6
+    assert(!SnapshotTable.manifestExists(dir, 4L) &&
+      SnapshotTable.manifestExists(dir, 5L))
+    assert(!manifestRaw(dir, 5L).contains("#delta"),
+      "the cutoff must have been rewritten as a full checkpoint")
+    assert(manifestRaw(dir, 6L).contains("#delta\t5"),
+      "the newer delta still chains to the (now-full) cutoff")
+    assert(SnapshotTable.readAt(spark, dir, 5L).count() == 9L &&
+      SnapshotTable.read(spark, dir).count() == 10L,
+      "both retained versions stay exactly readable")
+  }
+
+  test("a failed commit attempt discards its staged-batch metadata: the " +
+      "size/row maps never grow across CAS losses (driver-JVM leak pin)") {
+    val dir = Files.createTempDirectory("graft-snap-leak").toString
+    SnapshotTable.overwrite(spark, dir, baseRows, "month") // v1
+    val before = SnapshotTable.stagedMetaCount
+    // deterministically occupy manifest v2 WITHOUT moving the pointer:
+    // the next committer passes the CAS version check but loses the
+    // manifest no-replace rename — the "racing writer prepared the same
+    // version" path — and must clean up after itself
+    SnapshotTable.prepareManifest(dir, SnapshotTable.entries(dir))
+    intercept[IllegalStateException] {
+      SnapshotTable.append(spark, dir, baseRows, maxAttempts = 1)
+    }
+    assert(SnapshotTable.stagedMetaCount == before,
+      "the failed append must discard its staged size/row entries")
+  }
 }
