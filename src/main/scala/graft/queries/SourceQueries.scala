@@ -665,17 +665,22 @@ object SourceQueries {
       |FROM orders WHERE o_orderkey % 1000 = 0""".stripMargin) { (s, d) =>
     val tableDir =
       java.nio.file.Files.createTempDirectory("graft_snap_writer").toString
+    // month stays a DATA column; the partition column is a single bucket
+    // and rangeFiles is explicit — partitioning by month here would cross
+    // ~80 partitions × range slices into thousands of files for zero
+    // extra skipping (the s_snapshot_skip year-vs-month lesson)
     val base = Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
       .select(col("o_orderkey"), col("o_totalprice").as("price"),
         date_format(col("o_orderdate"), "yyyy-MM").as("month"),
-        lit("base").as("src"))
+        lit("base").as("src"), lit("all").as("p"))
     base.write.format("graft-snapshot").mode("overwrite")
-      .option("partCol", "month").option("statsCols", "o_orderkey")
+      .option("partCol", "p").option("statsCols", "o_orderkey")
+      .option("rangeFiles", "12")
       .option("path", tableDir).saveAsTable("snap_writer_q")
     Tables.orders(s, d).filter(col("o_orderkey") % 1000 === 0)
       .select(col("o_orderkey"), col("o_totalprice").as("price"),
         date_format(col("o_orderdate"), "yyyy-MM").as("month"),
-        lit("ins").as("src"))
+        lit("ins").as("src"), lit("all").as("p"))
       .write.format("graft-snapshot").mode("append").save(tableDir)
     val byName = s.table("snap_writer_q")
     val versioned = SnapshotTable.currentVersion(tableDir) == 2L
