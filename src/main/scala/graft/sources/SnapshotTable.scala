@@ -230,6 +230,29 @@ object SnapshotTable {
     if (f.length >= 2) f(1) else line
   }
 
+  /** Bounded memo of resolved manifests, keyed by (qualified root,
+    * version) and VALIDATED against the manifest file's (modTime,
+    * length) on every hit — committed manifests are immutable (the one
+    * in-place rewrite, [[vacuum]]'s cutoff materialization, is
+    * content-equivalent), but a foreign/hand rewrite changes the status
+    * tag and forces a re-resolve, so the memo can never serve stale
+    * lines. The hit cost is ONE getFileStatus instead of an O(live
+    * files) read + parse: one table READ (entriesAt + typedStatsAt +
+    * fileMetaAt + the DSv2 index construction) parses the checkpoint
+    * once, not four times — at 10⁶ live files that's the driver-side
+    * term that matters. Sized small (8 snapshots): each entry is
+    * O(live) strings and a driver only works a handful of (table,
+    * version) pairs at once. */
+  private val resolvedMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), ((Long, Long), Seq[String])](
+          16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long),
+              ((Long, Long), Seq[String])]): Boolean =
+          size() > 8
+      })
+
   /** Resolve version `v`'s EFFECTIVE full data-line list: walk the delta
     * chain back to the nearest checkpoint (≤ [[checkpointEvery]]−1 hops
     * by construction), then apply each delta oldest-first — removes drop
@@ -240,7 +263,27 @@ object SnapshotTable {
     * deleted out-of-band — [[vacuum]] never does this: it materializes
     * the retention cutoff as a checkpoint before deleting below it)
     * fails LOUDLY rather than returning a partial file list. */
-  private def resolvedDataLines(tableDir: String, v: Long): Option[Seq[String]] =
+  private def resolvedDataLines(tableDir: String, v: Long): Option[Seq[String]] = {
+    val (fs, root) = fsRoot(tableDir)
+    val status =
+      try Some(fs.getFileStatus(new Path(root, manifestName(v))))
+      catch { case _: java.io.FileNotFoundException => None }
+    status match {
+      case None => None
+      case Some(s) =>
+        val key = (root.toString, v)
+        val tag = (s.getModificationTime, s.getLen)
+        Option(resolvedMemo.get(key)).filter(_._1 == tag).map(_._2)
+          .orElse {
+            val r = resolveDataLinesUncached(tableDir, v)
+            r.foreach(lines => resolvedMemo.put(key, (tag, lines)))
+            r
+          }
+    }
+  }
+
+  private def resolveDataLinesUncached(tableDir: String,
+      v: Long): Option[Seq[String]] =
     manifestText(tableDir, v).map { txt =>
       deltaBaseOf(txt) match {
         case None => dataLinesOf(txt)

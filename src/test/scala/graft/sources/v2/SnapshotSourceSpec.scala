@@ -397,6 +397,15 @@ class SnapshotSourceSpec extends SparkSpec {
         .option("path", dir).saveAsTable("snap_cat_t")
       assert(SnapshotTable.currentVersion(dir) == 2L)
       assert(spark.table("snap_cat_t").count() == 121L)
-    } finally spark.sql("DROP TABLE IF EXISTS snap_cat_t")
+      // plain SQL DDL registers the same provider-backed table — the
+      // route a BI tool / vanilla-Spark deployment script takes
+      spark.sql("CREATE TABLE snap_cat_ddl USING `graft-snapshot` " +
+        s"OPTIONS (path '$dir')")
+      assert(spark.sql("SELECT count(*) c FROM snap_cat_ddl")
+        .head().getLong(0) == 121L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS snap_cat_t")
+      spark.sql("DROP TABLE IF EXISTS snap_cat_ddl")
+    }
   }
 }
