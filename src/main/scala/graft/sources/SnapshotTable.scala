@@ -378,6 +378,28 @@ object SnapshotTable {
         .map(_.stripPrefix("#op\t").trim)
     }
 
+  /** Idempotent-writer watermarks recorded in version `v`'s manifest
+    * headers (`#txn\t<appId>:<batchId>`, one line per application) — the
+    * Delta `txn` action shape that gives a STREAMING SINK exactly-once
+    * semantics over at-least-once trigger replay: a committing writer
+    * records its (appId, batchId), every later manifest carries all
+    * watermarks forward (the same full-rewrite inheritance as
+    * schema/partcol, so this is a single-file read), and a replayed
+    * batch whose id is ≤ the recorded watermark is SKIPPED instead of
+    * committed twice. The map is bounded by distinct writer appIds —
+    * the standard open-table-format contract. */
+  def txnsAt(tableDir: String, v: Long): Map[String, Long] =
+    manifestText(tableDir, v).map {
+      _.split("\n").iterator.map(_.trim)
+        .filter(_.startsWith("#txn\t"))
+        .flatMap { l =>
+          val kv = l.stripPrefix("#txn\t").trim
+          val i = kv.lastIndexOf(':')
+          if (i <= 0) None
+          else kv.substring(i + 1).toLongOption.map(kv.substring(0, i) -> _)
+        }.toMap
+    }.getOrElse(Map.empty)
+
   /** Commit history of the still-retained versions, newest first:
     * (version, operation, liveFiles, partitionColumn) — the DESCRIBE
     * HISTORY surface. Vacuumed versions are absent (their manifests are
@@ -902,7 +924,8 @@ object SnapshotTable {
       stats: Map[String, Map[String, ColStat]] = Map.empty,
       schema: Option[StructType] = None,
       partCol: Option[String] = None,
-      op: Option[String] = None): Long = {
+      op: Option[String] = None,
+      txn: Option[(String, Long)] = None): Long = {
     val (fs, root) = fsRoot(tableDir)
     val v = currentVersion(tableDir) + 1
     // ONE resolve of the predecessor feeds both the carried-forward
@@ -936,9 +959,14 @@ object SnapshotTable {
       if (v > 1L) schemaAt(tableDir, v - 1) else None)
     val pcEff = partCol.orElse(
       if (v > 1L) partColAt(tableDir, v - 1) else None)
+    // writer watermarks carry forward in full every version (like
+    // schema/partcol), the committing app's replaced — [[txnsAt]] stays
+    // a single-file read
+    val txns = (if (v > 1L) txnsAt(tableDir, v - 1) else Map.empty) ++ txn
     val header = schEff.map(s => s"#schema\t${s.json}\n").getOrElse("") +
       pcEff.map(c => s"#partcol\t$c\n").getOrElse("") +
-      op.map(o => s"#op\t$o\n").getOrElse("")
+      op.map(o => s"#op\t$o\n").getOrElse("") +
+      txns.toSeq.sorted.map { case (a, b) => s"#txn\t$a:$b\n" }.mkString
     val fullLines = newEntries.map { case (p, f) =>
       val st = stats.get(f).filter(_.nonEmpty)
         .map(_.toSeq.sortBy(_._1).map {
@@ -1050,16 +1078,24 @@ object SnapshotTable {
       stats: Map[String, Map[String, ColStat]] = Map.empty,
       schema: Option[StructType] = None,
       partCol: Option[String] = None,
-      op: String = "commit"): Long =
+      op: String = "commit",
+      txn: Option[(String, Long)] = None): Long =
     withCommitLock(tableDir) {
       val cur = currentVersion(tableDir)
       if (cur != basedOnVersion)
         throw new java.util.ConcurrentModificationException(
           s"snapshot advanced to v$cur while this writer merged against " +
             s"v$basedOnVersion — re-read and retry the merge")
+      // the idempotence re-check runs INSIDE the lock: two replays of
+      // the same (appId, batchId) racing each other serialize here, the
+      // loser sees the recorded watermark and returns the committed
+      // version instead of double-applying
+      txn.foreach { case (app, batch) =>
+        if (txnsAt(tableDir, cur).get(app).exists(_ >= batch)) return cur
+      }
       val keepPartCol = partCol.orElse(partColAt(tableDir, cur))
       val v = prepareManifest(tableDir, newEntries, stats, schema,
-        keepPartCol, Some(op))
+        keepPartCol, Some(op), txn)
       swapPointer(tableDir, v)
       v
     }
@@ -1067,14 +1103,16 @@ object SnapshotTable {
   /** Full-table overwrite commit: stage every row, commit a manifest
     * listing only the new batch. Returns the committed version. */
   def overwrite(spark: SparkSession, tableDir: String, df: DataFrame,
-      partCol: String, op: String = "overwrite"): Long = {
+      partCol: String, op: String = "overwrite",
+      txn: Option[(String, Long)] = None): Long = {
     val (fs, root) = fsRoot(tableDir)
     fs.mkdirs(root)
     val basedOn = currentVersion(tableDir)
     val tag = newBatchTag(basedOn + 1)
     val staged = stageBatch(df, tableDir, partCol, tag)
     commitOrDiscard(tag)(casCommit(tableDir, basedOn, staged,
-      schema = Some(df.schema), partCol = Some(partCol), op = op))
+      schema = Some(df.schema), partCol = Some(partCol), op = op,
+      txn = txn))
   }
 
   /** Full-table overwrite through the range-clustered, stats-carrying
@@ -1196,7 +1234,7 @@ object SnapshotTable {
     * [[upsertRetrying]] so concurrent appenders serialize instead of
     * losing rows. Returns the committed version. */
   def append(spark: SparkSession, tableDir: String, rows: DataFrame,
-      maxAttempts: Int = 5): Long = {
+      maxAttempts: Int = 5, txn: Option[(String, Long)] = None): Long = {
     require(maxAttempts >= 1, "need at least one attempt")
     var attempt = 0
     while (true) {
@@ -1226,7 +1264,7 @@ object SnapshotTable {
       val old = entriesAt(tableDir, basedOn)
       try return commitOrDiscard(tag)(casCommit(tableDir, basedOn,
         old ++ staged, typedStatsAt(tableDir, basedOn), Some(sch), Some(pc),
-        op = "insert"))
+        op = "insert", txn = txn))
       catch {
         case e: java.util.ConcurrentModificationException =>
           if (attempt >= maxAttempts) throw e

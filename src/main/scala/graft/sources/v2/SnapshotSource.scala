@@ -8,7 +8,10 @@ import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast,
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.execution.GraftStreamingBridge
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{Decimal, DecimalType, DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -63,8 +66,44 @@ import graft.sources.SnapshotTable.ColStat
   * Reads require the manifest schema header (every table committed by
   * this writer has one); pre-header tables read via the Scala API. */
 class SnapshotSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft-snapshot"
+
+  /** STREAMING sink — `df.writeStream.format("graft-snapshot")` — the
+    * write-side twin of the CDF source: every trigger commits ONE
+    * transactional snapshot version (append mode = [[SnapshotTable
+    * .append]], complete mode = full overwrite; a first-ever append
+    * batch creates the table and needs `partCol`). Exactly-once over
+    * Structured Streaming's at-least-once replay comes from the `#txn`
+    * watermark ([[SnapshotTable.txnsAt]]): each commit records
+    * (txnAppId, batchId) in the manifest, a replayed batch with id ≤
+    * the recorded watermark is skipped — checked both before staging
+    * (cheap fast path) and again INSIDE the commit lock (the race-proof
+    * check). One streaming query per txnAppId is the contract (Delta's
+    * `txnAppId` semantics); CDC upserts belong to the dedicated helper
+    * (`SinkStreams.streamingSnapshotUpsert`), so update mode is
+    * refused loudly rather than half-supported. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-snapshot sink: 'path' (the table directory) is required"))
+    require(outputMode == OutputMode.Append() ||
+        outputMode == OutputMode.Complete(),
+      "graft-snapshot sink supports append (transactional INSERT per " +
+        "trigger) and complete (overwrite per trigger); for update-mode " +
+        "CDC apply use SinkStreams.streamingSnapshotUpsert")
+    val appId = parameters.getOrElse("txnAppId",
+      parameters.getOrElse("txnappid", "graft-snapshot-sink"))
+    require(!appId.exists(c => c == ':' || c == '\t' || c == '\n'),
+      "txnAppId must not contain ':', tab or newline (manifest header " +
+        "grammar)")
+    new SnapshotSink(sqlContext.sparkSession, dir,
+      parameters.get("partCol").orElse(parameters.get("partcol"))
+        .orElse(partitionColumns.headOption),
+      appId, complete = outputMode == OutputMode.Complete())
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -136,6 +175,39 @@ class SnapshotSource extends RelationProvider
     }
     createRelation(sqlContext, parameters)
   }
+}
+
+/** One transactional snapshot commit per trigger (see
+  * [[SnapshotSource.createSink]]'s contract scaladoc). The addBatch
+  * frame is re-minted over the trigger's already-planned RDD
+  * ([[GraftStreamingBridge.asBatch]] — the DeltaSink/FileStreamSink
+  * pattern) so the staging write never re-executes the streaming plan. */
+private[v2] class SnapshotSink(spark: SparkSession, dir: String,
+    partColOpt: Option[String], appId: String,
+    complete: Boolean) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val cur = SnapshotTable.currentVersion(dir)
+    // fast-path replay skip (authoritative re-check sits inside the
+    // commit lock in casCommit — this one just avoids re-staging)
+    if (cur >= 1 &&
+        SnapshotTable.txnsAt(dir, cur).get(appId).exists(_ >= batchId))
+      return
+    val df = GraftStreamingBridge.asBatch(spark, data)
+    val txn = Some(appId -> batchId)
+    def pc: String = partColOpt
+      .orElse(if (cur >= 1) SnapshotTable.partColAt(dir, cur) else None)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-snapshot sink: 'partCol' is required when the first batch " +
+          "creates the table"))
+    if (complete)
+      SnapshotTable.overwrite(spark, dir, df, pc, txn = txn)
+    else if (cur >= 1) SnapshotTable.append(spark, dir, df, txn = txn)
+    else SnapshotTable.overwrite(spark, dir, df, pc, op = "create",
+      txn = txn)
+  }
+
+  override def toString: String = s"SnapshotSink[$dir, app=$appId]"
 }
 
 /** The manifest AS a Spark [[FileIndex]]: listing resolves version `v`'s

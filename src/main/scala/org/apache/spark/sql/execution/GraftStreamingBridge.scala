@@ -16,4 +16,17 @@ object GraftStreamingBridge {
     cs.internalCreateDataFrame(
       cds.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The SINK-side twin: a V1 [[org.apache.spark.sql.execution.streaming.Sink]]'s
+    * `addBatch` frame is backed by the trigger's IncrementalExecution —
+    * re-planning it through ordinary writer paths re-executes the
+    * streaming plan. Re-minting it over the already-planned `toRdd` as a
+    * NON-streaming frame (the DeltaSink/FileStreamSink pattern) makes it
+    * a plain batch input the transactional commit paths can stage. */
+  def asBatch(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val cds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    cs.internalCreateDataFrame(
+      cds.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }
