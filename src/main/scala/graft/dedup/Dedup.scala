@@ -211,13 +211,21 @@ object Dedup {
     * md5s), and a single hash-aggregate pass for all min-columns. */
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 32): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
-      .withColumn("h", baseHash(col("shingle")))
+      n: Int = 3, numHashes: Int = 32): DataFrame =
+    minhashSignaturesFromShingles(
+      shingles(docs, idCol, textCol, n), numHashes)
+
+  /** [[minhashSignatures]] over a prebuilt `(doc_id, shingle)` table — so
+    * an artifact build that persists BOTH tables derives the signatures
+    * from the just-written shingle parquet instead of running the
+    * tokenize → window → distinct shingle pass a second time. */
+  def minhashSignaturesFromShingles(
+      sh: DataFrame, numHashes: Int = 32): DataFrame = {
+    val hashed = sh.withColumn("h", baseHash(col("shingle")))
     val mins = minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % MinhashP).as(s"s$i")
     }
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH candidate pairs (a < b): band the minhash signature, bucket-join
@@ -704,26 +712,39 @@ object Dedup {
     * to 11 blocks (165 tables, ~17-bit keys) so candidate volume stays
     * ~n²/2¹⁷ per table. Output (a < b, hamming ≤ maxHamming), exactly
     * [[signatureNearDupPairs]]' shape. */
-  /** One (t, key) row per (doc, combination table) — the shared tabling
-    * step of the Manku construction. */
-  private def mankuTabled(
-      sig: DataFrame, bits: Int, blocks: Int, maxHamming: Int): DataFrame = {
+  /** Per-table bit mask over the signature: table `t` selects subset
+    * `subsets(t)` of blocks, and its mask has exactly those blocks' bits
+    * set. Two sigs agree on every chosen block iff their masked values are
+    * equal, so `sig & mask(t)` is a collision-free per-table bucket key —
+    * equivalent to (but far cheaper to compute than) concatenating the
+    * chosen block values. */
+  private[dedup] def mankuMasks(
+      bits: Int, blocks: Int, maxHamming: Int): Array[Long] = {
     val (layout, subsets) = mankuLayout(bits, blocks, maxHamming)
-    val tableKeys = subsets.zipWithIndex.map { case (ss, t) =>
-      // concatenate the chosen blocks' values ascending: shift-left by the
-      // next block's width then add (low bits are zero, so + ≡ bitwise or)
-      val key = ss.foldLeft(lit(0L)) { (acc, b) =>
-        val (off, w) = layout(b)
-        shiftleft(acc, w) +
-          shiftright(col("sig"), off).bitwiseAND(lit((1L << w) - 1))
-      }
-      struct(lit(t).as("t"), key.as("key"))
-    }
-    sig.select(col("doc_id"), col("sig"),
-      explode(array(tableKeys: _*)).as("tk"))
-      .select(col("doc_id"), col("sig"),
-        col("tk.t").as("t"), col("tk.key").as("key"))
+    subsets.map(_.map { b =>
+      val (off, w) = layout(b)
+      (if (w >= 64) -1L else (1L << w) - 1) << off
+    }.reduce(_ | _)).toArray
   }
+
+  /** One (t, key) row per (doc, combination table) — the shared tabling
+    * step of the Manku construction. The key is the MASKED signature
+    * (`sig & mask(t)`, [[mankuMasks]]): bucket membership is identical to
+    * the concatenated-block-values key (equality ⟺ agreement on every
+    * chosen block either way), but the projection is ONE tiny expression
+    * over an exploded literal mask array instead of `C(blocks, k)`
+    * unrolled shift-fold structs — the unrolled form generated >64 KB of
+    * whole-stage-codegen bytecode at 165 tables, failed janino
+    * compilation on EVERY execution, and ran the explode interpreted
+    * (round-11 measurement: the tabling step alone fell from ~5 s to
+    * 0.15 s at sf0.1 when the plan became codegen-compilable). */
+  private def mankuTabled(
+      sig: DataFrame, bits: Int, blocks: Int, maxHamming: Int): DataFrame =
+    sig.select(col("doc_id"), col("sig"),
+        posexplode(lit(mankuMasks(bits, blocks, maxHamming)))
+          .as(Seq("t", "m")))
+      .select(col("doc_id"), col("sig"), col("t"),
+        col("sig").bitwiseAND(col("m")).as("key"))
 
   def mankuNearDupPairs(
       sig: DataFrame, bits: Int = 64, blocks: Int = 10,
@@ -852,14 +873,24 @@ object Dedup {
     * rare-first ordering keeps bucket sizes small where the inverted
     * index is hottest — and verification touches candidates only. */
   def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.6, shingleN: Int = 3): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+      threshold: Double = 0.6, shingleN: Int = 3): DataFrame =
     // word n-gram shingle SETS, not unigram sets: unigrams wash out on a
     // small vocabulary (nearly every doc contains every common word and
     // the join output goes quadratic); shingles are the standard unit
-    val toks = shingles(docs, idCol, textCol, shingleN)
-      .select(col("doc_id"), col("shingle").as("tok"))
+    prefixFilterJoinFromShingles(
+      shingles(docs, idCol, textCol, shingleN), threshold)
+
+  /** [[prefixFilterJoin]] over a prebuilt `(doc_id, shingle)` table — the
+    * artifact-derived form ([[containmentPairsFromShingles]]' discipline):
+    * the shingle subtree feeds FOUR plan sites (df, prefix ranking and
+    * both verification joins), so deriving from the persisted shingle
+    * table replaces four scan+explode+distinct recomputes with four reads
+    * of a small parquet. */
+  def prefixFilterJoinFromShingles(
+      sh: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val toks = sh.select(col("doc_id"), col("shingle").as("tok"))
     val df_ = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
     val prefix = toks.join(df_, Seq("tok"))

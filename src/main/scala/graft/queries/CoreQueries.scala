@@ -1931,10 +1931,16 @@ object CoreQueries {
           min(when(col("__prev") + col("__cum") >= col("__r"), col("v")))
             .as(out))
     }
+    // pc is scanned THREE times per median phase (extent agg, bin
+    // counts, target-bin rank) — from raw parquet that is 3 lineitem
+    // scans + decimal casts for phase A alone; the eager cut makes them
+    // in-memory re-reads of a 2-column frame (measured: med phase 2.9 s
+    // → 1.65 s incl. the cut itself at sf0.1). Same don't-recompute
+    // discipline as the med/dv/mad cuts below.
     val pc = Tables.lineitem(s, d).select(
       col("l_returnflag").as("grp"),
       (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
-        .as("v"))
+        .as("v")).localCheckpoint(true)
     // the 3-row med/mad results are each REUSED by later stages — eager
     // localCheckpoint cuts their subtrees out of every consumer (without
     // it the med tree re-embeds in dv, dv in the mad pass and the

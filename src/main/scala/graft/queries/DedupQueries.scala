@@ -91,10 +91,13 @@ object DedupQueries {
         .createTempDirectory("graft-minhash-sig").toString
       val hp = java.nio.file.Files
         .createTempDirectory("graft-minhash-sh").toString
-      Dedup.minhashSignatures(docs, "doc_id", "text", n = 3,
-        numHashes = NumHashes).write.mode("overwrite").parquet(sp)
+      // shingles land first; the signature build then derives from the
+      // just-written parquet — one tokenize→window→distinct pass instead
+      // of two (the build used to run it once per artifact)
       Dedup.shingles(docs, "doc_id", "text", n = 3)
         .write.mode("overwrite").parquet(hp)
+      Dedup.minhashSignaturesFromShingles(s.read.parquet(hp),
+        numHashes = NumHashes).write.mode("overwrite").parquet(sp)
       (sp, hp)
     })
     (s.read.parquet(sigP), s.read.parquet(shP))
@@ -660,7 +663,13 @@ object DedupQueries {
       |  CAST(inter AS DOUBLE) / (sa + sb - inter) AS jaccard
       |FROM i WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.6""".stripMargin) {
     (s, d) =>
-      Dedup.prefixFilterJoin(Tables.documents(s, d), "doc_id", "text")
+      // derive from the persisted shingle artifact (same table the ngram/
+      // containment queries use — Dedup.shingles(n=3) wrote it): the
+      // shingle subtree feeds four plan sites, so this replaces four
+      // scan+explode+distinct recomputes with parquet reads; the oracle
+      // still recomputes shingles from raw text
+      val (_, sh) = minhashArtifacts(s, d)
+      Dedup.prefixFilterJoinFromShingles(sh, threshold = 0.6)
   }
 
   /** ExactSubstr TRIM apply (Dedup.exactSubstrTrim): where

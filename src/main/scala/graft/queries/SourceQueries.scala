@@ -267,17 +267,17 @@ object SourceQueries {
     s.read.orc(dir).filter(col("s_nationkey") < 20)
   }
 
-  /** Key-based MERGE of a CDC batch into a month-partitioned parquet
+  /** Key-based MERGE of a CDC batch into a year-partitioned parquet
     * snapshot (Sinks.upsertPartitioned): base = orders snapshot
     * (version 0); the batch updates every key ≡ 0 (mod 10) (price+1000,
     * status 'U'), tombstones every key ≡ 3 (mod 100), and inserts a new
-    * key (+10⁸, month 2099-01) for every key ≡ 7 (mod 1000). The query
-    * emits the POST-MERGE table read back from the base directory — so
-    * the oracle states final-state semantics directly from `orders`,
-    * checking update-wins-over-base, tombstone removal, and new-partition
-    * inserts in one pass. Partition pruning (only touched months are
-    * scanned/rewritten) is asserted separately in SinksSpec with a
-    * narrow batch. */
+    * key (+10⁸, month 2099-01 → new partition yr=2099) for every key ≡ 7
+    * (mod 1000). The query emits the POST-MERGE table read back from the
+    * base directory — so the oracle states final-state semantics directly
+    * from `orders`, checking update-wins-over-base, tombstone removal,
+    * and new-partition inserts in one pass. Partition pruning (only
+    * touched partitions are scanned/rewritten) is asserted separately in
+    * SinksSpec with a narrow batch. */
   val sUpsertMerge = Q(
     "s_upsert_merge",
     """WITH base AS (SELECT o_orderkey AS k, o_custkey,
@@ -293,17 +293,23 @@ object SourceQueries {
       |FROM base WHERE k % 1000 = 7""".stripMargin) { (s, d) =>
     val baseDir = java.nio.file.Files.createTempDirectory("graft_upsert_base").toString
     val stagingDir = java.nio.file.Files.createTempDirectory("graft_upsert_stage").toString
+    // partitioned by YEAR, month kept as a data column (the
+    // s_snapshot_skip layout lesson): the CDC batch touches every month,
+    // so month partitions mean ~85 tiny files rewritten per merge pass
+    // for zero pruning benefit in this query — year partitions cut the
+    // staged-file count ~12× at identical output rows
     val snap = Tables.orders(s, d).select(
       col("o_orderkey"), col("o_custkey"),
       col("o_totalprice").as("price"),
       col("o_orderstatus").as("status"),
       date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+      date_format(col("o_orderdate"), "yyyy").as("yr"),
       lit(0L).as("version"), lit(false).as("del"))
-    // one file per month partition (not one per task × month): the
-    // partitionBy write otherwise fans 32 tasks × ~85 months into ~2700
-    // tiny files and the merge pays per-file open cost on every pass
-    snap.repartition(col("month"))
-      .write.mode("overwrite").partitionBy("month").parquet(baseDir)
+    // one file per partition (not one per task × partition): the
+    // partitionBy write otherwise fans 32 tasks × partitions into tiny
+    // files and the merge pays per-file open cost on every pass
+    snap.repartition(col("yr"))
+      .write.mode("overwrite").partitionBy("yr").parquet(baseDir)
     val updates = snap.filter(col("o_orderkey") % 10 === 0)
       .withColumn("price", col("price") + 1000)
       .withColumn("status", lit("U"))
@@ -315,16 +321,22 @@ object SourceQueries {
         .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
         .withColumn("status", lit("N"))
         .withColumn("month", lit("2099-01"))
+        .withColumn("yr", lit("2099"))
         .withColumn("version", lit(1L)))
     Sinks.upsertPartitioned(s, baseDir, updates,
-      partCol = "month", keyCols = Seq("o_orderkey"),
+      partCol = "yr", keyCols = Seq("o_orderkey"),
       versionCol = "version", deleteCol = "del", stagingDir = stagingDir)
     s.read.parquet(baseDir)
       .select(col("o_orderkey"), col("o_custkey"), col("price"),
         col("status"), col("month"))
   }
 
-  /** The orders CDC projection every snapshot-table query starts from. */
+  /** The orders CDC projection every snapshot-table query starts from.
+    * Carries BOTH month (the data column every consumer reads/aggregates)
+    * and yr (the partition column — the s_snapshot_skip layout lesson:
+    * the CDC batch touches every month, so month partitions stage ~85
+    * tiny files per version for zero pruning benefit; year partitions
+    * stage ~7 at identical output rows). */
   private def ordersSnapFrame(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     Tables.orders(s, d).select(
@@ -332,6 +344,7 @@ object SourceQueries {
       col("o_totalprice").as("price"),
       col("o_orderstatus").as("status"),
       date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+      date_format(col("o_orderdate"), "yyyy").as("yr"),
       lit(0L).as("version"), lit(false).as("del"))
 
   /** The shared CDC update batch (update %10=0, tombstone %100=3, insert
@@ -349,6 +362,7 @@ object SourceQueries {
         .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
         .withColumn("status", lit("N"))
         .withColumn("month", lit("2099-01"))
+        .withColumn("yr", lit("2099"))
         .withColumn("version", lit(1L)))
 
   /** Persist-and-derive for the CDC snapshot FIXTURE (the scoredPersisted
@@ -370,9 +384,9 @@ object SourceQueries {
       val tableDir =
         java.nio.file.Files.createTempDirectory("graft_snap_tbl").toString
       val snap = ordersSnapFrame(s, d)
-      SnapshotTable.overwrite(s, tableDir, snap, partCol = "month") // v1
+      SnapshotTable.overwrite(s, tableDir, snap, partCol = "yr")   // v1
       SnapshotTable.upsert(s, tableDir, ordersCdcBatch(snap),      // v2
-        partCol = "month", keyCols = Seq("o_orderkey"),
+        partCol = "yr", keyCols = Seq("o_orderkey"),
         versionCol = "version", deleteCol = "del")
       tableDir
     })
@@ -837,16 +851,22 @@ object SourceQueries {
       |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin) { (s, d) =>
     val tableDir =
       java.nio.file.Files.createTempDirectory("graft_snap_evolve").toString
+    // partitioned by YEAR, month kept as data (the s_snapshot_skip
+    // layout lesson): the evolving batch touches every month, so month
+    // partitions staged ~80 tiny files per version for zero pruning
+    // benefit here — year partitions stage ~7, same output rows
+    // (measured at sf0.1: the two commits fell 4.8 s → 1.9 s)
     val snap = Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
       .select(col("o_orderkey"), col("o_totalprice").as("price"),
         date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        date_format(col("o_orderdate"), "yyyy").as("yr"),
         lit(0L).as("version"), lit(false).as("del"))
-    SnapshotTable.overwrite(s, tableDir, snap, partCol = "month") // v1
+    SnapshotTable.overwrite(s, tableDir, snap, partCol = "yr")    // v1
     val evolved = snap.filter(col("o_orderkey") % 14 === 0)       // adds src
       .withColumn("price", col("price") + 500)
       .withColumn("version", lit(1L))
       .withColumn("src", lit("cdc"))
-    SnapshotTable.upsert(s, tableDir, evolved, partCol = "month",  // v2
+    SnapshotTable.upsert(s, tableDir, evolved, partCol = "yr",     // v2
       keyCols = Seq("o_orderkey"), versionCol = "version", deleteCol = "del")
     // old-reader pin: v1 must project to v1's schema (no src column)
     val oldLeaks = SnapshotTable.readAt(s, tableDir, 1L)

@@ -114,7 +114,16 @@ object Bpe {
       perRound: Int = 5, rounds: Int = 2,
       checkpointEvery: Int = CheckpointEvery): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    var cur = wordTable(docs, textCol)
+    // The initial word table checkpoints EAGERLY (not just every
+    // checkpointEvery rounds): every round's winner action — and the
+    // final union — replays `cur`'s lineage from its root, and without
+    // this cut that root is the CORPUS scan + word-count shuffle, paid
+    // ~2·rounds times for a vocabulary-sized table. With it, one corpus
+    // pass feeds the whole merge chain and each replay starts from the
+    // vocabulary-sized blocks (same don't-recompute discipline as the
+    // per-round winner cut below; disabled with checkpointEvery ≤ 0).
+    var cur = if (checkpointEvery > 0) wordTable(docs, textCol).localCheckpoint(true)
+      else wordTable(docs, textCol)
     var out = Vector.empty[DataFrame]
     var cutAt = 0
     for (r <- 1 to rounds) {
@@ -164,7 +173,10 @@ object Bpe {
       .select(col(idCol).as("doc_id"),
         explode(TextFns.tokens(col(textCol))).as("word"))
       .filter(col("word").rlike("^[a-z0-9]+$"))
-    var cur = wordTable(docs, textCol)
+    // eager initial cut — see topMerges: each round's winner action would
+    // otherwise replay the corpus-sized word count per round
+    var cur = if (checkpointEvery > 0) wordTable(docs, textCol).localCheckpoint(true)
+      else wordTable(docs, textCol)
     for (r <- 1 to rounds) {
       val w = winner(pairCounts(cur))
       cur = applyMerge(cur,
