@@ -38,8 +38,12 @@ object GeneDiseasePipeline {
   /** OpenTargets analog: diseases arrive as customer NAMES and resolve via
     * the J5 fallback chain (preferred vocabulary first, then the full
     * mapping), then aggregate. */
-  def opentargets(s: SparkSession, d: String): DataFrame = {
-    val named = base(s, d).filter(col("prio") === "1-URGENT")
+  def opentargets(s: SparkSession, d: String): DataFrame =
+    opentargetsFrom(base(s, d), s, d)
+
+  private def opentargetsFrom(b: DataFrame, s: SparkSession,
+      d: String): DataFrame = {
+    val named = b.filter(col("prio") === "1-URGENT")
       .join(broadcast(Tables.customer(s, d)
         .select(col("c_custkey").as("o_custkey"), col("c_name"))), Seq("o_custkey"))
     val primary = Tables.customer(s, d).filter(col("c_acctbal") > 0)
@@ -53,34 +57,49 @@ object GeneDiseasePipeline {
   }
 
   def clinvar(s: SparkSession, d: String): DataFrame =
-    base(s, d).filter(col("prio") === "2-HIGH")
+    clinvarFrom(base(s, d))
+
+  private def clinvarFrom(b: DataFrame): DataFrame =
+    b.filter(col("prio") === "2-HIGH")
       .groupBy(col("gene"), disease(col("o_custkey")).as("disease"))
       .agg(Kernels.effectFoldWithUnknown(col("o_orderstatus"), "P").as("clin_sig"),
         refs.as("refs"))
       .withColumn("source", lit("clinvar"))
 
   def disgenetGda(s: SparkSession, d: String): DataFrame =
-    base(s, d).filter(col("prio") === "3-MEDIUM" && col("l_returnflag") === "N")
+    disgenetGdaFrom(base(s, d))
+
+  private def disgenetGdaFrom(b: DataFrame): DataFrame =
+    b.filter(col("prio") === "3-MEDIUM" && col("l_returnflag") === "N")
       .groupBy(col("gene"), disease(col("o_custkey")).as("disease"))
       .agg(Kernels.median3(col("l_extendedprice")).as("gda_score"), refs.as("refs"))
       .withColumn("source", lit("disgenet_gda"))
 
   def disgenetVda(s: SparkSession, d: String): DataFrame =
-    base(s, d).filter(col("prio") === "3-MEDIUM" && col("l_returnflag") =!= "N")
+    disgenetVdaFrom(base(s, d))
+
+  private def disgenetVdaFrom(b: DataFrame): DataFrame =
+    b.filter(col("prio") === "3-MEDIUM" && col("l_returnflag") =!= "N")
       .groupBy(col("gene"), disease(col("o_custkey")).as("disease"))
       .agg(Kernels.setJoinAgg(concat(lit("rs"), col("l_orderkey"))).as("variants"),
         refs.as("refs"))
       .withColumn("source", lit("disgenet_vda"))
 
   def humsavar(s: SparkSession, d: String): DataFrame =
-    base(s, d).filter(col("prio") === "4-NOT SPECIFIED")
+    humsavarFrom(base(s, d))
+
+  private def humsavarFrom(b: DataFrame): DataFrame =
+    b.filter(col("prio") === "4-NOT SPECIFIED")
       .groupBy(col("gene"), disease(col("o_custkey")).as("disease"))
       .agg(Kernels.conflictFold(col("l_returnflag")).as("variant_category"),
         refs.as("refs"))
       .withColumn("source", lit("humsavar"))
 
   def kegg(s: SparkSession, d: String): DataFrame =
-    base(s, d).filter(col("prio") === "5-LOW" && col("l_linestatus") === "F")
+    keggFrom(base(s, d))
+
+  private def keggFrom(b: DataFrame): DataFrame =
+    b.filter(col("prio") === "5-LOW" && col("l_linestatus") === "F")
       .groupBy(col("gene"), disease(col("o_custkey")).as("disease"))
       .agg(Kernels.setJoinAgg(col("l_linestatus")).as("kegg_evidence"),
         refs.as("refs"))
@@ -96,8 +115,11 @@ object GeneDiseasePipeline {
     * free, and AQE's skew handling cannot help here anyway (skew sits in
     * the aggregation feeding a full-outer chain, which OptimizeSkewedJoin
     * refuses to split). */
-  def diseasesKnowledge(s: SparkSession, d: String, salts: Int = 0): DataFrame = {
-    val b = base(s, d).filter(col("prio") === "5-LOW" && col("l_linestatus") =!= "F")
+  def diseasesKnowledge(s: SparkSession, d: String, salts: Int = 0): DataFrame =
+    diseasesKnowledgeFrom(base(s, d), salts)
+
+  private def diseasesKnowledgeFrom(base: DataFrame, salts: Int): DataFrame = {
+    val b = base.filter(col("prio") === "5-LOW" && col("l_linestatus") =!= "F")
     val direct = b
       .groupBy(col("gene"), disease(col("o_custkey")).as("disease"))
       .agg(count(lit(1)).as("knowledge_conf"), refs.as("refs"))
@@ -172,14 +194,23 @@ object GeneDiseasePipeline {
 
   /** The 7-chain merge (disease.py:1225-1291). `salts` forwards to the
     * skew-prone aggregation (see [[diseasesKnowledge]]). */
-  def merged(s: SparkSession, d: String, salts: Int = 0): DataFrame =
+  def merged(s: SparkSession, d: String, salts: Int = 0): DataFrame = {
+    // ONE eager cut of the shared fact join: the chain's seven sources
+    // are disjoint slices of the SAME lineitem⋈orders projection, and
+    // without the cut each source's aggregate replays that scan+join —
+    // 7 fact scans for one chain. The cut keeps the reference-faithful
+    // structure (7 aggregations, 6 full-outer joins) and only
+    // de-duplicates their shared input (guide §1.2 / §5; the
+    // mergedSinglePass twin remains the registered 100 TB plan).
+    val b = base(s, d).localCheckpoint(true)
     Kernels.outerMergeChain(
-      Seq(opentargets(s, d), clinvar(s, d), disgenetGda(s, d),
-        disgenetVda(s, d), humsavar(s, d), kegg(s, d),
-        diseasesKnowledge(s, d, salts)),
+      Seq(opentargetsFrom(b, s, d), clinvarFrom(b), disgenetGdaFrom(b),
+        disgenetVdaFrom(b), humsavarFrom(b), keggFrom(b),
+        diseasesKnowledgeFrom(b, salts)),
       Seq("gene", "disease"),
       pipeCols = Set("source", "refs"))
       .select(col("gene"), col("disease"), col("source"), col("refs"),
         col("ot_score"), col("clin_sig"), col("gda_score"), col("variants"),
         col("variant_category"), col("kegg_evidence"), col("knowledge_conf"))
+  }
 }

@@ -1154,18 +1154,64 @@ object SnapshotTable {
     * per-key keep-highest-version, tombstone drop), but the result lands
     * as a staged batch + manifest swap, so a reader concurrent with the
     * commit sees the WHOLE batch or none of it. Untouched partitions are
-    * carried forward by manifest entry — zero data movement. Idempotent
-    * per batch for the same reason as the directory form (re-merging an
-    * applied batch is a fixed point), so the streaming wrapper inherits
-    * effective exactly-once. Returns the committed version. */
+    * carried forward by manifest entry — zero data movement — and WITHIN
+    * touched partitions, files whose recorded LONG key-stats range is
+    * disjoint from the batch's per-partition key bounds carry forward
+    * too (the deleteWhere stats prune applied to MERGE; conservative:
+    * missing/non-LONG stats or null batch keys fall back to
+    * read-and-merge). Idempotent per batch for the same reason as the
+    * directory form (re-merging an applied batch is a fixed point), so
+    * the streaming wrapper inherits effective exactly-once. Returns the
+    * committed version. */
   def upsert(spark: SparkSession, tableDir: String, updates: DataFrame,
       partCol: String, keyCols: Seq[String], versionCol: String,
       deleteCol: String): Long = {
     val basedOn = currentVersion(tableDir)
-    val touched = updates.select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSet
+    // ONE bounded agg replaces the plain distinct-partition collect AND
+    // (when the merge key is LONG-typed) yields per-partition update-key
+    // bounds for file-level copy-on-write scoping below — the
+    // deleteWhere/updateWhere manifest-stats prune applied to MERGE: a
+    // touched-partition file whose recorded key range cannot overlap the
+    // batch's keys holds no mergeable row, so it carries forward by
+    // manifest entry instead of being read, merged and rewritten. At
+    // 10⁶-file scale that turns a narrow MERGE from O(touched
+    // partitions) data movement into O(overlapping files). NULL update
+    // keys disable the prune for their partition (stats bounds exclude
+    // nulls, so a null-key base row could hide in any file).
+    val keyIsLong = updates.schema.fields
+      .find(_.name == keyCols.head)
+      .exists(_.dataType == org.apache.spark.sql.types.LongType)
+    val touchedRows = (
+      if (keyIsLong)
+        updates.groupBy(col(partCol).cast("string").as("__pk"))
+          .agg(min(col(keyCols.head)).as("__lo"),
+            max(col(keyCols.head)).as("__hi"),
+            count(when(col(keyCols.head).isNull, lit(1))).as("__nulls"))
+      else
+        updates.select(col(partCol).cast("string").as("__pk")).distinct()
+          .select(col("__pk"), lit(null).cast("long").as("__lo"),
+            lit(null).cast("long").as("__hi"), lit(1L).as("__nulls"))
+      ).collect()
+    val touched = touchedRows.map(_.getString(0)).toSet
+    val keyBounds: Map[String, (Long, Long)] = touchedRows
+      .filter(r => r.getLong(3) == 0L && !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val oldStats = typedStatsAt(tableDir, basedOn)
+    // a file is provably update-free iff its partition's batch keys have
+    // known bounds AND the file records LONG stats for the key AND the
+    // ranges are disjoint; anything less (no stats, wrong type, null
+    // keys) keeps the conservative read-and-merge path
+    def updateFree(partVal: String, file: String): Boolean =
+      keyBounds.get(partVal).exists { case (lo, hi) =>
+        oldStats.get(file).flatMap(_.get(keyCols.head)).exists {
+          case LongStat(mn, mx) => mx < lo || mn > hi
+          case _ => false
+        }
+      }
     val old = entriesAt(tableDir, basedOn)
-    val (touchedOld, untouched) = old.partition { case (p, _) => touched(p) }
+    val (touchedOld, untouched) = old.partition { case (p, f) =>
+      touched(p) && !updateFree(p, f)
+    }
     val merged = {
       // schema evolution (add-only): the touched base reads with the
       // TABLE's recorded schema (covers files staged before any later
@@ -1190,8 +1236,7 @@ object SnapshotTable {
     // carry untouched files' stats forward with their entries; the new
     // batch's files get none (the plain staging path) and are always read
     val untouchedFiles = untouched.map(_._2).toSet
-    val carriedStats = typedStatsAt(tableDir, basedOn)
-      .filter { case (f, _) => untouchedFiles(f) }
+    val carriedStats = oldStats.filter { case (f, _) => untouchedFiles(f) }
     // CAS against the version this merge actually read: a concurrent
     // commit in the meantime throws instead of losing that writer's rows
     commitOrDiscard(tag)(casCommit(tableDir, basedOn, untouched ++ staged,

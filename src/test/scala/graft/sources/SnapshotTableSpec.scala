@@ -1327,4 +1327,45 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.stagedMetaCount == before,
       "the failed append must discard its staged size/row entries")
   }
+
+  test("upsert with a narrow LONG key batch restages only files whose " +
+      "recorded key stats overlap the batch; disjoint files carry forward " +
+      "by identical path with their stats") {
+    val dir = Files.createTempDirectory("graft-snap-upsert-prune").toString
+    val rows = (1L to 100L).map(k =>
+      (k, s"n$k", k * 1.0, if (k % 2 == 0) "2024-01" else "2024-02",
+        0L, false))
+      .toDF("k", "name", "price", "month", "version", "del")
+    SnapshotTable.overwriteClustered(spark, dir, rows, "month",
+      statsCols = Seq("k"), rangeFiles = 10)
+    val before = SnapshotTable.entriesAt(dir, 1L).map(_._2).toSet
+    // both partitions are touched (odd and even keys in the band), but
+    // only the files covering k ∈ [10, 20] may restage
+    val updates = Seq(
+      (10L, "N10", 110.0, "2024-01", 1L, false),   // update
+      (11L, "n11", 11.0, "2024-02", 1L, true),     // tombstone
+      (20L, "N20", 120.0, "2024-01", 1L, false))
+      .toDF("k", "name", "price", "month", "version", "del")
+    val v2 = SnapshotTable.upsert(spark, dir, updates,
+      "month", Seq("k"), "version", "del")
+    assert(v2 == 2L)
+    val after = SnapshotTable.entriesAt(dir, 2L).map(_._2).toSet
+    val carried = before.intersect(after)
+    assert(carried.nonEmpty,
+      "key-stats pruning must carry the disjoint files forward")
+    assert(before.diff(after).nonEmpty, "overlapping files must restage")
+    // carried files keep their manifest stats (range skipping survives)
+    val st2 = SnapshotTable.statsAt(dir, 2L)
+    assert(carried.forall(st2.contains))
+    // and the merge result is exactly the three-row edit
+    val got = SnapshotTable.read(spark, dir)
+      .select("k", "name", "price").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val want = (1L to 100L).filterNot(_ == 11L).map {
+      case 10L => (10L, "N10", 110.0)
+      case 20L => (20L, "N20", 120.0)
+      case k => (k, s"n$k", k * 1.0)
+    }.toSet
+    assert(got == want)
+  }
 }
