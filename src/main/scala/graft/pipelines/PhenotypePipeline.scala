@@ -34,7 +34,10 @@ object PhenotypePipeline {
   /** Protein→phenotype: set-dedup pair emit (the reference literally
     * accumulates a Python set). */
   private[pipelines] def proteinPhenotype(s: SparkSession, d: String): DataFrame =
-    base(s, d)
+    proteinPhenotypeFrom(base(s, d))
+
+  private def proteinPhenotypeFrom(b: DataFrame): DataFrame =
+    b
       .filter(col("o_orderstatus") === "F" && col("l_returnflag") === "N")
       .select(ColFns.curie("uniprot", col("l_suppkey")).as("src"),
         ColFns.curie("hp", col("o_custkey")).as("dst"))
@@ -58,7 +61,11 @@ object PhenotypePipeline {
 
   /** Phenotype→disease: evidence code + pubmed set-union per pair. */
   private[pipelines] def phenotypeDisease(s: SparkSession, d: String): DataFrame =
-    base(s, d)
+    phenotypeDiseaseFrom(base(s, d), s, d)
+
+  private def phenotypeDiseaseFrom(b: DataFrame, s: SparkSession,
+      d: String): DataFrame =
+    b
       .join(broadcast(Tables.customer(s, d)
         .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))), Seq("o_custkey"))
       .filter(col("o_orderstatus") === "P")
@@ -71,10 +78,14 @@ object PhenotypePipeline {
         col("evidence"), col("pubmed_ids"))
 
   /** get_edges: the three edge types unioned in reference order. */
-  def edges(s: SparkSession, d: String): DataFrame =
-    proteinPhenotype(s, d)
+  def edges(s: SparkSession, d: String): DataFrame = {
+    // one eager cut of the shared lineitem⋈orders base for the two fact
+    // edge types (the GeneDiseasePipeline.merged discipline)
+    val b = base(s, d).localCheckpoint(true)
+    proteinPhenotypeFrom(b)
       .unionByName(hierarchy(s, d))
-      .unionByName(phenotypeDisease(s, d))
+      .unionByName(phenotypeDiseaseFrom(b, s, d))
+  }
 
   /** Phenotype node builder (phenotype.py:194-236 `get_nodes`): one
     * `phenotype` node per HPO term — hp CURIE id, name with the

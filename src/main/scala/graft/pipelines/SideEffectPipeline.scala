@@ -47,8 +47,12 @@ object SideEffectPipeline {
 
   /** ADReCS analog: dict-resolved ids, key dedup, no props. */
   private[pipelines] def adrecs(s: SparkSession, d: String): DataFrame =
+    adrecsFrom(base(s, d), s, d)
+
+  private def adrecsFrom(b: DataFrame, s: SparkSession,
+      d: String): DataFrame =
     keepFirst(
-      base(s, d).filter(col("o_orderstatus") === "F")
+      b.filter(col("o_orderstatus") === "F")
         .join(broadcast(drugbankMap(s, d, 0)), col("l_partkey") === col("from_id"))
         .withColumn("meddra_id", col("o_custkey").cast("string")),
       Nil)
@@ -56,7 +60,11 @@ object SideEffectPipeline {
 
   /** SIDER analog: two-step dict chain (key → name → drugbank id),
     * frequency bucket string. */
-  private[pipelines] def sider(s: SparkSession, d: String): DataFrame = {
+  private[pipelines] def sider(s: SparkSession, d: String): DataFrame =
+    siderFrom(base(s, d), s, d)
+
+  private def siderFrom(b: DataFrame, s: SparkSession,
+      d: String): DataFrame = {
     // p_name alone is NOT unique in the testdata (64 distinct names) — a
     // name-keyed dict would fan out; disambiguate the way the reference's
     // drug-name dicts are implicitly unique-keyed
@@ -68,7 +76,7 @@ object SideEffectPipeline {
         concat(lit("drugbank:DB"), col("p_partkey")).as("drugbank_id"))
     val freq = floor(col("l_quantity")).cast("long") % 4
     keepFirst(
-      base(s, d).filter(col("o_orderstatus") === "O")
+      b.filter(col("o_orderstatus") === "O")
         .join(broadcast(keyToName), col("l_partkey") === col("k"))
         .join(broadcast(nameToDb), Seq("nm"))
         .withColumn("meddra_id", col("o_custkey").cast("string"))
@@ -82,12 +90,16 @@ object SideEffectPipeline {
 
   /** OffSides analog: rxcui dict, numeric-meddra admission (the
     * reference's `isnumeric`), PRR rounded 3 dp. */
-  private[pipelines] def offsides(s: SparkSession, d: String): DataFrame = {
+  private[pipelines] def offsides(s: SparkSession, d: String): DataFrame =
+    offsidesFrom(base(s, d), s, d)
+
+  private def offsidesFrom(b: DataFrame, s: SparkSession,
+      d: String): DataFrame = {
     // every 7th id arrives in a prefixed non-numeric shape and must drop
     val meddraRaw = when(col("o_custkey") % 7 === 0,
       concat(lit("M"), col("o_custkey"))).otherwise(col("o_custkey").cast("string"))
     keepFirst(
-      base(s, d).filter(col("o_orderstatus") === "P")
+      b.filter(col("o_orderstatus") === "P")
         .join(broadcast(drugbankMap(s, d, 1200)), col("l_partkey") === col("from_id"))
         .withColumn("meddra_id", meddraRaw)
         .filter(col("meddra_id").rlike("^[0-9]+$"))
@@ -173,13 +185,19 @@ object SideEffectPipeline {
 
   /** merge_drug_side_effect_data: (adrecs ⟗ sider) ⟗ offsides, source
     * pipe-merged, value columns coalesced. */
-  def merged(s: SparkSession, d: String): DataFrame =
+  def merged(s: SparkSession, d: String): DataFrame = {
+    // one eager cut of the shared lineitem⋈orders base for all three
+    // sources (the GeneDiseasePipeline.merged discipline — without it
+    // each source's aggregate replays the fact join); chain structure
+    // unchanged, mergedSinglePass stays the registered 100 TB plan
+    val b = base(s, d).localCheckpoint(true)
     Kernels.outerMergeChain(
-      Seq(adrecs(s, d), sider(s, d), offsides(s, d)),
+      Seq(adrecsFrom(b, s, d), siderFrom(b, s, d), offsidesFrom(b, s, d)),
       Seq("drugbank_id", "meddra_id"),
       pipeCols = Set("source"))
       .select(col("drugbank_id"), col("meddra_id"), col("source"),
         col("frequency"), col("proportional_reporting_ratio"))
+  }
 
   /** Single-pass form of [[merged]]: ONE lineitem⋈orders scan + one
     * broadcast part dim + ONE hash aggregation, vs three source builds
