@@ -74,11 +74,16 @@ object Bench {
       bothOk(name) && timeIn(pass1, name).get >= 0.3 &&
         timeIn(pass2, name).get / timeIn(pass1, name).get > 1.4
     }
-    // The stdout contract line must stay short: the driver keeps only a
-    // bounded tail of stdout, so per-query detail (3k+ chars at 100+
-    // queries) would truncate mid-JSON. Totals only here (~150 chars);
-    // the full per-query map goes to bench_out.json below.
+    // Per-query stdout contract (round-11 verdict item 2): the driver's
+    // PERF builder needs per-query seconds on stdout, but its bounded
+    // 2000-char tail truncated the one-line full map back in round 2
+    // (BENCH_r02's parse failed mid-map). So: one SHORT self-contained
+    // JSON line per query (~50 chars, parseable in isolation), then the
+    // unchanged short total line LAST so the tail always retains it.
     def r3(v: Double) = math.round(v * 1000.0) / 1000.0
+    medByName.foreach { case (name, sec) =>
+      println(s"""{"metric":"q","name":"$name","sec":${r3(sec)}}""")
+    }
     val shortJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${names.size},"failed":$failed,"warm_gt14":$warmGt14,"passes":[${r3(t1)},${r3(t2)}],"sf":"$sfDir"}"""
     println(shortJson)

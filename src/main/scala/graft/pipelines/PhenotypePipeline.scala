@@ -77,15 +77,17 @@ object PhenotypePipeline {
         lit("phenotype_is_associated_with_disease").as("label"),
         col("evidence"), col("pubmed_ids"))
 
-  /** get_edges: the three edge types unioned in reference order. */
-  def edges(s: SparkSession, d: String): DataFrame = {
-    // one eager cut of the shared lineitem⋈orders base for the two fact
-    // edge types (the GeneDiseasePipeline.merged discipline)
-    val b = base(s, d).localCheckpoint(true)
-    proteinPhenotypeFrom(b)
+  /** get_edges: the three edge types unioned in reference order.
+    *
+    * NOT checkpointed: only TWO consumers share the lineitem⋈orders base
+    * here, and materializing the full fact join costs more than the one
+    * scan+join it saves (round-11 regressed 1.40→~2.0 s doing exactly
+    * that; the gda chain keeps its checkpoint because SEVEN sources share
+    * the base there, and side_effects keeps its with three). */
+  def edges(s: SparkSession, d: String): DataFrame =
+    proteinPhenotype(s, d)
       .unionByName(hierarchy(s, d))
-      .unionByName(phenotypeDiseaseFrom(b, s, d))
-  }
+      .unionByName(phenotypeDisease(s, d))
 
   /** Phenotype node builder (phenotype.py:194-236 `get_nodes`): one
     * `phenotype` node per HPO term — hp CURIE id, name with the

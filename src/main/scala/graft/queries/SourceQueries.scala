@@ -625,21 +625,31 @@ object SourceQueries {
     * scale-insensitive `compareTo` — approximating through double would
     * be unsound at the precisions DECIMAL exists for), and the
     * `amount >= 400000.00` read prunes files from the manifest alone via
-    * [[SnapshotTable.readRangeDec]]. In-job prune pin as always; both
-    * engines cast the double price to DECIMAL(12,2) so the row
-    * predicate and emitted values agree exactly. */
+    * [[SnapshotTable.readRangeDec]]. In-job prune pin as always. The
+    * emitted value goes through an integer-cents intermediate
+    * (`ROUND(price*100)` is always within ulps of an integer, never near
+    * a .5 tie) because Spark's and DuckDB's double→DECIMAL(12,2) casts
+    * round the same binary double differently at cent precision on a
+    * handful of rows; the cents integer is the representation both
+    * engines compute bit-identically. */
   val sSnapshotSkipDec = Q(
     "s_snapshot_skip_dec",
     """SELECT o_orderkey, o_custkey,
-      |  CAST(o_totalprice AS DECIMAL(12,2)) AS amount
-      |FROM orders WHERE CAST(o_totalprice AS DECIMAL(12,2)) >= 400000.00"""
+      |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amount_cents
+      |FROM orders
+      |WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) >= 40000000"""
       .stripMargin) { (s, d) =>
     val tableDir =
       java.nio.file.Files.createTempDirectory("graft_snap_dec").toString
+    val dec12 = org.apache.spark.sql.types.DecimalType(12, 2)
+    // integer cents (exact in both engines) → exact DECIMAL(12,2): the
+    // decimal arithmetic below never touches a double→decimal cast
+    val cents = round(col("o_totalprice") * lit(100))
+      .cast(org.apache.spark.sql.types.LongType)
     val snap = Tables.orders(s, d).select(
       col("o_orderkey"), col("o_custkey"),
-      col("o_totalprice")
-        .cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("amount"),
+      (cents.cast(org.apache.spark.sql.types.DecimalType(14, 0)) / lit(100))
+        .cast(dec12).as("amount"),
       lit("all").as("p"))
     SnapshotTable.overwriteClustered(s, tableDir, snap, partCol = "p",
       statsCols = Seq("amount"), rangeFiles = 12)
@@ -651,9 +661,10 @@ object SourceQueries {
         SnapshotTable.ColStat.overlapsDec(_, probeLo, None))
     }
     val out = SnapshotTable.readRangeDec(s, tableDir, "amount", probeLo, None)
-      .filter(col("amount") >= lit("400000.00")
-        .cast(org.apache.spark.sql.types.DecimalType(12, 2)))
-      .select(col("o_orderkey"), col("o_custkey"), col("amount"))
+      .filter(col("amount") >= lit("400000.00").cast(dec12))
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("amount") * lit(100))
+          .cast(org.apache.spark.sql.types.LongType).as("amount_cents"))
     if (kept < all.size) out else out.limit(0)
   }
 
