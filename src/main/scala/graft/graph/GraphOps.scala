@@ -45,10 +45,15 @@ object GraphOps {
     * bit-equal to a full recompute. */
   def connectedComponentsIncremental(spark: SparkSession,
       priorLabels: DataFrame, newEdges: DataFrame): DataFrame = {
-    val pl = priorLabels.toDF("node", "component")
+    // pl feeds both contraction joins, the settled relabel and the
+    // new-node anti-join (4 consumers); e feeds the contraction and both
+    // endpoint unions (3) — eager-cut both so the labeling/batch builds
+    // run once instead of per consumer
+    val pl = priorLabels.toDF("node", "component").localCheckpoint(true)
     val e = newEdges.select(
       col(newEdges.columns(0)).cast("long").as("src"),
       col(newEdges.columns(1)).cast("long").as("dst"))
+      .localCheckpoint(true)
     val contracted = e
       .join(pl.toDF("src", "ls"), Seq("src"), "left")
       .join(pl.toDF("dst", "ld"), Seq("dst"), "left")
@@ -240,11 +245,17 @@ object GraphOps {
     import spark.implicits._
     val c0 = childParent.columns(0)
     val c1 = childParent.columns(1)
+    // the hierarchy frame feeds both label-union sides and the edge RDD
+    // (3 consumers), and labels feed the collision check plus the two
+    // final decode joins (3 consumers) — eager-cut both so the upstream
+    // build runs once instead of up to 6× (plan audit: 12 scans before)
+    val cp = childParent.localCheckpoint(true)
     // stable distributed label→id mapping (no driver-side id assignment)
-    val labels = childParent.select(col(c0).as("label"))
-      .unionByName(childParent.select(col(c1).as("label")))
+    val labels = cp.select(col(c0).as("label"))
+      .unionByName(cp.select(col(c1).as("label")))
       .distinct()
       .withColumn("vid", xxhash64(col("label")))
+      .localCheckpoint(true)
     // a 64-bit hash collision would silently merge two ontology nodes —
     // fail loudly instead (one cheap distributed aggregate)
     val Array(nLabels, nVids) = labels
@@ -252,7 +263,7 @@ object GraphOps {
       .toSeq.map(String.valueOf(_).toLong).toArray
     require(nLabels == nVids,
       s"xxhash64 label collision: $nLabels labels -> $nVids vertex ids")
-    val edgeRdd = childParent
+    val edgeRdd = cp
       .select(xxhash64(col(c0)).as("src"), xxhash64(col(c1)).as("dst"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val graph = Graph.fromEdges[Set[VertexId], Unit](edgeRdd, Set.empty[VertexId])
@@ -361,9 +372,13 @@ object GraphOps {
     * no windows, cost linear in edges at any scale. Output: (node,
     * label). */
   def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    // und feeds the seed labeling plus every round's join — iters+1
+    // consumers; without the eager cut the edge-build subtree re-executes
+    // once per consumer (the plan audit counted 16 scans for 3 rounds)
     val und = edges.select(col("src").as("node"), col("dst").as("nbr"))
       .unionByName(edges.select(col("dst").as("node"), col("src").as("nbr")))
       .distinct()
+      .localCheckpoint(true)
     var labels = und.select(col("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to iters) {

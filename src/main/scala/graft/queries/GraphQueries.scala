@@ -33,6 +33,16 @@ object GraphQueries {
       .filter(col("n") >= 3)
       .select(col("src"), col("dst"))
 
+  /** Eager cut of a small derived frame consumed ≥3× downstream — the
+    * round-11 shared-base discipline applied to the relational graph
+    * queries: the edge/und build scans lineitem⋈orders, and the plan
+    * audit counted that subtree duplicated up to 10× per query (g_khop
+    * 16 scans, g_neighbor_jaccard 20). The frames cut here are pairs of
+    * longs (tens of KB materialized), so unlike the phenotype base the
+    * materialization is far cheaper than even one rebuild. */
+  private def cut(df: org.apache.spark.sql.DataFrame) =
+    df.localCheckpoint(true)
+
   /** Degree statistics via GraphX `degrees`, oracle = relational
     * distinct-neighbor count. */
   val gDegree = Q(
@@ -352,9 +362,10 @@ object GraphQueries {
         |JOIN (SELECT node, COUNT(*) AS n_2hop FROM reach GROUP BY node) n2
         |  USING (node)""".stripMargin) { (s, d) =>
     val e = edgeDf(s, d)
-    val und = e.select(col("src").as("node"), col("dst").as("other"))
+    // und feeds h2 (both sides), reach and the 1-hop count — 4 consumers
+    val und = cut(e.select(col("src").as("node"), col("dst").as("other"))
       .union(e.select(col("dst").as("node"), col("src").as("other")))
-      .distinct()
+      .distinct())
     val h2 = und.toDF("node", "mid")
       .join(und.toDF("mid", "other"), "mid")
       .filter(col("other") =!= col("node"))
@@ -388,9 +399,10 @@ object GraphQueries {
         |WHERE CAST(inter AS DOUBLE) / (du.d + dv.d - inter) >= 0.5"""
         .stripMargin) { (s, d) =>
     val e = edgeDf(s, d)
-    val und = e.select(col("src").as("node"), col("dst").as("other"))
+    // und feeds deg and both pair sides — 3 consumers (deg itself twice)
+    val und = cut(e.select(col("src").as("node"), col("dst").as("other"))
       .union(e.select(col("dst").as("node"), col("src").as("other")))
-      .distinct()
+      .distinct())
     val deg = und.groupBy(col("node")).agg(count(lit(1)).as("d"))
     val mid = deg.filter(col("d") <= 32).select(col("node").as("other"))
     val pairs = und.toDF("u", "other")
@@ -552,9 +564,10 @@ object GraphQueries {
         |SELECT u, v, inter, aa_micro FROM pairs WHERE inter >= 2"""
         .stripMargin) { (s, d) =>
     val e = edgeDf(s, d)
-    val und = e.select(col("src").as("node"), col("dst").as("other"))
+    // und feeds deg and both wedge sides — 3 consumers
+    val und = cut(e.select(col("src").as("node"), col("dst").as("other"))
       .union(e.select(col("dst").as("node"), col("src").as("other")))
-      .distinct()
+      .distinct())
     val deg = und.groupBy(col("node")).agg(count(lit(1)).as("d"))
     // inner-joining the capped aa table is BOTH the hub cap and the
     // contribution lookup — one broadcast-sized dimension, two uses
@@ -600,12 +613,14 @@ object GraphQueries {
            |  GROUP BY node)""".stripMargin
       }.mkString(",\n") +
       s"\nSELECT node, dist FROM r$SsspRounds") { (s, d) =>
-    val e = Tables.lineitem(s, d)
+    // e feeds both undirected union sides and the source-min agg — 3
+    // consumers inside weightedSssp's und build
+    val e = cut(Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .groupBy((col("o_custkey") * 2).cast("long").as("src"),
         (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
       .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 3)
+      .filter(col("w") >= 3))
     GraphOps.weightedSssp(e, e.agg(min(col("src"))), rounds = SsspRounds)
   }
 
@@ -637,9 +652,10 @@ object GraphQueries {
         |  CAST(n * ss_dv - s_dv * s_dv AS VARCHAR) AS var_num_y
         |FROM s""".stripMargin) { (s, d) =>
     val e = edgeDf(s, d)
-    val und = e.select(col("src").as("node"), col("dst").as("other"))
+    // und feeds deg (joined back twice) and t — 3 subtree copies
+    val und = cut(e.select(col("src").as("node"), col("dst").as("other"))
       .union(e.select(col("dst").as("node"), col("src").as("other")))
-      .distinct()
+      .distinct())
     val deg = und.groupBy(col("node")).agg(count(lit(1)).as("d"))
     val t = und
       .join(deg.toDF("node", "du"), Seq("node"))
@@ -688,10 +704,11 @@ object GraphQueries {
       .unionAll(e.select(col("dst").as("node"), col("src").as("other")))
       .distinct()
     val w = Window.partitionBy("node").orderBy("other")
-    val nbr = und
+    // nbr feeds all four walk steps plus the walk seed — 5 consumers
+    val nbr = cut(und
       .withColumn("idx", (row_number().over(w) - 1).cast("long"))
       .withColumn("deg",
-        count(lit(1)).over(Window.partitionBy("node")).cast("long"))
+        count(lit(1)).over(Window.partitionBy("node")).cast("long")))
     val walks0 = nbr.select(col("node").as("wid")).distinct()
       .withColumn("v0", col("wid"))
     val walked = (1 to 4).foldLeft(walks0) { (acc, t) =>

@@ -1207,7 +1207,12 @@ object SourceQueries {
       .select(col("o_orderkey"), col("o_totalprice").as("price"),
         date_format(col("o_orderdate"), "yyyy").as("yr"),
         lit(0L).as("version"), lit(false).as("del"))
-    SnapshotTable.overwrite(s, tableDir, base, partCol = "yr")      // v1
+    // v1 clustered with LONG key stats (round-11 verdict #4): each
+    // narrow upsert then carries forward every key-disjoint file via the
+    // MERGE stats-prune, and the per-trigger diff reads only the files
+    // that actually changed instead of every touched partition
+    SnapshotTable.overwriteClustered(s, tableDir, base, partCol = "yr",
+      statsCols = Seq("o_orderkey"), rangeFiles = 8)                // v1
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[
       (Long, String, Long, Double)]()
     val q = s.readStream.format("graft-snapshot-cdf")

@@ -851,21 +851,158 @@ object SnapshotTable {
       .write.mode("overwrite").partitionBy("__p").parquet(batchDir)
     val staged = listStaged(tableDir, batchRel)
     // an empty batch (a rewrite that deleted every candidate row) stages
-    // zero files — nothing to stat, and the stats scan below would choke
-    // on the file-less directory
+    // zero files — nothing to stat
     if (staged.isEmpty)
       return (staged, Map.empty[String, Map[String, ColStat]])
-    // one scan of the NEW BATCH only (never the table) for per-file stats
-    // and row counts (the count rides the same aggregation for free —
-    // prepareManifest records it in the bytes:rows field)
-    // double bounds are recorded EXACTLY as Spark's min/max computed them
-    // — including hi = NaN for a NaN-carrying file (NaN sorts above every
-    // double in Spark, and `NaN >= x` is TRUE there, so a one-sided probe
-    // matches NaN rows; masking NaN out of the bound would prune files
-    // whose matching rows the filter can never recover — DblStat scaladoc)
+    // Per-file stats + row counts come from the staged files' parquet
+    // FOOTERS, read on the driver (round-11 verdict #5): the writer
+    // already computed column-chunk min/max and block row counts during
+    // the write, so re-deriving them with a distributed scan job was one
+    // full read of the batch plus a scheduling round trip per clustered
+    // commit. O(files) footer opens replace it; the distributed scan
+    // remains for DOUBLE stat columns (parquet-mr drops NaN from chunk
+    // bounds — the hi = NaN contract needs Spark's own max) and as the
+    // fallback when a footer can't be read or a chunk carries no usable
+    // statistics (ParquetFooterStatsSpec pins footer ≡ scan per type).
+    val stats = footerStatsOrRescan(df.sparkSession, tableDir, batchDir,
+      staged, statsCols, statTypes)
+    (staged, stats)
+  }
+
+  /** Footer-based stats for a freshly staged batch, with the distributed
+    * scan as fallback. Soundness rule: a column chunk that HAS non-null
+    * values but carries no (or unusable) statistics poisons the whole
+    * batch back to the rescan path — never a silently narrower bound. */
+  private def footerStatsOrRescan(spark: SparkSession, tableDir: String,
+      batchDir: String, staged: Seq[(String, String)], statsCols: Seq[String],
+      statTypes: Map[String, org.apache.spark.sql.types.DataType])
+      : Map[String, Map[String, ColStat]] = {
+    // DOUBLE columns never take the footer path: parquet-mr's writer
+    // DROPS NaN from column-chunk min/max (measured — the spec's
+    // NaN-carrying file came back with a finite hi), which would silently
+    // violate the hi = NaN prune contract. Spark's own scan keeps NaN as
+    // the max, so double batches keep the rescan.
+    if (statsCols.exists(c =>
+        statTypes(c) == org.apache.spark.sql.types.DoubleType))
+      return rescanStats(spark, batchDir, statsCols, statTypes)
+    try {
+      val (fs, root) = fsRoot(tableDir)
+      val dataRoot = new Path(root, "data")
+      staged.map { case (_, rel) =>
+        val (rows, st) = footerFileStats(
+          new Path(dataRoot, rel), statsCols, statTypes)
+        stagedRows.put(rel, rows)
+        rel -> st
+      }.toMap.filter(_._2.nonEmpty)
+    } catch { case _: Throwable =>
+      rescanStats(spark, batchDir, statsCols, statTypes)
+    }
+  }
+
+  /** One file's (rowCount, per-column ColStat) from its parquet footer.
+    * Throws on any chunk with values but unusable stats (the caller falls
+    * back to the rescan). A column whose every chunk is all-null gets no
+    * entry — "no stats → always read", same as the scan path. */
+  private def footerFileStats(file: Path, statsCols: Seq[String],
+      statTypes: Map[String, org.apache.spark.sql.types.DataType])
+      : (Long, Map[String, ColStat]) = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(file, hadoopConf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val byCol = statsCols.flatMap { c =>
+        val chunks = blocks.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == c).getOrElse(
+            sys.error(s"stat column $c missing from a footer of $file"))
+        }
+        // chunks that are entirely null contribute no bound; a chunk with
+        // values but no usable stats makes the footer unusable
+        val valued = chunks.filter { ch =>
+          val s = ch.getStatistics
+          require(s != null && !s.isEmpty && s.isNumNullsSet,
+            s"unusable footer statistics for $c in $file")
+          s.hasNonNullValue
+        }
+        if (valued.isEmpty) None
+        else {
+          val bounds = valued.map(ch => footerBounds(ch, statTypes(c)))
+          Some(c -> bounds.reduce(mergeStat))
+        }
+      }.toMap
+      (rows, byCol)
+    } finally reader.close()
+  }
+
+  /** A single column chunk's (min, max) as a ColStat, converted per the
+    * TABLE type (parquet physical → engine domain). */
+  private def footerBounds(
+      ch: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+      t: org.apache.spark.sql.types.DataType): ColStat = {
+    val s = ch.getStatistics
+    t match {
+      case org.apache.spark.sql.types.LongType =>
+        LongStat(s.genericGetMin.asInstanceOf[java.lang.Long],
+          s.genericGetMax.asInstanceOf[java.lang.Long])
+      case org.apache.spark.sql.types.DoubleType =>
+        DblStat(s.genericGetMin.asInstanceOf[java.lang.Double],
+          s.genericGetMax.asInstanceOf[java.lang.Double])
+      case org.apache.spark.sql.types.StringType =>
+        val mn = s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+        val mx = s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+        StrStat(new String(mn.getBytes, java.nio.charset.StandardCharsets.UTF_8),
+          new String(mx.getBytes, java.nio.charset.StandardCharsets.UTF_8))
+      case d: org.apache.spark.sql.types.DecimalType =>
+        // Spark writes DECIMAL as INT32 (p≤9) / INT64 (p≤18) /
+        // FIXED_LEN_BYTE_ARRAY unscaled values
+        def dec(v: AnyRef): java.math.BigDecimal = v match {
+          case i: java.lang.Integer => java.math.BigDecimal.valueOf(
+            i.longValue, d.scale)
+          case l: java.lang.Long => java.math.BigDecimal.valueOf(l, d.scale)
+          case b: org.apache.parquet.io.api.Binary =>
+            new java.math.BigDecimal(
+              new java.math.BigInteger(b.getBytes), d.scale)
+          case other => sys.error(s"unexpected decimal physical $other")
+        }
+        DecStat(dec(s.genericGetMin.asInstanceOf[AnyRef]),
+          dec(s.genericGetMax.asInstanceOf[AnyRef]))
+      case other => sys.error(s"unsupported stat type $other")
+    }
+  }
+
+  /** Merge two per-chunk bounds of the same column into one file bound,
+    * under the SAME orders the engine's min/max and [[ColStat]] probes
+    * use: Long natural, Double total order (Double.compare — NaN high),
+    * String unsigned UTF-8 bytes ([[ColStat.utf8Cmp]]), Decimal
+    * scale-insensitive compareTo. */
+  private def mergeStat(a: ColStat, b: ColStat): ColStat = (a, b) match {
+    case (LongStat(l1, h1), LongStat(l2, h2)) =>
+      LongStat(math.min(l1, l2), math.max(h1, h2))
+    case (DblStat(l1, h1), DblStat(l2, h2)) =>
+      DblStat(if (java.lang.Double.compare(l1, l2) <= 0) l1 else l2,
+        if (java.lang.Double.compare(h1, h2) >= 0) h1 else h2)
+    case (StrStat(l1, h1), StrStat(l2, h2)) =>
+      StrStat(if (ColStat.utf8Cmp(l1, l2) <= 0) l1 else l2,
+        if (ColStat.utf8Cmp(h1, h2) >= 0) h1 else h2)
+    case (DecStat(l1, h1), DecStat(l2, h2)) =>
+      DecStat(if (l1.compareTo(l2) <= 0) l1 else l2,
+        if (h1.compareTo(h2) >= 0) h1 else h2)
+    case other => sys.error(s"mismatched stat kinds $other")
+  }
+
+  /** The pre-round-12 distributed stats pass — one scan of the NEW BATCH
+    * only (never the table), kept as the fallback for footers the driver
+    * cannot use. Double bounds are recorded EXACTLY as Spark's min/max
+    * computed them — including hi = NaN for a NaN-carrying file. */
+  private def rescanStats(spark: SparkSession, batchDir: String,
+      statsCols: Seq[String],
+      statTypes: Map[String, org.apache.spark.sql.types.DataType])
+      : Map[String, Map[String, ColStat]] = {
     val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
-    val stats = df.sparkSession.read.parquet(batchDir)
+    spark.read.parquet(batchDir)
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -892,7 +1029,6 @@ object SnapshotTable {
         }.toMap
         if (m.isEmpty) None else Some(rel -> m)
       }.toMap
-    (staged, stats)
   }
 
   /** Write the next manifest file (version current+1) with `entries`
@@ -1822,14 +1958,26 @@ object SnapshotTable {
     val (pa, pb) = (byPart(ea), byPart(eb))
     val changed = (pa.keySet ++ pb.keySet)
       .filter(p => pa.getOrElse(p, Set.empty) != pb.getOrElse(p, Set.empty))
+    // Batches are immutable, so a file live in BOTH versions contributes
+    // identical rows to both join sides: under the writer's unique-key-
+    // per-version invariant (the same invariant the MERGE stats-prune
+    // rides) such rows can never surface as a change. Diff therefore
+    // reads only the SYMMETRIC DIFFERENCE of each changed partition's
+    // file sets, not the whole partition — the files the stats-prune
+    // carried forward cost zero here too, which is what makes a
+    // narrow-merge trigger's change feed O(overlapping files) instead of
+    // O(touched partitions).
+    val oldOnly = ea.collect { case (p, f)
+      if changed(p) && !pb.getOrElse(p, Set.empty).contains(f) => f }
+    val newOnly = eb.collect { case (p, f)
+      if changed(p) && !pa.getOrElse(p, Set.empty).contains(f) => f }
     // Both sides read with the LATER version's schema (add-only evolution
     // makes it the superset): the full-outer join below needs one struct
     // shape, and a column added between `from` and `to` null-fills on the
     // old side — its arrival surfaces as 'update' rows, which is the CDC
     // truth. Pre-schema-header manifests fall back to file schemas.
     val sideSchema = schemaAt(tableDir, math.max(from, to))
-    def side(e: Seq[(String, String)], all: Seq[(String, String)]): DataFrame = {
-      val files = e.collect { case (p, f) if changed(p) => f }
+    def side(files: Seq[String], all: Seq[(String, String)]): DataFrame = {
       if (files.nonEmpty) readFiles(spark, tableDir, files, sideSchema)
       else sideSchema match {
         case Some(s) => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
@@ -1837,8 +1985,8 @@ object SnapshotTable {
         case None => readFiles(spark, tableDir, all.map(_._2).take(1)).limit(0)
       }
     }
-    val o = side(ea, ea ++ eb)
-    val n = side(eb, eb ++ ea)
+    val o = side(oldOnly, ea ++ eb)
+    val n = side(newOnly, eb ++ ea)
     val valCols = o.columns.filterNot(keyCols.contains).toSeq
     val oldS = o.select(keyCols.map(col) :+
       struct(valCols.map(col): _*).as("__old"): _*)
