@@ -83,16 +83,30 @@ object Dedup {
     * explode/lead/concat_ws stay in whole-stage codegen. The window
     * shuffles once on doc_id with bounded group size (words per doc). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val words = docs.select(col(idCol).as("doc_id"),
-      posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "w")))
-    val parts = col("w") +: (1 until n).map(k => lead(col("w"), k).over(w))
-    words
-      .withColumn("__last", lead(col("w"), n - 1).over(w))
-      .withColumn("shingle", concat_ws(" ", parts: _*))
-      .filter(col("__last").isNotNull)
-      .select(col("doc_id"), col("shingle"))
+    // consecutive n-grams sliced INSIDE the token array: the token list
+    // is already positionally ordered in-row, so the former
+    // posexplode + lead-window form paid a per-doc sort shuffle for
+    // adjacency the array encodes for free — now one narrow projection +
+    // explode, and the distinct is the only shuffle. The grams come from
+    // arrays_zip over n shifted slices (plain codegen expressions; a
+    // transform() lambda here ran interpreted per element and measured
+    // 3× SLOWER than the window it replaced). Docs shorter than n words
+    // contribute nothing (the when guard keeps slice lengths ≥ 0).
+    // tokenization runs ONCE in its own projection below the Generate
+    // (the optimizer never inlines a Project into a generator, so the
+    // split is never duplicated into the n slice references — inlining
+    // it measured n+2 split evaluations per row)
+    val ws = col("__ws")
+    val gl = size(ws) - lit(n - 1)
+    val zipped = arrays_zip((0 until n).map(k => slice(ws, lit(k + 1), gl)): _*)
+    docs.select(col(idCol).as("doc_id"),
+        TextFns.tokens(col(textCol)).as("__ws"))
+      .select(col("doc_id"),
+        explode(when(size(ws) >= n, zipped)).as("g"))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          (0 until n).map(k => col("g").getField(k.toString)): _*)
+          .as("shingle"))
       .distinct()
   }
 
