@@ -112,17 +112,38 @@ object Relevance {
     * Output: (doc_id, n_bigrams, sum_p_ppm, avg_p_ppm); documents with
     * fewer than 2 tokens have no bigrams and are absent. Low avg_p_ppm =
     * improbable word transitions = the filter signal. */
+  /** (doc_id, prev, word) adjacent-token pairs, built by zipping the
+    * token array against its own 1-shifted slice — the positional window
+    * (posexplode + lag over a per-doc sort shuffle) encoded adjacency the
+    * array already has in-row (the round-12 shingle lesson; plain codegen
+    * expressions, tokenization evaluated once below the Generate). */
+  private def bigramPairs(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = col("__ws")
+    val zipped = arrays_zip(
+      slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1))
+    docs.select(col(idCol).as("doc_id"),
+        TextFns.tokens(col(textCol)).as("__ws"))
+      .select(col("doc_id"),
+        explode(when(size(ws) >= 2, zipped)).as("g"))
+      .select(col("doc_id"), col("g").getField("0").as("prev"),
+        col("g").getField("1").as("word"))
+  }
+
+  /** Unigram occurrence counts over every token — the c₁ denominator
+    * table both bigram scorers join on. */
+  private def unigramCounts(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextFns.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c1"))
+      .select(col("word").as("prev"), col("c1"))
+
   def bigramLmScore(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val wAdj = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val words = docs.select(col(idCol).as("doc_id"),
-      posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "word")))
-    val bi = words.withColumn("prev", lag(col("word"), 1).over(wAdj))
-      .filter(col("prev").isNotNull)
-      .select(col("doc_id"), col("prev"), col("word"))
+    val bi = bigramPairs(docs, idCol, textCol)
     val c2 = bi.groupBy(col("prev"), col("word")).agg(count(lit(1)).as("c2"))
-    val c1 = words.groupBy(col("word")).agg(count(lit(1)).as("c1"))
-      .select(col("word").as("prev"), col("c1"))
+    val c1 = unigramCounts(docs, idCol, textCol)
     bi.join(c2, Seq("prev", "word"))
       .join(c1, Seq("prev"))
       .withColumn("p_ppm", expr("(c2 * 1000000) div c1"))
@@ -151,15 +172,9 @@ object Relevance {
     * needed). */
   def bigramLogScore(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val wAdj = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val words = docs.select(col(idCol).as("doc_id"),
-      posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "word")))
-    val bi = words.withColumn("prev", lag(col("word"), 1).over(wAdj))
-      .filter(col("prev").isNotNull)
-      .select(col("doc_id"), col("prev"), col("word"))
+    val bi = bigramPairs(docs, idCol, textCol)
     val c2 = bi.groupBy(col("prev"), col("word")).agg(count(lit(1)).as("c2"))
-    val c1 = words.groupBy(col("word")).agg(count(lit(1)).as("c1"))
-      .select(col("word").as("prev"), col("c1"))
+    val c1 = unigramCounts(docs, idCol, textCol)
     val types = c2.join(c1, Seq("prev"))
       .withColumn("lp_micro",
         graft.core.QuantLn.lnMicro(
@@ -318,19 +333,17 @@ object Relevance {
     * silently while the DuckDB oracle errors — a silent wrong answer on
     * one engine and a loud one on the other).
     *
-    * Scale: bigram adjacency is the same doc-local lag window as
-    * [[bigramLmScore]] (one shuffle on doc_id); counts are partial-
-    * aggregating groupBys; the unigram joins key on the word — and the
-    * final top-k is a TakeOrdered, never a global sort. */
+    * Scale: bigram adjacency comes from the shared in-array zip
+    * ([[bigramPairs]] — no window, no doc-keyed shuffle); counts are
+    * partial-aggregating groupBys; the unigram joins key on the word —
+    * and the final top-k is a TakeOrdered, never a global sort. */
   def pmiCollocations(
       docs: DataFrame, idCol: String, textCol: String,
       minCount: Long = 5, topK: Int = 50): DataFrame = {
-    val wAdj = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val words = docs.select(col(idCol).as("doc_id"),
-      posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "word")))
-    val bi = words.withColumn("w1", lag(col("word"), 1).over(wAdj))
-      .filter(col("w1").isNotNull)
-      .select(col("w1"), col("word").as("w2"))
+      explode(TextFns.tokens(col(textCol))).as("word"))
+    val bi = bigramPairs(docs, idCol, textCol)
+      .select(col("prev").as("w1"), col("word").as("w2"))
     val pair = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= minCount)
     val uni = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
