@@ -64,16 +64,22 @@ object PpiPipeline {
     .withColumn("b", ColFns.curie("supp", col("sk_b")))
 
   /** Keep-best row per pair + pubmed set-union — the reference's
-    * sort→groupby("first") + `"|".join(set(pubmeds))` (ppi.py:135-140),
-    * expressed as one window + one aggregate sharing the (a,b) shuffle. */
+    * sort→groupby("first") + `"|".join(set(pubmeds))` (ppi.py:135-140) —
+    * in ONE aggregation over one (a,b) exchange: the former window +
+    * separate aggregate + join form re-evaluated the fact×fact self-join
+    * subtree per consumer (the window's exchange and the partial-agg
+    * exchange differ, so Catalyst reuses neither — the plan audit counted
+    * the self-join twice per source) and paid a per-pair sort. `min_by`
+    * over the caller's order struct picks the identical winner: the
+    * tie-break chains cover every emitted column, the same equivalence
+    * [[mergedSinglePass]] rides. `orderKey` must encode descending
+    * components negated. */
   private def bestPlusPubmeds(
-      pairs: DataFrame, order: Seq[Column], keep: Seq[Column]): DataFrame = {
-    val best = Kernels.keepBestPerKey(pairs, Seq("a", "b"), order)
-      .select(col("a") +: col("b") +: keep: _*)
-    val pm = pairs.groupBy(col("a"), col("b"))
-      .agg(Kernels.setJoinAgg(concat(lit("pmid:"), col("l_orderkey"))).as("pubmeds"))
-    best.join(pm, Seq("a", "b"))
-  }
+      pairs: DataFrame, orderKey: Column, keep: Seq[Column]): DataFrame =
+    pairs.groupBy(col("a"), col("b"))
+      .agg(min_by(struct(keep: _*), orderKey).as("__best"),
+        Kernels.setJoinAgg(concat(lit("pmid:"), col("l_orderkey"))).as("pubmeds"))
+      .select(col("a"), col("b"), col("__best.*"), col("pubmeds"))
 
   /** IntAct raw pairs: windowed, SwissProt-filtered, scored. */
   private[pipelines] def intactRawPairs(s: SparkSession, d: String): DataFrame = {
@@ -92,8 +98,8 @@ object PpiPipeline {
     // fully tied on it are interchangeable, so the winner is well-defined
     // even though (l_orderkey, l_linenumber) is not unique in the data
     bestPlusPubmeds(pairs,
-      Seq(col("score").desc, col("l_orderkey").asc, col("ln_a").asc,
-        col("ln_b").asc, col("ls_a").asc),
+      struct(negate(col("score")), col("l_orderkey"), col("ln_a"),
+        col("ln_b"), col("ls_a")),
       Seq(col("score"), col("ls_a").as("method")))
       .withColumn("source", lit("intact"))
   }
@@ -125,8 +131,7 @@ object PpiPipeline {
   def biogrid(s: SparkSession, d: String): DataFrame = {
     val pairs = biogridRawPairs(s, d)
     bestPlusPubmeds(pairs,
-      Seq(col("l_orderkey").asc, col("ln_a").asc, col("ln_b").asc,
-        col("method").asc),
+      struct(col("l_orderkey"), col("ln_a"), col("ln_b"), col("method")),
       Seq(col("method")))
       .withColumn("source", lit("biogrid"))
   }
@@ -142,9 +147,12 @@ object PpiPipeline {
 
   def string(s: SparkSession, d: String): DataFrame = {
     val pairs = stringRawPairs(s, d)
-    Kernels.keepBestPerKey(pairs,
-      Seq("a", "b"),
-      Seq(col("combined_score").desc, col("l_orderkey").asc, col("ln_a").asc, col("ln_b").asc))
+    // same one-agg keep-best as [[bestPlusPubmeds]] (no pubmeds here):
+    // the rank-1 window paid a per-pair sort over the self-join output
+    pairs.groupBy(col("a"), col("b"))
+      .agg(min_by(col("combined_score"),
+        struct(negate(col("combined_score")), col("l_orderkey"),
+          col("ln_a"), col("ln_b"))).as("combined_score"))
       .select(col("a"), col("b"),
         (col("combined_score").cast("double") / 1000).as("string_score"))
       .withColumn("source", lit("string"))
