@@ -428,6 +428,10 @@ object Dedup {
     val clusters = graft.sim.KMeans
       .kmeans(emb, idCol, vecCol, centroidStep, iters)
       .select(col("vec_id"), col("cluster"))
+    // deliberately NOT checkpointed (round-12 measurement): withVec has 3
+    // consumers, but eagerly materializing the kmeans⋈embeddings chain
+    // taxed the cheap threshold-sweep consumer ~3× for a small win on the
+    // flag consumer — the lazy chain recomputes cheaply at this shape
     val withVec = emb.select(col(idCol).as("vec_id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", graft.sim.Similarity.norm(col("v")))
@@ -1146,8 +1150,13 @@ object Dedup {
     * never recomputes signatures for triplet mining. */
   def contrastiveTripletsFromPairs(docs: DataFrame, idCol: String,
       pairs: DataFrame): DataFrame = {
-    val und = pairs.select(col("a"), col("b"))
-      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+    // both orientations stacked with ONE explode: the two-sided union
+    // form evaluated the whole LSH candidate+verify chain behind `pairs`
+    // twice (plan audit: 30 scans on this path)
+    val und = pairs.select(explode(array(
+        struct(col("a").as("a"), col("b").as("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
     val pos = und.groupBy(col("a")).agg(min(col("b")).as("positive"))
     // Bin = id div 2^16, NOT the identity: an identity bin would make the
     // binnedGlobalRank offset table one row per document — a corpus-sized

@@ -291,10 +291,13 @@ object PpiPipeline {
     * the merged result — keep-best/merge never drop a pair key), skipping
     * three windows and two outer joins on the node path. */
   def nodes(s: SparkSession, d: String): DataFrame = {
+    // stack both endpoints with ONE explode per source instead of a
+    // two-sided self-union: each raw-pair frame roots in the fact×fact
+    // self-join, so the union form re-evaluated every self-join twice
+    // (plan audit: 50 scans on the node path)
     val rawIds = Seq(
       intactRawPairs(s, d), biogridRawPairs(s, d), stringRawPairs(s, d))
-      .map(df => df.select(col("a").as("id"))
-        .unionByName(df.select(col("b").as("id"))))
+      .map(df => df.select(explode(array(col("a"), col("b"))).as("id")))
       .reduce(_ unionByName _)
       .distinct()
     nodesFromIds(s, d, rawIds)

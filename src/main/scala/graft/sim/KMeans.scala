@@ -58,6 +58,11 @@ object KMeans {
       emb: DataFrame, idCol: String, vecCol: String,
       centroidStep: Long = 40, iters: Int = 2): DataFrame = {
     graft.functions.L2Squared.register(emb.sparkSession)
+    // deliberately NOT checkpointed: at bench scale the whole Lloyd
+    // chain recomputes cheaply (small embedding table), and eager cuts
+    // here measured a net LOSS — they tax every cheap consumer (the
+    // x_semdedup_eps sweep tripled) for plan-size savings the optimizer
+    // absorbs at iters = 2
     val base = emb
       .select(col(idCol).as("id"),
         transform(col(vecCol),
