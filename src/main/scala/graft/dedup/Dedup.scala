@@ -978,8 +978,12 @@ object Dedup {
     * (doc_id, source) dimension. */
   def sourceOverlapFromShingles(sh: DataFrame,
       docSource: DataFrame): DataFrame = {
+    // srcSh feeds the per-source counts and both pair sides — 3 consumers
+    // of a shuffled distinct; eager-cut it once (the round-12 graph-family
+    // discipline)
     val srcSh = sh.join(docSource, Seq("doc_id"))
       .select(col("source"), col("shingle")).distinct()
+      .localCheckpoint(true)
     val counts = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     srcSh.toDF("a", "shingle")
       .join(srcSh.toDF("b", "shingle"), Seq("shingle"))
